@@ -1,0 +1,124 @@
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from fscrawler_ray.filters import (
+    DateFilter,
+    DepthFilter,
+    ExtensionFilter,
+    FilePatternFilter,
+    FilterChain,
+    NameFilter,
+    OrFilter,
+    PatternFilter,
+    RegexPatternFilter,
+    SizeFilter,
+    build_chain_from_spec,
+)
+
+
+def batch(**cols):
+    return pa.table(cols)
+
+
+URLS = batch(
+    url=["http://h.com/a/x.jpg", "http://h.com/a/x.tmp", "http://h.com/dir", "http://h.com/b/noext"],
+    name=["x.jpg", "x.tmp", "dir", "noext"],
+    ext=["jpg", "tmp", None, None],
+    is_dir=[False, False, True, False],
+    size=[100, 5, None, 50],
+    mtime=pa.array([dt.datetime(2024, 1, 1), None, dt.datetime(2020, 1, 1), dt.datetime(2025, 6, 1)]),
+    depth=[2, 2, 1, 2],
+)
+
+
+def both(f, b=URLS):
+    """Assert vector mask and scalar authorize agree, return the mask."""
+    m = list(f.mask(b))
+    rows = b.to_pylist()
+    s = [f.authorize(r) for r in rows]
+    assert [bool(x) for x in m] == s, (m, s)
+    return [bool(x) for x in m]
+
+
+def test_extension_filter():
+    assert both(ExtensionFilter(excluded={"tmp"})) == [True, False, True, True]
+    # authorized set: null extension denied too (None not in set)
+    assert both(ExtensionFilter(authorized={"jpg"})) == [True, False, False, False]
+    assert both(ExtensionFilter()) == [True, True, True, True]
+
+
+def test_depth_filter():
+    assert both(DepthFilter(max_depth=1)) == [False, False, True, False]
+    assert both(DepthFilter(max_depth=-1)) == [True, True, True, True]
+
+
+def test_date_filter_missing_allows():
+    f = DateFilter(min_date=dt.datetime(2023, 1, 1), max_date=dt.datetime(2024, 12, 31))
+    assert both(f) == [True, True, False, False]
+
+
+def test_size_filter_missing_denies():
+    assert both(SizeFilter(min_size=10)) == [True, False, False, True]
+    assert both(SizeFilter(min_size=0, max_size=60)) == [False, True, False, True]
+
+
+def test_pattern_filter_substring_only():
+    assert both(PatternFilter(excluded_pattern="/a/")) == [False, False, True, True]
+    assert both(PatternFilter(authorized_pattern=".jpg")) == [True, False, False, False]
+
+
+def test_regex_filter_and_literal_fallback():
+    # plain regex
+    assert both(RegexPatternFilter(excluded_pattern=r"\.tmp$")) == [True, False, True, True]
+    # dirs get a trailing slash before matching
+    assert both(RegexPatternFilter(authorized_pattern=r"/dir/$")) == [False, False, True, False]
+    # literal fallback: pattern that fails as regex match but matches with backslashes stripped
+    # '\n' makes the regex require a newline (never present) but the
+    # de-backslashed literal '/b/noext' is a substring of row 3's url
+    f = RegexPatternFilter(excluded_pattern=r"/b/\noext")
+    assert both(f) == [True, True, True, False]
+
+
+def test_name_filter():
+    assert both(NameFilter(excluded_names={"x.tmp", "dir"})) == [True, False, False, True]
+
+
+def test_file_pattern_filter_dirs_pass():
+    assert both(FilePatternFilter(authorized_pattern=".jpg")) == [True, False, True, False]
+
+
+def test_or_filter():
+    f = OrFilter([ExtensionFilter(authorized={"jpg"}), NameFilter(excluded_names={"x.jpg", "x.tmp", "noext"})])
+    assert both(f) == [True, False, True, False]
+    with pytest.raises(ValueError):
+        OrFilter([])
+
+
+def test_chain_skip_and_notify_and_invert():
+    chain = FilterChain(
+        skip_filters=[ExtensionFilter(excluded={"tmp"}), SizeFilter(min_size=10)],
+        notify_filters=[PatternFilter(authorized_pattern="/a/"), PatternFilter(authorized_pattern="/b/")],
+    )
+    assert [bool(x) for x in chain.mask(URLS)] == [True, False, False, True]
+    inv = FilterChain(skip_filters=chain.skip_filters, notify_filters=chain.notify_filters, invert=True)
+    assert [bool(x) for x in inv.mask(URLS)] == [False, True, True, False]
+    assert [chain.authorize(r) for r in URLS.to_pylist()] == [True, False, False, True]
+
+
+def test_factory_spec():
+    chain = build_chain_from_spec(
+        {
+            "skip_filters": [
+                {"ExtensionFilter": {"excluded": ["tmp"]}},
+                {"SizeFilter": {"min_size": 10}},
+            ],
+            "notify_filters": [{"PatternFilter": {"authorized_pattern": "/a/"}}],
+        }
+    )
+    assert [bool(x) for x in chain.mask(URLS)] == [True, False, False, False]
+    nested = build_chain_from_spec(
+        {"skip_filters": [{"OrFilter": {"filters": [{"ExtensionFilter": {"authorized": ["jpg"]}}, {"DepthFilter": {"max_depth": 1}}]}}]}
+    )
+    assert [bool(x) for x in nested.mask(URLS)] == [True, False, True, False]

@@ -1,0 +1,73 @@
+import numpy as np
+
+from fscrawler_ray.functions.phash import hamming64
+from fscrawler_ray.functions.text import (
+    extract_keywords,
+    fingerprint64,
+    keywords_batch,
+    langid_batch,
+    minhash_signatures,
+    quality_features,
+    rating_batch,
+    simhash64,
+    token_count_batch,
+)
+
+
+def test_keywords_reference_semantics():
+    # '- ' convention, '_' and '.' turn into ', '
+    assert extract_keywords("Artist - song_one, two") == ["song", "one", "two"]
+    # bracket convention
+    assert extract_keywords("photo [beach, sunset]") == ["beach", "sunset"]
+    # no convention
+    assert extract_keywords("plain name") == []
+    # punctuation outside [a-zA-Z0-9,\s\]] rejects the part
+    assert extract_keywords("x - bad!part, here") == []
+    assert keywords_batch(["a [x, y]", "nope"]).to_pylist() == [["x", "y"], []]
+
+
+def test_rating_cap_and_fallback():
+    got = rating_batch(["a+++b", "none", "++++++++", "zero"], ["x", "/p/++/y", "z", "w"]).to_pylist()
+    assert got == [3, 2, 5, None]
+
+
+def test_token_count():
+    assert token_count_batch(["a b  c", "", " x "]).to_pylist() == [3, 0, 1]
+
+
+def test_langid():
+    texts = [
+        "the cat and the dog went to the market",
+        "le chat est dans la maison avec le chien",
+        "der hund ist nicht mit der katze da",
+        "el perro con una casa para los gatos",
+        "我是一只猫，我有很多朋友",
+    ]
+    assert langid_batch(texts).to_pylist() == ["en", "fr", "de", "es", "zh"]
+
+
+def test_quality_features_monotonic():
+    t = quality_features(["word " * 200, "!!!"])
+    scores = t.column("quality_score").to_pylist()
+    assert scores[0] > scores[1]
+    assert t.column("n_tokens").to_pylist() == [200, 1]
+
+
+def test_minhash_similarity_orders():
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = a.replace("dog", "cat")
+    c = "entirely different content about distributed stream processing engines"
+    sig = minhash_signatures([a, b, c], num_perm=64)
+    near = (sig[0] == sig[1]).mean()
+    far = (sig[0] == sig[2]).mean()
+    assert near > far
+    assert near > 0.3
+
+
+def test_simhash_and_fingerprint():
+    s = simhash64(["a b c d e f g h", "a b c d e f g x", "unrelated totally different words"])
+    assert hamming64(s[0:1], s[1:2])[0] < hamming64(s[0:1], s[2:3])[0]
+    fp = fingerprint64(["a b c d", "a b c d", "e f g h", ""])
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    assert fp[3] == 0

@@ -1,0 +1,37 @@
+from fscrawler_ray.functions.urls import canonicalize, depth_of, ext_of, host_of, name_of
+
+
+def test_canonicalize_rules():
+    cases = {
+        "HTTP://Example.COM:80//a/./b/../c/img.JPG#frag": "http://example.com/a/c/img.JPG",
+        "http://h.com": "http://h.com/",
+        "http://h.com/": "http://h.com/",
+        "https://H.com:443/x/y/z/": "https://h.com/x/y/z",
+        "http://h.com/a/b/c/d.png?q=1": "http://h.com/a/b/c/d.png?q=1",
+    }
+    got = canonicalize(list(cases)).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_canonicalize_idempotent():
+    urls = ["http://a.com/x/../y/", "https://B.org:443//q"]
+    once = canonicalize(urls)
+    twice = canonicalize(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+def test_ext_quirks():
+    names = name_of(canonicalize([
+        "http://h.com/a/IMG.JPG",
+        "http://h.com/a/file.with.a.really.long.trailing.part123456789",
+        "http://h.com/a/noext",
+        "http://h.com/a/twelve.abcdefghijkl",   # exactly 12 chars -> kept
+        "http://h.com/a/thirteen.abcdefghijklm",  # 13 chars -> None
+    ]))
+    assert ext_of(names).to_pylist() == ["jpg", None, None, "abcdefghijkl", None]
+
+
+def test_host_depth():
+    urls = canonicalize(["http://A.com/x/y", "http://b.com/", "http://c.com/1/2/3/4"])
+    assert host_of(urls).to_pylist() == ["a.com", "b.com", "c.com"]
+    assert depth_of(urls).to_pylist() == [2, 0, 4]
