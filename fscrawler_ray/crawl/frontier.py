@@ -1,0 +1,223 @@
+"""FrontierShard — the distributed frontier's per-partition state machine.
+
+One shard owns the hosts with ``xxhash64(host) % n_shards == shard_id``:
+their FIFO politeness queues, the partition's Bloom+cuckoo(+exact) seen-set
+shard, a robots cache, the compiled filter chain, and per-shard counters
+(the analog of the reference crawler's stats block,
+/root/reference/app/crawler/file_system_crawler.py:59-79). The shard is a
+plain class; ``crawl.engine`` wraps it in a Ray actor.
+
+Protocol per round (see crawl/semantics.md):
+
+- ``pop_round()`` → Arrow table of this shard's emissions, each keyed by
+  ``(host, host_idx)`` for the driver's deterministic global merge. Feature
+  computation and filter evaluation are vectorized per popped host batch.
+- fetch tasks call ``buffer_children(parent_seq, child_idx, urls)``
+  (delivery order irrelevant);
+- ``end_round()`` sorts the buffer by ``(parent_seq, child_idx)``, runs the
+  vectorized seen-set test-and-set in that order, and enqueues survivors.
+
+Checkpoint: ``state()``/``from_state`` snapshot queues + seen-set + counters
+(+ round lineage), the distributed analog of the reference's ``path_stage``
+resume column (app/index_files.py:53-79).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..filters.core import FilterChain
+from ..functions.hashing import xxh64, xxh64_batch
+from ..functions.urls import ext_of, name_of
+from ..sources.synthweb import SynthWeb, WebConfig
+from ..state.seen import SeenSet
+from .robots import RobotsCache
+
+EMIT_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("host_idx", pa.int32()),
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("is_dir", pa.bool_()),
+        ("shard", pa.int32()),
+    ]
+)
+
+
+class FrontierShard:
+    def __init__(
+        self,
+        shard_id: int,
+        web_cfg: WebConfig,
+        chain_spec: dict | None = None,
+        politeness_budget: int = 4,
+        seen_capacity: int = 1 << 17,
+    ):
+        self.shard_id = shard_id
+        self.web = SynthWeb(web_cfg)
+        from ..filters.factory import build_chain_from_spec
+
+        self.chain = build_chain_from_spec(chain_spec or {})
+        self.budget = politeness_budget
+        self.robots = RobotsCache(seed=web_cfg.seed)
+        self.seen = SeenSet(capacity=seen_capacity)
+        self.queues: dict[str, list] = {}  # host -> list[(url, depth)] FIFO
+        self._qhead: dict[str, int] = {}  # pop cursor per host (amortized O(1))
+        self._buffer: list[tuple[int, int, str, int]] = []  # (parent_seq, child_idx, url, depth)
+        self.round = 0
+        self.counters = {
+            "enqueued": 0,
+            "emitted": 0,
+            "skipped_robots": 0,
+            "skipped_filters": 0,
+            "skipped_seen": 0,
+            "containers": 0,
+            "leaves": 0,
+        }
+
+    # -- enqueue path -------------------------------------------------------
+
+    def _enqueue_urls(self, urls: list[str], depths: np.ndarray) -> int:
+        """Seen-test-and-add in given order; append survivors to host queues."""
+        if not urls:
+            return 0
+        keys = xxh64_batch(pa.array(urls, type=pa.string()))
+        new = self.seen.check_and_add(keys)
+        self.counters["skipped_seen"] += int((~new).sum())
+        added = 0
+        for i in np.flatnonzero(new):
+            url = urls[i]
+            host = url.split("://", 1)[1].split("/", 1)[0].lower()
+            self.queues.setdefault(host, []).append((url, int(depths[i])))
+            added += 1
+        self.counters["enqueued"] += added
+        return added
+
+    def add_seeds(self, seeds: list[str]) -> int:
+        return self._enqueue_urls(seeds, np.zeros(len(seeds), dtype=np.int64))
+
+    def buffer_children(self, items: list[tuple[int, int, str, int]]) -> int:
+        """Fetch tasks deliver (parent_seq, child_idx, canonical_url, depth)."""
+        self._buffer.extend(items)
+        return len(self._buffer)
+
+    def end_round(self) -> dict:
+        self._buffer.sort(key=lambda t: (t[0], t[1]))
+        urls = [t[2] for t in self._buffer]
+        depths = np.array([t[3] for t in self._buffer], dtype=np.int64)
+        self._buffer.clear()
+        self._enqueue_urls(urls, depths)
+        self.round += 1
+        return {"round": self.round, "pending": self.pending_count()}
+
+    def pending_count(self) -> int:
+        return sum(len(q) - self._qhead.get(h, 0) for h, q in self.queues.items())
+
+    # -- pop path -----------------------------------------------------------
+
+    def pop_round(self) -> pa.Table:
+        """Emit up to ``budget`` URLs per owned host, vectorizing the robots
+        + filter checks per host batch. Returns EMIT_SCHEMA rows."""
+        out_host: list[str] = []
+        out_idx: list[int] = []
+        out_url: list[str] = []
+        out_depth: list[int] = []
+        out_isdir: list[bool] = []
+        for host in sorted(h for h, q in self.queues.items() if len(q) > self._qhead.get(h, 0)):
+            emitted = 0
+            q = self.queues[host]
+            head = self._qhead.get(host, 0)
+            while head < len(q) and emitted < self.budget:
+                # pop a candidate window of (budget - emitted) entries and
+                # evaluate checks vectorized; loop handles refill when some fail
+                take = min(len(q) - head, self.budget - emitted)
+                cand = q[head : head + take]
+                head += take
+                urls = [c[0] for c in cand]
+                depths = np.array([c[1] for c in cand], dtype=np.int32)
+                allowed = np.array([self.robots.allowed(host, u) for u in urls], dtype=bool)
+                self.counters["skipped_robots"] += int((~allowed).sum())
+                is_dir = np.array([self.web.is_container(u) for u in urls], dtype=bool)
+                metas = [self.web.metadata(u) for u in urls]
+                batch = self._features(urls, is_dir, depths, metas)
+                fmask = self.chain.mask(batch) if (self.chain.skip_filters or self.chain.notify_filters or self.chain.invert) else np.ones(len(urls), bool)
+                self.counters["skipped_filters"] += int((allowed & ~fmask).sum())
+                ok = allowed & fmask
+                for j in np.flatnonzero(ok):
+                    out_host.append(host)
+                    out_idx.append(emitted)
+                    out_url.append(urls[j])
+                    out_depth.append(int(depths[j]))
+                    out_isdir.append(bool(is_dir[j]))
+                    emitted += 1
+            if head >= len(q):
+                del self.queues[host]
+                self._qhead.pop(host, None)
+            else:
+                self._qhead[host] = head
+        self.counters["emitted"] += len(out_url)
+        self.counters["containers"] += int(sum(out_isdir))
+        self.counters["leaves"] += len(out_isdir) - int(sum(out_isdir))
+        return pa.table(
+            {
+                "host": pa.array(out_host, type=pa.string()),
+                "host_idx": pa.array(out_idx, type=pa.int32()),
+                "url": pa.array(out_url, type=pa.string()),
+                "depth": pa.array(out_depth, type=pa.int32()),
+                "is_dir": pa.array(out_isdir, type=pa.bool_()),
+                "shard": pa.array([self.shard_id] * len(out_url), type=pa.int32()),
+            },
+            schema=EMIT_SCHEMA,
+        )
+
+    def _features(self, urls: list[str], is_dir: np.ndarray, depths: np.ndarray, metas: list[dict]) -> pa.Table:
+        arr = pa.array(urls, type=pa.string())
+        names = name_of(arr)
+        return pa.table(
+            {
+                "url": arr,
+                "name": names,
+                "ext": ext_of(names, pa.array(is_dir)),
+                "is_dir": pa.array(is_dir),
+                "size": pa.array([m["size"] for m in metas], type=pa.int64()),
+                "mtime": pa.array([m["mtime"] for m in metas], type=pa.int64()),
+                "depth": pa.array(depths, type=pa.int32()),
+            }
+        )
+
+    # -- stats / checkpoint -------------------------------------------------
+
+    def get_counters(self) -> dict:
+        return dict(self.counters, shard=self.shard_id, round=self.round, pending=self.pending_count())
+
+    def seen_keys(self) -> np.ndarray:
+        return np.sort(self.seen.keys_array())
+
+    def state(self) -> dict:
+        # compact queues to their unpopped suffix before snapshotting
+        queues = {h: q[self._qhead.get(h, 0) :] for h, q in self.queues.items()}
+        return {
+            "shard_id": self.shard_id,
+            "round": self.round,
+            "budget": self.budget,
+            "queues": queues,
+            "counters": dict(self.counters),
+            "seen": self.seen.state(),
+            "buffer": list(self._buffer),
+        }
+
+    def load_state(self, st: dict) -> None:
+        self.shard_id = st["shard_id"]
+        self.round = st["round"]
+        self.budget = st["budget"]
+        self.queues = {h: list(q) for h, q in st["queues"].items()}
+        self._qhead = {}
+        self.counters = dict(st["counters"])
+        self.seen = SeenSet.from_state(st["seen"])
+        self._buffer = [tuple(t) for t in st["buffer"]]
+
+
+def shard_of_host(host: str, n_shards: int) -> int:
+    return xxh64(host.lower(), seed=3) % n_shards

@@ -1,0 +1,189 @@
+"""Deterministic synthetic web — the sandbox stand-in for the network.
+
+Every property of the web is a pure function of ``xxh64(canonical_url)`` and
+a global seed, so the single-threaded oracle and the distributed engine see
+exactly the same graph without sharing state. This replaces the reference's
+``Path.iterdir()`` recursion (/root/reference/app/crawler/file_system_crawler.py:482-500)
+with a link graph:
+
+- container URLs ("directories") expand into child containers + leaf images;
+- leaf URLs ("files") fetch into image+caption payloads (input_hint schema);
+- metadata (content_length, modified time) is known at discovery time, like
+  an HTTP HEAD — with deliberate gaps to exercise the SizeFilter
+  deny-on-missing / DateFilter allow-on-missing quirks;
+- ~5% of leaves share a payload seed with another URL → exact pixel dupes
+  for the dedup stages (the reference's find_duplicates analog,
+  app/database/data_manager.py:330-359);
+- hosts are Zipf-skewed: host 0 receives many cross-links (hot-host skew for
+  salting/repartition tests);
+- some paths are under "/private" and blocked by robots rules.
+
+Nothing here calls the network or the filesystem.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.codecs import FORMATS, encode, synth_image
+from ..functions.hashing import xxh64
+from ..functions.phash import phash_image, to_gray32
+
+_WORDS = (
+    "sunset beach mountain river city night forest bridge cloud star "
+    "garden ocean desert island valley harbor temple market castle tower"
+).split()
+
+_EXTS = ["jpg", "png", "webp", "jpg", "png", "jpg", "tmp", "log", "html"]
+
+EPOCH_US = 1_700_000_000_000_000  # fixed logical clock base (2023-11-14T22:13:20Z)
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    seed: int = 42
+    n_hosts: int = 16
+    max_depth: int = 4
+    fanout_dirs: int = 3
+    fanout_files: int = 6
+    dup_rate: float = 0.05
+    missing_meta_rate: float = 0.04
+    cross_link_rate: float = 0.08
+    hot_host: str = "host00.example.com"
+
+
+class SynthWeb:
+    def __init__(self, cfg: WebConfig = WebConfig()):
+        self.cfg = cfg
+
+    # -- topology -----------------------------------------------------------
+
+    def hosts(self) -> list[str]:
+        return [f"host{i:02d}.example.com" for i in range(self.cfg.n_hosts)]
+
+    def seeds(self) -> list[str]:
+        """Seed list, deliberately containing a nested seed (subsumed by its
+        ancestor) to exercise root-subsumption dedup
+        (reference: file_system_crawler.py:212-218)."""
+        out = [f"http://{h}/" for h in self.hosts()]
+        out.append(f"http://{self.hosts()[1]}/gallery0")  # nested under seed 1
+        return out
+
+    def _h(self, url: str) -> int:
+        return xxh64(url, seed=self.cfg.seed)
+
+    def is_container(self, url: str) -> bool:
+        """Containers: the root path and /gallery* paths below max depth."""
+        path = url.split("://", 1)[1].split("/", 1)
+        sub = "/" + path[1] if len(path) > 1 else "/"
+        if sub == "/" or sub == "":
+            return True
+        depth = len([s for s in sub.split("/") if s])
+        if depth >= self.cfg.max_depth:
+            return False
+        last = sub.rstrip("/").rsplit("/", 1)[-1]
+        return last.startswith("gallery") or last.startswith("private")
+
+    def children(self, url: str) -> list[str]:
+        """Deterministic child links of a container (ordered). Mirrors the
+        per-directory iteration order contract of the reference (§2.9)."""
+        if not self.is_container(url):
+            return []
+        h = self._h(url)
+        base = url.rstrip("/")
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        ndirs = 1 + h % self.cfg.fanout_dirs
+        nfiles = 2 + (h >> 8) % self.cfg.fanout_files
+        out: list[str] = []
+        for i in range(ndirs):
+            kind = (h >> (3 * i + 16)) % 12
+            if kind == 0:
+                out.append(f"{base}/private{i}")  # robots-blocked subtree
+            else:
+                out.append(f"{base}/gallery{i}")
+        for j in range(nfiles):
+            hj = xxh64(f"{url}#f{j}", seed=self.cfg.seed)
+            ext = _EXTS[hj % len(_EXTS)]
+            if hj % 37 == 0:
+                out.append(f"{base}/weird{j}.extension-longer-than-twelve")
+            elif hj % 41 == 0:
+                out.append(f"{base}/.DS_Store")
+            else:
+                out.append(f"{base}/img_{hj % 100000:05d}.{ext}")
+        # occasional cross-host link into the hot host (skew)
+        if (h % 100) < int(self.cfg.cross_link_rate * 100):
+            out.append(f"http://{self.cfg.hot_host}/gallery{h % 3}")
+        # occasional duplicate link to an already-linked sibling (seen-set hit)
+        if h % 7 == 0 and out:
+            out.append(out[-1])
+        _ = host
+        return out
+
+    # -- per-URL metadata (the HEAD analog) ---------------------------------
+
+    def metadata(self, url: str) -> dict:
+        """(size, mtime_us) known at discovery; deliberately missing for a
+        slice of URLs."""
+        h = self._h(url)
+        missing = (h % 1000) < int(self.cfg.missing_meta_rate * 1000)
+        size = None if missing else 2_000 + (h >> 16) % 60_000
+        mtime = None if (h % 977) < 30 else EPOCH_US - ((h >> 24) % (400 * 86400)) * 1_000_000
+        return {"size": size, "mtime": mtime}
+
+    # -- fetch (the payload generator) --------------------------------------
+
+    def payload_seed(self, url: str) -> int:
+        """Payload identity. ~dup_rate of leaves collide deliberately."""
+        h = self._h(url)
+        if (h % 1000) < int(self.cfg.dup_rate * 1000):
+            return self.cfg.seed * 1_000_003 + h % 64  # one of 64 shared payloads
+        return h
+
+    def fetch(self, url: str) -> dict | None:
+        """Fetch a leaf URL → one input_hint row dict, or None for non-image
+        payloads (html/tmp/log) and decode-junk rows."""
+        name = url.rsplit("/", 1)[-1]
+        ext = name.rsplit(".", 1)[-1].lower() if "." in name else None
+        ps = self.payload_seed(url)
+        if ext not in ("jpg", "jpeg", "png", "webp"):
+            return None
+        fmt = {"jpg": "jpeg"}.get(ext, ext)
+        rng_w = 32 + ps % 97
+        rng_h = 32 + (ps >> 7) % 97
+        img = synth_image(ps & 0xFFFFFFFF, rng_w, rng_h)
+        buf = encode(img, fmt)
+        caption = self.caption(ps)
+        return {
+            "image_id": f"img_{ps & 0xFFFFFFFFFF:012x}",
+            "bytes": buf,
+            "w": rng_w,
+            "h": rng_h,
+            "fmt": fmt,
+            "caption": caption,
+            "phash": phash_image(img),
+        }
+
+    def caption(self, ps: int) -> str:
+        rng = np.random.Generator(np.random.PCG64(ps & 0xFFFFFFFF))
+        words = [str(w) for w in rng.choice(_WORDS, size=4 + int(rng.integers(0, 6)))]
+        cap = " ".join(words)
+        style = ps % 10
+        if style == 0:
+            cap = f"{words[0]} - {'_'.join(words[1:3])}, {words[-1]}"
+        elif style == 1:
+            cap = f"{cap} [{words[0]}, {words[1]}]"
+        elif style == 2:
+            cap = cap + " " + "+" * (1 + ps % 7)
+        return cap
+
+    # expose gray for tests needing pixel-level checks
+    def decoded_gray(self, url: str):
+        row = self.fetch(url)
+        if row is None:
+            return None
+        from ..functions.codecs import decode
+
+        img, _, _, _ = decode(row["bytes"])
+        return to_gray32(img)
