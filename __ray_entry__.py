@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship image-enrichment pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one (matching column
+names). Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -20,25 +14,101 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (input_hint image table →
+    attrs → hash → decode+phash verify → caption features)."""
+    from fscrawler_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
+
+
+def _crawl_queries() -> dict[str, Callable[[str], Any]]:
+    from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+    def _scale(sf_dir: str) -> WebConfig:
+        from fscrawler_ray.sources.images import rows_for_sf
+
+        n = rows_for_sf(sf_dir, per_sf=2000)  # hosts*depth scale with sf
+        n_hosts = max(4, min(32, n // 16))
+        return WebConfig(seed=42, n_hosts=n_hosts, max_depth=3)
+
+    def crawl_trace(sf_dir: str):
+        cfg = _scale(sf_dir)
+        eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40))
+        eng.run(SynthWeb(cfg).seeds())
+        return eng.trace_table()
+
+    def crawl_counters(sf_dir: str):
+        import pyarrow as pa
+
+        cfg = _scale(sf_dir)
+        eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=4, max_rounds=40))
+        s = eng.run(SynthWeb(cfg).seeds())
+        c = s["counters"]
+        return pa.table({k: [int(v)] for k, v in c.items() if isinstance(v, int)})
+
+    return {"crawl_trace": crawl_trace, "crawl_counters": crawl_counters}
+
+
+def _image_queries() -> dict[str, Callable[[str], Any]]:
+    from fscrawler_ray.pipelines.flagship import flagship
+    from fscrawler_ray.sources.images import images_dataset, rows_for_sf
+
+    def images_enrich(sf_dir: str):
+        return flagship(sf_dir)
+
+    def images_phash_dedup(sf_dir: str):
+        from fscrawler_ray.pipelines.dedup import phash_dedup
+
+        ds = images_dataset(rows_for_sf(sf_dir))
+        return phash_dedup(ds)
+
+    def images_thumbnails(sf_dir: str):
+        from fscrawler_ray.stages.image_stages import ThumbnailStage
+
+        ds = images_dataset(min(rows_for_sf(sf_dir), 512))
+        out = ds.map_batches(ThumbnailStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+        return out.select_columns(["image_id", "thumb_w", "thumb_h"])
+
+    return {
+        "images_enrich": images_enrich,
+        "images_phash_dedup": images_phash_dedup,
+        "images_thumbnails": images_thumbnails,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fscrawler_ray.pipelines import analytics, dedup, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(analytics.QUERIES)
+    out.update(
+        {
+            "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
+            "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+            "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
+            "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
+            "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+            "langid_docs": textops.q_langid_docs,
+            "quality_docs": textops.q_quality_docs,
+            "simhash_docs": textops.q_simhash_docs,
+            "fingerprint_docs": textops.q_fingerprint_docs,
+        }
+    )
+    out.update(_crawl_queries())
+    out.update(_image_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fscrawler_ray.pipelines.analytics import ORACLE_SQL
+
+    sql = dict(ORACLE_SQL)
+    sql["knn_bruteforce"] = (
+        "SELECT q.vec_id AS query_id, e.vec_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "
+        "FROM embeddings q, embeddings e "
+        "WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4) AND e.vec_id <> q.vec_id "
+        "QUALIFY rnk <= 10"
+    )
+    return sql

