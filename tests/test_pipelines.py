@@ -1,0 +1,121 @@
+"""Pipeline-level tests: flagship invariants, dedup correctness, ANN recall,
+and driver-contract smoke (entry/queries/oracle_sql)."""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    t = ds.take_batch(200, batch_format="pyarrow")
+    assert t.num_rows > 0
+    assert pc.all(t.column("decode_ok")).as_py()
+    assert pc.all(t.column("phash_match")).as_py()
+    assert pc.all(t.column("verify_ok")).as_py()
+
+
+def test_queries_have_oracles_subset():
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert set(sqls).issubset(set(qs))
+    # a healthy majority of queries are SQL-checkable
+    assert len(sqls) >= 18
+    assert len(qs) >= 30
+
+
+def test_exact_dedup_docs_keeps_firsts():
+    from fscrawler_ray.pipelines.analytics import q_exact_dedup_docs
+
+    t = q_exact_dedup_docs(SF).to_pandas()
+    assert len(t) == 500  # sf0.001 documents are all distinct
+    assert (t["copies"] == 1).all()
+
+
+def test_phash_dedup_finds_planted_dups():
+    from fscrawler_ray.pipelines.dedup import phash_dedup
+    from fscrawler_ray.sources.images import images_dataset
+
+    ds = images_dataset(512, seed=42)
+    groups = phash_dedup(ds).to_pandas()
+    assert len(groups) > 0  # ~5% planted duplicate payloads collide
+    assert (groups["copies"] > 1).all()
+    # keeper is the lexicographically-first image_id of each group
+    assert groups["keeper_image_id"].str.startswith("img_").all()
+
+
+def test_minhash_detects_planted_neardup(tmp_path):
+    """Plant an explicit near-duplicate pair in a small parquet table and
+    verify the LSH pipeline surfaces it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill "
+        "and the rain falls gently on the quiet empty street below the old clock tower"
+    )
+    near = base.replace("rain", "snow")
+    texts = [base, near] + [f"unrelated document number {i} about systems " + " ".join(f"w{i}{j}" for j in range(25)) for i in range(30)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    pairs = minhash_lsh_pairs(str(d), jaccard_threshold=0.5).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_pairs_symmetric_schema():
+    from fscrawler_ray.pipelines.dedup import simhash_pairs
+
+    t = simhash_pairs(SF).to_pandas()
+    assert list(t.columns) == ["doc_a", "doc_b", "hamming"]
+    if len(t):
+        assert (t["doc_a"] < t["doc_b"]).all()
+        assert (t["hamming"] <= 3).all()
+
+
+def test_knn_ivf_recall_vs_bruteforce():
+    from fscrawler_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(SF, n_queries=4, k=10).to_pandas()
+    ivf = knn_ivf(SF, n_queries=4, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recall = []
+    for q in bf["query_id"].unique():
+        b = set(bf[bf["query_id"] == q]["vec_id"])
+        a = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recall.append(len(a & b) / len(b))
+    assert np.mean(recall) >= 0.5, recall
+
+
+def test_thumbnail_stage_shapes():
+    import ray
+
+    from fscrawler_ray.sources.images import images_dataset
+    from fscrawler_ray.stages.image_stages import ThumbnailStage
+
+    ds = images_dataset(64).map_batches(ThumbnailStage, batch_format="pyarrow", batch_size=32, concurrency=2)
+    t = ds.take_batch(64, batch_format="pyarrow")
+    assert pc.max(t.column("thumb_w")).as_py() <= 64
+    assert pc.max(t.column("thumb_h")).as_py() <= 64
+    assert pc.min(t.column("thumb_w")).as_py() >= 1
+    # thumbnails decode with our codec
+    from fscrawler_ray.functions.codecs import decode
+
+    img, w, h, fmt = decode(t.column("thumb")[0].as_py())
+    assert fmt == "png" and w <= 64 and h <= 64
+    _ = ray
+
+
+def test_thumbnail_external_codec_is_stubbed():
+    from fscrawler_ray.stages.image_stages import ThumbnailStage
+
+    with pytest.raises(NotImplementedError):
+        ThumbnailStage(codec="pillow")
