@@ -75,7 +75,38 @@ class CrawlConfig:
     fetch_concurrency: int | None = None  # None = Ray tasks autoscale
 
 
-FrontierShardActor = ray.remote(FrontierShard)
+# Shards hold state and do brief vectorized work at round barriers; they are
+# idle while fetch tasks run, so they must not reserve CPU slots away from
+# the task pool (important at low num_cpus).
+FrontierShardActor = ray.remote(num_cpus=0)(FrontierShard)
+
+
+@ray.remote
+def _fetch_task(
+    chunk: pa.Table,
+    web_cfg: WebConfig,
+    shards: list,
+    round_no: int,
+    out_path: str | None,
+    part_id: int,
+) -> int:
+    """One frontier micro-batch: fetch leaf payloads, expand containers,
+    push children to their shards, write this task's parquet shard.
+
+    The per-round inner loop uses plain Ray tasks instead of a per-round
+    Dataset: rounds are small bounded micro-batches (hosts × budget rows)
+    and Dataset planning overhead would dominate; the bulk analytics over
+    crawl OUTPUT stays Dataset-native (pipelines/flagship.py). Writing one
+    parquet file per (round, task) keeps output resumable per partition.
+    """
+    fe = _FetchExpand(web_cfg, shards, round_no)
+    out = fe(chunk)
+    if out_path is not None:
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_path, exist_ok=True)
+        pq.write_table(out, os.path.join(out_path, f"part-{round_no:05d}-{part_id:04d}.parquet"))
+    return out.num_rows
 
 
 class _FetchExpand:
@@ -95,7 +126,8 @@ class _FetchExpand:
         hosts = batch.column("host").to_pylist()
         is_dirs = batch.column("is_dir").to_pylist()
         per_shard: dict[int, list] = {}
-        out = {k: [] for k in ("seq", "url", "host", "depth", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+        out = {k: [] for k in ("seq", "url", "host", "depth", "image_id", "bytes", "w", "h", "fmt", "caption")}
+        grays: list = []
         child_batches: list[str] = []
         child_meta: list[tuple[int, int, int]] = []  # (parent_seq, child_idx, depth)
         for url, seq, depth, host, is_dir in zip(urls, seqs, depths, hosts, is_dirs):
@@ -104,15 +136,21 @@ class _FetchExpand:
                     child_batches.append(child)
                     child_meta.append((seq, ci, depth + 1))
             else:
-                row = self.web.fetch(url)
-                if row is None:
+                r = self.web.fetch_raw(url)
+                if r is None:
                     continue
+                row, gray = r
+                grays.append(gray)
                 out["seq"].append(seq)
                 out["url"].append(url)
                 out["host"].append(host)
                 out["depth"].append(depth)
-                for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+                for k in ("image_id", "bytes", "w", "h", "fmt", "caption"):
                     out[k].append(row[k])
+        # one batched DCT for the whole micro-batch (phash_batch == per-image)
+        from ..functions.phash import phash_batch
+
+        phashes = phash_batch(np.stack(grays)) if grays else np.empty(0, np.int64)
         if child_batches:
             canon = canonicalize(child_batches).to_pylist()
             n_shards = len(self.shards)
@@ -135,7 +173,7 @@ class _FetchExpand:
                 "h": pa.array(out["h"], pa.int32()),
                 "fmt": pa.array(out["fmt"], pa.string()),
                 "caption": pa.array(out["caption"], pa.string()),
-                "phash": pa.array(out["phash"], pa.int64()),
+                "phash": pa.array(phashes, pa.int64()),
             },
             schema=RESULT_SCHEMA,
         )
@@ -170,29 +208,44 @@ class CrawlEngine:
     # -- round loop ---------------------------------------------------------
 
     def run(self, seeds: list[str] | None = None, max_rounds: int | None = None) -> dict:
+        """Round loop. The round transition (enqueue children + pop next
+        round) is a single actor RPC per shard (``end_and_pop``) except when
+        a checkpoint is due, where the barrier is split so the snapshot sees
+        every emission either processed or still queued."""
         if seeds:
             self.add_seeds(seeds)
         max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        pops: list[pa.Table] | None = None
         while self.round_no < max_rounds:
-            emitted = self._run_round()
-            if emitted == 0:
-                pending = sum(ray.get([s.pending_count.remote() for s in self.shards]))
-                if pending == 0:
-                    break
-            if (
+            if pops is None:
+                pops = ray.get([s.pop_round.remote() for s in self.shards])
+            emitted = self._process_round(pops)
+            ckpt_due = (
                 self.cfg.checkpoint_every
                 and self.cfg.checkpoint_dir
-                and self.round_no % self.cfg.checkpoint_every == 0
-            ):
-                self.checkpoint()
+                and (self.round_no + 1) % self.cfg.checkpoint_every == 0
+            )
+            if ckpt_due or self.round_no + 1 >= max_rounds:
+                ray.get([s.end_round.remote() for s in self.shards])
+                self.round_no += 1
+                pops = None
+                if ckpt_due:
+                    self.checkpoint()
+                if emitted == 0 and sum(ray.get([s.pending_count.remote() for s in self.shards])) == 0:
+                    break
+            else:
+                res = ray.get([s.end_and_pop.remote() for s in self.shards])
+                pops = [r[0] for r in res]
+                pending = sum(r[1] for r in res)
+                self.round_no += 1
+                if emitted == 0 and pending == 0 and all(len(t) == 0 for t in pops):
+                    break
         return self.summary()
 
-    def _run_round(self) -> int:
-        tables = [t for t in ray.get([s.pop_round.remote() for s in self.shards]) if len(t)]
+    def _process_round(self, tables: list[pa.Table]) -> int:
+        tables = [t for t in tables if len(t)]
         merged = pa.concat_tables(tables) if tables else EMIT_SCHEMA.empty_table()
         if len(merged) == 0:
-            ray.get([s.end_round.remote() for s in self.shards])
-            self.round_no += 1
             return 0
         order = pa.compute.sort_indices(
             merged, sort_keys=[("host", "ascending"), ("host_idx", "ascending")]
@@ -203,19 +256,31 @@ class CrawlEngine:
         self.seq_offset += len(merged)
         self.trace_parts.append(merged.select(["seq", "url", "host", "depth", "is_dir"]))
 
-        ds = ray.data.from_arrow(merged)
-        fetch = _FetchExpand(self.cfg.web, self.shards, self.round_no)
-        out = ds.map_batches(fetch, batch_format="pyarrow", batch_size=64)
-        if self.cfg.out_dir:
-            path = os.path.join(self.cfg.out_dir, f"round={self.round_no}")
-            os.makedirs(path, exist_ok=True)
-            out.write_parquet(path)
-            self.result_rows += 0  # counted from trace; parquet rows on disk
+        out_path = os.path.join(self.cfg.out_dir, f"round={self.round_no}") if self.cfg.out_dir else None
+        n = len(merged)
+        if self.cfg.fetch_concurrency:
+            target_chunks = self.cfg.fetch_concurrency
         else:
-            for b in out.iter_batches(batch_format="pyarrow"):
-                self.result_rows += b.num_rows
-        ray.get([s.end_round.remote() for s in self.shards])
-        self.round_no += 1
+            # ~3 waves across the cluster, but never chunks smaller than ~24
+            # rows (task overhead) nor fewer than one per 24 rows
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            rows_per_chunk = max(16, -(-n // (3 * cpus)))
+            target_chunks = max(1, (n + rows_per_chunk - 1) // rows_per_chunk)
+        # stripe rows round-robin across chunks: merged is host-sorted, so
+        # contiguous slices would give some tasks all-containers and others
+        # all-payloads (stragglers); striping balances the work mix
+        refs = [
+            _fetch_task.remote(
+                merged.take(np.arange(i, n, target_chunks)),
+                self.cfg.web,
+                self.shards,
+                self.round_no,
+                out_path,
+                i,
+            )
+            for i in range(min(target_chunks, n))
+        ]
+        self.result_rows += sum(ray.get(refs))
         return len(merged)
 
     # -- outputs ------------------------------------------------------------

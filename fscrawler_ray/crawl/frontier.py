@@ -115,6 +115,14 @@ class FrontierShard:
     def pending_count(self) -> int:
         return sum(len(q) - self._qhead.get(h, 0) for h, q in self.queues.items())
 
+    def end_and_pop(self) -> tuple:
+        """Round transition in one RPC: enqueue the buffered children of the
+        finished round, then pop the next round's emissions. Returns
+        (emissions_table, pending_count)."""
+        self.end_round()
+        t = self.pop_round()
+        return t, self.pending_count()
+
     # -- pop path -----------------------------------------------------------
 
     def pop_round(self) -> pa.Table:

@@ -141,29 +141,40 @@ class SynthWeb:
             return self.cfg.seed * 1_000_003 + h % 64  # one of 64 shared payloads
         return h
 
-    def fetch(self, url: str) -> dict | None:
-        """Fetch a leaf URL → one input_hint row dict, or None for non-image
-        payloads (html/tmp/log) and decode-junk rows."""
+    def fetch_raw(self, url: str) -> tuple[dict, np.ndarray] | None:
+        """Fetch a leaf URL → (row-without-phash, decoded 32×32 gray), or
+        None for non-image payloads. Callers batch the phash across rows
+        (one DCT einsum per batch instead of per image)."""
         name = url.rsplit("/", 1)[-1]
         ext = name.rsplit(".", 1)[-1].lower() if "." in name else None
         ps = self.payload_seed(url)
         if ext not in ("jpg", "jpeg", "png", "webp"):
             return None
         fmt = {"jpg": "jpeg"}.get(ext, ext)
-        rng_w = 32 + ps % 97
-        rng_h = 32 + (ps >> 7) % 97
+        rng_w = 48 + ps % 160
+        rng_h = 48 + (ps >> 7) % 160
         img = synth_image(ps & 0xFFFFFFFF, rng_w, rng_h)
         buf = encode(img, fmt)
-        caption = self.caption(ps)
-        return {
+        row = {
             "image_id": f"img_{ps & 0xFFFFFFFFFF:012x}",
             "bytes": buf,
             "w": rng_w,
             "h": rng_h,
             "fmt": fmt,
-            "caption": caption,
-            "phash": phash_image(img),
+            "caption": self.caption(ps),
         }
+        return row, to_gray32(img)
+
+    def fetch(self, url: str) -> dict | None:
+        """Single-row fetch with phash (oracle/tests path)."""
+        r = self.fetch_raw(url)
+        if r is None:
+            return None
+        row, gray = r
+        from ..functions.phash import phash_batch
+
+        row["phash"] = int(phash_batch(gray[None])[0])
+        return row
 
     def caption(self, ps: int) -> str:
         rng = np.random.Generator(np.random.PCG64(ps & 0xFFFFFFFF))
