@@ -50,6 +50,7 @@ RESULT_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("host", pa.string()),
         ("depth", pa.int32()),
+        ("size", pa.int64()),
         ("round", pa.int32()),
         ("image_id", pa.string()),
         ("bytes", pa.binary()),
@@ -73,6 +74,11 @@ class CrawlConfig:
     out_dir: str | None = None
     checkpoint_every: int = 0  # rounds; 0 = off
     fetch_concurrency: int | None = None  # None = Ray tasks autoscale
+    # Incremental re-crawl (the reference's unchanged-path skip,
+    # /root/reference/app/crawling_queue_consumer.py:110-115 + PathModel.__eq__
+    # path.py:151-169): a previous run's out_dir; leaves whose (url, size)
+    # match the previous results skip payload fetch entirely.
+    prev_index_dir: str | None = None
 
 
 # Shards hold state and do brief vectorized work at round barriers; they are
@@ -89,7 +95,8 @@ def _fetch_task(
     round_no: int,
     out_path: str | None,
     part_id: int,
-) -> int:
+    index_ref=None,
+) -> tuple:
     """One frontier micro-batch: fetch leaf payloads, expand containers,
     push children to their shards, write this task's parquet shard.
 
@@ -99,14 +106,14 @@ def _fetch_task(
     crawl OUTPUT stays Dataset-native (pipelines/flagship.py). Writing one
     parquet file per (round, task) keeps output resumable per partition.
     """
-    fe = _FetchExpand(web_cfg, shards, round_no)
-    out = fe(chunk)
-    if out_path is not None:
+    fe = _FetchExpand(web_cfg, shards, round_no, index_ref)
+    out, skipped = fe(chunk)
+    if out_path is not None and out.num_rows:
         import pyarrow.parquet as pq
 
         os.makedirs(out_path, exist_ok=True)
         pq.write_table(out, os.path.join(out_path, f"part-{round_no:05d}-{part_id:04d}.parquet"))
-    return out.num_rows
+    return out.num_rows, skipped
 
 
 class _FetchExpand:
@@ -114,28 +121,60 @@ class _FetchExpand:
     children straight to the owning frontier shards (batched per shard).
     Stateless w.r.t. rows; holds only the web config + shard handles."""
 
-    def __init__(self, web_cfg: WebConfig, shards: list, round_no: int):
+    def __init__(self, web_cfg: WebConfig, shards: list, round_no: int, index_ref=None):
         self.web = SynthWeb(web_cfg)
         self.shards = shards
         self.round_no = round_no
+        self.index_ref = index_ref
+        self._index = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _unchanged_mask(self, urls: list[str], sizes: list) -> np.ndarray:
+        """Vectorized (url, size) probe against the previous run's index —
+        the PathModel.__eq__ skip, batched."""
+        if self.index_ref is None:
+            return np.zeros(len(urls), dtype=bool)
+        if self._index is None:
+            # passed as a top-level task arg Ray has already dereferenced it;
+            # via broadcast inside map_batches it is still an ObjectRef
+            obj = self.index_ref
+            self._index = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+        keys_sorted, sizes_sorted = self._index
+        from ..functions.hashing import xxh64_batch
+
+        keys = xxh64_batch(pa.array(urls, type=pa.string()))
+        pos = np.searchsorted(keys_sorted, keys)
+        pos = np.minimum(pos, len(keys_sorted) - 1) if len(keys_sorted) else pos
+        if len(keys_sorted) == 0:
+            return np.zeros(len(urls), dtype=bool)
+        hit = keys_sorted[pos] == keys
+        sz = np.array([-1 if s is None else int(s) for s in sizes], dtype=np.int64)
+        return hit & (sizes_sorted[pos] == sz)
+
+    def __call__(self, batch: pa.Table) -> tuple:
         urls = batch.column("url").to_pylist()
         seqs = batch.column("seq").to_pylist()
         depths = batch.column("depth").to_pylist()
         hosts = batch.column("host").to_pylist()
         is_dirs = batch.column("is_dir").to_pylist()
+        sizes = batch.column("size").to_pylist()
+        unchanged = self._unchanged_mask(urls, sizes)
+        skipped = 0
         per_shard: dict[int, list] = {}
-        out = {k: [] for k in ("seq", "url", "host", "depth", "image_id", "bytes", "w", "h", "fmt", "caption")}
+        out = {k: [] for k in ("seq", "url", "host", "depth", "size", "image_id", "bytes", "w", "h", "fmt", "caption")}
         grays: list = []
         child_batches: list[str] = []
         child_meta: list[tuple[int, int, int]] = []  # (parent_seq, child_idx, depth)
-        for url, seq, depth, host, is_dir in zip(urls, seqs, depths, hosts, is_dirs):
+        for i, (url, seq, depth, host, is_dir, size) in enumerate(
+            zip(urls, seqs, depths, hosts, is_dirs, sizes)
+        ):
             if is_dir:
                 for ci, child in enumerate(self.web.children(url)):
                     child_batches.append(child)
                     child_meta.append((seq, ci, depth + 1))
             else:
+                if unchanged[i]:
+                    skipped += 1
+                    continue
                 r = self.web.fetch_raw(url)
                 if r is None:
                     continue
@@ -145,6 +184,7 @@ class _FetchExpand:
                 out["url"].append(url)
                 out["host"].append(host)
                 out["depth"].append(depth)
+                out["size"].append(size)
                 for k in ("image_id", "bytes", "w", "h", "fmt", "caption"):
                     out[k].append(row[k])
         # one batched DCT for the whole micro-batch (phash_batch == per-image)
@@ -166,6 +206,7 @@ class _FetchExpand:
                 "url": pa.array(out["url"], pa.string()),
                 "host": pa.array(out["host"], pa.string()),
                 "depth": pa.array(out["depth"], pa.int32()),
+                "size": pa.array(out["size"], pa.int64()),
                 "round": pa.array([self.round_no] * len(out["seq"]), pa.int32()),
                 "image_id": pa.array(out["image_id"], pa.string()),
                 "bytes": pa.array(out["bytes"], pa.binary()),
@@ -177,7 +218,7 @@ class _FetchExpand:
             },
             schema=RESULT_SCHEMA,
         )
-        return t
+        return t, skipped
 
 
 class CrawlEngine:
@@ -193,6 +234,11 @@ class CrawlEngine:
         self.round_no = 0
         self.trace_parts: list[pa.Table] = []
         self.result_rows = 0
+        self.skipped_unchanged = 0
+        self.round_history: list[dict] = []  # progress reporting (W6 analog)
+        self._index_ref = None
+        if cfg.prev_index_dir:
+            self._index_ref = ray.put(load_result_index(cfg.prev_index_dir))
 
     # -- seeds --------------------------------------------------------------
 
@@ -277,10 +323,19 @@ class CrawlEngine:
                 self.round_no,
                 out_path,
                 i,
+                self._index_ref,
             )
             for i in range(min(target_chunks, n))
         ]
-        self.result_rows += sum(ray.get(refs))
+        import time as _time
+
+        t0 = _time.time()
+        results = ray.get(refs)
+        self.result_rows += sum(r[0] for r in results)
+        self.skipped_unchanged += sum(r[1] for r in results)
+        self.round_history.append(
+            {"round": self.round_no, "emitted": n, "rows": sum(r[0] for r in results), "fetch_sec": round(_time.time() - t0, 3)}
+        )
         return len(merged)
 
     # -- outputs ------------------------------------------------------------
@@ -312,6 +367,7 @@ class CrawlEngine:
             "rounds": self.round_no,
             "emitted": int(self.seq_offset),
             "result_rows": self.result_rows,
+            "skipped_unchanged": self.skipped_unchanged,
             "counters": {k: v for k, v in c.items() if k != "per_shard"},
         }
 
@@ -363,6 +419,29 @@ class CrawlEngine:
         with open(os.path.join(d, "trace.pkl"), "rb") as f:
             eng.trace_parts = [pickle.load(f)]
         return eng
+
+
+def load_result_index(out_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Build the incremental-skip index from a previous run's results:
+    (sorted xxh64(url) keys, sizes aligned to them). At 10^10 scale this is
+    per-shard (the index partitions exactly like the frontier); here it is
+    one broadcast object."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import xxh64_batch
+
+    files = sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True))
+    if not files:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    tables = [pq.read_table(f, columns=["url", "size"]) for f in files]
+    t = pa.concat_tables(tables)
+    keys = xxh64_batch(t.column("url").combine_chunks())
+    sizes = t.column("size").to_numpy(zero_copy_only=False)
+    sizes = np.array([-1 if s is None or (isinstance(s, float) and np.isnan(s)) else int(s) for s in sizes], dtype=np.int64)
+    order = np.argsort(keys)
+    return keys[order], sizes[order]
 
 
 def crawl(

@@ -41,6 +41,7 @@ EMIT_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("depth", pa.int32()),
         ("is_dir", pa.bool_()),
+        ("size", pa.int64()),
         ("shard", pa.int32()),
     ]
 )
@@ -133,6 +134,7 @@ class FrontierShard:
         out_url: list[str] = []
         out_depth: list[int] = []
         out_isdir: list[bool] = []
+        out_size: list[int | None] = []
         for host in sorted(h for h, q in self.queues.items() if len(q) > self._qhead.get(h, 0)):
             emitted = 0
             q = self.queues[host]
@@ -159,6 +161,7 @@ class FrontierShard:
                     out_url.append(urls[j])
                     out_depth.append(int(depths[j]))
                     out_isdir.append(bool(is_dir[j]))
+                    out_size.append(metas[j]["size"])
                     emitted += 1
             if head >= len(q):
                 del self.queues[host]
@@ -175,6 +178,7 @@ class FrontierShard:
                 "url": pa.array(out_url, type=pa.string()),
                 "depth": pa.array(out_depth, type=pa.int32()),
                 "is_dir": pa.array(out_isdir, type=pa.bool_()),
+                "size": pa.array(out_size, type=pa.int64()),
                 "shard": pa.array([self.shard_id] * len(out_url), type=pa.int32()),
             },
             schema=EMIT_SCHEMA,

@@ -1,0 +1,82 @@
+"""Post-crawl analytics over the partitioned results (A5/A6/A7 analogs —
+/root/reference/app/observers/metrics_observer.py:28-179 and
+empty_directory_observer.py:50-57), Ray-Data-native: instead of mutating
+in-memory top-k dicts on every event, the same statistics fall out of
+Dataset aggregations over the written results."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Sum
+
+
+def read_results(out_dir: str):
+    return ray.data.read_parquet(out_dir)
+
+
+def host_rollup(out_dir: str):
+    """Per-host (directory analog) totals: files + bytes (A1/A5 'biggest
+    dirs' source)."""
+    ds = ray.data.read_parquet(out_dir, columns=["host", "size", "depth"])
+    out = ds.groupby("host").aggregate(Count(), Sum("size"), Max("depth"))
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["host", "files", "total_bytes", "max_depth"])
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def top_hosts_by_bytes(out_dir: str, k: int = 10):
+    return host_rollup(out_dir).sort(["total_bytes", "host"], descending=[True, False]).limit(k)
+
+
+def top_hosts_by_files(out_dir: str, k: int = 10):
+    return host_rollup(out_dir).sort(["files", "host"], descending=[True, False]).limit(k)
+
+
+def deepest_urls(out_dir: str, k: int = 10):
+    ds = ray.data.read_parquet(out_dir, columns=["url", "depth"])
+    return ds.sort(["depth", "url"], descending=[True, False]).limit(k)
+
+
+def longest_urls(out_dir: str, k: int = 10, min_len: int = 0):
+    """MetricsObserver's ≥255-char path report (metrics_observer.py:73-77)."""
+    ds = ray.data.read_parquet(out_dir, columns=["url"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b.column("url")).cast(pa.int32())
+        b = b.append_column("url_len", ln)
+        return b.filter(pc.greater_equal(ln, min_len))
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(
+        ["url_len", "url"], descending=[True, False]
+    ).limit(k)
+
+
+def format_counts(out_dir: str):
+    """A2: count by format over crawled payloads."""
+    ds = ray.data.read_parquet(out_dir, columns=["fmt"])
+    out = ds.groupby("fmt").count()
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["fmt", "cnt"])
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def crawl_consistency(engine_counters: dict, out_dir: str) -> dict:
+    """The MetricsObserver found-vs-crawled consistency check
+    (metrics_observer.py:85-89): every payload row on disk must correspond
+    to an emitted leaf, and counters must reconcile."""
+    total_rows = read_results(out_dir).count()
+    leaves = engine_counters.get("leaves", 0)
+    ok = total_rows <= leaves
+    return {
+        "result_rows": total_rows,
+        "emitted_leaves": leaves,
+        "consistent": bool(ok),
+        "non_image_or_skipped": leaves - total_rows,
+    }

