@@ -47,7 +47,34 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         c = s["counters"]
         return pa.table({k: [int(v)] for k, v in c.items() if isinstance(v, int)})
 
-    return {"crawl_trace": crawl_trace, "crawl_counters": crawl_counters}
+    def crawl_scan(sf_dir: str):
+        """No-stat fast-scan mode (FastCrawler analog): enumerate-only."""
+        import pyarrow as pa
+
+        cfg = _scale(sf_dir)
+        eng = CrawlEngine(
+            CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, fetch_payloads=False)
+        )
+        eng.run(SynthWeb(cfg).seeds())
+        return eng.trace_table()
+
+    def crawl_host_report(sf_dir: str):
+        import tempfile
+
+        from fscrawler_ray.pipelines.crawl_report import host_rollup
+
+        cfg = _scale(sf_dir)
+        with tempfile.TemporaryDirectory() as out:
+            eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, out_dir=out))
+            eng.run(SynthWeb(cfg).seeds())
+            return host_rollup(out).to_pandas()
+
+    return {
+        "crawl_trace": crawl_trace,
+        "crawl_counters": crawl_counters,
+        "crawl_scan": crawl_scan,
+        "crawl_host_report": crawl_host_report,
+    }
 
 
 def _image_queries() -> dict[str, Callable[[str], Any]]:
@@ -70,10 +97,45 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(ThumbnailStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
         return out.select_columns(["image_id", "thumb_w", "thumb_h"])
 
+    def images_caption_extract(sf_dir: str):
+        from fscrawler_ray.stages.multimodal import CaptionExtractStage
+
+        ds = images_dataset(min(rows_for_sf(sf_dir), 512))
+        out = ds.map_batches(CaptionExtractStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+        return out.select_columns(["image_id", "extracted_caption", "brightness", "dominant_hue"])
+
+    def audio_features(sf_dir: str):
+        import ray as _ray
+
+        from fscrawler_ray.stages.multimodal import AudioFeatureStage, synth_audio_table
+
+        t = synth_audio_table(min(rows_for_sf(sf_dir), 512))
+        return _ray.data.from_arrow(t).map_batches(
+            AudioFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        )
+
+    def video_frames(sf_dir: str):
+        import pyarrow as pa
+        import ray as _ray
+
+        from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, synth_audio_table
+
+        t = synth_audio_table(min(rows_for_sf(sf_dir), 256))
+        vt = pa.table(
+            {"media_id": t.column("media_id"), "bytes": t.column("bytes"), "duration_ms": t.column("duration_ms")}
+        )
+        out = _ray.data.from_arrow(vt).map_batches(
+            VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        )
+        return out.select_columns(["media_id", "frame_no", "ts_ms"])
+
     return {
         "images_enrich": images_enrich,
         "images_phash_dedup": images_phash_dedup,
         "images_thumbnails": images_thumbnails,
+        "images_caption_extract": images_caption_extract,
+        "audio_features": audio_features,
+        "video_frames": video_frames,
     }
 
 

@@ -74,6 +74,10 @@ class CrawlConfig:
     out_dir: str | None = None
     checkpoint_every: int = 0  # rounds; 0 = off
     fetch_concurrency: int | None = None  # None = Ray tasks autoscale
+    # "no-stat" fast-scan mode (the reference's FastCrawler 2× toggle,
+    # /root/reference/app/fast_crawler.py:33-36): enumerate + filter + dedup
+    # the frontier without fetching payload bytes.
+    fetch_payloads: bool = True
     # Incremental re-crawl (the reference's unchanged-path skip,
     # /root/reference/app/crawling_queue_consumer.py:110-115 + PathModel.__eq__
     # path.py:151-169): a previous run's out_dir; leaves whose (url, size)
@@ -96,6 +100,7 @@ def _fetch_task(
     out_path: str | None,
     part_id: int,
     index_ref=None,
+    fetch_payloads: bool = True,
 ) -> tuple:
     """One frontier micro-batch: fetch leaf payloads, expand containers,
     push children to their shards, write this task's parquet shard.
@@ -106,7 +111,7 @@ def _fetch_task(
     crawl OUTPUT stays Dataset-native (pipelines/flagship.py). Writing one
     parquet file per (round, task) keeps output resumable per partition.
     """
-    fe = _FetchExpand(web_cfg, shards, round_no, index_ref)
+    fe = _FetchExpand(web_cfg, shards, round_no, index_ref, fetch_payloads)
     out, skipped = fe(chunk)
     if out_path is not None and out.num_rows:
         import pyarrow.parquet as pq
@@ -121,11 +126,12 @@ class _FetchExpand:
     children straight to the owning frontier shards (batched per shard).
     Stateless w.r.t. rows; holds only the web config + shard handles."""
 
-    def __init__(self, web_cfg: WebConfig, shards: list, round_no: int, index_ref=None):
+    def __init__(self, web_cfg: WebConfig, shards: list, round_no: int, index_ref=None, fetch_payloads: bool = True):
         self.web = SynthWeb(web_cfg)
         self.shards = shards
         self.round_no = round_no
         self.index_ref = index_ref
+        self.fetch_payloads = fetch_payloads
         self._index = None
 
     def _unchanged_mask(self, urls: list[str], sizes: list) -> np.ndarray:
@@ -174,6 +180,8 @@ class _FetchExpand:
             else:
                 if unchanged[i]:
                     skipped += 1
+                    continue
+                if not self.fetch_payloads:
                     continue
                 r = self.web.fetch_raw(url)
                 if r is None:
@@ -324,6 +332,7 @@ class CrawlEngine:
                 out_path,
                 i,
                 self._index_ref,
+                self.cfg.fetch_payloads,
             )
             for i in range(min(target_chunks, n))
         ]

@@ -67,6 +67,17 @@ def format_counts(out_dir: str):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def empty_hosts(out_dir: str, trace: pa.Table):
+    """A6 analog (EmptyDirectoryObserver, empty_directory_observer.py:50-57):
+    hosts that were crawled (appear in the trace) but yielded zero payload
+    rows — empty or junk-only containers."""
+    crawled_hosts = pa.table({"host": pc.unique(trace.column("host"))})
+    ds = ray.data.read_parquet(out_dir, columns=["host"])
+    with_rows = set(ds.groupby("host").count().to_pandas()["host"])
+    mask = [h not in with_rows for h in crawled_hosts.column("host").to_pylist()]
+    return crawled_hosts.filter(pa.array(mask))
+
+
 def crawl_consistency(engine_counters: dict, out_dir: str) -> dict:
     """The MetricsObserver found-vs-crawled consistency check
     (metrics_observer.py:85-89): every payload row on disk must correspond

@@ -55,7 +55,12 @@ def attrs_batch(batch: pa.Table) -> pa.Table:
     pl = prefix.to_pylist()
     sniffed = [codecs.sniff_format(p or b"") for p in pl]
     family = [_FAMILY.get(s, "APPLICATION") for s in sniffed]
-    out = batch.append_column("size", size)
+    if "size" in batch.column_names:
+        # crawl results already carry the discovery-time content length;
+        # replace it with the exact payload length
+        out = batch.set_column(batch.column_names.index("size"), "size", size)
+    else:
+        out = batch.append_column("size", size)
     out = out.append_column("sniffed_fmt", pa.array(sniffed, type=pa.string()))
     out = out.append_column(
         "content_family", pa.array(family, type=pa.string()).dictionary_encode()

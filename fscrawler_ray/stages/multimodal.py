@@ -1,0 +1,190 @@
+"""Multimodal actor-pool stages: caption-from-image (the OCR/text-extractor
+analog) and audio/video feature stubs.
+
+Reference analog: TextExtractorFileProcessor + strategy chain
+(/root/reference/app/processors/text_extractor_file_processor.py:20-55,
+pdf/picture strategies) — heavy models loaded once per actor, applied per
+batch. Here:
+
+- :class:`CaptionExtractStage` — a REAL stage: decodes the image (in-repo
+  codecs) and produces a deterministic pseudo-caption from pixel statistics
+  (stands in for an OCR/captioning model; the per-actor "model load" is the
+  precomputed bucket vocabulary). Demonstrates the actor-pool pattern with
+  true decode work.
+- :class:`AudioFeatureStage` / :class:`VideoFrameSampleStage` — the
+  audio/video payload plumbing (schema, batch shapes, actor signature,
+  output layout) with the codec hook STUBBED: real audio/video libraries are
+  not in this container, so ``backend='ffmpeg'`` raises NotImplementedError
+  and ``backend='fake'`` runs a deterministic byte-level fake so the
+  pipeline shape is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs
+from ..functions.hashing import xxh64_batch
+
+_BRIGHT = ["dark", "dim", "soft", "bright", "brilliant"]
+_HUE = ["red", "orange", "yellow", "green", "cyan", "blue", "violet", "magenta"]
+_TEXTURE = ["smooth", "grainy", "busy", "chaotic"]
+
+
+class CaptionExtractStage:
+    """Decode pixels → deterministic descriptive caption (OCR-model-pool
+    analog). Output columns: extracted_caption (string), brightness
+    (float64), dominant_hue (string)."""
+
+    def __init__(self):
+        # the "model load": precomputed hue bin centers, once per actor
+        self.hue_bins = np.linspace(0, 360, len(_HUE), endpoint=False)
+
+    def _describe(self, img: np.ndarray) -> tuple[str, float, str]:
+        f = img.astype(np.float32)
+        brightness = float(f.mean()) / 255.0
+        r, g, b = f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean()
+        mx, mn = max(r, g, b), min(r, g, b)
+        if mx - mn < 1e-3:
+            hue = 0.0
+        elif mx == r:
+            hue = 60 * (((g - b) / (mx - mn)) % 6)
+        elif mx == g:
+            hue = 60 * ((b - r) / (mx - mn) + 2)
+        else:
+            hue = 60 * ((r - g) / (mx - mn) + 4)
+        hue_name = _HUE[int(hue // (360 / len(_HUE))) % len(_HUE)]
+        grad = float(np.abs(np.diff(f.mean(axis=2), axis=0)).mean())
+        texture = _TEXTURE[min(int(grad / 8), len(_TEXTURE) - 1)]
+        bright_name = _BRIGHT[min(int(brightness * len(_BRIGHT)), len(_BRIGHT) - 1)]
+        caption = f"a {bright_name} {texture} {hue_name} image"
+        return caption, round(brightness, 6), hue_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        caps: list[str | None] = []
+        brs: list[float] = []
+        hues: list[str | None] = []
+        for buf in batch.column("bytes").to_pylist():
+            try:
+                img, _, _, _ = codecs.decode(buf)
+            except Exception:
+                caps.append(None)
+                brs.append(0.0)
+                hues.append(None)
+                continue
+            c, b, h = self._describe(img)
+            caps.append(c)
+            brs.append(b)
+            hues.append(h)
+        out = batch.append_column("extracted_caption", pa.array(caps, pa.string()))
+        out = out.append_column("brightness", pa.array(brs, pa.float64()))
+        out = out.append_column("dominant_hue", pa.array(hues, pa.string()))
+        return out
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sample_rate", pa.int32()),
+        ("n_channels", pa.int8()),
+        ("duration_ms", pa.int32()),
+        ("codec", pa.string()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fps", pa.float32()),
+        ("duration_ms", pa.int32()),
+        ("codec", pa.string()),
+    ]
+)
+
+
+def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic opaque audio payloads with typed metadata."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids = [f"aud_{i:08d}" for i in range(n)]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(2000, 20000)), dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(rng.choice([16000, 44100, 48000], n).astype(np.int32)),
+            "n_channels": pa.array(rng.choice([1, 2], n).astype(np.int8)),
+            "duration_ms": pa.array(rng.integers(500, 60000, n).astype(np.int32)),
+            "codec": pa.array(rng.choice(["opus", "mp3", "flac"], n).tolist(), pa.string()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+class AudioFeatureStage:
+    """Actor-pool audio featurizer. The decode hook is a stub: 'ffmpeg'
+    raises NotImplementedError (library absent); 'fake' derives
+    deterministic features from the raw bytes so the Ray plumbing (actor
+    pool, batch size, schema) runs for real."""
+
+    def __init__(self, backend: str = "fake", n_mels: int = 8):
+        if backend not in ("fake",):
+            raise NotImplementedError(
+                f"audio backend {backend!r} needs ffmpeg/librosa, which are not "
+                "available in this environment; use backend='fake'"
+            )
+        self.n_mels = n_mels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes")
+        h = xxh64_batch(data)
+        feats = []
+        for i, key in enumerate(h):
+            rng = np.random.Generator(np.random.PCG64(int(key)))
+            feats.append(rng.random(self.n_mels).astype(np.float32))
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column(
+            "mel_features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
+        )
+        out = out.append_column("loudness", pa.array([float(f.mean()) for f in feats], pa.float64()))
+        return out
+
+
+class VideoFrameSampleStage:
+    """Actor-pool frame sampler (the reference's evenly-spaced ffmpeg frames,
+    preview_file_processor.py:17-62). Stubbed decode, real plumbing:
+    emits one row per sampled frame (flat_map-style expansion)."""
+
+    def __init__(self, backend: str = "fake", n_frames: int = 3):
+        if backend not in ("fake",):
+            raise NotImplementedError(
+                f"video backend {backend!r} needs ffmpeg, which is not available "
+                "in this environment; use backend='fake'"
+            )
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, ts_ms, thumbs = [], [], [], []
+        keys = xxh64_batch(batch.column("bytes"))
+        for i in range(batch.num_rows):
+            dur = batch.column("duration_ms")[i].as_py()
+            mid = batch.column("media_id")[i].as_py()
+            rng = np.random.Generator(np.random.PCG64(int(keys[i])))
+            for f in range(self.n_frames):
+                ids.append(mid)
+                frame_no.append(f)
+                ts_ms.append(int((f + 0.5) * dur / self.n_frames))
+                img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+                thumbs.append(codecs.encode(img, "png"))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_no": pa.array(frame_no, pa.int32()),
+                "ts_ms": pa.array(ts_ms, pa.int32()),
+                "frame_png": pa.array(thumbs, pa.binary()),
+            }
+        )

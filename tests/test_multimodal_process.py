@@ -1,0 +1,96 @@
+"""Multimodal stages (caption extraction, audio/video stubs), no-stat scan
+mode, and the two-phase stage-machine processing path."""
+
+import tempfile
+
+import pytest
+
+import ray
+
+from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+from fscrawler_ray.sources.images import images_dataset
+from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+from fscrawler_ray.stages.multimodal import (
+    AudioFeatureStage,
+    CaptionExtractStage,
+    VideoFrameSampleStage,
+    synth_audio_table,
+)
+
+CFG = WebConfig(seed=19, n_hosts=4, max_depth=3, fanout_dirs=2, fanout_files=4)
+
+
+def test_caption_extract_stage():
+    ds = images_dataset(32).map_batches(CaptionExtractStage, batch_format="pyarrow", batch_size=16, concurrency=2)
+    t = ds.take_batch(32, batch_format="pyarrow")
+    caps = t.column("extracted_caption").to_pylist()
+    assert all(c and c.startswith("a ") for c in caps)
+    assert 0.0 <= min(t.column("brightness").to_pylist())
+    # deterministic
+    t2 = images_dataset(32).map_batches(CaptionExtractStage, batch_format="pyarrow", batch_size=16, concurrency=2).take_batch(32, batch_format="pyarrow")
+    assert caps == t2.column("extracted_caption").to_pylist()
+
+
+def test_audio_stage_fake_backend():
+    t = synth_audio_table(24)
+    ds = ray.data.from_arrow(t).map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=8, concurrency=2)
+    out = ds.take_batch(24, batch_format="pyarrow")
+    assert out.num_rows == 24
+    assert len(out.column("mel_features")[0].as_py()) == 8
+    assert "bytes" not in out.column_names
+
+
+def test_video_stage_expands_frames():
+    t = synth_audio_table(6).rename_columns(["media_id", "bytes", "sample_rate", "n_channels", "duration_ms", "codec"])
+    import pyarrow as pa
+
+    vt = pa.table(
+        {
+            "media_id": t.column("media_id"),
+            "bytes": t.column("bytes"),
+            "duration_ms": t.column("duration_ms"),
+        }
+    )
+    ds = ray.data.from_arrow(vt).map_batches(VideoFrameSampleStage, batch_format="pyarrow", batch_size=4, concurrency=2)
+    out = ds.take_batch(100, batch_format="pyarrow")
+    assert out.num_rows == 18  # 6 media × 3 frames
+    from fscrawler_ray.functions.codecs import decode
+
+    img, w, h, fmt = decode(out.column("frame_png")[0].as_py())
+    assert fmt == "png" and (w, h) == (16, 16)
+
+
+def test_external_backends_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(backend="ffmpeg")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(backend="ffmpeg")
+
+
+def test_no_stat_scan_mode():
+    web = SynthWeb(CFG)
+    full = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4))
+    s_full = full.run(web.seeds())
+    scan = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, fetch_payloads=False))
+    s_scan = scan.run(web.seeds())
+    # identical traversal, zero payloads
+    assert scan.trace_table().to_pylist() == full.trace_table().to_pylist()
+    assert s_scan["result_rows"] == 0
+    assert s_full["result_rows"] > 0
+
+
+def test_two_phase_process_resumes():
+    web = SynthWeb(CFG)
+    with tempfile.TemporaryDirectory() as out, tempfile.TemporaryDirectory() as proc:
+        eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, out_dir=out))
+        s = eng.run(web.seeds())
+        from fscrawler_ray.pipelines.process_results import process_results
+
+        r1 = process_results(out, proc)
+        assert r1["processed"] == s["result_rows"]
+        r2 = process_results(out, proc)
+        assert r2["processed"] == 0
+        assert r2["previously_done"] == s["result_rows"]
+        t = ray.data.read_parquet(proc).take_batch(10, batch_format="pyarrow")
+        assert "stage" in t.column_names
+        assert "bytes" not in t.column_names
