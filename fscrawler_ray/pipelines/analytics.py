@@ -42,6 +42,44 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def grouped_sum(ds, keys: list[str], sum_cols: dict, count_out: str | None = None):
+    """Pre-aggregated groupby: combine per batch with pyarrow's hash
+    aggregation (the partial/combiner step), then shuffle only the tiny
+    per-block partials through Ray's groupby. This is the
+    'push aggregation partial' rule for wide steps — the full-shuffle
+    groupby over raw rows is ~5-10× slower at sf0.1.
+
+    sum_cols: {input_col: output_name}; count_out: output name for count(*).
+    """
+    aggs = [(c, "sum") for c in sum_cols]
+    if count_out:
+        aggs.append(([], "count_all"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, keys).aggregate(aggs)
+        names = list(keys) + [f"{c}_partial" for c in sum_cols] + ([count_out + "_partial"] if count_out else [])
+        # TableGroupBy puts key columns last in pyarrow 16 — reorder by name
+        cols = {}
+        for c in sum_cols:
+            cols[f"{c}_partial"] = g.column(f"{c}_sum")
+        if count_out:
+            cols[count_out + "_partial"] = g.column("count_all")
+        for k in keys:
+            cols[k] = g.column(k)
+        t = pa.table(cols)
+        return t.select(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final_aggs = [Sum(f"{c}_partial") for c in sum_cols]
+    if count_out:
+        final_aggs.append(Sum(count_out + "_partial"))
+    out = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*final_aggs)
+    mapping = {f"sum({c}_partial)": name for c, name in sum_cols.items()}
+    if count_out:
+        mapping[f"sum({count_out}_partial)"] = count_out
+    return _rename(out, mapping)
+
+
 def _cents(b: pa.Table, src: str, dst: str) -> pa.Table:
     # round half away from zero to match DuckDB's ROUND semantics exactly
     c = pc.round(
@@ -57,20 +95,18 @@ def _cents(b: pa.Table, src: str, dst: str) -> pa.Table:
 
 def q_count_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang"])
-    return _rename(ds.groupby("lang").count(), {"count()": "cnt"})
+    return grouped_sum(ds, ["lang"], {}, count_out="cnt")
 
 
 def q_chars_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    out = ds.groupby("lang").aggregate(Sum("n_chars"), Count())
-    return _rename(out, {"sum(n_chars)": "total_chars", "count()": "docs"})
+    return grouped_sum(ds, ["lang"], {"n_chars": "total_chars"}, count_out="docs")
 
 
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     ds = ds.map_batches(lambda b: _cents(b, "value", "value_cents"), batch_format="pyarrow")
-    out = ds.groupby("event_type").aggregate(Count(), Sum("value_cents"))
-    return _rename(out, {"count()": "cnt", "sum(value_cents)": "total_value_cents"})
+    return grouped_sum(ds, ["event_type"], {"value_cents": "total_value_cents"}, count_out="cnt")
 
 
 def q_events_hourly(sf_dir: str):
@@ -81,8 +117,7 @@ def q_events_hourly(sf_dir: str):
         return _cents(b, "value", "value_cents")
 
     ds = ds.map_batches(add_cols, batch_format="pyarrow").drop_columns(["ts", "value"])
-    out = ds.groupby(["event_type", "hour"]).aggregate(Count(), Sum("value_cents"))
-    return _rename(out, {"count()": "cnt", "sum(value_cents)": "total_value_cents"})
+    return grouped_sum(ds, ["event_type", "hour"], {"value_cents": "total_value_cents"}, count_out="cnt")
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +132,7 @@ def q_top10_docs(sf_dir: str):
 
 def q_top_sources(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
-    agg = _rename(ds.groupby("source").aggregate(Sum("n_chars")), {"sum(n_chars)": "total_chars"})
+    agg = grouped_sum(ds, ["source"], {"n_chars": "total_chars"})
     return agg.sort(["total_chars", "source"], descending=[True, False]).limit(10)
 
 
@@ -189,8 +224,7 @@ def q_rollup_nation(sf_dir: str):
         ["c_nationkey", "n_name"]
     )
     joined = broadcast_join(cust, nation, on="c_nationkey", how="inner")
-    out = joined.groupby("n_name").aggregate(Count(), Sum("acct_cents"))
-    return _rename(out, {"count()": "customers", "sum(acct_cents)": "total_acct_cents"})
+    return grouped_sum(joined, ["n_name"], {"acct_cents": "total_acct_cents"}, count_out="customers")
 
 
 def q_rollup_region(sf_dir: str):
@@ -211,8 +245,7 @@ def q_segment_revenue(sf_dir: str):
         ["o_custkey", "c_mktsegment"]
     )
     joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
-    out = joined.groupby("c_mktsegment").aggregate(Count(), Sum("price_cents"))
-    return _rename(out, {"count()": "orders_cnt", "sum(price_cents)": "revenue_cents"})
+    return grouped_sum(joined, ["c_mktsegment"], {"price_cents": "revenue_cents"}, count_out="orders_cnt")
 
 
 def q_pricing_summary(sf_dir: str):
@@ -240,17 +273,11 @@ def q_pricing_summary(sf_dir: str):
         return b.select(["l_returnflag", "l_linestatus", "qty_cents", "price_cents", "disc_price_cents"])
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_cents"), Sum("price_cents"), Sum("disc_price_cents"), Count()
-    )
-    return _rename(
-        out,
-        {
-            "sum(qty_cents)": "sum_qty_cents",
-            "sum(price_cents)": "sum_price_cents",
-            "sum(disc_price_cents)": "sum_disc_price_cents",
-            "count()": "cnt",
-        },
+    return grouped_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"qty_cents": "sum_qty_cents", "price_cents": "sum_price_cents", "disc_price_cents": "sum_disc_price_cents"},
+        count_out="cnt",
     )
 
 

@@ -98,20 +98,55 @@ def minhash_lsh_pairs(
         return pa.concat_tables(band_rows)
 
     buckets = docs.map_batches(sigs, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas().drop_duplicates()  # candidate set is small by construction
+    cand_pd = _collision_pairs(buckets, ["band", "bucket"], "doc_id", max_bucket)
     if len(cand_pd) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
     verified = verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
     return verified
+
+
+def _collision_pairs(buckets_ds, key_cols: list[str], id_col: str, max_bucket: int) -> pd.DataFrame:
+    """Candidate pairs from LSH buckets WITHOUT per-group Python tasks:
+    (1) pyarrow-partial + Ray groupby counts the buckets (tiny shuffle),
+    (2) only rows in collision buckets (count > 1) survive a broadcast
+    semi-filter, (3) pair expansion runs vectorized over the (small)
+    survivor set. Per-bucket cap bounds the quadratic blowup; at larger
+    scale step (3) moves into map_batches after a repartition by bucket."""
+    from .analytics import grouped_sum
+
+    counts = grouped_sum(buckets_ds, key_cols, {}, count_out="cnt").to_pandas()
+    dup = counts[counts["cnt"] > 1]
+    if len(dup) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    dup_keys = set(map(tuple, dup[key_cols].to_numpy().tolist()))
+    ref = ray.put(dup_keys)
+
+    class InDup:
+        def __init__(self):
+            self.keys = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys = ray.get(ref)
+            cols = [b.column(k).to_pylist() for k in key_cols]
+            mask = [tuple(row) in self.keys for row in zip(*cols)]
+            return b.filter(pa.array(mask))
+
+    surv = buckets_ds.map_batches(InDup, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    surv = surv.sort_values(key_cols + [id_col])
+    out_a, out_b = [], []
+    for _, g in surv.groupby(key_cols, sort=False):
+        ids = g[id_col].to_numpy()[:max_bucket]
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    ).drop_duplicates()
 
 
 def verify_jaccard(sf_dir: str, pairs: pd.DataFrame, threshold: float) -> pa.Table:
@@ -175,28 +210,34 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         return pa.concat_tables(rows)
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").head(64)
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        from ..functions.phash import hamming64
-
-        d = hamming64(sh[ia], sh[ib])
-        keep = d <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": d[keep]})
-
-    out = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-    pdout = out.to_pandas()
-    if len(pdout) == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
+    cand = _collision_pairs(buckets.drop_columns(["simhash"]), ["band", "bucket"], "doc_id", 64)
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
+    )
+    if len(cand) == 0:
+        return empty
+    # verify candidates by full 64-bit Hamming; the per-doc sketch table is
+    # small (one int per doc) — broadcast-sized by construction
+    sk = (
+        docs.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"), "simhash": pa.array(simhash64(b.column("text")))}),
+            batch_format="pyarrow",
         )
-    pdout = pdout.drop_duplicates(subset=["doc_a", "doc_b"])
-    return pa.Table.from_pandas(pdout.sort_values(["doc_a", "doc_b"]), preserve_index=False)
+        .to_pandas()
+        .set_index("doc_id")["simhash"]
+    )
+    from ..functions.phash import hamming64
+
+    sa = sk.loc[cand["doc_a"].astype(int)].to_numpy().astype(np.int64)
+    sb = sk.loc[cand["doc_b"].astype(int)].to_numpy().astype(np.int64)
+    d = hamming64(sa, sb)
+    keep = d <= max_hamming
+    out = pd.DataFrame(
+        {"doc_a": cand["doc_a"][keep].astype(np.int64), "doc_b": cand["doc_b"][keep].astype(np.int64), "hamming": d[keep]}
+    )
+    if len(out) == 0:
+        return empty
+    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

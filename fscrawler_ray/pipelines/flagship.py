@@ -42,18 +42,25 @@ NON_PAYLOAD_COLUMNS = [
 ]
 
 
+def _pool_size() -> tuple:
+    """Actor-pool bounds sized to the cluster (min 1, max = CPUs) so the
+    decode stage never caps parallelism below the machine."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, cpus))
+
+
 def enrich_images(ds, decode_concurrency: int | tuple | None = None, batch_size: int = 128, thumbnails: bool = False):
     """Full enrichment chain over an input_hint Dataset."""
     ds = ds.map_batches(attrs_batch, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=1024)
-    kwargs = {}
-    if decode_concurrency is not None:
-        kwargs["concurrency"] = decode_concurrency
+    conc = decode_concurrency if decode_concurrency is not None else _pool_size()
     ds = ds.map_batches(
         DecodePhashVerify,
         batch_format="pyarrow",
         batch_size=batch_size,
-        **(kwargs or {"concurrency": (1, 4)}),
+        concurrency=conc,
     )
     ds = ds.map_batches(caption_features_batch, batch_format="pyarrow", batch_size=1024)
     if thumbnails:
@@ -61,7 +68,7 @@ def enrich_images(ds, decode_concurrency: int | tuple | None = None, batch_size:
             ThumbnailStage,
             batch_format="pyarrow",
             batch_size=batch_size,
-            **(kwargs or {"concurrency": (1, 4)}),
+            concurrency=conc,
         )
     return ds
 
