@@ -198,9 +198,17 @@ def minhash_signatures(texts, num_perm: int = 64, k_shingle: int = 3) -> np.ndar
     n = len(arr)
     h, doc = shingle_hashes(arr, k_shingle)
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    # segmented min via sort + reduceat (np.minimum.at is orders of
+    # magnitude slower — unbuffered ufunc)
+    order = np.argsort(doc, kind="stable")
+    hs, doc_s = h[order], doc[order]
+    starts = np.flatnonzero(np.diff(doc_s, prepend=doc_s[0] - 1))
+    present = doc_s[starts]
     for p in range(num_perm):
-        hp = xxh64_u64(h, seed=p + 1)
-        np.minimum.at(sig[:, p], doc, hp)
+        hp = xxh64_u64(hs, seed=p + 1)
+        sig[present, p] = np.minimum.reduceat(hp, starts)
     return sig
 
 
@@ -215,8 +223,10 @@ def simhash64(texts) -> np.ndarray:
         np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     ).astype(np.int64)  # (T, 64)
     contrib = bits * 2 - 1
+    # doc ids are non-decreasing by construction → segmented sum via reduceat
     acc = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(acc, doc, contrib)
+    starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+    acc[doc[starts]] = np.add.reduceat(contrib, starts, axis=0)
     out_bits = (acc > 0).astype(np.uint64)
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
     return (out_bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
@@ -230,6 +240,7 @@ def fingerprint64(texts) -> np.ndarray:
     h, doc = shingle_hashes(arr, 3)
     out = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(h):
-        np.minimum.at(out, doc, h)
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        out[doc[starts]] = np.minimum.reduceat(h, starts)
     out[out == np.iinfo(np.uint64).max] = 0
     return out.astype(np.int64)

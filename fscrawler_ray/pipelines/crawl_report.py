@@ -67,6 +67,42 @@ def format_counts(out_dir: str):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def content_groups(out_dir: str):
+    """The reference's Content grouping (many paths → one logical content,
+    app/models/content.py:84-87 + content_files join table): crawl rows
+    sharing one payload identity (image_id), with copy counts. The shuffle
+    key is the content id, exactly like the duplicate finder."""
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(out_dir, columns=["image_id", "url", "size"])
+    out = ds.groupby("image_id").aggregate(Count(), Min("url"), Min("size"))
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["image_id", "copies", "first_url", "size"])
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def extension_sets(trace: pa.Table, out_dir: str) -> dict:
+    """MetricsObserver found-vs-crawled extension accounting
+    (metrics_observer.py:41-47, 85-89): extensions seen in the frontier
+    trace vs formats actually landed; crawled-but-never-found is an error."""
+    from ..functions.urls import ext_of, name_of
+
+    exts = ext_of(name_of(trace.column("url").combine_chunks()))
+    found = set(x for x in exts.to_pylist() if x)
+    fmts = set(
+        ray.data.read_parquet(out_dir, columns=["fmt"]).unique("fmt")
+    )
+    crawled = {{"jpeg": "jpg"}.get(f, f) for f in fmts}
+    return {
+        "found_extensions": sorted(found),
+        "crawled_formats": sorted(fmts),
+        "crawled_not_found": sorted(crawled - found),
+        "consistent": crawled <= found,
+    }
+
+
 def empty_hosts(out_dir: str, trace: pa.Table):
     """A6 analog (EmptyDirectoryObserver, empty_directory_observer.py:50-57):
     hosts that were crawled (appear in the trace) but yielded zero payload

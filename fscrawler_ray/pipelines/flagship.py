@@ -55,20 +55,23 @@ def enrich_images(ds, decode_concurrency: int | tuple | None = None, batch_size:
     """Full enrichment chain over an input_hint Dataset."""
     ds = ds.map_batches(attrs_batch, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=1024)
-    conc = decode_concurrency if decode_concurrency is not None else _pool_size()
-    ds = ds.map_batches(
-        DecodePhashVerify,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=conc,
-    )
+    # decode+verify holds no per-worker state → elastic task pool (no actor
+    # spin-up); pass decode_concurrency to force an actor pool instead
+    from ..stages.image_stages import decode_phash_verify_batch
+
+    if decode_concurrency is not None:
+        ds = ds.map_batches(
+            DecodePhashVerify, batch_format="pyarrow", batch_size=batch_size, concurrency=decode_concurrency
+        )
+    else:
+        ds = ds.map_batches(decode_phash_verify_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(caption_features_batch, batch_format="pyarrow", batch_size=1024)
     if thumbnails:
         ds = ds.map_batches(
             ThumbnailStage,
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=conc,
+            concurrency=decode_concurrency or _pool_size(),
         )
     return ds
 

@@ -68,9 +68,17 @@ def attrs_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
+def decode_phash_verify_batch(batch: pa.Table) -> pa.Table:
+    """Stateless form of :class:`DecodePhashVerify` (max_hamming=0) for
+    plain task pools — the stage holds no per-worker state, so elastic
+    tasks beat a fixed actor pool (no actor spin-up cost on small inputs)."""
+    return DecodePhashVerify()(batch)
+
+
 class DecodePhashVerify:
-    """Actor-pool stage: decode payloads, verify (w, h, fmt) metadata and the
-    stored phash, recompute phash from decoded pixels.
+    """Decode payloads, verify (w, h, fmt) metadata and the stored phash,
+    recompute phash from decoded pixels. Usable as a plain batch callable
+    (stateless) or via map_batches(cls, concurrency=...) when configured.
 
     Output adds: ``decode_ok`` (bool), ``verify_ok`` (bool: dims+fmt match),
     ``phash_computed`` (int64), ``phash_match`` (bool), ``phash_dist``
