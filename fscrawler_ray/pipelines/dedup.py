@@ -98,50 +98,36 @@ def minhash_lsh_pairs(
         return pa.concat_tables(band_rows)
 
     buckets = docs.map_batches(sigs, batch_format="pyarrow")
-    cand_pd = _collision_pairs(buckets, ["band", "bucket"], "doc_id", max_bucket)
+    cand_pd = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
     if len(cand_pd) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
     verified = verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
     return verified
 
 
-def _collision_pairs(buckets_ds, key_cols: list[str], id_col: str, max_bucket: int) -> pd.DataFrame:
-    """Candidate pairs from LSH buckets WITHOUT per-group Python tasks:
-    (1) pyarrow-partial + Ray groupby counts the buckets (tiny shuffle),
-    (2) only rows in collision buckets (count > 1) survive a broadcast
-    semi-filter, (3) pair expansion runs vectorized over the (small)
-    survivor set. Per-bucket cap bounds the quadratic blowup; at larger
-    scale step (3) moves into map_batches after a repartition by bucket."""
-    from .analytics import grouped_sum
-
-    counts = grouped_sum(buckets_ds, key_cols, {}, count_out="cnt").to_pandas()
-    dup = counts[counts["cnt"] > 1]
-    if len(dup) == 0:
+def _collision_pairs(buckets: pd.DataFrame, key_cols: list[str], id_col: str, max_bucket: int) -> pd.DataFrame:
+    """Vectorized candidate-pair expansion from LSH bucket rows. The sketch
+    stage is distributed; the bucket rows themselves are small (ids +
+    hashes, no payloads) so pair expansion runs on the driver with sorted
+    segment boundaries — no per-group Python tasks, no extra shuffle. At
+    10^10-doc scale this step moves into map_batches after a repartition by
+    bucket key; the cap bounds the quadratic blowup either way."""
+    if len(buckets) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": []})
-    dup_keys = set(map(tuple, dup[key_cols].to_numpy().tolist()))
-    ref = ray.put(dup_keys)
-
-    class InDup:
-        def __init__(self):
-            self.keys = None
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if self.keys is None:
-                self.keys = ray.get(ref)
-            cols = [b.column(k).to_pylist() for k in key_cols]
-            mask = [tuple(row) in self.keys for row in zip(*cols)]
-            return b.filter(pa.array(mask))
-
-    surv = buckets_ds.map_batches(InDup, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
-    surv = surv.sort_values(key_cols + [id_col])
+    b = buckets.sort_values(key_cols + [id_col])
+    keys = b[key_cols].to_numpy()
+    change = np.ones(len(b), dtype=bool)
+    change[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    group_id = np.cumsum(change) - 1
+    sizes = np.bincount(group_id)
+    ids = b[id_col].to_numpy()
+    starts = np.flatnonzero(change)
     out_a, out_b = [], []
-    for _, g in surv.groupby(key_cols, sort=False):
-        ids = g[id_col].to_numpy()[:max_bucket]
-        if len(ids) < 2:
-            continue
-        ia, ib = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[ia])
-        out_b.append(ids[ib])
+    for g in np.flatnonzero(sizes > 1):
+        seg = ids[starts[g] : starts[g] + min(int(sizes[g]), max_bucket)]
+        ia, ib = np.triu_indices(len(seg), k=1)
+        out_a.append(seg[ia])
+        out_b.append(seg[ib])
     if not out_a:
         return pd.DataFrame({"doc_a": [], "doc_b": []})
     return pd.DataFrame(
@@ -158,15 +144,21 @@ def verify_jaccard(sf_dir: str, pairs: pd.DataFrame, threshold: float) -> pa.Tab
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     h, doc = shingle_hashes(t.column("text"), 3)
     doc_ids = t.column("doc_id").to_numpy()
-    sets: dict[int, set] = {}
-    for d in np.unique(doc):
-        sets[int(doc_ids[d])] = set(h[doc == d].tolist())
+    # doc (row index) is non-decreasing → O(T) segment slicing, then exact
+    # set ops only on the candidate rows
+    seg: dict[int, np.ndarray] = {}
+    if len(h):
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        bounds = np.append(starts, len(doc))
+        for k, row in enumerate(doc[starts]):
+            seg[int(doc_ids[row])] = np.unique(h[bounds[k] : bounds[k + 1]])
     out_a, out_b, out_j = [], [], []
     for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        if not sa or not sb:
+        sa, sb = seg.get(a), seg.get(b)
+        if sa is None or sb is None or not len(sa) or not len(sb):
             continue
-        j = len(sa & sb) / len(sa | sb)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
         if j >= threshold:
             out_a.append(a)
             out_b.append(b)
@@ -210,7 +202,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         return pa.concat_tables(rows)
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow")
-    cand = _collision_pairs(buckets.drop_columns(["simhash"]), ["band", "bucket"], "doc_id", 64)
+    cand = _collision_pairs(buckets.drop_columns(["simhash"]).to_pandas(), ["band", "bucket"], "doc_id", 64)
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
     )

@@ -53,8 +53,8 @@ def _pool_size() -> tuple:
 
 def enrich_images(ds, decode_concurrency: int | tuple | None = None, batch_size: int = 128, thumbnails: bool = False):
     """Full enrichment chain over an input_hint Dataset."""
-    ds = ds.map_batches(attrs_batch, batch_format="pyarrow", batch_size=1024)
-    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(attrs_batch, batch_format="pyarrow")
+    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
     # decode+verify holds no per-worker state → elastic task pool (no actor
     # spin-up); pass decode_concurrency to force an actor pool instead
     from ..stages.image_stages import decode_phash_verify_batch
@@ -64,8 +64,8 @@ def enrich_images(ds, decode_concurrency: int | tuple | None = None, batch_size:
             DecodePhashVerify, batch_format="pyarrow", batch_size=batch_size, concurrency=decode_concurrency
         )
     else:
-        ds = ds.map_batches(decode_phash_verify_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(caption_features_batch, batch_format="pyarrow", batch_size=1024)
+        ds = ds.map_batches(decode_phash_verify_batch, batch_format="pyarrow")
+    ds = ds.map_batches(caption_features_batch, batch_format="pyarrow")
     if thumbnails:
         ds = ds.map_batches(
             ThumbnailStage,

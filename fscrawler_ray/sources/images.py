@@ -105,7 +105,7 @@ def images_dataset(n: int, seed: int = 42, parallelism: int = -1):
     def gen(batch: pa.Table) -> pa.Table:
         return synth_images_batch(batch.column("id").to_numpy(), seed=seed)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=64)
+    return ds.map_batches(gen, batch_format="pyarrow")
 
 
 def rows_for_sf(sf_dir: str, per_sf: int = 20000) -> int:
