@@ -358,6 +358,17 @@ class CrawlEngine:
         parts = ray.get([s.seen_keys.remote() for s in self.shards])
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
+    def hot_hosts(self, top: int = 5) -> list[tuple[str, int]]:
+        """Hosts with the deepest frontier queues right now (Zipf-skew
+        detection — the explicit skew-handling surface the north rule asks
+        for; see FrontierShard.pending_by_host for why fetch and aggregate
+        paths are already skew-neutral)."""
+        per = ray.get([s.pending_by_host.remote() for s in self.shards])
+        merged: dict[str, int] = {}
+        for d in per:
+            merged.update(d)
+        return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+
     def counters(self) -> dict:
         per = ray.get([s.get_counters.remote() for s in self.shards])
         tot: dict = {}

@@ -116,6 +116,16 @@ class FrontierShard:
     def pending_count(self) -> int:
         return sum(len(q) - self._qhead.get(h, 0) for h, q in self.queues.items())
 
+    def pending_by_host(self) -> dict:
+        """Queue depth per host — the skew signal. A hot host shows up as a
+        deep queue (its per-round emission is capped by the politeness
+        budget). Fetch-side load is already balanced regardless (emissions
+        are striped round-robin across fetch tasks), and aggregation-side
+        skew is neutralized by partial pre-aggregation (analytics.grouped_sum),
+        so the remaining lever for a pathologically hot host is salting its
+        queue across shards — reported here so the driver can decide."""
+        return {h: len(q) - self._qhead.get(h, 0) for h, q in self.queues.items() if len(q) - self._qhead.get(h, 0) > 0}
+
     def end_and_pop(self) -> tuple:
         """Round transition in one RPC: enqueue the buffered children of the
         finished round, then pop the next round's emissions. Returns
