@@ -35,7 +35,7 @@ def _init_ray(num_cpus: int):
     return ray
 
 
-def crawl_workload(n_hosts: int = 128, budget: int = 256, max_depth: int = 5, out_dir: str | None = None) -> dict:
+def crawl_workload(n_hosts: int = 256, budget: int = 256, max_depth: int = 5, out_dir: str | None = None) -> dict:
     """The frontier workload: crawl the synthetic web end-to-end (fetch +
     decode-side payload generation), counting emitted URLs."""
     from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine

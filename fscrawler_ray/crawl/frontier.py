@@ -27,7 +27,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..filters.core import FilterChain
 from ..functions.hashing import xxh64, xxh64_batch
 from ..functions.urls import ext_of, name_of
 from ..sources.synthweb import SynthWeb, WebConfig

@@ -4,7 +4,6 @@ values are stable)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray

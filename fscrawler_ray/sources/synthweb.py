@@ -27,9 +27,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..functions.codecs import FORMATS, encode, synth_image
+from ..functions.codecs import encode, synth_image
 from ..functions.hashing import xxh64
-from ..functions.phash import phash_image, to_gray32
+from ..functions.phash import to_gray32
 
 _WORDS = (
     "sunset beach mountain river city night forest bridge cloud star "
