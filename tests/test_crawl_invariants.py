@@ -1,0 +1,48 @@
+"""Per-row invariants on real crawl output (BASELINE.json input_hint):
+decoded-pixel PSNR ≥ 40 dB for lossy formats, exact caption equality, exact
+phash equality — engine rows vs the independent oracle's fetches."""
+
+import glob
+import tempfile
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+from fscrawler_ray.crawl.oracle import crawl_oracle
+from fscrawler_ray.functions.codecs import LOSSY, decode, psnr, synth_image
+from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+CFG = WebConfig(seed=47, n_hosts=4, max_depth=3, fanout_dirs=2, fanout_files=4)
+
+
+def test_result_rows_match_oracle_and_invariants():
+    web = SynthWeb(CFG)
+    with tempfile.TemporaryDirectory() as out:
+        eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, out_dir=out))
+        eng.run(web.seeds())
+        import pyarrow as pa
+
+        files = sorted(glob.glob(out + "/**/*.parquet", recursive=True))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+
+    oracle = crawl_oracle(web, web.seeds(), politeness_budget=4, fetch_payloads=True)
+    orows = {r["url"]: r for r in oracle.rows}
+    erows = t.to_pylist()
+    assert len(erows) == len(orows)
+    for r in erows:
+        o = orows[r["url"]]
+        # exact caption + phash equality vs the oracle
+        assert r["caption"] == o["caption"]
+        assert r["phash"] == o["phash"]
+        assert r["seq"] == o["seq"]
+        # decoded pixels reproduce the original within the PSNR contract
+        img, w, h, fmt = decode(r["bytes"])
+        assert (w, h, fmt) == (r["w"], r["h"], r["fmt"])
+        ps = web.payload_seed(r["url"])
+        original = synth_image(ps & 0xFFFFFFFF, w, h)
+        p = psnr(original, img)
+        if fmt in LOSSY:
+            assert p >= 40.0, (r["url"], fmt, p)
+        else:
+            assert np.array_equal(original, img)
