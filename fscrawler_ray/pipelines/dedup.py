@@ -237,13 +237,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.8, n_planes: int = 8, seed: int = 5):
-    """Vector pairs with cosine ≥ threshold. Bucket by sign pattern of
-    ``n_planes`` random hyperplanes (+ its 1-bit neighbors would raise
-    recall; single bucket keeps the shuffle tiny), verify cosine in-bucket."""
+def embedding_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 5,
+    max_bucket: int = 128,
+):
+    """Vector pairs with cosine ≥ threshold via random-hyperplane LSH:
+    ``n_tables`` independent tables of ``n_planes``-bit sign signatures
+    (recall for cos θ: 1-(1-(1-θ/π)^planes)^tables — for this corpus's
+    genuine-pair band around cos 0.4-0.5 that is ~0.75+). In-bucket cosine
+    verification is vectorized over the (small) collision set."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.normal(size=(64, n_planes)).astype(np.float32)
+    planes = rng.normal(size=(n_tables, 64, n_planes)).astype(np.float64)
     planes_ref = ray.put(planes)
 
     class Bucketize:
@@ -251,38 +260,48 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.8, n_planes: int =
             self.planes = ray.get(planes_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            v = np.stack(b.column("embedding").to_pylist()).astype(np.float32)
+            v = np.stack(b.column("embedding").to_pylist()).astype(np.float64)
             v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sig = (v @ self.planes > 0).astype(np.uint32)
-            bucket = (sig << np.arange(self.planes.shape[1], dtype=np.uint32)).sum(axis=1).astype(np.int64)
-            return pa.table(
-                {
-                    "bucket": pa.array(bucket),
-                    "vec_id": b.column("vec_id"),
-                    "embedding": b.column("embedding"),
-                }
-            )
+            parts = []
+            for ti in range(self.planes.shape[0]):
+                sig = (v @ self.planes[ti] > 0).astype(np.uint32)
+                bucket = (sig << np.arange(self.planes.shape[2], dtype=np.uint32)).sum(axis=1).astype(np.int64)
+                parts.append(
+                    pa.table(
+                        {
+                            "band": pa.array(np.full(len(b), ti, dtype=np.int32)),
+                            "bucket": pa.array(bucket),
+                            "doc_id": b.column("vec_id"),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
 
     buckets = emb.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 4))
+    cand = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+    )
+    if len(cand) == 0:
+        return empty
+    import pyarrow.parquet as pq
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id").head(256)
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        v = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = v @ v.T
-        ids = g["vec_id"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
-        keep = s >= threshold
-        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cosine": np.round(s[keep], 6)})
-
-    out = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    pdout = out.to_pandas()
-    if len(pdout) == 0:
-        return pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
-        )
-    pdout = pdout.drop_duplicates(subset=["vec_a", "vec_b"])
-    return pa.Table.from_pandas(pdout.sort_values(["vec_a", "vec_b"]), preserve_index=False)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    v = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    row_of = {int(i): k for k, i in enumerate(ids)}
+    ra = np.array([row_of[int(a)] for a in cand["doc_a"]])
+    rb = np.array([row_of[int(b)] for b in cand["doc_b"]])
+    cos = (v[ra] * v[rb]).sum(axis=1)
+    keep = cos >= threshold
+    if not keep.any():
+        return empty
+    out = pd.DataFrame(
+        {
+            "vec_a": cand["doc_a"][keep].astype(np.int64),
+            "vec_b": cand["doc_b"][keep].astype(np.int64),
+            "cosine": np.round(cos[keep], 6),
+        }
+    )
+    return pa.Table.from_pandas(out.sort_values(["vec_a", "vec_b"]), preserve_index=False)
