@@ -212,6 +212,42 @@ def q_filter_chain_events(sf_dir: str):
     )
 
 
+def q_regex_filter_docs(sf_dir: str):
+    """F6 RegexPatternFilter applied to documents (text as the 'path'):
+    authorized regex, IGNORECASE, with the literal-substring fallback quirk
+    (which cannot fire here — the pattern is not a literal substring)."""
+    from ..filters.core import RegexPatternFilter
+
+    f = RegexPatternFilter(authorized_pattern=r"spark.*window")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def apply(b: pa.Table) -> pa.Table:
+        feat = pa.table({"url": b.column("text")})
+        return b.filter(pa.array(f.mask(feat))).select(["doc_id"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def q_or_filter_events(sf_dir: str):
+    """F9 OrFilter: keep events that pass ANY child filter (click-typed OR
+    large-valued) — the notify-filter OR semantics."""
+    from ..filters.core import FilterChain, OrFilter, PatternFilter, SizeFilter
+
+    chain = FilterChain(
+        notify_filters=[
+            OrFilter([PatternFilter(authorized_pattern="click"), SizeFilter(min_size=1800)])
+        ]
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def apply(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "value_cents")
+        feat = pa.table({"url": b.column("event_type"), "size": b.column("value_cents")})
+        return b.filter(pa.array(chain.mask(feat))).select(["event_id", "event_type", "value_cents"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # rollups via broadcast joins (A1 analog; L-queries)
 # ---------------------------------------------------------------------------
@@ -422,6 +458,13 @@ ORACLE_SQL = {
         "SELECT event_id, event_type, cast(round(value*100) AS bigint) AS value_cents FROM events "
         "WHERE cast(round(value*100) AS bigint) BETWEEN 500 AND 1500 AND event_type <> 'error'"
     ),
+    "regex_filter_docs": (
+        "SELECT doc_id FROM documents WHERE regexp_matches(text, 'spark.*window', 'i')"
+    ),
+    "or_filter_events": (
+        "SELECT event_id, event_type, cast(round(value*100) AS bigint) AS value_cents FROM events "
+        "WHERE event_type LIKE '%click%' OR cast(round(value*100) AS bigint) >= 1800"
+    ),
     "rollup_nation": (
         "SELECT n_name, count(*) AS customers, sum(cast(round(c_acctbal*100) AS bigint)) AS total_acct_cents "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
@@ -474,6 +517,8 @@ QUERIES = {
     "dup_sizes": q_dup_sizes,
     "exact_dedup_docs": q_exact_dedup_docs,
     "filter_chain_events": q_filter_chain_events,
+    "regex_filter_docs": q_regex_filter_docs,
+    "or_filter_events": q_or_filter_events,
     "rollup_nation": q_rollup_nation,
     "rollup_region": q_rollup_region,
     "segment_revenue": q_segment_revenue,
