@@ -69,6 +69,7 @@ class CrawlConfig:
     chain_spec: dict | None = None
     n_shards: int = 4
     politeness_budget: int = 4
+    politeness_capacity: int | None = None  # token-bucket cap; None = budget
     max_rounds: int = 64
     checkpoint_dir: str | None = None
     out_dir: str | None = None
@@ -234,7 +235,11 @@ class CrawlEngine:
         self.cfg = cfg
         self.shards = [
             FrontierShardActor.remote(
-                i, cfg.web, cfg.chain_spec, cfg.politeness_budget
+                i,
+                cfg.web,
+                cfg.chain_spec,
+                cfg.politeness_budget,
+                politeness_capacity=cfg.politeness_capacity,
             )
             for i in range(cfg.n_shards)
         ]

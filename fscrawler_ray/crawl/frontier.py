@@ -54,6 +54,7 @@ class FrontierShard:
         chain_spec: dict | None = None,
         politeness_budget: int = 4,
         seen_capacity: int = 1 << 17,
+        politeness_capacity: int | None = None,
     ):
         self.shard_id = shard_id
         self.web = SynthWeb(web_cfg)
@@ -61,6 +62,12 @@ class FrontierShard:
 
         self.chain = build_chain_from_spec(chain_spec or {})
         self.budget = politeness_budget
+        # token bucket: refill = budget per round, cap = capacity (tokens
+        # accumulate while a host is idle — logical clock, no wall time).
+        # Default capacity == refill reproduces plain per-round budgets.
+        self.capacity = politeness_capacity if politeness_capacity is not None else politeness_budget
+        self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
+        self._last_refill: dict[str, int] = {}  # round of that pop
         self.robots = RobotsCache(seed=web_cfg.seed)
         self.seen = SeenSet(capacity=seen_capacity)
         self.queues: dict[str, list] = {}  # host -> list[(url, depth)] FIFO
@@ -146,12 +153,16 @@ class FrontierShard:
         out_size: list[int | None] = []
         for host in sorted(h for h, q in self.queues.items() if len(q) > self._qhead.get(h, 0)):
             emitted = 0
+            # token bucket (logical clock): refill `budget` per elapsed round
+            # since the host's last pop, capped at `capacity`
+            elapsed = self.round - self._last_refill.get(host, -1)
+            allowance = min(self.capacity, self._tokens.get(host, 0) + self.budget * elapsed)
             q = self.queues[host]
             head = self._qhead.get(host, 0)
-            while head < len(q) and emitted < self.budget:
-                # pop a candidate window of (budget - emitted) entries and
+            while head < len(q) and emitted < allowance:
+                # pop a candidate window of (allowance - emitted) entries and
                 # evaluate checks vectorized; loop handles refill when some fail
-                take = min(len(q) - head, self.budget - emitted)
+                take = min(len(q) - head, allowance - emitted)
                 cand = q[head : head + take]
                 head += take
                 urls = [c[0] for c in cand]
@@ -172,6 +183,8 @@ class FrontierShard:
                     out_isdir.append(bool(is_dir[j]))
                     out_size.append(metas[j]["size"])
                     emitted += 1
+            self._tokens[host] = allowance - emitted
+            self._last_refill[host] = self.round
             if head >= len(q):
                 del self.queues[host]
                 self._qhead.pop(host, None)
@@ -223,6 +236,9 @@ class FrontierShard:
             "shard_id": self.shard_id,
             "round": self.round,
             "budget": self.budget,
+            "capacity": self.capacity,
+            "tokens": dict(self._tokens),
+            "last_refill": dict(self._last_refill),
             "queues": queues,
             "counters": dict(self.counters),
             "seen": self.seen.state(),
@@ -233,6 +249,9 @@ class FrontierShard:
         self.shard_id = st["shard_id"]
         self.round = st["round"]
         self.budget = st["budget"]
+        self.capacity = st.get("capacity", st["budget"])
+        self._tokens = dict(st.get("tokens", {}))
+        self._last_refill = dict(st.get("last_refill", {}))
         self.queues = {h: list(q) for h, q in st["queues"].items()}
         self._qhead = {}
         self.counters = dict(st["counters"])

@@ -58,6 +58,7 @@ def crawl_oracle(
     politeness_budget: int = 4,
     max_rounds: int = 100,
     fetch_payloads: bool = False,
+    politeness_capacity: int | None = None,
 ) -> OracleResult:
     res = OracleResult(counters={"skipped_robots": 0, "skipped_filters": 0, "skipped_seen": 0, "containers": 0, "leaves": 0})
     robots = RobotsCache(seed=web.cfg.seed)
@@ -79,6 +80,9 @@ def crawl_oracle(
     for s in normalize_seeds(seeds):
         try_enqueue(s, 0)
 
+    capacity = politeness_capacity if politeness_capacity is not None else politeness_budget
+    tokens: dict[str, int] = {}
+    last_refill: dict[str, int] = {}
     seq = 0
     for _round in range(max_rounds):
         active = sorted(h for h, q in queues.items() if q)
@@ -88,7 +92,9 @@ def crawl_oracle(
         for host in active:
             q = queues[host]
             emitted_this_host = 0
-            while q and emitted_this_host < politeness_budget:
+            elapsed = _round - last_refill.get(host, -1)
+            allowance = min(capacity, tokens.get(host, 0) + politeness_budget * elapsed)
+            while q and emitted_this_host < allowance:
                 url, depth = q.popleft()
                 if not robots.allowed(host, url):
                     res.counters["skipped_robots"] += 1
@@ -126,6 +132,8 @@ def crawl_oracle(
                             payload = dict(payload, url=url, seq=seq)
                             res.rows.append(payload)
                 seq += 1
+            tokens[host] = allowance - emitted_this_host
+            last_refill[host] = _round
         pending_children.sort(key=lambda t: (t[0], t[1]))
         for _ps, _ci, child, cdepth in pending_children:
             try_enqueue(child, cdepth)
