@@ -313,7 +313,18 @@ class CrawlEngine:
         seqs = pa.array(self.seq_offset + np.arange(len(merged), dtype=np.int64))
         merged = merged.append_column("seq", seqs)
         self.seq_offset += len(merged)
-        self.trace_parts.append(merged.select(["seq", "url", "host", "depth", "is_dir"]))
+        trace_part = merged.select(["seq", "url", "host", "depth", "is_dir"])
+        self.trace_parts.append(trace_part)
+        if self.cfg.out_dir:
+            # persist the frontier trace alongside the results (scale path:
+            # the in-memory accumulation is for test-sized runs only)
+            import pyarrow.parquet as pq
+
+            # sibling dir: results readers scan out_dir recursively, so the
+            # trace (different schema) must not live inside it
+            tdir = self.cfg.out_dir.rstrip("/") + "_trace"
+            os.makedirs(tdir, exist_ok=True)
+            pq.write_table(trace_part, os.path.join(tdir, f"part-{self.round_no:05d}.parquet"))
 
         out_path = os.path.join(self.cfg.out_dir, f"round={self.round_no}") if self.cfg.out_dir else None
         n = len(merged)
