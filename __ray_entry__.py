@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
+            # n-gram Jaccard with a permissive threshold: the exact-verify
+            # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
+            "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "langid_docs": textops.q_langid_docs,

@@ -32,6 +32,9 @@ def _init_ray(num_cpus: int):
             logging_level="ERROR",
             log_to_driver=False,
         )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
     return ray
 
 

@@ -31,6 +31,29 @@ def test_ext_quirks():
     assert ext_of(names).to_pylist() == ["jpg", None, None, "abcdefghijkl", None]
 
 
+def test_canonicalize_idempotent_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(alphabet="abcZ09._-%", min_size=0, max_size=6)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.sampled_from(["http", "https", "HTTP"]),
+        st.sampled_from(["Host.COM", "a.b.c", "x.io:80", "y.z:8080"]),
+        st.lists(st.sampled_from([".", "..", "a", "bb", "", "img.JPG"]), max_size=6),
+        seg,
+    )
+    def check(scheme, host, parts, frag):
+        url = f"{scheme}://{host}/" + "/".join(parts) + (f"#{frag}" if frag else "")
+        once = canonicalize([url]).to_pylist()[0]
+        twice = canonicalize([once]).to_pylist()[0]
+        assert once == twice
+        assert "#" not in once
+
+    check()
+
+
 def test_host_depth():
     urls = canonicalize(["http://A.com/x/y", "http://b.com/", "http://c.com/1/2/3/4"])
     assert host_of(urls).to_pylist() == ["a.com", "b.com", "c.com"]
