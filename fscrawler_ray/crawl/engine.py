@@ -114,11 +114,28 @@ def _fetch_task(
     """
     fe = _FetchExpand(web_cfg, shards, round_no, index_ref, fetch_payloads)
     out, skipped = fe(chunk)
-    if out_path is not None and out.num_rows:
+    if out_path is not None:
         import pyarrow.parquet as pq
 
-        os.makedirs(out_path, exist_ok=True)
-        pq.write_table(out, os.path.join(out_path, f"part-{round_no:05d}-{part_id:04d}.parquet"))
+        if out.num_rows:
+            os.makedirs(out_path, exist_ok=True)
+            pq.write_table(out, os.path.join(out_path, f"part-{round_no:05d}-{part_id:04d}.parquet"))
+        if fe.dead_letters:
+            # per-row fetch failures are DATA, not exceptions (the
+            # reference's record-and-continue errored-path log,
+            # crawling_queue_consumer.py:123-126) — landed in a sibling
+            # dead-letter table keyed like the results
+            dl_dir = os.path.dirname(out_path.rstrip("/")) + "_deadletter"
+            os.makedirs(dl_dir, exist_ok=True)
+            dl = pa.table(
+                {
+                    "url": pa.array([d[0] for d in fe.dead_letters], pa.string()),
+                    "seq": pa.array([d[1] for d in fe.dead_letters], pa.int64()),
+                    "reason": pa.array([d[2] for d in fe.dead_letters], pa.string()),
+                    "round": pa.array([round_no] * len(fe.dead_letters), pa.int32()),
+                }
+            )
+            pq.write_table(dl, os.path.join(dl_dir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
     return out.num_rows, skipped
 
 
@@ -134,6 +151,7 @@ class _FetchExpand:
         self.index_ref = index_ref
         self.fetch_payloads = fetch_payloads
         self._index = None
+        self.dead_letters: list[tuple[str, int, str]] = []  # (url, seq, reason)
 
     def _unchanged_mask(self, urls: list[str], sizes: list) -> np.ndarray:
         """Vectorized (url, size) probe against the previous run's index —
@@ -186,6 +204,7 @@ class _FetchExpand:
                     continue
                 r = self.web.fetch_raw(url)
                 if r is None:
+                    self.dead_letters.append((url, seq, "non_image_payload"))
                     continue
                 row, gray = r
                 grays.append(gray)

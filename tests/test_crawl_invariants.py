@@ -46,3 +46,21 @@ def test_result_rows_match_oracle_and_invariants():
             assert p >= 40.0, (r["url"], fmt, p)
         else:
             assert np.array_equal(original, img)
+
+
+def test_dead_letter_accounting():
+    """leaves emitted == payload rows + dead-lettered (non-image) leaves."""
+    import glob as _glob
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    web = SynthWeb(CFG)
+    with tempfile.TemporaryDirectory() as d:
+        out = d + "/results"
+        eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, out_dir=out))
+        s = eng.run(web.seeds())
+        dl_files = sorted(_glob.glob(d + "/results_deadletter/**/*.parquet", recursive=True))
+        assert dl_files, "the synthetic web always links some non-image leaves"
+        dl = pa.concat_tables([pq.read_table(f) for f in dl_files])
+        assert set(dl.column("reason").to_pylist()) == {"non_image_payload"}
+        assert s["counters"]["leaves"] == s["result_rows"] + dl.num_rows
