@@ -94,19 +94,18 @@ def synth_image(seed: int, w: int, h: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     gw, gh = max(2, w // 8), max(2, h // 8)
     grid = rng.integers(0, 256, (gh, gw, 3)).astype(np.float32)
-    yi = np.linspace(0, gh - 1, h)
-    xi = np.linspace(0, gw - 1, w)
+    # float32 throughout — the silent float64 upcast doubles the cost of the
+    # hottest kernel in the synthetic fetch path
+    yi = np.linspace(0, gh - 1, h, dtype=np.float32)
+    xi = np.linspace(0, gw - 1, w, dtype=np.float32)
     y0 = np.floor(yi).astype(int)
     x0 = np.floor(xi).astype(int)
     y1 = np.minimum(y0 + 1, gh - 1)
     x1 = np.minimum(x0 + 1, gw - 1)
-    fy = (yi - y0)[:, None, None]
-    fx = (xi - x0)[None, :, None]
-    img = (
-        grid[y0][:, x0] * (1 - fy) * (1 - fx)
-        + grid[y0][:, x1] * (1 - fy) * fx
-        + grid[y1][:, x0] * fy * (1 - fx)
-        + grid[y1][:, x1] * fy * fx
-    )
-    img = img + rng.normal(0, 6.0, img.shape)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    fy = (yi - y0.astype(np.float32))[:, None, None]
+    fx = (xi - x0.astype(np.float32))[None, :, None]
+    top = grid[y0][:, x0] * (1 - fx) + grid[y0][:, x1] * fx
+    bot = grid[y1][:, x0] * (1 - fx) + grid[y1][:, x1] * fx
+    img = top * (1 - fy) + bot * fy
+    noise = rng.standard_normal(img.shape, dtype=np.float32) * np.float32(6.0)
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
