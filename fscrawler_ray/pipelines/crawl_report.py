@@ -114,6 +114,21 @@ def empty_hosts(out_dir: str, trace: pa.Table):
     return crawled_hosts.filter(pa.array(mask))
 
 
+def read_dead_letters(out_dir: str):
+    """Per-row fetch failures recorded as data (the reference's errored-path
+    log, crawling_queue_consumer.py:123-126) — sibling table of out_dir."""
+    import glob
+    import os
+
+    d = out_dir.rstrip("/") + "_deadletter"
+    files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+    if not files:
+        return pa.table(
+            {"url": pa.array([], pa.string()), "seq": pa.array([], pa.int64()), "reason": pa.array([], pa.string()), "round": pa.array([], pa.int32())}
+        )
+    return ray.data.read_parquet(files)
+
+
 def crawl_consistency(engine_counters: dict, out_dir: str) -> dict:
     """The MetricsObserver found-vs-crawled consistency check
     (metrics_observer.py:85-89): every payload row on disk must correspond

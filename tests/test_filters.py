@@ -122,3 +122,53 @@ def test_factory_spec():
         {"skip_filters": [{"OrFilter": {"filters": [{"ExtensionFilter": {"authorized": ["jpg"]}}, {"DepthFilter": {"max_depth": 1}}]}}]}
     )
     assert [bool(x) for x in nested.mask(URLS)] == [True, False, True, False]
+
+
+def test_mask_authorize_parity_fuzz():
+    """Property: for every filter, the vectorized mask equals row-by-row
+    scalar authorize on arbitrary feature rows."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["x.jpg", "x.tmp", "dir", "noext", ".DS_Store", "a.b.c.longextension"])
+    rows = st.lists(
+        st.fixed_dictionaries(
+            {
+                "url": st.sampled_from(
+                    ["http://h.com/a/x.jpg", "http://h.com/a/x.tmp", "http://q.org/dir", "http://h.com/b/noext"]
+                ),
+                "name": names,
+                "ext": st.sampled_from(["jpg", "tmp", None, "png"]),
+                "is_dir": st.booleans(),
+                "size": st.one_of(st.none(), st.integers(0, 10_000)),
+                "mtime": st.one_of(st.none(), st.integers(1_500_000_000_000_000, 1_800_000_000_000_000)),
+                "depth": st.integers(0, 6),
+            }
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    filters = [
+        ExtensionFilter(excluded={"tmp"}),
+        ExtensionFilter(authorized={"jpg", "png"}),
+        DepthFilter(max_depth=3),
+        DateFilter(min_date=dt.datetime(2019, 1, 1), max_date=dt.datetime(2026, 1, 1)),
+        SizeFilter(min_size=100, max_size=9000),
+        PatternFilter(excluded_pattern="/a/"),
+        RegexPatternFilter(authorized_pattern=r"\.(jpg|png)$"),
+        NameFilter(excluded_names={"x.tmp", ".DS_Store"}),
+        FilePatternFilter(authorized_pattern=".jpg"),
+    ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows)
+    def check(rs):
+        batch = pa.table({k: [r[k] for r in rs] for k in rs[0]})
+        for f in filters:
+            m = [bool(x) for x in f.mask(batch)]
+            s = [f.authorize(r) for r in rs]
+            assert m == s, (type(f).__name__, m, s)
+
+    check()
