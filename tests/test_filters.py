@@ -162,10 +162,24 @@ def test_mask_authorize_parity_fuzz():
         FilePatternFilter(authorized_pattern=".jpg"),
     ]
 
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("name", pa.string()),
+            ("ext", pa.string()),
+            ("is_dir", pa.bool_()),
+            ("size", pa.int64()),
+            ("mtime", pa.int64()),
+            ("depth", pa.int32()),
+        ]
+    )
+
     @settings(max_examples=40, deadline=None)
     @given(rows)
     def check(rs):
-        batch = pa.table({k: [r[k] for r in rs] for k in rs[0]})
+        batch = pa.table(
+            {k: pa.array([r[k] for r in rs], type=schema.field(k).type) for k in rs[0]}
+        )
         for f in filters:
             m = [bool(x) for x in f.mask(batch)]
             s = [f.authorize(r) for r in rs]
