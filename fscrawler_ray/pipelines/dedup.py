@@ -67,6 +67,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
+    distributed: bool = False,
 ):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
@@ -98,11 +99,34 @@ def minhash_lsh_pairs(
         return pa.concat_tables(band_rows)
 
     buckets = docs.map_batches(sigs, batch_format="pyarrow")
-    cand_pd = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
+    if distributed:
+        cand_pd = _collision_pairs_distributed(buckets, ["band", "bucket"], "doc_id", max_bucket)
+    else:
+        cand_pd = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
     if len(cand_pd) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
     verified = verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
     return verified
+
+
+def _collision_pairs_distributed(buckets_ds, key_cols: list[str], id_col: str, max_bucket: int) -> pd.DataFrame:
+    """Scale path for candidate-pair expansion: hash-repartition the bucket
+    rows by key (Ray groupby) and expand pairs inside each group task. Same
+    output as :func:`_collision_pairs`; higher fixed cost (a full shuffle),
+    bounded memory anywhere — use when the bucket table no longer fits the
+    driver."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    out = buckets_ds.groupby(key_cols).map_groups(pairs, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    return out.drop_duplicates()
 
 
 def _collision_pairs(buckets: pd.DataFrame, key_cols: list[str], id_col: str, max_bucket: int) -> pd.DataFrame:

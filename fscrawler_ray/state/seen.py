@@ -11,9 +11,9 @@ sees the keys of its own host partition.
 Exactness: the trace contract ("matching … final URL-seen set") cannot
 tolerate cuckoo false positives silently dropping URLs, so Bloom/cuckoo act
 as the scale-path probes and a per-shard exact uint64 set settles Bloom
-hits. At 10^10 URLs the exact store is the per-partition sorted-run spill
-(documented in the checkpoint manifest); in-sandbox it is an in-memory
-hash set. ``strict`` therefore defaults to True.
+hits. The exact store (:class:`ExactStore`) spills to immutable sorted
+runs past a memory bound — the per-partition sorted-run design SCALE.md
+describes. ``strict`` therefore defaults to True.
 """
 
 from __future__ import annotations
@@ -24,12 +24,78 @@ from .bloom import BloomFilter
 from .cuckoo import CuckooFilter
 
 
+class ExactStore:
+    """Exact uint64 membership with bounded memory: an in-RAM set that
+    spills to immutable sorted runs (numpy arrays; at real scale these are
+    mmapped files per partition) once ``max_inmem`` is exceeded. Lookup =
+    set probe + binary search per run; runs are compacted by merging when
+    their count grows. This is the per-partition sorted-run spill the
+    SCALE.md seen-set section describes, in-process."""
+
+    def __init__(self, max_inmem: int = 1 << 22, max_runs: int = 8):
+        self.max_inmem = max_inmem
+        self.max_runs = max_runs
+        self._hot: set[int] = set()
+        self._runs: list[np.ndarray] = []
+
+    def __len__(self) -> int:
+        return len(self._hot) + sum(len(r) for r in self._runs)
+
+    def _spill(self) -> None:
+        run = np.fromiter(self._hot, dtype=np.uint64, count=len(self._hot))
+        run.sort()
+        self._hot = set()
+        self._runs.append(run)
+        if len(self._runs) > self.max_runs:
+            merged = np.concatenate(self._runs)
+            merged.sort()
+            self._runs = [merged]
+
+    def add_array(self, keys: np.ndarray) -> None:
+        self._hot.update(int(k) for k in keys)
+        if len(self._hot) > self.max_inmem:
+            self._spill()
+
+    def contains_array(self, keys: np.ndarray) -> np.ndarray:
+        out = np.fromiter((int(k) in self._hot for k in keys), bool, len(keys))
+        for run in self._runs:
+            if not len(run):
+                continue
+            miss = ~out
+            if not miss.any():
+                break
+            sub = keys[miss]
+            pos = np.searchsorted(run, sub)
+            pos = np.minimum(pos, len(run) - 1)
+            out[miss] = run[pos] == sub
+        return out
+
+    def discard(self, key: int) -> None:
+        self._hot.discard(key)
+        for i, run in enumerate(self._runs):
+            pos = int(np.searchsorted(run, np.uint64(key)))
+            if pos < len(run) and run[pos] == np.uint64(key):
+                self._runs[i] = np.delete(run, pos)
+                return
+
+    def to_array(self) -> np.ndarray:
+        parts = [np.fromiter(self._hot, dtype=np.uint64, count=len(self._hot))] + self._runs
+        return np.concatenate(parts) if parts else np.empty(0, np.uint64)
+
+
 class SeenSet:
-    def __init__(self, capacity: int = 1 << 16, fp_rate: float = 1e-3, strict: bool = True, seed: int = 7):
+    def __init__(
+        self,
+        capacity: int = 1 << 16,
+        fp_rate: float = 1e-3,
+        strict: bool = True,
+        seed: int = 7,
+        exact_max_inmem: int = 1 << 22,
+    ):
         self.bloom = BloomFilter(capacity, fp_rate)
         self.cuckoo = CuckooFilter(capacity, seed=seed)
         self.strict = strict
-        self._exact: set[int] = set()
+        self._exact = ExactStore(max_inmem=exact_max_inmem)
 
     def __len__(self) -> int:
         return len(self._exact) if self.strict else self.cuckoo.count
@@ -47,7 +113,7 @@ class SeenSet:
         if maybe.any():
             hit = np.flatnonzero(maybe)
             if self.strict:
-                confirmed = np.fromiter((int(k) in self._exact for k in keys[hit]), bool, len(hit))
+                confirmed = self._exact.contains_array(keys[hit])
             else:
                 confirmed = self.cuckoo.contains_many(keys[hit])
             new[hit] = ~confirmed
@@ -62,13 +128,13 @@ class SeenSet:
             self.bloom.add_many(fresh)
             self.cuckoo.add_many(fresh)
             if self.strict:
-                self._exact.update(int(k) for k in fresh)
+                self._exact.add_array(fresh)
         return new
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
         if self.strict:
-            return np.fromiter((int(k) in self._exact for k in keys), bool, len(keys))
+            return self._exact.contains_array(keys)
         maybe = self.bloom.contains_many(keys)
         out = maybe.copy()
         if maybe.any():
@@ -87,7 +153,7 @@ class SeenSet:
         return removed
 
     def keys_array(self) -> np.ndarray:
-        return np.fromiter(self._exact, dtype=np.uint64, count=len(self._exact))
+        return self._exact.to_array()
 
     def state(self) -> dict:
         return {
@@ -103,5 +169,8 @@ class SeenSet:
         s.strict = bool(st["strict"])
         s.bloom = BloomFilter.from_state(st["bloom"])
         s.cuckoo = CuckooFilter.from_state(st["cuckoo"])
-        s._exact = set(int(k) for k in np.asarray(st["exact"], dtype=np.uint64))
+        s._exact = ExactStore()
+        keys = np.asarray(st["exact"], dtype=np.uint64)
+        if len(keys):
+            s._exact.add_array(keys)
         return s

@@ -119,3 +119,12 @@ def test_thumbnail_external_codec_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         ThumbnailStage(codec="pillow")
+
+
+def test_minhash_distributed_path_matches_driver_path():
+    from fscrawler_ray.pipelines.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(SF).to_pandas()
+    b = minhash_lsh_pairs(SF, distributed=True).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy().tolist()))
+    assert key(a) == key(b)

@@ -1,0 +1,42 @@
+"""ExactStore spill behavior + SeenSet equivalence under tiny memory bounds,
+and trace parity when shards run with a spilling exact store."""
+
+import numpy as np
+
+from fscrawler_ray.state.seen import ExactStore, SeenSet
+
+
+def test_exact_store_spills_and_answers():
+    es = ExactStore(max_inmem=50, max_runs=2)
+    rng = np.random.default_rng(1)
+    keys = np.unique(rng.integers(0, 2**63, 3000).astype(np.uint64))
+    for i in range(0, len(keys), 97):
+        es.add_array(keys[i : i + 97])
+    assert len(es._runs) >= 1  # it actually spilled
+    assert es.contains_array(keys).all()
+    other = np.unique(rng.integers(0, 2**63, 500).astype(np.uint64))
+    other = other[~np.isin(other, keys)]
+    assert not es.contains_array(other).any()
+    assert len(es) == len(keys)
+    # delete from a spilled run
+    es.discard(int(keys[0]))
+    assert not es.contains_array(keys[:1])[0]
+    assert len(es) == len(keys) - 1
+
+
+def test_seenset_spilling_equivalent_to_unbounded():
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 2**63, 4000).astype(np.uint64)
+    a = SeenSet(capacity=1 << 14)
+    b = SeenSet(capacity=1 << 14, exact_max_inmem=64)
+    for i in range(0, len(keys), 151):
+        batch = keys[i : i + 151]
+        ra = a.check_and_add(batch)
+        rb = b.check_and_add(batch)
+        assert (ra == rb).all()
+    assert len(a) == len(b)
+    assert sorted(a.keys_array().tolist()) == sorted(b.keys_array().tolist())
+    # state roundtrip preserves spilled runs
+    b2 = SeenSet.from_state(b.state())
+    assert len(b2) == len(b)
+    assert b2.contains_many(keys).all()
