@@ -88,8 +88,14 @@ class PipelineSpec:
         )
         return CrawlEngine(cfg), [s.url for s in self.seeds]
 
+    def seed_meta(self) -> list[dict]:
+        return [
+            {"category": s.category, "min_age": s.min_age, "target_table": s.target_table}
+            for s in self.seeds
+        ]
+
 
 def run_from_yaml(text_or_path: str) -> dict:
     spec = PipelineSpec.from_yaml(text_or_path)
     eng, seeds = spec.build_engine()
-    return eng.run(seeds)
+    return eng.run(seeds, seed_meta=spec.seed_meta())

@@ -52,6 +52,10 @@ RESULT_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("size", pa.int64()),
         ("round", pa.int32()),
+        ("root_id", pa.int32()),
+        ("category", pa.string()),
+        ("min_age", pa.int8()),
+        ("target_table", pa.string()),
         ("image_id", pa.string()),
         ("bytes", pa.binary()),
         ("w", pa.int32()),
@@ -102,6 +106,7 @@ def _fetch_task(
     part_id: int,
     index_ref=None,
     fetch_payloads: bool = True,
+    root_meta: list | None = None,
 ) -> tuple:
     """One frontier micro-batch: fetch leaf payloads, expand containers,
     push children to their shards, write this task's parquet shard.
@@ -112,14 +117,21 @@ def _fetch_task(
     crawl OUTPUT stays Dataset-native (pipelines/flagship.py). Writing one
     parquet file per (round, task) keeps output resumable per partition.
     """
-    fe = _FetchExpand(web_cfg, shards, round_no, index_ref, fetch_payloads)
+    fe = _FetchExpand(web_cfg, shards, round_no, index_ref, fetch_payloads, root_meta)
     out, skipped = fe(chunk)
     if out_path is not None:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         if out.num_rows:
-            os.makedirs(out_path, exist_ok=True)
-            pq.write_table(out, os.path.join(out_path, f"part-{round_no:05d}-{part_id:04d}.parquet"))
+            # per-root target-table routing (the reference's per-root
+            # target_table, file_system_crawler.py:220-225, 376): one
+            # sub-dataset per logical table
+            for tbl in pc.unique(out.column("target_table")).to_pylist():
+                sub = out.filter(pc.equal(out.column("target_table"), tbl))
+                tdir = os.path.join(out_path, f"table-{tbl}")
+                os.makedirs(tdir, exist_ok=True)
+                pq.write_table(sub, os.path.join(tdir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
         if fe.dead_letters:
             # per-row fetch failures are DATA, not exceptions (the
             # reference's record-and-continue errored-path log,
@@ -144,14 +156,28 @@ class _FetchExpand:
     children straight to the owning frontier shards (batched per shard).
     Stateless w.r.t. rows; holds only the web config + shard handles."""
 
-    def __init__(self, web_cfg: WebConfig, shards: list, round_no: int, index_ref=None, fetch_payloads: bool = True):
+    def __init__(
+        self,
+        web_cfg: WebConfig,
+        shards: list,
+        round_no: int,
+        index_ref=None,
+        fetch_payloads: bool = True,
+        root_meta: list | None = None,
+    ):
         self.web = SynthWeb(web_cfg)
         self.shards = shards
         self.round_no = round_no
         self.index_ref = index_ref
         self.fetch_payloads = fetch_payloads
+        self.root_meta = root_meta or []
         self._index = None
         self.dead_letters: list[tuple[str, int, str]] = []  # (url, seq, reason)
+
+    def _meta(self, root_id: int) -> dict:
+        if 0 <= root_id < len(self.root_meta):
+            return self.root_meta[root_id]
+        return {"category": "default", "min_age": 3, "target_table": "results"}
 
     def _unchanged_mask(self, urls: list[str], sizes: list) -> np.ndarray:
         """Vectorized (url, size) probe against the previous run's index —
@@ -182,20 +208,27 @@ class _FetchExpand:
         hosts = batch.column("host").to_pylist()
         is_dirs = batch.column("is_dir").to_pylist()
         sizes = batch.column("size").to_pylist()
+        root_ids = batch.column("root_id").to_pylist()
         unchanged = self._unchanged_mask(urls, sizes)
         skipped = 0
         per_shard: dict[int, list] = {}
-        out = {k: [] for k in ("seq", "url", "host", "depth", "size", "image_id", "bytes", "w", "h", "fmt", "caption")}
+        out = {
+            k: []
+            for k in (
+                "seq", "url", "host", "depth", "size", "root_id", "category", "min_age",
+                "target_table", "image_id", "bytes", "w", "h", "fmt", "caption",
+            )
+        }
         grays: list = []
         child_batches: list[str] = []
-        child_meta: list[tuple[int, int, int]] = []  # (parent_seq, child_idx, depth)
-        for i, (url, seq, depth, host, is_dir, size) in enumerate(
-            zip(urls, seqs, depths, hosts, is_dirs, sizes)
+        child_meta: list[tuple[int, int, int, int]] = []  # (parent_seq, child_idx, depth, root_id)
+        for i, (url, seq, depth, host, is_dir, size, root_id) in enumerate(
+            zip(urls, seqs, depths, hosts, is_dirs, sizes, root_ids)
         ):
             if is_dir:
                 for ci, child in enumerate(self.web.children(url)):
                     child_batches.append(child)
-                    child_meta.append((seq, ci, depth + 1))
+                    child_meta.append((seq, ci, depth + 1, root_id))
             else:
                 if unchanged[i]:
                     skipped += 1
@@ -208,11 +241,16 @@ class _FetchExpand:
                     continue
                 row, gray = r
                 grays.append(gray)
+                meta = self._meta(root_id)
                 out["seq"].append(seq)
                 out["url"].append(url)
                 out["host"].append(host)
                 out["depth"].append(depth)
                 out["size"].append(size)
+                out["root_id"].append(root_id)
+                out["category"].append(meta["category"])
+                out["min_age"].append(meta["min_age"])
+                out["target_table"].append(meta["target_table"])
                 for k in ("image_id", "bytes", "w", "h", "fmt", "caption"):
                     out[k].append(row[k])
         # one batched DCT for the whole micro-batch (phash_batch == per-image)
@@ -222,9 +260,9 @@ class _FetchExpand:
         if child_batches:
             canon = canonicalize(child_batches).to_pylist()
             n_shards = len(self.shards)
-            for (pseq, ci, cdepth), curl in zip(child_meta, canon):
+            for (pseq, ci, cdepth, rid), curl in zip(child_meta, canon):
                 host = curl.split("://", 1)[1].split("/", 1)[0].lower()
-                per_shard.setdefault(shard_of_host(host, n_shards), []).append((pseq, ci, curl, cdepth))
+                per_shard.setdefault(shard_of_host(host, n_shards), []).append((pseq, ci, curl, cdepth, rid))
             # synchronous ack: the batch is not "done" until every child is
             # buffered, so the round barrier is safe.
             ray.get([self.shards[s].buffer_children.remote(items) for s, items in per_shard.items()])
@@ -236,6 +274,10 @@ class _FetchExpand:
                 "depth": pa.array(out["depth"], pa.int32()),
                 "size": pa.array(out["size"], pa.int64()),
                 "round": pa.array([self.round_no] * len(out["seq"]), pa.int32()),
+                "root_id": pa.array(out["root_id"], pa.int32()),
+                "category": pa.array(out["category"], pa.string()),
+                "min_age": pa.array(out["min_age"], pa.int8()),
+                "target_table": pa.array(out["target_table"], pa.string()),
                 "image_id": pa.array(out["image_id"], pa.string()),
                 "bytes": pa.array(out["bytes"], pa.binary()),
                 "w": pa.array(out["w"], pa.int32()),
@@ -268,30 +310,49 @@ class CrawlEngine:
         self.result_rows = 0
         self.skipped_unchanged = 0
         self.round_history: list[dict] = []  # progress reporting (W6 analog)
+        self.root_meta: list[dict] = []
+        self.root_urls: list[str] = []
         self._index_ref = None
         if cfg.prev_index_dir:
             self._index_ref = ray.put(load_result_index(cfg.prev_index_dir))
 
     # -- seeds --------------------------------------------------------------
 
-    def add_seeds(self, seeds: list[str]) -> None:
-        """Normalize seeds then route to shards. Seed order must be preserved
-        per shard (seen test-and-set order)."""
-        per_shard: dict[int, list[str]] = {}
-        for s in normalize_seeds(seeds):
+    def add_seeds(self, seeds: list[str], seed_meta: list[dict] | None = None) -> None:
+        """Normalize seeds then route to shards; each surviving seed becomes
+        a root (root_id = its normalized-order index) carrying per-root
+        metadata (category / min_age / target_table — the reference's
+        per-root config, file_system_crawler.py:220-225)."""
+        normalized = normalize_seeds(seeds)
+        meta_by_url: dict[str, dict] = {}
+        if seed_meta:
+            from .oracle import _canon
+
+            for s, m in zip(seeds, seed_meta):
+                meta_by_url.setdefault(_canon(s), m)
+        self.root_meta = [
+            dict(
+                {"category": "default", "min_age": 3, "target_table": "results"},
+                **(meta_by_url.get(u, {})),
+            )
+            for u in normalized
+        ]
+        self.root_urls = normalized
+        per_shard: dict[int, list] = {}
+        for rid, s in enumerate(normalized):
             host = s.split("://", 1)[1].split("/", 1)[0].lower()
-            per_shard.setdefault(shard_of_host(host, self.cfg.n_shards), []).append(s)
-        ray.get([self.shards[i].add_seeds.remote(urls) for i, urls in per_shard.items()])
+            per_shard.setdefault(shard_of_host(host, self.cfg.n_shards), []).append((s, rid))
+        ray.get([self.shards[i].add_seeds.remote(pairs) for i, pairs in per_shard.items()])
 
     # -- round loop ---------------------------------------------------------
 
-    def run(self, seeds: list[str] | None = None, max_rounds: int | None = None) -> dict:
+    def run(self, seeds: list[str] | None = None, max_rounds: int | None = None, seed_meta: list[dict] | None = None) -> dict:
         """Round loop. The round transition (enqueue children + pop next
         round) is a single actor RPC per shard (``end_and_pop``) except when
         a checkpoint is due, where the barrier is split so the snapshot sees
         every emission either processed or still queued."""
         if seeds:
-            self.add_seeds(seeds)
+            self.add_seeds(seeds, seed_meta)
         max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
         pops: list[pa.Table] | None = None
         while self.round_no < max_rounds:
@@ -368,6 +429,7 @@ class CrawlEngine:
                 i,
                 self._index_ref,
                 self.cfg.fetch_payloads,
+                self.root_meta,
             )
             for i in range(min(target_chunks, n))
         ]
@@ -443,6 +505,8 @@ class CrawlEngine:
             "seq_offset": self.seq_offset,
             "result_rows": self.result_rows,
             "n_shards": self.cfg.n_shards,
+            "root_meta": self.root_meta,
+            "root_urls": self.root_urls,
             "lineage": [
                 {"shard": st["shard_id"], "round": st["round"], "enqueued": st["counters"]["enqueued"]}
                 for st in states
@@ -465,6 +529,8 @@ class CrawlEngine:
         eng.round_no = manifest["round"]
         eng.seq_offset = manifest["seq_offset"]
         eng.result_rows = manifest["result_rows"]
+        eng.root_meta = manifest.get("root_meta", [])
+        eng.root_urls = manifest.get("root_urls", [])
         futures = []
         for i in range(cfg.n_shards):
             with open(os.path.join(d, f"shard_{i}.pkl"), "rb") as f:

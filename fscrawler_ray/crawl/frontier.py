@@ -41,6 +41,7 @@ EMIT_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("is_dir", pa.bool_()),
         ("size", pa.int64()),
+        ("root_id", pa.int32()),
         ("shard", pa.int32()),
     ]
 )
@@ -86,8 +87,10 @@ class FrontierShard:
 
     # -- enqueue path -------------------------------------------------------
 
-    def _enqueue_urls(self, urls: list[str], depths: np.ndarray) -> int:
-        """Seen-test-and-add in given order; append survivors to host queues."""
+    def _enqueue_urls(self, urls: list[str], depths: np.ndarray, roots: np.ndarray) -> int:
+        """Seen-test-and-add in given order; append survivors to host queues.
+        ``roots`` carries the originating seed's root_id (per-root routing,
+        the reference's target_table lineage, file_system_crawler.py:376)."""
         if not urls:
             return 0
         keys = xxh64_batch(pa.array(urls, type=pa.string()))
@@ -97,16 +100,23 @@ class FrontierShard:
         for i in np.flatnonzero(new):
             url = urls[i]
             host = url.split("://", 1)[1].split("/", 1)[0].lower()
-            self.queues.setdefault(host, []).append((url, int(depths[i])))
+            self.queues.setdefault(host, []).append((url, int(depths[i]), int(roots[i])))
             added += 1
         self.counters["enqueued"] += added
         return added
 
-    def add_seeds(self, seeds: list[str]) -> int:
-        return self._enqueue_urls(seeds, np.zeros(len(seeds), dtype=np.int64))
+    def add_seeds(self, seeds: list) -> int:
+        """Seeds are (url, root_id) pairs (or bare urls → root_id = 0)."""
+        pairs = [(s, 0) if isinstance(s, str) else tuple(s) for s in seeds]
+        return self._enqueue_urls(
+            [p[0] for p in pairs],
+            np.zeros(len(pairs), dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.int64),
+        )
 
-    def buffer_children(self, items: list[tuple[int, int, str, int]]) -> int:
-        """Fetch tasks deliver (parent_seq, child_idx, canonical_url, depth)."""
+    def buffer_children(self, items: list[tuple]) -> int:
+        """Fetch tasks deliver (parent_seq, child_idx, canonical_url, depth,
+        root_id)."""
         self._buffer.extend(items)
         return len(self._buffer)
 
@@ -114,8 +124,9 @@ class FrontierShard:
         self._buffer.sort(key=lambda t: (t[0], t[1]))
         urls = [t[2] for t in self._buffer]
         depths = np.array([t[3] for t in self._buffer], dtype=np.int64)
+        roots = np.array([t[4] for t in self._buffer], dtype=np.int64)
         self._buffer.clear()
-        self._enqueue_urls(urls, depths)
+        self._enqueue_urls(urls, depths, roots)
         self.round += 1
         return {"round": self.round, "pending": self.pending_count()}
 
@@ -151,6 +162,7 @@ class FrontierShard:
         out_depth: list[int] = []
         out_isdir: list[bool] = []
         out_size: list[int | None] = []
+        out_root: list[int] = []
         for host in sorted(h for h, q in self.queues.items() if len(q) > self._qhead.get(h, 0)):
             emitted = 0
             # token bucket (logical clock): refill `budget` per elapsed round
@@ -167,6 +179,7 @@ class FrontierShard:
                 head += take
                 urls = [c[0] for c in cand]
                 depths = np.array([c[1] for c in cand], dtype=np.int32)
+                roots = [c[2] for c in cand]
                 allowed = np.array([self.robots.allowed(host, u) for u in urls], dtype=bool)
                 self.counters["skipped_robots"] += int((~allowed).sum())
                 is_dir = np.array([self.web.is_container(u) for u in urls], dtype=bool)
@@ -182,6 +195,7 @@ class FrontierShard:
                     out_depth.append(int(depths[j]))
                     out_isdir.append(bool(is_dir[j]))
                     out_size.append(metas[j]["size"])
+                    out_root.append(int(roots[j]))
                     emitted += 1
             self._tokens[host] = allowance - emitted
             self._last_refill[host] = self.round
@@ -201,6 +215,7 @@ class FrontierShard:
                 "depth": pa.array(out_depth, type=pa.int32()),
                 "is_dir": pa.array(out_isdir, type=pa.bool_()),
                 "size": pa.array(out_size, type=pa.int64()),
+                "root_id": pa.array(out_root, type=pa.int32()),
                 "shard": pa.array([self.shard_id] * len(out_url), type=pa.int32()),
             },
             schema=EMIT_SCHEMA,

@@ -69,16 +69,16 @@ def crawl_oracle(
     def host_of(url: str) -> str:
         return url.split("://", 1)[1].split("/", 1)[0].lower()
 
-    def try_enqueue(url: str, depth: int) -> None:
+    def try_enqueue(url: str, depth: int, root_id: int) -> None:
         key = xxh64(url, seed=0)
         if key in seen:
             res.counters["skipped_seen"] += 1
             return
         seen.add(key)
-        queues.setdefault(host_of(url), deque()).append((url, depth))
+        queues.setdefault(host_of(url), deque()).append((url, depth, root_id))
 
-    for s in normalize_seeds(seeds):
-        try_enqueue(s, 0)
+    for rid, s in enumerate(normalize_seeds(seeds)):
+        try_enqueue(s, 0, rid)
 
     capacity = politeness_capacity if politeness_capacity is not None else politeness_budget
     tokens: dict[str, int] = {}
@@ -95,7 +95,7 @@ def crawl_oracle(
             elapsed = _round - last_refill.get(host, -1)
             allowance = min(capacity, tokens.get(host, 0) + politeness_budget * elapsed)
             while q and emitted_this_host < allowance:
-                url, depth = q.popleft()
+                url, depth, root_id = q.popleft()
                 if not robots.allowed(host, url):
                     res.counters["skipped_robots"] += 1
                     continue
@@ -123,19 +123,19 @@ def crawl_oracle(
                 if is_dir:
                     res.counters["containers"] += 1
                     for ci, child in enumerate(web.children(url)):
-                        pending_children.append((seq, ci, _canon(child), depth + 1))
+                        pending_children.append((seq, ci, _canon(child), depth + 1, root_id))
                 else:
                     res.counters["leaves"] += 1
                     if fetch_payloads:
                         payload = web.fetch(url)
                         if payload is not None:
-                            payload = dict(payload, url=url, seq=seq)
+                            payload = dict(payload, url=url, seq=seq, root_id=root_id)
                             res.rows.append(payload)
                 seq += 1
             tokens[host] = allowance - emitted_this_host
             last_refill[host] = _round
         pending_children.sort(key=lambda t: (t[0], t[1]))
-        for _ps, _ci, child, cdepth in pending_children:
-            try_enqueue(child, cdepth)
+        for _ps, _ci, child, cdepth, crid in pending_children:
+            try_enqueue(child, cdepth, crid)
     res.seen = seen
     return res
