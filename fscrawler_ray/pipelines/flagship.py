@@ -28,6 +28,8 @@ NON_PAYLOAD_COLUMNS = [
     "size",
     "sniffed_fmt",
     "content_family",
+    "content_category",
+    "content_min_age",
     "hash",
     "decode_ok",
     "verify_ok",

@@ -35,6 +35,11 @@ from ..functions.text import keywords_batch, langid_batch, quality_features, rat
 # MIME/format → content family (the path.py:171-208 rule table, reduced to
 # the formats that exist in this corpus)
 _FAMILY = {"png": "PICTURE", "jpeg": "PICTURE", "webp": "PICTURE", "html": "DOCUMENT", None: "APPLICATION"}
+# family → content category (the reduced ContentCategory mapping,
+# app/models/content.py:21-46) and category → PEGI minimum age
+# (content.py:49-81)
+_CATEGORY = {"PICTURE": "PHOTO", "DOCUMENT": "DOCUMENT", "APPLICATION": "APP"}
+_PEGI = {"PHOTO": 3, "DOCUMENT": 3, "APP": 12}
 
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
@@ -64,6 +69,13 @@ def attrs_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("sniffed_fmt", pa.array(sniffed, type=pa.string()))
     out = out.append_column(
         "content_family", pa.array(family, type=pa.string()).dictionary_encode()
+    )
+    category = [_CATEGORY.get(f, "APP") for f in family]
+    out = out.append_column(
+        "content_category", pa.array(category, type=pa.string()).dictionary_encode()
+    )
+    out = out.append_column(
+        "content_min_age", pa.array([_PEGI.get(c, 3) for c in category], type=pa.int8())
     )
     return out
 
