@@ -90,6 +90,12 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = images_dataset(rows_for_sf(sf_dir))
         return phash_dedup(ds)
 
+    def images_phash_neardup(sf_dir: str):
+        from fscrawler_ray.pipelines.dedup import phash_neardup_pairs
+
+        ds = images_dataset(rows_for_sf(sf_dir))
+        return phash_neardup_pairs(ds)
+
     def images_thumbnails(sf_dir: str):
         from fscrawler_ray.stages.image_stages import ThumbnailStage
 
@@ -132,6 +138,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "images_enrich": images_enrich,
         "images_phash_dedup": images_phash_dedup,
+        "images_phash_neardup": images_phash_neardup,
         "images_thumbnails": images_thumbnails,
         "images_caption_extract": images_caption_extract,
         "audio_features": audio_features,

@@ -56,6 +56,58 @@ def phash_dedup(images_ds):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128):
+    """Near-duplicate IMAGE pairs via banded perceptual hash: two 64-bit
+    phashes within Hamming ≤ 6 agree on at least one of 4 16-bit bands with
+    high probability; candidates are verified by full Hamming distance.
+    The image-payload twin of SimHash text dedup (and the scale answer to
+    the reference's exact (size, hash) duplicate finder for *almost*
+    identical pixels — re-encodes, resizes, small edits)."""
+
+    def sketch(b: pa.Table) -> pa.Table:
+        ph = b.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ph.view(np.uint64)
+        parts = []
+        for band in range(4):
+            chunk = ((u >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(b), band, dtype=np.int32)),
+                        "bucket": pa.array(chunk),
+                        "doc_id": b.column("image_id"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    buckets = images_ds.select_columns(["image_id", "phash"]).map_batches(sketch, batch_format="pyarrow")
+    cand = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
+    empty = pa.table(
+        {"image_a": pa.array([], pa.string()), "image_b": pa.array([], pa.string()), "hamming": pa.array([], pa.int64())}
+    )
+    if len(cand) == 0:
+        return empty
+    ph_map = (
+        images_ds.select_columns(["image_id", "phash"])
+        .to_pandas()
+        .drop_duplicates(subset=["image_id"])
+        .set_index("image_id")["phash"]
+    )
+    from ..functions.phash import hamming64
+
+    sa = ph_map.loc[cand["doc_a"]].to_numpy().astype(np.int64)
+    sb = ph_map.loc[cand["doc_b"]].to_numpy().astype(np.int64)
+    d = hamming64(sa, sb)
+    keep = d <= max_hamming
+    if not keep.any():
+        return empty
+    out = pd.DataFrame(
+        {"image_a": cand["doc_a"][keep], "image_b": cand["doc_b"][keep], "hamming": d[keep]}
+    )
+    return pa.Table.from_pandas(out.sort_values(["image_a", "image_b"]), preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -128,3 +128,30 @@ def test_minhash_distributed_path_matches_driver_path():
     b = minhash_lsh_pairs(SF, distributed=True).to_pandas()
     key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy().tolist()))
     assert key(a) == key(b)
+
+
+def test_phash_neardup_finds_lossy_reencodes(tmp_path):
+    """A jpeg re-encode of the same pixels is a NEAR-dup (tiny or zero
+    hamming) — banded phash LSH must surface the planted pair."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.functions.codecs import decode, encode, synth_image
+    from fscrawler_ray.functions.phash import phash_image
+    from fscrawler_ray.pipelines.dedup import phash_neardup_pairs
+
+    rows = []
+    for i in range(40):
+        img = synth_image(1000 + i, 96, 96)
+        buf = encode(img, "png")
+        rows.append(("orig_%02d" % i, phash_image(img)))
+        if i < 3:  # plant jpeg re-encodes of the first three
+            lossy = decode(encode(img, "jpeg"))[0]
+            rows.append(("lossy_%02d" % i, phash_image(lossy)))
+    t = pa.table({"image_id": pa.array([r[0] for r in rows]), "phash": pa.array([r[1] for r in rows], pa.int64())})
+    pairs = phash_neardup_pairs(ray.data.from_arrow(t)).to_pandas()
+    found = set(map(tuple, pairs[["image_a", "image_b"]].to_numpy().tolist()))
+    for i in range(3):
+        a, b = "lossy_%02d" % i, "orig_%02d" % i
+        assert (a, b) in found or (b, a) in found, (i, found)
+    assert (pairs["hamming"] <= 6).all()
