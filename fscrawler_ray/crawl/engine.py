@@ -90,6 +90,17 @@ class CrawlConfig:
     prev_index_dir: str | None = None
 
 
+def _atomic_write(table: pa.Table, path: str) -> None:
+    """Crash-safe parquet part write: tmp file + rename, so a killed task
+    never leaves a torn file for resume to trip over (deterministic part
+    names make re-runs idempotent)."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 # Shards hold state and do brief vectorized work at round barriers; they are
 # idle while fetch tasks run, so they must not reserve CPU slots away from
 # the task pool (important at low num_cpus).
@@ -131,7 +142,7 @@ def _fetch_task(
                 sub = out.filter(pc.equal(out.column("target_table"), tbl))
                 tdir = os.path.join(out_path, f"table-{tbl}")
                 os.makedirs(tdir, exist_ok=True)
-                pq.write_table(sub, os.path.join(tdir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
+                _atomic_write(sub, os.path.join(tdir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
         if fe.dead_letters:
             # per-row fetch failures are DATA, not exceptions (the
             # reference's record-and-continue errored-path log,
@@ -147,7 +158,7 @@ def _fetch_task(
                     "round": pa.array([round_no] * len(fe.dead_letters), pa.int32()),
                 }
             )
-            pq.write_table(dl, os.path.join(dl_dir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
+            _atomic_write(dl, os.path.join(dl_dir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
     return out.num_rows, skipped
 
 
@@ -404,7 +415,7 @@ class CrawlEngine:
             # trace (different schema) must not live inside it
             tdir = self.cfg.out_dir.rstrip("/") + "_trace"
             os.makedirs(tdir, exist_ok=True)
-            pq.write_table(trace_part, os.path.join(tdir, f"part-{self.round_no:05d}.parquet"))
+            _atomic_write(trace_part, os.path.join(tdir, f"part-{self.round_no:05d}.parquet"))
 
         out_path = os.path.join(self.cfg.out_dir, f"round={self.round_no}") if self.cfg.out_dir else None
         n = len(merged)
