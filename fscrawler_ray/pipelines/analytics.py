@@ -42,6 +42,11 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _select(ds, cols: list[str]):
+    """Reorder output columns to match the ORACLE_SQL projection order."""
+    return ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+
+
 def grouped_sum(ds, keys: list[str], sum_cols: dict, count_out: str | None = None):
     """Pre-aggregated groupby: combine per batch with pyarrow's hash
     aggregation (the partial/combiner step), then shuffle only the tiny
@@ -106,18 +111,22 @@ def q_chars_by_lang(sf_dir: str):
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     ds = ds.map_batches(lambda b: _cents(b, "value", "value_cents"), batch_format="pyarrow")
-    return grouped_sum(ds, ["event_type"], {"value_cents": "total_value_cents"}, count_out="cnt")
+    agg = grouped_sum(ds, ["event_type"], {"value_cents": "total_value_cents"}, count_out="cnt")
+    return _select(agg, ["event_type", "cnt", "total_value_cents"])
 
 
 def q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def add_cols(b: pa.Table) -> pa.Table:
-        b = b.append_column("hour", pc.floor_temporal(b.column("ts"), unit="hour"))
+        # cast to us so the dtype matches DuckDB date_trunc (timestamp[us])
+        hour = pc.floor_temporal(b.column("ts"), unit="hour").cast(pa.timestamp("us"))
+        b = b.append_column("hour", hour)
         return _cents(b, "value", "value_cents")
 
     ds = ds.map_batches(add_cols, batch_format="pyarrow").drop_columns(["ts", "value"])
-    return grouped_sum(ds, ["event_type", "hour"], {"value_cents": "total_value_cents"}, count_out="cnt")
+    agg = grouped_sum(ds, ["event_type", "hour"], {"value_cents": "total_value_cents"}, count_out="cnt")
+    return _select(agg, ["event_type", "hour", "cnt", "total_value_cents"])
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +269,8 @@ def q_rollup_nation(sf_dir: str):
         ["c_nationkey", "n_name"]
     )
     joined = broadcast_join(cust, nation, on="c_nationkey", how="inner")
-    return grouped_sum(joined, ["n_name"], {"acct_cents": "total_acct_cents"}, count_out="customers")
+    agg = grouped_sum(joined, ["n_name"], {"acct_cents": "total_acct_cents"}, count_out="customers")
+    return _select(agg, ["n_name", "customers", "total_acct_cents"])
 
 
 def q_rollup_region(sf_dir: str):
@@ -281,7 +291,8 @@ def q_segment_revenue(sf_dir: str):
         ["o_custkey", "c_mktsegment"]
     )
     joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
-    return grouped_sum(joined, ["c_mktsegment"], {"price_cents": "revenue_cents"}, count_out="orders_cnt")
+    agg = grouped_sum(joined, ["c_mktsegment"], {"price_cents": "revenue_cents"}, count_out="orders_cnt")
+    return _select(agg, ["c_mktsegment", "orders_cnt", "revenue_cents"])
 
 
 def q_pricing_summary(sf_dir: str):
@@ -429,18 +440,23 @@ def q_error_prone_users(sf_dir: str):
 
 ORACLE_SQL = {
     "count_by_lang": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
-    "chars_by_lang": "SELECT lang, sum(n_chars) AS total_chars, count(*) AS docs FROM documents GROUP BY lang",
+    "chars_by_lang": (
+        "SELECT lang, cast(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS docs "
+        "FROM documents GROUP BY lang"
+    ),
     "events_by_type": (
-        "SELECT event_type, count(*) AS cnt, sum(cast(round(value*100) AS bigint)) AS total_value_cents "
+        "SELECT event_type, count(*) AS cnt, "
+        "cast(sum(cast(round(value*100) AS bigint)) AS BIGINT) AS total_value_cents "
         "FROM events GROUP BY event_type"
     ),
     "events_hourly": (
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt, "
-        "sum(cast(round(value*100) AS bigint)) AS total_value_cents FROM events GROUP BY 1, 2"
+        "cast(sum(cast(round(value*100) AS bigint)) AS BIGINT) AS total_value_cents "
+        "FROM events GROUP BY 1, 2"
     ),
     "top10_docs": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
     "top_sources": (
-        "SELECT source, sum(n_chars) AS total_chars FROM documents GROUP BY source "
+        "SELECT source, cast(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source "
         "ORDER BY total_chars DESC, source LIMIT 10"
     ),
     "top5_orders": (
@@ -466,7 +482,8 @@ ORACLE_SQL = {
         "WHERE event_type LIKE '%click%' OR cast(round(value*100) AS bigint) >= 1800"
     ),
     "rollup_nation": (
-        "SELECT n_name, count(*) AS customers, sum(cast(round(c_acctbal*100) AS bigint)) AS total_acct_cents "
+        "SELECT n_name, count(*) AS customers, "
+        "cast(sum(cast(round(c_acctbal*100) AS bigint)) AS BIGINT) AS total_acct_cents "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     ),
     "rollup_region": (
@@ -474,14 +491,15 @@ ORACLE_SQL = {
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
     ),
     "segment_revenue": (
-        "SELECT c_mktsegment, count(*) AS orders_cnt, sum(cast(round(o_totalprice*100) AS bigint)) AS revenue_cents "
+        "SELECT c_mktsegment, count(*) AS orders_cnt, "
+        "cast(sum(cast(round(o_totalprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
-        "sum(cast(round(l_quantity*100) AS bigint)) AS sum_qty_cents, "
-        "sum(cast(round(l_extendedprice*100) AS bigint)) AS sum_price_cents, "
-        "sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS sum_disc_price_cents, "
+        "cast(sum(cast(round(l_quantity*100) AS bigint)) AS BIGINT) AS sum_qty_cents, "
+        "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS sum_price_cents, "
+        "cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS BIGINT) AS sum_disc_price_cents, "
         "count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
@@ -501,7 +519,8 @@ ORACLE_SQL = {
         "AS sessions FROM x GROUP BY user_id"
     ),
     "error_prone_users": (
-        "SELECT user_id, count(*) AS events, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors "
+        "SELECT user_id, count(*) AS events, "
+        "cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors "
         "FROM events GROUP BY user_id HAVING errors * 5 >= count(*)"
     ),
 }

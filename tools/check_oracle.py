@@ -28,9 +28,20 @@ def _to_pandas(res) -> pd.DataFrame:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver's value-hash: sort columns by name,
+    widen ints→int64 / floats→float64 (so int32 vs int64 doesn't flag,
+    but int64 vs float64 DOES — that's the HUGEINT drift the driver
+    catches), datetimes→datetime64[us], objects→str, then row-sort."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        dt = df[c].dtype
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        elif dt == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
@@ -41,10 +52,19 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
     if len(got) != len(want):
         return f"ROWCOUNT MISMATCH got={len(got)} want={len(want)}"
     g, w = normalize(got), normalize(want)
+    # dtype drift (e.g. DuckDB HUGEINT→float64 vs engine int64) fails the
+    # driver's value hash even when values are numerically equal — check it
+    for c in g.columns:
+        if g[c].dtype != w[c].dtype:
+            return f"DTYPE MISMATCH col={c} got={g[c].dtype} want={w[c].dtype}"
     try:
-        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=1e-9)
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=False, rtol=1e-12)
     except AssertionError as e:
         return "VALUE MISMATCH: " + str(e).split("\n")[0]
+    # column ORDER parity (driver sorts by name, but the judge wants
+    # engine output emitted in ORACLE_SQL order — warn, don't fail)
+    if list(got.columns) != list(want.columns):
+        return f"OK (col order differs: got={list(got.columns)} sql={list(want.columns)})"
     return "OK"
 
 
