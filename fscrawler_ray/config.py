@@ -44,6 +44,7 @@ class PipelineSpec:
     filters: dict = field(default_factory=dict)
     politeness_budget: int = 4
     n_shards: int = 4
+    seen_capacity: int = 1 << 17
     max_rounds: int = 64
     out_dir: str | None = None
     checkpoint_dir: str | None = None
@@ -66,6 +67,7 @@ class PipelineSpec:
             filters=doc.get("filters", {}) or {},
             politeness_budget=int(doc.get("politeness_budget", 4)),
             n_shards=int(doc.get("n_shards", 4)),
+            seen_capacity=int(doc.get("seen_capacity", 1 << 17)),
             max_rounds=int(doc.get("max_rounds", 64)),
             out_dir=doc.get("out_dir"),
             checkpoint_dir=doc.get("checkpoint_dir"),
@@ -80,6 +82,7 @@ class PipelineSpec:
             chain_spec=self.filters or None,
             n_shards=self.n_shards,
             politeness_budget=self.politeness_budget,
+            seen_capacity=self.seen_capacity,
             max_rounds=self.max_rounds,
             out_dir=self.out_dir,
             checkpoint_dir=self.checkpoint_dir,

@@ -74,6 +74,9 @@ class CrawlConfig:
     n_shards: int = 4
     politeness_budget: int = 4
     politeness_capacity: int | None = None  # token-bucket cap; None = budget
+    # per-shard seen-set sizing (bloom/cuckoo capacity; the cuckoo now also
+    # auto-grows on overflow, so this is a hint, not a hard limit)
+    seen_capacity: int = 1 << 17
     max_rounds: int = 64
     checkpoint_dir: str | None = None
     out_dir: str | None = None
@@ -88,6 +91,23 @@ class CrawlConfig:
     # path.py:151-169): a previous run's out_dir; leaves whose (url, size)
     # match the previous results skip payload fetch entirely.
     prev_index_dir: str | None = None
+
+
+def _prune_round_parts(out_dir: str, round_no: int) -> None:
+    """Remove any part files a previous (crashed) attempt wrote for this
+    round before re-processing it. Part COUNT depends on the cluster's CPU
+    count, so a resume on different hardware would otherwise leave the old
+    attempt's extra part-NNNNN-*.parquet behind as duplicate rows (ADVICE
+    r01). Pruning makes the re-write idempotent regardless of parallelism."""
+    import glob
+    import shutil
+
+    rdir = os.path.join(out_dir, f"round={round_no}")
+    if os.path.isdir(rdir):
+        shutil.rmtree(rdir)
+    dl_dir = out_dir.rstrip("/") + "_deadletter"
+    for f in glob.glob(os.path.join(dl_dir, f"part-{round_no:05d}-*.parquet")):
+        os.remove(f)
 
 
 def _atomic_write(table: pa.Table, path: str) -> None:
@@ -311,6 +331,7 @@ class CrawlEngine:
                 cfg.web,
                 cfg.chain_spec,
                 cfg.politeness_budget,
+                seen_capacity=cfg.seen_capacity,
                 politeness_capacity=cfg.politeness_capacity,
             )
             for i in range(cfg.n_shards)
@@ -418,6 +439,8 @@ class CrawlEngine:
             _atomic_write(trace_part, os.path.join(tdir, f"part-{self.round_no:05d}.parquet"))
 
         out_path = os.path.join(self.cfg.out_dir, f"round={self.round_no}") if self.cfg.out_dir else None
+        if out_path is not None:
+            _prune_round_parts(self.cfg.out_dir, self.round_no)
         n = len(merged)
         if self.cfg.fetch_concurrency:
             target_chunks = self.cfg.fetch_concurrency
@@ -535,7 +558,23 @@ class CrawlEngine:
         d = cfg.checkpoint_dir
         with open(os.path.join(d, "manifest.json")) as f:
             manifest = json.load(f)
-        assert manifest["n_shards"] == cfg.n_shards, "shard count must match checkpoint"
+        if manifest["n_shards"] != cfg.n_shards:
+            raise ValueError(
+                f"resume config mismatch: n_shards={cfg.n_shards} vs checkpoint {manifest['n_shards']}"
+            )
+        # a mismatched web config or politeness budget silently diverges the
+        # crawl from the checkpointed trace — fail loudly instead (ADVICE r01)
+        mc = manifest.get("cfg", {})
+        if mc:
+            if mc.get("politeness_budget") != cfg.politeness_budget:
+                raise ValueError(
+                    f"resume config mismatch: politeness_budget={cfg.politeness_budget} "
+                    f"vs checkpoint {mc.get('politeness_budget')}"
+                )
+            if mc.get("web") != asdict(cfg.web):
+                raise ValueError(
+                    f"resume config mismatch: web={asdict(cfg.web)} vs checkpoint {mc.get('web')}"
+                )
         eng = cls(cfg)
         eng.round_no = manifest["round"]
         eng.seq_offset = manifest["seq_offset"]

@@ -30,27 +30,38 @@ def _as_array(urls) -> pa.Array:
 
 
 def canonicalize(urls) -> pa.Array:
-    """Vectorized canonical URL form (idempotent)."""
+    """Vectorized canonical URL form (idempotent).
+
+    Default-port stripping is scheme-aware (:80 only for http, :443 only
+    for https), and the query string is split off before slash-collapse /
+    dot-segment resolution so ``?next=http://b`` is preserved verbatim —
+    distinct URLs must not collide in the xxh64-keyed seen-set.
+    """
     arr = _as_array(urls)
     parts = pc.extract_regex(arr, _SPLIT_RE)
     head = pc.utf8_lower(pc.struct_field(parts, "head"))
-    head = pc.replace_substring_regex(head, r":(80|443)$", "")
+    head = pc.replace_substring_regex(head, r"^(http://.*):80$", r"\1")
+    head = pc.replace_substring_regex(head, r"^(https://.*):443$", r"\1")
     rest = pc.struct_field(parts, "rest")
-    rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
+    # split path from query; path transforms must not touch the query
+    pq = pc.extract_regex(rest, r"^(?P<path>[^?]*)(?P<query>(?:\?.*)?)$")
+    path = pc.struct_field(pq, "path")
+    query = pc.struct_field(pq, "query")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
     # collapse duplicate slashes
-    rest = pc.replace_substring_regex(rest, r"//+", "/")
+    path = pc.replace_substring_regex(path, r"//+", "/")
     # resolve ./ and ../ segments (bounded passes; paths are shallow)
     for _ in range(8):
-        nxt = pc.replace_substring_regex(rest, r"/\./", "/")
+        nxt = pc.replace_substring_regex(path, r"/\./", "/")
         nxt = pc.replace_substring_regex(nxt, r"/[^/]+/\.\./", "/")
-        if nxt.equals(rest):
+        if nxt.equals(path):
             break
-        rest = nxt
-    rest = pc.replace_substring_regex(rest, r"/\.$", "/")
-    rest = pc.replace_substring_regex(rest, r"/[^/]+/\.\.$", "/")
+        path = nxt
+    path = pc.replace_substring_regex(path, r"/\.$", "/")
+    path = pc.replace_substring_regex(path, r"/[^/]+/\.\.$", "/")
     # strip trailing slash except root
-    rest = pc.replace_substring_regex(rest, r"(.)/$", r"\1")
-    out = pc.binary_join_element_wise(head, rest, "")
+    path = pc.replace_substring_regex(path, r"(.)/$", r"\1")
+    out = pc.binary_join_element_wise(head, path, query, "")
     # rows that did not match the regex (no scheme) pass through unchanged
     return pc.if_else(pc.is_valid(parts), out, arr)
 

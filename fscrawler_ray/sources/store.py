@@ -42,7 +42,11 @@ def write_table(table: pa.Table, uri: str, mode: str = "append") -> None:
 
 
 def write_dataset(ds, uri: str) -> int:
-    """Stream a ray.data.Dataset into the store; returns rows written."""
+    """Stream a ray.data.Dataset into the store; returns rows written.
+
+    Single streaming execution: the row count comes from the parquet
+    footers of the files this call created, NOT from a ``ds.count()``
+    (which would run the whole upstream pipeline a second time)."""
     if HAVE_LANCE:  # pragma: no cover
         ds = ds.materialize()
         total = 0
@@ -51,9 +55,12 @@ def write_dataset(ds, uri: str) -> int:
             total += b.num_rows
         return total
     os.makedirs(uri, exist_ok=True)
-    total = ds.count()
+    before = set(glob.glob(os.path.join(uri, "**", "*.parquet"), recursive=True))
     ds.write_parquet(uri)
-    return total
+    import pyarrow.parquet as pq
+
+    new = set(glob.glob(os.path.join(uri, "**", "*.parquet"), recursive=True)) - before
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in new)
 
 
 def dataset(uri: str, columns=None):
@@ -63,6 +70,46 @@ def dataset(uri: str, columns=None):
     if HAVE_LANCE:  # pragma: no cover
         return ray.data.read_lance(uri, columns=columns)
     return ray.data.read_parquet(uri, columns=columns)
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def composite_key_hashes(table: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """uint64 composite key per row: xxh64 of the first (string) column
+    XOR a mixed cast of each further (integer) column. This is the compact
+    probe-key form — 8 bytes/row instead of Python tuples — used by the
+    idempotent sinks (VERDICT r01 #6)."""
+    from ..functions.hashing import xxh64_batch
+
+    col0 = table.column(key_cols[0])
+    if isinstance(col0, pa.ChunkedArray):
+        col0 = col0.combine_chunks()
+    k = xxh64_batch(col0.cast(pa.string()))
+    for c in key_cols[1:]:
+        vals = table.column(c).to_numpy(zero_copy_only=False)
+        ints = np.array(
+            [-1 if v is None or (isinstance(v, float) and np.isnan(v)) else int(v) for v in vals],
+            dtype=np.int64,
+        ).astype(np.uint64)
+        k = k ^ (ints * _MIX)
+    return k
+
+
+def existing_key_hashes(uri: str, key_cols: list[str]) -> np.ndarray:
+    """Sorted uint64 composite keys of every row already in the store —
+    the broadcast-once probe index for idempotent copy (searchsorted on
+    8-byte keys; at 10^10 scale this index partitions like the store)."""
+    files = sorted(glob.glob(os.path.join(uri, "**", "*.parquet"), recursive=True))
+    if HAVE_LANCE and os.path.exists(uri) and not files:  # pragma: no cover
+        t = lance.dataset(uri).to_table(columns=key_cols)
+        return np.unique(composite_key_hashes(t, key_cols))
+    if not files:
+        return np.empty(0, dtype=np.uint64)
+    import pyarrow.parquet as pq
+
+    parts = [composite_key_hashes(pq.read_table(f, columns=key_cols), key_cols) for f in files]
+    return np.unique(np.concatenate(parts))
 
 
 def existing_keys(uri: str, key_cols: list[str]) -> np.ndarray:

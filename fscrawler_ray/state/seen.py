@@ -96,6 +96,9 @@ class SeenSet:
         self.cuckoo = CuckooFilter(capacity, seed=seed)
         self.strict = strict
         self._exact = ExactStore(max_inmem=exact_max_inmem)
+        # set when a non-strict seen-set's cuckoo overflowed: membership
+        # degrades to bloom-only (one-sided, extra FPs, never a crash)
+        self._cuckoo_degraded = False
 
     def __len__(self) -> int:
         return len(self._exact) if self.strict else self.cuckoo.count
@@ -114,6 +117,9 @@ class SeenSet:
             hit = np.flatnonzero(maybe)
             if self.strict:
                 confirmed = self._exact.contains_array(keys[hit])
+            elif self._cuckoo_degraded:
+                # bloom is the only authority left: treat every maybe as seen
+                confirmed = np.ones(len(hit), dtype=bool)
             else:
                 confirmed = self.cuckoo.contains_many(keys[hit])
             new[hit] = ~confirmed
@@ -126,16 +132,47 @@ class SeenSet:
             new[idx] = keep
             fresh = keys[new]
             self.bloom.add_many(fresh)
-            self.cuckoo.add_many(fresh)
             if self.strict:
                 self._exact.add_array(fresh)
+            self._feed_cuckoo(fresh)
         return new
+
+    def _feed_cuckoo(self, fresh: np.ndarray) -> None:
+        """Insert into the cuckoo, surviving overflow: in strict mode the
+        exact store is the authority, so rebuild the cuckoo at 2× capacity
+        from the full key set (doubling until it fits); in non-strict mode
+        stop feeding it and degrade membership to bloom-only. Either way a
+        crawl never dies because a shard saw more unique URLs than the
+        filter was sized for (ADVICE r01)."""
+        if self._cuckoo_degraded:
+            return
+        try:
+            self.cuckoo.add_many(fresh)
+            return
+        except RuntimeError:
+            pass
+        if not self.strict:
+            self._cuckoo_degraded = True
+            return
+        keys = self._exact.to_array()  # includes `fresh` (added just above)
+        cap = self.cuckoo.n_buckets * self.cuckoo.bucket_size
+        while True:
+            cap *= 2
+            rebuilt = CuckooFilter(cap, seed=self.cuckoo.seed)
+            try:
+                rebuilt.add_many(keys)
+                self.cuckoo = rebuilt
+                return
+            except RuntimeError:
+                continue
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
         if self.strict:
             return self._exact.contains_array(keys)
         maybe = self.bloom.contains_many(keys)
+        if self._cuckoo_degraded:
+            return maybe  # bloom-only: one-sided, never a false negative
         out = maybe.copy()
         if maybe.any():
             hit = np.flatnonzero(maybe)
@@ -161,6 +198,7 @@ class SeenSet:
             "bloom": self.bloom.state(),
             "cuckoo": self.cuckoo.state(),
             "exact": self.keys_array(),
+            "cuckoo_degraded": self._cuckoo_degraded,
         }
 
     @classmethod
@@ -169,6 +207,7 @@ class SeenSet:
         s.strict = bool(st["strict"])
         s.bloom = BloomFilter.from_state(st["bloom"])
         s.cuckoo = CuckooFilter.from_state(st["cuckoo"])
+        s._cuckoo_degraded = bool(st.get("cuckoo_degraded", False))
         s._exact = ExactStore()
         keys = np.asarray(st["exact"], dtype=np.uint64)
         if len(keys):

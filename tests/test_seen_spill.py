@@ -40,3 +40,40 @@ def test_seenset_spilling_equivalent_to_unbounded():
     b2 = SeenSet.from_state(b.state())
     assert len(b2) == len(b)
     assert b2.contains_many(keys).all()
+
+
+def test_seenset_cuckoo_overflow_grows_in_strict_mode():
+    """ADVICE r01: 40k unique keys into a capacity-1<<10 SeenSet used to
+    crash with 'cuckoo filter full'. Strict mode must rebuild at 2x from
+    the exact store and stay correct."""
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 2**63, 40_000).astype(np.uint64))
+    s = SeenSet(capacity=1 << 10, strict=True)
+    for i in range(0, len(keys), 1024):
+        new = s.check_and_add(keys[i : i + 1024])
+        assert new.all()  # all unique -> all new
+    assert len(s) == len(keys)
+    assert s.contains_many(keys).all()
+    # the cuckoo actually grew past its initial sizing
+    assert s.cuckoo.n_buckets * s.cuckoo.bucket_size > (1 << 10)
+    # re-adding reports all seen
+    assert not s.check_and_add(keys[:2048]).any()
+
+
+def test_seenset_cuckoo_overflow_degrades_in_nonstrict_mode():
+    """Non-strict mode has no exact authority to rebuild from: on overflow
+    it stops feeding the cuckoo and degrades to bloom-only membership
+    (one-sided: never a false negative), instead of killing the shard."""
+    rng = np.random.default_rng(4)
+    keys = np.unique(rng.integers(0, 2**63, 40_000).astype(np.uint64))
+    s = SeenSet(capacity=1 << 10, strict=False)
+    for i in range(0, len(keys), 1024):
+        s.check_and_add(keys[i : i + 1024])
+    assert s._cuckoo_degraded
+    # one-sided guarantee: every added key still reports seen
+    assert s.contains_many(keys).all()
+    assert not s.check_and_add(keys).any()
+    # state roundtrip preserves the degraded flag
+    s2 = SeenSet.from_state(s.state())
+    assert s2._cuckoo_degraded
+    assert s2.contains_many(keys).all()

@@ -58,3 +58,19 @@ def test_host_depth():
     urls = canonicalize(["http://A.com/x/y", "http://b.com/", "http://c.com/1/2/3/4"])
     assert host_of(urls).to_pylist() == ["a.com", "b.com", "c.com"]
     assert depth_of(urls).to_pylist() == [2, 0, 4]
+
+
+def test_canonicalize_scheme_aware_ports_and_query():
+    """ADVICE r01: default-port stripping must be scheme-aware and the
+    query string must survive slash-collapse / dot-resolution verbatim."""
+    cases = {
+        "http://h.com:80/x": "http://h.com/x",
+        "http://h.com:443/x": "http://h.com:443/x",   # not http's default
+        "https://h.com:443/x": "https://h.com/x",
+        "https://h.com:80/x": "https://h.com:80/x",   # not https's default
+        "http://h.com/a/?next=http://b//c/../d": "http://h.com/a?next=http://b//c/../d",
+        "http://h.com/p//q?u=..//v": "http://h.com/p/q?u=..//v",
+    }
+    got = canonicalize(list(cases)).to_pylist()
+    assert got == list(cases.values())
+    assert canonicalize(got).to_pylist() == got  # idempotent
