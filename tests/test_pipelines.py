@@ -121,13 +121,43 @@ def test_thumbnail_external_codec_is_stubbed():
         ThumbnailStage(codec="pillow")
 
 
+def _pairkey(df, a="doc_a", b="doc_b"):
+    return sorted(map(tuple, df[[a, b]].to_numpy().tolist()))
+
+
 def test_minhash_distributed_path_matches_driver_path():
+    """The DEFAULT path is now distributed (join-based verification); it
+    must produce the same pair set + jaccard values as the driver path."""
     from fscrawler_ray.pipelines.dedup import minhash_lsh_pairs
 
-    a = minhash_lsh_pairs(SF).to_pandas()
-    b = minhash_lsh_pairs(SF, distributed=True).to_pandas()
-    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy().tolist()))
-    assert key(a) == key(b)
+    dist = minhash_lsh_pairs(SF).to_pandas()  # default = distributed
+    drv = minhash_lsh_pairs(SF, distributed=False).to_pandas()
+    assert _pairkey(dist) == _pairkey(drv)
+    d = dist.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    v = drv.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert np.allclose(d["jaccard"], v["jaccard"])
+
+
+def test_simhash_distributed_matches_driver():
+    from fscrawler_ray.pipelines.dedup import simhash_pairs
+
+    dist = simhash_pairs(SF).to_pandas()
+    drv = simhash_pairs(SF, distributed=False).to_pandas()
+    assert _pairkey(dist) == _pairkey(drv)
+    assert sorted(dist["hamming"]) == sorted(drv["hamming"])
+
+
+def test_embedding_distributed_matches_driver():
+    from fscrawler_ray.pipelines.dedup import embedding_neardup_pairs
+
+    dist = embedding_neardup_pairs(SF).to_pandas()
+    drv = embedding_neardup_pairs(SF, distributed=False).to_pandas()
+    # float32 transport in the distributed path: pair sets equal, cosines
+    # equal to ~1e-4
+    assert _pairkey(dist, "vec_a", "vec_b") == _pairkey(drv, "vec_a", "vec_b")
+    d = dist.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    v = drv.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    assert np.allclose(d["cosine"], v["cosine"], atol=1e-4)
 
 
 def test_phash_neardup_finds_lossy_reencodes(tmp_path):
@@ -155,3 +185,23 @@ def test_phash_neardup_finds_lossy_reencodes(tmp_path):
         a, b = "lossy_%02d" % i, "orig_%02d" % i
         assert (a, b) in found or (b, a) in found, (i, found)
     assert (pairs["hamming"] <= 6).all()
+
+
+def test_knn_ivf_prunes_partitions(tmp_path):
+    """The IVF probe must READ a strict subset of the index partitions
+    (IO pruning, not just compute masking) and still hit the recall bar."""
+    from fscrawler_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    idx = str(tmp_path / "ivf_idx")
+    ivf, stats = knn_ivf(SF, n_queries=4, k=10, n_centroids=8, nprobe=2,
+                         index_dir=idx, return_stats=True)
+    assert stats["partitions_total"] >= 4
+    assert stats["partitions_read"] < stats["partitions_total"], stats
+    bf = knn_bruteforce(SF, n_queries=4, k=10).to_pandas()
+    ivf = ivf.to_pandas()
+    recall = []
+    for q in bf["query_id"].unique():
+        b = set(bf[bf["query_id"] == q]["vec_id"])
+        a = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recall.append(len(a & b) / len(b))
+    assert np.mean(recall) >= 0.4, recall
