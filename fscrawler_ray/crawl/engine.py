@@ -322,6 +322,19 @@ class _FetchExpand:
         return t, skipped
 
 
+@dataclass
+class RoundEvent:
+    """What observers see after each round; setting ``should_stop`` asks
+    the engine for a clean checkpointed stop at the round barrier (the
+    reference's crawl_event.should_stop token)."""
+
+    round: int
+    emitted: int
+    result_rows: int
+    total_emitted: int
+    should_stop: bool = False
+
+
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
@@ -338,15 +351,29 @@ class CrawlEngine:
         ]
         self.seq_offset = 0
         self.round_no = 0
-        self.trace_parts: list[pa.Table] = []
         self.result_rows = 0
         self.skipped_unchanged = 0
         self.round_history: list[dict] = []  # progress reporting (W6 analog)
+        self.observers: list = []  # callables taking a RoundEvent (E1 analog)
+        self.stopped_early = False
         self.root_meta: list[dict] = []
         self.root_urls: list[str] = []
+        # the trace streams to disk UNCONDITIONALLY (driver RAM stays flat
+        # with rounds): a sibling of out_dir when set, else a /tmp spool
+        if cfg.out_dir:
+            self.trace_dir = cfg.out_dir.rstrip("/") + "_trace"
+        else:
+            import tempfile
+
+            self.trace_dir = tempfile.mkdtemp(prefix="fscrawler_trace_")
         self._index_ref = None
         if cfg.prev_index_dir:
             self._index_ref = ray.put(load_result_index(cfg.prev_index_dir))
+
+    def add_observer(self, fn) -> None:
+        """Register a per-round observer: ``fn(event: RoundEvent)``; set
+        ``event.should_stop = True`` to request a clean stop."""
+        self.observers.append(fn)
 
     # -- seeds --------------------------------------------------------------
 
@@ -380,93 +407,125 @@ class CrawlEngine:
 
     def run(self, seeds: list[str] | None = None, max_rounds: int | None = None, seed_meta: list[dict] | None = None) -> dict:
         """Round loop. The round transition (enqueue children + pop next
-        round) is a single actor RPC per shard (``end_and_pop``) except when
-        a checkpoint is due, where the barrier is split so the snapshot sees
-        every emission either processed or still queued."""
+        round) is a single actor RPC per shard (``end_and_pop_meta``) except
+        when a checkpoint is due, where the barrier is split so the snapshot
+        sees every emission either processed or still queued. Only per-host
+        COUNTS cross the driver; emission rows go shard → object store →
+        fetch task (VERDICT r01 #4)."""
         if seeds:
             self.add_seeds(seeds, seed_meta)
         max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
-        pops: list[pa.Table] | None = None
+        metas: list[dict] | None = None
         while self.round_no < max_rounds:
-            if pops is None:
-                pops = ray.get([s.pop_round.remote() for s in self.shards])
-            emitted = self._process_round(pops)
+            if metas is None:
+                metas = ray.get([s.pop_round_meta.remote() for s in self.shards])
+            emitted = self._process_round(metas)
+            stop = self._notify_observers(emitted)
             ckpt_due = (
                 self.cfg.checkpoint_every
                 and self.cfg.checkpoint_dir
                 and (self.round_no + 1) % self.cfg.checkpoint_every == 0
             )
-            if ckpt_due or self.round_no + 1 >= max_rounds:
+            if stop or ckpt_due or self.round_no + 1 >= max_rounds:
                 ray.get([s.end_round.remote() for s in self.shards])
                 self.round_no += 1
-                pops = None
-                if ckpt_due:
+                metas = None
+                if ckpt_due or (stop and self.cfg.checkpoint_dir):
                     self.checkpoint()
+                if stop:
+                    self.stopped_early = True
+                    break
                 if emitted == 0 and sum(ray.get([s.pending_count.remote() for s in self.shards])) == 0:
                     break
             else:
-                res = ray.get([s.end_and_pop.remote() for s in self.shards])
-                pops = [r[0] for r in res]
+                res = ray.get([s.end_and_pop_meta.remote() for s in self.shards])
+                metas = [r[0] for r in res]
                 pending = sum(r[1] for r in res)
                 self.round_no += 1
-                if emitted == 0 and pending == 0 and all(len(t) == 0 for t in pops):
+                if emitted == 0 and pending == 0 and all(len(m["hosts"]) == 0 for m in metas):
                     break
         return self.summary()
 
-    def _process_round(self, tables: list[pa.Table]) -> int:
-        tables = [t for t in tables if len(t)]
-        merged = pa.concat_tables(tables) if tables else EMIT_SCHEMA.empty_table()
-        if len(merged) == 0:
-            return 0
-        order = pa.compute.sort_indices(
-            merged, sort_keys=[("host", "ascending"), ("host_idx", "ascending")]
+    def _notify_observers(self, emitted: int) -> bool:
+        """Reference analog of the observer notify loop + should_stop token
+        (/root/reference/app/interfaces/iCrawlerObserver.py:19-63,
+        app/crawler/file_system_crawler.py:240-241): every observer sees the
+        round event; any of them may set ``should_stop`` and the engine
+        honors it at the round barrier (clean, checkpointable stop)."""
+        if not self.observers:
+            return False
+        ev = RoundEvent(
+            round=self.round_no,
+            emitted=emitted,
+            result_rows=self.result_rows,
+            total_emitted=int(self.seq_offset),
         )
-        merged = merged.take(order)
-        seqs = pa.array(self.seq_offset + np.arange(len(merged), dtype=np.int64))
-        merged = merged.append_column("seq", seqs)
-        self.seq_offset += len(merged)
-        trace_part = merged.select(["seq", "url", "host", "depth", "is_dir"])
-        self.trace_parts.append(trace_part)
-        if self.cfg.out_dir:
-            # persist the frontier trace alongside the results (scale path:
-            # the in-memory accumulation is for test-sized runs only)
-            import pyarrow.parquet as pq
+        for obs in self.observers:
+            obs(ev)
+        return bool(ev.should_stop)
 
-            # sibling dir: results readers scan out_dir recursively, so the
-            # trace (different schema) must not live inside it
-            tdir = self.cfg.out_dir.rstrip("/") + "_trace"
-            os.makedirs(tdir, exist_ok=True)
-            _atomic_write(trace_part, os.path.join(tdir, f"part-{self.round_no:05d}.parquet"))
+    def _process_round(self, metas: list[dict]) -> int:
+        """Hierarchical round merge: each host lives on exactly one shard
+        and each shard's emissions are already (host, host_idx)-sorted, so
+        the global deterministic order needs only per-host counts at the
+        driver — global seq = lex-offset(host) + host_idx. Emission ROWS
+        never touch the driver: shards put striped chunks in the object
+        store and fetch tasks read them directly."""
+        host_counts: dict[str, int] = {}
+        for m in metas:
+            for h, c in zip(m["hosts"], m["counts"]):
+                host_counts[h] = c
+        n = sum(host_counts.values())
+        if n == 0:
+            # flush shard-side pending tables (empty) so state stays clean
+            ray.get([
+                s.emit_round_chunks.remote([], 1, self.round_no, None) for s in self.shards
+            ])
+            return 0
+        hosts_sorted = sorted(host_counts)
+        offs = {}
+        acc = self.seq_offset
+        for h in hosts_sorted:
+            offs[h] = acc
+            acc += host_counts[h]
+        self.seq_offset = acc
 
         out_path = os.path.join(self.cfg.out_dir, f"round={self.round_no}") if self.cfg.out_dir else None
         if out_path is not None:
             _prune_round_parts(self.cfg.out_dir, self.round_no)
-        n = len(merged)
         if self.cfg.fetch_concurrency:
-            target_chunks = self.cfg.fetch_concurrency
+            rows_per_chunk = max(1, -(-n // self.cfg.fetch_concurrency))
         else:
-            # ~3 waves across the cluster, but never chunks smaller than ~24
-            # rows (task overhead) nor fewer than one per 24 rows
+            # ~3 waves across the cluster, but never chunks smaller than ~16
+            # rows (task overhead)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             rows_per_chunk = max(16, -(-n // (3 * cpus)))
-            target_chunks = max(1, (n + rows_per_chunk - 1) // rows_per_chunk)
-        # stripe rows round-robin across chunks: merged is host-sorted, so
-        # contiguous slices would give some tasks all-containers and others
-        # all-payloads (stragglers); striping balances the work mix
-        refs = [
-            _fetch_task.remote(
-                merged.take(np.arange(i, n, target_chunks)),
-                self.cfg.web,
-                self.shards,
-                self.round_no,
-                out_path,
-                i,
-                self._index_ref,
-                self.cfg.fetch_payloads,
-                self.root_meta,
-            )
-            for i in range(min(target_chunks, n))
-        ]
+        chunked = ray.get(
+            [
+                s.emit_round_chunks.remote(
+                    [offs[h] for h in m["hosts"]], rows_per_chunk, self.round_no, self.trace_dir
+                )
+                for s, m in zip(self.shards, metas)
+            ]
+        )
+        refs = []
+        part_id = 0
+        for chunk_refs, _n_s in chunked:
+            for cref in chunk_refs:
+                refs.append(
+                    _fetch_task.remote(
+                        cref,
+                        self.cfg.web,
+                        self.shards,
+                        self.round_no,
+                        out_path,
+                        part_id,
+                        self._index_ref,
+                        self.cfg.fetch_payloads,
+                        self.root_meta,
+                    )
+                )
+                part_id += 1
         import time as _time
 
         t0 = _time.time()
@@ -476,14 +535,21 @@ class CrawlEngine:
         self.round_history.append(
             {"round": self.round_no, "emitted": n, "rows": sum(r[0] for r in results), "fetch_sec": round(_time.time() - t0, 3)}
         )
-        return len(merged)
+        return n
 
     # -- outputs ------------------------------------------------------------
 
     def trace_table(self) -> pa.Table:
-        if not self.trace_parts:
+        """Read the streamed trace parts back (global order = seq)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self.trace_dir, "part-*.parquet")))
+        if not files:
             return pa.table({"seq": pa.array([], pa.int64()), "url": pa.array([], pa.string())})
-        return pa.concat_tables(self.trace_parts)
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by("seq")
 
     def seen_keys(self) -> np.ndarray:
         parts = ray.get([s.seen_keys.remote() for s in self.shards])
@@ -541,6 +607,7 @@ class CrawlEngine:
             "n_shards": self.cfg.n_shards,
             "root_meta": self.root_meta,
             "root_urls": self.root_urls,
+            "trace_dir": self.trace_dir,
             "lineage": [
                 {"shard": st["shard_id"], "round": st["round"], "enqueued": st["counters"]["enqueued"]}
                 for st in states
@@ -549,8 +616,6 @@ class CrawlEngine:
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
-        with open(os.path.join(d, "trace.pkl"), "wb") as f:
-            pickle.dump(self.trace_table(), f)
         return d
 
     @classmethod
@@ -587,8 +652,17 @@ class CrawlEngine:
                 st = pickle.load(f)
             futures.append(eng.shards[i].load_state.remote(st))
         ray.get(futures)
-        with open(os.path.join(d, "trace.pkl"), "rb") as f:
-            eng.trace_parts = [pickle.load(f)]
+        # continue appending to the original run's trace spool, pruning
+        # parts any crashed attempt wrote past the checkpointed round
+        tdir = manifest.get("trace_dir")
+        if tdir and os.path.isdir(tdir):
+            eng.trace_dir = tdir
+            import glob
+
+            for f in glob.glob(os.path.join(tdir, "part-*.parquet")):
+                rnd = int(os.path.basename(f).split("-")[1])
+                if rnd >= eng.round_no:
+                    os.remove(f)
         return eng
 
 

@@ -74,6 +74,9 @@ class FrontierShard:
         self.queues: dict[str, list] = {}  # host -> list[(url, depth)] FIFO
         self._qhead: dict[str, int] = {}  # pop cursor per host (amortized O(1))
         self._buffer: list[tuple[int, int, str, int]] = []  # (parent_seq, child_idx, url, depth)
+        self._pending_emit: pa.Table | None = None  # popped, awaiting emit_round_chunks
+        self._pending_hosts: list[str] = []
+        self._pending_counts: np.ndarray = np.empty(0, np.int64)
         self.round = 0
         self.counters = {
             "enqueued": 0,
@@ -150,6 +153,65 @@ class FrontierShard:
         self.end_round()
         t = self.pop_round()
         return t, self.pending_count()
+
+    # -- hierarchical round merge (driver never sees emission rows) ---------
+
+    def pop_round_meta(self) -> dict:
+        """Pop the round's emissions but RETAIN the table in the shard;
+        return only per-host counts (the shard's hosts are lex-sorted, and
+        each host belongs to exactly one shard, so the driver can compute
+        global seq offsets from counts alone — the tree-merge fan-in is
+        O(#active hosts) metadata, not O(#emissions) rows. VERDICT r01 #4)."""
+        t = self.pop_round()
+        self._pending_emit = t
+        hosts = t.column("host").to_numpy(zero_copy_only=False)
+        if len(hosts) == 0:
+            self._pending_hosts, self._pending_counts = [], np.empty(0, np.int64)
+            return {"hosts": [], "counts": []}
+        change = np.ones(len(hosts), dtype=bool)
+        change[1:] = hosts[1:] != hosts[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(hosts)))
+        self._pending_hosts = [str(h) for h in hosts[starts]]
+        self._pending_counts = counts
+        return {"hosts": self._pending_hosts, "counts": counts.tolist()}
+
+    def end_and_pop_meta(self) -> tuple:
+        """end_round + pop_round_meta in one RPC (the fast-path barrier)."""
+        self.end_round()
+        return self.pop_round_meta(), self.pending_count()
+
+    def emit_round_chunks(
+        self, offsets: list[int], rows_per_chunk: int, round_no: int, trace_dir: str | None
+    ) -> tuple:
+        """Finish the round's emission on the shard side: assign global seq
+        (offset-per-host + host_idx), write this shard's trace part straight
+        to disk, stripe the table into fetch chunks and ``ray.put`` each —
+        the driver receives only ObjectRefs. ``offsets`` aligns with the
+        hosts returned by :meth:`pop_round_meta`."""
+        import ray as _ray
+
+        t = self._pending_emit
+        self._pending_emit = None
+        if t is None or len(t) == 0:
+            return [], 0
+        base = np.repeat(np.asarray(offsets, dtype=np.int64), self._pending_counts)
+        seq = base + t.column("host_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("seq", pa.array(seq))
+        if trace_dir is not None:
+            import os
+
+            from .engine import _atomic_write
+
+            os.makedirs(trace_dir, exist_ok=True)
+            _atomic_write(
+                t.select(["seq", "url", "host", "depth", "is_dir"]),
+                os.path.join(trace_dir, f"part-{round_no:05d}-shard{self.shard_id:04d}.parquet"),
+            )
+        n = len(t)
+        n_chunks = min(max(1, -(-n // max(1, rows_per_chunk))), n)
+        refs = [_ray.put(t.take(np.arange(i, n, n_chunks))) for i in range(n_chunks)]
+        return refs, n
 
     # -- pop path -----------------------------------------------------------
 

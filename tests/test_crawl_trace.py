@@ -47,7 +47,7 @@ def test_normalize_seeds_subsumption():
     assert normalize_seeds(seeds) == ["http://a.com/x", "http://b.com/"]
 
 
-@pytest.mark.parametrize("n_shards", [1, 3])
+@pytest.mark.parametrize("n_shards", [1, 2, 3, 8])
 def test_trace_matches_oracle(n_shards):
     oracle = run_oracle()
     eng = run_engine(n_shards)
