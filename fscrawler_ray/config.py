@@ -77,8 +77,14 @@ class PipelineSpec:
         )
 
     def build_engine(self) -> tuple[CrawlEngine, list[str]]:
+        # a "kind" key selects a registered Source (e.g. localfs); plain
+        # keys configure the synthetic web as before
+        if self.web and "kind" in self.web:
+            web_spec = dict(self.web)
+        else:
+            web_spec = WebConfig(**self.web) if self.web else WebConfig()
         cfg = CrawlConfig(
-            web=WebConfig(**self.web) if self.web else WebConfig(),
+            web=web_spec,
             chain_spec=self.filters or None,
             n_shards=self.n_shards,
             politeness_budget=self.politeness_budget,

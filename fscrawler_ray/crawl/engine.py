@@ -40,7 +40,8 @@ import pyarrow as pa
 import ray
 
 from ..functions.urls import canonicalize
-from ..sources.synthweb import SynthWeb, WebConfig
+from ..sources.base import make_source, spec_of
+from ..sources.synthweb import WebConfig
 from .frontier import EMIT_SCHEMA, FrontierShard, shard_of_host
 from .oracle import normalize_seeds
 
@@ -69,7 +70,9 @@ RESULT_SCHEMA = pa.schema(
 
 @dataclass
 class CrawlConfig:
-    web: WebConfig = field(default_factory=WebConfig)
+    # the crawl Source spec: a WebConfig (synthetic web) or any
+    # {"kind": ...} dict registered in sources.base (e.g. localfs)
+    web: WebConfig | dict = field(default_factory=WebConfig)
     chain_spec: dict | None = None
     n_shards: int = 4
     politeness_budget: int = 4
@@ -196,7 +199,7 @@ class _FetchExpand:
         fetch_payloads: bool = True,
         root_meta: list | None = None,
     ):
-        self.web = SynthWeb(web_cfg)
+        self.web = make_source(web_cfg)
         self.shards = shards
         self.round_no = round_no
         self.index_ref = index_ref
@@ -571,7 +574,9 @@ class CrawlEngine:
         tot: dict = {}
         for c in per:
             for k, v in c.items():
-                if k in ("shard",):
+                # "round" is a per-shard clock and "pending" a snapshot —
+                # summing them across shards is meaningless
+                if k in ("shard", "round"):
                     continue
                 tot[k] = tot.get(k, 0) + v if isinstance(v, int) else v
         tot["rounds"] = self.round_no
@@ -612,7 +617,7 @@ class CrawlEngine:
                 {"shard": st["shard_id"], "round": st["round"], "enqueued": st["counters"]["enqueued"]}
                 for st in states
             ],
-            "cfg": {"politeness_budget": self.cfg.politeness_budget, "web": asdict(self.cfg.web)},
+            "cfg": {"politeness_budget": self.cfg.politeness_budget, "web": spec_of(self.cfg.web)},
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -636,9 +641,9 @@ class CrawlEngine:
                     f"resume config mismatch: politeness_budget={cfg.politeness_budget} "
                     f"vs checkpoint {mc.get('politeness_budget')}"
                 )
-            if mc.get("web") != asdict(cfg.web):
+            if mc.get("web") != spec_of(cfg.web):
                 raise ValueError(
-                    f"resume config mismatch: web={asdict(cfg.web)} vs checkpoint {mc.get('web')}"
+                    f"resume config mismatch: web={spec_of(cfg.web)} vs checkpoint {mc.get('web')}"
                 )
         eng = cls(cfg)
         eng.round_no = manifest["round"]

@@ -29,9 +29,9 @@ import pyarrow as pa
 
 from ..functions.hashing import xxh64, xxh64_batch
 from ..functions.urls import ext_of, name_of
-from ..sources.synthweb import SynthWeb, WebConfig
+from ..sources.base import make_source
+from ..sources.synthweb import WebConfig
 from ..state.seen import SeenSet
-from .robots import RobotsCache
 
 EMIT_SCHEMA = pa.schema(
     [
@@ -58,7 +58,7 @@ class FrontierShard:
         politeness_capacity: int | None = None,
     ):
         self.shard_id = shard_id
-        self.web = SynthWeb(web_cfg)
+        self.web = make_source(web_cfg)  # any Source spec (SURVEY E1 gap fix)
         from ..filters.factory import build_chain_from_spec
 
         self.chain = build_chain_from_spec(chain_spec or {})
@@ -69,7 +69,6 @@ class FrontierShard:
         self.capacity = politeness_capacity if politeness_capacity is not None else politeness_budget
         self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
         self._last_refill: dict[str, int] = {}  # round of that pop
-        self.robots = RobotsCache(seed=web_cfg.seed)
         self.seen = SeenSet(capacity=seen_capacity)
         self.queues: dict[str, list] = {}  # host -> list[(url, depth)] FIFO
         self._qhead: dict[str, int] = {}  # pop cursor per host (amortized O(1))
@@ -242,7 +241,7 @@ class FrontierShard:
                 urls = [c[0] for c in cand]
                 depths = np.array([c[1] for c in cand], dtype=np.int32)
                 roots = [c[2] for c in cand]
-                allowed = np.array([self.robots.allowed(host, u) for u in urls], dtype=bool)
+                allowed = np.array([self.web.robots_allowed(host, u) for u in urls], dtype=bool)
                 self.counters["skipped_robots"] += int((~allowed).sum())
                 is_dir = np.array([self.web.is_container(u) for u in urls], dtype=bool)
                 metas = [self.web.metadata(u) for u in urls]

@@ -17,8 +17,6 @@ from dataclasses import dataclass, field
 from ..filters.core import FilterChain
 from ..functions.hashing import xxh64
 from ..functions.urls import canonicalize
-from ..sources.synthweb import SynthWeb
-from .robots import RobotsCache
 
 
 @dataclass
@@ -52,7 +50,7 @@ def normalize_seeds(seeds: list[str]) -> list[str]:
 
 
 def crawl_oracle(
-    web: SynthWeb,
+    web,  # any Source (SynthWeb, LocalFSSource, ...)
     seeds: list[str],
     chain: FilterChain | None = None,
     politeness_budget: int = 4,
@@ -61,7 +59,6 @@ def crawl_oracle(
     politeness_capacity: int | None = None,
 ) -> OracleResult:
     res = OracleResult(counters={"skipped_robots": 0, "skipped_filters": 0, "skipped_seen": 0, "containers": 0, "leaves": 0})
-    robots = RobotsCache(seed=web.cfg.seed)
     chain = chain or FilterChain()
     queues: dict[str, deque] = {}
     seen: set[int] = set()
@@ -96,7 +93,7 @@ def crawl_oracle(
             allowance = min(capacity, tokens.get(host, 0) + politeness_budget * elapsed)
             while q and emitted_this_host < allowance:
                 url, depth, root_id = q.popleft()
-                if not robots.allowed(host, url):
+                if not web.robots_allowed(host, url):
                     res.counters["skipped_robots"] += 1
                     continue
                 is_dir = web.is_container(url)

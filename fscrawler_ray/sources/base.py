@@ -1,0 +1,82 @@
+"""The pluggable Source protocol — what the frontier crawls.
+
+The reference's whole value is crawling arbitrary roots through one engine
+(/root/reference/app/crawler/file_system_crawler.py:203-228, 404-505); in
+round 1 the engine was hardwired to :class:`SynthWeb`. A Source is any
+object exposing:
+
+- ``seeds() -> list[str]`` — suggested roots (optional convenience);
+- ``is_container(url) -> bool`` — directory/listing vs leaf;
+- ``children(url) -> list[str]`` — ordered child links of a container;
+- ``metadata(url) -> {"size": int|None, "mtime": int|None}`` — the HEAD
+  analog, known at discovery time;
+- ``fetch_raw(url) -> (row_dict, gray32) | None`` — leaf payload fetch
+  (row without phash + decoded 32×32 gray for batched phashing), None for
+  non-image payloads (dead-lettered);
+- ``robots_allowed(host, url) -> bool`` — politeness rules.
+
+Sources are constructed INSIDE actors and tasks from a picklable spec: a
+``WebConfig`` dataclass (the synthetic web) or a ``{"kind": ...}`` dict
+dispatched through :func:`make_source`. Register new kinds with
+:func:`register_source`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, is_dataclass
+
+_REGISTRY: dict = {}
+
+
+def register_source(kind: str, factory) -> None:
+    """factory: (spec_dict) -> Source."""
+    _REGISTRY[kind] = factory
+
+
+def make_source(spec):
+    """Build a Source from its picklable spec.
+
+    Accepts a WebConfig dataclass (→ SynthWeb, the historical default), an
+    already-built Source (idempotent pass-through), or a ``{"kind": ...}``
+    dict dispatched via the registry."""
+    from .synthweb import SynthWeb, WebConfig
+
+    if isinstance(spec, WebConfig):
+        return SynthWeb(spec)
+    if isinstance(spec, dict):
+        kind = spec.get("kind")
+        if kind not in _REGISTRY:
+            raise ValueError(f"unknown source kind: {kind!r} (registered: {sorted(_REGISTRY)})")
+        return _REGISTRY[kind](spec)
+    # duck-typed: an already-constructed source
+    if hasattr(spec, "children") and hasattr(spec, "fetch_raw"):
+        return spec
+    raise TypeError(f"cannot build a Source from {type(spec).__name__}")
+
+
+def spec_of(spec) -> dict:
+    """Canonical JSON-able form of a source spec (for checkpoint manifests
+    and resume validation)."""
+    if is_dataclass(spec) and not isinstance(spec, type):
+        return dict(asdict(spec), kind="synthweb")
+    if isinstance(spec, dict):
+        return dict(spec)
+    raise TypeError(f"cannot serialize source spec of type {type(spec).__name__}")
+
+
+def _make_synthweb(spec: dict):
+    from .synthweb import SynthWeb, WebConfig
+
+    return SynthWeb(WebConfig(**{k: v for k, v in spec.items() if k != "kind"}))
+
+
+register_source("synthweb", _make_synthweb)
+
+
+def _make_localfs(spec: dict):
+    from .localfs import LocalFSSource
+
+    return LocalFSSource(dict(spec["roots"]))
+
+
+register_source("localfs", _make_localfs)

@@ -57,6 +57,16 @@ class WebConfig:
 class SynthWeb:
     def __init__(self, cfg: WebConfig = WebConfig()):
         self.cfg = cfg
+        self._robots = None
+
+    def robots_allowed(self, host: str, url: str) -> bool:
+        """Source-protocol politeness check (synthetic robots.txt rules,
+        memoized per host)."""
+        if self._robots is None:
+            from ..crawl.robots import RobotsCache
+
+            self._robots = RobotsCache(seed=self.cfg.seed)
+        return self._robots.allowed(host, url)
 
     # -- topology -----------------------------------------------------------
 
