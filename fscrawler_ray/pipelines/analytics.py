@@ -438,6 +438,137 @@ def q_error_prone_users(sf_dir: str):
     return agg.map_batches(pick, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# round-2 oracle-net growth (VERDICT r01 #10): window functions, per-group
+# top-k, temporal rollup, count-distinct, discrete quantile, anti-join,
+# union, and the supplier dimension
+# ---------------------------------------------------------------------------
+
+
+def q_running_value(sf_dir: str):
+    """Per-user running total of event value (window function analog:
+    sorted cumulative sum inside map_groups)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(lambda b: _cents(b, "value", "vc"), batch_format="pyarrow").drop_columns(["value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_cents": g["vc"].cumsum().to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+def q_top2_orders_per_segment(sf_dir: str):
+    """Top-2 orders by price within each market segment (per-group top-k /
+    row_number window analog)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(lambda b: _cents(b, "o_totalprice", "price_cents"), batch_format="pyarrow").drop_columns(["o_totalprice"])
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
+        ["o_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(2)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_mktsegment", "o_orderkey", "price_cents", "rnk"]]
+
+    return joined.groupby("c_mktsegment").map_groups(top2, batch_format="pandas")
+
+
+def q_orders_monthly(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b.column("o_orderdate"), unit="month").cast(pa.timestamp("us"))
+        b = b.append_column("month", month)
+        return _cents(b, "o_totalprice", "price_cents").drop_columns(["o_orderdate", "o_totalprice"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_sum(ds, ["month"], {"price_cents": "revenue_cents"}, count_out="orders_cnt")
+    return _select(agg, ["month", "orders_cnt", "revenue_cents"])
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """count(DISTINCT user_id) per event_type: pair-dedup groupby, then a
+    tiny count groupby (the exact two-shuffle distinct pattern; sketches
+    would make this one-shuffle approximate)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    out = pairs.groupby("event_type").count()
+    return _rename(out, {"count()": "users"})
+
+
+def q_median_chars_by_lang(sf_dir: str):
+    """Discrete median (quantile_disc 0.5: element at (n-1)//2 of the
+    sorted values — matches DuckDB's convention exactly)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "med_chars": [int(v[(len(v) - 1) // 2])]})
+
+    return ds.groupby("lang").map_groups(med, batch_format="pandas")
+
+
+def q_users_without_errors(sf_dir: str):
+    """Users with no error event in the opening window (broadcast
+    anti-join: the early-error user set is tiny by construction, so the
+    anti side broadcasts instead of shuffling)."""
+    import datetime as dt
+
+    cutoff = dt.datetime(2024, 1, 3)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    err = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b.column("event_type"), "error"), pc.less(b.column("ts"), pa.scalar(cutoff)))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    err_ids = np.unique(err.to_pandas()["user_id"].to_numpy())
+    err_users = pa.table({"user_id": pa.array(err_ids, pa.int64())})
+    users = ds.groupby("user_id").count().drop_columns(["count()"])
+    return broadcast_join(users, err_users, on="user_id", how="anti")
+
+
+def q_union_all_names(sf_dir: str):
+    nation = _read(sf_dir, "nation", columns=["n_name"])
+    region = _read(sf_dir, "region", columns=["r_name"])
+    a = _rename(nation, {"n_name": "name"})
+    b = _rename(region, {"r_name": "name"})
+    return a.union(b)
+
+
+def q_supplier_nation(sf_dir: str):
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    sup = sup.map_batches(
+        lambda b: _cents(b, "s_acctbal", "acct_cents").drop_columns(["s_acctbal"]), batch_format="pyarrow"
+    )
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        idx = b.column_names.index("s_nationkey")
+        return b.set_column(idx, "s_nationkey", b.column("s_nationkey").cast(pa.int64()))
+
+    sup = sup.map_batches(widen, batch_format="pyarrow")
+    dim = pa.table(
+        {
+            "s_nationkey": nation.column("n_nationkey").cast(pa.int64()),
+            "n_name": nation.column("n_name"),
+        }
+    )
+    joined = broadcast_join(sup, dim, on="s_nationkey", how="inner")
+    agg = grouped_sum(joined, ["n_name"], {"acct_cents": "total_acct_cents"}, count_out="suppliers")
+    return _select(agg, ["n_name", "suppliers", "total_acct_cents"])
+
+
 ORACLE_SQL = {
     "count_by_lang": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "chars_by_lang": (
@@ -523,6 +654,46 @@ ORACLE_SQL = {
         "cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors "
         "FROM events GROUP BY user_id HAVING errors * 5 >= count(*)"
     ),
+    "running_value": (
+        "SELECT event_id, user_id, cast(sum(cast(round(value*100) AS bigint)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS running_cents FROM events"
+    ),
+    "top2_orders_per_segment": (
+        "WITH ranked AS (SELECT c_mktsegment, o_orderkey, "
+        "cast(round(o_totalprice*100) AS bigint) AS price_cents, "
+        "row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY cast(round(o_totalprice*100) AS bigint) DESC, o_orderkey) AS rnk "
+        "FROM orders JOIN customer ON o_custkey = c_custkey) "
+        "SELECT c_mktsegment, o_orderkey, price_cents, cast(rnk AS BIGINT) AS rnk "
+        "FROM ranked WHERE rnk <= 2"
+    ),
+    "orders_monthly": (
+        "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS orders_cnt, "
+        "cast(sum(cast(round(o_totalprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
+        "FROM orders GROUP BY 1"
+    ),
+    "distinct_users_by_type": (
+        "SELECT event_type, cast(count(DISTINCT user_id) AS BIGINT) AS users "
+        "FROM events GROUP BY event_type"
+    ),
+    "median_chars_by_lang": (
+        "SELECT lang, cast(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "users_without_errors": (
+        "SELECT DISTINCT user_id FROM events WHERE user_id NOT IN "
+        "(SELECT DISTINCT user_id FROM events WHERE event_type = 'error' "
+        "AND ts < TIMESTAMP '2024-01-03')"
+    ),
+    "union_all_names": (
+        "SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region"
+    ),
+    "supplier_nation": (
+        "SELECT n_name, count(*) AS suppliers, "
+        "cast(sum(cast(round(s_acctbal*100) AS bigint)) AS BIGINT) AS total_acct_cents "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+    ),
 }
 
 QUERIES = {
@@ -548,4 +719,12 @@ QUERIES = {
     "priority_rating": q_priority_rating,
     "user_sessions": q_user_sessions,
     "error_prone_users": q_error_prone_users,
+    "running_value": q_running_value,
+    "top2_orders_per_segment": q_top2_orders_per_segment,
+    "orders_monthly": q_orders_monthly,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "median_chars_by_lang": q_median_chars_by_lang,
+    "users_without_errors": q_users_without_errors,
+    "union_all_names": q_union_all_names,
+    "supplier_nation": q_supplier_nation,
 }

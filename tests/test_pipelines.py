@@ -25,8 +25,8 @@ def test_queries_have_oracles_subset():
     qs, sqls = e.queries(), e.oracle_sql()
     assert set(sqls).issubset(set(qs))
     # a healthy majority of queries are SQL-checkable
-    assert len(sqls) >= 18
-    assert len(qs) >= 30
+    assert len(sqls) >= 30
+    assert len(qs) >= 40
 
 
 def test_exact_dedup_docs_keeps_firsts():
