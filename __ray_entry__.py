@@ -147,7 +147,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fscrawler_ray.pipelines import analytics, dedup, similarity, textops
+    from fscrawler_ray.pipelines import analytics, dedup, index_sink, similarity, textops
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+            "term_df": index_sink.q_term_df,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,
             "simhash_docs": textops.q_simhash_docs,
@@ -176,6 +177,9 @@ def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
     sql = dict(ORACLE_SQL)
+    from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
+
+    sql.update(INDEX_SQL)
     sql["knn_bruteforce"] = (
         "SELECT q.vec_id AS query_id, e.vec_id, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "

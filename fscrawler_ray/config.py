@@ -45,6 +45,7 @@ class PipelineSpec:
     politeness_budget: int = 4
     n_shards: int = 4
     seen_capacity: int = 1 << 17
+    salt_hosts: dict = field(default_factory=dict)
     max_rounds: int = 64
     out_dir: str | None = None
     checkpoint_dir: str | None = None
@@ -68,6 +69,7 @@ class PipelineSpec:
             politeness_budget=int(doc.get("politeness_budget", 4)),
             n_shards=int(doc.get("n_shards", 4)),
             seen_capacity=int(doc.get("seen_capacity", 1 << 17)),
+            salt_hosts={str(h): int(k) for h, k in (doc.get("salt_hosts") or {}).items()},
             max_rounds=int(doc.get("max_rounds", 64)),
             out_dir=doc.get("out_dir"),
             checkpoint_dir=doc.get("checkpoint_dir"),
@@ -89,6 +91,7 @@ class PipelineSpec:
             n_shards=self.n_shards,
             politeness_budget=self.politeness_budget,
             seen_capacity=self.seen_capacity,
+            salt_hosts=self.salt_hosts or None,
             max_rounds=self.max_rounds,
             out_dir=self.out_dir,
             checkpoint_dir=self.checkpoint_dir,

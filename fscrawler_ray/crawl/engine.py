@@ -42,7 +42,7 @@ import ray
 from ..functions.urls import canonicalize
 from ..sources.base import make_source, spec_of
 from ..sources.synthweb import WebConfig
-from .frontier import EMIT_SCHEMA, FrontierShard, shard_of_host
+from .frontier import EMIT_SCHEMA, FrontierShard, route_key, shard_of_host, true_host
 from .oracle import normalize_seeds
 
 RESULT_SCHEMA = pa.schema(
@@ -80,6 +80,12 @@ class CrawlConfig:
     # per-shard seen-set sizing (bloom/cuckoo capacity; the cuckoo now also
     # auto-grows on overflow, so this is a hint, not a hard limit)
     seen_capacity: int = 1 << 17
+    # salted repartitioning of skewed hosts: host → k splits the host's
+    # frontier queue across k url-hash salts (and k budget shares) so a
+    # pathologically hot host spreads over shards. Preserves the crawled
+    # URL SET, seen-set exactness and the per-host politeness bound;
+    # trades intra-host FIFO order for per-salt FIFO (see frontier.route_key)
+    salt_hosts: dict | None = None
     max_rounds: int = 64
     checkpoint_dir: str | None = None
     out_dir: str | None = None
@@ -141,6 +147,7 @@ def _fetch_task(
     index_ref=None,
     fetch_payloads: bool = True,
     root_meta: list | None = None,
+    salt_hosts: dict | None = None,
 ) -> tuple:
     """One frontier micro-batch: fetch leaf payloads, expand containers,
     push children to their shards, write this task's parquet shard.
@@ -151,7 +158,7 @@ def _fetch_task(
     crawl OUTPUT stays Dataset-native (pipelines/flagship.py). Writing one
     parquet file per (round, task) keeps output resumable per partition.
     """
-    fe = _FetchExpand(web_cfg, shards, round_no, index_ref, fetch_payloads, root_meta)
+    fe = _FetchExpand(web_cfg, shards, round_no, index_ref, fetch_payloads, root_meta, salt_hosts)
     out, skipped = fe(chunk)
     if out_path is not None:
         import pyarrow.compute as pc
@@ -198,6 +205,7 @@ class _FetchExpand:
         index_ref=None,
         fetch_payloads: bool = True,
         root_meta: list | None = None,
+        salt_hosts: dict | None = None,
     ):
         self.web = make_source(web_cfg)
         self.shards = shards
@@ -205,6 +213,7 @@ class _FetchExpand:
         self.index_ref = index_ref
         self.fetch_payloads = fetch_payloads
         self.root_meta = root_meta or []
+        self.salt_hosts = dict(salt_hosts or {})
         self._index = None
         self.dead_letters: list[tuple[str, int, str]] = []  # (url, seq, reason)
 
@@ -278,7 +287,7 @@ class _FetchExpand:
                 meta = self._meta(root_id)
                 out["seq"].append(seq)
                 out["url"].append(url)
-                out["host"].append(host)
+                out["host"].append(true_host(host))  # strip any salt suffix
                 out["depth"].append(depth)
                 out["size"].append(size)
                 out["root_id"].append(root_id)
@@ -296,7 +305,8 @@ class _FetchExpand:
             n_shards = len(self.shards)
             for (pseq, ci, cdepth, rid), curl in zip(child_meta, canon):
                 host = curl.split("://", 1)[1].split("/", 1)[0].lower()
-                per_shard.setdefault(shard_of_host(host, n_shards), []).append((pseq, ci, curl, cdepth, rid))
+                rkey = route_key(curl, host, self.salt_hosts)
+                per_shard.setdefault(shard_of_host(rkey, n_shards), []).append((pseq, ci, curl, cdepth, rid))
             # synchronous ack: the batch is not "done" until every child is
             # buffered, so the round barrier is safe.
             ray.get([self.shards[s].buffer_children.remote(items) for s, items in per_shard.items()])
@@ -341,6 +351,12 @@ class RoundEvent:
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
+        for h, k in (cfg.salt_hosts or {}).items():
+            if int(k) > cfg.politeness_budget:
+                raise ValueError(
+                    f"salt_hosts[{h!r}]={k} exceeds politeness_budget={cfg.politeness_budget}: "
+                    "the per-host rate bound could not be preserved"
+                )
         self.shards = [
             FrontierShardActor.remote(
                 i,
@@ -349,6 +365,7 @@ class CrawlEngine:
                 cfg.politeness_budget,
                 seen_capacity=cfg.seen_capacity,
                 politeness_capacity=cfg.politeness_capacity,
+                salt_hosts=cfg.salt_hosts,
             )
             for i in range(cfg.n_shards)
         ]
@@ -403,7 +420,8 @@ class CrawlEngine:
         per_shard: dict[int, list] = {}
         for rid, s in enumerate(normalized):
             host = s.split("://", 1)[1].split("/", 1)[0].lower()
-            per_shard.setdefault(shard_of_host(host, self.cfg.n_shards), []).append((s, rid))
+            rkey = route_key(s, host, self.cfg.salt_hosts)
+            per_shard.setdefault(shard_of_host(rkey, self.cfg.n_shards), []).append((s, rid))
         ray.get([self.shards[i].add_seeds.remote(pairs) for i, pairs in per_shard.items()])
 
     # -- round loop ---------------------------------------------------------
@@ -526,6 +544,7 @@ class CrawlEngine:
                         self._index_ref,
                         self.cfg.fetch_payloads,
                         self.root_meta,
+                        self.cfg.salt_hosts,
                     )
                 )
                 part_id += 1
@@ -617,7 +636,11 @@ class CrawlEngine:
                 {"shard": st["shard_id"], "round": st["round"], "enqueued": st["counters"]["enqueued"]}
                 for st in states
             ],
-            "cfg": {"politeness_budget": self.cfg.politeness_budget, "web": spec_of(self.cfg.web)},
+            "cfg": {
+                "politeness_budget": self.cfg.politeness_budget,
+                "web": spec_of(self.cfg.web),
+                "salt_hosts": dict(self.cfg.salt_hosts or {}),
+            },
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -644,6 +667,10 @@ class CrawlEngine:
             if mc.get("web") != spec_of(cfg.web):
                 raise ValueError(
                     f"resume config mismatch: web={spec_of(cfg.web)} vs checkpoint {mc.get('web')}"
+                )
+            if mc.get("salt_hosts", {}) != dict(cfg.salt_hosts or {}):
+                raise ValueError(
+                    f"resume config mismatch: salt_hosts={cfg.salt_hosts} vs checkpoint {mc.get('salt_hosts')}"
                 )
         eng = cls(cfg)
         eng.round_no = manifest["round"]

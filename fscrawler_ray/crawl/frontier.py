@@ -56,6 +56,7 @@ class FrontierShard:
         politeness_budget: int = 4,
         seen_capacity: int = 1 << 17,
         politeness_capacity: int | None = None,
+        salt_hosts: dict | None = None,
     ):
         self.shard_id = shard_id
         self.web = make_source(web_cfg)  # any Source spec (SURVEY E1 gap fix)
@@ -67,6 +68,7 @@ class FrontierShard:
         # accumulate while a host is idle — logical clock, no wall time).
         # Default capacity == refill reproduces plain per-round budgets.
         self.capacity = politeness_capacity if politeness_capacity is not None else politeness_budget
+        self.salt_hosts = dict(salt_hosts or {})
         self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
         self._last_refill: dict[str, int] = {}  # round of that pop
         self.seen = SeenSet(capacity=seen_capacity)
@@ -102,7 +104,8 @@ class FrontierShard:
         for i in np.flatnonzero(new):
             url = urls[i]
             host = url.split("://", 1)[1].split("/", 1)[0].lower()
-            self.queues.setdefault(host, []).append((url, int(depths[i]), int(roots[i])))
+            rkey = route_key(url, host, self.salt_hosts)
+            self.queues.setdefault(rkey, []).append((url, int(depths[i]), int(roots[i])))
             added += 1
         self.counters["enqueued"] += added
         return added
@@ -226,10 +229,16 @@ class FrontierShard:
         out_root: list[int] = []
         for host in sorted(h for h, q in self.queues.items() if len(q) > self._qhead.get(h, 0)):
             emitted = 0
+            # per-salt budget: a salted host's k queues split the host's
+            # budget so the per-HOST politeness bound still holds
+            h0 = true_host(host)
+            k = int(self.salt_hosts.get(h0, 1)) if self.salt_hosts else 1
+            budget = max(1, self.budget // k) if k > 1 else self.budget
+            capacity = max(1, self.capacity // k) if k > 1 else self.capacity
             # token bucket (logical clock): refill `budget` per elapsed round
             # since the host's last pop, capped at `capacity`
             elapsed = self.round - self._last_refill.get(host, -1)
-            allowance = min(self.capacity, self._tokens.get(host, 0) + self.budget * elapsed)
+            allowance = min(capacity, self._tokens.get(host, 0) + budget * elapsed)
             q = self.queues[host]
             head = self._qhead.get(host, 0)
             while head < len(q) and emitted < allowance:
@@ -241,7 +250,7 @@ class FrontierShard:
                 urls = [c[0] for c in cand]
                 depths = np.array([c[1] for c in cand], dtype=np.int32)
                 roots = [c[2] for c in cand]
-                allowed = np.array([self.web.robots_allowed(host, u) for u in urls], dtype=bool)
+                allowed = np.array([self.web.robots_allowed(h0, u) for u in urls], dtype=bool)
                 self.counters["skipped_robots"] += int((~allowed).sum())
                 is_dir = np.array([self.web.is_container(u) for u in urls], dtype=bool)
                 metas = [self.web.metadata(u) for u in urls]
@@ -319,6 +328,7 @@ class FrontierShard:
             "counters": dict(self.counters),
             "seen": self.seen.state(),
             "buffer": list(self._buffer),
+            "salt_hosts": dict(self.salt_hosts),
         }
 
     def load_state(self, st: dict) -> None:
@@ -333,7 +343,28 @@ class FrontierShard:
         self.counters = dict(st["counters"])
         self.seen = SeenSet.from_state(st["seen"])
         self._buffer = [tuple(t) for t in st["buffer"]]
+        self.salt_hosts = dict(st.get("salt_hosts", {}))
 
 
 def shard_of_host(host: str, n_shards: int) -> int:
     return xxh64(host.lower(), seed=3) % n_shards
+
+
+def route_key(url: str, host: str, salt_hosts: dict | None) -> str:
+    """Queue/partition key for a URL. Unsalted hosts key by host; a host in
+    ``salt_hosts`` (host → k) splits across k pseudo-hosts ``host#i`` by
+    url-hash — the north rule's 'salted repartitioning of skewed hosts'.
+    The salt is a pure function of the URL, so the same URL always routes
+    to the same shard and the seen-set stays exact. Politeness budget is
+    divided across salts (per-salt = budget // k), so the per-HOST rate
+    bound still holds; intra-host FIFO becomes per-salt FIFO (documented
+    trade, SCALE.md)."""
+    k = salt_hosts.get(host) if salt_hosts else None
+    if not k or int(k) <= 1:
+        return host
+    return f"{host}#{xxh64(url, seed=5) % int(k)}"
+
+
+def true_host(key: str) -> str:
+    """Strip the salt suffix off a route key."""
+    return key.split("#", 1)[0]

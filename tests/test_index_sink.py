@@ -1,0 +1,54 @@
+"""Inverted-index sink (the W5 Elasticsearch-indexing analog): build a
+hash-partitioned posting-list index distributed, look terms up reading
+only one partition, and cross-check lookups against a brute-force scan."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from fscrawler_ray.pipelines.index_sink import (
+    build_inverted_index,
+    lookup_term,
+    q_term_df,
+    search,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_postings(term: str) -> np.ndarray:
+    import re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if term in re.split(r"\W+", text.lower()):
+            out.append(doc_id)
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def test_build_lookup_and_search(tmp_path):
+    idx = str(tmp_path / "idx")
+    n = build_inverted_index(SF, idx, n_partitions=8)
+    assert n > 0
+    parts = glob.glob(os.path.join(idx, "term_bucket=*"))
+    assert 1 < len(parts) <= 8
+
+    # pick two terms that actually occur
+    df = q_term_df(SF, min_df=10).to_pandas().sort_values("df", ascending=False)
+    assert len(df) > 2
+    t1, t2 = df["token"].iloc[0], df["token"].iloc[1]
+
+    got = lookup_term(idx, t1)
+    assert got.tolist() == _brute_postings(t1).tolist()
+
+    both = search(idx, [t1, t2], mode="and")
+    either = search(idx, [t1, t2], mode="or")
+    s1, s2 = set(lookup_term(idx, t1).tolist()), set(lookup_term(idx, t2).tolist())
+    assert set(both.tolist()) == s1 & s2
+    assert set(either.tolist()) == s1 | s2
+
+    # unknown term: clean empty
+    assert len(lookup_term(idx, "zz-no-such-token-zz")) == 0

@@ -1,0 +1,82 @@
+"""Salted repartitioning of skewed hosts (the north rule's explicit skew
+lever): a salted crawl must visit the SAME URL set with the SAME seen-set
+and stay within the per-HOST politeness bound; intra-host order is traded
+for per-salt FIFO (documented in frontier.route_key)."""
+
+import glob
+import os
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+from fscrawler_ray.crawl.frontier import true_host
+from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+CFG = WebConfig(seed=13, n_hosts=6, max_depth=4, fanout_dirs=2, fanout_files=4)
+HOT = "host00.example.com"  # the synthetic web's cross-link magnet
+
+
+def test_salted_crawl_same_urlset_and_politeness(tmp_path):
+    seeds = SynthWeb(CFG).seeds()
+
+    plain = CrawlEngine(CrawlConfig(web=CFG, n_shards=3, politeness_budget=4, max_rounds=60))
+    plain.run(seeds)
+    plain_urls = set(r["url"] for r in plain.trace_table().to_pylist())
+    plain_seen = set(int(k) for k in plain.seen_keys())
+
+    out = str(tmp_path / "out")
+    salted = CrawlEngine(
+        CrawlConfig(web=CFG, n_shards=3, politeness_budget=4, max_rounds=60,
+                    salt_hosts={HOT: 2}, out_dir=out)
+    )
+    salted.run(seeds)
+    s_urls = set(r["url"] for r in salted.trace_table().to_pylist())
+    s_seen = set(int(k) for k in salted.seen_keys())
+
+    assert s_urls == plain_urls          # same crawled URL set
+    assert s_seen == plain_seen          # seen-set exactness preserved
+    c_p, c_s = plain.counters(), salted.counters()
+    assert c_s["emitted"] == c_p["emitted"]
+    assert c_s["containers"] == c_p["containers"]
+    assert c_s["leaves"] == c_p["leaves"]
+
+    # per-HOST politeness bound holds per round even though the hot host's
+    # queue is split across salts (trace parts are per (round, shard))
+    by_round: dict[int, Counter] = {}
+    for f in glob.glob(os.path.join(out + "_trace", "part-*.parquet")):
+        rnd = int(os.path.basename(f).split("-")[1])
+        t = pq.read_table(f, columns=["host"])
+        cnt = by_round.setdefault(rnd, Counter())
+        for h in t.column("host").to_pylist():
+            cnt[true_host(h)] += 1
+    assert by_round, "no trace parts written"
+    for rnd, cnt in by_round.items():
+        for host, n in cnt.items():
+            assert n <= 4, (rnd, host, n)
+
+    # the hot host actually spread across >1 shard-queue (the point)
+    hot_keys = set()
+    for f in glob.glob(os.path.join(out + "_trace", "part-*.parquet")):
+        for h in pq.read_table(f, columns=["host"]).column("host").to_pylist():
+            if true_host(h) == HOT:
+                hot_keys.add(h)
+    assert len(hot_keys) == 2, hot_keys
+
+
+def test_salt_exceeding_budget_rejected():
+    with pytest.raises(ValueError, match="politeness_budget"):
+        CrawlEngine(CrawlConfig(web=CFG, politeness_budget=2, salt_hosts={HOT: 4}))
+
+
+def test_salt_mismatch_on_resume_rejected(tmp_path):
+    seeds = SynthWeb(CFG).seeds()
+    ck = str(tmp_path / "ck")
+    eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4,
+                                  max_rounds=3, checkpoint_dir=ck, salt_hosts={HOT: 2}))
+    eng.run(seeds)
+    eng.checkpoint()
+    with pytest.raises(ValueError, match="salt_hosts"):
+        CrawlEngine.resume(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4,
+                                       checkpoint_dir=ck))
