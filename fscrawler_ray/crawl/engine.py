@@ -588,6 +588,22 @@ class CrawlEngine:
             merged.update(d)
         return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
 
+    def suggest_salts(self, threshold: int | None = None, top: int = 5) -> dict:
+        """Turn the hot-host signal into a concrete salting plan for the
+        NEXT crawl: hosts whose frontier backlog exceeds ``threshold``
+        (default: 8× the per-round budget) get k = backlog/threshold salts,
+        clamped to the politeness budget (the salting invariant). Returned
+        dict plugs straight into ``CrawlConfig.salt_hosts``; changing salts
+        mid-crawl would re-route queued URLs, so the engine never applies
+        this automatically."""
+        thr = threshold if threshold is not None else 8 * self.cfg.politeness_budget
+        out: dict[str, int] = {}
+        for host, pending in self.hot_hosts(top=top):
+            if pending >= thr:
+                k = min(self.cfg.politeness_budget, max(2, pending // thr))
+                out[true_host(host)] = int(k)
+        return out
+
     def counters(self) -> dict:
         per = ray.get([s.get_counters.remote() for s in self.shards])
         tot: dict = {}

@@ -569,6 +569,23 @@ def q_supplier_nation(sf_dir: str):
     return _select(agg, ["n_name", "suppliers", "total_acct_cents"])
 
 
+def q_priority_revenue(sf_dir: str):
+    """Fact-to-fact join expressed broadcast-side: the orders key→priority
+    map is small relative to lineitem; at true big-big scale this becomes
+    a co-partitioned groupby (SCALE.md wide-ops note)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: _cents(b, "l_extendedprice", "price_cents").drop_columns(["l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    orders = _read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).rename_columns(
+        ["l_orderkey", "o_orderpriority"]
+    )
+    joined = broadcast_join(li, orders, on="l_orderkey", how="inner")
+    agg = grouped_sum(joined, ["o_orderpriority"], {"price_cents": "revenue_cents"}, count_out="items")
+    return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
+
+
 ORACLE_SQL = {
     "count_by_lang": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "chars_by_lang": (
@@ -694,6 +711,11 @@ ORACLE_SQL = {
         "cast(sum(cast(round(s_acctbal*100) AS bigint)) AS BIGINT) AS total_acct_cents "
         "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
     ),
+    "priority_revenue": (
+        "SELECT o_orderpriority, count(*) AS items, "
+        "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
 }
 
 QUERIES = {
@@ -727,4 +749,5 @@ QUERIES = {
     "users_without_errors": q_users_without_errors,
     "union_all_names": q_union_all_names,
     "supplier_nation": q_supplier_nation,
+    "priority_revenue": q_priority_revenue,
 }

