@@ -586,6 +586,26 @@ def q_priority_revenue(sf_dir: str):
     return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
 
 
+def q_priority_revenue_copart(sf_dir: str):
+    """Same result as q_priority_revenue but via the big-big
+    co-partitioned join (stages.joins.copartition_join) — neither side is
+    broadcast; both shuffle once by key-hash bucket and merge vectorized
+    per bucket. The SQL oracle is identical, which is the point: two
+    physical join strategies, one logical answer."""
+    from ..stages.joins import copartition_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: _cents(b, "l_extendedprice", "price_cents").drop_columns(["l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = _rename(orders, {"o_orderkey": "l_orderkey"})
+    joined = copartition_join(li, orders, on="l_orderkey", how="inner", n_partitions=32)
+    agg = grouped_sum(joined, ["o_orderpriority"], {"price_cents": "revenue_cents"}, count_out="items")
+    return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
+
+
 ORACLE_SQL = {
     "count_by_lang": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "chars_by_lang": (
@@ -716,6 +736,11 @@ ORACLE_SQL = {
         "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
     ),
+    "priority_revenue_copart": (
+        "SELECT o_orderpriority, count(*) AS items, "
+        "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
 }
 
 QUERIES = {
@@ -750,4 +775,5 @@ QUERIES = {
     "union_all_names": q_union_all_names,
     "supplier_nation": q_supplier_nation,
     "priority_revenue": q_priority_revenue,
+    "priority_revenue_copart": q_priority_revenue_copart,
 }

@@ -71,3 +71,86 @@ def broadcast_lookup_mask(values: np.ndarray, lookup: set | np.ndarray) -> np.nd
     """Vectorized membership for probe-style filters."""
     arr = np.asarray(lookup if not isinstance(lookup, set) else list(lookup))
     return np.isin(values, arr)
+
+
+def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str = "_r", n_partitions: int = 64):
+    """Big-big join as a co-partitioned groupby — the scale path when
+    neither side broadcasts (SCALE.md wide-ops note).
+
+    Both sides are tagged and bucketed by ``hash(key) % n_partitions``;
+    one Ray groupby co-locates each bucket's rows from BOTH sides, and the
+    per-bucket callback runs ONE vectorized pandas merge (n_partitions
+    callbacks total — never per-key, which is the Ray map_groups overhead
+    trap). Shuffle volume is both sides once, the minimum for a big-big
+    join. Right columns colliding with left names get ``suffix``.
+
+    ``how``: inner | left.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import xxh64_u64
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = [c for c in left_schema.names]
+    right_cols = [c for c in right_schema.names if c != on]
+    right_out = {c: (c + suffix if c in left_cols else c) for c in right_cols}
+    all_cols = left_cols + [right_out[c] for c in right_cols]
+    types: dict = {}
+    for name, typ in zip(left_schema.names, left_schema.types):
+        types[name] = typ
+    for name, typ in zip(right_schema.names, right_schema.types):
+        if name != on:
+            types[right_out[name]] = typ
+
+    def _bucket(b: pa.Table) -> pa.Array:
+        k = b.column(on).to_numpy(zero_copy_only=False)
+        if k.dtype.kind in ("i", "u"):
+            h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=23)
+        else:
+            from ..functions.hashing import xxh64_batch
+
+            col = b.column(on)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = xxh64_batch(col.cast(pa.string()), seed=23)
+        return pa.array((h % np.uint64(n_partitions)).astype(np.int64))
+
+    def widen(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {"__pcol": _bucket(b), "__side": pa.array(np.full(b.num_rows, side, np.int8))}
+            for name in all_cols:
+                if side == 0 and name in left_cols:
+                    cols[name] = b.column(name)
+                elif side == 1 and name in right_out.values():
+                    src = next(c for c, o in right_out.items() if o == name)
+                    cols[name] = b.column(src)
+                elif side == 1 and name == on:
+                    cols[name] = b.column(on)
+                else:
+                    cols[name] = pa.nulls(b.num_rows, types[name])
+            return pa.table({k: cols[k] for k in ["__pcol", "__side"] + all_cols})
+
+        return f
+
+    l2 = left_ds.map_batches(widen(0), batch_format="pyarrow")
+    r2 = right_ds.map_batches(widen(1), batch_format="pyarrow")
+
+    def _pd_dtype(t: pa.DataType):
+        # pandas upcasts null-filled int columns to float64 in the union;
+        # restore nullable integer dtypes so sums stay integral downstream
+        if pa.types.is_integer(t):
+            return {8: "Int8", 16: "Int16", 32: "Int32", 64: "Int64"}[t.bit_width]
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return None
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][left_cols]
+        rf = g[g["__side"] == 1][[on] + [right_out[c] for c in right_cols]]
+        out = lf.merge(rf, on=on, how="inner" if how == "inner" else "left")
+        out = out[all_cols]
+        casts = {c: _pd_dtype(types[c]) for c in all_cols if _pd_dtype(types[c]) is not None}
+        return out.astype(casts)
+
+    return l2.union(r2).groupby("__pcol").map_groups(merge, batch_format="pandas")

@@ -205,3 +205,26 @@ def test_knn_ivf_prunes_partitions(tmp_path):
         a = set(ivf[ivf["query_id"] == q]["vec_id"])
         recall.append(len(a & b) / len(b))
     assert np.mean(recall) >= 0.4, recall
+
+
+def test_copartition_join_matches_broadcast():
+    """The big-big co-partitioned join must agree with the broadcast join
+    on every row (including left rows with no match for how='left')."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.stages.joins import broadcast_join, copartition_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 5, 5, 7], pa.int64()),
+                     "lv": pa.array(list("abcdeef"))})
+    right = pa.table({"k": pa.array([2, 3, 5, 9], pa.int64()),
+                      "rv": pa.array([20, 30, 50, 90], pa.int64()),
+                      "lv": pa.array(list("WXYZ"))})  # name collision -> suffix
+    lds = ray.data.from_arrow(left)
+    for how in ("inner", "left"):
+        bc = broadcast_join(lds, right, on="k", how=how, suffix="_r").to_pandas()
+        cp = copartition_join(lds, ray.data.from_arrow(right), on="k", how=how,
+                              suffix="_r", n_partitions=4).to_pandas()
+        key = lambda df: sorted(map(tuple, df.fillna(-1)[sorted(df.columns)].to_numpy().tolist()))
+        assert sorted(bc.columns) == sorted(cp.columns)
+        assert key(bc) == key(cp), how
