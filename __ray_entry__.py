@@ -111,13 +111,16 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["image_id", "extracted_caption", "brightness", "dominant_hue"])
 
     def audio_features(sf_dir: str):
+        # REAL decode path: RIFF/WAVE PCM parsed with the stdlib wave
+        # module, features from numpy FFT (no external codec needed)
         import ray as _ray
 
-        from fscrawler_ray.stages.multimodal import AudioFeatureStage, synth_audio_table
+        from fscrawler_ray.stages.multimodal import AudioFeatureStage, synth_wav_table
 
-        t = synth_audio_table(min(rows_for_sf(sf_dir), 512))
+        t = synth_wav_table(min(rows_for_sf(sf_dir), 512))
         return _ray.data.from_arrow(t).map_batches(
-            AudioFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+            AudioFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4),
+            fn_constructor_kwargs={"backend": "wav"},
         )
 
     def video_frames(sf_dir: str):

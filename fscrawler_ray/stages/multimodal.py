@@ -125,21 +125,126 @@ def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_wav_table(n: int, seed: int = 42) -> pa.Table:
+    """REAL RIFF/WAVE payloads (stdlib ``wave`` writer): deterministic sine
+    mixtures + noise, 16-bit mono PCM. These decode with the stage's 'wav'
+    backend — honest audio bytes, no external codecs needed."""
+    import io
+    import wave
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, bufs, srs, durs = [], [], [], []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        dur_s = float(rng.uniform(0.2, 0.8))
+        f0 = float(rng.uniform(200, min(2000, sr / 2 - 200)))
+        amp = float(rng.uniform(0.2, 0.9))
+        t = np.arange(int(sr * dur_s)) / sr
+        sig = amp * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.standard_normal(len(t))
+        pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        ids.append(f"wav_{i:08d}")
+        bufs.append(bio.getvalue())
+        srs.append(sr)
+        durs.append(int(dur_s * 1000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "bytes": pa.array(bufs, pa.binary()),
+            "sample_rate": pa.array(np.array(srs, np.int32)),
+            "n_channels": pa.array(np.ones(n, np.int8)),
+            "duration_ms": pa.array(np.array(durs, np.int32)),
+            "codec": pa.array(["wav"] * n, pa.string()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib WAV decode → (mono float64 in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise ValueError(f"only 16-bit PCM supported, got sampwidth={sw}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
 class AudioFeatureStage:
-    """Actor-pool audio featurizer. The decode hook is a stub: 'ffmpeg'
-    raises NotImplementedError (library absent); 'fake' derives
-    deterministic features from the raw bytes so the Ray plumbing (actor
-    pool, batch size, schema) runs for real."""
+    """Actor-pool audio featurizer with three backends:
+
+    - ``'wav'`` — REAL decode: stdlib ``wave`` parses RIFF 16-bit PCM and
+      numpy computes genuine features (RMS loudness in dBFS,
+      zero-crossing rate, log-spaced FFT band energies — the mel-ish
+      filterbank). No external codec needed.
+    - ``'fake'`` — byte-hash-derived features (for opaque/compressed
+      payloads whose codecs are absent in this container).
+    - ``'ffmpeg'`` — honest NotImplementedError (library not installed).
+    """
 
     def __init__(self, backend: str = "fake", n_mels: int = 8):
-        if backend not in ("fake",):
+        if backend not in ("fake", "wav"):
             raise NotImplementedError(
                 f"audio backend {backend!r} needs ffmpeg/librosa, which are not "
-                "available in this environment; use backend='fake'"
+                "available in this environment; use backend='wav' (PCM) or 'fake'"
             )
+        self.backend = backend
         self.n_mels = n_mels
 
+    def _wav_features(self, buf: bytes):
+        x, sr = _decode_wav(buf)
+        if len(x) == 0:
+            return np.zeros(self.n_mels, np.float32), -120.0, 0.0
+        rms = float(np.sqrt(np.mean(x**2)))
+        loud_db = 20.0 * np.log10(max(rms, 1e-6))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) * sr / 2.0
+        p = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+        edges = np.geomspace(50.0, sr / 2.0, self.n_mels + 1)
+        bands = np.empty(self.n_mels, np.float64)
+        for k in range(self.n_mels):
+            m = (freqs >= edges[k]) & (freqs < edges[k + 1])
+            bands[k] = p[m].sum() if m.any() else 0.0
+        feats = np.log1p(bands / max(len(x), 1)).astype(np.float32)
+        return feats, round(loud_db, 6), round(zcr, 6)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "wav":
+            feats, louds, zcrs, oks = [], [], [], []
+            for buf in batch.column("bytes").to_pylist():
+                try:
+                    f, l, z = self._wav_features(buf)
+                    oks.append(True)
+                except Exception:
+                    # undecodable payload flags the row, never kills the
+                    # stage (record-and-continue, like the dead letters)
+                    f, l, z = None, None, None
+                    oks.append(False)
+                feats.append(f)
+                louds.append(l)
+                zcrs.append(z)
+            out = batch.drop_columns(["bytes"])
+            out = out.append_column(
+                "mel_features",
+                pa.array([f.tolist() if f is not None else None for f in feats], pa.list_(pa.float32())),
+            )
+            out = out.append_column("loudness", pa.array(louds, pa.float64()))
+            out = out.append_column("zcr", pa.array(zcrs, pa.float64()))
+            out = out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+            return out
         data = batch.column("bytes")
         h = xxh64_batch(data)
         feats = []

@@ -94,3 +94,44 @@ def test_two_phase_process_resumes():
         t = ray.data.read_parquet(proc).take_batch(10, batch_format="pyarrow")
         assert "stage" in t.column_names
         assert "bytes" not in t.column_names
+
+
+def test_audio_wav_backend_real_dsp():
+    """The 'wav' backend REALLY decodes: a pure 440 Hz sine at amplitude
+    0.5 must show its energy in the right FFT band, zcr ~ 2*f, and RMS
+    loudness ~ 20*log10(0.5/sqrt(2))."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+    import pyarrow as pa
+
+    from fscrawler_ray.stages.multimodal import AudioFeatureStage
+
+    sr, f0, amp = 16000, 440.0, 0.5
+    t = np.arange(sr) / sr  # 1 second
+    pcm = (amp * np.sin(2 * np.pi * f0 * t) * 32767).astype("<i2")
+    bio = io.BytesIO()
+    with wavemod.open(bio, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    batch = pa.table({"media_id": ["a"], "bytes": pa.array([bio.getvalue()], pa.binary())})
+    out = AudioFeatureStage(backend="wav")(batch)
+    loud = out.column("loudness")[0].as_py()
+    zcr = out.column("zcr")[0].as_py()
+    mel = np.array(out.column("mel_features")[0].as_py())
+    assert abs(loud - 20 * np.log10(amp / np.sqrt(2))) < 0.5, loud
+    assert abs(zcr - f0) < 30, zcr  # 2*f0 sign flips/s, normalized by /2 -> f0
+    # the band containing 440 Hz dominates
+    edges = np.geomspace(50.0, sr / 2.0, 9)
+    expect_band = int(np.searchsorted(edges, f0) - 1)
+    assert int(mel.argmax()) == expect_band, (mel.tolist(), expect_band)
+
+
+def test_audio_ffmpeg_backend_still_stubbed():
+    import pytest
+
+    from fscrawler_ray.stages.multimodal import AudioFeatureStage
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(backend="ffmpeg")
