@@ -124,17 +124,16 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def video_frames(sf_dir: str):
-        import pyarrow as pa
+        # REAL demux+decode: FSV1 containers of codec-encoded frames; the
+        # sampler seeks the TOC and decodes only the sampled frames
         import ray as _ray
 
-        from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, synth_audio_table
+        from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, synth_video_table
 
-        t = synth_audio_table(min(rows_for_sf(sf_dir), 256))
-        vt = pa.table(
-            {"media_id": t.column("media_id"), "bytes": t.column("bytes"), "duration_ms": t.column("duration_ms")}
-        )
-        out = _ray.data.from_arrow(vt).map_batches(
-            VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        t = synth_video_table(min(rows_for_sf(sf_dir), 256))
+        out = _ray.data.from_arrow(t).map_batches(
+            VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
+            fn_constructor_kwargs={"backend": "fsv"},
         )
         return out.select_columns(["media_id", "frame_no", "ts_ms"])
 

@@ -259,37 +259,148 @@ class AudioFeatureStage:
         return out
 
 
+_FSV_MAGIC = b"FSV1"
+
+
+def encode_fsv(frames: list[np.ndarray], fps: float = 12.0, fmt: str = "png") -> bytes:
+    """Encode frames into the FSV1 container: magic + u32 frame count +
+    f32 fps + per-frame (u32 length, codec bytes). A documented, seekable
+    toy container so video demux/decode is REAL in this environment (the
+    per-frame codec is the repo's own functions/codecs.py)."""
+    import struct
+
+    parts = [_FSV_MAGIC, struct.pack("<I", len(frames)), struct.pack("<f", fps)]
+    for img in frames:
+        buf = codecs.encode(img, fmt)
+        parts.append(struct.pack("<I", len(buf)))
+        parts.append(buf)
+    return b"".join(parts)
+
+
+def decode_fsv_header(buf: bytes) -> tuple[int, float, list[tuple[int, int]]]:
+    """Parse the FSV1 container TOC without decoding any frame: returns
+    (n_frames, fps, [(offset, length), ...]) — this is what lets the
+    sampler seek straight to the frames it wants."""
+    import struct
+
+    if buf[:4] != _FSV_MAGIC:
+        raise ValueError("not an FSV1 container")
+    n = struct.unpack_from("<I", buf, 4)[0]
+    fps = struct.unpack_from("<f", buf, 8)[0]
+    toc = []
+    off = 12
+    for _ in range(n):
+        ln = struct.unpack_from("<I", buf, off)[0]
+        toc.append((off + 4, ln))
+        off += 4 + ln
+    return n, fps, toc
+
+
+def synth_video_table(n: int, seed: int = 42, frames_per_clip: int = 8) -> pa.Table:
+    """Deterministic REAL video payloads: FSV1 containers of codec-encoded
+    frames (animated by shifting the synth pattern per frame)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, bufs, ws, hs, fpss, durs = [], [], [], [], [], []
+    for i in range(n):
+        w = int(rng.choice([32, 48]))
+        h = int(rng.choice([32, 48]))
+        fps = float(rng.choice([8.0, 12.0, 24.0]))
+        base = int(rng.integers(0, 1 << 31))
+        frames = [codecs.synth_image((base + f) & 0xFFFFFFFF, w, h) for f in range(frames_per_clip)]
+        bufs.append(encode_fsv(frames, fps=fps))
+        ids.append(f"vid_{i:08d}")
+        ws.append(w)
+        hs.append(h)
+        fpss.append(fps)
+        durs.append(int(frames_per_clip / fps * 1000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "bytes": pa.array(bufs, pa.binary()),
+            "w": pa.array(np.array(ws, np.int32)),
+            "h": pa.array(np.array(hs, np.int32)),
+            "fps": pa.array(np.array(fpss, np.float32)),
+            "duration_ms": pa.array(np.array(durs, np.int32)),
+            "codec": pa.array(["fsv1"] * n, pa.string()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+
+
 class VideoFrameSampleStage:
     """Actor-pool frame sampler (the reference's evenly-spaced ffmpeg frames,
-    preview_file_processor.py:17-62). Stubbed decode, real plumbing:
-    emits one row per sampled frame (flat_map-style expansion)."""
+    preview_file_processor.py:17-62). Emits one row per sampled frame
+    (flat_map-style expansion).
+
+    - ``'fsv'`` — REAL demux+decode: parses the FSV1 container TOC, seeks
+      to the evenly-spaced frames, decodes ONLY those (IO/compute pruning
+      at the frame level) and re-encodes png thumbnails.
+    - ``'fake'`` — byte-hash-derived frames (opaque payloads).
+    - ``'ffmpeg'`` — honest NotImplementedError (library not installed).
+    """
 
     def __init__(self, backend: str = "fake", n_frames: int = 3):
-        if backend not in ("fake",):
+        if backend not in ("fake", "fsv"):
             raise NotImplementedError(
                 f"video backend {backend!r} needs ffmpeg, which is not available "
-                "in this environment; use backend='fake'"
+                "in this environment; use backend='fsv' (FSV1 container) or 'fake'"
             )
+        self.backend = backend
         self.n_frames = n_frames
 
+    def _sample_fsv(self, buf: bytes, mid: str, rows: tuple) -> None:
+        ids, frame_no, ts_ms, thumbs, oks = rows
+        try:
+            total, fps, toc = decode_fsv_header(buf)
+        except Exception:
+            ids.append(mid)
+            frame_no.append(-1)
+            ts_ms.append(0)
+            thumbs.append(None)
+            oks.append(False)
+            return
+        picks = [int((f + 0.5) * total / self.n_frames) for f in range(min(self.n_frames, total))]
+        for f, idx in enumerate(picks):
+            off, ln = toc[idx]
+            img, _, _, _ = codecs.decode(buf[off : off + ln])  # decode ONLY sampled frames
+            ids.append(mid)
+            frame_no.append(f)
+            ts_ms.append(int(idx / fps * 1000))
+            thumbs.append(codecs.encode(img, "png"))
+            oks.append(True)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_no, ts_ms, thumbs = [], [], [], []
-        keys = xxh64_batch(batch.column("bytes"))
-        for i in range(batch.num_rows):
-            dur = batch.column("duration_ms")[i].as_py()
-            mid = batch.column("media_id")[i].as_py()
-            rng = np.random.Generator(np.random.PCG64(int(keys[i])))
-            for f in range(self.n_frames):
-                ids.append(mid)
-                frame_no.append(f)
-                ts_ms.append(int((f + 0.5) * dur / self.n_frames))
-                img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
-                thumbs.append(codecs.encode(img, "png"))
+        ids: list[str] = []
+        frame_no: list[int] = []
+        ts_ms: list[int] = []
+        thumbs: list[bytes | None] = []
+        oks: list[bool] = []
+        if self.backend == "fsv":
+            for i in range(batch.num_rows):
+                self._sample_fsv(
+                    batch.column("bytes")[i].as_py(),
+                    batch.column("media_id")[i].as_py(),
+                    (ids, frame_no, ts_ms, thumbs, oks),
+                )
+        else:
+            keys = xxh64_batch(batch.column("bytes"))
+            for i in range(batch.num_rows):
+                dur = batch.column("duration_ms")[i].as_py()
+                mid = batch.column("media_id")[i].as_py()
+                rng = np.random.Generator(np.random.PCG64(int(keys[i])))
+                for f in range(self.n_frames):
+                    ids.append(mid)
+                    frame_no.append(f)
+                    ts_ms.append(int((f + 0.5) * dur / self.n_frames))
+                    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+                    thumbs.append(codecs.encode(img, "png"))
+                    oks.append(True)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "frame_no": pa.array(frame_no, pa.int32()),
                 "ts_ms": pa.array(ts_ms, pa.int32()),
                 "frame_png": pa.array(thumbs, pa.binary()),
+                "decode_ok": pa.array(oks, pa.bool_()),
             }
         )

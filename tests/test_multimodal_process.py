@@ -135,3 +135,38 @@ def test_audio_ffmpeg_backend_still_stubbed():
 
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(backend="ffmpeg")
+
+
+def test_video_fsv_backend_real_demux_decode():
+    """The 'fsv' backend really demuxes and decodes: sampled thumbnails
+    must be pixel-identical to the container's frames at the sampled
+    indices, and timestamps must follow frame_index/fps."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fscrawler_ray.functions import codecs
+    from fscrawler_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        decode_fsv_header,
+        encode_fsv,
+    )
+
+    frames = [codecs.synth_image(100 + f, 32, 32) for f in range(8)]
+    buf = encode_fsv(frames, fps=8.0)
+    n, fps, toc = decode_fsv_header(buf)
+    assert (n, fps) == (8, 8.0) and len(toc) == 8
+
+    batch = pa.table({"media_id": ["v"], "bytes": pa.array([buf], pa.binary())})
+    out = VideoFrameSampleStage(backend="fsv", n_frames=3)(batch)
+    assert out.num_rows == 3
+    assert out.column("decode_ok").to_pylist() == [True] * 3
+    picks = [int((f + 0.5) * 8 / 3) for f in range(3)]  # 1, 4, 6
+    assert out.column("ts_ms").to_pylist() == [int(i / 8.0 * 1000) for i in picks]
+    for row, idx in enumerate(picks):
+        thumb, _, _, _ = codecs.decode(out.column("frame_png")[row].as_py())
+        assert np.array_equal(thumb, frames[idx]), (row, idx)
+
+    # garbage container flags, never crashes
+    bad = pa.table({"media_id": ["x"], "bytes": pa.array([b"AVI?nope"], pa.binary())})
+    out2 = VideoFrameSampleStage(backend="fsv")(bad)
+    assert out2.column("decode_ok").to_pylist() == [False]
