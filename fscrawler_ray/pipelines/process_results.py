@@ -69,19 +69,18 @@ def process_results(crawl_out_dir: str, processed_dir: str, batch_size: int = 25
     done_keys = _done_key_index(processed_dir) if have_prev else np.empty(0, np.uint64)
     done_ref = ray.put(done_keys)
 
-    class NotDone:
-        def __init__(self):
-            self._keys = ray.get(done_ref)  # once per actor
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if len(self._keys) == 0:
-                return b
-            probe = xxh64_batch(b.column("image_id").combine_chunks())
-            pos = np.minimum(np.searchsorted(self._keys, probe), len(self._keys) - 1)
-            return b.filter(pa.array(self._keys[pos] != probe))
+    def not_done(b: pa.Table) -> pa.Table:
+        # stateless fn: the key index is a zero-copy plasma read per node
+        # (avoids the actor-ctor-args-in-object-store restart pitfall)
+        keys = ray.get(done_ref)
+        if len(keys) == 0:
+            return b
+        probe = xxh64_batch(b.column("image_id").combine_chunks())
+        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        return b.filter(pa.array(keys[pos] != probe))
 
     ds = ray.data.read_parquet(crawl_out_dir)
-    ds = ds.map_batches(NotDone, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(not_done, batch_format="pyarrow")
     ds = ds.map_batches(attrs_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(DecodePhashVerify, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4))

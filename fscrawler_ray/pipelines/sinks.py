@@ -43,18 +43,15 @@ def copy_new_rows(src_ds, dest_dir: str, key_cols=("image_id", "size")) -> int:
     existing = existing_key_hashes(dest_dir, cols)
     ref = ray.put(existing)
 
-    class Filter:
-        def __init__(self):
-            self._keys = ray.get(ref)  # once per actor, zero-copy plasma read
+    def keep_new(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)  # zero-copy plasma read, cached per node
+        if len(keys) == 0:
+            return b
+        probe = composite_key_hashes(b, cols)
+        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        return b.filter(pa.array(keys[pos] != probe))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if len(self._keys) == 0:
-                return b
-            probe = composite_key_hashes(b, cols)
-            pos = np.minimum(np.searchsorted(self._keys, probe), len(self._keys) - 1)
-            return b.filter(pa.array(self._keys[pos] != probe))
-
-    fresh = src_ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+    fresh = src_ds.map_batches(keep_new, batch_format="pyarrow")
     return write_dataset(fresh, dest_dir)
 
 
