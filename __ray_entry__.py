@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "term_df": index_sink.q_term_df,
+            "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,
             "simhash_docs": textops.q_simhash_docs,
@@ -180,8 +181,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql = dict(ORACLE_SQL)
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
+    from fscrawler_ray.pipelines.textops import ORACLE_SQL as TEXT_SQL
 
     sql.update(INDEX_SQL)
+    sql.update(TEXT_SQL)
     sql["knn_bruteforce"] = (
         "SELECT q.vec_id AS query_id, e.vec_id, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "
