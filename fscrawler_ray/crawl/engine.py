@@ -80,6 +80,10 @@ class CrawlConfig:
     # per-shard seen-set sizing (bloom/cuckoo capacity; the cuckoo now also
     # auto-grows on overflow, so this is a hint, not a hard limit)
     seen_capacity: int = 1 << 17
+    # back the exact seen store's sorted runs with mmapped files under
+    # this dir (per shard) instead of RAM — the SCALE.md spill path
+    seen_spill_dir: str | None = None
+    seen_exact_max_inmem: int = 1 << 22
     # salted repartitioning of skewed hosts: host → k splits the host's
     # frontier queue across k url-hash salts (and k budget shares) so a
     # pathologically hot host spreads over shards. Preserves the crawled
@@ -366,6 +370,8 @@ class CrawlEngine:
                 seen_capacity=cfg.seen_capacity,
                 politeness_capacity=cfg.politeness_capacity,
                 salt_hosts=cfg.salt_hosts,
+                seen_spill_dir=cfg.seen_spill_dir,
+                seen_exact_max_inmem=cfg.seen_exact_max_inmem,
             )
             for i in range(cfg.n_shards)
         ]

@@ -57,6 +57,8 @@ class FrontierShard:
         seen_capacity: int = 1 << 17,
         politeness_capacity: int | None = None,
         salt_hosts: dict | None = None,
+        seen_spill_dir: str | None = None,
+        seen_exact_max_inmem: int = 1 << 22,
     ):
         self.shard_id = shard_id
         self.web = make_source(web_cfg)  # any Source spec (SURVEY E1 gap fix)
@@ -71,7 +73,14 @@ class FrontierShard:
         self.salt_hosts = dict(salt_hosts or {})
         self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
         self._last_refill: dict[str, int] = {}  # round of that pop
-        self.seen = SeenSet(capacity=seen_capacity)
+        spill = None
+        if seen_spill_dir:
+            import os
+
+            spill = os.path.join(seen_spill_dir, f"shard{shard_id:04d}")
+        self.seen = SeenSet(
+            capacity=seen_capacity, exact_spill_dir=spill, exact_max_inmem=seen_exact_max_inmem
+        )
         self.queues: dict[str, list] = {}  # host -> list[(url, depth)] FIFO
         self._qhead: dict[str, int] = {}  # pop cursor per host (amortized O(1))
         self._buffer: list[tuple[int, int, str, int]] = []  # (parent_seq, child_idx, url, depth)

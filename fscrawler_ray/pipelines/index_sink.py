@@ -70,6 +70,35 @@ def build_inverted_index(sf_dir: str, index_dir: str, n_partitions: int = 16) ->
     return total
 
 
+def compact_index(index_dir: str) -> int:
+    """Merge each partition's write-time part files into ONE token-sorted
+    file (distributed: one task per partition). Lookups then read a single
+    sorted file per term — the posting-list compaction step of any real
+    search index. Returns the number of partitions compacted."""
+    parts = sorted(
+        d for d in os.listdir(index_dir) if d.startswith("term_bucket=") and os.path.isdir(os.path.join(index_dir, d))
+    )
+
+    @ray.remote
+    def _compact(pdir: str) -> int:
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        if len(files) <= 1:
+            return 0
+        t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by("token")
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(pdir, "compacted-000000.parquet"))
+        for f in files:
+            if not os.path.basename(f).startswith("compacted-"):
+                os.remove(f)
+        return 1
+
+    done = ray.get([_compact.remote(os.path.join(index_dir, d)) for d in parts])
+    return sum(done)
+
+
 def _partition_of(index_dir: str, term: str) -> str:
     with open(os.path.join(index_dir, "_meta")) as f:
         n = int(f.read().strip())

@@ -32,11 +32,43 @@ class ExactStore:
     their count grows. This is the per-partition sorted-run spill the
     SCALE.md seen-set section describes, in-process."""
 
-    def __init__(self, max_inmem: int = 1 << 22, max_runs: int = 8):
+    def __init__(self, max_inmem: int = 1 << 22, max_runs: int = 8, spill_dir: str | None = None):
         self.max_inmem = max_inmem
         self.max_runs = max_runs
+        # spill_dir backs sorted runs with memory-mapped .npy files — the
+        # per-partition on-disk runs SCALE.md describes; None keeps runs
+        # in RAM (the test-scale default)
+        self.spill_dir = spill_dir
+        if spill_dir:
+            import os
+
+            os.makedirs(spill_dir, exist_ok=True)
         self._hot: set[int] = set()
         self._runs: list[np.ndarray] = []
+        self._run_files: list[str] = []
+        self._run_seq = 0
+
+    def _persist_run(self, run: np.ndarray) -> np.ndarray:
+        """RAM or mmapped-file backing for one sorted run."""
+        if not self.spill_dir:
+            return run
+        import os
+
+        path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.npy")
+        self._run_seq += 1
+        np.save(path, run)
+        self._run_files.append(path)
+        return np.load(path, mmap_mode="r")
+
+    def _drop_run_files(self) -> None:
+        import os
+
+        for p in self._run_files:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._run_files = []
 
     def __len__(self) -> int:
         return len(self._hot) + sum(len(r) for r in self._runs)
@@ -45,11 +77,13 @@ class ExactStore:
         run = np.fromiter(self._hot, dtype=np.uint64, count=len(self._hot))
         run.sort()
         self._hot = set()
-        self._runs.append(run)
+        self._runs.append(self._persist_run(run))
         if len(self._runs) > self.max_runs:
-            merged = np.concatenate(self._runs)
+            merged = np.concatenate([np.asarray(r) for r in self._runs])
             merged.sort()
-            self._runs = [merged]
+            self._runs = []
+            self._drop_run_files()
+            self._runs = [self._persist_run(merged)]
 
     def add_array(self, keys: np.ndarray) -> None:
         self._hot.update(int(k) for k in keys)
@@ -75,7 +109,9 @@ class ExactStore:
         for i, run in enumerate(self._runs):
             pos = int(np.searchsorted(run, np.uint64(key)))
             if pos < len(run) and run[pos] == np.uint64(key):
-                self._runs[i] = np.delete(run, pos)
+                # np.delete materializes; re-persist so a file-backed run
+                # stays consistent on disk
+                self._runs[i] = self._persist_run(np.delete(np.asarray(run), pos))
                 return
 
     def to_array(self) -> np.ndarray:
@@ -91,11 +127,12 @@ class SeenSet:
         strict: bool = True,
         seed: int = 7,
         exact_max_inmem: int = 1 << 22,
+        exact_spill_dir: str | None = None,
     ):
         self.bloom = BloomFilter(capacity, fp_rate)
         self.cuckoo = CuckooFilter(capacity, seed=seed)
         self.strict = strict
-        self._exact = ExactStore(max_inmem=exact_max_inmem)
+        self._exact = ExactStore(max_inmem=exact_max_inmem, spill_dir=exact_spill_dir)
         # set when a non-strict seen-set's cuckoo overflowed: membership
         # degrades to bloom-only (one-sided, extra FPs, never a crash)
         self._cuckoo_degraded = False

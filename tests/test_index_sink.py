@@ -52,3 +52,27 @@ def test_build_lookup_and_search(tmp_path):
 
     # unknown term: clean empty
     assert len(lookup_term(idx, "zz-no-such-token-zz")) == 0
+
+
+def test_compact_index_preserves_lookups(tmp_path):
+    import numpy as np
+
+    from fscrawler_ray.pipelines.index_sink import build_inverted_index, compact_index
+
+    idx = str(tmp_path / "idx")
+    build_inverted_index(SF, idx, n_partitions=4)
+    df = q_term_df(SF, min_df=10).to_pandas().sort_values("df", ascending=False)
+    terms = df["token"].head(3).tolist()
+    before = {t: lookup_term(idx, t).tolist() for t in terms}
+    files_before = len(glob.glob(os.path.join(idx, "term_bucket=*", "*.parquet")))
+    n = compact_index(idx)
+    assert n >= 1
+    files_after = len(glob.glob(os.path.join(idx, "term_bucket=*", "*.parquet")))
+    assert files_after < files_before
+    assert files_after <= 4
+    for t in terms:
+        assert lookup_term(idx, t).tolist() == before[t]
+    # idempotent
+    compact_index(idx)
+    for t in terms:
+        assert lookup_term(idx, t).tolist() == before[t]

@@ -77,3 +77,28 @@ def test_seenset_cuckoo_overflow_degrades_in_nonstrict_mode():
     s2 = SeenSet.from_state(s.state())
     assert s2._cuckoo_degraded
     assert s2.contains_many(keys).all()
+
+
+def test_exact_store_disk_backed_runs(tmp_path):
+    """spill_dir backs sorted runs with mmapped .npy files — answers must
+    be identical to the in-RAM store and files must actually exist."""
+    import os
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 2**63, 5000).astype(np.uint64))
+    ram = ExactStore(max_inmem=128, max_runs=3)
+    disk = ExactStore(max_inmem=128, max_runs=3, spill_dir=str(tmp_path / "runs"))
+    for i in range(0, len(keys), 333):
+        ram.add_array(keys[i : i + 333])
+        disk.add_array(keys[i : i + 333])
+    assert (ram.contains_array(keys) == disk.contains_array(keys)).all()
+    assert len(ram) == len(disk) == len(keys)
+    files = os.listdir(tmp_path / "runs")
+    assert files, "no spill files written"
+    # runs are memory-mapped, not heap arrays
+    assert any(getattr(r, "base", None) is not None or isinstance(r, np.memmap) for r in disk._runs)
+    other = np.unique(rng.integers(0, 2**63, 500).astype(np.uint64))
+    other = other[~np.isin(other, keys)]
+    assert not disk.contains_array(other).any()
+    disk.discard(int(keys[0]))
+    assert not disk.contains_array(keys[:1])[0]
