@@ -77,3 +77,38 @@ def test_localfs_escape_and_unknown_host_are_safe(tmp_path):
     assert src.fetch_raw("file://other/x.png") is None
     assert src.children("file://other/") == []
     assert src.metadata("file://other/x")["size"] is None
+
+
+def test_localfs_checkpoint_resume_parity(tmp_path):
+    """Cross-feature: a LocalFS crawl checkpointed mid-run and resumed in
+    fresh actors matches the uninterrupted crawl (source protocol +
+    manifest validation + trace spool all composing)."""
+    r0 = str(tmp_path / "r0")
+    _build_tree(r0)
+    spec = {"kind": "localfs", "roots": {"data0": r0}}
+    seeds = make_source(spec).seeds()
+
+    full = CrawlEngine(CrawlConfig(web=spec, n_shards=2, politeness_budget=2, max_rounds=50))
+    full.run(seeds)
+    want = full.trace_table().to_pylist()
+
+    ck = str(tmp_path / "ck")
+    part = CrawlEngine(CrawlConfig(web=spec, n_shards=2, politeness_budget=2,
+                                   max_rounds=2, checkpoint_dir=ck))
+    part.run(seeds)
+    part.checkpoint()
+    del part
+
+    resumed = CrawlEngine.resume(
+        CrawlConfig(web=spec, n_shards=2, politeness_budget=2, max_rounds=50, checkpoint_dir=ck)
+    )
+    resumed.run()
+    got = resumed.trace_table().to_pylist()
+    assert [(r["seq"], r["url"]) for r in got] == [(r["seq"], r["url"]) for r in want]
+
+    # a DIFFERENT source spec must be rejected at resume
+    import pytest
+
+    other = {"kind": "localfs", "roots": {"data0": str(tmp_path)}}
+    with pytest.raises(ValueError, match="web="):
+        CrawlEngine.resume(CrawlConfig(web=other, n_shards=2, politeness_budget=2, checkpoint_dir=ck))

@@ -102,3 +102,45 @@ def test_exact_store_disk_backed_runs(tmp_path):
     assert not disk.contains_array(other).any()
     disk.discard(int(keys[0]))
     assert not disk.contains_array(keys[:1])[0]
+
+
+def test_seenset_fuzz_against_python_set_model():
+    """Model-based fuzz: random interleavings of check_and_add / delete /
+    contains must agree with a plain python-set reference model, across
+    spill bounds, tiny cuckoo capacities (forcing growth), and deletes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(
+        st.tuples(st.sampled_from(["add", "del", "has"]),
+                  st.lists(st.integers(0, 400), min_size=1, max_size=40)),
+        min_size=1, max_size=12),
+        st.integers(0, 2**32))
+    def check(ops, salt):
+        s = SeenSet(capacity=1 << 6, exact_max_inmem=32)  # tiny: spill + growth
+        model: set[int] = set()
+        for op, raw in ops:
+            keys = (np.array(raw, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(salt))
+            if op == "add":
+                new = s.check_and_add(keys)
+                # first occurrence of an unseen key → True
+                expect = []
+                batch_seen = set()
+                for k in keys.tolist():
+                    expect.append(k not in model and k not in batch_seen)
+                    batch_seen.add(k)
+                model.update(batch_seen)
+                assert new.tolist() == expect
+            elif op == "del":
+                s.delete_many(keys)
+                model.difference_update(keys.tolist())
+            else:
+                got = s.contains_many(keys)
+                want = [k in model for k in keys.tolist()]
+                assert got.tolist() == want
+        assert len(s) == len(model)
+        assert sorted(int(k) for k in s.keys_array()) == sorted(model)
+
+    check()
