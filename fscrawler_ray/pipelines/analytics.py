@@ -586,6 +586,32 @@ def q_priority_revenue(sf_dir: str):
     return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
 
 
+def q_rolling_user_value(sf_dir: str):
+    """Sliding 1-hour RANGE window per user: for each event, the sum of
+    that user's value-cents over [ts - 1h, ts] INCLUDING ts-peers (exact
+    SQL RANGE-frame semantics). Vectorized inside map_groups: prefix sums
+    + two searchsorted probes per group — no per-row loop."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(lambda b: _cents(b, "value", "vc"), batch_format="pyarrow").drop_columns(["value"])
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vc = g["vc"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(vc)])
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "rolling_cents": cum[hi] - cum[lo],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+
+
 def q_priority_revenue_copart(sf_dir: str):
     """Same result as q_priority_revenue but via the big-big
     co-partitioned join (stages.joins.copartition_join) — neither side is
@@ -741,6 +767,11 @@ ORACLE_SQL = {
         "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
     ),
+    "rolling_user_value": (
+        "SELECT event_id, user_id, cast(sum(cast(round(value*100) AS bigint)) OVER "
+        "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS rolling_cents FROM events"
+    ),
 }
 
 QUERIES = {
@@ -776,4 +807,5 @@ QUERIES = {
     "supplier_nation": q_supplier_nation,
     "priority_revenue": q_priority_revenue,
     "priority_revenue_copart": q_priority_revenue_copart,
+    "rolling_user_value": q_rolling_user_value,
 }
