@@ -603,11 +603,16 @@ class CrawlEngine:
         mid-crawl would re-route queued URLs, so the engine never applies
         this automatically."""
         thr = threshold if threshold is not None else 8 * self.cfg.politeness_budget
+        # aggregate backlog by TRUE host first — an already-salted host
+        # reports one hot_hosts entry per route key, and thresholding those
+        # individually would under-estimate (or miss) the host's backlog
+        agg: dict[str, int] = {}
+        for host, pending in self.hot_hosts(top=max(top * 4, 16)):
+            agg[true_host(host)] = agg.get(true_host(host), 0) + pending
         out: dict[str, int] = {}
-        for host, pending in self.hot_hosts(top=top):
+        for host, pending in sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top]:
             if pending >= thr:
-                k = min(self.cfg.politeness_budget, max(2, pending // thr))
-                out[true_host(host)] = int(k)
+                out[host] = int(min(self.cfg.politeness_budget, max(2, pending // thr)))
         return out
 
     def counters(self) -> dict:
@@ -615,8 +620,8 @@ class CrawlEngine:
         tot: dict = {}
         for c in per:
             for k, v in c.items():
-                # "round" is a per-shard clock and "pending" a snapshot —
-                # summing them across shards is meaningless
+                # "round" is a per-shard clock — summing it across shards
+                # is meaningless ("pending" sums fine: it's total backlog)
                 if k in ("shard", "round"):
                     continue
                 tot[k] = tot.get(k, 0) + v if isinstance(v, int) else v
@@ -714,7 +719,10 @@ class CrawlEngine:
             import glob
 
             for f in glob.glob(os.path.join(tdir, "part-*.parquet")):
-                rnd = int(os.path.basename(f).split("-")[1])
+                try:
+                    rnd = int(os.path.basename(f).split("-")[1])
+                except ValueError:
+                    continue  # foreign/legacy file name — leave it alone
                 if rnd >= eng.round_no:
                     os.remove(f)
         return eng

@@ -231,10 +231,10 @@ def _filter_dup_buckets(buckets_ds, dup_keys: np.ndarray):
     ref = ray.put(dup_keys)
 
     def keep(b: pa.Table) -> pa.Table:
+        from ..sources.store import sorted_key_mask
+
         keys = ray.get(ref)
-        k = _bucket_mix_key(b)
-        pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
-        return b.filter(pa.array(keys[pos] == k))
+        return b.filter(pa.array(sorted_key_mask(keys, _bucket_mix_key(b))))
 
     return buckets_ds.map_batches(keep, batch_format="pyarrow")
 

@@ -72,12 +72,11 @@ def process_results(crawl_out_dir: str, processed_dir: str, batch_size: int = 25
     def not_done(b: pa.Table) -> pa.Table:
         # stateless fn: the key index is a zero-copy plasma read per node
         # (avoids the actor-ctor-args-in-object-store restart pitfall)
+        from ..sources.store import sorted_key_mask
+
         keys = ray.get(done_ref)
-        if len(keys) == 0:
-            return b
         probe = xxh64_batch(b.column("image_id").combine_chunks())
-        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-        return b.filter(pa.array(keys[pos] != probe))
+        return b.filter(pa.array(~sorted_key_mask(keys, probe)))
 
     ds = ray.data.read_parquet(crawl_out_dir)
     ds = ds.map_batches(not_done, batch_format="pyarrow")

@@ -121,7 +121,7 @@ def _default_index_dir(sf_dir: str, n_centroids: int, seed: int) -> str:
     return os.path.join(tempfile.gettempdir(), "fscrawler_ray_ivf", tag)
 
 
-def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16, seed: int = 9) -> np.ndarray:
+def _build_ivf_into(sf_dir: str, index_dir: str, n_centroids: int, seed: int) -> np.ndarray:
     """Build the IVF index: train the coarse quantizer, then a distributed
     map_batches assigns each vector to its nearest centroid and writes it
     into ``index_dir/centroid=K/`` (hive layout, centroid kept as a real
@@ -156,6 +156,32 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16, seed: in
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     emb.map_batches(AssignWrite, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)).count()
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16, seed: int = 9) -> np.ndarray:
+    """Crash-safe, idempotent build: the index materializes in a sibling
+    tmp dir and lands via an atomic rename, with centroids.npy as the
+    completeness marker — a crashed or concurrent build can never leave a
+    half-written index (or duplicate vectors from a re-append) where a
+    probe would read it."""
+    import shutil
+
+    marker = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(marker):
+        return np.load(marker)
+    tmp = f"{index_dir}.build-{uuid.uuid4().hex}"
+    cent = _build_ivf_into(sf_dir, tmp, n_centroids, seed)
+    try:
+        if os.path.isdir(index_dir) and not os.path.exists(marker):
+            shutil.rmtree(index_dir)  # a previous crashed attempt
+        os.rename(tmp, index_dir)
+    except OSError:
+        # a concurrent build won the rename; use theirs if complete
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return np.load(marker)
+        raise
     return cent
 
 

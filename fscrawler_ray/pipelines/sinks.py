@@ -24,7 +24,7 @@ import pyarrow as pa
 
 import ray
 
-from ..sources.store import composite_key_hashes, existing_key_hashes
+from ..sources.store import composite_key_hashes, existing_key_hashes, sorted_key_mask
 from ..sources.store import dataset as store_dataset
 from ..sources.store import write_dataset
 
@@ -45,11 +45,7 @@ def copy_new_rows(src_ds, dest_dir: str, key_cols=("image_id", "size")) -> int:
 
     def keep_new(b: pa.Table) -> pa.Table:
         keys = ray.get(ref)  # zero-copy plasma read, cached per node
-        if len(keys) == 0:
-            return b
-        probe = composite_key_hashes(b, cols)
-        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-        return b.filter(pa.array(keys[pos] != probe))
+        return b.filter(pa.array(~sorted_key_mask(keys, composite_key_hashes(b, cols))))
 
     fresh = src_ds.map_batches(keep_new, batch_format="pyarrow")
     return write_dataset(fresh, dest_dir)

@@ -75,6 +75,16 @@ def dataset(uri: str, columns=None):
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 
+def sorted_key_mask(keys_sorted: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Membership of ``probe`` in a SORTED uint64 key array (empty-safe) —
+    the one broadcast-index probe shared by every idempotent sink and
+    filter (searchsorted + clamp + equality)."""
+    if len(keys_sorted) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    pos = np.minimum(np.searchsorted(keys_sorted, probe), len(keys_sorted) - 1)
+    return keys_sorted[pos] == probe
+
+
 def composite_key_hashes(table: pa.Table, key_cols: list[str]) -> np.ndarray:
     """uint64 composite key per row: xxh64 of the first (string) column
     XOR a mixed cast of each further (integer) column. This is the compact

@@ -350,23 +350,41 @@ class VideoFrameSampleStage:
 
     def _sample_fsv(self, buf: bytes, mid: str, rows: tuple) -> None:
         ids, frame_no, ts_ms, thumbs, oks = rows
-        try:
-            total, fps, toc = decode_fsv_header(buf)
-        except Exception:
+
+        def flag() -> None:
             ids.append(mid)
             frame_no.append(-1)
             ts_ms.append(0)
             thumbs.append(None)
             oks.append(False)
+
+        try:
+            total, fps, toc = decode_fsv_header(buf)
+        except Exception:
+            flag()
+            return
+        if total == 0 or fps <= 0:
+            flag()  # empty/degenerate clip: flagged, never silently dropped
             return
         picks = [int((f + 0.5) * total / self.n_frames) for f in range(min(self.n_frames, total))]
         for f, idx in enumerate(picks):
-            off, ln = toc[idx]
-            img, _, _, _ = codecs.decode(buf[off : off + ln])  # decode ONLY sampled frames
+            try:
+                off, ln = toc[idx]
+                img, _, _, _ = codecs.decode(buf[off : off + ln])  # decode ONLY sampled frames
+                thumb = codecs.encode(img, "png")
+            except Exception:
+                # a torn frame flags its row; the clip's other frames and
+                # the rest of the batch still process
+                ids.append(mid)
+                frame_no.append(f)
+                ts_ms.append(int(idx / fps * 1000))
+                thumbs.append(None)
+                oks.append(False)
+                continue
             ids.append(mid)
             frame_no.append(f)
             ts_ms.append(int(idx / fps * 1000))
-            thumbs.append(codecs.encode(img, "png"))
+            thumbs.append(thumb)
             oks.append(True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -109,9 +109,10 @@ class ExactStore:
         for i, run in enumerate(self._runs):
             pos = int(np.searchsorted(run, np.uint64(key)))
             if pos < len(run) and run[pos] == np.uint64(key):
-                # np.delete materializes; re-persist so a file-backed run
-                # stays consistent on disk
-                self._runs[i] = self._persist_run(np.delete(np.asarray(run), pos))
+                # keep the tombstoned run in RAM rather than re-persisting
+                # the whole file per delete (tombstones are rare; the next
+                # compaction re-spills it)
+                self._runs[i] = np.delete(np.asarray(run), pos)
                 return
 
     def to_array(self) -> np.ndarray:
@@ -236,6 +237,14 @@ class SeenSet:
             "cuckoo": self.cuckoo.state(),
             "exact": self.keys_array(),
             "cuckoo_degraded": self._cuckoo_degraded,
+            # the exact store's memory/spill config must survive resume
+            # (a resumed shard losing its spill dir would blow RAM exactly
+            # when spilling was needed)
+            "exact_cfg": {
+                "max_inmem": self._exact.max_inmem,
+                "max_runs": self._exact.max_runs,
+                "spill_dir": self._exact.spill_dir,
+            },
         }
 
     @classmethod
@@ -245,7 +254,23 @@ class SeenSet:
         s.bloom = BloomFilter.from_state(st["bloom"])
         s.cuckoo = CuckooFilter.from_state(st["cuckoo"])
         s._cuckoo_degraded = bool(st.get("cuckoo_degraded", False))
-        s._exact = ExactStore()
+        ec = st.get("exact_cfg", {})
+        spill = ec.get("spill_dir")
+        if spill:
+            # fresh rebuild: clear run files a dead actor left behind
+            import glob as _glob
+            import os as _os
+
+            for f in _glob.glob(_os.path.join(spill, "run-*.npy")):
+                try:
+                    _os.remove(f)
+                except OSError:
+                    pass
+        s._exact = ExactStore(
+            max_inmem=int(ec.get("max_inmem", 1 << 22)),
+            max_runs=int(ec.get("max_runs", 8)),
+            spill_dir=spill,
+        )
         keys = np.asarray(st["exact"], dtype=np.uint64)
         if len(keys):
             s._exact.add_array(keys)

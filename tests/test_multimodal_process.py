@@ -170,3 +170,27 @@ def test_video_fsv_backend_real_demux_decode():
     bad = pa.table({"media_id": ["x"], "bytes": pa.array([b"AVI?nope"], pa.binary())})
     out2 = VideoFrameSampleStage(backend="fsv")(bad)
     assert out2.column("decode_ok").to_pylist() == [False]
+
+
+def test_video_fsv_torn_frame_flags_row_only():
+    """A container with a valid TOC but a torn frame payload flags that
+    frame's row; other frames and clips still process (review finding)."""
+    import pyarrow as pa
+
+    from fscrawler_ray.functions import codecs
+    from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, encode_fsv
+
+    frames = [codecs.synth_image(7 + f, 32, 32) for f in range(4)]
+    buf = encode_fsv(frames, fps=4.0)
+    torn = buf[:-10]  # truncate inside the last frame's payload
+    empty = encode_fsv([], fps=4.0)
+    batch = pa.table({"media_id": ["torn", "empty", "good"],
+                      "bytes": pa.array([torn, empty, buf], pa.binary())})
+    out = VideoFrameSampleStage(backend="fsv", n_frames=4)(batch)
+    df = out.to_pandas()
+    good = df[df.media_id == "good"]
+    assert good.decode_ok.all() and len(good) == 4
+    emp = df[df.media_id == "empty"]
+    assert len(emp) == 1 and not emp.decode_ok.iloc[0]  # flagged, not dropped
+    t = df[df.media_id == "torn"]
+    assert len(t) == 4 and not t.decode_ok.iloc[-1] and t.decode_ok.iloc[0]

@@ -228,3 +228,24 @@ def test_copartition_join_matches_broadcast():
         key = lambda df: sorted(map(tuple, df.fillna(-1)[sorted(df.columns)].to_numpy().tolist()))
         assert sorted(bc.columns) == sorted(cp.columns)
         assert key(bc) == key(cp), how
+
+
+def test_ivf_build_idempotent_no_duplicates(tmp_path):
+    """Rebuilding into the same index dir must not duplicate vectors
+    (crash-safe tmp+rename build; review finding)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.similarity import build_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(SF, idx, n_centroids=4)
+    n1 = sum(pq.ParquetFile(f).metadata.num_rows
+             for f in glob.glob(os.path.join(idx, "centroid=*", "*.parquet")))
+    build_ivf_index(SF, idx, n_centroids=4)  # second call: no-op via marker
+    n2 = sum(pq.ParquetFile(f).metadata.num_rows
+             for f in glob.glob(os.path.join(idx, "centroid=*", "*.parquet")))
+    emb_rows = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert n1 == n2 == emb_rows

@@ -144,3 +144,20 @@ def test_seenset_fuzz_against_python_set_model():
         assert sorted(int(k) for k in s.keys_array()) == sorted(model)
 
     check()
+
+
+def test_seenset_state_roundtrip_preserves_spill_config(tmp_path):
+    """Checkpoint resume must keep the exact store's spill/memory config
+    (review finding: from_state used to rebuild with RAM defaults)."""
+    spill = str(tmp_path / "sp")
+    s = SeenSet(capacity=1 << 8, exact_max_inmem=32, exact_spill_dir=spill)
+    keys = np.arange(1, 500, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    s.check_and_add(keys)
+    s2 = SeenSet.from_state(s.state())
+    assert s2._exact.spill_dir == spill
+    assert s2._exact.max_inmem == 32
+    assert s2.contains_many(keys).all()
+    assert len(s2) == len(s)
+    import os
+
+    assert os.listdir(spill), "restored store did not spill to disk"
