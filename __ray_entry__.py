@@ -149,7 +149,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fscrawler_ray.pipelines import analytics, dedup, index_sink, similarity, textops
+    from fscrawler_ray.pipelines import analytics, corpus, dedup, index_sink, similarity, textops
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "term_df": index_sink.q_term_df,
+            "corpus_dedup": corpus.dedup_corpus,
+            "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,

@@ -1,0 +1,150 @@
+"""Corpus-level pipelines: near-dup REMOVAL and C4-style cleaning.
+
+The dedup suite (pipelines/dedup.py) finds PAIRS; a training-data
+pipeline must also DECIDE (which doc of each duplicate cluster survives)
+and FILTER the corpus. Here:
+
+- :func:`neardup_components` — union-find over the (candidate-sized)
+  verified pair list → connected components; keeper = min doc_id per
+  component. Pairs are output-proportional, so the union-find runs on
+  compact arrays; the corpus itself never leaves the cluster.
+- :func:`dedup_corpus` — minhash near-dup pairs → components → broadcast
+  drop-set → streamed anti-filter over the documents table.
+- :func:`clean_text_corpus` — the composed cleaning pass (the C4/Gopher
+  recipe shape): language allow-list + quality threshold + exact dedup +
+  near-dup removal, one streamed map_batches chain over the corpus with
+  a per-rule rejection tally.
+
+Reference analog: the duplicate finder + skip-filter chain composed into
+one pass (/root/reference/app/database/data_manager.py:330-359 +
+app/crawler/file_system_crawler.py:447-467), generalized to corpus
+hygiene for LLM training data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.hashing import xxh64_batch
+from ..functions.text import langid_batch, quality_features
+from .dedup import minhash_lsh_pairs
+
+
+def neardup_components(doc_a: np.ndarray, doc_b: np.ndarray) -> dict:
+    """Union-find over pair arrays → {"drop": sorted int64 array of doc ids
+    to remove, "components": count}. Keeper = min doc id per component."""
+    ids = np.unique(np.concatenate([doc_a, doc_b])) if len(doc_a) else np.empty(0, np.int64)
+    idx = {int(d): i for i, d in enumerate(ids)}
+    parent = np.arange(len(ids))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(doc_a, doc_b):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(ids))])
+    # keeper per component = min doc id = the root's id (ids sorted, root = min index)
+    drop = ids[roots != np.arange(len(ids))]
+    return {"drop": np.sort(drop.astype(np.int64)), "components": int(len(np.unique(roots)))}
+
+
+def dedup_corpus(sf_dir: str, jaccard_threshold: float = 0.5):
+    """Near-dup REMOVAL: the surviving documents (doc_id, lang, n_chars),
+    streamed — only the drop-set (output-proportional) is broadcast."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    comp = neardup_components(
+        pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64),
+        pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    drop_ref = ray.put(comp["drop"].astype(np.uint64))
+
+    def keep(b: pa.Table) -> pa.Table:
+        from ..sources.store import sorted_key_mask
+
+        drop = ray.get(drop_ref)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        return b.filter(pa.array(~sorted_key_mask(drop, did)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def clean_text_corpus(
+    sf_dir: str,
+    allowed_langs: tuple = ("en", "fr", "de", "es"),
+    min_quality: float = 0.25,
+    min_chars: int = 40,
+    jaccard_threshold: float = 0.5,
+):
+    """The composed cleaning pass. Returns (kept_dataset, stats_dict);
+    the dataset streams (doc_id, lang, pred_lang, quality_score, n_chars)
+    for surviving docs. Per-rule rejection counts come from a vectorized
+    tally inside the same pass (no second execution)."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    comp = neardup_components(
+        pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64),
+        pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    drop_ref = ray.put(comp["drop"].astype(np.uint64))
+    langs = set(allowed_langs)
+
+    def clean(b: pa.Table) -> pa.Table:
+        from ..sources.store import sorted_key_mask
+
+        t = b.column("text")
+        q = quality_features(t)
+        pred = langid_batch(t)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact dedup inside the pass: first occurrence of a text hash wins
+        # per batch; cross-batch exact dups are caught by near-dup (J=1.0)
+        h = xxh64_batch(t if not isinstance(t, pa.ChunkedArray) else t.combine_chunks())
+        _, first_idx = np.unique(h, return_index=True)
+        exact_keep = np.zeros(len(h), dtype=bool)
+        exact_keep[first_idx] = True
+        lang_ok = np.isin(np.array(pred.to_pylist(), dtype=object), list(langs))
+        qual = q.column("quality_score").to_numpy(zero_copy_only=False)
+        chars = q.column("n_chars").to_numpy(zero_copy_only=False)
+        drop = ray.get(drop_ref)
+        not_neardup = ~sorted_key_mask(drop, did.astype(np.uint64))
+        keep = exact_keep & lang_ok & (qual >= min_quality) & (chars >= min_chars) & not_neardup
+        out = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "pred_lang": pred,
+                "quality_score": q.column("quality_score"),
+                "n_chars": q.column("n_chars"),
+                # per-rule audit columns so the rejection tally is one
+                # aggregation over the same stream
+                "kept": pa.array(keep),
+                "rej_lang": pa.array(~lang_ok),
+                "rej_quality": pa.array(qual < min_quality),
+                "rej_short": pa.array(chars < min_chars),
+                "rej_exact": pa.array(~exact_keep),
+                "rej_neardup": pa.array(~not_neardup),
+            }
+        )
+        return out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    audited = ds.map_batches(clean, batch_format="pyarrow").materialize()
+    tally = {"total": 0, "kept": 0, "rej_lang": 0, "rej_quality": 0, "rej_short": 0,
+             "rej_exact": 0, "rej_neardup": 0, "neardup_components": comp["components"]}
+    for b in audited.iter_batches(batch_format="pyarrow"):
+        tally["total"] += b.num_rows
+        for k in ("kept", "rej_lang", "rej_quality", "rej_short", "rej_exact", "rej_neardup"):
+            tally[k] += int(pc.sum(b.column(k)).as_py() or 0)
+    audit_cols = ["kept", "rej_lang", "rej_quality", "rej_short", "rej_exact", "rej_neardup"]
+    kept = audited.map_batches(
+        lambda b: b.filter(b.column("kept")).drop_columns(audit_cols), batch_format="pyarrow"
+    )
+    return kept, tally
