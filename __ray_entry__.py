@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+            "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)

@@ -185,6 +185,31 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16, seed: in
     return cent
 
 
+def embedding_clusters(sf_dir: str, n_clusters: int = 8, seed: int = 9):
+    """Document clustering over the embeddings table: the IVF coarse
+    quantizer reused as a k-means assigner — centroids trained on a
+    sample, broadcast once, each batch assigned vectorized. Returns
+    (vec_id, cluster, cosine_to_centroid)."""
+    cent = train_centroids(sf_dir, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _norm(np.stack(b.column("embedding").to_pylist()).astype(np.float64))
+        sims = v @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int32)),
+                "cosine_to_centroid": pa.array(np.round(sims[np.arange(len(a)), a], 6)),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
 def knn_ivf(
     sf_dir: str,
     n_queries: int = 4,

@@ -24,3 +24,15 @@ def test_embedding_lsh_recall():
     if truth:
         recall = len(found & truth) / len(truth)
         assert recall >= 0.5, recall
+
+
+def test_embedding_clusters_cover_and_cohere():
+    from fscrawler_ray.pipelines.similarity import embedding_clusters
+
+    df = embedding_clusters(SF, n_clusters=6).to_pandas()
+    assert len(df) > 0 and df["cluster"].nunique() > 1
+    assert df["cluster"].between(0, 5).all()
+    # each vector's assigned centroid is its best one: re-run deterministic
+    df2 = embedding_clusters(SF, n_clusters=6).to_pandas()
+    assert df.sort_values("vec_id").reset_index(drop=True).equals(
+        df2.sort_values("vec_id").reset_index(drop=True))
