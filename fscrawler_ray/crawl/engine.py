@@ -671,6 +671,16 @@ class CrawlEngine:
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
+        # make the checkpoint self-contained: snapshot the (metadata-sized)
+        # trace parts into it, so a resume survives the spool dir vanishing
+        # (e.g. a /tmp spool after reboot / a different machine)
+        import glob
+        import shutil
+
+        tsnap = os.path.join(d, "trace")
+        os.makedirs(tsnap, exist_ok=True)
+        for f in glob.glob(os.path.join(self.trace_dir, "part-*.parquet")):
+            shutil.copy2(f, os.path.join(tsnap, os.path.basename(f)))
         return d
 
     @classmethod
@@ -712,19 +722,27 @@ class CrawlEngine:
             futures.append(eng.shards[i].load_state.remote(st))
         ray.get(futures)
         # continue appending to the original run's trace spool, pruning
-        # parts any crashed attempt wrote past the checkpointed round
+        # parts any crashed attempt wrote past the checkpointed round; if
+        # the spool vanished (tmp cleanup, other machine), restore it from
+        # the checkpoint's own trace snapshot
+        import glob
+        import shutil
+
         tdir = manifest.get("trace_dir")
         if tdir and os.path.isdir(tdir):
             eng.trace_dir = tdir
-            import glob
-
-            for f in glob.glob(os.path.join(tdir, "part-*.parquet")):
-                try:
-                    rnd = int(os.path.basename(f).split("-")[1])
-                except ValueError:
-                    continue  # foreign/legacy file name — leave it alone
-                if rnd >= eng.round_no:
-                    os.remove(f)
+        else:
+            tsnap = os.path.join(d, "trace")
+            if os.path.isdir(tsnap):
+                for f in glob.glob(os.path.join(tsnap, "part-*.parquet")):
+                    shutil.copy2(f, os.path.join(eng.trace_dir, os.path.basename(f)))
+        for f in glob.glob(os.path.join(eng.trace_dir, "part-*.parquet")):
+            try:
+                rnd = int(os.path.basename(f).split("-")[1])
+            except ValueError:
+                continue  # foreign/legacy file name — leave it alone
+            if rnd >= eng.round_no:
+                os.remove(f)
         return eng
 
 

@@ -57,6 +57,33 @@ def neardup_components(doc_a: np.ndarray, doc_b: np.ndarray) -> dict:
     return {"drop": np.sort(drop.astype(np.int64)), "components": int(len(np.unique(roots)))}
 
 
+def _exact_dup_drop_set(sf_dir: str) -> np.ndarray:
+    """Sorted uint64 doc ids that are exact-text duplicates of an earlier
+    (smaller-id) doc: distributed hash groupby, duplicate-group rows
+    collected compactly (duplicate-proportional, not corpus-sized)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        h = xxh64_batch(t if not isinstance(t, pa.ChunkedArray) else t.combine_chunks())
+        return pa.table({"h": pa.array(h.view(np.int64)), "doc_id": b.column("doc_id")})
+
+    def non_keepers(g):
+        import pandas as pd
+
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        d = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame({"doc_id": d[1:]})
+
+    out = ds.map_batches(hashed, batch_format="pyarrow").groupby("h").map_groups(non_keepers, batch_format="pandas")
+    parts = [b.column("doc_id").to_numpy(zero_copy_only=False)
+             for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.sort(np.concatenate(parts).astype(np.int64).astype(np.uint64))
+
+
 def dedup_corpus(sf_dir: str, jaccard_threshold: float = 0.5):
     """Near-dup REMOVAL: the surviving documents (doc_id, lang, n_chars),
     streamed — only the drop-set (output-proportional) is broadcast."""
@@ -95,6 +122,11 @@ def clean_text_corpus(
         pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
     )
     drop_ref = ray.put(comp["drop"].astype(np.uint64))
+    # GLOBAL exact dedup decided up front (batch-local dedup would make the
+    # output depend on Ray block boundaries): groupby text-hash → for dup
+    # groups, every doc except the min doc_id is dropped. The broadcast is
+    # duplicate-proportional, not corpus-proportional.
+    exact_drop_ref = ray.put(_exact_dup_drop_set(sf_dir))
     langs = set(allowed_langs)
 
     def clean(b: pa.Table) -> pa.Table:
@@ -104,12 +136,7 @@ def clean_text_corpus(
         q = quality_features(t)
         pred = langid_batch(t)
         did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        # exact dedup inside the pass: first occurrence of a text hash wins
-        # per batch; cross-batch exact dups are caught by near-dup (J=1.0)
-        h = xxh64_batch(t if not isinstance(t, pa.ChunkedArray) else t.combine_chunks())
-        _, first_idx = np.unique(h, return_index=True)
-        exact_keep = np.zeros(len(h), dtype=bool)
-        exact_keep[first_idx] = True
+        exact_keep = ~sorted_key_mask(ray.get(exact_drop_ref), did.astype(np.uint64))
         lang_ok = np.isin(np.array(pred.to_pylist(), dtype=object), list(langs))
         qual = q.column("quality_score").to_numpy(zero_copy_only=False)
         chars = q.column("n_chars").to_numpy(zero_copy_only=False)

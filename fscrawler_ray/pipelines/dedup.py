@@ -296,11 +296,19 @@ def _grouped_verified_pairs(buckets_ds, verify, metric: str, max_bucket: int):
     # note: no counts-prefilter here — these families use few bands, so
     # the extra shuffle's fixed cost exceeds the per-group savings
     # (measured at sf0.1: simhash 2.3s→3.6s, embedding 1.7s→4.1s with it)
-    pairs = buckets_ds.groupby(["band", "bucket"]).map_groups(expand, batch_format="pandas")
+    pairs = buckets_ds.groupby(["band", "bucket"]).map_groups(expand, batch_format="pandas").materialize()
+    empty = pa.table({"doc_a": pa.array([], pa.string()), "doc_b": pa.array([], pa.string()),
+                      metric: pa.array([], pa.float64())})
+    if pairs.count() == 0:
+        # an all-singleton / all-rejected corpus yields a schemaless empty
+        # dataset — return a typed empty instead of crashing the groupby
+        return empty
     from ray.data.aggregate import Min as _Min
 
     out = pairs.groupby(["doc_a", "doc_b"]).aggregate(_Min(metric))
     got = out.to_pandas()  # output-sized: verified pairs only
+    if len(got) == 0 or "doc_a" not in got.columns:
+        return empty
     got = got.rename(columns={f"min({metric})": metric}).sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(got, preserve_index=False)
 
@@ -410,6 +418,11 @@ def verify_jaccard_distributed(sf_dir: str, cand_ds, threshold: float, ngram: in
         return pd.DataFrame({"doc_a": [int(row0["doc_a"])], "doc_b": [int(row0["doc_b"])], "jaccard": [round(j, 6)]})
 
     out = rows.groupby("pid").map_groups(jac, batch_format="pandas").to_pandas()
+    if len(out) == 0 or "doc_a" not in out.columns:
+        # candidates existed but none passed the threshold: Ray loses the
+        # schema of an all-empty map_groups — return a typed empty table
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
     out = out.sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -52,13 +52,16 @@ def build_inverted_index(sf_dir: str, index_dir: str, n_partitions: int = 16) ->
             return pa.table({"rows": pa.array([0], pa.int64())})
         bucket = (xxh64_batch(t.column("token").combine_chunks()) % np.uint64(n_partitions)).astype(np.int64)
         t = t.append_column("term_bucket", pa.array(bucket))
+        # content-derived part name: a retried Ray task overwrites the same
+        # file instead of duplicating postings
+        tag = int(xxh64_batch(b.column("doc_id").cast(pa.string()).combine_chunks()).sum() & 0xFFFFFFFFFFFFFFFF)
         for k in np.unique(bucket):
             sub = t.filter(pc.equal(t.column("term_bucket"), int(k)))
             pdir = os.path.join(index_dir, f"term_bucket={int(k)}")
             os.makedirs(pdir, exist_ok=True)
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet"))
+            os.replace(tmp, os.path.join(pdir, f"part-{tag:016x}.parquet"))
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
     counts = docs.map_batches(write_postings, batch_format="pyarrow")

@@ -91,11 +91,7 @@ def process_results(crawl_out_dir: str, processed_dir: str, batch_size: int = 25
         return b.append_column("stage", stage)
 
     ds = ds.map_batches(stamp, batch_format="pyarrow")
-    os.makedirs(processed_dir, exist_ok=True)
-    before = set(glob.glob(os.path.join(processed_dir, "**", "*.parquet"), recursive=True))
-    ds.write_parquet(processed_dir)
-    import pyarrow.parquet as pq
+    from ..sources.store import write_dataset
 
-    new = set(glob.glob(os.path.join(processed_dir, "**", "*.parquet"), recursive=True)) - before
-    n = sum(pq.ParquetFile(f).metadata.num_rows for f in new)
+    n = write_dataset(ds, processed_dir)  # single execution, count from footers
     return {"processed": n, "previously_done": int(len(done_keys))}

@@ -141,16 +141,23 @@ def _build_ivf_into(sf_dir: str, index_dir: str, n_centroids: int, seed: int) ->
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            from ..functions.hashing import xxh64_u64
+
             v = _norm(np.stack(b.column("embedding").to_pylist()).astype(np.float64))
             assign = (v @ self.c.T).argmax(axis=1).astype(np.int32)
             b = b.append_column("centroid", pa.array(assign))
+            # part name = content hash of the batch's ids: a retried Ray
+            # task re-writes the SAME file (atomic replace) instead of
+            # appending duplicate vectors under a fresh uuid
+            ids_u64 = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            tag = int(xxh64_u64(ids_u64, seed=3).sum() & 0xFFFFFFFFFFFFFFFF)
             for cid in np.unique(assign):
                 sub = b.filter(pc.equal(b.column("centroid"), int(cid)))
                 pdir = os.path.join(index_dir, f"centroid={int(cid)}")
                 os.makedirs(pdir, exist_ok=True)
                 tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
                 pq.write_table(sub, tmp)
-                os.replace(tmp, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet"))
+                os.replace(tmp, os.path.join(pdir, f"part-{tag:016x}.parquet"))
             return pa.table({"rows": pa.array([b.num_rows], pa.int64())})
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])

@@ -27,7 +27,10 @@ from ..functions.phash import to_gray32
 
 class LocalFSSource:
     def __init__(self, roots: dict):
-        self.roots = {h: os.path.abspath(p) for h, p in roots.items()}
+        # pseudo-hosts are URL authorities: canonicalization lowercases
+        # them, so root keys must be matched case-insensitively or an
+        # uppercase key would silently crawl nothing
+        self.roots = {h.lower(): os.path.abspath(p) for h, p in roots.items()}
 
     # -- url <-> path -------------------------------------------------------
 
@@ -37,7 +40,7 @@ class LocalFSSource:
     def _split(self, url: str) -> tuple[str, str]:
         rest = url.split("://", 1)[1]
         host, _, sub = rest.partition("/")
-        return host, sub
+        return host.lower(), sub
 
     def _path(self, url: str) -> str | None:
         host, sub = self._split(url)

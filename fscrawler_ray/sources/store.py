@@ -87,22 +87,24 @@ def sorted_key_mask(keys_sorted: np.ndarray, probe: np.ndarray) -> np.ndarray:
 
 def composite_key_hashes(table: pa.Table, key_cols: list[str]) -> np.ndarray:
     """uint64 composite key per row: xxh64 of the first (string) column
-    XOR a mixed cast of each further (integer) column. This is the compact
-    probe-key form — 8 bytes/row instead of Python tuples — used by the
-    idempotent sinks (VERDICT r01 #6)."""
-    from ..functions.hashing import xxh64_batch
+    XOR a per-column-seeded hash of each further (integer) column. Each
+    column gets its OWN hash seed — a shared multiplier would make equal
+    or swapped values in two integer columns cancel under XOR. This is
+    the compact probe-key form — 8 bytes/row instead of Python tuples —
+    used by the idempotent sinks (VERDICT r01 #6)."""
+    from ..functions.hashing import xxh64_batch, xxh64_u64
 
     col0 = table.column(key_cols[0])
     if isinstance(col0, pa.ChunkedArray):
         col0 = col0.combine_chunks()
     k = xxh64_batch(col0.cast(pa.string()))
-    for c in key_cols[1:]:
+    for i, c in enumerate(key_cols[1:]):
         vals = table.column(c).to_numpy(zero_copy_only=False)
         ints = np.array(
             [-1 if v is None or (isinstance(v, float) and np.isnan(v)) else int(v) for v in vals],
             dtype=np.int64,
         ).astype(np.uint64)
-        k = k ^ (ints * _MIX)
+        k = k ^ xxh64_u64(ints, seed=101 + 17 * i)
     return k
 
 

@@ -366,7 +366,8 @@ class VideoFrameSampleStage:
         if total == 0 or fps <= 0:
             flag()  # empty/degenerate clip: flagged, never silently dropped
             return
-        picks = [int((f + 0.5) * total / self.n_frames) for f in range(min(self.n_frames, total))]
+        eff = min(self.n_frames, total)
+        picks = [int((f + 0.5) * total / eff) for f in range(eff)]  # distinct, evenly spaced
         for f, idx in enumerate(picks):
             try:
                 off, ln = toc[idx]

@@ -112,3 +112,16 @@ def test_localfs_checkpoint_resume_parity(tmp_path):
     other = {"kind": "localfs", "roots": {"data0": str(tmp_path)}}
     with pytest.raises(ValueError, match="web="):
         CrawlEngine.resume(CrawlConfig(web=other, n_shards=2, politeness_budget=2, checkpoint_dir=ck))
+
+
+def test_localfs_uppercase_root_key_still_crawls(tmp_path):
+    """Review regression: canonicalization lowercases URL authorities, so
+    root keys must match case-insensitively."""
+    r0 = str(tmp_path / "r0")
+    _build_tree(r0)
+    src = LocalFSSource({"Data0": r0})
+    seeds = src.seeds()
+    eng = CrawlEngine(CrawlConfig(web={"kind": "localfs", "roots": {"Data0": r0}},
+                                  n_shards=2, politeness_budget=4, max_rounds=20))
+    s = eng.run(seeds)
+    assert s["result_rows"] == 12  # all images found despite the case mismatch

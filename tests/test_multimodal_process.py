@@ -194,3 +194,20 @@ def test_video_fsv_torn_frame_flags_row_only():
     assert len(emp) == 1 and not emp.decode_ok.iloc[0]  # flagged, not dropped
     t = df[df.media_id == "torn"]
     assert len(t) == 4 and not t.decode_ok.iloc[-1] and t.decode_ok.iloc[0]
+
+
+def test_video_fsv_short_clip_samples_distinct_frames():
+    """Review regression: total < n_frames must sample distinct frames,
+    not the first frame repeatedly."""
+    import pyarrow as pa
+
+    from fscrawler_ray.functions import codecs
+    from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, encode_fsv
+
+    frames = [codecs.synth_image(50 + f, 32, 32) for f in range(2)]
+    buf = encode_fsv(frames, fps=2.0)
+    out = VideoFrameSampleStage(backend="fsv", n_frames=4)(
+        pa.table({"media_id": ["s"], "bytes": pa.array([buf], pa.binary())})
+    ).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["ts_ms"]) == [0, 500]  # frames 0 and 1, not 0 twice

@@ -249,3 +249,28 @@ def test_ivf_build_idempotent_no_duplicates(tmp_path):
              for f in glob.glob(os.path.join(idx, "centroid=*", "*.parquet")))
     emb_rows = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
     assert n1 == n2 == emb_rows
+
+
+def test_neardup_paths_handle_empty_results(tmp_path):
+    """Review regression: the DEFAULT distributed paths must return typed
+    empty tables (not crash) when no pairs survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from fscrawler_ray.pipelines.dedup import minhash_lsh_pairs, phash_neardup_pairs, simhash_pairs
+
+    # phash: mutually distant hashes -> all-singleton buckets
+    t = pa.table({"image_id": pa.array([f"i{k}" for k in range(6)]),
+                  "phash": pa.array([k * 0x1111111111111111 for k in range(6)], pa.int64())})
+    out = phash_neardup_pairs(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["image_a", "image_b", "hamming"]
+
+    # minhash: shingle-less docs collide in buckets but verify to nothing
+    d = tmp_path / "tiny"; d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array(["ab", "cd"])}), d / "documents.parquet")
+    out = minhash_lsh_pairs(str(d)).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+    out = simhash_pairs(str(d)).to_pandas()
+    assert len(out) == 0
