@@ -77,8 +77,14 @@ class ExtensionFilter(VectorFilter):
     excluded: frozenset = field(default_factory=frozenset)
 
     def __post_init__(self):
-        self.authorized = frozenset(x.lower() for x in self.authorized)
-        self.excluded = frozenset(x.lower() for x in self.excluded)
+        # None is a legal member ("deny extensionless rows") — lowercase
+        # only the strings
+        self.authorized = frozenset(x.lower() if isinstance(x, str) else x for x in self.authorized)
+        self.excluded = frozenset(x.lower() if isinstance(x, str) else x for x in self.excluded)
+
+    @staticmethod
+    def _value_set(items) -> pa.Array:
+        return pa.array(sorted(x for x in items if x is not None), type=pa.string())
 
     def mask(self, batch: pa.Table) -> np.ndarray:
         ext = _col(batch, "ext")
@@ -86,13 +92,15 @@ class ExtensionFilter(VectorFilter):
         ok = np.ones(n, dtype=bool)
         ext_py = ext.to_numpy(zero_copy_only=False) if ext is not None else np.array([None] * n)
         if self.excluded:
-            excl = pc.is_in(ext, value_set=pa.array(sorted(self.excluded)))
+            excl = pc.is_in(ext, value_set=self._value_set(self.excluded))
             ok &= ~_np_bool(pc.fill_null(excl, False))
             if None in self.excluded:
                 ok &= ~np.array([e is None for e in ext_py])
         if self.authorized:
-            auth = pc.fill_null(pc.is_in(ext, value_set=pa.array(sorted(self.authorized))), False)
+            auth = pc.fill_null(pc.is_in(ext, value_set=self._value_set(self.authorized)), False)
             ok &= _np_bool(auth)
+            if None in self.authorized:
+                ok |= np.array([e is None for e in ext_py])
         return ok
 
     def authorize(self, row: dict) -> bool:
@@ -128,6 +136,10 @@ def _to_utc_us(ts) -> int | None:
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=_dt.timezone.utc)
         return int(ts.timestamp() * 1_000_000)
+    if isinstance(ts, _dt.date):
+        # bare YAML dates parse to datetime.date — midnight UTC
+        dtm = _dt.datetime(ts.year, ts.month, ts.day, tzinfo=_dt.timezone.utc)
+        return int(dtm.timestamp() * 1_000_000)
     return int(ts)
 
 
@@ -148,7 +160,9 @@ class DateFilter(VectorFilter):
         if mt is None:
             return np.ones(n, dtype=bool)
         if pa.types.is_timestamp(mt.type):
-            us = mt.cast(pa.int64())
+            # normalize unit (s/ms/us/ns) before comparing against the
+            # microsecond bounds
+            us = mt.cast(pa.timestamp("us")).cast(pa.int64())
         else:
             us = mt.cast(pa.int64())
         ok = pa.array(np.ones(n, dtype=bool))
@@ -231,6 +245,21 @@ class RegexPatternFilter(VectorFilter):
         fl = re.IGNORECASE if self.ignore_case else 0
         self._auth = re.compile(self.authorized_pattern, fl) if self.authorized_pattern else None
         self._excl = re.compile(self.excluded_pattern, fl) if self.excluded_pattern else None
+        # the vectorized path runs RE2 (pyarrow), the scalar oracle runs
+        # Python re: a Python-valid / RE2-invalid pattern (lookaround,
+        # backreference) would pass construction and then crash the crawl
+        # at the first batch — fail fast here instead
+        flags = "(?i)" if self.ignore_case else ""
+        for pat in (self.authorized_pattern, self.excluded_pattern):
+            if not pat:
+                continue
+            try:
+                pc.match_substring_regex(pa.array(["x"], pa.string()), flags + pat)
+            except pa.lib.ArrowInvalid as e:
+                raise ValueError(
+                    f"pattern {pat!r} is valid Python re but not RE2 "
+                    f"(lookaround/backreferences unsupported): {e}"
+                ) from e
 
     def _paths(self, batch: pa.Table) -> pa.Array:
         url = _col(batch, "url")
@@ -240,7 +269,7 @@ class RegexPatternFilter(VectorFilter):
         slashed = pc.binary_join_element_wise(url, pa.scalar("/"), "")
         return pc.if_else(pc.fill_null(is_dir, False), slashed, url)
 
-    def _match(self, pat: str, compiled, paths: pa.Array) -> np.ndarray:
+    def _match(self, pat: str, paths: pa.Array) -> np.ndarray:
         flags = "(?i)" if self.ignore_case else ""
         rx = _np_bool(pc.match_substring_regex(paths, flags + pat))
         literal = pat.replace("\\", "")
@@ -251,9 +280,9 @@ class RegexPatternFilter(VectorFilter):
         paths = self._paths(batch)
         ok = np.ones(len(batch), dtype=bool)
         if self._excl is not None:
-            ok &= ~self._match(self.excluded_pattern, self._excl, paths)
+            ok &= ~self._match(self.excluded_pattern, paths)
         if self._auth is not None:
-            ok &= self._match(self.authorized_pattern, self._auth, paths)
+            ok &= self._match(self.authorized_pattern, paths)
         return ok
 
     def authorize(self, row: dict) -> bool:
@@ -278,8 +307,12 @@ class NameFilter(VectorFilter):
         self.excluded_names = frozenset(self.excluded_names)
 
     def mask(self, batch: pa.Table) -> np.ndarray:
+        if not self.excluded_names:
+            return np.ones(len(batch), dtype=bool)
         name = _col(batch, "name")
-        bad = pc.fill_null(pc.is_in(name, value_set=pa.array(sorted(self.excluded_names))), False)
+        bad = pc.fill_null(
+            pc.is_in(name, value_set=pa.array(sorted(self.excluded_names), type=pa.string())), False
+        )
         return ~_np_bool(bad)
 
     def authorize(self, row: dict) -> bool:

@@ -50,10 +50,14 @@ def canonicalize(urls) -> pa.Array:
     path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
     # collapse duplicate slashes
     path = pc.replace_substring_regex(path, r"//+", "/")
-    # resolve ./ and ../ segments (bounded passes; paths are shallow)
+    # resolve ./ and ../ segments (bounded passes; paths are shallow);
+    # a leading /../ has no parent to consume and resolves to / (RFC 3986
+    # remove_dot_segments)
     for _ in range(8):
         nxt = pc.replace_substring_regex(path, r"/\./", "/")
         nxt = pc.replace_substring_regex(nxt, r"/[^/]+/\.\./", "/")
+        nxt = pc.replace_substring_regex(nxt, r"^/\.\./", "/")
+        nxt = pc.replace_substring_regex(nxt, r"^/\.\.$", "/")
         if nxt.equals(path):
             break
         path = nxt

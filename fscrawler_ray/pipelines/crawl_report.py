@@ -123,8 +123,11 @@ def read_dead_letters(out_dir: str):
     d = out_dir.rstrip("/") + "_deadletter"
     files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
     if not files:
-        return pa.table(
-            {"url": pa.array([], pa.string()), "seq": pa.array([], pa.int64()), "reason": pa.array([], pa.string()), "round": pa.array([], pa.int32())}
+        # same type on both paths: callers get a Dataset either way
+        return ray.data.from_arrow(
+            pa.table(
+                {"url": pa.array([], pa.string()), "seq": pa.array([], pa.int64()), "reason": pa.array([], pa.string()), "round": pa.array([], pa.int32())}
+            )
         )
     return ray.data.read_parquet(files)
 

@@ -186,3 +186,40 @@ def test_mask_authorize_parity_fuzz():
             assert m == s, (type(f).__name__, m, s)
 
     check()
+
+
+def test_filter_review_regressions():
+    """Third review batch: YAML bare dates, empty NameFilter, RE2-invalid
+    patterns fail fast, None extension members, timestamp-unit
+    normalization."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pytest
+    import yaml
+
+    from fscrawler_ray.filters.core import DateFilter, ExtensionFilter, NameFilter, RegexPatternFilter
+    from fscrawler_ray.filters.factory import build_chain_from_spec
+
+    # bare YAML date parses to datetime.date — must not crash
+    c = build_chain_from_spec(yaml.safe_load("skip_filters:\n  - DateFilter: {min_date: 2020-01-01}"))
+    b = pa.table({"url": ["u"], "name": ["n"], "mtime": pa.array([1_700_000_000_000_000], pa.int64())})
+    assert c.mask(b).tolist() == [True]
+
+    # empty NameFilter (dataclass default) passes everything
+    assert NameFilter().mask(b).tolist() == [True]
+
+    # Python-valid / RE2-invalid pattern fails at CONSTRUCTION, not mid-crawl
+    with pytest.raises(ValueError, match="RE2"):
+        RegexPatternFilter(excluded_pattern=r"(?!admin)/sec")
+
+    # None in excluded = deny extensionless; mask/authorize agree
+    f = ExtensionFilter(excluded=frozenset({"tmp", None}))
+    b2 = pa.table({"ext": pa.array(["tmp", "jpg", None])})
+    assert f.mask(b2).tolist() == [False, True, False]
+    assert [f.authorize({"ext": e}) for e in ["tmp", "jpg", None]] == [False, True, False]
+
+    # timestamp columns in seconds normalize to us before comparison
+    f2 = DateFilter(min_date=dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc))
+    b3 = pa.table({"mtime": pa.array([1_700_000_000], pa.timestamp("s"))})
+    assert f2.mask(b3).tolist() == [True]

@@ -74,3 +74,8 @@ def test_canonicalize_scheme_aware_ports_and_query():
     got = canonicalize(list(cases)).to_pylist()
     assert got == list(cases.values())
     assert canonicalize(got).to_pylist() == got  # idempotent
+
+
+def test_canonicalize_leading_dotdot():
+    got = canonicalize(["http://h/../x", "http://h/..", "http://h/../../y"]).to_pylist()
+    assert got == ["http://h/x", "http://h/", "http://h/y"]
