@@ -283,6 +283,7 @@ class FrontierShard:
                 self._qhead.pop(host, None)
             else:
                 self._qhead[host] = head
+        self._prune_token_state()
         self.counters["emitted"] += len(out_url)
         self.counters["containers"] += int(sum(out_isdir))
         self.counters["leaves"] += len(out_isdir) - int(sum(out_isdir))
@@ -299,6 +300,31 @@ class FrontierShard:
             },
             schema=EMIT_SCHEMA,
         )
+
+    def _prune_token_state(self) -> None:
+        """Drop token-bucket entries that carry no information: a drained
+        host whose allowance has saturated at capacity behaves identically
+        to an absent entry (the missing-key default also yields capacity),
+        so keeping it only bloats actor RAM and every checkpoint. Provably
+        trace-neutral — saturation is monotone in elapsed rounds."""
+        dead = []
+        for host, tok in self._tokens.items():
+            if host in self.queues:
+                continue
+            h0 = true_host(host)
+            k = int(self.salt_hosts.get(h0, 1)) if self.salt_hosts else 1
+            budget = max(1, self.budget // k) if k > 1 else self.budget
+            capacity = max(1, self.capacity // k) if k > 1 else self.capacity
+            saturated = tok + budget * (self.round - self._last_refill.get(host, -1)) >= capacity
+            # the missing-key default (tokens=0, last=-1) must ALSO yield
+            # capacity at every future round, else dropping diverges when
+            # capacity >> budget early in the crawl
+            default_saturated = budget * (self.round + 1) >= capacity
+            if saturated and default_saturated:
+                dead.append(host)
+        for host in dead:
+            self._tokens.pop(host, None)
+            self._last_refill.pop(host, None)
 
     def _features(self, urls: list[str], is_dir: np.ndarray, depths: np.ndarray, metas: list[dict]) -> pa.Table:
         arr = pa.array(urls, type=pa.string())

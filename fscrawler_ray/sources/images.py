@@ -60,7 +60,7 @@ def synth_images_batch(indices: np.ndarray, seed: int = 42, dup_rate: float = 0.
         prng = np.random.Generator(np.random.PCG64(payload))
         w = int(prng.integers(32, 160))
         h = int(prng.integers(32, 160))
-        fmt = str(_FMTS[int(prng.integers(0, 3))])
+        fmt = str(prng.choice(_FMTS, p=_FMT_W))  # skewed 30/50/20 per FIXTURES.md
         img = synth_image(payload & 0xFFFFFFFF, w, h)
         buf = encode(img, fmt)
         words = [str(x) for x in prng.choice(_WORDS, size=5)]

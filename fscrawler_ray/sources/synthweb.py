@@ -173,7 +173,14 @@ class SynthWeb:
             "fmt": fmt,
             "caption": self.caption(ps),
         }
-        return row, to_gray32(img)
+        # phash must be computed from the DECODED payload (what any
+        # verifier reading `bytes` will see), not the pre-encode pixels —
+        # lossy formats otherwise drift by 1-2 hamming bits and falsely
+        # fail the stored-vs-recomputed phash invariant
+        from ..functions.codecs import decode as _decode
+
+        dec, _, _, _ = _decode(buf)
+        return row, to_gray32(dec)
 
     def fetch(self, url: str) -> dict | None:
         """Single-row fetch with phash (oracle/tests path)."""
