@@ -77,6 +77,18 @@ def decode(buf: bytes) -> tuple[np.ndarray, int, int, str]:
     return img, w, h, fmt
 
 
+def reencode_reconstruction(img: np.ndarray, fmt: str) -> np.ndarray:
+    """The exact pixels ``decode(encode(img, fmt))`` returns, computed
+    WITHOUT the zlib round-trip: quantize-and-reconstruct is the only
+    lossy step, so fetch paths can phash the decoded-equivalent image at
+    a fraction of a real decode's cost. Bit-identical to decode (asserted
+    in tests)."""
+    q = _QUANT[fmt]
+    if q <= 1:
+        return img
+    return np.minimum((img // q).astype(np.uint16) * q + q // 2, 255).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

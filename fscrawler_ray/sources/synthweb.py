@@ -176,11 +176,11 @@ class SynthWeb:
         # phash must be computed from the DECODED payload (what any
         # verifier reading `bytes` will see), not the pre-encode pixels —
         # lossy formats otherwise drift by 1-2 hamming bits and falsely
-        # fail the stored-vs-recomputed phash invariant
-        from ..functions.codecs import decode as _decode
+        # fail the stored-vs-recomputed phash invariant. The reconstruction
+        # is computed directly (bit-identical to decode, no zlib round-trip)
+        from ..functions.codecs import reencode_reconstruction
 
-        dec, _, _, _ = _decode(buf)
-        return row, to_gray32(dec)
+        return row, to_gray32(reencode_reconstruction(img, fmt))
 
     def fetch(self, url: str) -> dict | None:
         """Single-row fetch with phash (oracle/tests path)."""

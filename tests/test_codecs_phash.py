@@ -62,3 +62,18 @@ def test_phash_batch_matches_single():
     batch = phash_batch(grays)
     singles = np.array([phash_image(im) for im in imgs])
     assert (batch == singles).all()
+
+
+def test_reencode_reconstruction_matches_decode():
+    """The fast quantize-reconstruct path must be BIT-identical to a real
+    encode→decode round-trip for every format."""
+    import numpy as np
+
+    from fscrawler_ray.functions.codecs import decode, encode, reencode_reconstruction, synth_image
+
+    for fmt in ("png", "jpeg", "webp"):
+        for seed in (1, 99, 12345):
+            img = synth_image(seed, 80, 64)
+            via_codec = decode(encode(img, fmt))[0]
+            fast = reencode_reconstruction(img, fmt)
+            assert np.array_equal(via_codec, fast), fmt
