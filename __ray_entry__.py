@@ -63,11 +63,17 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         from fscrawler_ray.pipelines.crawl_report import host_rollup
 
+        import shutil
+
         cfg = _scale(sf_dir)
         with tempfile.TemporaryDirectory() as out:
             eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, out_dir=out))
             eng.run(SynthWeb(cfg).seeds())
-            return host_rollup(out).to_pandas()
+            result = host_rollup(out).to_pandas()
+            # the trace/deadletter siblings live OUTSIDE the managed tmpdir
+            shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
+            shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
+            return result
 
     return {
         "crawl_trace": crawl_trace,
@@ -118,7 +124,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         from fscrawler_ray.stages.multimodal import AudioFeatureStage, synth_wav_table
 
         t = synth_wav_table(min(rows_for_sf(sf_dir), 512))
-        return _ray.data.from_arrow(t).map_batches(
+        # from_arrow yields ONE block; repartition so the actor pool parallelizes
+        return _ray.data.from_arrow(t).repartition(8).map_batches(
             AudioFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4),
             fn_constructor_kwargs={"backend": "wav"},
         )
@@ -131,7 +138,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, synth_video_table
 
         t = synth_video_table(min(rows_for_sf(sf_dir), 256))
-        out = _ray.data.from_arrow(t).map_batches(
+        out = _ray.data.from_arrow(t).repartition(8).map_batches(
             VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
             fn_constructor_kwargs={"backend": "fsv"},
         )

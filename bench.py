@@ -57,6 +57,7 @@ def crawl_workload(n_hosts: int = 256, budget: int = 256, max_depth: int = 5, ou
     t0 = time.time()
     summary = eng.run(SynthWeb(cfg).seeds())
     dt = time.time() - t0
+    eng.cleanup_trace_spool()  # short-lived engine: don't leak /tmp spools
     return {"seconds": dt, "urls": summary["emitted"], "urls_per_sec": summary["emitted"] / dt, "rows": summary["result_rows"]}
 
 
@@ -128,6 +129,9 @@ def run_scaling(levels=(2, 8)) -> dict:
     engine. 2-to-8 sits inside the machine's linear region. Pass
     ``--levels 8,32`` to run the wider window anyway.
     """
+    lo, hi = levels
+    if not hi > lo:
+        raise ValueError(f"--levels must be ascending (got {lo},{hi}); the efficiency formula assumes hi > lo")
     results = {}
     for n in levels:
         p = subprocess.run(
@@ -141,7 +145,6 @@ def run_scaling(levels=(2, 8)) -> dict:
         if not line:
             raise RuntimeError(f"scaling worker {n} failed: {p.stdout[-2000:]} {p.stderr[-2000:]}")
         results[n] = json.loads(line[-1][len("SCALING_RESULT ") :])
-    lo, hi = levels
     thr_lo = results[lo]["urls_per_sec"]
     thr_hi = results[hi]["urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)

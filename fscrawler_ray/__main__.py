@@ -28,6 +28,14 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__)
         return 0
     cmd, *args = argv
+    # validate BEFORE paying multi-second Ray startup
+    needed = {"crawl": 1, "process": 2, "report": 1}
+    if cmd not in needed:
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 2
+    if len(args) < needed[cmd]:
+        print(f"{cmd} requires {needed[cmd]} argument(s)\n{__doc__}", file=sys.stderr)
+        return 2
     ray = _ensure_ray()
     try:
         if cmd == "crawl":
@@ -48,9 +56,6 @@ def main(argv: list[str] | None = None) -> int:
                 "formats": format_counts(args[0]).to_pandas().to_dict("records"),
             }
             print(json.dumps(out, default=str))
-        else:
-            print(f"unknown command {cmd!r}", file=sys.stderr)
-            return 2
     finally:
         # only shut down a session this CLI created when run standalone
         if __name__ == "__main__" and ray.is_initialized():

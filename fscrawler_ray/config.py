@@ -55,13 +55,23 @@ class PipelineSpec:
 
     @classmethod
     def from_yaml(cls, text_or_path: str) -> "PipelineSpec":
-        if "\n" not in text_or_path and text_or_path.endswith((".yml", ".yaml")):
+        import os
+
+        if "\n" not in text_or_path and (
+            text_or_path.endswith((".yml", ".yaml")) or os.path.exists(text_or_path)
+        ):
             with open(text_or_path) as f:
                 doc = yaml.safe_load(f)
         else:
             doc = yaml.safe_load(text_or_path)
+        if not isinstance(doc, dict):
+            raise ValueError(
+                f"pipeline spec did not parse to a mapping (got {type(doc).__name__}); "
+                "pass a YAML file path or YAML text"
+            )
         seeds = [
-            SeedSpec(**s) if isinstance(s, dict) else SeedSpec(url=s) for s in doc.get("seeds", [])
+            SeedSpec(**s) if isinstance(s, dict) else SeedSpec(url=s)
+            for s in (doc.get("seeds") or [])
         ]
         return cls(
             seeds=seeds,

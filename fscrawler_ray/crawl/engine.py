@@ -396,6 +396,17 @@ class CrawlEngine:
         if cfg.prev_index_dir:
             self._index_ref = ray.put(load_result_index(cfg.prev_index_dir))
 
+    def cleanup_trace_spool(self) -> None:
+        """Remove a /tmp trace spool this engine created (out_dir unset).
+        Call when the trace is no longer needed — short-lived engines
+        (benchmarks, report helpers) otherwise leak one spool dir per
+        crawl. No-op when the trace lives beside a real out_dir."""
+        import shutil
+        import tempfile
+
+        if self.cfg.out_dir is None and self.trace_dir.startswith(tempfile.gettempdir()):
+            shutil.rmtree(self.trace_dir, ignore_errors=True)
+
     def add_observer(self, fn) -> None:
         """Register a per-round observer: ``fn(event: RoundEvent)``; set
         ``event.should_stop = True`` to request a clean stop."""

@@ -29,6 +29,8 @@ class Taxonomy:
         self._nodes: dict[str, TaxonomyNode] = {}
 
     def add(self, name: str, parent: str | None = None, min_age: int = 3) -> TaxonomyNode:
+        if "/" in name or not name:
+            raise ValueError(f"node name must be a non-empty path segment without '/': {name!r}")
         if name in self._nodes:
             raise ValueError(f"duplicate node {name!r}")
         if parent is not None and parent not in self._nodes:

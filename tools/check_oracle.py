@@ -43,7 +43,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif dt == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # sort by non-float columns first: sub-rtol float differences between
+    # the engine and DuckDB must not reorder rows and fake a mismatch
+    non_float = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c].dtype)]
+    floats = [c for c in df.columns if pd.api.types.is_float_dtype(df[c].dtype)]
+    return df.sort_values(non_float + floats).reset_index(drop=True)
 
 
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
@@ -78,6 +82,10 @@ def main():
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)  # a typo must not read as 'all passed'
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
