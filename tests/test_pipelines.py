@@ -274,3 +274,47 @@ def test_neardup_paths_handle_empty_results(tmp_path):
     assert len(out) == 0 and list(out.columns) == ["doc_a", "doc_b", "jaccard"]
     out = simhash_pairs(str(d)).to_pandas()
     assert len(out) == 0
+
+
+def test_join_fuzz_against_pandas():
+    """Property fuzz: broadcast_join and copartition_join must both agree
+    with a plain pandas merge on random tables (dup keys, missing keys,
+    string values, both join types)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fscrawler_ray.stages.joins import broadcast_join, copartition_join
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(0, 6), min_size=0, max_size=12),   # left keys
+        st.lists(st.integers(0, 6), min_size=0, max_size=6),    # right keys
+        st.sampled_from(["inner", "left"]),
+    )
+    def check(lk, rk, how):
+        left = pa.table({"k": pa.array(lk, pa.int64()),
+                         "lv": pa.array([f"l{i}" for i in range(len(lk))])})
+        rk_u = list(dict.fromkeys(rk))  # unique right keys (dimension side)
+        right = pa.table({"k": pa.array(rk_u, pa.int64()),
+                          "rv": pa.array([i * 10 for i in range(len(rk_u))], pa.int64())})
+        want = left.to_pandas().merge(right.to_pandas(), on="k", how=how)
+
+        def key(df):
+            df = df.fillna(-999)[sorted(df.columns)].copy()
+            for c in df.columns:  # nullable Int64 vs float64 must compare equal
+                if pd.api.types.is_numeric_dtype(df[c].dtype):
+                    df[c] = df[c].astype("float64")
+            return sorted(map(tuple, df.astype(str).to_numpy().tolist()))
+
+        if len(lk):
+            bc = broadcast_join(ray.data.from_arrow(left), right, on="k", how=how).to_pandas()
+            assert key(bc) == key(want), (how, "broadcast")
+        if len(lk) and len(rk_u):
+            cp = copartition_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                                  on="k", how=how, n_partitions=3).to_pandas()
+            assert key(cp) == key(want), (how, "copartition")
+
+    check()
