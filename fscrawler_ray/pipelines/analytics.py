@@ -612,6 +612,21 @@ def q_rolling_user_value(sf_dir: str):
     return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
 
 
+def q_daily_active_users(sf_dir: str):
+    """Distinct users per day: pair-dedup groupby then a per-day count —
+    the exact two-shuffle distinct (q_distinct_users_by_type's temporal
+    twin)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b.column("ts"), unit="day").cast(pa.timestamp("us"))
+        return pa.table({"day": d, "user_id": b.column("user_id")})
+
+    pairs = ds.map_batches(day, batch_format="pyarrow").groupby(["day", "user_id"]).count()
+    out = pairs.groupby("day").count()
+    return _rename(out, {"count()": "users"})
+
+
 def q_priority_revenue_copart(sf_dir: str):
     """Same result as q_priority_revenue but via the big-big
     co-partitioned join (stages.joins.copartition_join) — neither side is
@@ -767,6 +782,10 @@ ORACLE_SQL = {
         "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
     ),
+    "daily_active_users": (
+        "SELECT date_trunc('day', ts) AS day, cast(count(DISTINCT user_id) AS BIGINT) AS users "
+        "FROM events GROUP BY 1"
+    ),
     "rolling_user_value": (
         "SELECT event_id, user_id, cast(sum(cast(round(value*100) AS bigint)) OVER "
         "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
@@ -808,4 +827,5 @@ QUERIES = {
     "priority_revenue": q_priority_revenue,
     "priority_revenue_copart": q_priority_revenue_copart,
     "rolling_user_value": q_rolling_user_value,
+    "daily_active_users": q_daily_active_users,
 }
