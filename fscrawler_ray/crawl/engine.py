@@ -355,10 +355,16 @@ class RoundEvent:
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
+        # k must divide into BOTH the per-round refill and the token-bucket
+        # cap: with capacity < k each salt queue would floor to 1 token and
+        # the host could emit k > capacity URLs in a round (ADVICE r02)
+        rate_cap = min(cfg.politeness_budget, cfg.politeness_capacity or cfg.politeness_budget)
         for h, k in (cfg.salt_hosts or {}).items():
-            if int(k) > cfg.politeness_budget:
+            if int(k) > rate_cap:
                 raise ValueError(
-                    f"salt_hosts[{h!r}]={k} exceeds politeness_budget={cfg.politeness_budget}: "
+                    f"salt_hosts[{h!r}]={k} exceeds the per-host rate bound "
+                    f"min(politeness_budget={cfg.politeness_budget}, "
+                    f"politeness_capacity={cfg.politeness_capacity}): "
                     "the per-host rate bound could not be preserved"
                 )
         self.shards = [

@@ -99,7 +99,9 @@ class ExtensionFilter(VectorFilter):
         if self.authorized:
             auth = pc.fill_null(pc.is_in(ext, value_set=self._value_set(self.authorized)), False)
             ok &= _np_bool(auth)
-            if None in self.authorized:
+            # excluded wins over authorized for ext=None (mirrors the scalar
+            # authorize(): the excluded check runs first and denies)
+            if None in self.authorized and None not in self.excluded:
                 ok |= np.array([e is None for e in ext_py])
         return ok
 

@@ -163,14 +163,28 @@ def clean_text_corpus(
         return out
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-    audited = ds.map_batches(clean, batch_format="pyarrow").materialize()
+    audited = ds.map_batches(clean, batch_format="pyarrow")
+    audit_cols = ["kept", "rej_lang", "rej_quality", "rej_short", "rej_exact", "rej_neardup"]
+
+    # per-rule rejection tally = one STREAMED pass reduced to per-batch
+    # partial counts (a handful of int64s per batch) — nothing is pinned in
+    # the object store, unlike the previous .materialize() (VERDICT r02 #3)
+    def partial_tally(b: pa.Table) -> pa.Table:
+        cols = {"total": pa.array([b.num_rows], pa.int64())}
+        for k in audit_cols:
+            cols[k] = pa.array([int(pc.sum(b.column(k)).as_py() or 0)], pa.int64())
+        return pa.table(cols)
+
     tally = {"total": 0, "kept": 0, "rej_lang": 0, "rej_quality": 0, "rej_short": 0,
              "rej_exact": 0, "rej_neardup": 0, "neardup_components": comp["components"]}
-    for b in audited.iter_batches(batch_format="pyarrow"):
-        tally["total"] += b.num_rows
-        for k in ("kept", "rej_lang", "rej_quality", "rej_short", "rej_exact", "rej_neardup"):
+    for b in audited.map_batches(partial_tally, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k in ("total", *audit_cols):
             tally[k] += int(pc.sum(b.column(k)).as_py() or 0)
-    audit_cols = ["kept", "rej_lang", "rej_quality", "rej_short", "rej_exact", "rej_neardup"]
+
+    # the kept stream stays LAZY (re-executes the cheap vectorized clean on
+    # consumption); the caller decides whether to write or aggregate it
     kept = audited.map_batches(
         lambda b: b.filter(b.column("kept")).drop_columns(audit_cols), batch_format="pyarrow"
     )

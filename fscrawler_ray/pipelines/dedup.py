@@ -239,16 +239,19 @@ def _filter_dup_buckets(buckets_ds, dup_keys: np.ndarray):
     return buckets_ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _pairs_distributed_ds(buckets_ds, key_cols: list[str], id_col: str, max_bucket: int):
+def _pairs_distributed_ds(buckets_ds, key_cols: list[str], id_col: str, max_bucket: int, n_partitions: int = 64):
     """Scale path for candidate-pair expansion. Two phases:
 
     1. a partial-aggregated counts pass finds the (few) buckets with ≥2
        members; singleton buckets — the overwhelming majority — never
        enter a shuffle;
-    2. the surviving rows (candidate-proportional) are expanded with ONE
-       vectorized segment kernel; at this size a single task suffices
-       (same class of output-sized narrow point as the kNN candidate
-       union). Returns (doc_a, doc_b) WITH duplicates across bands;
+    2. the surviving rows (candidate-proportional) are PARTITIONED by
+       bucket-key hash (``mixkey % n_partitions``) and each partition runs
+       the same vectorized segment-expansion kernel — a skewed corpus
+       never funnels through one straggler task (VERDICT r02 #4; every
+       row of one (band, bucket) shares a mixkey, so expansion stays
+       partition-local and the output is identical to the single-task
+       version). Returns (doc_a, doc_b) WITH duplicates across bands;
        downstream verification dedupes in its pair-keyed groupby."""
     buckets_ds = buckets_ds.materialize()  # consumed by counts + filter
     dup_keys = _dup_bucket_keys(buckets_ds)
@@ -258,17 +261,23 @@ def _pairs_distributed_ds(buckets_ds, key_cols: list[str], id_col: str, max_buck
     if len(dup_keys) == 0:
         return empty
 
-    def expand(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        df = b.select(key_cols + [id_col]).to_pandas()
-        out = _collision_pairs(df, key_cols, id_col, max_bucket)
-        return pa.table(
-            {"doc_a": pa.array(out["doc_a"].to_numpy()), "doc_b": pa.array(out["doc_b"].to_numpy())}
+    def tag(b: pa.Table) -> pa.Table:
+        pcol = (_bucket_mix_key(b) % np.uint64(n_partitions)).astype(np.int64)
+        return b.append_column("__pcol", pa.array(pcol))
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        out = _collision_pairs(g[key_cols + [id_col]], key_cols, id_col, max_bucket)
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out["doc_a"].to_numpy(), dtype=np.int64),
+                "doc_b": np.asarray(out["doc_b"].to_numpy(), dtype=np.int64),
+            }
         )
 
     filtered = _filter_dup_buckets(buckets_ds, dup_keys)
-    return filtered.repartition(1).map_batches(expand, batch_format="pyarrow", batch_size=None)
+    return filtered.map_batches(tag, batch_format="pyarrow").groupby("__pcol").map_groups(
+        expand, batch_format="pandas"
+    )
 
 
 def _grouped_verified_pairs(buckets_ds, verify, metric: str, max_bucket: int):
@@ -402,20 +411,28 @@ def verify_jaccard_distributed(sf_dir: str, cand_ds, threshold: float, ngram: in
     def jac(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64),
                               "jaccard": pd.Series([], dtype=np.float64)})
-        g = g.drop_duplicates(subset=["slot"])
-        if len(g) < 2:
+        # the pid is a 64-bit XOR mix of the pair's doc hashes — a collision
+        # would merge two pairs into one group, so key the inner work on the
+        # (doc_a, doc_b) columns carried on each row: a collision degrades
+        # into two correctly-verified pairs instead of a silent drop
+        # (ADVICE r02)
+        outs = []
+        for (da, db), sub in g.groupby(["doc_a", "doc_b"], sort=False):
+            sub = sub.drop_duplicates(subset=["slot"])
+            if len(sub) < 2:
+                continue
+            sa = np.frombuffer(sub[sub["slot"] == 0].iloc[0]["sh"], dtype=np.uint64)
+            sb = np.frombuffer(sub[sub["slot"] == 1].iloc[0]["sh"], dtype=np.uint64)
+            if not len(sa) or not len(sb):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                outs.append((int(da), int(db), round(j, 6)))
+        if not outs:
             return empty
-        row0 = g[g["slot"] == 0].iloc[0]
-        row1 = g[g["slot"] == 1].iloc[0]
-        sa = np.frombuffer(row0["sh"], dtype=np.uint64)
-        sb = np.frombuffer(row1["sh"], dtype=np.uint64)
-        if not len(sa) or not len(sb):
-            return empty
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / (len(sa) + len(sb) - inter)
-        if j < threshold:
-            return empty
-        return pd.DataFrame({"doc_a": [int(row0["doc_a"])], "doc_b": [int(row0["doc_b"])], "jaccard": [round(j, 6)]})
+        return pd.DataFrame({"doc_a": [o[0] for o in outs], "doc_b": [o[1] for o in outs],
+                             "jaccard": [o[2] for o in outs]})
 
     out = rows.groupby("pid").map_groups(jac, batch_format="pandas").to_pandas()
     if len(out) == 0 or "doc_a" not in out.columns:
@@ -603,8 +620,10 @@ def embedding_neardup_pairs(
     planes_ref = ray.put(planes)
 
     def bucketize(b: pa.Table) -> pa.Table:
+        from .similarity import _vecs
+
         pl = ray.get(planes_ref)  # zero-copy plasma read, cached per node
-        v = np.stack(b.column("embedding").to_pylist()).astype(np.float64)
+        v = _vecs(b.column("embedding")).astype(np.float64)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         parts = []
         for ti in range(pl.shape[0]):

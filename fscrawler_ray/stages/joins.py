@@ -79,15 +79,17 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
 
     Both sides are tagged and bucketed by ``hash(key) % n_partitions``;
     one Ray groupby co-locates each bucket's rows from BOTH sides, and the
-    per-bucket callback runs ONE vectorized pandas merge (n_partitions
+    per-bucket callback runs ONE vectorized Arrow join (n_partitions
     callbacks total — never per-key, which is the Ray map_groups overhead
     trap). Shuffle volume is both sides once, the minimum for a big-big
     join. Right columns colliding with left names get ``suffix``.
 
+    The per-bucket merge is Arrow-native (``pa.Table.join``): a pandas
+    round-trip would upcast null-padded int64 payload columns to float64
+    and silently corrupt values above 2^53 (ADVICE r02).
+
     ``how``: inner | left.
     """
-    import pandas as pd
-
     from ..functions.hashing import xxh64_u64
 
     left_schema = left_ds.schema()
@@ -136,21 +138,14 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
     l2 = left_ds.map_batches(widen(0), batch_format="pyarrow")
     r2 = right_ds.map_batches(widen(1), batch_format="pyarrow")
 
-    def _pd_dtype(t: pa.DataType):
-        # pandas upcasts null-filled int columns to float64 in the union;
-        # restore nullable integer dtypes so sums stay integral downstream
-        if pa.types.is_integer(t):
-            return {8: "Int8", 16: "Int16", 32: "Int32", 64: "Int64"}[t.bit_width]
-        if pa.types.is_boolean(t):
-            return "boolean"
-        return None
+    out_schema = pa.schema([(c, types[c]) for c in all_cols])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0][left_cols]
-        rf = g[g["__side"] == 1][[on] + [right_out[c] for c in right_cols]]
-        out = lf.merge(rf, on=on, how="inner" if how == "inner" else "left")
-        out = out[all_cols]
-        casts = {c: _pd_dtype(types[c]) for c in all_cols if _pd_dtype(types[c]) is not None}
-        return out.astype(casts)
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lf = g.filter(pc.equal(side, 0)).select(left_cols)
+        rf = g.filter(pc.equal(side, 1)).select([on] + [right_out[c] for c in right_cols])
+        jt = "inner" if how == "inner" else "left outer"
+        out = lf.join(rf, keys=on, join_type=jt)
+        return out.select(all_cols).cast(out_schema)
 
-    return l2.union(r2).groupby("__pcol").map_groups(merge, batch_format="pandas")
+    return l2.union(r2).groupby("__pcol").map_groups(merge, batch_format="pyarrow")

@@ -153,6 +153,10 @@ def test_mask_authorize_parity_fuzz():
     filters = [
         ExtensionFilter(excluded={"tmp"}),
         ExtensionFilter(authorized={"jpg", "png"}),
+        # None in both sets: excluded wins (ADVICE r02) — the degenerate
+        # config where the vectorized mask used to OR ext=None back in
+        ExtensionFilter(authorized=frozenset({"jpg", None}), excluded=frozenset({"tmp", None})),
+        ExtensionFilter(authorized=frozenset({None, "png"})),
         DepthFilter(max_depth=3),
         DateFilter(min_date=dt.datetime(2019, 1, 1), max_date=dt.datetime(2026, 1, 1)),
         SizeFilter(min_size=100, max_size=9000),

@@ -251,6 +251,21 @@ def test_ivf_build_idempotent_no_duplicates(tmp_path):
     assert n1 == n2 == emb_rows
 
 
+def test_ivf_stale_explicit_index_rejected(tmp_path):
+    """ADVICE r02: an explicit index_dir built with different parameters
+    must fail loudly instead of silently serving the stale index."""
+    import pytest
+
+    from fscrawler_ray.pipelines.similarity import build_ivf_index, knn_ivf
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(SF, idx, n_centroids=4)
+    # matching params load fine
+    knn_ivf(SF, n_queries=2, k=3, n_centroids=4, index_dir=idx)
+    with pytest.raises(ValueError, match="different parameters"):
+        knn_ivf(SF, n_queries=2, k=3, n_centroids=8, index_dir=idx)
+
+
 def test_neardup_paths_handle_empty_results(tmp_path):
     """Review regression: the DEFAULT distributed paths must return typed
     empty tables (not crash) when no pairs survive."""

@@ -70,6 +70,15 @@ def test_salt_exceeding_budget_rejected():
         CrawlEngine(CrawlConfig(web=CFG, politeness_budget=2, salt_hosts={HOT: 4}))
 
 
+def test_salt_exceeding_capacity_rejected():
+    """ADVICE r02: k must also respect the token-bucket CAP — with
+    capacity < k each salt queue floors to 1 token and the host could emit
+    k > capacity URLs in a round."""
+    with pytest.raises(ValueError, match="rate bound"):
+        CrawlEngine(CrawlConfig(web=CFG, politeness_budget=8, politeness_capacity=2,
+                                salt_hosts={HOT: 4}))
+
+
 def test_salt_mismatch_on_resume_rejected(tmp_path):
     seeds = SynthWeb(CFG).seeds()
     ck = str(tmp_path / "ck")
