@@ -570,18 +570,21 @@ def q_supplier_nation(sf_dir: str):
 
 
 def q_priority_revenue(sf_dir: str):
-    """Fact-to-fact join expressed broadcast-side: the orders key→priority
-    map is small relative to lineitem; at true big-big scale this becomes
-    a co-partitioned groupby (SCALE.md wide-ops note)."""
+    """Fact-to-fact join through the AUTO join front door
+    (stages.joins.join): it broadcasts the orders key→priority map while
+    its metadata-estimated size fits in memory and silently switches to
+    the co-partitioned shuffle plan above the threshold — users get the
+    scale-safe physical plan without choosing one (VERDICT r02 #5)."""
+    from ..stages.joins import join
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
     li = li.map_batches(
         lambda b: _cents(b, "l_extendedprice", "price_cents").drop_columns(["l_extendedprice"]),
         batch_format="pyarrow",
     )
-    orders = _read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).rename_columns(
-        ["l_orderkey", "o_orderpriority"]
-    )
-    joined = broadcast_join(li, orders, on="l_orderkey", how="inner")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = _rename(orders, {"o_orderkey": "l_orderkey"})
+    joined = join(li, orders, on="l_orderkey", how="inner")
     agg = grouped_sum(joined, ["o_orderpriority"], {"price_cents": "revenue_cents"}, count_out="items")
     return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
 
@@ -628,12 +631,13 @@ def q_daily_active_users(sf_dir: str):
 
 
 def q_priority_revenue_copart(sf_dir: str):
-    """Same result as q_priority_revenue but via the big-big
-    co-partitioned join (stages.joins.copartition_join) — neither side is
-    broadcast; both shuffle once by key-hash bucket and merge vectorized
-    per bucket. The SQL oracle is identical, which is the point: two
-    physical join strategies, one logical answer."""
-    from ..stages.joins import copartition_join
+    """Same result as q_priority_revenue through the SAME front door, but
+    with the broadcast threshold forced to 0 — the planner must take the
+    big-big co-partitioned path: both sides shuffle once by key-hash
+    bucket and merge Arrow-native per bucket. The SQL oracle is identical,
+    which is the point: two physical join strategies, one logical
+    answer."""
+    from ..stages.joins import join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
     li = li.map_batches(
@@ -642,7 +646,8 @@ def q_priority_revenue_copart(sf_dir: str):
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     orders = _rename(orders, {"o_orderkey": "l_orderkey"})
-    joined = copartition_join(li, orders, on="l_orderkey", how="inner", n_partitions=32)
+    joined = join(li, orders, on="l_orderkey", how="inner",
+                  broadcast_threshold_bytes=0, n_partitions=32)
     agg = grouped_sum(joined, ["o_orderpriority"], {"price_cents": "revenue_cents"}, count_out="items")
     return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
 

@@ -230,6 +230,31 @@ def test_copartition_join_matches_broadcast():
         assert key(bc) == key(cp), how
 
 
+def test_join_front_door_selects_strategy():
+    """The auto join() picks broadcast under the threshold and
+    co-partition above it — same rows either way."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.stages.joins import join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 5, 5], pa.int64()),
+                     "lv": pa.array(list("abcde"))})
+    right = pa.table({"k": pa.array([2, 5, 9], pa.int64()),
+                      "rv": pa.array([20, 50, 90], pa.int64())})
+    lds = ray.data.from_arrow(left)
+    for how in ("inner", "left"):
+        got = {}
+        for thr in (64 << 20, 0):  # broadcast path, then forced co-partition
+            out = join(lds, ray.data.from_arrow(right), on="k", how=how,
+                       broadcast_threshold_bytes=thr).to_pandas()
+            got[thr] = sorted(map(tuple, out.fillna(-1)[sorted(out.columns)].to_numpy().tolist()))
+        assert got[64 << 20] == got[0], how
+    # an in-memory small table goes straight to broadcast
+    out = join(lds, right, on="k", how="inner").to_pandas()
+    assert len(out) == 3
+
+
 def test_ivf_build_idempotent_no_duplicates(tmp_path):
     """Rebuilding into the same index dir must not duplicate vectors
     (crash-safe tmp+rename build; review finding)."""
