@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.urls import canonicalize
-from ..sources.base import make_source, spec_of
+from ..sources.base import children_batch, make_source, spec_of
 from ..sources.synthweb import WebConfig
 from .frontier import EMIT_SCHEMA, FrontierShard, route_key, shard_of_host, true_host
 from .oracle import normalize_seeds
@@ -269,14 +269,19 @@ class _FetchExpand:
         grays: list = []
         child_batches: list[str] = []
         child_meta: list[tuple[int, int, int, int]] = []  # (parent_seq, child_idx, depth, root_id)
+        # one vectorized children() call for ALL containers in the batch
+        # (batched Source protocol, VERDICT r02 #6; falls back to a per-URL
+        # loop inside sources.base for scalar-only Sources)
+        dir_rows = [i for i in range(len(urls)) if is_dirs[i]]
+        kids_per_dir = children_batch(self.web, [urls[i] for i in dir_rows])
+        for i, kids in zip(dir_rows, kids_per_dir):
+            for ci, child in enumerate(kids):
+                child_batches.append(child)
+                child_meta.append((seqs[i], ci, depths[i] + 1, root_ids[i]))
         for i, (url, seq, depth, host, is_dir, size, root_id) in enumerate(
             zip(urls, seqs, depths, hosts, is_dirs, sizes, root_ids)
         ):
-            if is_dir:
-                for ci, child in enumerate(self.web.children(url)):
-                    child_batches.append(child)
-                    child_meta.append((seq, ci, depth + 1, root_id))
-            else:
+            if not is_dir:
                 if unchanged[i]:
                     skipped += 1
                     continue

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..functions.hashing import xxh64, xxh64_batch
 from ..functions.urls import ext_of, name_of
-from ..sources.base import make_source
+from ..sources.base import is_container_batch, make_source, metadata_batch, robots_batch
 from ..sources.synthweb import WebConfig
 from ..state.seen import SeenSet
 
@@ -259,11 +259,16 @@ class FrontierShard:
                 urls = [c[0] for c in cand]
                 depths = np.array([c[1] for c in cand], dtype=np.int32)
                 roots = [c[2] for c in cand]
-                allowed = np.array([self.web.robots_allowed(h0, u) for u in urls], dtype=bool)
+                # batched Source protocol (VERDICT r02 #6): one vectorized
+                # call per candidate window, not one Python call per URL;
+                # sources/base dispatches to a per-URL fallback for Sources
+                # that only implement the scalar protocol
+                allowed = robots_batch(self.web, h0, urls)
                 self.counters["skipped_robots"] += int((~allowed).sum())
-                is_dir = np.array([self.web.is_container(u) for u in urls], dtype=bool)
-                metas = [self.web.metadata(u) for u in urls]
-                batch = self._features(urls, is_dir, depths, metas)
+                is_dir = is_container_batch(self.web, urls)
+                meta = metadata_batch(self.web, urls)
+                sizes, mtimes = meta["size"], meta["mtime"]
+                batch = self._features(urls, is_dir, depths, sizes, mtimes)
                 fmask = self.chain.mask(batch) if (self.chain.skip_filters or self.chain.notify_filters or self.chain.invert) else np.ones(len(urls), bool)
                 self.counters["skipped_filters"] += int((allowed & ~fmask).sum())
                 ok = allowed & fmask
@@ -273,7 +278,7 @@ class FrontierShard:
                     out_url.append(urls[j])
                     out_depth.append(int(depths[j]))
                     out_isdir.append(bool(is_dir[j]))
-                    out_size.append(metas[j]["size"])
+                    out_size.append(sizes[j])
                     out_root.append(int(roots[j]))
                     emitted += 1
             self._tokens[host] = allowance - emitted
@@ -326,7 +331,9 @@ class FrontierShard:
             self._tokens.pop(host, None)
             self._last_refill.pop(host, None)
 
-    def _features(self, urls: list[str], is_dir: np.ndarray, depths: np.ndarray, metas: list[dict]) -> pa.Table:
+    def _features(
+        self, urls: list[str], is_dir: np.ndarray, depths: np.ndarray, sizes: list, mtimes: list
+    ) -> pa.Table:
         arr = pa.array(urls, type=pa.string())
         names = name_of(arr)
         return pa.table(
@@ -335,8 +342,8 @@ class FrontierShard:
                 "name": names,
                 "ext": ext_of(names, pa.array(is_dir)),
                 "is_dir": pa.array(is_dir),
-                "size": pa.array([m["size"] for m in metas], type=pa.int64()),
-                "mtime": pa.array([m["mtime"] for m in metas], type=pa.int64()),
+                "size": pa.array(sizes, type=pa.int64()),
+                "mtime": pa.array(mtimes, type=pa.int64()),
                 "depth": pa.array(depths, type=pa.int32()),
             }
         )

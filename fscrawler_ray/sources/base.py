@@ -15,6 +15,16 @@ object exposing:
   non-image payloads (dead-lettered);
 - ``robots_allowed(host, url) -> bool`` — politeness rules.
 
+BATCHED protocol (optional, VERDICT r02 #6): a Source MAY additionally
+implement vectorized variants — ``children_batch(urls) -> list[list[str]]``,
+``metadata_batch(urls) -> {"size": list, "mtime": list}``,
+``robots_batch(host, urls) -> np.ndarray[bool]``,
+``is_container_batch(urls) -> np.ndarray[bool]``. The engine and frontier
+always call through the module-level dispatchers below, which fall back to
+per-URL loops for Sources that only implement the scalar protocol —
+third-party Sources keep working unchanged, native Sources (SynthWeb)
+remove the last per-row Python from the two hottest loops.
+
 Sources are constructed INSIDE actors and tasks from a picklable spec: a
 ``WebConfig`` dataclass (the synthetic web) or a ``{"kind": ...}`` dict
 dispatched through :func:`make_source`. Register new kinds with
@@ -24,6 +34,35 @@ dispatched through :func:`make_source`. Register new kinds with
 from __future__ import annotations
 
 from dataclasses import asdict, is_dataclass
+
+import numpy as np
+
+
+def children_batch(src, urls: list[str]) -> list[list[str]]:
+    f = getattr(src, "children_batch", None)
+    return f(urls) if f is not None else [src.children(u) for u in urls]
+
+
+def metadata_batch(src, urls: list[str]) -> dict:
+    f = getattr(src, "metadata_batch", None)
+    if f is not None:
+        return f(urls)
+    metas = [src.metadata(u) for u in urls]
+    return {"size": [m["size"] for m in metas], "mtime": [m["mtime"] for m in metas]}
+
+
+def robots_batch(src, host: str, urls: list[str]) -> np.ndarray:
+    f = getattr(src, "robots_batch", None)
+    if f is not None:
+        return np.asarray(f(host, urls), dtype=bool)
+    return np.array([src.robots_allowed(host, u) for u in urls], dtype=bool)
+
+
+def is_container_batch(src, urls: list[str]) -> np.ndarray:
+    f = getattr(src, "is_container_batch", None)
+    if f is not None:
+        return np.asarray(f(urls), dtype=bool)
+    return np.array([src.is_container(u) for u in urls], dtype=bool)
 
 _REGISTRY: dict = {}
 

@@ -68,6 +68,116 @@ class SynthWeb:
             self._robots = RobotsCache(seed=self.cfg.seed)
         return self._robots.allowed(host, url)
 
+    # -- batched protocol (vectorized; see sources/base.py) ------------------
+
+    @staticmethod
+    def _paths(urls: list[str]):
+        """Vectorized '/path' extraction: everything after the authority,
+        '/' when absent (matches the scalar parsers above)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(urls, type=pa.string())
+        path = pc.replace_substring_regex(arr, r"^[a-z+.-]+://[^/]*", "")
+        return pc.if_else(pc.equal(path, ""), "/", path)
+
+    def robots_batch(self, host: str, urls: list[str]) -> np.ndarray:
+        """One prefix test per RULE (≤3 per host), not per URL."""
+        import pyarrow.compute as pc
+
+        from ..crawl.robots import rules_for_host
+
+        rules = rules_for_host(host, self.cfg.seed)
+        path = self._paths(urls)
+        blocked = np.zeros(len(urls), dtype=bool)
+        for r in rules:
+            blocked |= pc.starts_with(path, r).to_numpy(zero_copy_only=False)
+        return ~blocked
+
+    def is_container_batch(self, urls: list[str]) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        sub = self._paths(urls)
+        stripped = pc.utf8_rtrim(sub, "/")
+        is_root = pc.equal(stripped, "").to_numpy(zero_copy_only=False)
+        depth = pc.count_substring(stripped, "/").to_numpy(zero_copy_only=False)
+        last = pc.replace_substring_regex(stripped, r"^.*/", "")
+        dirlike = pc.or_(
+            pc.starts_with(last, "gallery"), pc.starts_with(last, "private")
+        ).to_numpy(zero_copy_only=False)
+        return is_root | (dirlike & (depth < self.cfg.max_depth))
+
+    def metadata_batch(self, urls: list[str]) -> dict:
+        import pyarrow as pa
+
+        from ..functions.hashing import xxh64_batch
+
+        h = xxh64_batch(pa.array(urls, type=pa.string()), seed=self.cfg.seed)
+        missing = (h % np.uint64(1000)) < np.uint64(int(self.cfg.missing_meta_rate * 1000))
+        size = (np.uint64(2000) + (h >> np.uint64(16)) % np.uint64(60000)).astype(np.int64)
+        mt_missing = (h % np.uint64(977)) < np.uint64(30)
+        mtime = (
+            EPOCH_US - ((h >> np.uint64(24)) % np.uint64(400 * 86400)).astype(np.int64) * 1_000_000
+        )
+        return {
+            "size": [None if m else int(s) for m, s in zip(missing, size)],
+            "mtime": [None if m else int(t) for m, t in zip(mt_missing, mtime)],
+        }
+
+    def children_batch(self, urls: list[str]) -> list[list[str]]:
+        """Batched child expansion: ALL hashing is vectorized (one
+        xxh64_batch over the container URLs, one over the flattened
+        file-slot strings); only the final list assembly walks Python."""
+        import pyarrow as pa
+
+        from ..functions.hashing import xxh64_batch
+
+        n = len(urls)
+        if n == 0:
+            return []
+        h = xxh64_batch(pa.array(urls, type=pa.string()), seed=self.cfg.seed)
+        is_cont = self.is_container_batch(urls)
+        ndirs = (np.uint64(1) + h % np.uint64(self.cfg.fanout_dirs)).astype(np.int64)
+        nfiles = (np.uint64(2) + (h >> np.uint64(8)) % np.uint64(self.cfg.fanout_files)).astype(np.int64)
+        ndirs[~is_cont] = 0
+        nfiles[~is_cont] = 0
+        bases = [u.rstrip("/") for u in urls]
+        # flatten the file slots, hash them in ONE call, then slice back
+        slot_urls = [f"{urls[i]}#f{j}" for i in range(n) for j in range(nfiles[i])]
+        hj = (
+            xxh64_batch(pa.array(slot_urls, type=pa.string()), seed=self.cfg.seed)
+            if slot_urls
+            else np.empty(0, np.uint64)
+        )
+        offs = np.concatenate([[0], np.cumsum(nfiles)])
+        cross = (h % np.uint64(100)) < np.uint64(int(self.cfg.cross_link_rate * 100))
+        dup = (h % np.uint64(7)) == 0
+        out: list[list[str]] = []
+        for i in range(n):
+            if not is_cont[i]:
+                out.append([])
+                continue
+            base, hi = bases[i], h[i]
+            kids: list[str] = []
+            for d in range(int(ndirs[i])):
+                kind = (hi >> np.uint64(3 * d + 16)) % np.uint64(12)
+                kids.append(f"{base}/private{d}" if kind == 0 else f"{base}/gallery{d}")
+            for k in range(int(offs[i]), int(offs[i + 1])):
+                hk = int(hj[k])
+                ext = _EXTS[hk % len(_EXTS)]
+                if hk % 37 == 0:
+                    kids.append(f"{base}/weird{k - int(offs[i])}.extension-longer-than-twelve")
+                elif hk % 41 == 0:
+                    kids.append(f"{base}/.DS_Store")
+                else:
+                    kids.append(f"{base}/img_{hk % 100000:05d}.{ext}")
+            if cross[i]:
+                kids.append(f"http://{self.cfg.hot_host}/gallery{int(hi % np.uint64(3))}")
+            if dup[i] and kids:
+                kids.append(kids[-1])
+            out.append(kids)
+        return out
+
     # -- topology -----------------------------------------------------------
 
     def hosts(self) -> list[str]:

@@ -1,0 +1,92 @@
+"""Batched Source protocol (VERDICT r02 #6): the vectorized
+children/metadata/robots/is_container variants must be row-for-row
+identical to the scalar protocol, and the sources.base dispatchers must
+fall back to per-URL loops for scalar-only Sources."""
+
+import numpy as np
+
+from fscrawler_ray.sources import base as sb
+from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+
+def _sample_urls(web: SynthWeb, n: int = 400) -> list[str]:
+    """BFS a deterministic URL sample spanning roots, dirs, leaves, weird
+    extensions, and cross-host links."""
+    urls: list[str] = []
+    frontier = [f"http://{h}/" for h in web.hosts()]
+    while frontier and len(urls) < n:
+        u = frontier.pop(0)
+        urls.append(u)
+        if web.is_container(u):
+            frontier.extend(web.children(u))
+    return urls[:n]
+
+
+def test_synthweb_batched_matches_scalar():
+    web = SynthWeb(WebConfig(n_hosts=4, seed=11))
+    urls = _sample_urls(web)
+    assert len(urls) >= 100
+
+    # is_container
+    np.testing.assert_array_equal(
+        web.is_container_batch(urls), np.array([web.is_container(u) for u in urls])
+    )
+    # metadata
+    got = web.metadata_batch(urls)
+    want = [web.metadata(u) for u in urls]
+    assert got["size"] == [m["size"] for m in want]
+    assert got["mtime"] == [m["mtime"] for m in want]
+    # robots (per host: the rules differ per host)
+    for host in web.hosts():
+        hurls = [u for u in urls if f"//{host}/" in u or u.endswith(f"//{host}")] or urls[:5]
+        np.testing.assert_array_equal(
+            web.robots_batch(host, hurls),
+            np.array([web.robots_allowed(host, u) for u in hurls]),
+        )
+    # children (exact list equality including order, dup links, cross links)
+    conts = [u for u in urls if web.is_container(u)]
+    assert len(conts) >= 20
+    assert web.children_batch(conts) == [web.children(u) for u in conts]
+    # mixed container/leaf input: leaves yield empty child lists
+    mixed = urls[:50]
+    got_kids = web.children_batch(mixed)
+    for u, kids in zip(mixed, got_kids):
+        assert kids == (web.children(u) if web.is_container(u) else [])
+
+
+class _ScalarOnly:
+    """A Source implementing ONLY the scalar protocol."""
+
+    def children(self, u):
+        return [u + "/a", u + "/b"] if u.endswith("dir") else []
+
+    def is_container(self, u):
+        return u.endswith("dir")
+
+    def metadata(self, u):
+        return {"size": len(u), "mtime": None if "x" in u else 7}
+
+    def robots_allowed(self, host, u):
+        return "blocked" not in u
+
+
+def test_dispatcher_falls_back_for_scalar_sources():
+    src = _ScalarOnly()
+    urls = ["u1dir", "u2", "uxdir", "blocked1"]
+    assert sb.children_batch(src, urls) == [["u1dir/a", "u1dir/b"], [], ["uxdir/a", "uxdir/b"], []]
+    m = sb.metadata_batch(src, urls)
+    assert m["size"] == [5, 2, 5, 8]
+    assert m["mtime"] == [7, 7, None, 7]
+    np.testing.assert_array_equal(sb.robots_batch(src, "h", urls), [True, True, True, False])
+    np.testing.assert_array_equal(sb.is_container_batch(src, urls), [True, False, True, False])
+
+
+def test_dispatcher_prefers_batched_impl():
+    web = SynthWeb(WebConfig(n_hosts=2, seed=3))
+    urls = _sample_urls(web, 60)
+    np.testing.assert_array_equal(
+        sb.is_container_batch(web, urls), [web.is_container(u) for u in urls]
+    )
+    assert sb.children_batch(web, urls) == [
+        web.children(u) if web.is_container(u) else [] for u in urls
+    ]
