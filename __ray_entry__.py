@@ -12,6 +12,11 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# fixed (sf-independent) output dir for the SQL-checked crawl rollup: the
+# oracle_sql() string must name the path, and the driver re-runs the Ray
+# query before the SQL, so last-write-wins keeps the two sides consistent
+CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (input_hint image table →
@@ -32,19 +37,27 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         n_hosts = max(4, min(32, n // 16))
         return WebConfig(seed=42, n_hosts=n_hosts, max_depth=3)
 
+    # crawl_trace and crawl_counters share ONE cached engine run per
+    # (process, sf_dir): the crawl is deterministic w.r.t. n_shards, so a
+    # single run serves both views — halves the driver's check-time cost
+    # for the crawl family (VERDICT r02 next-round #1)
+    _run_cache: dict[str, tuple] = {}
+
+    def _shared_run(sf_dir: str) -> tuple:
+        if sf_dir not in _run_cache:
+            cfg = _scale(sf_dir)
+            eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40))
+            summary = eng.run(SynthWeb(cfg).seeds())
+            _run_cache[sf_dir] = (eng.trace_table(), summary)
+        return _run_cache[sf_dir]
+
     def crawl_trace(sf_dir: str):
-        cfg = _scale(sf_dir)
-        eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40))
-        eng.run(SynthWeb(cfg).seeds())
-        return eng.trace_table()
+        return _shared_run(sf_dir)[0]
 
     def crawl_counters(sf_dir: str):
         import pyarrow as pa
 
-        cfg = _scale(sf_dir)
-        eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=4, max_rounds=40))
-        s = eng.run(SynthWeb(cfg).seeds())
-        c = s["counters"]
+        c = _shared_run(sf_dir)[1]["counters"]
         return pa.table({k: [int(v)] for k, v in c.items() if isinstance(v, int)})
 
     def crawl_scan(sf_dir: str):
@@ -75,11 +88,39 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
             return result
 
+    def crawl_rollup(sf_dir: str):
+        """Crawl → partitioned parquet → Dataset rollup, SQL-CHECKED: the
+        oracle reads the same written parquet via DuckDB read_parquet()
+        (VERDICT r02 #7 — a crawl-output query inside the oracle net).
+        The output dir is fixed so the oracle_sql() string can name it."""
+        import shutil
+
+        import ray as _ray
+        from ray.data.aggregate import Count, Sum
+
+        import pyarrow as pa
+
+        cfg = _scale(sf_dir)
+        out = CRAWL_ROLLUP_DIR
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
+        shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
+        eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, out_dir=out))
+        eng.run(SynthWeb(cfg).seeds())
+        ds = _ray.data.read_parquet(out, columns=["host", "fmt", "size"])
+        agg = ds.groupby(["host", "fmt"]).aggregate(Count(), Sum("size"))
+
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["host", "fmt", "n_images", "total_size"])
+
+        return agg.map_batches(f, batch_format="pyarrow")
+
     return {
         "crawl_trace": crawl_trace,
         "crawl_counters": crawl_counters,
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
+        "crawl_rollup": crawl_rollup,
     }
 
 
@@ -177,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,
+            "quality_ratios": textops.q_quality_ratios,
+            "fingerprint_canon": textops.q_fingerprint_canon,
             "simhash_docs": textops.q_simhash_docs,
             "fingerprint_docs": textops.q_fingerprint_docs,
         }
@@ -195,6 +238,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql.update(INDEX_SQL)
     sql.update(TEXT_SQL)
+    sql["crawl_rollup"] = (
+        "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(sum(size) AS BIGINT) AS total_size "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "GROUP BY host, fmt"
+    )
     sql["knn_bruteforce"] = (
         "SELECT q.vec_id AS query_id, e.vec_id, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "

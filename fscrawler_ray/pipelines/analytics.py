@@ -652,7 +652,54 @@ def q_priority_revenue_copart(sf_dir: str):
     return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
 
 
+
+def q_asof_latest_order(sf_dir: str):
+    """AS-OF join (a custom operator Ray Data lacks): each event picks the
+    user's most recent order as of the event time. Oracle: DuckDB ASOF
+    LEFT JOIN with a deterministic max-orderkey dedup of equal
+    (custkey, orderdate) rights — the engine's ``tiebreak`` mirrors it."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice", "o_orderkey"])
+    out = asof_join(
+        ev,
+        od,
+        by_left="user_id",
+        by_right="o_custkey",
+        on_left="ts",
+        on_right="o_orderdate",
+        right_value_cols=["o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return _rename(out, {"o_orderdate": "last_order_date", "o_totalprice": "last_order_price"})
+
+
+def q_event_bursts(sf_dir: str, window_minutes: int = 10):
+    """Range self-join (burst detection): ordered same-user event pairs
+    within ``window_minutes``. One key-hash shuffle; the per-bucket kernel
+    is lexsort + two searchsorteds + vectorized expansion."""
+    from ..stages.joins import range_window_pairs
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = range_window_pairs(
+        ev, by="user_id", on="ts", window=window_minutes * 60 * 1_000_000, id_col="event_id"
+    )
+    return _rename(out, {"id_a": "ev_a", "id_b": "ev_b"})
+
 ORACLE_SQL = {
+    "asof_latest_order": (
+        "WITH r AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1) "
+        "SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date, "
+        "o.o_totalprice AS last_order_price "
+        "FROM events e ASOF LEFT JOIN r o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "event_bursts": (
+        "SELECT a.event_id AS ev_a, b.event_id AS ev_b, a.user_id "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES"
+    ),
     "count_by_lang": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "chars_by_lang": (
         "SELECT lang, cast(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS docs "
@@ -833,4 +880,6 @@ QUERIES = {
     "priority_revenue_copart": q_priority_revenue_copart,
     "rolling_user_value": q_rolling_user_value,
     "daily_active_users": q_daily_active_users,
+    "asof_latest_order": q_asof_latest_order,
+    "event_bursts": q_event_bursts,
 }

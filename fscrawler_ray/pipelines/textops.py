@@ -101,7 +101,75 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "langid_docs": _langid_sql(),
+    "fingerprint_canon": (
+        "SELECT doc_id, array_to_string(list_sort(list_distinct("
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ') AS canon "
+        "FROM documents"
+    ),
+    "quality_ratios": (
+        "WITH c AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct, "
+        f"CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}')) AS DOUBLE) AS n_stop "
+        "FROM documents) "
+        "SELECT doc_id, (n_chars - (n_tokens - 1.0)) / greatest(n_tokens, 1.0) AS mean_token_len, "
+        "n_punct / greatest(n_chars, 1.0) AS punct_ratio, "
+        "n_stop / greatest(n_tokens, 1.0) AS stopword_ratio FROM c"
+    ),
 }
+
+
+def q_fingerprint_canon(sf_dir: str):
+    """SQL-checkable document fingerprint: the canonical sorted-distinct-
+    token string (the winnowing fingerprint's preimage). All Arrow-side:
+    split → flatten → one vectorized two-key sort → consecutive dedup →
+    rebuild list → binary_join. DuckDB expresses the same thing as
+    list_sort(list_distinct(...)) (VERDICT r02 #7)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        n = len(b)
+        toks = pc.split_pattern_regex(pc.utf8_lower(b.column("text")), r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table({"doc": pa.array(doc[keep]), "tok": flat.filter(pa.array(keep))})
+        pairs = pairs.sort_by([("doc", "ascending"), ("tok", "ascending")])
+        d = pairs.column("doc").to_numpy(zero_copy_only=False)
+        t = pairs.column("tok").combine_chunks()
+        if len(d):
+            dup = np.zeros(len(d), dtype=bool)
+            dup[1:] = (d[1:] == d[:-1]) & pc.equal(t.slice(1), t.slice(0, len(t) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            d, t = d[~dup], t.filter(pa.array(~dup))
+        counts = np.bincount(d, minlength=n) if len(d) else np.zeros(n, np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), t)
+        return pa.table({"doc_id": b.column("doc_id"), "canon": pc.binary_join(lst, " ")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_quality_ratios(sf_dir: str):
+    """The float quality components that ARE bit-exactly SQL-expressible:
+    each is one IEEE double division of integer-valued doubles, so DuckDB
+    and numpy produce identical bits (unlike quality_score's exp/round)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        q = quality_features(b.column("text"))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "mean_token_len": q.column("mean_token_len"),
+                "punct_ratio": q.column("punct_ratio"),
+                "stopword_ratio": q.column("stopword_ratio"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_simhash_docs(sf_dir: str):

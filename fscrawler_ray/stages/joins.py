@@ -192,3 +192,257 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
         return out.select(all_cols).cast(out_schema)
 
     return l2.union(r2).groupby("__pcol").map_groups(merge, batch_format="pyarrow")
+
+
+def _dense_keys(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Key column → comparable int64 array (exact — no hashing, so no
+    collision risk inside a bucket): numeric keys pass through, string
+    keys densify via np.unique ranks."""
+    vals = col.to_numpy(zero_copy_only=False)
+    if vals.dtype.kind in ("i", "u"):
+        return vals.astype(np.int64)
+    return np.unique(vals.astype(str), return_inverse=True)[1].astype(np.int64)
+
+
+def _ordinal(col) -> np.ndarray:
+    """Orderable column (int / timestamp) → int64 ordinals."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by_left: str,
+    by_right: str,
+    on_left: str,
+    on_right: str,
+    right_value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+    n_partitions: int = 64,
+):
+    """Distributed AS-OF join (backward, inclusive): for every left row,
+    attach the right row with the same key and the greatest right-time
+    ≤ left-time (a LEFT join — unmatched rows keep nulls). Ray Data has
+    no asof primitive; this composes one from a key-hash co-partition
+    (both sides shuffle ONCE) plus an exact per-bucket merge-stream
+    kernel: sort rights by (key, time, tiebreak), interleave lefts
+    (rights first at equal time → inclusive ≤), and a single
+    ``np.maximum.accumulate`` forward-fill yields every match — O((L+R)
+    log(L+R)) vectorized per bucket, no per-key Python.
+
+    ``tiebreak`` names a right column that deterministically resolves
+    equal (key, time) rights (the LARGEST wins); without it the pick
+    among exact ties is unspecified (matches SQL ASOF semantics).
+
+    Partitioning assumption (SCALE.md): one bucket holds every row of
+    its keys — fine while no single key's history exceeds task memory;
+    a pathologically hot key needs time-range sub-splits, not supported
+    here.
+    """
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    rv = right_value_cols or [c for c in right_schema.names if c != by_right]
+    right_out = {c: (c + suffix if c in left_cols else c) for c in rv}
+    out_cols = left_cols + [right_out[c] for c in rv]
+    types: dict = dict(zip(left_schema.names, left_schema.types))
+    for name, typ in zip(right_schema.names, right_schema.types):
+        if name in rv:
+            types[right_out[name]] = typ
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+    key_type = dict(zip(right_schema.names, right_schema.types))[by_right]
+    internal = ["__pcol", "__side", "__k", "__t", "__tb"]
+
+    from ..functions.hashing import xxh64_batch, xxh64_u64
+
+    def _bucket(col) -> pa.Array:
+        k = col.to_numpy(zero_copy_only=False)
+        if k.dtype.kind in ("i", "u"):
+            h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=29)
+        else:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = xxh64_batch(col.cast(pa.string()), seed=29)
+        return pa.array((h % np.uint64(n_partitions)).astype(np.int64))
+
+    def widen(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            by = b.column(by_left if side == 1 else by_right)
+            on = b.column(on_left if side == 1 else on_right)
+            cols = {
+                "__pcol": _bucket(by),
+                "__side": pa.array(np.full(b.num_rows, side, np.int8)),
+                "__k": by.cast(key_type) if side == 1 else by,
+                "__t": pa.array(_ordinal(on)),
+                "__tb": (
+                    pa.array(_ordinal(b.column(tiebreak)))
+                    if side == 0 and tiebreak is not None
+                    else pa.array(np.zeros(b.num_rows, np.int64))
+                ),
+            }
+            for name in out_cols:
+                if side == 1 and name in left_cols:
+                    cols[name] = b.column(name)
+                elif side == 0 and name in right_out.values():
+                    src = next(c for c, o in right_out.items() if o == name)
+                    cols[name] = b.column(src)
+                else:
+                    cols[name] = pa.nulls(b.num_rows, types[name])
+            return pa.table({k: cols[k] for k in internal + out_cols})
+
+        return f
+
+    l2 = left_ds.map_batches(widen(1), batch_format="pyarrow")
+    r2 = right_ds.map_batches(widen(0), batch_format="pyarrow")
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.nulls(0, types[c]) for c in out_cols}).cast(out_schema)
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        is_r = side == 0
+        if not (~is_r).any():
+            return _empty()
+        kv = _dense_keys(g.column("__k"))
+        t = g.column("__t").to_numpy(zero_copy_only=False)
+        lf = g.filter(pa.array(~is_r)).select(left_cols)
+        rf = g.filter(pa.array(is_r)).select([right_out[c] for c in rv])
+        lk, lt = kv[~is_r], t[~is_r]
+        nl = len(lk)
+        if len(rf) == 0:
+            out = lf
+            for c in rv:
+                out = out.append_column(right_out[c], pa.nulls(nl, types[right_out[c]]))
+            return out.select(out_cols).cast(out_schema)
+        rk, rt = kv[is_r], t[is_r]
+        rtb = g.column("__tb").to_numpy(zero_copy_only=False)[is_r]
+        nr = len(rk)
+        order_r = np.lexsort((rtb, rt, rk))
+        rk_s, rt_s = rk[order_r], rt[order_r]
+        # merge stream: rights before lefts at equal (key, time) → ≤ match
+        key_all = np.concatenate([rk_s, lk])
+        t_all = np.concatenate([rt_s, lt])
+        side_all = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+        pos_all = np.concatenate([np.arange(nr, dtype=np.int64), np.full(nl, -1, np.int64)])
+        order = np.lexsort((side_all, t_all, key_all))
+        filled = np.maximum.accumulate(pos_all[order])
+        lmask = side_all[order] == 1
+        match = filled[lmask]  # per left row in STREAM order
+        left_orig = order[lmask] - nr  # index into lf
+        valid = match >= 0
+        valid &= rk_s[np.maximum(match, 0)] == lk[left_orig]
+        ridx = order_r[np.maximum(match, 0)]
+        # restore original left row order
+        valid_o = np.zeros(nl, dtype=bool)
+        ridx_o = np.zeros(nl, dtype=np.int64)
+        valid_o[left_orig] = valid
+        ridx_o[left_orig] = ridx
+        ind = pa.array(ridx_o, pa.int64(), mask=~valid_o)  # null → null take
+        out = lf
+        for c in rv:
+            out = out.append_column(right_out[c], pc.take(rf.column(right_out[c]), ind))
+        return out.select(out_cols).cast(out_schema)
+
+    out = l2.union(r2).groupby("__pcol").map_groups(merge, batch_format="pyarrow")
+    # seed block: Ray drops the schema of an all-empty map_groups, which
+    # crashes downstream consumers — union a 0-row TYPED block so the
+    # empty result keeps its columns (round-2 lesson)
+    return ray.data.from_arrow(_empty()).union(out)
+
+
+def range_window_pairs(
+    ds,
+    by: str,
+    on: str,
+    window: int,
+    id_col: str,
+    n_partitions: int = 64,
+):
+    """Distributed self range-join: all ordered pairs (a, b) with the same
+    ``by`` key and ``on_b`` in (on_a, on_a + window] — the burst /
+    sessionization primitive (``window`` in the ``on`` column's units,
+    e.g. µs for timestamp[us]). One key-hash shuffle co-locates each
+    key; the per-bucket kernel is one lexsort + two global searchsorteds
+    on a segment-offset composite + one vectorized expansion — no
+    per-key Python, output-proportional memory.
+
+    Same partitioning assumption as :func:`asof_join`; additionally the
+    composite offset requires n_buckets_rows × (key time-range + window)
+    < 2^63, asserted per bucket.
+    """
+    from ..functions.hashing import xxh64_u64
+
+    sch = ds.schema()
+    sch_types = dict(zip(sch.names, sch.types))
+    id_type, by_type = sch_types[id_col], sch_types[by]
+    out_schema = pa.schema([("id_a", id_type), ("id_b", id_type), (by, by_type)])
+
+    def widen(b: pa.Table) -> pa.Table:
+        k = b.column(by).to_numpy(zero_copy_only=False)
+        h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=31)
+        return pa.table(
+            {
+                "__pcol": pa.array((h % np.uint64(n_partitions)).astype(np.int64)),
+                "__k": b.column(by),
+                "__t": pa.array(_ordinal(b.column(on))),
+                "__id": b.column(id_col),
+            }
+        )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {"id_a": pa.nulls(0, id_type), "id_b": pa.nulls(0, id_type), by: pa.nulls(0, by_type)}
+        ).cast(out_schema)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return _empty()
+        kv = _dense_keys(g.column("__k"))
+        t = g.column("__t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, kv))
+        ks, ts = kv[order], t[order]
+        # offset each key segment into a disjoint ordinal range so ONE
+        # global searchsorted answers every per-segment window probe
+        seg_start = np.zeros(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = ks[1:] != ks[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        tmin, tmax = int(ts.min()), int(ts.max())
+        span = (tmax - tmin) + int(window) + 2
+        n_segs = int(seg_id[-1]) + 1
+        assert n_segs * span < (1 << 62), "range_window composite overflow; raise n_partitions"
+        comp = (ts - tmin) + seg_id * span
+        lo = np.searchsorted(comp, comp, side="right")  # strict >
+        hi = np.searchsorted(comp, comp + int(window), side="right")  # ≤ +window
+        counts = hi - lo
+        if counts.sum() == 0:
+            return _empty()
+        idx_a = np.repeat(np.arange(n, dtype=np.int64), counts)
+        offs = np.cumsum(counts) - counts
+        idx_b = np.arange(len(idx_a), dtype=np.int64) - np.repeat(offs, counts) + lo[idx_a]
+        orig_a, orig_b = order[idx_a], order[idx_b]
+        ids = g.column("__id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        kcol = g.column("__k")
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table(
+            {
+                "id_a": ids.take(pa.array(orig_a)),
+                "id_b": ids.take(pa.array(orig_b)),
+                by: kcol.take(pa.array(orig_a)),
+            }
+        ).cast(out_schema)
+
+    out = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("__pcol")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    # typed 0-row seed: keep the schema when every group is pair-free
+    return ray.data.from_arrow(_empty()).union(out)

@@ -1,0 +1,151 @@
+"""asof_join / range_window_pairs: property-fuzz against brute-force
+references (pandas merge_asof has its own tie semantics, so the asof
+reference is an explicit per-row argmax — unambiguous)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fscrawler_ray.stages.joins import asof_join, range_window_pairs
+
+
+def _brute_asof(lk, lt, rk, rt, rv, rtb):
+    """For each left row: right row with same key, max time ≤ lt; among
+    time ties the max tiebreak wins."""
+    out = []
+    for k, t in zip(lk, lt):
+        best = None
+        for j in range(len(rk)):
+            if rk[j] != k or rt[j] > t:
+                continue
+            if best is None or (rt[j], rtb[j]) > (rt[best], rtb[best]):
+                best = j
+        out.append(rv[best] if best is not None else None)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=15),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=10),
+)
+def test_asof_join_fuzz(lrows, rrows):
+    lk = [r[0] for r in lrows]
+    lt = [r[1] for r in lrows]
+    rk = [r[0] for r in rrows]
+    rt = [r[1] for r in rrows]
+    rv = [i * 100 for i in range(len(rrows))]
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "t": pa.array(lt, pa.int64()),
+            "lid": pa.array(range(len(lk)), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rk, pa.int64()),
+            "t2": pa.array(rt, pa.int64()),
+            "val": pa.array(rv, pa.int64()),
+            "tb": pa.array(range(len(rk)), pa.int64()),
+        }
+    )
+    if not len(lk):
+        return
+    got = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        by_left="k",
+        by_right="k",
+        on_left="t",
+        on_right="t2",
+        right_value_cols=["val"],
+        tiebreak="tb",
+        n_partitions=3,
+    ).to_pandas()
+    assert len(got) == len(lk)
+    got = got.sort_values("lid").reset_index(drop=True)
+    want = _brute_asof(lk, lt, rk, rt, rv, list(range(len(rk))))
+    got_vals = [None if pd.isna(v) else int(v) for v in got["val"]]
+    assert got_vals == want
+
+
+def _brute_window(k, t, ids, window):
+    out = set()
+    for i in range(len(k)):
+        for j in range(len(k)):
+            if k[i] == k[j] and t[i] < t[j] <= t[i] + window:
+                out.add((ids[i], ids[j], k[i]))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=18),
+    st.integers(1, 8),
+)
+def test_range_window_pairs_fuzz(rows, window):
+    k = [r[0] for r in rows]
+    t = [r[1] for r in rows]
+    ids = list(range(len(rows)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "id": pa.array(ids, pa.int64()),
+            }
+        )
+    )
+    got = range_window_pairs(ds, by="k", on="t", window=window, id_col="id", n_partitions=3).to_pandas()
+    want = _brute_window(k, t, ids, window)
+    if not want:
+        # Ray's to_pandas drops the schema of an all-empty Dataset — only
+        # the row count is checkable here
+        assert len(got) == 0
+        return
+    got_set = set(zip(got["id_a"].astype(int), got["id_b"].astype(int), got["k"].astype(int)))
+    assert got_set == want
+    assert len(got) == len(got_set)  # no duplicate pairs
+
+
+def test_asof_join_timestamp_and_left_nulls():
+    """Timestamps as the on-column; keys with no right history stay null."""
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([100, 300, 50], pa.timestamp("us")),
+            "eid": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, 1], pa.int64()),
+            "ots": pa.array([100, 200], pa.timestamp("us")),
+            "price": pa.array([10.0, 20.0], pa.float64()),
+            "ok": pa.array([0, 1], pa.int64()),
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            by_left="u",
+            by_right="u",
+            on_left="ts",
+            on_right="ots",
+            right_value_cols=["price"],
+            tiebreak="ok",
+            n_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert got["price"].tolist()[0] == 10.0  # inclusive ≤ at equal time
+    assert got["price"].tolist()[1] == 20.0
+    assert pd.isna(got["price"].tolist()[2])  # user 2: no orders
