@@ -42,7 +42,7 @@ import ray
 from ..functions.urls import canonicalize
 from ..sources.base import children_batch, make_source, spec_of
 from ..sources.synthweb import WebConfig
-from .frontier import EMIT_SCHEMA, FrontierShard, route_key, shard_of_host, true_host
+from .frontier import EMIT_SCHEMA, FrontierShard, SeenService, route_key, shard_of_host, true_host
 from .oracle import normalize_seeds
 
 RESULT_SCHEMA = pa.schema(
@@ -138,6 +138,59 @@ def _atomic_write(table: pa.Table, path: str) -> None:
 # idle while fetch tasks run, so they must not reserve CPU slots away from
 # the task pool (important at low num_cpus).
 FrontierShardActor = ray.remote(num_cpus=0)(FrontierShard)
+SeenServiceActor = ray.remote(num_cpus=0)(SeenService)
+
+
+def _reroute_frontier_states(states: list[dict], new_salts: dict, n_shards: int, old_salts: dict) -> list[dict]:
+    """Re-key every queued/buffered URL in a set of checkpointed frontier
+    states under a NEW salt plan — the auto-salting loop closure (VERDICT
+    r02 #8): ``suggest_salts`` → checkpoint → resume with the suggested
+    plan. Valid ONLY because seen ownership is key-sharded in SeenService
+    actors (frontier.SeenService): moving a queue entry between route
+    shards never touches seen state, so the crawled URL SET is invariant.
+
+    Determinism: entries merge in (source shard asc, route key lex,
+    FIFO position) order, so the resumed crawl is a pure function of
+    (checkpoint, new plan). Token-bucket state follows hosts whose salt
+    count is unchanged; a re-salted host restarts from the missing-key
+    default (full capacity — the per-host round bound k·(capacity//k) ≤
+    capacity still holds, enforced at CrawlConfig validation)."""
+    states = sorted(states, key=lambda s: s["shard_id"])
+    changed = {
+        h for h in set(old_salts) | set(new_salts) if old_salts.get(h, 1) != new_salts.get(h, 1)
+    }
+    queues: list[dict] = [{} for _ in range(n_shards)]
+    buffers: list[list] = [[] for _ in range(n_shards)]
+    tokens: list[dict] = [{} for _ in range(n_shards)]
+    refills: list[dict] = [{} for _ in range(n_shards)]
+    for st in states:
+        for rkey in sorted(st["queues"]):
+            h0 = true_host(rkey)
+            for url, depth, root in st["queues"][rkey]:
+                nk = route_key(url, h0, new_salts)
+                queues[shard_of_host(nk, n_shards)].setdefault(nk, []).append((url, depth, root))
+        for item in st["buffer"]:
+            url = item[2]
+            h0 = url.split("://", 1)[1].split("/", 1)[0].lower()
+            nk = route_key(url, h0, new_salts)
+            buffers[shard_of_host(nk, n_shards)].append(tuple(item))
+        for rkey, tok in st.get("tokens", {}).items():
+            if true_host(rkey) in changed:
+                continue
+            sid = shard_of_host(rkey, n_shards)
+            tokens[sid][rkey] = tok
+            if rkey in st.get("last_refill", {}):
+                refills[sid][rkey] = st["last_refill"][rkey]
+    out = []
+    for i, st in enumerate(states):
+        st = dict(st)
+        st["queues"] = queues[i]
+        st["buffer"] = buffers[i]
+        st["tokens"] = tokens[i]
+        st["last_refill"] = refills[i]
+        st["salt_hosts"] = dict(new_salts)
+        out.append(st)
+    return out
 
 
 @ray.remote
@@ -372,6 +425,18 @@ class CrawlEngine:
                     f"politeness_capacity={cfg.politeness_capacity}): "
                     "the per-host rate bound could not be preserved"
                 )
+        # seen-set service: one partition per shard, keyed xxh64(url) %
+        # n_shards — INDEPENDENT of politeness routing, so salt plans can
+        # change across resume (frontier.SeenService docstring)
+        self.seen_shards = [
+            SeenServiceActor.remote(
+                i,
+                capacity=cfg.seen_capacity,
+                spill_dir=cfg.seen_spill_dir,
+                exact_max_inmem=cfg.seen_exact_max_inmem,
+            )
+            for i in range(cfg.n_shards)
+        ]
         self.shards = [
             FrontierShardActor.remote(
                 i,
@@ -383,6 +448,7 @@ class CrawlEngine:
                 salt_hosts=cfg.salt_hosts,
                 seen_spill_dir=cfg.seen_spill_dir,
                 seen_exact_max_inmem=cfg.seen_exact_max_inmem,
+                seen_shards=self.seen_shards,
             )
             for i in range(cfg.n_shards)
         ]
@@ -602,7 +668,7 @@ class CrawlEngine:
         return t.sort_by("seq")
 
     def seen_keys(self) -> np.ndarray:
-        parts = ray.get([s.seen_keys.remote() for s in self.shards])
+        parts = ray.get([s.keys_array.remote() for s in self.seen_shards])
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
     def hot_hosts(self, top: int = 5) -> list[tuple[str, int]]:
@@ -673,6 +739,10 @@ class CrawlEngine:
         for st in states:
             with open(os.path.join(d, f"shard_{st['shard_id']}.pkl"), "wb") as f:
                 pickle.dump(st, f)
+        seen_states = ray.get([s.state.remote() for s in self.seen_shards])
+        for i, st in enumerate(seen_states):
+            with open(os.path.join(d, f"seen_{i}.pkl"), "wb") as f:
+                pickle.dump(st, f)
         manifest = {
             "round": self.round_no,
             "seq_offset": self.seq_offset,
@@ -727,22 +797,53 @@ class CrawlEngine:
                 raise ValueError(
                     f"resume config mismatch: web={spec_of(cfg.web)} vs checkpoint {mc.get('web')}"
                 )
-            if mc.get("salt_hosts", {}) != dict(cfg.salt_hosts or {}):
-                raise ValueError(
-                    f"resume config mismatch: salt_hosts={cfg.salt_hosts} vs checkpoint {mc.get('salt_hosts')}"
-                )
         eng = cls(cfg)
         eng.round_no = manifest["round"]
         eng.seq_offset = manifest["seq_offset"]
         eng.result_rows = manifest["result_rows"]
         eng.root_meta = manifest.get("root_meta", [])
         eng.root_urls = manifest.get("root_urls", [])
-        futures = []
+        states = []
         for i in range(cfg.n_shards):
             with open(os.path.join(d, f"shard_{i}.pkl"), "rb") as f:
-                st = pickle.load(f)
-            futures.append(eng.shards[i].load_state.remote(st))
-        ray.get(futures)
+                states.append(pickle.load(f))
+        # seen partitions (key-sharded, salt-independent); legacy
+        # checkpoints instead carry the seen set inside each shard state
+        seen_files = [os.path.join(d, f"seen_{i}.pkl") for i in range(cfg.n_shards)]
+        if all(os.path.exists(p) for p in seen_files):
+            futures = []
+            for i, p in enumerate(seen_files):
+                with open(p, "rb") as f:
+                    futures.append(eng.seen_shards[i].load_state.remote(pickle.load(f)))
+            ray.get(futures)
+        else:
+            # legacy checkpoint: seen lived inside each (route-coupled)
+            # shard state. Migrate by re-keying the exact key arrays into
+            # the key-sharded service (sound: engine SeenSets are strict,
+            # so the exact store is the complete membership set), then
+            # strip it from the shard states so the actors stay external.
+            legacy = [st.pop("seen", None) for st in states]
+            keys = [st["exact"] for st in legacy if st is not None and len(st.get("exact", ()))]
+            if keys:
+                allk = np.concatenate([np.asarray(k, dtype=np.uint64) for k in keys])
+                owners = (allk % np.uint64(cfg.n_shards)).astype(np.int64)
+                ray.get(
+                    [
+                        eng.seen_shards[int(o)].check_and_add.remote(allk[owners == o])
+                        for o in np.unique(owners)
+                    ]
+                )
+            for st in states:
+                st["seen"] = None
+        # a CHANGED salt plan re-routes the checkpointed queues instead of
+        # failing (the auto-salting loop closure): suggest_salts →
+        # checkpoint → resume with the plan. Safe because seen ownership
+        # is key-sharded (salt-independent) after the load above.
+        old_salts = {str(k): int(v) for k, v in (mc.get("salt_hosts") or {}).items()}
+        new_salts = {str(k): int(v) for k, v in (cfg.salt_hosts or {}).items()}
+        if old_salts != new_salts:
+            states = _reroute_frontier_states(states, new_salts, cfg.n_shards, old_salts)
+        ray.get([eng.shards[i].load_state.remote(st) for i, st in enumerate(states)])
         # continue appending to the original run's trace spool, pruning
         # parts any crashed attempt wrote past the checkpointed round; if
         # the spool vanished (tmp cleanup, other machine), restore it from

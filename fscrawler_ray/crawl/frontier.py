@@ -17,6 +17,20 @@ Protocol per round (see crawl/semantics.md):
 - ``end_round()`` sorts the buffer by ``(parent_seq, child_idx)``, runs the
   vectorized seen-set test-and-set in that order, and enqueues survivors.
 
+Seen-set ownership is decoupled from politeness routing (VERDICT r02 #8):
+when the engine passes ``seen_shards`` (a :class:`SeenService` actor per
+partition), a URL's seen entry lives at ``xxh64(canonical_url) % n_seen``
+— a pure function of the URL, INDEPENDENT of the salt-aware route key —
+so salting/re-salting a host between runs never moves seen entries and a
+checkpoint can be resumed under a DIFFERENT salt plan (the auto-salting
+loop). The seen check inside ``end_round`` partitions the batch's keys by
+owner and issues one vectorized ``check_and_add`` per owner; determinism
+holds because all duplicates of a URL buffer at ONE route shard (route
+key is a pure function of the URL), so first-occurrence-wins is decided
+entirely by this shard's sorted buffer order, which each owner preserves.
+Without ``seen_shards`` the shard keeps a private SeenSet (single-process
+oracle/unit-test mode; ownership == routing, the round-2 behavior).
+
 Checkpoint: ``state()``/``from_state`` snapshot queues + seen-set + counters
 (+ round lineage), the distributed analog of the reference's ``path_stage``
 resume column (app/index_files.py:53-79).
@@ -47,6 +61,47 @@ EMIT_SCHEMA = pa.schema(
 )
 
 
+class SeenService:
+    """One seen-set partition, owning keys with ``key % n_seen == shard_id``
+    (key = xxh64(canonical url)). Deployed as a zero-CPU Ray actor by the
+    engine; frontier shards call ``check_and_add`` at their round barrier.
+    Kept SEPARATE from the frontier shards so that (a) politeness
+    re-sharding — salting a hot host — never migrates seen entries, making
+    salt plans changeable across checkpoint/resume, and (b) the
+    memory-heavy membership structures (bloom + cuckoo + exact runs) scale
+    independently of the queue actors at 10^10-URL scale."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        capacity: int = 1 << 17,
+        spill_dir: str | None = None,
+        exact_max_inmem: int = 1 << 22,
+    ):
+        spill = None
+        if spill_dir:
+            import os
+
+            spill = os.path.join(spill_dir, f"seen{shard_id:04d}")
+        self.shard_id = shard_id
+        self.seen = SeenSet(capacity=capacity, exact_spill_dir=spill, exact_max_inmem=exact_max_inmem)
+
+    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        return self.seen.check_and_add(keys)
+
+    def keys_array(self) -> np.ndarray:
+        return self.seen.keys_array()
+
+    def count(self) -> int:
+        return len(self.seen)
+
+    def state(self) -> dict:
+        return self.seen.state()
+
+    def load_state(self, st: dict) -> None:
+        self.seen = SeenSet.from_state(st)
+
+
 class FrontierShard:
     def __init__(
         self,
@@ -59,6 +114,7 @@ class FrontierShard:
         salt_hosts: dict | None = None,
         seen_spill_dir: str | None = None,
         seen_exact_max_inmem: int = 1 << 22,
+        seen_shards: list | None = None,
     ):
         self.shard_id = shard_id
         self.web = make_source(web_cfg)  # any Source spec (SURVEY E1 gap fix)
@@ -73,14 +129,21 @@ class FrontierShard:
         self.salt_hosts = dict(salt_hosts or {})
         self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
         self._last_refill: dict[str, int] = {}  # round of that pop
-        spill = None
-        if seen_spill_dir:
-            import os
+        # key-sharded seen ownership (module docstring): with SeenService
+        # actors the shard holds NO seen state of its own; without them
+        # (plain-class / single-process mode) it keeps a private SeenSet.
+        self._seen_actors = list(seen_shards) if seen_shards else None
+        if self._seen_actors:
+            self.seen = None
+        else:
+            spill = None
+            if seen_spill_dir:
+                import os
 
-            spill = os.path.join(seen_spill_dir, f"shard{shard_id:04d}")
-        self.seen = SeenSet(
-            capacity=seen_capacity, exact_spill_dir=spill, exact_max_inmem=seen_exact_max_inmem
-        )
+                spill = os.path.join(seen_spill_dir, f"shard{shard_id:04d}")
+            self.seen = SeenSet(
+                capacity=seen_capacity, exact_spill_dir=spill, exact_max_inmem=seen_exact_max_inmem
+            )
         self.queues: dict[str, list] = {}  # host -> list[(url, depth)] FIFO
         self._qhead: dict[str, int] = {}  # pop cursor per host (amortized O(1))
         self._buffer: list[tuple[int, int, str, int]] = []  # (parent_seq, child_idx, url, depth)
@@ -107,7 +170,7 @@ class FrontierShard:
         if not urls:
             return 0
         keys = xxh64_batch(pa.array(urls, type=pa.string()))
-        new = self.seen.check_and_add(keys)
+        new = self._check_and_add(keys)
         self.counters["skipped_seen"] += int((~new).sum())
         added = 0
         for i in np.flatnonzero(new):
@@ -118,6 +181,29 @@ class FrontierShard:
             added += 1
         self.counters["enqueued"] += added
         return added
+
+    def _check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized seen test-and-set, preserving the caller's order.
+        External mode partitions the keys by owner (``key % n_seen``) and
+        issues ONE check_and_add per owner actor — order within each
+        owner's sub-array is the buffer order, and reassembly restores the
+        full-batch order, so first-occurrence-wins semantics are identical
+        to the local path (all duplicates of a URL sit in THIS batch)."""
+        if self.seen is not None:
+            return self.seen.check_and_add(keys)
+        import ray as _ray
+
+        keys = np.asarray(keys, dtype=np.uint64)
+        owners = (keys % np.uint64(len(self._seen_actors))).astype(np.int64)
+        mask = np.zeros(len(keys), dtype=bool)
+        idxs, refs = [], []
+        for o in np.unique(owners):
+            idx = np.flatnonzero(owners == o)
+            idxs.append(idx)
+            refs.append(self._seen_actors[int(o)].check_and_add.remote(keys[idx]))
+        for idx, sub in zip(idxs, _ray.get(refs)):
+            mask[idx] = sub
+        return mask
 
     def add_seeds(self, seeds: list) -> int:
         """Seeds are (url, root_id) pairs (or bare urls → root_id = 0)."""
@@ -354,6 +440,7 @@ class FrontierShard:
         return dict(self.counters, shard=self.shard_id, round=self.round, pending=self.pending_count())
 
     def seen_keys(self) -> np.ndarray:
+        assert self.seen is not None, "seen set is externalized; read the SeenService actors"
         return np.sort(self.seen.keys_array())
 
     def state(self) -> dict:
@@ -368,7 +455,9 @@ class FrontierShard:
             "last_refill": dict(self._last_refill),
             "queues": queues,
             "counters": dict(self.counters),
-            "seen": self.seen.state(),
+            # external mode: seen state is checkpointed from the SeenService
+            # actors (engine writes seen_{i}.pkl), not duplicated here
+            "seen": self.seen.state() if self.seen is not None else None,
             "buffer": list(self._buffer),
             "salt_hosts": dict(self.salt_hosts),
         }
@@ -383,7 +472,9 @@ class FrontierShard:
         self.queues = {h: list(q) for h, q in st["queues"].items()}
         self._qhead = {}
         self.counters = dict(st["counters"])
-        self.seen = SeenSet.from_state(st["seen"])
+        if st.get("seen") is not None:
+            self.seen = SeenSet.from_state(st["seen"])
+        # else: keep the external SeenService handles from __init__
         self._buffer = [tuple(t) for t in st["buffer"]]
         self.salt_hosts = dict(st.get("salt_hosts", {}))
 

@@ -79,16 +79,43 @@ def test_salt_exceeding_capacity_rejected():
                                 salt_hosts={HOT: 4}))
 
 
-def test_salt_mismatch_on_resume_rejected(tmp_path):
-    seeds = SynthWeb(CFG).seeds()
+def test_autosalting_loop_resume_with_suggested_salts(tmp_path):
+    """The auto-salting loop closure (VERDICT r02 #8): crawl a Zipf-hot
+    web for a few rounds, checkpoint, ask ``suggest_salts`` for a plan,
+    RESUME under that plan. The resumed crawl must (a) finish with the
+    exact URL set + seen-set of an uninterrupted unsalted run — seen
+    ownership is key-sharded, so re-routing queues is safe — and (b)
+    actually spread the hot host's backlog across salt queues."""
+    web = WebConfig(seed=42, n_hosts=16, max_depth=4, cross_link_rate=0.5)
+    seeds = SynthWeb(web).seeds()
+
+    ref = CrawlEngine(CrawlConfig(web=web, n_shards=2, politeness_budget=4, max_rounds=80))
+    ref.run(seeds)
+    ref_urls = set(r["url"] for r in ref.trace_table().to_pylist())
+    ref_seen = set(int(k) for k in ref.seen_keys())
+
     ck = str(tmp_path / "ck")
-    eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4,
-                                  max_rounds=3, checkpoint_dir=ck, salt_hosts={HOT: 2}))
+    eng = CrawlEngine(CrawlConfig(web=web, n_shards=2, politeness_budget=4,
+                                  max_rounds=3, checkpoint_dir=ck))
     eng.run(seeds)
+    plan = eng.suggest_salts(threshold=8)
+    assert plan, "expected a salting plan for the hot host"
+    hot = max(plan, key=lambda h: plan[h])
+    backlog_before = sum(n for k, n in eng.hot_hosts(top=1000) if true_host(k) == hot)
     eng.checkpoint()
-    with pytest.raises(ValueError, match="salt_hosts"):
-        CrawlEngine.resume(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4,
-                                       checkpoint_dir=ck))
+
+    res = CrawlEngine.resume(CrawlConfig(web=web, n_shards=2, politeness_budget=4,
+                                         checkpoint_dir=ck, salt_hosts=plan))
+    # the re-routed frontier spread the hot host across its salt queues:
+    # max per-route-key backlog strictly below the host's whole backlog
+    per_key = dict(res.hot_hosts(top=1000))
+    hot_keys = [k for k in per_key if true_host(k) == hot]
+    assert len(hot_keys) > 1, f"hot host not spread: {per_key}"
+    assert max(per_key[k] for k in hot_keys) < backlog_before
+    assert sum(per_key[k] for k in hot_keys) == backlog_before  # nothing lost
+    res.run(max_rounds=80)
+    assert set(r["url"] for r in res.trace_table().to_pylist()) == ref_urls
+    assert set(int(k) for k in res.seen_keys()) == ref_seen
 
 
 def test_suggest_salts_flags_hot_host():
