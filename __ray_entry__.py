@@ -71,42 +71,43 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         eng.run(SynthWeb(cfg).seeds())
         return eng.trace_table()
 
-    def crawl_host_report(sf_dir: str):
-        import tempfile
+    # crawl_host_report and crawl_rollup consume the WRITTEN output of one
+    # identical crawl config — share a single cached written run per
+    # (process, sf_dir), like the trace/counters pair above (VERDICT r02
+    # next-round #1: halve the driver's check-time cost for this family)
+    _written_cache: dict[str, str] = {}
 
-        from fscrawler_ray.pipelines.crawl_report import host_rollup
+    def _shared_written_run(sf_dir: str) -> str:
+        if sf_dir not in _written_cache:
+            import shutil
 
-        import shutil
-
-        cfg = _scale(sf_dir)
-        with tempfile.TemporaryDirectory() as out:
-            eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, out_dir=out))
-            eng.run(SynthWeb(cfg).seeds())
-            result = host_rollup(out).to_pandas()
-            # the trace/deadletter siblings live OUTSIDE the managed tmpdir
+            cfg = _scale(sf_dir)
+            out = CRAWL_ROLLUP_DIR
+            shutil.rmtree(out, ignore_errors=True)
             shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
             shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
-            return result
+            eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, out_dir=out))
+            eng.run(SynthWeb(cfg).seeds())
+            _written_cache.clear()  # the fixed dir holds ONE sf at a time
+            _written_cache[sf_dir] = out
+        return _written_cache[sf_dir]
+
+    def crawl_host_report(sf_dir: str):
+        from fscrawler_ray.pipelines.crawl_report import host_rollup
+
+        return host_rollup(_shared_written_run(sf_dir)).to_pandas()
 
     def crawl_rollup(sf_dir: str):
         """Crawl → partitioned parquet → Dataset rollup, SQL-CHECKED: the
         oracle reads the same written parquet via DuckDB read_parquet()
         (VERDICT r02 #7 — a crawl-output query inside the oracle net).
         The output dir is fixed so the oracle_sql() string can name it."""
-        import shutil
-
         import ray as _ray
         from ray.data.aggregate import Count, Sum
 
         import pyarrow as pa
 
-        cfg = _scale(sf_dir)
-        out = CRAWL_ROLLUP_DIR
-        shutil.rmtree(out, ignore_errors=True)
-        shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
-        shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
-        eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, out_dir=out))
-        eng.run(SynthWeb(cfg).seeds())
+        out = _shared_written_run(sf_dir)
         ds = _ray.data.read_parquet(out, columns=["host", "fmt", "size"])
         agg = ds.groupby(["host", "fmt"]).aggregate(Count(), Sum("size"))
 
