@@ -50,6 +50,16 @@ def build_inverted_index(sf_dir: str, index_dir: str, n_partitions: int = 16) ->
         t = pa.table({"token": flat, "doc_id": pa.array(doc_ids)}).filter(keep)
         if t.num_rows == 0:
             return pa.table({"rows": pa.array([0], pa.int64())})
+        # token position within the doc's kept-token sequence (positional
+        # postings → phrase queries): each doc's tokens are contiguous in
+        # the flat order, so position = running index minus segment start
+        kd = t.column("doc_id").to_numpy(zero_copy_only=False)
+        seg = np.ones(len(kd), dtype=bool)
+        seg[1:] = kd[1:] != kd[:-1]
+        starts = np.flatnonzero(seg)
+        counts = np.diff(np.append(starts, len(kd)))
+        pos = (np.arange(len(kd)) - np.repeat(starts, counts)).astype(np.int32)
+        t = t.append_column("pos", pa.array(pos))
         bucket = (xxh64_batch(t.column("token").combine_chunks()) % np.uint64(n_partitions)).astype(np.int64)
         t = t.append_column("term_bucket", pa.array(bucket))
         # content-derived part name: a retried Ray task overwrites the same
@@ -89,7 +99,9 @@ def compact_index(index_dir: str) -> int:
         files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
         if len(files) <= 1:
             return 0
-        t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by("token")
+        t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
+            [("token", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        )
         tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(pdir, "compacted-000000.parquet"))
@@ -137,6 +149,48 @@ def search(index_dir: str, terms: list[str], mode: str = "and") -> np.ndarray:
     return out
 
 
+def lookup_postings(index_dir: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, positions) for one term — the positional posting list;
+    reads exactly one partition like :func:`lookup_term`."""
+    import pyarrow.parquet as pq
+
+    pdir = _partition_of(index_dir, term)
+    ids: list[np.ndarray] = []
+    pos: list[np.ndarray] = []
+    for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+        t = pq.read_table(f, columns=["token", "doc_id", "pos"])
+        hit = t.filter(pc.equal(t.column("token"), term.lower()))
+        if hit.num_rows:
+            ids.append(hit.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+            pos.append(hit.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
+    if not ids:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ids), np.concatenate(pos)
+
+
+def phrase_search(index_dir: str, phrase: str) -> np.ndarray:
+    """Docs containing the phrase's tokens at ADJACENT positions — the
+    positional-index upgrade over boolean :func:`search`. Vectorized
+    adjacency join: term i's postings are packed as ``doc<<32 | (pos-i)``
+    keys, so a doc matches iff one packed key survives every term's
+    intersection. Reads one partition per phrase term, never the corpus.
+    Requires non-negative doc ids (packing invariant, asserted)."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        return np.empty(0, np.int64)
+    cur: np.ndarray | None = None
+    for i, term in enumerate(terms):
+        d, p = lookup_postings(index_dir, term)
+        if len(d):
+            assert d.min() >= 0, "phrase_search requires non-negative doc ids"
+        m = p >= i
+        keys = (d[m].astype(np.uint64) << np.uint64(32)) | (p[m] - i).astype(np.uint64)
+        cur = np.unique(keys) if cur is None else np.intersect1d(cur, keys)
+        if len(cur) == 0:
+            return np.empty(0, np.int64)
+    return np.unique((cur >> np.uint64(32)).astype(np.int64))
+
+
 def q_term_df(sf_dir: str, min_df: int = 50):
     """Document frequency per token (the index statistics view), SQL-checked
     against DuckDB's unnest tokenization."""
@@ -158,7 +212,60 @@ def q_term_df(sf_dir: str, min_df: int = 50):
     return df.map_batches(finish, batch_format="pyarrow")
 
 
+def _default_index_dir(sf_dir: str) -> str:
+    """Parameter-keyed /tmp index dir (the IVF pattern, similarity.py):
+    keyed on source path+size+mtime so a changed corpus rebuilds and a
+    repeated query reuses."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:v2pos".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "fscrawler_ray_invidx", tag)
+
+
+def ensure_index(sf_dir: str, n_partitions: int = 16) -> str:
+    """Build-once positional index for ``sf_dir`` (crash-safe: built into
+    a tmp dir, atomically renamed; the ``_meta`` file marks completion)."""
+    import shutil
+    import tempfile
+
+    d = _default_index_dir(sf_dir)
+    if os.path.exists(os.path.join(d, "_meta")):
+        return d
+    parent = os.path.dirname(d)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".build-", dir=parent)
+    try:
+        build_inverted_index(sf_dir, tmp, n_partitions=n_partitions)
+        compact_index(tmp)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return d
+
+
+PHRASE = "hash join"  # non-degenerate at every sf (24/27/278 docs)
+
+
+def q_phrase_hits(sf_dir: str) -> pa.Table:
+    """Phrase query through the positional inverted index, SQL-CHECKED:
+    the DuckDB oracle finds the same docs with an adjacency regex over the
+    raw text (both sides tokenize with RE2 ``\\W`` semantics)."""
+    d = ensure_index(sf_dir)
+    return pa.table({"doc_id": pa.array(np.sort(phrase_search(d, PHRASE)), pa.int64())})
+
+
 ORACLE_SQL = {
+    "phrase_hits": (
+        "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
+        "'(^|[^0-9a-z_])hash[^0-9a-z_]+join([^0-9a-z_]|$)') ORDER BY doc_id"
+    ),
     "term_df": (
         "SELECT token, cast(count(DISTINCT doc_id) AS BIGINT) AS df FROM ("
         "SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token FROM documents"

@@ -76,3 +76,56 @@ def test_compact_index_preserves_lookups(tmp_path):
     compact_index(idx)
     for t in terms:
         assert lookup_term(idx, t).tolist() == before[t]
+
+
+def test_phrase_search_planted(tmp_path):
+    """Positional postings: adjacency must hold exactly — 'b c' matches,
+    'c b' does not; repeated tokens, phrase at start/end, punctuation gaps
+    and cross-doc splits all behave."""
+    import pyarrow as pa
+
+    from fscrawler_ray.pipelines.index_sink import compact_index, phrase_search
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma",        # phrase at start + middle
+                    "gamma beta alpha",        # reversed — must NOT match 'beta gamma'
+                    "x Beta, GAMMA! y",        # case + punctuation separators
+                    "beta beta gamma",         # repeated first token
+                    "beta",                    # term alone — no adjacency
+                ]
+            ),
+        }
+    )
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq.write_table(docs, str(src / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    build_inverted_index(str(src), idx, n_partitions=4)
+
+    assert phrase_search(idx, "beta gamma").tolist() == [0, 2, 3]
+    assert phrase_search(idx, "gamma beta").tolist() == [1]
+    assert phrase_search(idx, "alpha beta gamma").tolist() == [0]
+    assert phrase_search(idx, "beta beta").tolist() == [3]
+    assert phrase_search(idx, "beta delta").tolist() == []
+    assert phrase_search(idx, "").tolist() == []
+    # compaction preserves positional lookups
+    compact_index(idx)
+    assert phrase_search(idx, "beta gamma").tolist() == [0, 2, 3]
+
+
+def test_phrase_hits_matches_regex_oracle():
+    """q_phrase_hits ≡ the DuckDB adjacency-regex oracle at sf0.001 (the
+    same check the driver runs, inlined for the suite)."""
+    import duckdb
+
+    from fscrawler_ray.pipelines.index_sink import ORACLE_SQL, q_phrase_hits
+
+    got = q_phrase_hits(SF).column("doc_id").to_pylist()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = [r[0] for r in con.execute(ORACLE_SQL["phrase_hits"]).fetchall()]
+    assert got == want and len(got) > 0
