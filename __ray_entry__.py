@@ -114,7 +114,14 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         def f(b: pa.Table) -> pa.Table:
             return b.rename_columns(["host", "fmt", "n_images", "total_size"])
 
-        return agg.map_batches(f, batch_format="pyarrow")
+        # collect now (rollup-sized, a few rows): a lazy dataset would read
+        # the fixed shared dir at CONSUMPTION time, after a later
+        # _shared_written_run(other_sf) may have rewritten it
+        batches = list(agg.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        return pa.concat_tables(batches) if batches else pa.table(
+            {"host": pa.array([], pa.string()), "fmt": pa.array([], pa.string()),
+             "n_images": pa.array([], pa.int64()), "total_size": pa.array([], pa.int64())}
+        )
 
     return {
         "crawl_trace": crawl_trace,

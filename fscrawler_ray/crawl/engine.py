@@ -691,6 +691,14 @@ class CrawlEngine:
         mid-crawl would re-route queued URLs, so the engine never applies
         this automatically."""
         thr = threshold if threshold is not None else 8 * self.cfg.politeness_budget
+        # the plan must pass the same validation resume/__init__ applies:
+        # k ≤ min(budget, capacity), not just budget (round-3 review fix —
+        # a budget-only clamp made the suggested plan unresumable whenever
+        # politeness_capacity < politeness_budget)
+        rate_cap = min(
+            self.cfg.politeness_budget,
+            self.cfg.politeness_capacity or self.cfg.politeness_budget,
+        )
         # aggregate backlog by TRUE host first — an already-salted host
         # reports one hot_hosts entry per route key, and thresholding those
         # individually would under-estimate (or miss) the host's backlog
@@ -699,8 +707,8 @@ class CrawlEngine:
             agg[true_host(host)] = agg.get(true_host(host), 0) + pending
         out: dict[str, int] = {}
         for host, pending in sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top]:
-            if pending >= thr:
-                out[host] = int(min(self.cfg.politeness_budget, max(2, pending // thr)))
+            if pending >= thr and rate_cap >= 2:
+                out[host] = int(min(rate_cap, max(2, pending // thr)))
         return out
 
     def counters(self) -> dict:

@@ -99,9 +99,10 @@ def compact_index(index_dir: str) -> int:
         files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
         if len(files) <= 1:
             return 0
-        t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
-            [("token", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
-        )
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        keys = [("token", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        # a pre-positional (legacy) index has no pos column; still compactable
+        t = t.sort_by([k for k in keys if k[0] in t.column_names])
         tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(pdir, "compacted-000000.parquet"))
@@ -158,6 +159,12 @@ def lookup_postings(index_dir: str, term: str) -> tuple[np.ndarray, np.ndarray]:
     ids: list[np.ndarray] = []
     pos: list[np.ndarray] = []
     for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+        if "pos" not in pq.read_schema(f).names:
+            raise ValueError(
+                f"index at {index_dir!r} was built without positions "
+                "(pre-positional layout); rebuild with build_inverted_index "
+                "to enable phrase queries"
+            )
         t = pq.read_table(f, columns=["token", "doc_id", "pos"])
         hit = t.filter(pc.equal(t.column("token"), term.lower()))
         if hit.num_rows:

@@ -157,10 +157,14 @@ class SynthWeb:
             if not is_cont[i]:
                 out.append([])
                 continue
-            base, hi = bases[i], h[i]
+            # Python-int shift: numpy's uint64 >> wraps the count mod 64 on
+            # x86 for counts ≥ 64 (reachable at fanout_dirs ≥ 17), which
+            # would diverge from the scalar children() contract — the two
+            # paths must generate IDENTICAL webs (round-3 review fix)
+            base, hi = bases[i], int(h[i])
             kids: list[str] = []
             for d in range(int(ndirs[i])):
-                kind = (hi >> np.uint64(3 * d + 16)) % np.uint64(12)
+                kind = (hi >> (3 * d + 16)) % 12
                 kids.append(f"{base}/private{d}" if kind == 0 else f"{base}/gallery{d}")
             for k in range(int(offs[i]), int(offs[i + 1])):
                 hk = int(hj[k])
@@ -172,7 +176,7 @@ class SynthWeb:
                 else:
                     kids.append(f"{base}/img_{hk % 100000:05d}.{ext}")
             if cross[i]:
-                kids.append(f"http://{self.cfg.hot_host}/gallery{int(hi % np.uint64(3))}")
+                kids.append(f"http://{self.cfg.hot_host}/gallery{hi % 3}")
             if dup[i] and kids:
                 kids.append(kids[-1])
             out.append(kids)

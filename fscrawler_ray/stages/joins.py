@@ -76,6 +76,35 @@ def broadcast_lookup_mask(values: np.ndarray, lookup: set | np.ndarray) -> np.nd
 DEFAULT_BROADCAST_BYTES = 64 << 20  # small-side cutoff for the auto planner
 
 
+def _metadata_size_bytes(ds) -> int | None:
+    """Non-executing size estimate: logical-plan metadata ONLY. Ray's
+    public ``Dataset.size_bytes()`` falls through to ``plan.execute()``
+    when metadata is missing — i.e. it MATERIALIZES a lazy pipeline, the
+    exact hazard the auto planner exists to avoid — so the planner must
+    never call it. Returns None for pipelines whose output size Ray
+    cannot infer (most transformed datasets); ``materialize()``d datasets
+    and plain reads report real numbers."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def _bucket_col(col, n_partitions: int, seed: int) -> pa.Array:
+    """Key column → ``hash(key) % n_partitions`` bucket ids; integer keys
+    hash their 8-byte value, anything else hashes its string form."""
+    from ..functions.hashing import xxh64_batch, xxh64_u64
+
+    k = col.to_numpy(zero_copy_only=False)
+    if k.dtype.kind in ("i", "u"):
+        h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=seed)
+    else:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = xxh64_batch(col.cast(pa.string()), seed=seed)
+    return pa.array((h % np.uint64(n_partitions)).astype(np.int64))
+
+
 def join(
     left_ds,
     right,
@@ -99,12 +128,16 @@ def join(
     An unknown Dataset size (lazy pipeline with no metadata estimate)
     falls back to the co-partitioned plan — the conservative choice: a
     mistaken broadcast OOMs the driver, a mistaken shuffle only costs
-    time."""
+    time. Callers who KNOW a lazy right side is small should pass it as a
+    ``pa.Table`` or ``materialize()`` it first (both make the size
+    known); the planner never executes the right side just to size it."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
     if isinstance(right, pa.Table):
         if right.nbytes <= broadcast_threshold_bytes:
             return broadcast_join(left_ds, right, on=on, how=how, suffix=suffix)
         right = ray.data.from_arrow(right)
-    est = right.size_bytes()  # metadata-based; None when unknown
+    est = _metadata_size_bytes(right)  # metadata-only; None when unknown
     if est is not None and est <= broadcast_threshold_bytes:
         batches = list(right.iter_batches(batch_format="pyarrow", batch_size=None))
         if batches:
@@ -131,35 +164,34 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
     round-trip would upcast null-padded int64 payload columns to float64
     and silently corrupt values above 2^53 (ADVICE r02).
 
-    ``how``: inner | left.
-    """
-    from ..functions.hashing import xxh64_u64
+    ``how``: inner | left | semi | anti — the same surface as
+    ``broadcast_join``, so the auto planner's strategy choice never
+    changes a query's semantics (round-3 review fix). semi/anti output
+    LEFT columns only; the right side ships just its key column.
 
+    Note: resolving a lazy input's ``schema()`` makes Ray execute a
+    backpressure-bounded PREFIX of that pipeline (first block only) —
+    unavoidable for schema-driven planning and cheap at scale, unlike the
+    full ``size_bytes()`` materialization the planner explicitly avoids.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
+    filter_only = how in ("semi", "anti")
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = [c for c in left_schema.names]
-    right_cols = [c for c in right_schema.names if c != on]
+    right_cols = [] if filter_only else [c for c in right_schema.names if c != on]
     right_out = {c: (c + suffix if c in left_cols else c) for c in right_cols}
     all_cols = left_cols + [right_out[c] for c in right_cols]
     types: dict = {}
     for name, typ in zip(left_schema.names, left_schema.types):
         types[name] = typ
     for name, typ in zip(right_schema.names, right_schema.types):
-        if name != on:
+        if name != on and not filter_only:
             types[right_out[name]] = typ
 
     def _bucket(b: pa.Table) -> pa.Array:
-        k = b.column(on).to_numpy(zero_copy_only=False)
-        if k.dtype.kind in ("i", "u"):
-            h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=23)
-        else:
-            from ..functions.hashing import xxh64_batch
-
-            col = b.column(on)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            h = xxh64_batch(col.cast(pa.string()), seed=23)
-        return pa.array((h % np.uint64(n_partitions)).astype(np.int64))
+        return _bucket_col(b.column(on), n_partitions, seed=23)
 
     def widen(side: int):
         def f(b: pa.Table) -> pa.Table:
@@ -187,6 +219,10 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
         side = g.column("__side")
         lf = g.filter(pc.equal(side, 0)).select(left_cols)
         rf = g.filter(pc.equal(side, 1)).select([on] + [right_out[c] for c in right_cols])
+        if filter_only:
+            mask = pc.is_in(lf.column(on), value_set=rf.column(on).combine_chunks())
+            out = lf.filter(mask if how == "semi" else pc.invert(mask))
+            return out.select(all_cols).cast(out_schema)
         jt = "inner" if how == "inner" else "left outer"
         out = lf.join(rf, keys=on, join_type=jt)
         return out.select(all_cols).cast(out_schema)
@@ -256,17 +292,8 @@ def asof_join(
     key_type = dict(zip(right_schema.names, right_schema.types))[by_right]
     internal = ["__pcol", "__side", "__k", "__t", "__tb"]
 
-    from ..functions.hashing import xxh64_batch, xxh64_u64
-
     def _bucket(col) -> pa.Array:
-        k = col.to_numpy(zero_copy_only=False)
-        if k.dtype.kind in ("i", "u"):
-            h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=29)
-        else:
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            h = xxh64_batch(col.cast(pa.string()), seed=29)
-        return pa.array((h % np.uint64(n_partitions)).astype(np.int64))
+        return _bucket_col(col, n_partitions, seed=29)
 
     def widen(side: int):
         def f(b: pa.Table) -> pa.Table:
@@ -373,19 +400,17 @@ def range_window_pairs(
     composite offset requires n_buckets_rows × (key time-range + window)
     < 2^63, asserted per bucket.
     """
-    from ..functions.hashing import xxh64_u64
-
     sch = ds.schema()
     sch_types = dict(zip(sch.names, sch.types))
     id_type, by_type = sch_types[id_col], sch_types[by]
     out_schema = pa.schema([("id_a", id_type), ("id_b", id_type), (by, by_type)])
 
     def widen(b: pa.Table) -> pa.Table:
-        k = b.column(by).to_numpy(zero_copy_only=False)
-        h = xxh64_u64(k.astype(np.int64).view(np.uint64), seed=31)
         return pa.table(
             {
-                "__pcol": pa.array((h % np.uint64(n_partitions)).astype(np.int64)),
+                # _bucket_col handles string keys too (round-3 review fix:
+                # the old int64 cast crashed on non-numeric `by` columns)
+                "__pcol": _bucket_col(b.column(by), n_partitions, seed=31),
                 "__k": b.column(by),
                 "__t": pa.array(_ordinal(b.column(on))),
                 "__id": b.column(id_col),

@@ -149,3 +149,23 @@ def test_asof_join_timestamp_and_left_nulls():
     assert got["price"].tolist()[0] == 10.0  # inclusive ≤ at equal time
     assert got["price"].tolist()[1] == 20.0
     assert pd.isna(got["price"].tolist()[2])  # user 2: no orders
+
+
+def test_range_window_pairs_string_key():
+    """String `by` keys must bucket via the shared hash helper, not an
+    int64 cast (round-3 review fix)."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.stages.joins import range_window_pairs
+
+    t = pa.table(
+        {
+            "sid": pa.array(["a", "a", "a", "b", "b"]),
+            "ts": pa.array([0, 5, 100, 3, 4], pa.int64()),
+            "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = range_window_pairs(ray.data.from_arrow(t), by="sid", on="ts", window=10, id_col="eid")
+    got = sorted(map(tuple, out.to_pandas()[["id_a", "id_b", "sid"]].to_numpy().tolist()))
+    assert got == [(1, 2, "a"), (4, 5, "b")]

@@ -90,3 +90,15 @@ def test_dispatcher_prefers_batched_impl():
     assert sb.children_batch(web, urls) == [
         web.children(u) if web.is_container(u) else [] for u in urls
     ]
+
+
+def test_children_batch_parity_at_high_fanout():
+    """fanout_dirs ≥ 17 reaches shift counts ≥ 64 in the kid-kind hash;
+    numpy wraps the count mod 64 where Python ints shift to 0 — the two
+    paths must still generate identical webs (round-3 review fix)."""
+    web = SynthWeb(WebConfig(seed=9, n_hosts=4, max_depth=3, fanout_dirs=24, fanout_files=3))
+    conts = [u for u in (f"http://{h}/" for h in web.hosts()) if web.is_container(u)]
+    # walk one level deeper to hit containers with large ndirs
+    for u in list(conts):
+        conts.extend(k for k in web.children(u) if web.is_container(k))
+    assert web.children_batch(conts) == [web.children(u) for u in conts]

@@ -221,7 +221,10 @@ def test_copartition_join_matches_broadcast():
                       "rv": pa.array([20, 30, 50, 90], pa.int64()),
                       "lv": pa.array(list("WXYZ"))})  # name collision -> suffix
     lds = ray.data.from_arrow(left)
-    for how in ("inner", "left"):
+    # semi/anti included: the strategy choice must never change a query's
+    # semantics (round-3 review fix — copartition used to silently degrade
+    # semi/anti to a left-outer join)
+    for how in ("inner", "left", "semi", "anti"):
         bc = broadcast_join(lds, right, on="k", how=how, suffix="_r").to_pandas()
         cp = copartition_join(lds, ray.data.from_arrow(right), on="k", how=how,
                               suffix="_r", n_partitions=4).to_pandas()
@@ -243,7 +246,7 @@ def test_join_front_door_selects_strategy():
     right = pa.table({"k": pa.array([2, 5, 9], pa.int64()),
                       "rv": pa.array([20, 50, 90], pa.int64())})
     lds = ray.data.from_arrow(left)
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "semi", "anti"):
         got = {}
         for thr in (64 << 20, 0):  # broadcast path, then forced co-partition
             out = join(lds, ray.data.from_arrow(right), on="k", how=how,
@@ -253,6 +256,35 @@ def test_join_front_door_selects_strategy():
     # an in-memory small table goes straight to broadcast
     out = join(lds, right, on="k", how="inner").to_pandas()
     assert len(out) == 3
+
+
+def test_join_planner_never_executes_lazy_right():
+    """The auto planner's size probe must be metadata-only: Ray's public
+    size_bytes() EXECUTES a lazy pipeline, so a transformed right side
+    must estimate as unknown (→ conservative co-partition) without its
+    map_batches ever running (round-3 review fix)."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.stages.joins import _metadata_size_bytes, join
+
+    base = pa.table({"k": pa.array(list(range(16)), pa.int64()),
+                     "rv": pa.array([i * 10 for i in range(16)], pa.int64())})
+    right = ray.data.from_arrow(base).map_batches(lambda b: b, batch_format="pyarrow")
+    # a transformed pipeline has no metadata estimate → planner must treat
+    # size as UNKNOWN (conservative co-partition), not execute to find out
+    assert _metadata_size_bytes(right) is None
+
+    def boom(self):
+        raise AssertionError("join() called the materializing size_bytes()")
+
+    ray.data.Dataset.size_bytes, orig = boom, ray.data.Dataset.size_bytes
+    try:
+        left = ray.data.from_arrow(pa.table({"k": pa.array([1, 3], pa.int64())}))
+        plan = join(left, right, on="k", how="inner")
+        assert sorted(plan.to_pandas()["k"].tolist()) == [1, 3]
+    finally:
+        ray.data.Dataset.size_bytes = orig
 
 
 def test_ivf_build_idempotent_no_duplicates(tmp_path):

@@ -131,3 +131,19 @@ def test_suggest_salts_flags_hot_host():
         assert "#" not in h
     if plan:  # hot host should dominate when present
         assert HOT in plan or len(plan) > 0
+
+
+def test_suggest_salts_respects_capacity_cap():
+    """The plan must satisfy the same k ≤ min(budget, capacity) rule the
+    engine validates, or the advertised suggest→resume loop would crash
+    (round-3 review fix)."""
+    web = WebConfig(seed=42, n_hosts=16, max_depth=4, cross_link_rate=0.5)
+    eng = CrawlEngine(CrawlConfig(web=web, n_shards=2, politeness_budget=8,
+                                  politeness_capacity=3, max_rounds=3))
+    eng.run(SynthWeb(web).seeds())
+    plan = eng.suggest_salts(threshold=4)
+    assert plan, "expected a plan under heavy skew"
+    assert all(2 <= k <= 3 for k in plan.values()), plan
+    # and the plan really is constructible
+    CrawlEngine(CrawlConfig(web=web, n_shards=2, politeness_budget=8,
+                            politeness_capacity=3, salt_hosts=plan))
