@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "term_df": index_sink.q_term_df,
             "phrase_hits": index_sink.q_phrase_hits,
+            "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
             "corpus_dedup": corpus.dedup_corpus,
             "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],
             "quality_counts": textops.q_quality_counts,

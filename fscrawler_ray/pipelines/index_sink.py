@@ -268,7 +268,72 @@ def q_phrase_hits(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(phrase_search(d, PHRASE)), pa.int64())})
 
 
+RANK_TERMS = ("hash", "join", "merge")  # ranked-retrieval demo query
+RANK_K = 20
+
+
+def q_tfidf_topk(sf_dir: str, terms: tuple = RANK_TERMS, k: int = RANK_K):
+    """Ranked retrieval (the search sink's scoring view): top-k docs by
+    summed tf·idf over the query terms, with an INTEGER-SCALED idf
+    (``idf_milli = (N*1000) // df``) so the score is exact integer
+    arithmetic on both the Ray and DuckDB sides — no libm/last-ulp drift
+    in the hash-strict oracle compare.
+
+    Ray-first shape: the per-batch tokenizer FILTERS to the query terms
+    before anything shuffles (corpus-sized input, query-sized shuffle);
+    tf is one grouped count; df falls out of the tf stream as a ≤|terms|-
+    row aggregate; the broadcast-scored per-doc sums go through one more
+    small groupby and a top-k sort — the driver only ever sees k rows
+    (plus the |terms|-row df table)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    term_set = pa.array(sorted(terms), pa.string())
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        doc_ids = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        t = pa.table({"token": flat, "doc_id": pa.array(doc_ids)}).filter(keep)
+        return t.filter(pc.is_in(t.column("token"), value_set=term_set))
+
+    tf_ds = (
+        docs.map_batches(term_rows, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .count()
+        .materialize()  # query-sized; consumed by df AND the scoring pass
+    )
+    df = tf_ds.groupby("token").count().to_pandas()  # ≤ |terms| rows
+    if len(df) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())})
+    idf_milli = {t: (n_docs * 1000) // int(d) for t, d in zip(df["token"], df["count()"])}
+
+    def weigh(b: pa.Table) -> pa.Table:
+        w = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64) * np.array(
+            [idf_milli[t] for t in b.column("token").to_pylist()], dtype=np.int64
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "w": pa.array(w, pa.int64())})
+
+    scores = tf_ds.map_batches(weigh, batch_format="pyarrow").groupby("doc_id").sum("w")
+    top = scores.sort(["sum(w)", "doc_id"], descending=[True, False]).limit(k).to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].astype(np.int64), pa.int64()),
+            "score": pa.array(top["sum(w)"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "tfidf_topk": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+        "WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok), "
+        "n AS (SELECT count(*) AS nn FROM documents) "
+        "SELECT doc_id, CAST(sum(tf * ((nn * 1000) // df)) AS BIGINT) AS score "
+        "FROM tf JOIN df USING (tok), n GROUP BY doc_id "
+        "ORDER BY score DESC, doc_id LIMIT 20"
+    ),
     "phrase_hits": (
         "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
         "'(^|[^0-9a-z_])hash[^0-9a-z_]+join([^0-9a-z_]|$)') ORDER BY doc_id"

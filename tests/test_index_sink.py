@@ -129,3 +129,34 @@ def test_phrase_hits_matches_regex_oracle():
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
     want = [r[0] for r in con.execute(ORACLE_SQL["phrase_hits"]).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_tfidf_topk_planted(tmp_path, monkeypatch):
+    """Integer-scaled tf·idf ranking on a corpus with known counts:
+    rarer terms must outweigh common ones, tf multiplies, ties break by
+    doc_id ascending at the k-boundary."""
+    import pyarrow as pa
+
+    from fscrawler_ray.pipelines import index_sink
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "merge merge merge",   # tf=3 of the rare term
+                    "hash join",           # one of each common term
+                    "hash hash hash hash", # high tf of a common term
+                    "nothing relevant",
+                ]
+            ),
+        }
+    )
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq.write_table(docs, str(src / "documents.parquet"))
+    out = index_sink.q_tfidf_topk(str(src), terms=("hash", "join", "merge"), k=3).to_pandas()
+    # N=4: df(merge)=1 → idf 4000; df(hash)=2 → 2000; df(join)=1 → 4000
+    # doc0 = 3*4000 = 12000; doc1 = 2000+4000 = 6000; doc2 = 4*2000 = 8000
+    assert out["doc_id"].tolist() == [0, 2, 1]
+    assert out["score"].tolist() == [12000, 8000, 6000]
