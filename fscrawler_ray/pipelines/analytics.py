@@ -687,7 +687,82 @@ def q_event_bursts(sf_dir: str, window_minutes: int = 10):
     )
     return _rename(out, {"id_a": "ev_a", "id_b": "ev_b"})
 
+def q_revenue_cube(sf_dir: str):
+    """Multi-level rollup (GROUPING SETS analog): revenue by
+    (segment, year), (segment,), and the grand total. Only the FINEST
+    grain runs as a distributed aggregation; the coarser levels derive
+    from that (tiny, segments×years-sized) aggregate on the driver —
+    never rescanning the fact table. NULL dims mark rolled-up levels,
+    mirroring SQL GROUPING SETS output."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "price_cents")
+        yr = pc.year(b.column("o_orderdate")).cast(pa.int64())
+        return pa.table(
+            {"o_custkey": b.column("o_custkey"), "yr": yr, "price_cents": b.column("price_cents")}
+        )
+
+    ds = orders.map_batches(prep, batch_format="pyarrow")
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
+        ["o_custkey", "segment"]
+    )
+    joined = broadcast_join(ds, cust, on="o_custkey", how="inner")
+    fine = grouped_sum(
+        joined, ["segment", "yr"], {"price_cents": "revenue_cents"}, count_out="orders_cnt"
+    ).to_pandas()
+    seg = fine.groupby("segment", as_index=False)[["orders_cnt", "revenue_cents"]].sum()
+    segments = list(fine["segment"]) + list(seg["segment"]) + [None]
+    years = [int(y) for y in fine["yr"]] + [None] * (len(seg) + 1)
+    cnts = list(fine["orders_cnt"]) + list(seg["orders_cnt"]) + [int(fine["orders_cnt"].sum())]
+    revs = list(fine["revenue_cents"]) + list(seg["revenue_cents"]) + [int(fine["revenue_cents"].sum())]
+    return pa.table(
+        {
+            "segment": pa.array(segments, pa.string()),
+            "yr": pa.array(years, pa.int64()),
+            "orders_cnt": pa.array([int(c) for c in cnts], pa.int64()),
+            "revenue_cents": pa.array([int(r) for r in revs], pa.int64()),
+        }
+    )
+
+
+def q_order_gaps(sf_dir: str):
+    """LAG window analog: per order, days since the same customer's
+    previous order (NULL for a customer's first). One per-customer
+    map_groups with a vectorized sorted diff — the lag() OVER
+    (PARTITION BY ... ORDER BY ...) pattern."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        gap = (g["o_orderdate"] - g["o_orderdate"].shift(1)).dt.days
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                # float64 with NaN for the first order: nullable BIGINT
+                # arrives as float64 from DuckDB's pandas conversion, and
+                # the driver's int widening chokes on pandas' masked Int64
+                "gap_days": gap.astype(np.float64),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(gaps, batch_format="pandas")
+
+
 ORACLE_SQL = {
+    "revenue_cube": (
+        "SELECT c_mktsegment AS segment, CAST(year(o_orderdate) AS BIGINT) AS yr, "
+        "CAST(count(*) AS BIGINT) AS orders_cnt, "
+        "cast(sum(cast(round(o_totalprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)), (c_mktsegment), ())"
+    ),
+    "order_gaps": (
+        "SELECT o_orderkey, o_custkey, date_diff('day', "
+        "lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+        "o_orderdate) AS gap_days FROM orders"
+    ),
     "asof_latest_order": (
         "WITH r AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders "
         "QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1) "
@@ -846,6 +921,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "revenue_cube": q_revenue_cube,
+    "order_gaps": q_order_gaps,
     "count_by_lang": q_count_by_lang,
     "chars_by_lang": q_chars_by_lang,
     "events_by_type": q_events_by_type,
