@@ -1,0 +1,116 @@
+"""Mergeable sketches for wide aggregations — HyperLogLog distinct counts.
+
+The 100-TB shape for COUNT(DISTINCT x): never shuffle raw values. Each
+``map_batches`` task folds its batch into a fixed 2^p-byte register array
+(a *mergeable* partial — the combiner rule for wide steps); registers
+merge by element-wise max, so the reduction tree is associative,
+commutative and idempotent (safe under Ray task retries). The driver ever
+sees only #blocks × 2^p bytes of registers, not the value universe.
+
+Estimator: the standard bias-corrected HLL of Flajolet et al. 2007 with
+the small-range linear-counting correction — published-algorithm ground
+only. Register-index/rank split follows the paper: first ``p`` hash bits
+pick the register, the rank is 1 + leading-zeros of the remaining 64-p
+bits. Accuracy σ ≈ 1.04/√(2^p): p=12 → ~1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import xxh64_batch
+
+
+def hll_fold(values: pa.Array | pa.ChunkedArray, p: int = 12, registers: np.ndarray | None = None) -> np.ndarray:
+    """Fold a column into HLL registers (uint8[2^p]); pass ``registers``
+    to accumulate in place across batches."""
+    m = 1 << p
+    if registers is None:
+        registers = np.zeros(m, dtype=np.uint8)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if len(values) == 0:
+        return registers
+    h = xxh64_batch(values.cast(pa.string()), seed=77)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # low 64-p bits, left-aligned
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
+    nz = rest != 0
+    # bit_length via log2 is unsafe for 64-bit ints; use a float-free loop
+    # over the 6 shift levels (branch-free vectorized clz)
+    clz = np.full(len(h), 64, dtype=np.int64)
+    x = rest.copy()
+    n = np.zeros(len(h), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = nz & (x >> np.uint64(64 - shift) == 0)
+        n[mask] += shift
+        x[mask] = x[mask] << np.uint64(shift)
+    clz[nz] = n[nz]
+    rank = np.minimum(clz + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise max — associative/commutative/idempotent."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate (Flajolet et al. 2007 §4)."""
+    m = len(registers)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.sum(registers == 0))
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) over a Dataset: per-block register
+    folds (2^p bytes each) stream to the driver for the final max-merge —
+    the shuffle-free mergeable-sketch reduction."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        regs = hll_fold(b.column(col), p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for buf in b.column("regs").to_pylist():
+            merged = hll_merge(merged, np.frombuffer(buf, dtype=np.uint8))
+    return hll_estimate(merged)
+
+
+def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
+    """Per-key approximate distinct counts: per-(block, key) register
+    partials, driver max-merge per key — #keys × 2^p bytes of state, the
+    grouped version of the same shuffle-free reduction. For large key
+    cardinality, swap the driver merge for a groupby over the partial
+    rows; keys here are small-cardinality dimensions."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys, regs = [], []
+        for k in pc.unique(b.column(key)).to_pylist():
+            sub = b.filter(pc.equal(b.column(key), k))
+            keys.append(k)
+            regs.append(hll_fold(sub.column(col), p=p).tobytes())
+        return pa.table({key: pa.array(keys), "regs": pa.array(regs, pa.binary())})
+
+    acc: dict = {}
+    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for k, buf in zip(b.column(key).to_pylist(), b.column("regs").to_pylist()):
+            r = np.frombuffer(buf, dtype=np.uint8)
+            acc[k] = hll_merge(acc[k], r) if k in acc else r
+    ks = sorted(acc)
+    return pa.table(
+        {
+            key: pa.array(ks),
+            "approx_distinct": pa.array([int(round(hll_estimate(acc[k]))) for k in ks], pa.int64()),
+        }
+    )

@@ -506,6 +506,18 @@ def q_distinct_users_by_type(sf_dir: str):
     return _rename(out, {"count()": "users"})
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """The SKETCHED twin of q_distinct_users_by_type: per-key HyperLogLog
+    registers folded per block and max-merged — zero shuffles and
+    #keys × 4 KB of state where the exact version pays two shuffles.
+    Approximate (σ ≈ 1.6% at p=12) → rows-only check; the accuracy bound
+    vs the exact query is pytest-asserted (tests/test_sketches.py)."""
+    from ..functions.sketches import hll_distinct_by_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct_by_key(ds, key="event_type", col="user_id", p=12)
+
+
 def q_median_chars_by_lang(sf_dir: str):
     """Discrete median (quantile_disc 0.5: element at (n-1)//2 of the
     sorted values — matches DuckDB's convention exactly)."""
@@ -949,6 +961,7 @@ QUERIES = {
     "top2_orders_per_segment": q_top2_orders_per_segment,
     "orders_monthly": q_orders_monthly,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
     "median_chars_by_lang": q_median_chars_by_lang,
     "users_without_errors": q_users_without_errors,
     "union_all_names": q_union_all_names,
