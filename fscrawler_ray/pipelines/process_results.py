@@ -95,3 +95,38 @@ def process_results(crawl_out_dir: str, processed_dir: str, batch_size: int = 25
 
     n = write_dataset(ds, processed_dir)  # single execution, count from footers
     return {"processed": n, "previously_done": int(len(done_keys))}
+
+
+class IncrementalProcessor:
+    """Observer that enriches each round's output AT the round barrier —
+    the crawl→process composition run STREAMING instead of as a second
+    batch phase (the reference runs scan and index_files as two separate
+    programs; this interleaves them per round through the engine's
+    observer surface, E1).
+
+    Attach with ``engine.add_observer(IncrementalProcessor(out, proc))``.
+    After every round the just-written ``round=N`` partition flows through
+    the same enrich chain as :func:`process_results`; only that round's
+    rows are ever in flight, and the done-probe keeps every step
+    idempotent — a cancel (observer ``should_stop``) → resume leaves a
+    consistent store and re-processes nothing.
+
+    Scale note: the done-probe index is rebuilt from the processed store
+    each round (simplest-correct); at 10^10 rows maintain it incrementally
+    per partition instead — the probe is already a sorted-uint64 array, so
+    the upgrade is an in-place merge, not a redesign."""
+
+    def __init__(self, crawl_out_dir: str, processed_dir: str, batch_size: int = 256):
+        self.crawl_out_dir = crawl_out_dir
+        self.processed_dir = processed_dir
+        self.batch_size = batch_size
+        self.rounds_done: set[int] = set()
+        self.stats: list[dict] = []
+
+    def __call__(self, ev) -> None:
+        rdir = os.path.join(self.crawl_out_dir, f"round={ev.round}")
+        if ev.round in self.rounds_done or not os.path.isdir(rdir):
+            return
+        st = process_results(rdir, self.processed_dir, batch_size=self.batch_size)
+        self.rounds_done.add(ev.round)
+        self.stats.append({"round": ev.round, **st})

@@ -211,3 +211,36 @@ def test_video_fsv_short_clip_samples_distinct_frames():
     ).to_pandas()
     assert len(out) == 2
     assert sorted(out["ts_ms"]) == [0, 500]  # frames 0 and 1, not 0 twice
+
+
+def test_incremental_processor_streams_per_round():
+    """IncrementalProcessor (crawl→enrich composed per round through the
+    observer surface) must produce EXACTLY the store a one-shot batch
+    process_results builds over the finished crawl — and be idempotent."""
+    web = SynthWeb(CFG)
+    with tempfile.TemporaryDirectory() as out, tempfile.TemporaryDirectory() as proc_inc, \
+         tempfile.TemporaryDirectory() as proc_batch:
+        from fscrawler_ray.pipelines.process_results import IncrementalProcessor, process_results
+
+        eng = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, out_dir=out))
+        inc = IncrementalProcessor(out, proc_inc, batch_size=128)
+        eng.add_observer(inc)
+        s = eng.run(web.seeds())
+
+        # streamed per round: at least one round processed rows, totals match
+        assert sum(st["processed"] for st in inc.stats) == s["result_rows"]
+        assert len(inc.stats) >= 2
+
+        # equivalent to the one-shot batch phase over the whole output
+        r = process_results(out, proc_batch)
+        assert r["processed"] == s["result_rows"]
+        a = ray.data.read_parquet(proc_inc).to_pandas().sort_values("image_id").reset_index(drop=True)
+        b = ray.data.read_parquet(proc_batch).to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert sorted(a.columns) == sorted(b.columns)
+        cols = sorted(c for c in a.columns if c != "stage")
+        assert a[cols].equals(b[cols])
+
+        # idempotent: a batch pass over the crawl output after the
+        # incremental run finds nothing left to do
+        r2 = process_results(out, proc_inc)
+        assert r2["processed"] == 0 and r2["previously_done"] == s["result_rows"]
