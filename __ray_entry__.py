@@ -204,8 +204,14 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _ray_data_from(table):
+    import ray as _ray
+
+    return _ray.data.from_arrow(table)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fscrawler_ray.pipelines import analytics, corpus, dedup, index_sink, similarity, textops
+    from fscrawler_ray.pipelines import analytics, corpus, dedup, graph, index_sink, similarity, textops
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
@@ -220,6 +226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+            # distributed CC over the near-dup pair graph (label = min doc
+            # id per component — the scale path for corpus dedup's
+            # union-find; approximate upstream pairs → rows-only check)
+            "neardup_components": lambda sf: graph.connected_components(
+                _ray_data_from(dedup.minhash_lsh_pairs(sf))
+            ),
             "term_df": index_sink.q_term_df,
             "phrase_hits": index_sink.q_phrase_hits,
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),

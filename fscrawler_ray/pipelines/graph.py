@@ -1,0 +1,84 @@
+"""Distributed connected components — iterative min-label propagation.
+
+The scale path for the union-find that corpus dedup runs driver-side
+(pipelines/corpus.py:neardup_components — fine there because near-dup
+PAIR lists are output-sized): when the edge list itself is too big for
+one process (entity resolution over 10^10 candidate pairs, host-graph
+clustering), components must come out of shuffles, not a driver loop.
+
+Algorithm (published label-propagation / "hash-to-min" shape): every
+node starts labeled with itself; each round, every node takes the MIN
+label in its closed neighborhood; converges in O(diameter) rounds to
+label == min node id of the component — the same keeper-is-min-id
+contract as neardup_components. Each round is ONE edge-stream join (the
+stages/joins auto planner: broadcast while the label table fits,
+co-partition above) plus ONE per-node min groupby; the edge stream is
+never materialized on the driver, and the driver-held state is exactly
+the node→label table (output-sized — what a union-find keeps anyway),
+updated by a vectorized sorted merge per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..stages.joins import join
+
+
+def connected_components(edges_ds, a_col: str = "doc_a", b_col: str = "doc_b", max_rounds: int = 64):
+    """Components of an undirected edge Dataset → pa.Table(node, label)
+    with label = min node id of the component (isolated nodes absent,
+    matching the union-find's domain)."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).cast(pa.int64()).combine_chunks()
+        bb = b.column(b_col).cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, bb]), "dst": pa.concat_arrays([bb, a])}
+        )
+
+    # symmetrized edges, re-consumed every round → materialize once
+    sym_ds = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # initial labels: distributed distinct of the endpoints; from here the
+    # label state is two aligned arrays (sorted nodes, labels)
+    parts = [
+        b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in sym_ds.groupby("src").count().iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+    nodes = np.sort(np.concatenate(parts))
+    labels = nodes.copy()
+
+    for _ in range(max_rounds):
+        lbl_t = pa.table({"src": pa.array(nodes), "src_label": pa.array(labels)})
+        relabeled = join(sym_ds, lbl_t, on="src", how="inner")
+        cand = relabeled.groupby("dst").min("src_label")
+        before = labels.copy()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            l = b.column("min(src_label)").to_numpy(zero_copy_only=False).astype(np.int64)
+            np.minimum.at(labels, np.searchsorted(nodes, d), l)
+        if np.array_equal(before, labels):
+            break
+    return pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
+
+
+def components_match_unionfind(edges: pa.Table, a_col: str = "doc_a", b_col: str = "doc_b") -> bool:
+    """Cross-check helper (used by tests): distributed labels ≡ the
+    driver union-find's component partition."""
+    from .corpus import neardup_components
+
+    out = connected_components(ray.data.from_arrow(edges), a_col, b_col).to_pandas()
+    a = edges.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    uf = neardup_components(a, b)
+    # union-find reports drops (non-min members); labels report min per node
+    drop_dist = np.sort(out.loc[out["node"] != out["label"], "node"].to_numpy())
+    comp_dist = out["label"].nunique()
+    return bool(np.array_equal(drop_dist, uf["drop"]) and comp_dist == uf["components"])

@@ -1,0 +1,61 @@
+"""Distributed connected components (min-label propagation) vs the
+driver union-find — identical component partition on chains, stars,
+cliques, self-loops, duplicate edges, and random graphs."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from fscrawler_ray.pipelines.graph import components_match_unionfind, connected_components
+
+
+def _edges(pairs):
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def test_cc_basic_shapes():
+    # chain (diameter > 1 forces multiple propagation rounds), star,
+    # clique, self-loop, duplicate edge, two components
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),        # chain → label 1
+             (10, 11), (10, 12), (10, 13),          # star → label 10
+             (20, 21), (21, 20), (20, 20),          # dup + self-loop → 20
+             (30, 31), (31, 32), (30, 32)]          # triangle → 30
+    out = connected_components(ray.data.from_arrow(_edges(pairs))).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert all(got[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(got[n] == 10 for n in (10, 11, 12, 13))
+    assert all(got[n] == 20 for n in (20, 21))
+    assert all(got[n] == 30 for n in (30, 31, 32))
+    assert components_match_unionfind(_edges(pairs))
+
+
+def test_cc_long_chain_converges():
+    # 64-node chain: needs ~log rounds of min propagation, well under cap
+    pairs = [(i, i + 1) for i in range(64)]
+    out = connected_components(ray.data.from_arrow(_edges(pairs))).to_pandas()
+    assert (out["label"] == 0).all() and len(out) == 65
+
+
+def test_cc_random_graphs_match_unionfind():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(10, 120))
+        m = int(rng.integers(5, 200))
+        pairs = list(zip(rng.integers(0, n, m).tolist(), rng.integers(0, n, m).tolist()))
+        assert components_match_unionfind(_edges(pairs)), (trial, n, m)
+
+
+def test_cc_on_minhash_pairs():
+    """End-to-end: components of the real near-dup pair output match the
+    union-find the corpus dedup uses."""
+    from fscrawler_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs("/root/testdata/sf0.001")
+    if pairs.num_rows:
+        assert components_match_unionfind(pairs)
