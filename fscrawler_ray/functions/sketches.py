@@ -30,6 +30,9 @@ def hll_fold(values: pa.Array | pa.ChunkedArray, p: int = 12, registers: np.ndar
         registers = np.zeros(m, dtype=np.uint8)
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+    # COUNT(DISTINCT x) semantics: NULL is not a value — drop it (also
+    # keeps NULL from colliding with the empty string in the hash).
+    values = values.drop_null()
     if len(values) == 0:
         return registers
     h = xxh64_batch(values.cast(pa.string()), seed=77)
@@ -93,21 +96,33 @@ def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
     rows; keys here are small-cardinality dimensions."""
 
     def fold(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        # one sort pass then contiguous per-key slices — O(N log N) per
+        # batch, not O(K·N) filter scans; a NULL key is its own group
+        # (SQL GROUP BY keeps the NULL group)
+        order = pa.compute.sort_indices(b.column(key))
+        sorted_t = b.take(order)
+        karr = sorted_t.column(key).combine_chunks()
         keys, regs = [], []
-        for k in pc.unique(b.column(key)).to_pylist():
-            sub = b.filter(pc.equal(b.column(key), k))
-            keys.append(k)
-            regs.append(hll_fold(sub.column(col), p=p).tobytes())
-        return pa.table({key: pa.array(keys), "regs": pa.array(regs, pa.binary())})
+        if len(karr):
+            code = pa.compute.fill_null(karr.dictionary_encode().indices, -1).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+            bounds = np.r_[starts[1:], len(code)]
+            vals = sorted_t.column(col).combine_chunks()
+            for s, e in zip(starts.tolist(), bounds.tolist()):
+                keys.append(karr[s].as_py())
+                regs.append(hll_fold(vals.slice(s, e - s), p=p).tobytes())
+        return pa.table(
+            {key: pa.array(keys, b.schema.field(key).type), "regs": pa.array(regs, pa.binary())}
+        )
 
     acc: dict = {}
     for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         for k, buf in zip(b.column(key).to_pylist(), b.column("regs").to_pylist()):
             r = np.frombuffer(buf, dtype=np.uint8)
             acc[k] = hll_merge(acc[k], r) if k in acc else r
-    ks = sorted(acc)
+    ks = sorted(acc, key=lambda k: (k is None, k))
     return pa.table(
         {
             key: pa.array(ks),

@@ -22,7 +22,7 @@ import ray
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.hashing import xxh64_batch
-from ..stages.joins import broadcast_join
+from ..stages.joins import broadcast_join, join
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -719,7 +719,7 @@ def q_revenue_cube(sf_dir: str):
     cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
         ["o_custkey", "segment"]
     )
-    joined = broadcast_join(ds, cust, on="o_custkey", how="inner")
+    joined = join(ds, cust, on="o_custkey", how="inner")
     fine = grouped_sum(
         joined, ["segment", "yr"], {"price_cents": "revenue_cents"}, count_out="orders_cnt"
     ).to_pandas()

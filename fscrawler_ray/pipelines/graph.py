@@ -55,6 +55,7 @@ def connected_components(edges_ds, a_col: str = "doc_a", b_col: str = "doc_b", m
     nodes = np.sort(np.concatenate(parts))
     labels = nodes.copy()
 
+    converged = False
     for _ in range(max_rounds):
         lbl_t = pa.table({"src": pa.array(nodes), "src_label": pa.array(labels)})
         relabeled = join(sym_ds, lbl_t, on="src", how="inner")
@@ -64,8 +65,25 @@ def connected_components(edges_ds, a_col: str = "doc_a", b_col: str = "doc_b", m
             d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
             l = b.column("min(src_label)").to_numpy(zero_copy_only=False).astype(np.int64)
             np.minimum.at(labels, np.searchsorted(nodes, d), l)
+        # Pointer jumping (path compression): a label is always itself a
+        # node id, so label←label[label] halves every pointer chain; this
+        # turns the per-round hop distance from 1 into 2^k and makes the
+        # outer loop converge in O(log diameter) joins instead of
+        # O(diameter).  Pure driver-array work on the node→label state.
+        while True:
+            jumped = np.minimum(labels, labels[np.searchsorted(nodes, labels)])
+            if np.array_equal(jumped, labels):
+                break
+            labels = jumped
         if np.array_equal(before, labels):
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_rounds={max_rounds}; "
+            "labels were still changing — raise max_rounds (each round is one "
+            "edge join; with pointer jumping rounds needed ~ log2(diameter))"
+        )
     return pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
 
 

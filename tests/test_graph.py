@@ -36,10 +36,21 @@ def test_cc_basic_shapes():
 
 
 def test_cc_long_chain_converges():
-    # 64-node chain: needs ~log rounds of min propagation, well under cap
-    pairs = [(i, i + 1) for i in range(64)]
+    # 300-node chain — diameter far above the default max_rounds=64, so
+    # this only passes because pointer jumping makes each join round
+    # cover 2^k hops (plain one-hop min propagation would silently stop
+    # at 64 hops and mislabel the tail)
+    pairs = [(i, i + 1) for i in range(300)]
     out = connected_components(ray.data.from_arrow(_edges(pairs))).to_pandas()
-    assert (out["label"] == 0).all() and len(out) == 65
+    assert (out["label"] == 0).all() and len(out) == 301
+
+
+def test_cc_raises_on_round_exhaustion():
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(40)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ray.data.from_arrow(_edges(pairs)), max_rounds=1)
 
 
 def test_cc_random_graphs_match_unionfind():

@@ -49,3 +49,25 @@ def test_hll_distinct_on_dataset_matches_exact():
     for k in want.index:
         e, w = int(approx.loc[k, "approx_distinct"]), int(want.loc[k, "users"])
         assert abs(e - w) / w < 0.05, (k, e, w)
+
+
+def test_hll_null_semantics():
+    """NULLs follow SQL: COUNT(DISTINCT) drops null VALUES; GROUP BY
+    keeps a null KEY group — and null never collides with ''."""
+    import ray
+
+    from fscrawler_ray.functions.sketches import hll_distinct_by_key
+
+    vals = pa.array(["a", "b", None, "a", None, ""])
+    regs = hll_fold(vals, p=10)
+    assert round(hll_estimate(regs)) == 3  # a, b, '' — nulls dropped
+
+    t = pa.table(
+        {
+            "k": pa.array(["x", "x", None, None, "y"]),
+            "v": pa.array(["1", "2", "3", None, "4"]),
+        }
+    )
+    out = hll_distinct_by_key(ray.data.from_arrow(t), "k", "v", p=10).to_pandas()
+    got = {k if k == k and k is not None else None: int(c) for k, c in zip(out["k"], out["approx_distinct"])}
+    assert got == {"x": 2, None: 1, "y": 1}, got
