@@ -211,7 +211,16 @@ def _ray_data_from(table):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fscrawler_ray.pipelines import analytics, corpus, dedup, graph, index_sink, similarity, textops
+    from fscrawler_ray.pipelines import (
+        analytics,
+        corpus,
+        dedup,
+        graph,
+        index_sink,
+        sampling,
+        similarity,
+        textops,
+    )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
@@ -244,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint_canon": textops.q_fingerprint_canon,
             "simhash_docs": textops.q_simhash_docs,
             "fingerprint_docs": textops.q_fingerprint_docs,
+            "corpus_mixture": sampling.q_corpus_mixture,
+            "stratified_sample": sampling.q_stratified_sample,
         }
     )
     out.update(_crawl_queries())
@@ -256,10 +267,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql = dict(ORACLE_SQL)
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
+    from fscrawler_ray.pipelines.sampling import ORACLE_SQL as SAMPLING_SQL
     from fscrawler_ray.pipelines.textops import ORACLE_SQL as TEXT_SQL
 
     sql.update(INDEX_SQL)
     sql.update(TEXT_SQL)
+    sql.update(SAMPLING_SQL)
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "
         "CAST(sum(size) AS BIGINT) AS total_size "

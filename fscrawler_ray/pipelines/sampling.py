@@ -1,0 +1,142 @@
+"""Deterministic sampling operators for training-data curation.
+
+Corpus assembly at 100 TB needs *reproducible* sampling: the same input
+must yield the same sample on every run, across any partitioning, with
+no coordination between tasks.  Both operators here key the decision on
+a multiplicative integer hash of the row id (Knuth's 2^32/phi constant),
+so membership is a pure row-local function — a stateless vectorized
+``map_batches`` filter with zero shuffle for the mixture, and a
+partial-top-k combiner plus one tiny groupby for the stratified quota.
+The hash is exact integer arithmetic, so the SQL oracles reproduce it
+bit-for-bit ((id * 2654435761) % 2^32) — both ops are value-checked
+against DuckDB, unlike rng-based sampling which could only be checked
+statistically.
+
+Reference parity: FsCrawler has no sampler; this is part of the
+LLM-training-data extension surface (brief: "the operations a
+large-scale training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+KNUTH32 = 2654435761  # floor(2^32 / golden ratio); odd → bijective mod 2^32
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _mix32(ids: np.ndarray) -> np.ndarray:
+    """(id * KNUTH32) mod 2^32 — a uniform-ish, SQL-reproducible u32."""
+    return (ids.astype(np.uint64) * np.uint64(KNUTH32)) & _M32
+
+
+def mixture_thresholds(rates: dict[str, float], default_rate: float = 1.0) -> dict:
+    """Per-key integer keep-thresholds on the u32 hash (rate → round(rate·2^32)).
+    Exported so the SQL oracle embeds the *same* integers."""
+    out = {k: int(round(r * (1 << 32))) for k, r in rates.items()}
+    out[None] = int(round(default_rate * (1 << 32)))
+    return out
+
+
+def weighted_mixture(ds, rates: dict[str, float], key_col: str = "lang", id_col: str = "doc_id", default_rate: float = 1.0):
+    """Deterministic Bernoulli-per-stratum downsampling: keep a row iff
+    hash(id) < rate[key]·2^32.  The scale-correct way to rebalance a
+    corpus (e.g. cap English at 30%, keep all low-resource languages):
+    one streaming filter, no shuffle, no state, retry-idempotent."""
+    thr = mixture_thresholds(rates, default_rate)
+    default_thr = thr[None]
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = b.column(key_col).combine_chunks()
+        enc = keys.dictionary_encode()
+        lut = np.array(
+            [thr.get(v, default_thr) for v in enc.dictionary.to_pylist()], dtype=np.uint64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        null = codes != codes if codes.dtype.kind == "f" else np.zeros(len(codes), bool)
+        per_row = np.where(null, np.uint64(default_thr), lut[np.where(null, 0, codes).astype(np.int64)])
+        keep = _mix32(ids) < per_row
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds, k: int, key_col: str = "lang", id_col: str = "doc_id"):
+    """Exact per-stratum quota: the k rows with the smallest hash(id) in
+    each key group (ties by id), ranked 1..k — a deterministic
+    hash-ordered reservoir.
+
+    Scale shape: a per-block partial top-k combiner prunes the stream to
+    ≤ k·keys rows per block BEFORE the shuffle, so the final groupby
+    moves k·keys·blocks rows, never the corpus.  Mirrors SQL
+    row_number() OVER (PARTITION BY key ORDER BY hash, id) <= k."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b.select([key_col, id_col])
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = b.column(key_col).combine_chunks().dictionary_encode()
+        codes = (
+            pa.compute.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        h = _mix32(ids)
+        order = np.lexsort((ids, h, codes))
+        cs = codes[order]
+        idx = np.arange(n)
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, idx, 0))
+        keep = order[(idx - grp_start) < k]
+        return b.select([key_col, id_col]).take(pa.array(np.sort(keep)))
+
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        h = _mix32(ids)
+        order = np.lexsort((ids, h))[:k]
+        out = g.iloc[order].copy()
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[[key_col, id_col, "rnk"]]
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return pruned.groupby(key_col).map_groups(final, batch_format="pandas")
+
+
+# --- queries() surface over the documents table ---
+
+MIXTURE_RATES = {"en": 0.9, "fr": 0.5, "de": 0.5, "es": 0.25, "zh": 0.1}
+STRATA_K = 40
+
+
+def q_corpus_mixture(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return weighted_mixture(ds, MIXTURE_RATES)
+
+
+def q_stratified_sample(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(ds, STRATA_K)
+
+
+def _mixture_case_sql() -> str:
+    thr = mixture_thresholds(MIXTURE_RATES)
+    whens = " ".join(f"WHEN '{kk}' THEN {v}" for kk, v in thr.items() if kk is not None)
+    return f"CASE lang {whens} ELSE {thr[None]} END"
+
+
+ORACLE_SQL = {
+    "corpus_mixture": (
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE (doc_id * {KNUTH32}) % 4294967296 < {_mixture_case_sql()}"
+    ),
+    "stratified_sample": (
+        "WITH ranked AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        f"ORDER BY (doc_id * {KNUTH32}) % 4294967296, doc_id) AS rnk FROM documents) "
+        f"SELECT lang, doc_id, cast(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {STRATA_K}"
+    ),
+}
