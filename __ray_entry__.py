@@ -255,6 +255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint_docs": textops.q_fingerprint_docs,
             "corpus_mixture": sampling.q_corpus_mixture,
             "stratified_sample": sampling.q_stratified_sample,
+            "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
+            "props_extract": textops.q_props_extract,
+            "props_redact": textops.q_props_redact,
+            "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
         }
     )
     out.update(_crawl_queries())

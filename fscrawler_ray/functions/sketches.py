@@ -129,3 +129,174 @@ def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
             "approx_distinct": pa.array([int(round(hll_estimate(acc[k]))) for k in ks], pa.int64()),
         }
     )
+
+
+# --- Count-Min sketch: approximate frequencies / heavy hitters ---
+#
+# Same mergeable-partial discipline as HLL, for COUNT(*) GROUP BY over a
+# huge key universe (vocabulary stats, hot-host detection): each block
+# folds into a depth x width int64 grid; grids merge by addition
+# (associative + commutative; NOT idempotent, which is safe here because
+# partials are merged from the exactly-once output block stream, not
+# re-folded on task retry — Ray retries re-run the producer task, they
+# never double-deliver its block).  Estimate = min over rows (Cormode &
+# Muthukrishnan 2005): always >= true count, overshoot bounded by
+# eps = e/width of the total mass per row.
+
+
+def cms_fold(values: pa.Array | pa.ChunkedArray, width: int = 4096, depth: int = 4, registers: np.ndarray | None = None) -> np.ndarray:
+    """Fold a value column into a Count-Min grid (int64[depth, width])."""
+    if registers is None:
+        registers = np.zeros((depth, width), dtype=np.int64)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = values.drop_null()
+    if len(values) == 0:
+        return registers
+    s = values.cast(pa.string())
+    for d in range(depth):
+        idx = (xxh64_batch(s, seed=9000 + d) % np.uint64(width)).astype(np.int64)
+        np.add.at(registers[d], idx, 1)
+    return registers
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(registers: np.ndarray, items: pa.Array) -> np.ndarray:
+    """Estimated counts for ``items`` (int64, upward-biased)."""
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    s = items.cast(pa.string())
+    depth, width = registers.shape
+    est = np.full(len(s), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (xxh64_batch(s, seed=9000 + d) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, registers[d, idx])
+    return est
+
+
+def heavy_hitters(ds, col: str, k: int = 20, width: int = 4096, depth: int = 4, candidates_per_block: int = 64) -> pa.Table:
+    """Approximate top-k frequent values: each block contributes its CMS
+    partial AND its local exact top-``candidates_per_block`` values (any
+    global heavy hitter is a local heavy hitter in at least one block for
+    skew-free hashing — the standard candidate-union trick); the driver
+    add-merges the grids, unions the candidates, and ranks candidates by
+    CMS estimate.  Driver state: depth*width ints + the candidate set —
+    never the value universe."""
+    import pyarrow.compute as pc
+
+    def fold(b: pa.Table) -> pa.Table:
+        vals = b.column(col)
+        regs = cms_fold(vals, width=width, depth=depth)
+        vc = pc.value_counts(vals.combine_chunks().drop_null().cast(pa.string()))
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        top = np.argsort(-counts, kind="stable")[:candidates_per_block]
+        cand = pc.take(vc.field("values"), pa.array(top, pa.int64()))
+        return pa.table(
+            {
+                "regs": pa.array([regs.tobytes()], pa.binary()),
+                "cands": pa.array([cand.to_pylist()], pa.list_(pa.string())),
+            }
+        )
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cands: set = set()
+    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for buf, cl in zip(b.column("regs").to_pylist(), b.column("cands").to_pylist()):
+            merged = cms_merge(merged, np.frombuffer(buf, dtype=np.int64).reshape(depth, width))
+            cands.update(cl)
+    if not cands:
+        return pa.table({col: pa.array([], pa.string()), "approx_count": pa.array([], pa.int64())})
+    carr = pa.array(sorted(cands), pa.string())
+    est = cms_query(merged, carr)
+    top = np.lexsort((np.arange(len(est)), -est))[:k]  # count desc, value asc on ties
+    return pa.table(
+        {
+            col: pa.compute.take(carr, pa.array(top, pa.int64())),
+            "approx_count": pa.array(est[top], pa.int64()),
+        }
+    )
+
+
+# --- Quantile histogram sketch: approximate quantiles for bounded ranges ---
+#
+# A fixed-range equi-width histogram is the simplest mergeable quantile
+# partial (add-merge grids, like CMS): rank error is zero (the histogram
+# holds exact bin counts), value error is bounded by one bin width
+# (hi-lo)/bins.  Right for columns with a known domain (lengths, sizes,
+# scores); unbounded domains should log-transform first.
+
+
+def qhist_fold(values: np.ndarray | pa.Array, lo: float, hi: float, bins: int = 4096, registers: np.ndarray | None = None) -> np.ndarray:
+    """Fold numeric values into int64[bins] counts; values are clipped
+    into [lo, hi] (clipped mass lands in the edge bins)."""
+    if registers is None:
+        registers = np.zeros(bins, dtype=np.int64)
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        values = values.drop_null().to_numpy(zero_copy_only=False)
+    if len(values) == 0:
+        return registers
+    x = np.clip(values.astype(np.float64), lo, hi)
+    idx = np.minimum(((x - lo) * (bins / (hi - lo))).astype(np.int64), bins - 1)
+    np.add.at(registers, idx, 1)
+    return registers
+
+
+def qhist_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def qhist_quantile(registers: np.ndarray, q: float, lo: float, hi: float) -> float:
+    """Upper edge of the bin holding the q-quantile (discrete-quantile
+    convention: the sorted[(n-1)*q]-th value's bin)."""
+    n = int(registers.sum())
+    if n == 0:
+        return float("nan")
+    target = int(np.floor(q * (n - 1)))
+    cum = np.cumsum(registers)
+    b = int(np.searchsorted(cum, target + 1))
+    bins = len(registers)
+    return lo + (b + 1) * (hi - lo) / bins
+
+
+def approx_quantile_by_key(ds, key: str, col: str, q: float, lo: float, hi: float, bins: int = 4096) -> pa.Table:
+    """Grouped approximate quantile: per-(block, key) histogram partials,
+    driver add-merge per key — #keys x bins ints of driver state."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(b.column(key))
+        sorted_t = b.take(order)
+        karr = sorted_t.column(key).combine_chunks()
+        keys, regs = [], []
+        if len(karr):
+            code = pa.compute.fill_null(karr.dictionary_encode().indices, -1).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+            bounds = np.r_[starts[1:], len(code)]
+            vals = sorted_t.column(col).combine_chunks()
+            for s, e in zip(starts.tolist(), bounds.tolist()):
+                keys.append(karr[s].as_py())
+                regs.append(qhist_fold(vals.slice(s, e - s), lo, hi, bins).tobytes())
+        return pa.table(
+            {key: pa.array(keys, b.schema.field(key).type), "regs": pa.array(regs, pa.binary())}
+        )
+
+    acc: dict = {}
+    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for kk, buf in zip(b.column(key).to_pylist(), b.column("regs").to_pylist()):
+            r = np.frombuffer(buf, dtype=np.int64)
+            acc[kk] = qhist_merge(acc[kk], r) if kk in acc else r
+    ks = sorted(acc, key=lambda x: (x is None, x))
+    return pa.table(
+        {
+            key: pa.array(ks),
+            "approx_quantile": pa.array(
+                [qhist_quantile(acc[kk], q, lo, hi) for kk in ks], pa.float64()
+            ),
+        }
+    )

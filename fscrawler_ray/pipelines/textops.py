@@ -186,3 +186,74 @@ def q_fingerprint_docs(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_top_tokens_approx(sf_dir: str, k: int = 20):
+    """Approximate vocabulary heavy hitters (Count-Min + candidate
+    union): the scale path for token frequency over a 10^10-doc corpus —
+    fixed-size grid partials instead of a token-universe shuffle.  Same
+    RE2 tokenizer as the inverted index.  Approximate counts → rows-only
+    check; exactness is pytest-bounded (estimates are upper bounds, tight
+    on the heavy head)."""
+    from ..functions.sketches import heavy_hitters
+    from .index_sink import tokenize
+
+    def flat(b: pa.Table) -> pa.Table:
+        flat_toks, _, keep = tokenize(b.column("text"))
+        return pa.table({"tok": flat_toks.filter(keep)})
+
+    toks = _docs(sf_dir, ["text"]).map_batches(flat, batch_format="pyarrow")
+    return heavy_hitters(toks, "tok", k=k)
+
+
+def q_approx_median_chars_by_lang(sf_dir: str):
+    """Approximate grouped median via the mergeable histogram sketch —
+    the shuffle-free twin of the exact median_chars_by_lang query (value
+    error ≤ one bin width; rows-only check, pytest-bounded)."""
+    from ..functions.sketches import approx_quantile_by_key
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    return approx_quantile_by_key(ds, "lang", "n_chars", 0.5, lo=0.0, hi=8192.0, bins=4096)
+
+
+def q_props_extract(sf_dir: str):
+    """Structured-field extraction from a semi-structured string column
+    (the PII-pipeline shape: pull a typed field out of raw text with one
+    RE2 kernel — reference analog: the metadata extractors,
+    app/processors/metadata_extractor/*). Vectorized
+    ``pc.extract_regex``; both engines run RE2, so SQL-checked."""
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"), r"(?P<k>[0-9]+)")
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": b.column("event_id"), "k": k})
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+def q_props_redact(sf_dir: str):
+    """Masking/redaction over a string column (the PII-scrub shape:
+    replace every digit run with a placeholder token — on a corpus with
+    real PII the patterns would be emails/phones/SSNs; the kernel and its
+    scale posture are identical). One streaming vectorized
+    ``pc.replace_substring_regex`` — no shuffle, no state."""
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(b.column("props"), r"[0-9]+", "[NUM]")
+        return pa.table({"event_id": b.column("event_id"), "redacted": red})
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+ORACLE_SQL["props_extract"] = (
+    "SELECT event_id, cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events"
+)
+ORACLE_SQL["props_redact"] = (
+    "SELECT event_id, regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS redacted FROM events"
+)

@@ -71,3 +71,94 @@ def test_hll_null_semantics():
     out = hll_distinct_by_key(ray.data.from_arrow(t), "k", "v", p=10).to_pandas()
     got = {k if k == k and k is not None else None: int(c) for k, c in zip(out["k"], out["approx_distinct"])}
     assert got == {"x": 2, None: 1, "y": 1}, got
+
+
+def test_cms_heavy_hitters_match_exact_topk():
+    import ray
+
+    from fscrawler_ray.functions.sketches import cms_fold, cms_merge, cms_query, heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: token i appears ~ 5000/i times — clear heavy head
+    toks = []
+    for i in range(1, 200):
+        toks += [f"tok{i:03d}"] * (5000 // i)
+    rng.shuffle(toks)
+    t = pa.table({"tok": pa.array(toks)})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    out = heavy_hitters(ds, "tok", k=10).to_pandas()
+    vc = pa.compute.value_counts(t.column("tok").combine_chunks())
+    exact = dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+    want = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+    assert list(out["tok"]) == want
+    # CMS estimates are upper bounds and tight on the heavy head
+    for _, r in out.iterrows():
+        assert r["approx_count"] >= exact[r["tok"]]
+        assert r["approx_count"] <= exact[r["tok"]] * 1.05 + 10
+
+    # split-fold + merge == one fold
+    a = cms_fold(t.column("tok").slice(0, 5000))
+    b = cms_fold(t.column("tok").slice(5000))
+    u = cms_fold(t.column("tok"))
+    assert np.array_equal(cms_merge(a, b), u)
+    probe = pa.array(["tok001", "tok100", "never-seen"])
+    est = cms_query(u, probe)
+    assert est[0] >= 5000 and est[2] <= 20
+
+
+def test_qhist_quantiles_within_bin_width():
+    import ray
+
+    from fscrawler_ray.functions.sketches import (
+        approx_quantile_by_key,
+        qhist_fold,
+        qhist_merge,
+        qhist_quantile,
+    )
+
+    df = __import__("pandas").read_parquet(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+    lo, hi, bins = 0.0, 4096.0, 1024
+    tol = (hi - lo) / bins
+    regs = qhist_fold(df["n_chars"].to_numpy(), lo, hi, bins)
+    for q in (0.1, 0.5, 0.9):
+        exact = float(np.sort(df["n_chars"].to_numpy())[int(np.floor(q * (len(df) - 1)))])
+        assert abs(qhist_quantile(regs, q, lo, hi) - exact) <= tol + 1e-9, q
+
+    # merge == union fold
+    half = len(df) // 2
+    a = qhist_fold(df["n_chars"].to_numpy()[:half], lo, hi, bins)
+    b = qhist_fold(df["n_chars"].to_numpy()[half:], lo, hi, bins)
+    assert np.array_equal(qhist_merge(a, b), regs)
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["lang", "n_chars"]).repartition(4)
+    out = approx_quantile_by_key(ds, "lang", "n_chars", 0.5, lo, hi, bins).to_pandas()
+    for _, r in out.iterrows():
+        g = df[df["lang"] == r["lang"]]["n_chars"].to_numpy()
+        exact = float(np.sort(g)[int(np.floor(0.5 * (len(g) - 1)))])
+        assert abs(r["approx_quantile"] - exact) <= tol + 1e-9, r["lang"]
+
+
+def test_query_wrappers_match_exact_counterparts():
+    """The sketch-backed queries() entries agree with their exact twins."""
+    import duckdb
+
+    from fscrawler_ray.pipelines.textops import (
+        q_approx_median_chars_by_lang,
+        q_top_tokens_approx,
+    )
+
+    top = q_top_tokens_approx(SF, k=10).to_pandas()
+    want = duckdb.sql(
+        "WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS tok "
+        f"FROM '{SF}/documents.parquet') "
+        "SELECT tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 10"
+    ).df()
+    assert list(top["tok"]) == list(want["tok"])
+
+    med = q_approx_median_chars_by_lang(SF).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT lang, quantile_disc(n_chars, 0.5) AS m FROM '{SF}/documents.parquet' GROUP BY lang"
+    ).df().set_index("lang")["m"]
+    for _, r in med.iterrows():
+        assert abs(r["approx_quantile"] - float(exact[r["lang"]])) <= 2.1, r["lang"]
