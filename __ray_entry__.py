@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
             "props_extract": textops.q_props_extract,
             "props_redact": textops.q_props_redact,
+            "chunk_docs": textops.q_chunk_docs,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
         }
     )

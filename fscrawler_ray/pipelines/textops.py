@@ -257,3 +257,78 @@ ORACLE_SQL["props_extract"] = (
 ORACLE_SQL["props_redact"] = (
     "SELECT event_id, regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS redacted FROM events"
 )
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id", chunk_tokens: int = 64, overlap: int = 16):
+    """Sliding-window token chunking (sequence prep for training / RAG
+    indexing): split each document into windows of ``chunk_tokens``
+    whitespace tokens advancing by ``chunk_tokens - overlap``, the last
+    window keeping its natural (shorter) length.  Stateless per-row
+    expansion — one vectorized map_batches, rows only ever widen by the
+    overlap fraction, no shuffle.  Chunk texts are rebuilt with
+    single-space joins, so the SQL oracle (list_slice +
+    array_to_string over regexp_extract_all) reproduces them exactly."""
+    import pyarrow.compute as pc
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+
+    def f(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nrows = b.num_rows
+        ids = b.column(id_col).combine_chunks()
+        toks = pc.split_pattern_regex(b.column(text_col), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).combine_chunks()
+        keep = pc.invert(pc.equal(flat, ""))
+        keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)[keep_np]
+        flat_kept = flat.filter(keep)
+        n = np.bincount(row, minlength=nrows)
+        base = np.concatenate([[0], np.cumsum(n)[:-1]])
+
+        nc = np.where(n == 0, 0, np.where(n <= overlap, 1, -(-(n - overlap) // stride)))
+        # per-chunk doc index / chunk ordinal
+        doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), nc)
+        chunk_id = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
+        )
+        starts = base[doc_idx] + chunk_id * stride
+        clen = np.minimum(chunk_tokens, n[doc_idx] - chunk_id * stride)
+        # gather the (overlapping) token ranges, then join per chunk
+        out_off = np.concatenate([[0], np.cumsum(clen)])
+        gather = (
+            np.arange(out_off[-1], dtype=np.int64)
+            - np.repeat(out_off[:-1], clen)
+            + np.repeat(starts, clen)
+        )
+        values = flat_kept.take(pa.array(gather, pa.int64()))
+        chunks = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), values)
+        texts = pc.binary_join(chunks, " ")
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_idx, pa.int64())),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_text": texts,
+                "chunk_tokens": pa.array(clen, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_chunk_docs(sf_dir: str):
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+ORACLE_SQL["chunk_docs"] = (
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, len(toks) AS n, CASE WHEN len(toks)=0 THEN 0 "
+    "WHEN len(toks)<=16 THEN 1 ELSE cast(ceil((len(toks)-16)/48.0) AS BIGINT) END AS nc FROM t), "
+    "e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c) "
+    "SELECT doc_id, cast(i AS BIGINT) AS chunk_id, "
+    "array_to_string(list_slice(toks, i*48+1, least(i*48+64, n)), ' ') AS chunk_text, "
+    "cast(least(64, n - i*48) AS BIGINT) AS chunk_tokens FROM e"
+)

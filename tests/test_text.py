@@ -71,3 +71,42 @@ def test_simhash_and_fingerprint():
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
     assert fp[3] == 0
+
+
+def test_chunk_documents_edges_and_coverage():
+    """Sliding-window chunking: edge lengths (empty, single-token, below
+    overlap, exact boundary, boundary+1) and full-token coverage with the
+    right overlap between consecutive chunks."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.pipelines.textops import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["", "solo", words(16), words(64), words(65), "  a   b  "]),
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=64, overlap=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    per_doc = out.groupby("doc_id")["chunk_id"].count().to_dict()
+    assert per_doc == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}  # doc 0 (empty) emits none
+    assert out[out["doc_id"] == 5]["chunk_text"].iloc[0] == "a b"  # runs of spaces collapse
+    d4 = out[out["doc_id"] == 4]
+    assert list(d4["chunk_tokens"]) == [64, 17]
+    c0, c1 = d4["chunk_text"].iloc[0].split(" "), d4["chunk_text"].iloc[1].split(" ")
+    assert c0[48:] == c1[:16]  # 16-token overlap
+    assert c1[-1] == "w64"  # tail covered
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=8, overlap=8)
