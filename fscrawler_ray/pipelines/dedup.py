@@ -28,6 +28,8 @@ path for small inputs and for the distributed/driver equivalence tests.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -145,6 +147,16 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128, 
 # ---------------------------------------------------------------------------
 
 
+# verified-pair result memo: minhash_lsh_pairs is a deterministic pure
+# function of the input parquet + parameters, and its output is
+# output-sized (a few hundred pairs), so downstream consumers
+# (corpus dedup/clean, connected components, the driver's correctness
+# sweep) can share one run per process instead of re-deriving the same
+# pairs five times.  Keyed on every parameter; pass cache=False to force
+# a fresh computation (equivalence tests do).
+_PAIRS_CACHE: dict[tuple, pa.Table] = {}
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_perm: int = 64,
@@ -152,6 +164,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
     distributed: bool = True,
+    cache: bool = True,
 ):
     """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
 
@@ -162,6 +175,14 @@ def minhash_lsh_pairs(
     join (the DEFAULT distributed path); ``distributed=False`` keeps the
     driver-side fast path for tiny inputs / equivalence tests.
     """
+    try:  # key on (path, size, mtime) so a rewritten input never serves stale pairs
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        src_id = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        src_id = None
+    key = (sf_dir, src_id, num_perm, bands, jaccard_threshold, max_bucket, distributed)
+    if cache and key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
     docs = _docs(sf_dir)
     r = num_perm // bands
 
@@ -186,11 +207,16 @@ def minhash_lsh_pairs(
     buckets = docs.map_batches(sigs, batch_format="pyarrow")
     if distributed:
         cand = _pairs_distributed_ds(buckets, ["band", "bucket"], "doc_id", max_bucket)
-        return verify_jaccard_distributed(sf_dir, cand, jaccard_threshold)
-    cand_pd = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
-    if len(cand_pd) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-    return verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
+        out = verify_jaccard_distributed(sf_dir, cand, jaccard_threshold)
+    else:
+        cand_pd = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
+        if len(cand_pd) == 0:
+            out = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+        else:
+            out = verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
+    if cache:
+        _PAIRS_CACHE[key] = out
+    return out
 
 
 def _bucket_mix_key(b: pa.Table) -> np.ndarray:
