@@ -973,3 +973,89 @@ QUERIES = {
     "asof_latest_order": q_asof_latest_order,
     "event_bursts": q_event_bursts,
 }
+
+
+def q_users_customers_outer(sf_dir: str):
+    """FULL OUTER join (both-sided unmatched keys preserved): per-user
+    event counts ⟗ customer balances on user_id = c_custkey. Routed
+    through the join() front door, which always picks the co-partitioned
+    plan for outer — the one physical strategy that can emit unmatched
+    right rows exactly once."""
+    from ..stages.joins import join
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    users = grouped_sum(ev, ["user_id"], {}, count_out="events")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("c_custkey"),
+                "acct_cents": pc.round(pc.multiply(b.column("c_acctbal"), 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return join(users, cust, on="user_id", how="outer")
+
+
+ORACLE_SQL["users_customers_outer"] = (
+    "WITH u AS (SELECT user_id, count(*) AS events FROM events GROUP BY user_id), "
+    "c AS (SELECT c_custkey, cast(round(c_acctbal*100) AS BIGINT) AS acct_cents FROM customer) "
+    "SELECT coalesce(u.user_id, c.c_custkey) AS user_id, events, acct_cents "
+    "FROM u FULL OUTER JOIN c ON u.user_id = c.c_custkey"
+)
+QUERIES["users_customers_outer"] = q_users_customers_outer
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (long → wide): per-user event counts with one column per
+    event type. The wide columns are built as 0/1 indicator columns
+    INSIDE the partial-aggregation combiner, so the shuffle carries one
+    pre-summed row per (block, user) — a pivot is just a grouped_sum
+    with k indicator sums, never a per-type scan or a post-join."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b.column("user_id")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(b.column("event_type"), t), pa.int64())
+        return pa.table(cols)
+
+    wide = ev.map_batches(indicators, batch_format="pyarrow")
+    agg = grouped_sum(wide, ["user_id"], {f"n_{t}": f"n_{t}" for t in _EVENT_TYPES})
+    return _select(agg, ["user_id"] + [f"n_{t}" for t in _EVENT_TYPES])
+
+
+ORACLE_SQL["events_pivot"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+QUERIES["events_pivot"] = q_events_pivot
+
+
+def q_value_histogram(sf_dir: str, width: float = 5.0):
+    """Equi-width histogram of the events value column (bin = floor(v/w)):
+    vectorized binning inside the combiner, then the tiny bin-count
+    groupby — the EXACT twin of the mergeable histogram sketch, expressed
+    as a first-class aggregation."""
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def binned(b: pa.Table) -> pa.Table:
+        bin_id = pc.floor(pc.divide(b.column("value"), width)).cast(pa.int64())
+        return pa.table({"bin": bin_id})
+
+    agg = grouped_sum(ev.map_batches(binned, batch_format="pyarrow"), ["bin"], {}, count_out="cnt")
+    return _select(agg, ["bin", "cnt"])
+
+
+ORACLE_SQL["value_histogram"] = (
+    "SELECT cast(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt FROM events GROUP BY 1"
+)
+QUERIES["value_histogram"] = q_value_histogram

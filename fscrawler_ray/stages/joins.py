@@ -131,8 +131,15 @@ def join(
     time. Callers who KNOW a lazy right side is small should pass it as a
     ``pa.Table`` or ``materialize()`` it first (both make the size
     known); the planner never executes the right side just to size it."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"how={how!r}: expected inner|left|outer|semi|anti")
+    if how == "outer":
+        # full outer must see every key of BOTH sides exactly once — only
+        # the co-partitioned plan can emit unmatched right rows once (a
+        # broadcast probe would re-emit them per batch)
+        if isinstance(right, pa.Table):
+            right = ray.data.from_arrow(right)
+        return copartition_join(left_ds, right, on=on, how=how, suffix=suffix, n_partitions=n_partitions)
     if isinstance(right, pa.Table):
         if right.nbytes <= broadcast_threshold_bytes:
             return broadcast_join(left_ds, right, on=on, how=how, suffix=suffix)
@@ -164,18 +171,22 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
     round-trip would upcast null-padded int64 payload columns to float64
     and silently corrupt values above 2^53 (ADVICE r02).
 
-    ``how``: inner | left | semi | anti — the same surface as
-    ``broadcast_join``, so the auto planner's strategy choice never
-    changes a query's semantics (round-3 review fix). semi/anti output
-    LEFT columns only; the right side ships just its key column.
+    ``how``: inner | left | outer | semi | anti — a superset of
+    ``broadcast_join``'s surface (full outer exists ONLY here: a
+    broadcast probe cannot emit unmatched right rows exactly once), and
+    identical semantics on the shared hows, so the auto planner's
+    strategy choice never changes a query's results (round-3 review
+    fix). semi/anti output LEFT columns only; the right side ships just
+    its key column. Per-bucket full outer == global full outer because
+    every row of a key, from both sides, lands in that key's bucket.
 
     Note: resolving a lazy input's ``schema()`` makes Ray execute a
     backpressure-bounded PREFIX of that pipeline (first block only) —
     unavoidable for schema-driven planning and cheap at scale, unlike the
     full ``size_bytes()`` materialization the planner explicitly avoids.
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"how={how!r}: expected inner|left|outer|semi|anti")
     filter_only = how in ("semi", "anti")
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
@@ -223,7 +234,7 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
             mask = pc.is_in(lf.column(on), value_set=rf.column(on).combine_chunks())
             out = lf.filter(mask if how == "semi" else pc.invert(mask))
             return out.select(all_cols).cast(out_schema)
-        jt = "inner" if how == "inner" else "left outer"
+        jt = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
         out = lf.join(rf, keys=on, join_type=jt)
         return out.select(all_cols).cast(out_schema)
 

@@ -364,7 +364,7 @@ def test_join_fuzz_against_pandas():
     @given(
         st.lists(st.integers(0, 6), min_size=0, max_size=12),   # left keys
         st.lists(st.integers(0, 6), min_size=0, max_size=6),    # right keys
-        st.sampled_from(["inner", "left"]),
+        st.sampled_from(["inner", "left", "outer"]),
     )
     def check(lk, rk, how):
         left = pa.table({"k": pa.array(lk, pa.int64()),
@@ -381,7 +381,7 @@ def test_join_fuzz_against_pandas():
                     df[c] = df[c].astype("float64")
             return sorted(map(tuple, df.astype(str).to_numpy().tolist()))
 
-        if len(lk):
+        if len(lk) and how != "outer":  # broadcast cannot express full outer
             bc = broadcast_join(ray.data.from_arrow(left), right, on="k", how=how).to_pandas()
             assert key(bc) == key(want), (how, "broadcast")
         if len(lk) and len(rk_u):
