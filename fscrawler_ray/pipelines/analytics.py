@@ -290,7 +290,7 @@ def q_segment_revenue(sf_dir: str):
     cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
         ["o_custkey", "c_mktsegment"]
     )
-    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    joined = join(orders, cust, on="o_custkey", how="inner")
     agg = grouped_sum(joined, ["c_mktsegment"], {"price_cents": "revenue_cents"}, count_out="orders_cnt")
     return _select(agg, ["c_mktsegment", "orders_cnt", "revenue_cents"])
 
@@ -472,7 +472,7 @@ def q_top2_orders_per_segment(sf_dir: str):
     cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
         ["o_custkey", "c_mktsegment"]
     )
-    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    joined = join(orders, cust, on="o_custkey", how="inner")
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(2)
