@@ -88,31 +88,35 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
     return hll_estimate(merged)
 
 
-def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
-    """Per-key approximate distinct counts: per-(block, key) register
-    partials, driver max-merge per key — #keys × 2^p bytes of state, the
-    grouped version of the same shuffle-free reduction. For large key
-    cardinality, swap the driver merge for a groupby over the partial
-    rows; keys here are small-cardinality dimensions."""
+def _grouped_slices(b: pa.Table, key: str):
+    """Yield (key_value, contiguous_slice) per key group after ONE sort
+    pass — O(N log N) per batch, not O(K·N) filter scans; a NULL key is
+    its own group (SQL GROUP BY keeps the NULL group). Shared by every
+    grouped sketch below."""
+    order = pa.compute.sort_indices(b.column(key))
+    sorted_t = b.take(order)
+    karr = sorted_t.column(key).combine_chunks()
+    if not len(karr):
+        return
+    code = pa.compute.fill_null(karr.dictionary_encode().indices, -1).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+    bounds = np.r_[starts[1:], len(code)]
+    for s, e in zip(starts.tolist(), bounds.tolist()):
+        yield karr[s].as_py(), sorted_t.slice(s, e - s)
+
+
+def _fold_by_key(ds, key: str, fold_slice, merge, dtype) -> dict:
+    """Generic grouped-sketch reduction: per-(block, key) partials from
+    ``fold_slice(slice) -> np.ndarray``, driver ``merge`` per key.
+    Driver state = #keys × one register array — never raw values."""
 
     def fold(b: pa.Table) -> pa.Table:
-        # one sort pass then contiguous per-key slices — O(N log N) per
-        # batch, not O(K·N) filter scans; a NULL key is its own group
-        # (SQL GROUP BY keeps the NULL group)
-        order = pa.compute.sort_indices(b.column(key))
-        sorted_t = b.take(order)
-        karr = sorted_t.column(key).combine_chunks()
         keys, regs = [], []
-        if len(karr):
-            code = pa.compute.fill_null(karr.dictionary_encode().indices, -1).to_numpy(
-                zero_copy_only=False
-            )
-            starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
-            bounds = np.r_[starts[1:], len(code)]
-            vals = sorted_t.column(col).combine_chunks()
-            for s, e in zip(starts.tolist(), bounds.tolist()):
-                keys.append(karr[s].as_py())
-                regs.append(hll_fold(vals.slice(s, e - s), p=p).tobytes())
+        for k, sl in _grouped_slices(b, key):
+            keys.append(k)
+            regs.append(fold_slice(sl).tobytes())
         return pa.table(
             {key: pa.array(keys, b.schema.field(key).type), "regs": pa.array(regs, pa.binary())}
         )
@@ -120,8 +124,18 @@ def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
     acc: dict = {}
     for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         for k, buf in zip(b.column(key).to_pylist(), b.column("regs").to_pylist()):
-            r = np.frombuffer(buf, dtype=np.uint8)
-            acc[k] = hll_merge(acc[k], r) if k in acc else r
+            r = np.frombuffer(buf, dtype=dtype)
+            acc[k] = merge(acc[k], r) if k in acc else r
+    return acc
+
+
+def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
+    """Per-key approximate distinct counts: per-(block, key) register
+    partials, driver max-merge per key — #keys × 2^p bytes of state, the
+    grouped version of the same shuffle-free reduction. For large key
+    cardinality, swap the driver merge for a groupby over the partial
+    rows; keys here are small-cardinality dimensions."""
+    acc = _fold_by_key(ds, key, lambda sl: hll_fold(sl.column(col), p=p), hll_merge, np.uint8)
     ks = sorted(acc, key=lambda k: (k is None, k))
     return pa.table(
         {
@@ -266,31 +280,9 @@ def qhist_quantile(registers: np.ndarray, q: float, lo: float, hi: float) -> flo
 def approx_quantile_by_key(ds, key: str, col: str, q: float, lo: float, hi: float, bins: int = 4096) -> pa.Table:
     """Grouped approximate quantile: per-(block, key) histogram partials,
     driver add-merge per key — #keys x bins ints of driver state."""
-
-    def fold(b: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(b.column(key))
-        sorted_t = b.take(order)
-        karr = sorted_t.column(key).combine_chunks()
-        keys, regs = [], []
-        if len(karr):
-            code = pa.compute.fill_null(karr.dictionary_encode().indices, -1).to_numpy(
-                zero_copy_only=False
-            )
-            starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
-            bounds = np.r_[starts[1:], len(code)]
-            vals = sorted_t.column(col).combine_chunks()
-            for s, e in zip(starts.tolist(), bounds.tolist()):
-                keys.append(karr[s].as_py())
-                regs.append(qhist_fold(vals.slice(s, e - s), lo, hi, bins).tobytes())
-        return pa.table(
-            {key: pa.array(keys, b.schema.field(key).type), "regs": pa.array(regs, pa.binary())}
-        )
-
-    acc: dict = {}
-    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for kk, buf in zip(b.column(key).to_pylist(), b.column("regs").to_pylist()):
-            r = np.frombuffer(buf, dtype=np.int64)
-            acc[kk] = qhist_merge(acc[kk], r) if kk in acc else r
+    acc = _fold_by_key(
+        ds, key, lambda sl: qhist_fold(sl.column(col), lo, hi, bins), qhist_merge, np.int64
+    )
     ks = sorted(acc, key=lambda x: (x is None, x))
     return pa.table(
         {

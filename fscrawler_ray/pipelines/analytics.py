@@ -587,8 +587,6 @@ def q_priority_revenue(sf_dir: str):
     its metadata-estimated size fits in memory and silently switches to
     the co-partitioned shuffle plan above the threshold — users get the
     scale-safe physical plan without choosing one (VERDICT r02 #5)."""
-    from ..stages.joins import join
-
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
     li = li.map_batches(
         lambda b: _cents(b, "l_extendedprice", "price_cents").drop_columns(["l_extendedprice"]),
@@ -649,8 +647,6 @@ def q_priority_revenue_copart(sf_dir: str):
     bucket and merge Arrow-native per bucket. The SQL oracle is identical,
     which is the point: two physical join strategies, one logical
     answer."""
-    from ..stages.joins import join
-
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
     li = li.map_batches(
         lambda b: _cents(b, "l_extendedprice", "price_cents").drop_columns(["l_extendedprice"]),
@@ -981,18 +977,13 @@ def q_users_customers_outer(sf_dir: str):
     through the join() front door, which always picks the co-partitioned
     plan for outer — the one physical strategy that can emit unmatched
     right rows exactly once."""
-    from ..stages.joins import join
-
     ev = _read(sf_dir, "events", columns=["user_id"])
     users = grouped_sum(ev, ["user_id"], {}, count_out="events")
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     cust = cust.map_batches(
-        lambda b: pa.table(
-            {
-                "user_id": b.column("c_custkey"),
-                "acct_cents": pc.round(pc.multiply(b.column("c_acctbal"), 100.0)).cast(pa.int64()),
-            }
-        ),
+        lambda b: _cents(b, "c_acctbal", "acct_cents")
+        .rename_columns(["user_id", "c_acctbal", "acct_cents"])
+        .drop_columns(["c_acctbal"]),
         batch_format="pyarrow",
     )
     return join(users, cust, on="user_id", how="outer")

@@ -55,29 +55,44 @@ def connected_components(edges_ds, a_col: str = "doc_a", b_col: str = "doc_b", m
     nodes = np.sort(np.concatenate(parts))
     labels = nodes.copy()
 
-    converged = False
-    for _ in range(max_rounds):
-        lbl_t = pa.table({"src": pa.array(nodes), "src_label": pa.array(labels)})
+    def one_round(cur: np.ndarray) -> np.ndarray:
+        lbl_t = pa.table({"src": pa.array(nodes), "src_label": pa.array(cur)})
         relabeled = join(sym_ds, lbl_t, on="src", how="inner")
         cand = relabeled.groupby("dst").min("src_label")
-        before = labels.copy()
+        nxt = cur.copy()
         for b in cand.iter_batches(batch_format="pyarrow"):
             d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
             l = b.column("min(src_label)").to_numpy(zero_copy_only=False).astype(np.int64)
-            np.minimum.at(labels, np.searchsorted(nodes, d), l)
+            np.minimum.at(nxt, np.searchsorted(nodes, d), l)
         # Pointer jumping (path compression): a label is always itself a
         # node id, so label←label[label] halves every pointer chain; this
         # turns the per-round hop distance from 1 into 2^k and makes the
         # outer loop converge in O(log diameter) joins instead of
         # O(diameter).  Pure driver-array work on the node→label state.
         while True:
-            jumped = np.minimum(labels, labels[np.searchsorted(nodes, labels)])
-            if np.array_equal(jumped, labels):
+            jumped = np.minimum(nxt, nxt[np.searchsorted(nodes, nxt)])
+            if np.array_equal(jumped, nxt):
                 break
-            labels = jumped
-        if np.array_equal(before, labels):
+            nxt = jumped
+        return nxt
+
+    converged = False
+    for _ in range(max_rounds):
+        nxt = one_round(labels)
+        if np.array_equal(nxt, labels):
             converged = True
             break
+        labels = nxt
+    if not converged:
+        # Labels changed on the final allowed round — they may nonetheless
+        # already be the fixpoint (convergence detection normally costs one
+        # extra change-free round).  One verification round distinguishes
+        # "settled exactly at max_rounds" from "still moving", so a correct
+        # answer is never discarded.
+        nxt = one_round(labels)
+        if np.array_equal(nxt, labels):
+            converged = True
+        labels = nxt
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_rounds={max_rounds}; "

@@ -56,9 +56,15 @@ def weighted_mixture(ds, rates: dict[str, float], key_col: str = "lang", id_col:
         lut = np.array(
             [thr.get(v, default_thr) for v in enc.dictionary.to_pylist()], dtype=np.uint64
         )
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        null = codes != codes if codes.dtype.kind == "f" else np.zeros(len(codes), bool)
-        per_row = np.where(null, np.uint64(default_thr), lut[np.where(null, 0, codes).astype(np.int64)])
+        # null keys get the default threshold; -1 codes are clipped to a
+        # real lut slot only when the dictionary is non-empty (an all-null
+        # batch has an EMPTY dictionary — nothing to index)
+        codes = pa.compute.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        null = codes < 0
+        if len(lut):
+            per_row = np.where(null, np.uint64(default_thr), lut[np.where(null, 0, codes)])
+        else:
+            per_row = np.full(len(codes), default_thr, dtype=np.uint64)
         keep = _mix32(ids) < per_row
         return b.filter(pa.array(keep))
 

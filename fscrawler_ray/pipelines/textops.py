@@ -252,7 +252,7 @@ def q_props_redact(sf_dir: str):
 
 
 ORACLE_SQL["props_extract"] = (
-    "SELECT event_id, cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events"
+    "SELECT event_id, try_cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events"
 )
 ORACLE_SQL["props_redact"] = (
     "SELECT event_id, regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS redacted FROM events"
@@ -280,7 +280,13 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id", chunk_to
         nrows = b.num_rows
         ids = b.column(id_col).combine_chunks()
         toks = pc.split_pattern_regex(b.column(text_col), r"\s+")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # a null text yields a null list: zero tokens -> zero chunks
+        # (fill BEFORE to_numpy — NaN.astype(int64) is undefined)
+        lens = (
+            pc.fill_null(pc.list_value_length(toks), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         flat = pc.list_flatten(toks).combine_chunks()
         keep = pc.invert(pc.equal(flat, ""))
         keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)

@@ -48,9 +48,25 @@ def test_cc_long_chain_converges():
 def test_cc_raises_on_round_exhaustion():
     import pytest
 
-    pairs = [(i, i + 1) for i in range(40)]
+    # A PERMUTED path: with ids shuffled, labels don't form chains the
+    # pointer-jumping can collapse in one round (the sequential path
+    # [(i, i+1)] DOES converge in round 1 via jumping, so it no longer
+    # raises — that's the settled-at-max_rounds fix working).  Verified
+    # by simulation: this graph still changes labels through round 4.
+    perm = np.random.default_rng(0).permutation(40)
+    pairs = list(zip(perm[:-1].tolist(), perm[1:].tolist()))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ray.data.from_arrow(_edges(pairs)), max_rounds=1)
+
+
+def test_cc_settled_exactly_at_max_rounds_returns():
+    # A graph whose labels settle in EXACTLY max_rounds must return the
+    # correct answer, not raise: convergence detection normally costs one
+    # extra change-free round, and the post-loop verification round saves
+    # the result (review finding r3).
+    pairs = [(0, 1)]
+    out = connected_components(ray.data.from_arrow(_edges(pairs)), max_rounds=1).to_pandas()
+    assert dict(zip(out["node"], out["label"])) == {0: 0, 1: 0}
 
 
 def test_cc_random_graphs_match_unionfind():
