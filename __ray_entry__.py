@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fscrawler_ray.pipelines import (
         analytics,
         corpus,
+        decontam,
         dedup,
         graph,
         index_sink,
@@ -260,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "props_redact": textops.q_props_redact,
             "chunk_docs": textops.q_chunk_docs,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
+            "decontam_hits": decontam.q_decontam_hits,
+            "repetition_docs": decontam.q_repetition_docs,
         }
     )
     out.update(_crawl_queries())
@@ -271,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
     sql = dict(ORACLE_SQL)
+    from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
     from fscrawler_ray.pipelines.sampling import ORACLE_SQL as SAMPLING_SQL
     from fscrawler_ray.pipelines.textops import ORACLE_SQL as TEXT_SQL
@@ -278,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(INDEX_SQL)
     sql.update(TEXT_SQL)
     sql.update(SAMPLING_SQL)
+    sql.update(DECONTAM_SQL)
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "
         "CAST(sum(size) AS BIGINT) AS total_size "

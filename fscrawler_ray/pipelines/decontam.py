@@ -1,0 +1,209 @@
+"""Benchmark decontamination and intra-document repetition statistics.
+
+Two published training-data-hygiene operators over the documents table
+(reference analog: the quality/extract processors of
+app/processors/path_processor.py — per-record derived signals; here the
+signal is token n-gram structure, the shape GPT-3 App. C / Gopher §A5
+use for decontamination and repetition filtering):
+
+- ``decontaminate``: flag documents sharing any token W-gram with a
+  benchmark set.  The benchmark side is SMALL by construction (eval
+  suites are thousands of grams, not billions), so it is the canonical
+  broadcast-probe: one ``ray.put`` of a sorted uint64 gram-hash array,
+  every batch probes it with ``np.searchsorted`` — zero shuffle, the
+  corpus streams through untouched.  At 100 TB only the hit rows
+  (output-sized) leave the map stage.
+- ``repetition_stats``: per-document duplicate-bigram counts (the
+  Gopher repetition rule's measurable core).  Stateless single-pass
+  map_batches; the duplicate fraction is exposed as two INTEGER columns
+  (n_grams, n_distinct) so the DuckDB oracle compares exactly instead
+  of through float rounding.
+
+Both build on one vectorized kernel: per-batch token xxh64 hashes plus
+rolling polynomial window combines — no Python loop over rows or
+tokens; the only loop is W (window width) numpy passes.
+
+Parity note: the engine compares token SEQUENCES via 64-bit combined
+hashes, the SQL oracle via single-space-joined gram strings.  The two
+are equivalent because tokens contain no whitespace (space-join is
+injective) and hash collisions are 2^-64-scale events the value-hash
+check would surface loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.hashing import xxh64_batch
+
+# polynomial base for window combines (odd -> invertible mod 2^64, so
+# sliding windows that differ in any slot hash differently w.h.p.)
+_P = np.uint64(1099511628211)
+
+_TOKEN_SEED = 5309
+
+
+def _token_hashes(text) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a string column and hash each token → (hashes, row_idx,
+    per_row_counts).  Token rule matches the oracle's
+    regexp_extract_all(text, '\\S+'): split on whitespace, drop empties;
+    null text → zero tokens."""
+    nrows = len(text)
+    toks = pc.split_pattern_regex(text, r"\s+")
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    flat = pc.list_flatten(toks).combine_chunks()
+    keep = pc.invert(pc.equal(flat, ""))
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+    row = np.repeat(np.arange(nrows, dtype=np.int64), lens)[keep_np]
+    h = xxh64_batch(flat.filter(keep), seed=_TOKEN_SEED)
+    n = np.bincount(row, minlength=nrows)
+    return h, row, n
+
+
+def _window_hashes(h: np.ndarray, row: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling W-token window hashes over the flat token stream →
+    (gram_hashes, gram_row_idx), keeping only windows that lie entirely
+    inside one document.  g[i] = Σ_j h[i+j]·P^j mod 2^64 — W shifted
+    numpy adds, no per-token loop."""
+    total = len(h)
+    if total < w:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    m = total - w + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(w):
+        acc += h[j : j + m] * p
+        p = p * _P  # uint64 wraparound is the modulus
+    valid = row[:m] == row[w - 1 :]
+    return acc[valid], row[:m][valid]
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def benchmark_gram_hashes(sf_dir: str, w: int = 8, mod: int = 97) -> np.ndarray:
+    """Deterministic stand-in benchmark set: the first W-token gram of
+    every document with doc_id % mod == 0.  Streams the (column-pruned,
+    filtered) docs and collects only the gram hashes — the benchmark
+    side is output-sized (thousands of grams), never the corpus."""
+
+    def first_gram(b: pa.Table) -> pa.Table:
+        # (doc_id % mod == 0) — modulo via subtract(div*mod)
+        d = b.column("doc_id").cast(pa.int64())
+        sel = pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, mod), mod)), 0)
+        t = b.filter(sel)
+        h, row, n = _token_hashes(t.column("text"))
+        g, grow = _window_hashes(h, row, w)
+        if len(g) == 0:
+            return pa.table({"gram": pa.array([], pa.uint64())})
+        # first window per doc: positions where grow changes
+        firsts = np.flatnonzero(np.r_[True, grow[1:] != grow[:-1]])
+        return pa.table({"gram": pa.array(g[firsts], pa.uint64())})
+
+    parts = [
+        b.column("gram").to_numpy(zero_copy_only=False)
+        for b in _docs(sf_dir).map_batches(first_gram, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(ds, bench: np.ndarray, w: int = 8):
+    """Documents sharing ≥1 token W-gram with the benchmark set →
+    (doc_id, hits) where hits = number of W-gram positions whose gram is
+    in the set.  ``bench`` is ray.put once (sorted uint64 hashes) and
+    probed per batch with searchsorted — broadcast-probe, no shuffle."""
+    bench_ref = ray.put(np.asarray(bench, dtype=np.uint64))
+
+    def probe(b: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        h, row, _ = _token_hashes(b.column("text"))
+        g, grow = _window_hashes(h, row, w)
+        if len(g) == 0 or len(bset) == 0:
+            return pa.table({"doc_id": b.column("doc_id").slice(0, 0), "hits": pa.array([], pa.int64())})
+        pos = np.searchsorted(bset, g)
+        hit = (pos < len(bset)) & (bset[np.minimum(pos, len(bset) - 1)] == g)
+        per_doc = np.bincount(grow[hit], minlength=b.num_rows)
+        sel = np.flatnonzero(per_doc > 0)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(sel, pa.int64())),
+                "hits": pa.array(per_doc[sel], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def repetition_stats(ds, w: int = 2):
+    """Per-document repeated-W-gram statistics → (doc_id, n_grams,
+    n_distinct); documents with fewer than W tokens have no windows and
+    are absent (matching the SQL oracle's join semantics).  The
+    duplicate fraction is 1 - n_distinct/n_grams; kept as integers for
+    exact oracle comparison."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        g, grow = _window_hashes(*_token_hashes(b.column("text"))[:2], w)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id").slice(0, 0),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        n_grams = np.bincount(grow, minlength=b.num_rows)
+        # distinct per doc: sort (row, gram) pairs, count pair boundaries
+        order = np.lexsort((g, grow))
+        gs, rs = g[order], grow[order]
+        new_pair = np.r_[True, (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])]
+        n_distinct = np.bincount(rs[new_pair], minlength=b.num_rows)
+        sel = np.flatnonzero(n_grams > 0)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(sel, pa.int64())),
+                "n_grams": pa.array(n_grams[sel], pa.int64()),
+                "n_distinct": pa.array(n_distinct[sel], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_decontam_hits(sf_dir: str, w: int = 8, mod: int = 97):
+    return decontaminate(_docs(sf_dir), benchmark_gram_hashes(sf_dir, w=w, mod=mod), w=w)
+
+
+def q_repetition_docs(sf_dir: str):
+    return repetition_stats(_docs(sf_dir), w=2)
+
+
+ORACLE_SQL = {
+    "decontam_hits": (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "
+        "bench AS (SELECT DISTINCT array_to_string(list_slice(l, 1, 8), ' ') AS gram "
+        "FROM toks WHERE doc_id % 97 = 0 AND len(l) >= 8), "
+        "pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM toks WHERE len(l) >= 8), "
+        "grams AS (SELECT doc_id, array_to_string(list_slice(l, i, i + 7), ' ') AS gram FROM pos) "
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits "
+        "FROM grams g JOIN bench b USING (gram) GROUP BY g.doc_id"
+    ),
+    "repetition_docs": (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "
+        "pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks WHERE len(l) >= 2), "
+        "grams AS (SELECT doc_id, array_to_string(list_slice(l, i, i + 1), ' ') AS g FROM pos) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM grams GROUP BY doc_id"
+    ),
+}

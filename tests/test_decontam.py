@@ -1,0 +1,121 @@
+"""Decontamination + repetition stats — planted overlaps vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from fscrawler_ray.pipelines.decontam import (
+    _token_hashes,
+    _window_hashes,
+    benchmark_gram_hashes,
+    decontaminate,
+    repetition_stats,
+)
+
+
+def _ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _brute_grams(text, w):
+    toks = text.split() if text else []
+    return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+
+def test_window_hashes_never_cross_docs():
+    t = pa.chunked_array([pa.array(["a b c", "d e f"])])
+    h, row, _ = _token_hashes(t)
+    g, grow = _window_hashes(h, row, 2)
+    # 2 windows per doc (a b, b c | d e, e f) — never (c, d)
+    assert list(grow) == [0, 0, 1, 1]
+    # the cross hash would be a window at flat position 2 — absent
+    assert len(g) == 4
+
+
+def test_window_hash_equals_token_sequence_equality():
+    t = pa.chunked_array([pa.array(["x y z w", "q x y z w", "x y z z"])])
+    h, row, _ = _token_hashes(t)
+    g, grow = _window_hashes(h, row, 3)
+    texts = ["x y z w", "q x y z w", "x y z z"]
+    grams = [gr for i, txt in enumerate(texts) for gr in _brute_grams(txt, 3)]
+    assert len(g) == len(grams)
+    # equal gram strings <-> equal hashes across the whole batch
+    for i in range(len(grams)):
+        for j in range(len(grams)):
+            assert (grams[i] == grams[j]) == (g[i] == g[j]), (i, j)
+
+
+def test_decontaminate_planted_overlap():
+    bench_doc = "alpha beta gamma delta epsilon zeta eta theta trailing words here"
+    clean = "completely different tokens without any overlap at all whatsoever"
+    # contains the bench doc's first 8-gram mid-text
+    dirty = "prefix junk alpha beta gamma delta epsilon zeta eta theta suffix"
+    rows = [(0, bench_doc), (1, clean), (2, dirty), (3, None), (4, "short doc")]
+    ds = _ds(rows)
+    h, row, _ = _token_hashes(pa.chunked_array([pa.array([bench_doc])]))
+    bench = np.sort(_window_hashes(h, row, 8)[0][:1])
+    out = decontaminate(ds, bench, w=8).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["hits"]))
+    assert got == {0: 1, 2: 1}  # bench doc self-matches; dirty matches; others absent
+
+
+def test_benchmark_gram_hashes_mod_selection(tmp_path):
+    import pyarrow.parquet as pq
+
+    texts = [f"tok{i} a b c d e f g h i j" for i in range(10)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(10), pa.int64()), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    bench = benchmark_gram_hashes(str(tmp_path), w=8, mod=3)
+    # docs 0,3,6,9 qualify; all first grams distinct (tok{i} differs)
+    assert len(bench) == 4
+    assert np.array_equal(bench, np.sort(bench))
+
+
+def test_repetition_stats_brute_force():
+    rows = [
+        (0, "a b a b a b"),          # grams: ab ba ab ba ab -> 5 total, 2 distinct
+        (1, "unique tokens only here"),  # 3 grams all distinct
+        (2, "solo"),                  # <2 tokens -> absent
+        (3, None),                    # null -> absent
+        (4, "x x x x"),              # xx xx xx -> 3 total, 1 distinct
+    ]
+    out = repetition_stats(_ds(rows), w=2).to_pandas().sort_values("doc_id")
+    got = {r.doc_id: (r.n_grams, r.n_distinct) for r in out.itertuples()}
+    assert got == {0: (5, 2), 1: (3, 3), 4: (3, 1)}
+    for doc_id, text in rows:
+        grams = _brute_grams(text, 2)
+        if grams:
+            assert got[doc_id] == (len(grams), len(set(grams)))
+
+
+def test_decontam_oracle_parity_sf0001():
+    """Engine vs DuckDB on the real sf0.001 documents table — the same
+    comparison the driver's checker runs."""
+    import duckdb
+
+    from fscrawler_ray.pipelines.decontam import ORACLE_SQL, q_decontam_hits, q_repetition_docs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    for name, q in (("decontam_hits", q_decontam_hits), ("repetition_docs", q_repetition_docs)):
+        eng = q("/root/testdata/sf0.001").to_pandas()
+        ora = con.execute(ORACLE_SQL[name]).df()
+        cols = sorted(eng.columns)
+        assert cols == sorted(ora.columns), name
+        e = eng[cols].sort_values(cols).reset_index(drop=True)
+        o = ora[cols].sort_values(cols).reset_index(drop=True)
+        assert len(e) == len(o), (name, len(e), len(o))
+        for c in cols:
+            assert (e[c].to_numpy() == o[c].to_numpy()).all(), (name, c)
