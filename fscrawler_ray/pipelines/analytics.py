@@ -660,6 +660,46 @@ def q_priority_revenue_copart(sf_dir: str):
     return _select(agg, ["o_orderpriority", "items", "revenue_cents"])
 
 
+def q_nation_revenue(sf_dir: str):
+    """Three-hop star join (lineitem→orders→customer→nation, the TPC-H
+    Q5 shape) composed entirely through the size-aware join() front
+    door, then ONE grouped sum.  Each hop re-keys the fact stream and
+    immediately drops the spent key so only (new_key, price_cents) ever
+    shuffles; the 25-row nation dim rides the last hop as a guaranteed
+    broadcast.  Exercises join CHAINING: the planner picks a physical
+    strategy per hop from the side sizes, not once per pipeline."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: _cents(b, "l_extendedprice", "price_cents").drop_columns(["l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    orders = _rename(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]), {"o_orderkey": "l_orderkey"}
+    )
+    j1 = join(li, orders, on="l_orderkey", how="inner").drop_columns(["l_orderkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = join(j1, cust, on="o_custkey", how="inner").drop_columns(["o_custkey"])
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    dim = pa.table(
+        {
+            "c_nationkey": nation.column("n_nationkey").cast(pa.int64()),
+            "n_name": nation.column("n_name"),
+        }
+    )
+    j3 = broadcast_join(j2, dim, on="c_nationkey", how="inner")
+    agg = grouped_sum(j3, ["n_name"], {"price_cents": "revenue_cents"}, count_out="items")
+    return _select(agg, ["n_name", "items", "revenue_cents"])
+
+
 
 def q_asof_latest_order(sf_dir: str):
     """AS-OF join (a custom operator Ray Data lacks): each event picks the
@@ -917,6 +957,13 @@ ORACLE_SQL = {
         "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
     ),
+    "nation_revenue": (
+        "SELECT n_name, count(*) AS items, "
+        "cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
     "daily_active_users": (
         "SELECT date_trunc('day', ts) AS day, cast(count(DISTINCT user_id) AS BIGINT) AS users "
         "FROM events GROUP BY 1"
@@ -963,6 +1010,7 @@ QUERIES = {
     "union_all_names": q_union_all_names,
     "supplier_nation": q_supplier_nation,
     "priority_revenue": q_priority_revenue,
+    "nation_revenue": q_nation_revenue,
     "priority_revenue_copart": q_priority_revenue_copart,
     "rolling_user_value": q_rolling_user_value,
     "daily_active_users": q_daily_active_users,
