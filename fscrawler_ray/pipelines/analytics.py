@@ -1098,3 +1098,49 @@ ORACLE_SQL["value_histogram"] = (
     "SELECT cast(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt FROM events GROUP BY 1"
 )
 QUERIES["value_histogram"] = q_value_histogram
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-type tail outlier counts: events strictly above their type's
+    exact p90 (quantile_disc convention — the threshold is an actual data
+    element, so both engines compare identical float64 bit patterns and
+    the value hash stays exact).  The threshold comes from the
+    distributed histogram-narrowing quantile (functions/quantiles.py) —
+    no group is ever materialized — then broadcasts back for a
+    streaming count (the two-phase threshold shape every quality-cutoff
+    pipeline uses: score percentile → filter)."""
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    th = grouped_quantile_disc(ev, "event_type", "value", 9, 10, out="p90")
+    thr = dict(zip(th.column("event_type").to_pylist(), th.column("p90").to_pylist()))
+
+    # vectorized lookup: binary-search keys against the sorted threshold table
+    names = np.array(sorted(thr))
+    cuts = np.array([thr[k] for k in names])
+
+    def above(b: pa.Table) -> pa.Table:
+        keys = b.column("event_type").to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(names, keys)
+        hit = vals > cuts[idx]
+        return pa.table({"event_type": pa.array(keys[hit]), "one": np.ones(int(hit.sum()), np.int64)})
+
+    agg = grouped_sum(ev.map_batches(above, batch_format="pyarrow"), ["event_type"], {"one": "n_above"})
+    out = agg.to_pandas()
+    out["p90"] = [thr[k] for k in out["event_type"]]
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"]),
+            "p90": pa.array(out["p90"], pa.float64()),
+            "n_above": pa.array(out["n_above"], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["value_outliers"] = (
+    "WITH th AS (SELECT event_type, quantile_disc(value, 0.9) AS p90 FROM events GROUP BY event_type) "
+    "SELECT e.event_type, any_value(t.p90) AS p90, CAST(count(*) AS BIGINT) AS n_above "
+    "FROM events e JOIN th t USING (event_type) WHERE e.value > t.p90 GROUP BY e.event_type"
+)
+QUERIES["value_outliers"] = q_value_outliers
