@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
+            "boilerplate_docs": decontam.q_boilerplate_docs,
         }
     )
     out.update(_crawl_queries())

@@ -119,11 +119,11 @@ def benchmark_gram_hashes(sf_dir: str, w: int = 8, mod: int = 97) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-def decontaminate(ds, bench: np.ndarray, w: int = 8):
+def decontaminate(ds, bench: np.ndarray, w: int = 8, out_col: str = "hits"):
     """Documents sharing ≥1 token W-gram with the benchmark set →
-    (doc_id, hits) where hits = number of W-gram positions whose gram is
-    in the set.  ``bench`` is ray.put once (sorted uint64 hashes) and
-    probed per batch with searchsorted — broadcast-probe, no shuffle."""
+    (doc_id, out_col) where the count = number of W-gram positions whose
+    gram is in the set.  ``bench`` is ray.put once (sorted uint64 hashes)
+    and probed per batch with searchsorted — broadcast-probe, no shuffle."""
     bench_ref = ray.put(np.asarray(bench, dtype=np.uint64))
 
     def probe(b: pa.Table) -> pa.Table:
@@ -131,7 +131,7 @@ def decontaminate(ds, bench: np.ndarray, w: int = 8):
         h, row, _ = _token_hashes(b.column("text"))
         g, grow = _window_hashes(h, row, w)
         if len(g) == 0 or len(bset) == 0:
-            return pa.table({"doc_id": b.column("doc_id").slice(0, 0), "hits": pa.array([], pa.int64())})
+            return pa.table({"doc_id": b.column("doc_id").slice(0, 0), out_col: pa.array([], pa.int64())})
         pos = np.searchsorted(bset, g)
         hit = (pos < len(bset)) & (bset[np.minimum(pos, len(bset) - 1)] == g)
         per_doc = np.bincount(grow[hit], minlength=b.num_rows)
@@ -139,11 +139,55 @@ def decontaminate(ds, bench: np.ndarray, w: int = 8):
         return pa.table(
             {
                 "doc_id": b.column("doc_id").take(pa.array(sel, pa.int64())),
-                "hits": pa.array(per_doc[sel], pa.int64()),
+                out_col: pa.array(per_doc[sel], pa.int64()),
             }
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def boilerplate_gram_hashes(ds, w: int = 3, min_docs: int = 3) -> np.ndarray:
+    """Token W-grams occurring in ≥ ``min_docs`` DISTINCT documents —
+    the duplicate-span / boilerplate signal of Lee et al.'s dedup family.
+
+    Scale design: each document is one row, so per-batch distinct
+    (gram, doc) counting is exact and the cross-batch distinct-doc count
+    is a plain SUM of per-batch partials — only (gram_hash, count) pairs
+    ever shuffle (16 bytes per distinct gram per block), never text.
+    The returned set is assumption-documented boilerplate-sized (grams
+    above the threshold), sorted for searchsorted probing."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, row, _ = _token_hashes(b.column("text"))
+        g, grow = _window_hashes(h, row, w)
+        if len(g) == 0:
+            return pa.table({"gram": pa.array([], pa.int64()), "nd_p": pa.array([], pa.int64())})
+        # distinct (doc, gram) within the batch: sort pairs, drop repeats
+        order = np.lexsort((g, grow))
+        gs, rs = g[order], grow[order]
+        first = np.r_[True, (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])]
+        gu, nd = np.unique(gs[first], return_counts=True)
+        return pa.table({"gram": gu.view(np.int64), "nd_p": nd.astype(np.int64)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("gram").aggregate(Sum("nd_p"))
+    parts = [
+        b.column("gram").to_numpy(zero_copy_only=False)
+        for b in agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("sum(nd_p)"), min_docs)).select(["gram"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.sort(np.concatenate(parts).astype(np.int64).view(np.uint64))
+
+
+def q_boilerplate_docs(sf_dir: str, w: int = 3, min_docs: int = 3):
+    """Per-doc count of boilerplate W-gram positions (docs with ≥1 hit)."""
+    bp = boilerplate_gram_hashes(_docs(sf_dir), w=w, min_docs=min_docs)
+    return decontaminate(_docs(sf_dir), bp, w=w, out_col="bp_hits")
 
 
 def repetition_stats(ds, w: int = 2):
@@ -198,6 +242,14 @@ ORACLE_SQL = {
         "grams AS (SELECT doc_id, array_to_string(list_slice(l, i, i + 7), ' ') AS gram FROM pos) "
         "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits "
         "FROM grams g JOIN bench b USING (gram) GROUP BY g.doc_id"
+    ),
+    "boilerplate_docs": (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "
+        "pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM toks WHERE len(l) >= 3), "
+        "grams AS (SELECT doc_id, array_to_string(list_slice(l, i, i + 2), ' ') AS g FROM pos), "
+        "bp AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3) "
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS bp_hits "
+        "FROM grams g JOIN bp USING (g) GROUP BY g.doc_id"
     ),
     "repetition_docs": (
         "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "

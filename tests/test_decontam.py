@@ -119,3 +119,48 @@ def test_decontam_oracle_parity_sf0001():
         assert len(e) == len(o), (name, len(e), len(o))
         for c in cols:
             assert (e[c].to_numpy() == o[c].to_numpy()).all(), (name, c)
+
+
+def test_boilerplate_planted_spans():
+    from fscrawler_ray.pipelines.decontam import boilerplate_gram_hashes
+
+    # the span "lorem ipsum dolor" appears in 3 docs; every other 3-gram
+    # is unique to its document
+    rows = [
+        (1, "alpha beta lorem ipsum dolor gamma"),
+        (2, "delta lorem ipsum dolor epsilon zeta"),
+        (3, "lorem ipsum dolor eta theta iota"),
+        (4, "kappa lambda mu nu xi omicron"),
+    ]
+    bp = boilerplate_gram_hashes(_ds(rows), w=3, min_docs=3)
+    assert len(bp) == 1  # exactly the shared gram
+    hits = decontaminate(_ds(rows), bp, w=3, out_col="bp_hits").to_pandas()
+    assert sorted(hits["doc_id"]) == [1, 2, 3]
+    assert set(hits["bp_hits"]) == {1}
+    # threshold not met at min_docs=4
+    assert len(boilerplate_gram_hashes(_ds(rows), w=3, min_docs=4)) == 0
+
+
+def test_boilerplate_distinct_doc_counting_not_occurrences():
+    from fscrawler_ray.pipelines.decontam import boilerplate_gram_hashes
+
+    # one doc repeats the span 5 times — still only ONE distinct doc
+    rows = [
+        (1, "a b c a b c a b c a b c a b c"),
+        (2, "d e f g h i"),
+    ]
+    assert len(boilerplate_gram_hashes(_ds(rows), w=3, min_docs=2)) == 0
+
+
+def test_boilerplate_partition_invariance():
+    from fscrawler_ray.pipelines.decontam import boilerplate_gram_hashes
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab, size=20))) for i in range(60)]
+    sets = []
+    for parts in (1, 4, 13):
+        ds = _ds(rows).repartition(parts)
+        sets.append(tuple(boilerplate_gram_hashes(ds, w=3, min_docs=3).tolist()))
+    assert sets[0] == sets[1] == sets[2]
+    assert len(sets[0]) > 0
