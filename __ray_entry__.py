@@ -123,12 +123,76 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
              "n_images": pa.array([], pa.int64()), "total_size": pa.array([], pa.int64())}
         )
 
+    def host_pagerank(sf_dir: str):
+        """Link analysis over the crawled host graph (crawl-prioritization
+        signal): expand each traced URL's children through the batched
+        Source protocol, hash hosts to int64 node ids, run the
+        distributed power iteration, and map ids back to host names.
+        Reuses the cached shared crawl run — zero extra crawl cost."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray as _ray
+        from fscrawler_ray.functions.hashing import xxh64_batch
+        from fscrawler_ray.pipelines.graph import pagerank
+
+        trace, _ = _shared_run(sf_dir)
+        cfg = _scale(sf_dir)
+        urls_ds = _ray.data.from_arrow(trace.select(["url"]))
+
+        def edges(b: pa.Table) -> pa.Table:
+            web = SynthWeb(cfg)
+            urls = b.column("url").to_pylist()
+            kids = web.children_batch(urls)
+            src = [u.split("://", 1)[1].split("/", 1)[0] for u, k in zip(urls, kids) for _ in k]
+            dst = [c.split("://", 1)[1].split("/", 1)[0] for k in kids for c in k]
+            if not src:
+                return pa.table(
+                    {"src_host": pa.array([], pa.string()), "dst_host": pa.array([], pa.string())}
+                )
+            return pa.table(
+                {
+                    "src_host": pa.array(src, pa.string()),
+                    "dst_host": pa.array(dst, pa.string()),
+                }
+            )
+
+        def to_ids(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": xxh64_batch(b.column("src_host"), seed=1).view(np.int64),
+                    "dst": xxh64_batch(b.column("dst_host"), seed=1).view(np.int64),
+                }
+            )
+
+        e = urls_ds.map_batches(edges, batch_format="pyarrow")
+        # id → host name map: collect only the DISTINCT host names (a
+        # host-table-sized grouped count per endpoint column), hash them
+        # driver-side — the edge stream itself never reaches the driver
+        distinct_hosts: set = set()
+        for col in ("src_host", "dst_host"):
+            for b in e.groupby(col).count().iter_batches(batch_format="pyarrow"):
+                distinct_hosts.update(b.column(col).to_pylist())
+        hl = sorted(distinct_hosts)
+        ids = xxh64_batch(pa.array(hl, pa.string()), seed=1).view(np.int64)
+        names = dict(zip(ids.tolist(), hl))
+        r = pagerank(e.map_batches(to_ids, batch_format="pyarrow")).to_pandas()
+        r["host"] = [names[i] for i in r["node"]]
+        out = r.sort_values("rank", ascending=False).reset_index(drop=True)
+        return pa.table(
+            {
+                "host": pa.array(out["host"]),
+                "rank": pa.array(out["rank"], pa.float64()),
+            }
+        )
+
     return {
         "crawl_trace": crawl_trace,
         "crawl_counters": crawl_counters,
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,
+        "host_pagerank": host_pagerank,
     }
 
 

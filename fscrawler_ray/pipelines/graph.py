@@ -115,3 +115,82 @@ def components_match_unionfind(edges: pa.Table, a_col: str = "doc_a", b_col: str
     drop_dist = np.sort(out.loc[out["node"] != out["label"], "node"].to_numpy())
     comp_dist = out["label"].nunique()
     return bool(np.array_equal(drop_dist, uf["drop"]) and comp_dist == uf["components"])
+
+
+def pagerank(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    d: float = 0.85,
+    max_iter: int = 60,
+    tol: float = 1e-12,
+):
+    """Distributed PageRank (power iteration) over a directed int64 edge
+    Dataset → pa.Table(node, rank), ranks summing to 1.
+
+    Link analysis is the crawl-prioritization signal the reference's
+    frontier ordering gestures at (SURVEY §2.1 S1 — DFS order vs.
+    importance order); here it is the standard published formulation:
+    rank' = (1-d)/N + d·(Σ_in rank/outdeg + dangling_mass/N).
+
+    Scale posture mirrors connected_components: the edge stream is never
+    on the driver; each iteration is ONE join of the edge stream against
+    the (src → rank/outdeg) table through the auto planner plus ONE
+    per-destination grouped float sum; driver state is exactly the
+    node→rank table (output-sized).  Parallel edges act as weight-2
+    links (no implicit dedup).
+    """
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b.column(src_col).cast(pa.int64()),
+                "dst": b.column(dst_col).cast(pa.int64()),
+            }
+        )
+
+    # re-consumed every iteration → materialize once (edge-stream sized,
+    # lives in the object store, not the driver)
+    e = edges_ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    # node table + outdegree: two tiny grouped counts
+    deg = {}
+    for b in e.groupby("src").count().iter_batches(batch_format="pyarrow"):
+        for n, c in zip(
+            b.column("src").to_numpy(zero_copy_only=False),
+            b.column("count()").to_numpy(zero_copy_only=False),
+        ):
+            deg[int(n)] = int(c)
+    dsts = [
+        b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in e.groupby("dst").count().iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    all_nodes = set(deg)
+    for arr in dsts:
+        all_nodes.update(int(x) for x in arr)
+    if not all_nodes:
+        return pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+    nodes = np.array(sorted(all_nodes), dtype=np.int64)
+    n = len(nodes)
+    outdeg = np.array([deg.get(int(x), 0) for x in nodes], dtype=np.int64)
+    rank = np.full(n, 1.0 / n)
+
+    emitter = outdeg > 0
+    for _ in range(max_iter):
+        w = np.zeros(n)
+        w[emitter] = rank[emitter] / outdeg[emitter]
+        contrib_t = pa.table({"src": pa.array(nodes[emitter]), "w": pa.array(w[emitter])})
+        summed = join(e, contrib_t, on="src", how="inner").groupby("dst").sum("w")
+        nxt = np.zeros(n)
+        for b in summed.iter_batches(batch_format="pyarrow"):
+            dn = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            sv = b.column("sum(w)").to_numpy(zero_copy_only=False)
+            nxt[np.searchsorted(nodes, dn)] += sv
+        dangling = float(rank[~emitter].sum())
+        nxt = (1.0 - d) / n + d * (nxt + dangling / n)
+        delta = float(np.abs(nxt - rank).sum())
+        rank = nxt
+        if delta < tol:
+            break
+    return pa.table({"node": pa.array(nodes), "rank": pa.array(rank, pa.float64())})

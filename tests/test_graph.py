@@ -86,3 +86,59 @@ def test_cc_on_minhash_pairs():
     pairs = minhash_lsh_pairs("/root/testdata/sf0.001")
     if pairs.num_rows:
         assert components_match_unionfind(pairs)
+
+
+def _ref_pagerank(src, dst, d=0.85, max_iter=60):
+    import numpy as np
+
+    nodes = sorted(set(src) | set(dst))
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s in src:
+        outdeg[ix[s]] += 1
+    M = np.zeros((n, n))
+    for s, t in zip(src, dst):
+        M[ix[t], ix[s]] += 1.0 / outdeg[ix[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    return nodes, r
+
+
+def test_pagerank_matches_dense_reference():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 30, 150).tolist()
+    dst = rng.integers(0, 30, 150).tolist()
+    # a dangling node (only incoming) and an isolated-emitter pattern
+    src += [100]
+    dst += [101]
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(5)
+    got = pagerank(e, max_iter=60).to_pandas()
+    nodes, want = _ref_pagerank(src, dst, max_iter=60)
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["rank"].to_numpy(), want, atol=1e-9)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_star_center_wins():
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.graph import pagerank
+
+    # spokes all point at the center
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array([1, 2, 3, 4, 5], pa.int64()), "dst": pa.array([0] * 5, pa.int64())})
+    )
+    r = pagerank(e).to_pandas().set_index("node")["rank"]
+    assert r[0] > r[1] * 3
