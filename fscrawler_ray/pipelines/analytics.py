@@ -1144,3 +1144,102 @@ ORACLE_SQL["value_outliers"] = (
     "FROM events e JOIN th t USING (event_type) WHERE e.value > t.p90 GROUP BY e.event_type"
 )
 QUERIES["value_outliers"] = q_value_outliers
+
+
+def q_doc_deciles(sf_dir: str):
+    """Percentile bucketing for quality-cutoff pipelines: assign every
+    document its n_chars decile using EXACT global quantile thresholds.
+    Scale path: the thresholds come from the value-FREQUENCY table
+    (a grouped count over distinct n_chars — small whenever cardinality
+    << rows), never a global sort; assignment is one broadcast of 9 ints
+    probed with a vectorized searchsorted.  Bucket rule is the
+    deterministic threshold-CASE ladder (NOT ntile, whose tie-splitting
+    is assignment-order-dependent and thus unhashable)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    dist = (
+        grouped_sum(
+            ds.map_batches(lambda b: b.select(["n_chars"]), batch_format="pyarrow"),
+            ["n_chars"],
+            {},
+            count_out="cnt",
+        )
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    cum = dist["cnt"].cumsum().to_numpy()
+    vals = dist["n_chars"].to_numpy()
+    n = int(cum[-1])
+    # quantile_disc(k/10) = value at 1-based rank ceil(k*n/10)
+    ranks = [(k * n + 9) // 10 for k in range(1, 10)]
+    thr = vals[np.searchsorted(cum, ranks)]
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        dec = 1 + np.searchsorted(thr, v, side="left")  # count of thresholds < v
+        return pa.table({"doc_id": b.column("doc_id"), "decile": pa.array(dec, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+ORACLE_SQL["doc_deciles"] = (
+    "WITH th AS (SELECT "
+    + ", ".join(f"quantile_disc(n_chars, {k}*0.1) AS t{k}" for k in range(1, 10))
+    + " FROM documents) SELECT d.doc_id, CAST(CASE "
+    + " ".join(f"WHEN d.n_chars <= t{k} THEN {k}" for k in range(1, 10))
+    + " ELSE 10 END AS BIGINT) AS decile FROM documents d, th"
+)
+QUERIES["doc_deciles"] = q_doc_deciles
+
+
+def q_purchasing_customers(sf_dir: str):
+    """Set intersection as distinct + SEMI join through the front door:
+    customers whose key appears among distinct purchase-event users."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def purchasers(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table({"c_custkey": pc.unique(t.column("user_id").cast(pa.int64()))})
+
+    keys = ev.map_batches(purchasers, batch_format="pyarrow").groupby("c_custkey").count()
+    keys = keys.map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.column("c_custkey").cast(pa.int64()), "c_mktsegment": b.column("c_mktsegment")}
+        ),
+        batch_format="pyarrow",
+    )
+    return join(cust, keys, on="c_custkey", how="semi")
+
+
+def q_dormant_customers(sf_dir: str):
+    """Set difference as distinct + ANTI join: customers with NO purchase
+    event (the except-distinct shape)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def purchasers(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table({"c_custkey": pc.unique(t.column("user_id").cast(pa.int64()))})
+
+    keys = ev.map_batches(purchasers, batch_format="pyarrow").groupby("c_custkey").count()
+    keys = keys.map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.column("c_custkey").cast(pa.int64()), "c_mktsegment": b.column("c_mktsegment")}
+        ),
+        batch_format="pyarrow",
+    )
+    return join(cust, keys, on="c_custkey", how="anti")
+
+
+ORACLE_SQL["purchasing_customers"] = (
+    "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment FROM customer "
+    "WHERE c_custkey IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
+)
+QUERIES["purchasing_customers"] = q_purchasing_customers
+ORACLE_SQL["dormant_customers"] = (
+    "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment FROM customer "
+    "WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
+)
+QUERIES["dormant_customers"] = q_dormant_customers

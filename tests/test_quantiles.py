@@ -104,3 +104,26 @@ def test_value_outliers_matches_oracle_sf0001():
     assert df["event_type"].tolist() == want["event_type"].tolist()
     assert df["p90"].tolist() == pytest.approx(want["p90"].tolist(), abs=0)
     assert df["n_above"].tolist() == want["n_above"].tolist()
+
+
+def test_doc_deciles_tie_ladder_matches_duckdb(tmp_path):
+    """Duplicated threshold values: the searchsorted ladder must match the
+    SQL CASE ladder exactly (first-match wins)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    n = 400
+    # heavy ties: only 7 distinct lengths
+    chars = rng.choice([10, 20, 20, 30, 50, 80, 130], size=n).astype("int64")
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "n_chars": chars,
+                  "text": pa.array(["x"] * n), "lang": pa.array(["en"] * n),
+                  "source": pa.array(["s"] * n)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    from fscrawler_ray.pipelines.analytics import ORACLE_SQL, q_doc_deciles
+
+    got = q_doc_deciles(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(ORACLE_SQL["doc_deciles"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert got["decile"].tolist() == want["decile"].tolist()
