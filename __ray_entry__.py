@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+            "semantic_neardup": lambda sf: dedup.semantic_neardup_pairs(sf),
             # distributed CC over the near-dup pair graph (label = min doc
             # id per component — the scale path for corpus dedup's
             # union-find; approximate upstream pairs → rows-only check)

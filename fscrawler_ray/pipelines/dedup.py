@@ -710,3 +710,71 @@ def embedding_neardup_pairs(
         }
     )
     return pa.Table.from_pandas(out.sort_values(["vec_a", "vec_b"]), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means clustering (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semantic_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    seed: int = 9,
+    max_bucket: int = 512,
+):
+    """Published SemDeDup shape: k-means cluster the embedding space
+    (the IVF coarse quantizer reused as the assigner), then verify
+    cosine ≥ threshold for every pair WITHIN a cluster — the clustering
+    twin of the hyperplane-LSH near-dup.  Within-cluster pairs are found
+    EXACTLY (deterministic given the centroids); only cross-cluster
+    pairs are missed — the method's documented recall tradeoff.
+
+    Scale posture identical to embedding_neardup_pairs: the normalized
+    vector rides its single bucket row (×1 duplication — cheaper than
+    the ×n_tables LSH), pairs expand AND verify inside each cluster
+    group, one pair-keyed groupby dedupes.  Cluster size is the
+    operative assumption (max_bucket caps the quadratic): production
+    picks n_clusters ∝ corpus size so clusters stay bounded.
+    """
+    from .similarity import _vecs, train_centroids
+
+    cent = train_centroids(sf_dir, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _vecs(b.column("embedding")).astype(np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        a = (v @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(b), dtype=np.int32)),
+                "bucket": pa.array(a),
+                "doc_id": b.column("vec_id"),
+                "vec": pa.array([r.astype(np.float32).tobytes() for r in v], pa.binary()),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    buckets = emb.map_batches(bucketize, batch_format="pyarrow")
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+    )
+
+    def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        v = np.stack([np.frombuffer(x, dtype=np.float32) for x in g["vec"]]).astype(np.float64)
+        cos = (v[ia] * v[ib]).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "cosine": np.round(cos[keep], 6)}
+        )
+
+    t = _grouped_verified_pairs(buckets, verify, "cosine", max_bucket)
+    if t.num_rows == 0:
+        return empty
+    return pa.table(
+        {"vec_a": t.column("doc_a"), "vec_b": t.column("doc_b"), "cosine": t.column("cosine")}
+    )

@@ -36,3 +36,45 @@ def test_embedding_clusters_cover_and_cohere():
     df2 = embedding_clusters(SF, n_clusters=6).to_pandas()
     assert df.sort_values("vec_id").reset_index(drop=True).equals(
         df2.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_semantic_neardup_equals_within_cluster_bruteforce(tmp_path):
+    """SemDeDup finds EXACTLY the within-cluster cosine>=t pairs — compare
+    against a brute-force reference using the same centroid assignment."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.dedup import semantic_neardup_pairs
+    from fscrawler_ray.pipelines.similarity import train_centroids
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    # planted near-dups: 10 noisy copies
+    dups = base[:10] + rng.normal(scale=0.05, size=(10, 64)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    thr, k, seed = 0.8, 6, 9
+    got = semantic_neardup_pairs(str(tmp_path), threshold=thr, n_clusters=k, seed=seed).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+
+    cent = train_centroids(str(tmp_path), k, seed=seed)
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    assign = (v @ cent.T).argmax(axis=1)
+    want = set()
+    for i in range(len(v)):
+        for j in range(i + 1, len(v)):
+            if assign[i] == assign[j] and float(v[i] @ v[j]) >= thr:
+                want.add((i, j))
+    assert got_pairs == want
+    assert len(want) >= 8  # the planted copies land in their base's cluster
