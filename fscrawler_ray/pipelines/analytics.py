@@ -1243,3 +1243,107 @@ ORACLE_SQL["dormant_customers"] = (
     "WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
 )
 QUERIES["dormant_customers"] = q_dormant_customers
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered customers SEMI-prune orders, the
+    surviving (order-key, date, priority) dims join the shipdate-filtered
+    lineitem stream through the front door, ONE grouped sum, top-10.
+    Every filter is applied before its join so only matching keys
+    shuffle; revenue uses the integer-cents discipline."""
+    import datetime as dt
+
+    cutoff = dt.datetime(1997, 6, 1)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+                .column("c_custkey")
+                .cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    orders = join(orders, keys, on="o_custkey", how="semi").drop_columns(["o_custkey"])
+    orders = _rename(orders, {"o_orderkey": "l_orderkey"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), pa.scalar(cutoff)))
+        disc = pc.round(
+            pc.multiply(
+                pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+                pa.scalar(100.0),
+            ),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "rev_cents": disc})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    j = join(li, orders, on="l_orderkey", how="inner")
+    agg = grouped_sum(j, ["l_orderkey", "o_orderdate", "o_orderpriority"], {"rev_cents": "revenue_cents"})
+    out = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+    return _select(out, ["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"])
+
+
+ORACLE_SQL["shipping_priority"] = (
+    "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+    "CAST(sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS BIGINT) AS revenue_cents, "
+    "o_orderdate, o_orderpriority FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-06-01' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+)
+QUERIES["shipping_priority"] = q_shipping_priority
+
+
+def q_new_users_daily(sf_dir: str):
+    """Growth analytics: first-seen day per user (a grouped MIN with
+    per-batch partials), then the day-table-sized daily count with a
+    driver-side running total — the exact-cumulative-distinct shape that
+    needs NO distinct-state at aggregation time because min(ts) is
+    mergeable."""
+    us_day = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def p(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"user_id": b.column("user_id"), "ts_us": b.column("ts").cast(pa.int64())}
+            ),
+            ["user_id"],
+        ).aggregate([("ts_us", "min")])
+        return pa.table({"user_id": g.column("user_id"), "ts_min_p": g.column("ts_us_min")})
+
+    first = ds.map_batches(p, batch_format="pyarrow").groupby("user_id").aggregate(Min("ts_min_p"))
+
+    def to_day(b: pa.Table) -> pa.Table:
+        d = pc.multiply(pc.divide(b.column("min(ts_min_p)"), us_day), us_day)
+        return pa.table({"d": d})
+
+    daily = grouped_sum(first.map_batches(to_day, batch_format="pyarrow"), ["d"], {}, count_out="new_users")
+    df = daily.to_pandas().sort_values("d").reset_index(drop=True)  # day-table-sized
+    df["cum_users"] = df["new_users"].cumsum()
+    return pa.table(
+        {
+            "d": pa.array(df["d"], pa.int64()).cast(pa.timestamp("us")),
+            "new_users": pa.array(df["new_users"], pa.int64()),
+            "cum_users": pa.array(df["cum_users"], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["new_users_daily"] = (
+    "WITH fd AS (SELECT user_id, date_trunc('day', min(ts)) AS d FROM events GROUP BY user_id) "
+    "SELECT d, CAST(count(*) AS BIGINT) AS new_users, "
+    "CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_users FROM fd GROUP BY d"
+)
+QUERIES["new_users_daily"] = q_new_users_daily
