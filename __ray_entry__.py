@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         decontam,
         dedup,
+        formats,
         graph,
         index_sink,
         sampling,
@@ -289,6 +290,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
+    out.update(
+        {
+            "docs_jsonl_roundtrip": formats.q_docs_jsonl_roundtrip,
+            "docs_csv_roundtrip": formats.q_docs_csv_roundtrip,
+        }
+    )
     out.update(
         {
             "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
@@ -341,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql = dict(ORACLE_SQL)
     from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
+    from fscrawler_ray.pipelines.formats import ORACLE_SQL as FORMATS_SQL
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
     from fscrawler_ray.pipelines.sampling import ORACLE_SQL as SAMPLING_SQL
     from fscrawler_ray.pipelines.textops import ORACLE_SQL as TEXT_SQL
@@ -349,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(TEXT_SQL)
     sql.update(SAMPLING_SQL)
     sql.update(DECONTAM_SQL)
+    sql.update(FORMATS_SQL)
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "
         "CAST(sum(size) AS BIGINT) AS total_size "

@@ -1,0 +1,71 @@
+"""Non-parquet source/sink coverage: JSONL and CSV round-trips.
+
+The reference's sinks are parquet/CSV-ish exports (app/exporters and the
+playlist writer, SURVEY §2.6 W1/W3); Ray Data gives JSONL/CSV natively.
+Each round-trip query WRITES the documents metadata through the format
+and READS it back — the SQL oracle reads the original parquet, so the
+driver's value-hash certifies the format path is lossless end to end
+(types included: ints stay ints, strings stay strings).
+
+Sinks write to a per-(sf, format) scratch dir under /tmp, partitioned by
+Ray's block structure (resumable-output discipline: many files, never
+one giant file); reads stream back through the normal Dataset scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+
+import ray
+
+_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _scratch(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/fscrawler_formats/{tag}/{fmt}"
+
+
+def _roundtrip(sf_dir: str, fmt: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=_COLS)
+    out = _scratch(sf_dir, fmt)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    if fmt == "jsonl":
+        ds.write_json(out)
+        back = ray.data.read_json(out)
+    elif fmt == "csv":
+        ds.write_csv(out)
+        back = ray.data.read_csv(out)
+    else:
+        raise ValueError(fmt)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "lang": b.column("lang").cast(pa.string()),
+                "source": b.column("source").cast(pa.string()),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+def q_docs_jsonl_roundtrip(sf_dir: str):
+    return _roundtrip(sf_dir, "jsonl")
+
+
+def q_docs_csv_roundtrip(sf_dir: str):
+    return _roundtrip(sf_dir, "csv")
+
+
+ORACLE_SQL = {
+    # identity through the format: the oracle reads the ORIGINAL parquet
+    "docs_jsonl_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
+    "docs_csv_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
+}
