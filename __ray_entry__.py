@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "props_extract": textops.q_props_extract,
             "props_redact": textops.q_props_redact,
             "chunk_docs": textops.q_chunk_docs,
+            "vocab_coverage": textops.q_vocab_coverage,
+            "pack_sequences": textops.q_pack_sequences,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,

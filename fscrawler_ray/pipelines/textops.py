@@ -338,3 +338,144 @@ ORACLE_SQL["chunk_docs"] = (
     "array_to_string(list_slice(toks, i*48+1, least(i*48+64, n)), ' ') AS chunk_text, "
     "cast(least(64, n - i*48) AS BIGINT) AS chunk_tokens FROM e"
 )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-prep: exact vocabulary construction + coverage encoding
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens(b: pa.Table):
+    """(flat token strings, doc row index, per-row counts) with the
+    oracle's regexp_extract_all('\\S+') semantics: split on whitespace,
+    drop empties, null text → zero tokens."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    text = b.column("text")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).combine_chunks()
+    keep = pc.invert(pc.equal(flat, ""))
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+    row = np.repeat(np.arange(len(b), dtype=np.int64), lens)[keep_np]
+    return flat.filter(keep), row
+
+
+def build_vocab(ds, n_vocab: int) -> pa.Array:
+    """Exact top-N token vocabulary by global count, ties broken token-asc
+    (fully deterministic, matching ORDER BY cnt DESC, tok).  Per-batch
+    counts partial-aggregate before the token-keyed grouped sum (only
+    DISTINCT tokens per block shuffle), and the top-N happens inside the
+    Dataset (sort + limit) — the driver receives exactly N rows."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _doc_tokens(b)
+        g = pa.TableGroupBy(pa.table({"tok": flat}), ["tok"]).aggregate([([], "count_all")])
+        return pa.table({"tok": g.column("tok"), "c_p": g.column("count_all")})
+
+    from ray.data.aggregate import Sum
+
+    cnt = ds.map_batches(partial, batch_format="pyarrow").groupby("tok").aggregate(Sum("c_p"))
+    top = cnt.sort(["sum(c_p)", "tok"], descending=[True, False]).limit(n_vocab)
+    parts = [b.column("tok") for b in top.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return pa.array([], pa.string())
+    return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+
+
+def q_vocab_coverage(sf_dir: str, n_vocab: int = 25):
+    """Per-document tokenizer coverage against the exact top-N vocabulary:
+    (doc_id, in_vocab, oov).  The vocabulary broadcasts once and
+    membership is pyarrow ``is_in`` — exact string comparison, no hash
+    approximation."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vocab = build_vocab(_docs(sf_dir, ["text"]), n_vocab)
+    vocab_ref = ray.put(vocab)
+
+    def cover(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        flat, row = _doc_tokens(b)
+        inv = pc.is_in(flat, value_set=v).to_numpy(zero_copy_only=False).astype(bool)
+        n_in = np.bincount(row[inv], minlength=b.num_rows)
+        n_out = np.bincount(row[~inv], minlength=b.num_rows)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "in_vocab": pa.array(n_in, pa.int64()),
+                "oov": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(cover, batch_format="pyarrow")
+
+
+ORACLE_SQL["vocab_coverage"] = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents), "
+    "vocab AS (SELECT tok FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 25) "
+    "SELECT doc_id, "
+    "CAST(count(*) FILTER (tok IN (SELECT tok FROM vocab)) AS BIGINT) AS in_vocab, "
+    "CAST(count(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS BIGINT) AS oov "
+    "FROM toks GROUP BY doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: greedy token-budget bins via a two-level prefix scan
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 64):
+    """Greedy sequential packing for LM training batches: documents in
+    doc_id order go into token-budget bins, bin = floor(prefix/budget)
+    where prefix = total tokens of all PRIOR docs.  The global prefix sum
+    is the classic two-level scan: per-RANGE token totals (grouped sum,
+    range-table-sized) → driver-side exclusive cumsum over ranges →
+    broadcast offsets → per-range in-group cumsum.  No global sort, no
+    driver-side doc loop; group size is bounded by range_width."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # '\S+' token counts: _doc_tokens drops the empty pieces a bare
+        # whitespace split would count
+        flat, row = _doc_tokens(b)
+        cnt = np.bincount(row, minlength=b.num_rows)
+        d = b.column("doc_id").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": d,
+                "n_tokens": pa.array(cnt, pa.int64()),
+                "rng": pc.divide(d, range_width),
+            }
+        )
+
+    slim = ds.map_batches(prep, batch_format="pyarrow")
+    totals = grouped_sum(slim, ["rng"], {"n_tokens": "tot"}).to_pandas().sort_values("rng")
+    offs = dict(
+        zip(totals["rng"], np.concatenate([[0], totals["tot"].cumsum().to_numpy()[:-1]]))
+    )
+
+    import pandas as pd
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        prefix = int(offs[g["rng"].iloc[0]]) + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "bin": (prefix // budget).astype(np.int64)})
+
+    return slim.groupby("rng").map_groups(pack, batch_format="pandas")
+
+
+ORACLE_SQL["pack_sequences"] = (
+    "SELECT doc_id, CAST(floor(coalesce(sum(len(regexp_extract_all(text, '\\S+'))) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin "
+    "FROM documents"
+)

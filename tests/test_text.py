@@ -110,3 +110,45 @@ def test_chunk_documents_edges_and_coverage():
 
     with pytest.raises(ValueError):
         chunk_documents(ray.data.from_arrow(t), chunk_tokens=8, overlap=8)
+
+
+def test_build_vocab_deterministic_ties_and_partition_invariance():
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.textops import build_vocab
+
+    rows = ["b a a c", "c b", "d d d"] * 7  # counts: a=14? deterministic ties
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(rows)})).repartition(parts)
+        v = build_vocab(ds, 3).to_pylist()
+        # counts: a 14, b 14, c 14, d 21 → top3 = d, then a,b (tok asc among ties)
+        assert v == ["d", "a", "b"]
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import q_pack_sequences
+
+    rng = np.random.default_rng(6)
+    texts = [" ".join(["t"] * int(k)) for k in rng.integers(1, 40, size=200)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 200),
+            "source": pa.array(["s"] * 200),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_pack_sequences(str(tmp_path), budget=100).to_pandas().sort_values("doc_id")
+    lens = np.array([len(x.split()) for x in texts])
+    prefix = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    assert (out["bin"].to_numpy() == prefix // 100).all()
+    # bins are contiguous in doc order and non-decreasing
+    b = out["bin"].to_numpy()
+    assert (np.diff(b) >= 0).all()
