@@ -165,7 +165,9 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        e = urls_ds.map_batches(edges, batch_format="pyarrow")
+        # consumed three times (two distinct-host groupbys + pagerank) —
+        # materialize so the child expansion runs ONCE
+        e = urls_ds.map_batches(edges, batch_format="pyarrow").materialize()
         # id → host name map: collect only the DISTINCT host names (a
         # host-table-sized grouped count per endpoint column), hash them
         # driver-side — the edge stream itself never reaches the driver

@@ -115,7 +115,13 @@ def grouped_quantile_disc(
         .to_pandas()
     )
     if len(stats) == 0:
-        return pa.table({key: pa.array([], pa.string()), out: pa.array([], pa.float64())})
+        # preserve the caller's key dtype on the empty path (an int64-keyed
+        # caller must not get a string column back)
+        try:
+            key_type = ds.schema().base_schema.field(key).type
+        except Exception:
+            key_type = pa.string()
+        return pa.table({key: pa.array([], key_type), out: pa.array([], pa.float64())})
 
     # per-key narrowing state: remaining 1-based rank within the current
     # range, plus the constraint stack defining that range

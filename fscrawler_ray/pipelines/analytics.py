@@ -1122,8 +1122,12 @@ def q_value_outliers(sf_dir: str):
     def above(b: pa.Table) -> pa.Table:
         keys = b.column("event_type").to_numpy(zero_copy_only=False)
         vals = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
-        idx = np.searchsorted(names, keys)
-        hit = vals > cuts[idx]
+        idx = np.minimum(np.searchsorted(names, keys), len(names) - 1)
+        # a type absent from the quantile table (all-null values) has a
+        # NULL threshold in SQL → its rows drop; mirror that instead of
+        # probing a neighbor's threshold
+        known = names[idx] == keys
+        hit = known & (vals > cuts[idx])
         return pa.table({"event_type": pa.array(keys[hit]), "one": np.ones(int(hit.sum()), np.int64)})
 
     agg = grouped_sum(ev.map_batches(above, batch_format="pyarrow"), ["event_type"], {"one": "n_above"})
@@ -1191,9 +1195,9 @@ ORACLE_SQL["doc_deciles"] = (
 QUERIES["doc_deciles"] = q_doc_deciles
 
 
-def q_purchasing_customers(sf_dir: str):
-    """Set intersection as distinct + SEMI join through the front door:
-    customers whose key appears among distinct purchase-event users."""
+def _customer_setop(sf_dir: str, how: str):
+    """INTERSECT/EXCEPT DISTINCT as a distinct key reduction + semi/anti
+    join through the size-aware front door."""
     ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def purchasers(b: pa.Table) -> pa.Table:
@@ -1209,28 +1213,18 @@ def q_purchasing_customers(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return join(cust, keys, on="c_custkey", how="semi")
+    return join(cust, keys, on="c_custkey", how=how)
+
+
+def q_purchasing_customers(sf_dir: str):
+    """Set intersection: customers whose key appears among distinct
+    purchase-event users."""
+    return _customer_setop(sf_dir, "semi")
 
 
 def q_dormant_customers(sf_dir: str):
-    """Set difference as distinct + ANTI join: customers with NO purchase
-    event (the except-distinct shape)."""
-    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
-
-    def purchasers(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
-        return pa.table({"c_custkey": pc.unique(t.column("user_id").cast(pa.int64()))})
-
-    keys = ev.map_batches(purchasers, batch_format="pyarrow").groupby("c_custkey").count()
-    keys = keys.map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.map_batches(
-        lambda b: pa.table(
-            {"c_custkey": b.column("c_custkey").cast(pa.int64()), "c_mktsegment": b.column("c_mktsegment")}
-        ),
-        batch_format="pyarrow",
-    )
-    return join(cust, keys, on="c_custkey", how="anti")
+    """Set difference: customers with NO purchase event."""
+    return _customer_setop(sf_dir, "anti")
 
 
 ORACLE_SQL["purchasing_customers"] = (

@@ -25,7 +25,10 @@ _COLS = ["doc_id", "lang", "source", "n_chars"]
 
 
 def _scratch(sf_dir: str, fmt: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # keyed on the FULL path so two dirs sharing a basename never collide
+    import hashlib
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return f"/tmp/fscrawler_formats/{tag}/{fmt}"
 
 
@@ -53,7 +56,22 @@ def _roundtrip(sf_dir: str, fmt: str):
             }
         )
 
-    return back.map_batches(project, batch_format="pyarrow")
+    # collect NOW (metadata-only columns, test-scale-sized): a lazy handle
+    # over the mutable scratch dir would read whatever a LATER round-trip
+    # wrote there (the crawl_rollup shared-dir discipline)
+    batches = list(
+        back.map_batches(project, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    if not batches:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches)
 
 
 def q_docs_jsonl_roundtrip(sf_dir: str):

@@ -402,11 +402,15 @@ def q_vocab_coverage(sf_dir: str, n_vocab: int = 25):
         inv = pc.is_in(flat, value_set=v).to_numpy(zero_copy_only=False).astype(bool)
         n_in = np.bincount(row[inv], minlength=b.num_rows)
         n_out = np.bincount(row[~inv], minlength=b.num_rows)
+        # zero-token docs are ABSENT from the oracle (its unnest emits no
+        # row to group) — drop them here too so parity holds on corpora
+        # with empty/whitespace-only/null text
+        sel = np.flatnonzero(n_in + n_out > 0)
         return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "in_vocab": pa.array(n_in, pa.int64()),
-                "oov": pa.array(n_out, pa.int64()),
+                "doc_id": b.column("doc_id").take(pa.array(sel, pa.int64())),
+                "in_vocab": pa.array(n_in[sel], pa.int64()),
+                "oov": pa.array(n_out[sel], pa.int64()),
             }
         )
 
@@ -457,7 +461,9 @@ def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 64):
             }
         )
 
-    slim = ds.map_batches(prep, batch_format="pyarrow")
+    # consumed by BOTH the range-totals pass and the packing groupby —
+    # materialize so tokenization runs once, not twice
+    slim = ds.map_batches(prep, batch_format="pyarrow").materialize()
     totals = grouped_sum(slim, ["rng"], {"n_tokens": "tot"}).to_pandas().sort_values("rng")
     offs = dict(
         zip(totals["rng"], np.concatenate([[0], totals["tot"].cumsum().to_numpy()[:-1]]))

@@ -127,3 +127,12 @@ def test_doc_deciles_tie_ladder_matches_duckdb(tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(ORACLE_SQL["doc_deciles"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
     assert got["decile"].tolist() == want["decile"].tolist()
+
+
+def test_empty_input_preserves_int_key_dtype():
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([None, None], pa.float64())})
+    )
+    t = grouped_quantile_disc(ds, "k", "v", 1, 2)
+    assert t.num_rows == 0
+    assert t.schema.field("k").type == pa.int64()

@@ -152,3 +152,32 @@ def test_pack_sequences_bins_are_contiguous_and_budgeted(tmp_path):
     # bins are contiguous in doc order and non-decreasing
     b = out["bin"].to_numpy()
     assert (np.diff(b) >= 0).all()
+
+
+def test_vocab_coverage_drops_zero_token_docs(tmp_path):
+    """Empty/whitespace-only/null text: absent from the oracle's unnest —
+    must be absent from the engine output too."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import ORACLE_SQL, q_vocab_coverage
+
+    texts = ["a b a", "", "b c", None, "   "]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([len(x) if x else 0 for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = q_vocab_coverage(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(ORACLE_SQL["vocab_coverage"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [0, 2]
+    assert got["in_vocab"].tolist() == want["in_vocab"].tolist()
+    assert got["oov"].tolist() == want["oov"].tolist()
