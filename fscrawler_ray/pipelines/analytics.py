@@ -1205,7 +1205,9 @@ def _customer_setop(sf_dir: str, how: str):
         return pa.table({"c_custkey": pc.unique(t.column("user_id").cast(pa.int64()))})
 
     keys = ev.map_batches(purchasers, batch_format="pyarrow").groupby("c_custkey").count()
-    keys = keys.map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
+    # materialize the distinct-key dim so the front door SEES its size:
+    # small → broadcast probe; huge → still the co-partition plan
+    keys = keys.map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow").materialize()
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
         lambda b: pa.table(
@@ -1259,13 +1261,17 @@ def q_shipping_priority(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    # materialize the derived dims so the front door sees REAL sizes and
+    # can pick broadcast when they fit (they would shuffle anyway on the
+    # co-partition plan, so this adds no data movement at scale)
+    keys = keys.materialize()
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
     orders = orders.map_batches(
         lambda b: b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff))),
         batch_format="pyarrow",
     )
     orders = join(orders, keys, on="o_custkey", how="semi").drop_columns(["o_custkey"])
-    orders = _rename(orders, {"o_orderkey": "l_orderkey"})
+    orders = _rename(orders, {"o_orderkey": "l_orderkey"}).materialize()
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
