@@ -1347,3 +1347,71 @@ ORACLE_SQL["new_users_daily"] = (
     "CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_users FROM fd GROUP BY d"
 )
 QUERIES["new_users_daily"] = q_new_users_daily
+
+
+def q_modal_event_type(sf_dir: str):
+    """Per-user modal event type (grouped mode with deterministic ties:
+    count DESC, type ASC).  Two-level: the (user, type) counts come from
+    the partial-aggregated grouped sum; the per-user argmax is ONE more
+    grouped reduction over that count table (user-type-cardinality-sized,
+    not event-sized) — mode never sees raw events."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cnt = grouped_sum(ev, ["user_id", "event_type"], {}, count_out="cnt")
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "event_type"], ascending=[False, True]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "modal_type": g["event_type"].to_numpy(),
+                "cnt": g["cnt"].to_numpy(),
+            }
+        )
+
+    return cnt.groupby("user_id").map_groups(argmax, batch_format="pandas")
+
+
+ORACLE_SQL["modal_event_type"] = (
+    "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn FROM c) "
+    "SELECT user_id, event_type AS modal_type, cnt FROM r WHERE rn = 1"
+)
+QUERIES["modal_event_type"] = q_modal_event_type
+
+
+def q_revenue_7d_moving(sf_dir: str):
+    """7-day moving sum of daily event value: the daily rollup is the
+    wide step (partial-aggregated grouped sum → day-table-sized), the
+    moving window is a driver-side sliding sum over that tiny table —
+    the scale-correct split for any calendar-window metric."""
+    us_day = 86_400_000_000
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "vc")
+        d = pc.multiply(pc.divide(b.column("ts").cast(pa.int64()), us_day), us_day)
+        return pa.table({"d": d, "vc": b.column("vc")})
+
+    daily = grouped_sum(ev.map_batches(prep, batch_format="pyarrow"), ["d"], {"vc": "day_cents"})
+    df = daily.to_pandas().sort_values("d").reset_index(drop=True)
+    vals = df["day_cents"].to_numpy()
+    csum = np.concatenate([[0], np.cumsum(vals)])
+    # ROWS 6 PRECEDING over the observed-day table (no gap filling), like
+    # the SQL window over the same daily rollup
+    win = np.array([csum[i + 1] - csum[max(0, i - 6)] for i in range(len(vals))], dtype=np.int64)
+    return pa.table(
+        {
+            "d": pa.array(df["d"], pa.int64()).cast(pa.timestamp("us")),
+            "day_cents": pa.array(vals, pa.int64()),
+            "mov7_cents": pa.array(win, pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["revenue_7d_moving"] = (
+    "WITH daily AS (SELECT date_trunc('day', ts) AS d, "
+    "CAST(sum(cast(round(value*100) AS bigint)) AS BIGINT) AS day_cents FROM events GROUP BY 1) "
+    "SELECT d, day_cents, CAST(sum(day_cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_cents "
+    "FROM daily"
+)
+QUERIES["revenue_7d_moving"] = q_revenue_7d_moving
