@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "chunk_docs": textops.q_chunk_docs,
             "vocab_coverage": textops.q_vocab_coverage,
             "pack_sequences": textops.q_pack_sequences,
+            "lm_score_docs": textops.q_lm_score_docs,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,

@@ -485,3 +485,103 @@ ORACLE_SQL["pack_sequences"] = (
     "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin "
     "FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def q_lm_score_docs(sf_dir: str, alpha: float = 0.1):
+    """Per-document average bigram log-probability under a corpus-trained
+    add-alpha bigram LM — the published CCNet/KenLM quality-filter shape
+    (docs scoring far below the corpus mean read as junk).
+
+    Train pass: bigram and unigram counts via the same partial-aggregated
+    grouped sums as build_vocab (distinct grams per block shuffle, never
+    text).  The model (two count tables, vocabulary-sized) broadcasts
+    once; scoring is one streaming map_batches with a vectorized
+    searchsorted lookup.  Float log output → rows-only check;
+    driver-equivalence is pytest-bounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import xxh64_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        flat, row = _doc_tokens(b)
+        h = xxh64_batch(flat, seed=7).view(np.int64)
+        if len(h) == 0:
+            return pa.table({"gram": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64()), "kind": pa.array([], pa.int32())})
+        # unigrams
+        gu, cu = np.unique(h, return_counts=True)
+        # bigrams within a doc: combine adjacent hashes (order-sensitive)
+        same = row[1:] == row[:-1]
+        bg = (h[:-1][same].view(np.uint64) * np.uint64(1099511628211) + h[1:][same].view(np.uint64)).view(np.int64)
+        gb, cb = np.unique(bg, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate([gu, gb]), pa.int64()),
+                "c_p": pa.array(np.concatenate([cu, cb]), pa.int64()),
+                "kind": pa.array(np.concatenate([np.zeros(len(gu), np.int32), np.ones(len(gb), np.int32)])),
+            }
+        )
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(["kind", "gram"]).aggregate(Sum("c_p"))
+    uni_g, uni_c, bi_g, bi_c = [], [], [], []
+    n_vocab = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        g = b.column("gram").to_numpy(zero_copy_only=False)
+        c = b.column("sum(c_p)").to_numpy(zero_copy_only=False)
+        uni_g.append(g[kind == 0]); uni_c.append(c[kind == 0])
+        bi_g.append(g[kind == 1]); bi_c.append(c[kind == 1])
+    uni_g = np.concatenate(uni_g) if uni_g else np.empty(0, np.int64)
+    uni_c = np.concatenate(uni_c) if uni_c else np.empty(0, np.int64)
+    bi_g = np.concatenate(bi_g) if bi_g else np.empty(0, np.int64)
+    bi_c = np.concatenate(bi_c) if bi_c else np.empty(0, np.int64)
+    o = np.argsort(uni_g); uni_g, uni_c = uni_g[o], uni_c[o]
+    o = np.argsort(bi_g); bi_g, bi_c = bi_g[o], bi_c[o]
+    n_vocab = max(1, len(uni_g))
+    model = ray.put((uni_g, uni_c.astype(np.float64), bi_g, bi_c.astype(np.float64), n_vocab))
+
+    def score(b: pa.Table) -> pa.Table:
+        ug, uc, bg_keys, bc, V = ray.get(model)
+        flat, row = _doc_tokens(b)
+        h = xxh64_batch(flat, seed=7).view(np.int64)
+        out = np.full(b.num_rows, np.nan)
+        if len(h):
+            same = row[1:] == row[:-1]
+            bg = (h[:-1][same].view(np.uint64) * np.uint64(1099511628211) + h[1:][same].view(np.uint64)).view(np.int64)
+            brow = row[:-1][same]
+            # P(w2|w1) = (c(w1 w2) + a) / (c(w1) + a*V)
+            bi = np.searchsorted(bg_keys, bg)
+            bi_cnt = np.where(
+                (bi < len(bg_keys)) & (bg_keys[np.minimum(bi, len(bg_keys) - 1)] == bg),
+                bc[np.minimum(bi, len(bg_keys) - 1)],
+                0.0,
+            )
+            ui = np.searchsorted(ug, h[:-1][same])
+            u_cnt = np.where(
+                (ui < len(ug)) & (ug[np.minimum(ui, len(ug) - 1)] == h[:-1][same]),
+                uc[np.minimum(ui, len(ug) - 1)],
+                0.0,
+            )
+            lp = np.log((bi_cnt + alpha) / (u_cnt + alpha * V))
+            sums = np.bincount(brow, weights=lp, minlength=b.num_rows)
+            cnts = np.bincount(brow, minlength=b.num_rows)
+            ok = cnts > 0
+            out[ok] = sums[ok] / cnts[ok]
+        sel = np.flatnonzero(~np.isnan(out))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(sel, pa.int64())),
+                "avg_logprob": pa.array(np.round(out[sel], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -181,3 +181,54 @@ def test_vocab_coverage_drops_zero_token_docs(tmp_path):
     assert got["doc_id"].tolist() == want["doc_id"].tolist() == [0, 2]
     assert got["in_vocab"].tolist() == want["in_vocab"].tolist()
     assert got["oov"].tolist() == want["oov"].tolist()
+
+
+def test_lm_score_matches_driver_reference(tmp_path):
+    """Distributed bigram-LM scoring ≡ a plain-python add-alpha reference."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import q_lm_score_docs
+
+    rng = np.random.default_rng(8)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 12))) for _ in range(40)]
+    texts.append("aa")  # single-token doc: no bigram → absent from output
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = q_lm_score_docs(str(tmp_path), alpha=0.1).to_pandas().set_index("doc_id")["avg_logprob"]
+
+    # reference model over token strings
+    uni: dict = {}
+    bi: dict = {}
+    for x in texts:
+        toks = x.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(uni)
+    want = {}
+    for i, x in enumerate(texts):
+        toks = x.split()
+        if len(toks) < 2:
+            continue
+        lps = [
+            math.log((bi.get((a, b), 0) + 0.1) / (uni[a] + 0.1 * V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        want[i] = sum(lps) / len(lps)
+    assert set(got.index) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-5, i
