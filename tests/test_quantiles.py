@@ -136,3 +136,29 @@ def test_empty_input_preserves_int_key_dtype():
     t = grouped_quantile_disc(ds, "k", "v", 1, 2)
     assert t.num_rows == 0
     assert t.schema.field("k").type == pa.int64()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.one_of(
+                st.integers(-1000, 1000).map(float),
+                st.sampled_from([0.5, -7.25, 123.75]),  # exact-binary repeats → ties
+            ),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    q=st.sampled_from([(1, 2), (9, 10), (1, 10), (3, 4), (1, 1)]),
+)
+def test_grouped_quantile_fuzz_vs_duckdb(data, q):
+    keys = [k for k, _ in data]
+    vals = [v for _, v in data]
+    want = _duck_disc(keys, vals, f"{q[0]}/{q[1]}::DECIMAL(18,6)")
+    got = _engine_disc(keys, vals, q[0], q[1], collect_limit=16, n_bins=8, max_levels=8)
+    assert got == want
