@@ -1415,3 +1415,32 @@ ORACLE_SQL["revenue_7d_moving"] = (
     "FROM daily"
 )
 QUERIES["revenue_7d_moving"] = q_revenue_7d_moving
+
+
+def q_sources_by_lang(sf_dir: str):
+    """Grouped ordered concat (the collect_list/string_agg family):
+    distinct sources per language as one comma-joined sorted string.
+    Two-level: the distinct (lang, source) reduction is the wide step
+    (grouped count partials), the per-lang ordered join runs over that
+    pair table (distinct-pair-sized, never raw rows)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    pairs = grouped_sum(ds, ["lang", "source"], {}, count_out="n")
+
+    def cat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("source")
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "sources": [",".join(g["source"])],
+                "n_sources": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return pairs.groupby("lang").map_groups(cat, batch_format="pandas")
+
+
+ORACLE_SQL["sources_by_lang"] = (
+    "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources, "
+    "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents GROUP BY lang"
+)
+QUERIES["sources_by_lang"] = q_sources_by_lang
