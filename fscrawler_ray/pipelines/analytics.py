@@ -1311,7 +1311,6 @@ def q_new_users_daily(sf_dir: str):
     driver-side running total — the exact-cumulative-distinct shape that
     needs NO distinct-state at aggregation time because min(ts) is
     mergeable."""
-    us_day = 86_400_000_000
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def p(b: pa.Table) -> pa.Table:
@@ -1326,15 +1325,17 @@ def q_new_users_daily(sf_dir: str):
     first = ds.map_batches(p, batch_format="pyarrow").groupby("user_id").aggregate(Min("ts_min_p"))
 
     def to_day(b: pa.Table) -> pa.Table:
-        d = pc.multiply(pc.divide(b.column("min(ts_min_p)"), us_day), us_day)
-        return pa.table({"d": d})
+        # floor_temporal (not int64 div, which truncates toward zero and
+        # misplaces pre-epoch days): min(date_trunc) ≡ date_trunc(min)
+        ts = b.column("min(ts_min_p)").cast(pa.timestamp("us"))
+        return pa.table({"d": pc.floor_temporal(ts, unit="day").cast(pa.timestamp("us"))})
 
     daily = grouped_sum(first.map_batches(to_day, batch_format="pyarrow"), ["d"], {}, count_out="new_users")
     df = daily.to_pandas().sort_values("d").reset_index(drop=True)  # day-table-sized
     df["cum_users"] = df["new_users"].cumsum()
     return pa.table(
         {
-            "d": pa.array(df["d"], pa.int64()).cast(pa.timestamp("us")),
+            "d": pa.array(df["d"]).cast(pa.timestamp("us")),
             "new_users": pa.array(df["new_users"], pa.int64()),
             "cum_users": pa.array(df["cum_users"], pa.int64()),
         }
@@ -1384,12 +1385,13 @@ def q_revenue_7d_moving(sf_dir: str):
     wide step (partial-aggregated grouped sum → day-table-sized), the
     moving window is a driver-side sliding sum over that tiny table —
     the scale-correct split for any calendar-window metric."""
-    us_day = 86_400_000_000
     ev = _read(sf_dir, "events", columns=["ts", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
         b = _cents(b, "value", "vc")
-        d = pc.multiply(pc.divide(b.column("ts").cast(pa.int64()), us_day), us_day)
+        # floor_temporal, not int64 div: integer divide truncates toward
+        # zero and lands pre-epoch timestamps on the wrong day
+        d = pc.floor_temporal(b.column("ts"), unit="day").cast(pa.timestamp("us"))
         return pa.table({"d": d, "vc": b.column("vc")})
 
     daily = grouped_sum(ev.map_batches(prep, batch_format="pyarrow"), ["d"], {"vc": "day_cents"})
@@ -1401,7 +1403,7 @@ def q_revenue_7d_moving(sf_dir: str):
     win = np.array([csum[i + 1] - csum[max(0, i - 6)] for i in range(len(vals))], dtype=np.int64)
     return pa.table(
         {
-            "d": pa.array(df["d"], pa.int64()).cast(pa.timestamp("us")),
+            "d": pa.array(df["d"]).cast(pa.timestamp("us")),
             "day_cents": pa.array(vals, pa.int64()),
             "mov7_cents": pa.array(win, pa.int64()),
         }
@@ -1424,6 +1426,10 @@ def q_sources_by_lang(sf_dir: str):
     (grouped count partials), the per-lang ordered join runs over that
     pair table (distinct-pair-sized, never raw rows)."""
     ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    # string_agg/count(DISTINCT ...) skip NULLs — drop them pre-concat
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("source"))), batch_format="pyarrow"
+    )
     pairs = grouped_sum(ds, ["lang", "source"], {}, count_out="n")
 
     def cat(g: pd.DataFrame) -> pd.DataFrame:

@@ -492,6 +492,29 @@ ORACLE_SQL["pack_sequences"] = (
 # ---------------------------------------------------------------------------
 
 
+def _combine_bigrams(h, row):
+    """Order-sensitive in-document bigram hash combine shared by the LM
+    train and score passes (they MUST stay in sync): (bigram_hash,
+    first_token_hash, doc_row) for every adjacent same-doc token pair."""
+    import numpy as np
+
+    same = row[1:] == row[:-1]
+    first = h[:-1][same]
+    bg = (first.view(np.uint64) * np.uint64(1099511628211) + h[1:][same].view(np.uint64)).view(np.int64)
+    return bg, first, row[:-1][same]
+
+
+def _sorted_lookup(keys_sorted, probe, values, default=0.0):
+    """Vectorized exact-match lookup into a sorted key array (the repo's
+    clamp-and-compare searchsorted probe), empty-table-safe."""
+    import numpy as np
+
+    if len(keys_sorted) == 0:
+        return np.full(len(probe), default)
+    i = np.minimum(np.searchsorted(keys_sorted, probe), len(keys_sorted) - 1)
+    return np.where(keys_sorted[i] == probe, values[i], default)
+
+
 def q_lm_score_docs(sf_dir: str, alpha: float = 0.1):
     """Per-document average bigram log-probability under a corpus-trained
     add-alpha bigram LM — the published CCNet/KenLM quality-filter shape
@@ -501,27 +524,26 @@ def q_lm_score_docs(sf_dir: str, alpha: float = 0.1):
     grouped sums as build_vocab (distinct grams per block shuffle, never
     text).  The model (two count tables, vocabulary-sized) broadcasts
     once; scoring is one streaming map_batches with a vectorized
-    searchsorted lookup.  Float log output → rows-only check;
-    driver-equivalence is pytest-bounded."""
+    searchsorted lookup.  The tokenized input is materialized so train
+    and score consume the SAME snapshot (and tokenize once).  Float log
+    output → rows-only check; driver-equivalence is pytest-bounded."""
     import numpy as np
-    import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import xxh64_batch
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    # one materialized read: train and score see the same snapshot and the
+    # parquet decode happens once (the review-fix convention)
+    ds = _docs(sf_dir, ["doc_id", "text"]).materialize()
 
     def counts(b: pa.Table) -> pa.Table:
         flat, row = _doc_tokens(b)
         h = xxh64_batch(flat, seed=7).view(np.int64)
         if len(h) == 0:
             return pa.table({"gram": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64()), "kind": pa.array([], pa.int32())})
-        # unigrams
         gu, cu = np.unique(h, return_counts=True)
-        # bigrams within a doc: combine adjacent hashes (order-sensitive)
-        same = row[1:] == row[:-1]
-        bg = (h[:-1][same].view(np.uint64) * np.uint64(1099511628211) + h[1:][same].view(np.uint64)).view(np.int64)
+        bg, _, _ = _combine_bigrams(h, row)
         gb, cb = np.unique(bg, return_counts=True)
         return pa.table(
             {
@@ -533,7 +555,6 @@ def q_lm_score_docs(sf_dir: str, alpha: float = 0.1):
 
     agg = ds.map_batches(counts, batch_format="pyarrow").groupby(["kind", "gram"]).aggregate(Sum("c_p"))
     uni_g, uni_c, bi_g, bi_c = [], [], [], []
-    n_vocab = 0
     for b in agg.iter_batches(batch_format="pyarrow"):
         kind = b.column("kind").to_numpy(zero_copy_only=False)
         g = b.column("gram").to_numpy(zero_copy_only=False)
@@ -555,22 +576,10 @@ def q_lm_score_docs(sf_dir: str, alpha: float = 0.1):
         h = xxh64_batch(flat, seed=7).view(np.int64)
         out = np.full(b.num_rows, np.nan)
         if len(h):
-            same = row[1:] == row[:-1]
-            bg = (h[:-1][same].view(np.uint64) * np.uint64(1099511628211) + h[1:][same].view(np.uint64)).view(np.int64)
-            brow = row[:-1][same]
+            bg, first, brow = _combine_bigrams(h, row)
             # P(w2|w1) = (c(w1 w2) + a) / (c(w1) + a*V)
-            bi = np.searchsorted(bg_keys, bg)
-            bi_cnt = np.where(
-                (bi < len(bg_keys)) & (bg_keys[np.minimum(bi, len(bg_keys) - 1)] == bg),
-                bc[np.minimum(bi, len(bg_keys) - 1)],
-                0.0,
-            )
-            ui = np.searchsorted(ug, h[:-1][same])
-            u_cnt = np.where(
-                (ui < len(ug)) & (ug[np.minimum(ui, len(ug) - 1)] == h[:-1][same]),
-                uc[np.minimum(ui, len(ug) - 1)],
-                0.0,
-            )
+            bi_cnt = _sorted_lookup(bg_keys, bg, bc)
+            u_cnt = _sorted_lookup(ug, first, uc)
             lp = np.log((bi_cnt + alpha) / (u_cnt + alpha * V))
             sums = np.bincount(brow, weights=lp, minlength=b.num_rows)
             cnts = np.bincount(brow, minlength=b.num_rows)
