@@ -259,12 +259,21 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["media_id", "frame_no", "ts_ms"])
 
+    def images_augment(sf_dir: str):
+        from fscrawler_ray.stages.image_stages import augment_images
+
+        ds = images_dataset(rows_for_sf(sf_dir))
+        out = augment_images(ds)
+        # drop the payload column for the driver's rows-only check
+        return out.select_columns(["image_id", "aug_op", "aug_w", "aug_h"])
+
     return {
         "images_enrich": images_enrich,
         "images_phash_dedup": images_phash_dedup,
         "images_phash_neardup": images_phash_neardup,
         "images_thumbnails": images_thumbnails,
         "images_caption_extract": images_caption_extract,
+        "images_augment": images_augment,
         "audio_features": audio_features,
         "video_frames": video_frames,
     }

@@ -202,3 +202,83 @@ class ThumbnailStage:
         out = out.append_column("thumb_w", pa.array(tws, type=pa.int32()))
         out = out.append_column("thumb_h", pa.array(ths, type=pa.int32()))
         return out
+
+
+class AugmentStage:
+    """Actor-pool image augmentation for training-data pipelines:
+    deterministic per-image geometric ops (horizontal flip, k×90°
+    rotation chosen by image_id hash) on DECODED pixels, re-encoded in
+    the source format.  The involution/cycle structure is the
+    correctness contract (flip∘flip = id, rot90⁴ = id — asserted in
+    tests), and every lossy re-encode preserves the PSNR ≥ 40 dB
+    invariant the flagship pipeline enforces.
+
+    Same decode posture as ThumbnailStage: the in-repo deterministic
+    codecs are the real backend; external codecs are deliberate
+    environment-gated stubs.  Stateless per batch but shaped as a
+    callable class so `map_batches(AugmentStage, concurrency=N)` reuses
+    the compiled setup per actor (reference analog: the preview
+    processor's per-process init, app/processors/preview_file_processor.py).
+    """
+
+    _OPS = ("flip_h", "rot90", "rot180", "rot270")
+
+    def __init__(self, codec: str = "builtin"):
+        if codec != "builtin":
+            raise NotImplementedError(
+                f"external codec {codec!r} not available in this environment; "
+                "use codec='builtin' (deterministic in-repo codecs)"
+            )
+
+    @staticmethod
+    def apply_op(img: np.ndarray, op: str) -> np.ndarray:
+        if op == "flip_h":
+            return img[:, ::-1]
+        if op == "rot90":
+            return np.rot90(img, 1)
+        if op == "rot180":
+            return np.rot90(img, 2)
+        if op == "rot270":
+            return np.rot90(img, 3)
+        raise ValueError(f"unknown op {op!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import xxh64_batch
+
+        ids = batch.column("image_id")
+        h = xxh64_batch(ids.cast(pa.string()), seed=99)
+        ops = [self._OPS[int(x % np.uint64(len(self._OPS)))] for x in h]
+        out_bytes: list[bytes | None] = []
+        out_w: list[int] = []
+        out_h: list[int] = []
+        for buf, op in zip(batch.column("bytes").to_pylist(), ops):
+            try:
+                img, _, _, fmt = codecs.decode(buf)
+            except Exception:
+                out_bytes.append(None)
+                out_w.append(0)
+                out_h.append(0)
+                continue
+            aug = np.ascontiguousarray(self.apply_op(img, op))
+            out_bytes.append(codecs.encode(aug, fmt))
+            out_h.append(aug.shape[0])
+            out_w.append(aug.shape[1])
+        return pa.table(
+            {
+                "image_id": ids,
+                "aug_op": pa.array(ops, pa.string()),
+                "aug_bytes": pa.array(out_bytes, pa.binary()),
+                "aug_w": pa.array(out_w, pa.int32()),
+                "aug_h": pa.array(out_h, pa.int32()),
+            }
+        )
+
+
+def augment_images(ds, concurrency: int = 4, batch_size: int = 64):
+    """images Dataset → (image_id, aug_op, aug_bytes, aug_w, aug_h)."""
+    return ds.map_batches(
+        AugmentStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -244,3 +244,56 @@ def test_incremental_processor_streams_per_round():
         # incremental run finds nothing left to do
         r2 = process_results(out, proc_inc)
         assert r2["processed"] == 0 and r2["previously_done"] == s["result_rows"]
+
+
+def test_augment_stage_geometry_and_psnr():
+    import numpy as np
+    import pyarrow as pa
+
+    from fscrawler_ray.functions import codecs
+    from fscrawler_ray.stages.image_stages import AugmentStage
+
+    # involution / cycle structure of the ops
+    img = codecs.synth_image(3, 24, 16)
+    st = AugmentStage()
+    assert np.array_equal(st.apply_op(st.apply_op(img, "flip_h"), "flip_h"), img)
+    r = img
+    for _ in range(4):
+        r = st.apply_op(r, "rot90")
+    assert np.array_equal(r, img)
+    assert np.array_equal(st.apply_op(st.apply_op(img, "rot180"), "rot180"), img)
+
+    # end-to-end through encode/decode: shape swaps for odd rotations and
+    # the lossy re-encode keeps PSNR >= 40 dB vs the augmented pixels
+    rows = []
+    for i, fmt in enumerate(["png", "jpeg", "webp"]):
+        src = codecs.synth_image(i, 20, 12)
+        rows.append((f"img{i}", codecs.encode(src, fmt), src))
+    batch = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows]),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    out = st(batch)
+    for j in range(out.num_rows):
+        op = out.column("aug_op")[j].as_py()
+        buf = out.column("aug_bytes")[j].as_py()
+        dec, w, h, fmt = codecs.decode(buf)
+        src_dec, _, _, _ = codecs.decode(rows[j][1])
+        want = AugmentStage.apply_op(src_dec, op)
+        assert (h, w) == want.shape[:2]
+        assert codecs.psnr(dec, want) >= 40.0
+
+
+def test_augment_images_dataset_roundtrip():
+    import ray
+    from fscrawler_ray.sources.images import images_dataset
+    from fscrawler_ray.stages.image_stages import augment_images
+
+    ds = images_dataset(40)
+    out = augment_images(ds, concurrency=2, batch_size=16)
+    t = out.to_pandas()
+    assert len(t) == 40
+    assert t["aug_bytes"].notna().all()
+    assert set(t["aug_op"]) <= {"flip_h", "rot90", "rot180", "rot270"}
