@@ -1450,3 +1450,37 @@ ORACLE_SQL["sources_by_lang"] = (
     "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents GROUP BY lang"
 )
 QUERIES["sources_by_lang"] = q_sources_by_lang
+
+
+def q_events_unpivot(sf_dir: str):
+    """Unpivot (wide → long): melt the per-user pivot back to
+    (user_id, event_type, cnt) rows, dropping zero cells to match
+    GROUP BY's domain.  The melt is a streaming map_batches over the
+    pivot output — one concat of k column-slices per batch, no shuffle
+    beyond the pivot's own; round-tripping pivot∘unpivot ≡ the plain
+    long-form aggregate is the correctness statement the oracle checks."""
+    wide = q_events_pivot(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for t in _EVENT_TYPES:
+            cnt = b.column(f"n_{t}")
+            keep = pc.greater(cnt, 0)
+            parts.append(
+                pa.table(
+                    {
+                        "user_id": b.column("user_id").filter(keep),
+                        "event_type": pa.array([t] * pc.sum(pc.cast(keep, pa.int64())).as_py(), pa.string()),
+                        "cnt": cnt.filter(keep),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+ORACLE_SQL["events_unpivot"] = (
+    "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
+)
+QUERIES["events_unpivot"] = q_events_unpivot
