@@ -94,11 +94,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 n += b.num_rows
         times[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_all, 3)
+    # round-3 operator families, measured OUTSIDE the headline e2e total so
+    # "value" stays comparable across rounds
+    extra_names = [
+        "boilerplate_docs",
+        "semantic_neardup",
+        "vocab_coverage",
+        "pack_sequences",
+        "doc_deciles",
+        "value_outliers",
+        "shipping_priority",
+        "lm_score_docs",
+    ]
+    extras: dict[str, float] = {}
+    for name in extra_names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "iter_batches"):
+            for b in res.iter_batches(batch_format="pyarrow"):
+                pass
+        extras[name] = round(time.time() - t0, 3)
     out = {
         "metric": "e2e_pipeline_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extra_queries": extras,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
