@@ -390,3 +390,38 @@ def test_join_fuzz_against_pandas():
             assert key(cp) == key(want), (how, "copartition")
 
     check()
+
+
+def test_knn_int8_recall_vs_fp32():
+    """int8 quantization of 64-dim normalized vectors keeps ~1/255
+    per-dim error — top-10 recall vs the exact fp32 path stays high."""
+    from fscrawler_ray.pipelines.similarity import knn_bruteforce, knn_int8
+
+    sf = "/root/testdata/sf0.001"
+    fp = knn_bruteforce(sf).to_pandas()
+    q8 = knn_int8(sf).to_pandas()
+    recalls = []
+    for qid in fp["query_id"].unique():
+        a = set(fp.loc[fp["query_id"] == qid, "vec_id"])
+        b = set(q8.loc[q8["query_id"] == qid, "vec_id"])
+        recalls.append(len(a & b) / len(a))
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_quantize_int8_bounds_and_reconstruction():
+    import numpy as np
+
+    from fscrawler_ray.pipelines.similarity import quantize_int8
+
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(50, 64))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    codes, scales = quantize_int8(v)
+    assert codes.dtype == np.int8 and np.abs(codes).max() <= 127
+    rec = codes.astype(np.float64) * scales[:, None]
+    # reconstruction error bounded by half a quantization step per dim
+    assert np.abs(rec - v).max() <= (scales.max() / 2) + 1e-12
+    # cosine approximation error small
+    cos_t = v[0] @ v[1]
+    cos_q = (codes[0].astype(np.int32) @ codes[1].astype(np.int32)) * scales[0] * scales[1]
+    assert abs(cos_t - cos_q) < 0.02
