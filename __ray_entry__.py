@@ -285,6 +285,12 @@ def _ray_data_from(table):
     return _ray.data.from_arrow(table)
 
 
+def _corpus_prep(sf_dir: str):
+    from fscrawler_ray.pipelines.prep import q_corpus_prep
+
+    return q_corpus_prep(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fscrawler_ray.pipelines import (
         analytics,
@@ -330,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_hits": index_sink.q_phrase_hits,
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
             "corpus_dedup": corpus.dedup_corpus,
+            "corpus_prep": _corpus_prep,
             "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,

@@ -54,3 +54,28 @@ def test_clean_text_corpus_tally_consistent():
     # deterministic
     _, tally2 = clean_text_corpus(SF)
     assert tally == tally2
+
+
+def test_prepare_training_corpus_composition():
+    """End-to-end prep flagship: tallies consistent, survivors chunked,
+    packing bins contiguous under the global (doc_id, chunk_id) order."""
+    import numpy as np
+
+    from fscrawler_ray.pipelines.prep import prepare_training_corpus
+
+    packed, tally = prepare_training_corpus("/root/testdata/sf0.001", pack_budget=256)
+    df = packed.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    # tally algebra: every doc is total; kept docs are exactly those with
+    # no rejection flag (flags can overlap, so kept >= total - sum(rej))
+    rej_cols = ["rej_lang", "rej_quality", "rej_short", "rej_exact", "rej_neardup", "rej_contam"]
+    assert tally["kept"] <= tally["total"]
+    assert tally["kept"] >= tally["total"] - sum(tally[c] for c in rej_cols)
+    assert 0 < tally["kept"] < tally["total"]  # both branches exercised
+    assert tally["chunks"] == len(df)
+    assert df["doc_id"].nunique() <= tally["kept"]
+
+    # packing invariant: bin = floor(exclusive-prefix/budget) in global order
+    n = df["chunk_tokens"].to_numpy()
+    prefix = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (df["bin"].to_numpy() == prefix // 256).all()
