@@ -262,7 +262,9 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     def images_augment(sf_dir: str):
         from fscrawler_ray.stages.image_stages import augment_images
 
-        ds = images_dataset(rows_for_sf(sf_dir))
+        # cap like the sibling payload-producing stages: the rows-only
+        # check gains nothing from re-encoding thousands of full images
+        ds = images_dataset(min(rows_for_sf(sf_dir), 512))
         out = augment_images(ds)
         # drop the payload column for the driver's rows-only check
         return out.select_columns(["image_id", "aug_op", "aug_w", "aug_h"])

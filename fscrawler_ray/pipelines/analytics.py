@@ -1466,12 +1466,13 @@ def q_events_unpivot(sf_dir: str):
         for t in _EVENT_TYPES:
             cnt = b.column(f"n_{t}")
             keep = pc.greater(cnt, 0)
+            kept_cnt = cnt.filter(keep)  # len() is empty-batch-safe (pc.sum is null there)
             parts.append(
                 pa.table(
                     {
                         "user_id": b.column("user_id").filter(keep),
-                        "event_type": pa.array([t] * pc.sum(pc.cast(keep, pa.int64())).as_py(), pa.string()),
-                        "cnt": cnt.filter(keep),
+                        "event_type": pa.array([t] * len(kept_cnt), pa.string()),
+                        "cnt": kept_cnt,
                     }
                 )
             )

@@ -405,6 +405,8 @@ def quantize_int8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     scales float32).  cos(a,b) ≈ (codes_a·codes_b)·scale_a·scale_b —
     the published memory-bound ANN trick (4× smaller than fp32, int8
     matmul-friendly)."""
+    if len(v) == 0:  # empty block: max-reduction has no identity
+        return np.empty((0, v.shape[1] if v.ndim == 2 else 0), np.int8), np.empty(0, np.float32)
     scale = np.abs(v).max(axis=1, keepdims=True) / 127.0
     scale = np.maximum(scale, 1e-12)
     codes = np.clip(np.round(v / scale), -127, 127).astype(np.int8)

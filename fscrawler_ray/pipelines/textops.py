@@ -432,18 +432,44 @@ ORACLE_SQL["vocab_coverage"] = (
 # ---------------------------------------------------------------------------
 
 
-def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 64):
-    """Greedy sequential packing for LM training batches: documents in
-    doc_id order go into token-budget bins, bin = floor(prefix/budget)
-    where prefix = total tokens of all PRIOR docs.  The global prefix sum
-    is the classic two-level scan: per-RANGE token totals (grouped sum,
-    range-table-sized) → driver-side exclusive cumsum over ranges →
-    broadcast offsets → per-range in-group cumsum.  No global sort, no
-    driver-side doc loop; group size is bounded by range_width."""
+def pack_by_budget(slim, value_col: str, budget: int, order_cols: list[str]):
+    """Greedy sequential packing: rows in global ``order_cols`` order go
+    into ``budget``-sized bins, bin = floor(exclusive-prefix / budget).
+    The global prefix sum is the classic two-level scan: per-``rng``
+    totals (grouped sum, range-table-sized) → driver-side exclusive
+    cumsum over ranges → broadcast offsets → per-range in-group cumsum.
+    ``slim`` must carry order_cols + value_col + an ``rng`` column whose
+    ordering matches order_cols' leading key; callers materialize slim
+    (it is consumed by BOTH the totals pass and the packing groupby)."""
     import numpy as np
-    import pyarrow.compute as pc
+    import pandas as pd
 
     from .analytics import grouped_sum
+
+    totals = grouped_sum(slim, ["rng"], {value_col: "tot"}).to_pandas().sort_values("rng")
+    offs = dict(
+        zip(totals["rng"], np.concatenate([[0], totals["tot"].cumsum().to_numpy()[:-1]]))
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        n = g[value_col].to_numpy()
+        prefix = int(offs[g["rng"].iloc[0]]) + np.concatenate([[0], np.cumsum(n)[:-1]])
+        out = {c: g[c].to_numpy() for c in order_cols}
+        out[value_col] = n
+        out["bin"] = (prefix // budget).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return slim.groupby("rng").map_groups(pack, batch_format="pandas")
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 64):
+    """Greedy sequential packing for LM training batches: documents in
+    doc_id order go into token-budget bins via ``pack_by_budget``.  No
+    global sort, no driver-side doc loop; group size is bounded by
+    range_width."""
+    import numpy as np
+    import pyarrow.compute as pc
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -461,23 +487,9 @@ def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 64):
             }
         )
 
-    # consumed by BOTH the range-totals pass and the packing groupby —
-    # materialize so tokenization runs once, not twice
     slim = ds.map_batches(prep, batch_format="pyarrow").materialize()
-    totals = grouped_sum(slim, ["rng"], {"n_tokens": "tot"}).to_pandas().sort_values("rng")
-    offs = dict(
-        zip(totals["rng"], np.concatenate([[0], totals["tot"].cumsum().to_numpy()[:-1]]))
-    )
-
-    import pandas as pd
-
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        n = g["n_tokens"].to_numpy()
-        prefix = int(offs[g["rng"].iloc[0]]) + np.concatenate([[0], np.cumsum(n)[:-1]])
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "bin": (prefix // budget).astype(np.int64)})
-
-    return slim.groupby("rng").map_groups(pack, batch_format="pandas")
+    packed = pack_by_budget(slim, "n_tokens", budget, ["doc_id"])
+    return packed.map_batches(lambda b: b.select(["doc_id", "bin"]), batch_format="pyarrow")
 
 
 ORACLE_SQL["pack_sequences"] = (
