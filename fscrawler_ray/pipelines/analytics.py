@@ -1485,3 +1485,201 @@ ORACLE_SQL["events_unpivot"] = (
     "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
 )
 QUERIES["events_unpivot"] = q_events_unpivot
+
+
+# ---------------------------------------------------------------------------
+# mergeable-statistics batch: moments / cohorts / funnel / pareto
+# (reference analog: sql/stats.sql aggregate family — SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def grouped_min(ds, key: str, col: str, out: str, cast_int: bool = True):
+    """Grouped MIN with per-batch partials — the mergeable shape shared by
+    first-seen/cohort/funnel analytics: each block reduces to at most one
+    row per key before the shuffle, so only key-sized partials move.
+    Timestamps/ints are carried as int64 (``cast_int``); callers cast back."""
+
+    def p(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        if cast_int:
+            v = v.cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({key: b.column(key), "v": v}), [key]).aggregate([("v", "min")])
+        return pa.table({key: g.column(key), "v_p": g.column("v_min")})
+
+    agg = ds.map_batches(p, batch_format="pyarrow").groupby(key).aggregate(Min("v_p"))
+    return _rename(agg, {"min(v_p)": out})
+
+
+def q_value_moments_by_type(sf_dir: str):
+    """Exact distributed moments per key: n / Σx / Σx² over integer cents —
+    the mergeable-partials form every streaming variance/stddev derives
+    from (var = (n·Σx² − (Σx)²)/n²), emitted as raw BIGINT moments so the
+    value hash is bit-exact against SQL (a float stddev would diverge from
+    DuckDB's Welford path in the last ulp).  One partial-aggregated
+    groupby; nothing wider than the 5-key moment table ever shuffles."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def p(b: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(b.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "one": pc.is_valid(cents).cast(pa.int64()),
+                "cents": cents,
+                "sq": pc.multiply(cents, cents),
+            }
+        )
+
+    out = grouped_sum(
+        ev.map_batches(p, batch_format="pyarrow"),
+        ["event_type"],
+        {"one": "n", "cents": "sum_cents", "sq": "sumsq_cents"},
+    )
+    return _select(out, ["event_type", "n", "sum_cents", "sumsq_cents"])
+
+
+ORACLE_SQL["value_moments_by_type"] = (
+    "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sumsq_cents "
+    "FROM events GROUP BY event_type"
+)
+QUERIES["value_moments_by_type"] = q_value_moments_by_type
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: users grouped by first-active week,
+    counted per weeks-since-cohort offset.  Scale shape: (1) distinct
+    (user, week) pairs via a partial-aggregated pair groupby — raw events
+    never shuffle; (2) cohort = mergeable min(week) per user; (3) the
+    user-sized cohort table joins back through the auto join front door
+    (broadcast at test scale, co-partition at 10^10 users); (4) the final
+    count groups the tiny (cohort, offset) matrix.  All week arithmetic is
+    integer µs on Monday-truncated stamps, so offsets are exact."""
+    from ..stages.joins import join as _join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    week_us = 7 * 86400 * 10**6
+
+    def wk(b: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(b.column("ts").cast(pa.timestamp("us")), unit="week")
+        return pa.table({"user_id": b.column("user_id"), "w": w.cast(pa.int64())})
+
+    pairs = grouped_sum(ev.map_batches(wk, batch_format="pyarrow"), ["user_id", "w"], {}, count_out="c")
+    pairs = _select(pairs, ["user_id", "w"])  # distinct (user, week)
+    cohort = grouped_min(pairs, "user_id", "w", "cohort_w").materialize()  # user-sized: size the join probe
+
+    joined = _join(pairs, cohort, on="user_id", how="inner")
+
+    def off(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_w": b.column("cohort_w"),
+                "offset_weeks": pc.divide(pc.subtract(b.column("w"), b.column("cohort_w")), pa.scalar(week_us)),
+            }
+        )
+
+    mat = grouped_sum(
+        joined.map_batches(off, batch_format="pyarrow"), ["cohort_w", "offset_weeks"], {}, count_out="users"
+    )
+    t = mat.to_pandas()  # (cohort, offset)-sized
+    return pa.table(
+        {
+            "cohort": pa.array(t["cohort_w"], pa.int64()).cast(pa.timestamp("us")),
+            "offset_weeks": pa.array(t["offset_weeks"], pa.int64()),
+            "users": pa.array(t["users"], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["cohort_retention"] = (
+    "WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events), "
+    "f AS (SELECT user_id, min(w) AS cohort FROM a GROUP BY user_id) "
+    "SELECT f.cohort, CAST(datediff('day', f.cohort, a.w) // 7 AS BIGINT) AS offset_weeks, "
+    "CAST(count(*) AS BIGINT) AS users FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+)
+QUERIES["cohort_retention"] = q_cohort_retention
+
+
+def q_funnel_stages(sf_dir: str):
+    """Exact ordered funnel (view → click → purchase, strictly increasing
+    ts) via the greedy earliest-transition chain: t1 = min(view), t2 =
+    min(click with ts > t1), t3 = min(purchase with ts > t2) — a chain
+    exists iff the greedy one does, so three mergeable grouped-mins with a
+    user-sized join between stages replace any per-user sequence scan.
+    Each stage's event read prunes to its type before the join; the
+    stage tables broadcast at test scale and co-partition at 10^10 users
+    (auto front door)."""
+    from ..stages.joins import join as _join
+
+    def typed(etype: str):
+        ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), pa.scalar(etype))
+            kept = b.filter(m)
+            return pa.table({"user_id": kept.column("user_id"), "ts": kept.column("ts").cast(pa.int64())})
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    prev = grouped_min(typed("view"), "user_id", "ts", "t_prev").materialize()
+    counts = [prev.count()]
+    for etype in ("click", "purchase"):
+        joined = _join(typed(etype), prev, on="user_id", how="inner")
+
+        def later(b: pa.Table) -> pa.Table:
+            kept = b.filter(pc.greater(b.column("ts"), b.column("t_prev")))
+            return pa.table({"user_id": kept.column("user_id"), "ts": kept.column("ts")})
+
+        prev = grouped_min(joined.map_batches(later, batch_format="pyarrow"), "user_id", "ts", "t_prev").materialize()
+        counts.append(prev.count())
+
+    return pa.table(
+        {
+            "stage": pa.array(["view", "view>click", "view>click>purchase"], pa.string()),
+            "users": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["funnel_stages"] = (
+    "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id) "
+    "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id) "
+    "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
+    "SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v "
+    "UNION ALL SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c "
+    "UNION ALL SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p"
+)
+QUERIES["funnel_stages"] = q_funnel_stages
+
+
+def q_pareto_sources(sf_dir: str):
+    """Pareto / cumulative-share table: sources ranked by total chars with
+    a running total — the 'which 20% of sources carry 80% of the corpus'
+    report.  The wide step is ONE partial-aggregated groupby; the window
+    runs on the source-sized aggregate at the driver with a deterministic
+    (chars DESC, source ASC, NULLS LAST) tie order matching the SQL frame."""
+    d = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = grouped_sum(d, ["source"], {"n_chars": "chars"})
+    df = agg.to_pandas().sort_values(
+        ["chars", "source"], ascending=[False, True], na_position="last"
+    ).reset_index(drop=True)
+    df["cum_chars"] = df["chars"].cumsum()
+    return pa.table(
+        {
+            "source": pa.array(df["source"], pa.string()),
+            "chars": pa.array(df["chars"], pa.int64()),
+            "cum_chars": pa.array(df["cum_chars"], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["pareto_sources"] = (
+    "WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source) "
+    "SELECT source, chars, CAST(sum(chars) OVER (ORDER BY chars DESC, source) AS BIGINT) AS cum_chars FROM s"
+)
+QUERIES["pareto_sources"] = q_pareto_sources
