@@ -217,6 +217,12 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = images_dataset(rows_for_sf(sf_dir))
         return phash_neardup_pairs(ds)
 
+    def images_neardup_groups(sf_dir: str):
+        from fscrawler_ray.pipelines.dedup import images_neardup_groups as groups
+
+        ds = images_dataset(rows_for_sf(sf_dir))
+        return groups(ds)
+
     def images_thumbnails(sf_dir: str):
         from fscrawler_ray.stages.image_stages import ThumbnailStage
 
@@ -273,6 +279,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_enrich": images_enrich,
         "images_phash_dedup": images_phash_dedup,
         "images_phash_neardup": images_phash_neardup,
+        "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_caption_extract": images_caption_extract,
         "images_augment": images_augment,
@@ -337,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "term_df": index_sink.q_term_df,
             "phrase_hits": index_sink.q_phrase_hits,
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
+            "bm25_scores": lambda sf: index_sink.q_bm25_scores(sf),
             "corpus_dedup": corpus.dedup_corpus,
             "corpus_prep": _corpus_prep,
             "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],

@@ -142,6 +142,47 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128, 
     return pa.Table.from_pandas(out.sort_values(["image_a", "image_b"]), preserve_index=False)
 
 
+def images_neardup_groups(images_ds, max_hamming: int = 6):
+    """Transitive near-duplicate IMAGE groups: the banded-phash pairs
+    closed under connectivity, so a re-encode chain a~b~c lands in ONE
+    group even when hamming(a, c) exceeds the pairwise cutoff — the image
+    analog of corpus near-dup removal (which keeps one doc per component,
+    not per pair).  Returns (image_id, canonical_id) for every image that
+    appears in a near-dup pair; canonical = lexicographic-min member.
+
+    Scale posture: the union-find runs on the OUTPUT-sized pair table
+    (same stance as corpus_dedup — pairs, not images, bound driver
+    memory); the pair generation itself is the distributed banded
+    phash pipeline."""
+    pairs = phash_neardup_pairs(images_ds, max_hamming=max_hamming)
+    empty = pa.table(
+        {"image_id": pa.array([], pa.string()), "canonical_id": pa.array([], pa.string())}
+    )
+    if pairs.num_rows == 0:
+        return empty
+    a = np.asarray(pairs.column("image_a").to_pylist())
+    b = np.asarray(pairs.column("image_b").to_pylist())
+    ids = np.unique(np.concatenate([a, b]))  # sorted → code order == lex order
+    ca = np.searchsorted(ids, a)
+    cb = np.searchsorted(ids, b)
+    parent = np.arange(len(ids))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for x, y in zip(ca, cb):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # min code = lex-min id
+    roots = np.array([find(i) for i in range(len(ids))])
+    return pa.table(
+        {"image_id": pa.array(ids, pa.string()), "canonical_id": pa.array(ids[roots], pa.string())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -322,7 +322,105 @@ def q_tfidf_topk(sf_dir: str, terms: tuple = RANK_TERMS, k: int = RANK_K):
     )
 
 
+
+def q_bm25_scores(sf_dir: str, terms: tuple = RANK_TERMS):
+    """BM25 scoring (Robertson idf, k1=1.2, b=0.75) for every document
+    matching any query term — the length-normalized upgrade of
+    ``q_tfidf_topk``'s scoring view.  Emits the full candidate score set
+    (order-insensitive) so the oracle compare never rides a float
+    ranking boundary; production retrieval composes this with the same
+    distributed sort+limit the tf·idf query demonstrates.
+
+    Scale shape (three streaming passes over a column-pruned read, no
+    corpus-sized driver state):
+      1. tf: tokenizer filters to the query terms per batch → a
+         query-sized (token, doc_id, tf) groupby; df falls out as a
+         ≤|terms|-row aggregate.
+      2. global token count: per-batch length partials → one scalar sum
+         (avgdl's numerator) — nothing materializes.
+      3. doc lengths: the materialized query-sized tf table BROADCASTS
+         through the auto join front door into the (doc_id, len) stream,
+         so lengths for exactly the candidate docs come back — the
+         corpus-sized length table never lands anywhere.
+    The float formula is written identically on both engines (same IEEE
+    op order); only ln() and the ≤|terms|-addend sums can drift, both
+    orders of magnitude inside the checker's 1e-12 rtol."""
+    import math
+
+    from ..stages.joins import join as _join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    term_set = pa.array(sorted(terms), pa.string())
+    k1, b_ = 1.2, 0.75
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        doc_ids = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        t = pa.table({"token": flat, "doc_id": pa.array(doc_ids)}).filter(keep)
+        return t.filter(pc.is_in(t.column("token"), value_set=term_set))
+
+    tf_ds = (
+        docs.map_batches(term_rows, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .count()
+        .materialize()  # query-sized; sized → the join planner broadcasts it
+    )
+    df = tf_ds.groupby("token").count().to_pandas()  # ≤ |terms| rows
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+    if len(df) == 0:
+        return empty
+    idf = {
+        t: math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
+        for t, d in zip(df["token"], df["count()"])
+    }
+
+    def len_rows(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        rows = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        kept = np.bincount(rows[keep.to_numpy(zero_copy_only=False)], minlength=b.num_rows)
+        return pa.table({"doc_id": b.column("doc_id"), "len": pa.array(kept.astype(np.int64))})
+
+    doclen = docs.map_batches(len_rows, batch_format="pyarrow")
+    total_len = doclen.sum("len")  # streaming scalar aggregate (pass 2)
+    avgdl = float(total_len) / float(n_docs)
+
+    # pass 3: candidate doc lengths via broadcast of the query-sized tf table
+    cand = _join(docs.map_batches(len_rows, batch_format="pyarrow"), tf_ds, on="doc_id", how="inner")
+
+    def weigh(t: pa.Table) -> pa.Table:
+        tf = t.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        ln = t.column("len").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.array([idf[tok] for tok in t.column("token").to_pylist()], dtype=np.float64)
+        score = w * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b_) + b_ * (ln / avgdl)))
+        return pa.table({"doc_id": t.column("doc_id"), "s": pa.array(score, pa.float64())})
+
+    out = cand.map_batches(weigh, batch_format="pyarrow").groupby("doc_id").sum("s").to_pandas()
+    if len(out) == 0:
+        return empty
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64), pa.int64()),
+            "score": pa.array(out["sum(s)"].astype(np.float64), pa.float64()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "bm25_scores": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok "
+        "FROM documents), "
+        "kt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM kt "
+        "WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok), "
+        "n AS (SELECT count(*) AS nn, (SELECT count(*) FROM kt)::DOUBLE / count(*) AS avgdl FROM documents), "
+        "lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM kt GROUP BY doc_id) "
+        "SELECT tf.doc_id, sum(ln((nn - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 "
+        "/ (tf + 1.2 * (0.25 + 0.75 * (len / avgdl)))) AS score "
+        "FROM tf JOIN df USING (tok) JOIN lens USING (doc_id), n GROUP BY tf.doc_id"
+    ),
+
     "tfidf_topk": (
         "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok "
         "FROM documents), "
