@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint_docs": textops.q_fingerprint_docs,
             "corpus_mixture": sampling.q_corpus_mixture,
             "stratified_sample": sampling.q_stratified_sample,
+            "uniform_sample": sampling.q_uniform_sample,
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
             "props_extract": textops.q_props_extract,
             "props_redact": textops.q_props_redact,

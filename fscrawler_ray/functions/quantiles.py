@@ -79,6 +79,8 @@ def grouped_quantile_disc(
     max_levels: int = 3,
     collect_limit: int = 200_000,
     out: str = "q_value",
+    rank_fn=None,
+    with_n: bool = False,
 ):
     """Exact per-group discrete quantile → pyarrow Table (key, out).
 
@@ -87,6 +89,10 @@ def grouped_quantile_disc(
     join the key table back).  Raises if the final candidate set exceeds
     ``collect_limit`` — at that point raise ``max_levels`` (each level
     divides the candidate count by ``n_bins``).
+
+    ``rank_fn(n) -> 1-based rank`` overrides the quantile_disc rank
+    convention (used by ``grouped_quantile_cont``'s two order-statistic
+    passes); ``with_n`` appends the group's non-null count as column "n".
     """
     if not (0 < q_num <= q_den):
         raise ValueError(f"q must be in (0, 1]: {q_num}/{q_den}")
@@ -129,7 +135,8 @@ def grouped_quantile_disc(
     for _, r in stats.iterrows():
         n = int(r["sum(n_p)"])
         state[r[key]] = {
-            "rank": _rank_of(q_num, q_den, n),
+            "rank": rank_fn(n) if rank_fn is not None else _rank_of(q_num, q_den, n),
+            "n0": n,
             "n": n,
             "lo": float(r["min(lo_p)"]),
             "hi": float(r["max(hi_p)"]),
@@ -246,9 +253,53 @@ def grouped_quantile_disc(
             s["done"] = float(v[s["rank"] - 1])
 
     keys_sorted = list(state)
-    return pa.table(
-        {
-            key: pa.array(keys_sorted),
-            out: pa.array([state[k]["done"] for k in keys_sorted], pa.float64()),
-        }
-    )
+    cols = {
+        key: pa.array(keys_sorted),
+        out: pa.array([state[k]["done"] for k in keys_sorted], pa.float64()),
+    }
+    if with_n:
+        cols["n"] = pa.array([state[k]["n0"] for k in keys_sorted], pa.int64())
+    return pa.table(cols)
+
+
+def grouped_quantile_cont(
+    ds,
+    key: str,
+    col: str,
+    q_num: int,
+    q_den: int,
+    *,
+    n_bins: int = 1024,
+    max_levels: int = 3,
+    collect_limit: int = 200_000,
+    out: str = "q_value",
+):
+    """Exact per-group INTERPOLATED quantile (DuckDB ``quantile_cont`` /
+    ANSI percentile_cont): with idx = (n-1)·q held as an exact rational,
+    the result is v[floor(idx)] + frac·(v[floor(idx)+1] − v[floor(idx)])
+    over the 0-based sorted values.  Runs the histogram-narrowing rank
+    selector twice (lower and upper order statistic) — two streaming
+    passes instead of any per-group sort.
+
+    SQL parity note: DuckDB computes idx in FLOAT, so bit-exact oracle
+    parity holds for dyadic q (1/2, 1/4, 3/4, …) where q·(n−1) is exact;
+    the median is the headline case."""
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"q must be in (0, 1]: {q_num}/{q_den}")
+
+    def lo_rank(n: int) -> int:
+        return min((n - 1) * q_num // q_den + 1, n)
+
+    def hi_rank(n: int) -> int:
+        return min((n - 1) * q_num // q_den + (2 if ((n - 1) * q_num) % q_den else 1), n)
+
+    kw = dict(n_bins=n_bins, max_levels=max_levels, collect_limit=collect_limit)
+    lo = grouped_quantile_disc(ds, key, col, q_num, q_den, out="v_lo", rank_fn=lo_rank, with_n=True, **kw)
+    hi = grouped_quantile_disc(ds, key, col, q_num, q_den, out="v_hi", rank_fn=hi_rank, **kw)
+    hi_map = dict(zip(hi.column(key).to_pylist(), hi.column("v_hi").to_pylist()))
+    keys = lo.column(key).to_pylist()
+    vlo = lo.column("v_lo").to_numpy(zero_copy_only=False)
+    vhi = np.array([hi_map[k] for k in keys], dtype=np.float64)
+    n = lo.column("n").to_numpy(zero_copy_only=False)
+    frac = (((n - 1) * q_num) % q_den).astype(np.float64) / float(q_den)
+    return pa.table({key: lo.column(key), out: pa.array(vlo + frac * (vhi - vlo), pa.float64())})

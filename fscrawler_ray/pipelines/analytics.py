@@ -1683,3 +1683,54 @@ ORACLE_SQL["pareto_sources"] = (
     "SELECT source, chars, CAST(sum(chars) OVER (ORDER BY chars DESC, source) AS BIGINT) AS cum_chars FROM s"
 )
 QUERIES["pareto_sources"] = q_pareto_sources
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact INTERPOLATED median per key (ANSI percentile_cont) through the
+    two-order-statistic histogram-narrowing selector — the continuous twin
+    of q_value_outliers' quantile_disc threshold.  No group is ever
+    sorted or materialized; the narrowing shuffles only per-(key, bin)
+    count partials."""
+    from ..functions.quantiles import grouped_quantile_cont
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile_cont(ev, "event_type", "value", 1, 2, out="med")
+
+
+ORACLE_SQL["median_value_by_type"] = (
+    "SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type"
+)
+QUERIES["median_value_by_type"] = q_median_value_by_type
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Per-user event-type entropy (behavioral diversity score) via the
+    merge-friendly identity H = ln(n) − Σc·ln(c)/n: one pair-count
+    groupby collapses raw events to (user, type) counts, a second
+    grouped sum folds count and c·ln(c) partials per user — entropy
+    itself is computed vectorized on the user-sized stream, so no
+    per-user probability vector ever materializes."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cnt = grouped_sum(ev, ["user_id", "event_type"], {}, count_out="c")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"user_id": b.column("user_id"), "c": b.column("c"), "s": pa.array(c * np.log(c))}
+        )
+
+    agg = grouped_sum(cnt.map_batches(contrib, batch_format="pyarrow"), ["user_id"], {"c": "n", "s": "s"})
+
+    def ent(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b.column("user_id"), "entropy": pa.array(np.log(n) - s / n)})
+
+    return agg.map_batches(ent, batch_format="pyarrow")
+
+
+ORACLE_SQL["user_event_entropy"] = (
+    "WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2) "
+    "SELECT user_id, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy FROM c GROUP BY user_id"
+)
+QUERIES["user_event_entropy"] = q_user_event_entropy

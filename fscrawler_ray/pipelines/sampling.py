@@ -113,10 +113,40 @@ def stratified_sample(ds, k: int, key_col: str = "lang", id_col: str = "doc_id")
     return pruned.groupby(key_col).map_groups(final, batch_format="pandas")
 
 
+def uniform_sample(ds, k: int, id_col: str = "doc_id"):
+    """Deterministic GLOBAL k-sample: the k rows with the smallest
+    multiplicative-hash key (ties by id) — order-statistics selection,
+    the one-group degenerate of ``stratified_sample``.  The per-block
+    partial top-k prunes every block to ≤ k rows before anything leaves
+    the task, so the driver's final selection sees ≤ k·blocks rows,
+    never the corpus.  Reproducible across runs, partitionings and
+    cluster sizes (hash of the id, no RNG state)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        h = _mix32(ids)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({id_col: pa.array(ids[np.sort(order)])})
+
+    got = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    ids = got[id_col].to_numpy().astype(np.int64)
+    h = _mix32(ids)
+    order = np.lexsort((ids, h))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )
+
+
 # --- queries() surface over the documents table ---
 
 MIXTURE_RATES = {"en": 0.9, "fr": 0.5, "de": 0.5, "es": 0.25, "zh": 0.1}
 STRATA_K = 40
+UNIFORM_K = 64
 
 
 def q_corpus_mixture(sf_dir: str):
@@ -129,6 +159,11 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(ds, STRATA_K)
 
 
+def q_uniform_sample(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return uniform_sample(ds, UNIFORM_K)
+
+
 def _mixture_case_sql() -> str:
     thr = mixture_thresholds(MIXTURE_RATES)
     whens = " ".join(f"WHEN '{kk}' THEN {v}" for kk, v in thr.items() if kk is not None)
@@ -139,6 +174,11 @@ ORACLE_SQL = {
     "corpus_mixture": (
         "SELECT doc_id, lang FROM documents "
         f"WHERE (doc_id * {KNUTH32}) % 4294967296 < {_mixture_case_sql()}"
+    ),
+    "uniform_sample": (
+        "WITH ranked AS (SELECT doc_id, row_number() OVER ("
+        f"ORDER BY (doc_id * {KNUTH32}) % 4294967296, doc_id) AS rnk FROM documents) "
+        f"SELECT doc_id, cast(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {UNIFORM_K}"
     ),
     "stratified_sample": (
         "WITH ranked AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "

@@ -1,0 +1,80 @@
+"""grouped_quantile_cont semantics + uniform_sample invariance + entropy."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from fscrawler_ray.functions.quantiles import grouped_quantile_cont
+from fscrawler_ray.pipelines.sampling import uniform_sample
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(keys, vals, blocks=4):
+    t = pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.float64())})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_quantile_cont_matches_numpy_interpolation():
+    rng = np.random.default_rng(3)
+    keys, vals = [], []
+    for k, n in (("a", 7), ("b", 8), ("c", 1), ("d", 101)):
+        keys += [k] * n
+        vals += list(rng.normal(size=n) * 100)
+    got = grouped_quantile_cont(_ds(keys, vals), "k", "v", 1, 2, out="med").to_pandas()
+    got = dict(zip(got["k"], got["med"]))
+    for k in "abcd":
+        ref = np.quantile(np.array([v for kk, v in zip(keys, vals) if kk == k]), 0.5)
+        assert abs(got[k] - ref) < 1e-12, k
+
+
+def test_quantile_cont_dyadic_q_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    keys = list(rng.choice(["x", "y", "z"], size=300))
+    vals = list(np.round(rng.normal(size=300) * 50, 2))
+    for num, den in ((1, 2), (1, 4), (3, 4)):
+        got = grouped_quantile_cont(_ds(keys, vals), "k", "v", num, den).to_pandas()
+        want = duckdb.sql(
+            f"SELECT k, quantile_cont(v, {num}/{den}::DOUBLE) AS q FROM "
+            "(SELECT unnest($1::VARCHAR[]) AS k, unnest($2::DOUBLE[]) AS v)"
+            " GROUP BY k",
+            params=[keys, vals],
+        ).df()
+        m = got.merge(want, on="k")
+        assert len(m) == 3
+        assert np.allclose(m["q_value"], m["q"], rtol=1e-13)
+
+
+def test_quantile_cont_forced_narrowing_exact():
+    # n >> collect_limit forces at least one histogram level before the
+    # final candidate collection
+    rng = np.random.default_rng(5)
+    vals = list(rng.uniform(-1000, 1000, size=5000))
+    keys = ["g"] * 5000
+    got = grouped_quantile_cont(
+        _ds(keys, vals, blocks=8), "k", "v", 1, 2, collect_limit=100, max_levels=4
+    ).to_pandas()
+    assert abs(got["q_value"][0] - np.quantile(np.array(vals), 0.5)) < 1e-12
+
+
+def test_uniform_sample_partition_invariant_and_deterministic():
+    ids = pa.table({"doc_id": pa.array(np.arange(1, 2001), pa.int64())})
+    a = uniform_sample(ray.data.from_arrow(ids).repartition(2), 32).to_pandas()
+    b = uniform_sample(ray.data.from_arrow(ids).repartition(17), 32).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["rnk"]) == list(range(1, 33))
+    # a sample over a SUPERSET keeps the surviving members' relative order
+    c = uniform_sample(ray.data.from_arrow(ids.slice(0, 1000)).repartition(3), 32).to_pandas()
+    kept = [d for d in a["doc_id"] if d <= 1000]
+    assert list(c["doc_id"])[: len(kept)] != [] and set(kept) <= set(c["doc_id"])
+
+
+def test_entropy_bounds():
+    from fscrawler_ray.pipelines.analytics import q_user_event_entropy
+
+    t = q_user_event_entropy(SF).to_pandas()
+    assert (t["entropy"] >= -1e-12).all()
+    assert (t["entropy"] <= np.log(5) + 1e-12).all()  # 5 event types
