@@ -1734,3 +1734,49 @@ ORACLE_SQL["user_event_entropy"] = (
     "SELECT user_id, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy FROM c GROUP BY user_id"
 )
 QUERIES["user_event_entropy"] = q_user_event_entropy
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (flat filtered global sum): all three predicates
+    applied per batch on a 4-column pruned read, integer-cent partials,
+    ONE scalar crosses the cluster — the cheapest possible wide step.
+    (Q1's grouped twin is q_pricing_summary.)"""
+    from datetime import datetime
+
+    li = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def p(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+                ),
+                pc.and_(
+                    pc.greater_equal(b.column("l_discount"), pa.scalar(0.05)),
+                    pc.less_equal(b.column("l_discount"), pa.scalar(0.07)),
+                ),
+            ),
+            pc.less(b.column("l_quantity"), pa.scalar(24.0)),
+        )
+        kept = b.filter(m)
+        cents = pc.round(
+            pc.multiply(pc.multiply(kept.column("l_extendedprice"), kept.column("l_discount")), pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        s = pc.sum(cents)
+        return pa.table({"rev_p": pa.array([s.as_py() if s.is_valid else 0], pa.int64())})
+
+    total = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]).map_batches(
+        p, batch_format="pyarrow"
+    ).sum("rev_p")
+    return pa.table({"revenue_cents": pa.array([int(total)], pa.int64())})
+
+
+ORACLE_SQL["forecast_revenue"] = (
+    "SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+QUERIES["forecast_revenue"] = q_forecast_revenue

@@ -606,3 +606,66 @@ def q_lm_score_docs(sf_dir: str, alpha: float = 0.1):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_top_tokens_by_lang(sf_dir: str, k: int = 3):
+    """Exact per-language top-k tokens — the grouped heavy-hitter report
+    (the EXACT twin of q_top_tokens_approx's CMS sketch).  Per-batch
+    (lang, tok) count partials collapse before the token-keyed grouped
+    sum; a per-block partial top-k then prunes the count table to
+    ≤ k·langs rows per block, so the final per-language selection never
+    sees the vocabulary, let alone the corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, row = _doc_tokens(b)
+        langs = b.column("lang").take(pa.array(row, pa.int64()))
+        g = pa.TableGroupBy(pa.table({"lang": langs, "tok": flat}), ["lang", "tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"lang": g.column("lang"), "tok": g.column("tok"), "c_p": g.column("count_all")})
+
+    cnt = ds.map_batches(partial, batch_format="pyarrow").groupby(["lang", "tok"]).aggregate(Sum("c_p"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b
+        c = b.column("sum(c_p)").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = np.asarray(b.column("tok").to_pylist())
+        order = np.lexsort((toks, -c, codes))
+        cs = codes[order]
+        idx = np.arange(n)
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, idx, 0))
+        keep = order[(idx - grp_start) < k]
+        return b.take(pa.array(np.sort(keep)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["sum(c_p)"].to_numpy().astype(np.int64)
+        toks = g["tok"].to_numpy()
+        order = np.lexsort((toks, -c))[:k]
+        out = g.iloc[order].copy()
+        out["cnt"] = out["sum(c_p)"].astype(np.int64)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["lang", "tok", "cnt", "rnk"]]
+
+    return cnt.map_batches(prune, batch_format="pyarrow").groupby("lang").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+ORACLE_SQL["top_tokens_by_lang"] = (
+    "WITH t AS (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents), "
+    "c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2), "
+    "r AS (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk FROM c) "
+    "SELECT lang, tok, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3"
+)

@@ -78,3 +78,18 @@ def test_entropy_bounds():
     t = q_user_event_entropy(SF).to_pandas()
     assert (t["entropy"] >= -1e-12).all()
     assert (t["entropy"] <= np.log(5) + 1e-12).all()  # 5 event types
+
+
+def test_top_tokens_by_lang_partition_invariant():
+    from fscrawler_ray.pipelines.textops import q_top_tokens_by_lang
+
+    a = (
+        q_top_tokens_by_lang(SF)
+        .to_pandas()
+        .sort_values(["lang", "rnk"])
+        .reset_index(drop=True)
+    )
+    # ranks are a contiguous 1..k prefix per language, counts non-increasing
+    for lang, g in a.groupby("lang"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["cnt"].to_numpy()) <= 0).all()
