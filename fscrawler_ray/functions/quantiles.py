@@ -81,6 +81,8 @@ def grouped_quantile_disc(
     out: str = "q_value",
     rank_fn=None,
     with_n: bool = False,
+    rank2_fn=None,
+    out2: str = "q_value2",
 ):
     """Exact per-group discrete quantile → pyarrow Table (key, out).
 
@@ -91,9 +93,14 @@ def grouped_quantile_disc(
     divides the candidate count by ``n_bins``).
 
     ``rank_fn(n) -> 1-based rank`` overrides the quantile_disc rank
-    convention (used by ``grouped_quantile_cont``'s two order-statistic
-    passes); ``with_n`` appends the group's non-null count as column "n".
-    """
+    convention; ``with_n`` appends the group's non-null count as column
+    "n".  ``rank2_fn`` tracks a SECOND rank (must be ≥ rank and within
+    the same group) through the SAME narrowing passes — when the two
+    ranks split across bins, rank sits at its bin's top (value = the
+    bin's tracked vmax) and rank2 at the next bin's bottom (vmin), so
+    both resolve for free from the per-bin min/max the histogram already
+    carries.  This is how ``grouped_quantile_cont`` gets both order
+    statistics in one run instead of two."""
     if not (0 < q_num <= q_den):
         raise ValueError(f"q must be in (0, 1]: {q_num}/{q_den}")
 
@@ -127,21 +134,32 @@ def grouped_quantile_disc(
             key_type = ds.schema().base_schema.field(key).type
         except Exception:
             key_type = pa.string()
-        return pa.table({key: pa.array([], key_type), out: pa.array([], pa.float64())})
+        cols = {key: pa.array([], key_type), out: pa.array([], pa.float64())}
+        if rank2_fn is not None:
+            cols[out2] = pa.array([], pa.float64())
+        if with_n:
+            cols["n"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
     # per-key narrowing state: remaining 1-based rank within the current
     # range, plus the constraint stack defining that range
     state: dict = {}
     for _, r in stats.iterrows():
         n = int(r["sum(n_p)"])
+        rank = rank_fn(n) if rank_fn is not None else _rank_of(q_num, q_den, n)
+        rank2 = rank2_fn(n) if rank2_fn is not None else None
+        if rank2 is not None and rank2 < rank:
+            raise ValueError(f"rank2 ({rank2}) must be >= rank ({rank})")
         state[r[key]] = {
-            "rank": rank_fn(n) if rank_fn is not None else _rank_of(q_num, q_den, n),
+            "rank": rank,
+            "rank2": rank2,
             "n0": n,
             "n": n,
             "lo": float(r["min(lo_p)"]),
             "hi": float(r["max(hi_p)"]),
             "levels": [],
             "done": None,
+            "done2": None,
         }
 
     # ---- passes 2..k: histogram narrowing
@@ -154,7 +172,7 @@ def grouped_quantile_disc(
         for k, s in active.items():
             width = (s["hi"] - s["lo"]) / n_bins
             if width <= 0.0:  # range cannot shrink: all remaining values equal
-                s["done"] = s["lo"]
+                s["done"] = s["done2"] = s["lo"]
                 continue
             plan[k] = (tuple(s["levels"]), s["lo"], width)
         if not plan:
@@ -218,10 +236,22 @@ def grouped_quantile_disc(
             i = int(np.searchsorted(cum, s["rank"]))
             below = int(cum[i - 1]) if i > 0 else 0
             tb = int(bins[i])
-            bin_lo = float(sub["min(vmin_p)"].to_numpy()[i])
-            bin_hi = float(sub["max(vmax_p)"].to_numpy()[i])
+            vmins = sub["min(vmin_p)"].to_numpy()
+            vmaxs = sub["max(vmax_p)"].to_numpy()
+            bin_lo = float(vmins[i])
+            bin_hi = float(vmaxs[i])
+            if s["rank2"] is not None:
+                i2 = int(np.searchsorted(cum, s["rank2"]))
+                if i2 != i:
+                    # the ranks straddle a bin boundary: rank is its bin's
+                    # LAST element (= tracked vmax), rank2 the next
+                    # nonempty bin's FIRST (= vmin) — both resolve now
+                    s["done"] = float(vmaxs[i])
+                    s["done2"] = float(vmins[i2])
+                    continue
+                s["rank2"] -= below
             if bin_lo == bin_hi:  # the target bin holds ONE distinct value
-                s["done"] = bin_lo
+                s["done"] = s["done2"] = bin_lo
                 continue
             s["rank"] -= below
             s["n"] = int(cum[i]) - below
@@ -251,12 +281,16 @@ def grouped_quantile_disc(
         for k, s in pending.items():
             v = np.sort(rows.loc[rows[key] == k, "v"].to_numpy())
             s["done"] = float(v[s["rank"] - 1])
+            if s["rank2"] is not None:
+                s["done2"] = float(v[s["rank2"] - 1])
 
     keys_sorted = list(state)
     cols = {
         key: pa.array(keys_sorted),
         out: pa.array([state[k]["done"] for k in keys_sorted], pa.float64()),
     }
+    if rank2_fn is not None:
+        cols[out2] = pa.array([state[k]["done2"] for k in keys_sorted], pa.float64())
     if with_n:
         cols["n"] = pa.array([state[k]["n0"] for k in keys_sorted], pa.int64())
     return pa.table(cols)
@@ -277,9 +311,11 @@ def grouped_quantile_cont(
     """Exact per-group INTERPOLATED quantile (DuckDB ``quantile_cont`` /
     ANSI percentile_cont): with idx = (n-1)·q held as an exact rational,
     the result is v[floor(idx)] + frac·(v[floor(idx)+1] − v[floor(idx)])
-    over the 0-based sorted values.  Runs the histogram-narrowing rank
-    selector twice (lower and upper order statistic) — two streaming
-    passes instead of any per-group sort.
+    over the 0-based sorted values.  Both order statistics ride ONE
+    histogram-narrowing run (the adjacent-rank pair either narrows into
+    the same bin or resolves instantly from the bin boundary's tracked
+    vmax/vmin) — same streaming cost as a single quantile_disc, never a
+    per-group sort.
 
     SQL parity note: DuckDB computes idx in FLOAT, so bit-exact oracle
     parity holds for dyadic q (1/2, 1/4, 3/4, …) where q·(n−1) is exact;
@@ -293,13 +329,13 @@ def grouped_quantile_cont(
     def hi_rank(n: int) -> int:
         return min((n - 1) * q_num // q_den + (2 if ((n - 1) * q_num) % q_den else 1), n)
 
-    kw = dict(n_bins=n_bins, max_levels=max_levels, collect_limit=collect_limit)
-    lo = grouped_quantile_disc(ds, key, col, q_num, q_den, out="v_lo", rank_fn=lo_rank, with_n=True, **kw)
-    hi = grouped_quantile_disc(ds, key, col, q_num, q_den, out="v_hi", rank_fn=hi_rank, **kw)
-    hi_map = dict(zip(hi.column(key).to_pylist(), hi.column("v_hi").to_pylist()))
-    keys = lo.column(key).to_pylist()
-    vlo = lo.column("v_lo").to_numpy(zero_copy_only=False)
-    vhi = np.array([hi_map[k] for k in keys], dtype=np.float64)
-    n = lo.column("n").to_numpy(zero_copy_only=False)
+    both = grouped_quantile_disc(
+        ds, key, col, q_num, q_den, out="v_lo", out2="v_hi",
+        rank_fn=lo_rank, rank2_fn=hi_rank, with_n=True,
+        n_bins=n_bins, max_levels=max_levels, collect_limit=collect_limit,
+    )
+    vlo = both.column("v_lo").to_numpy(zero_copy_only=False)
+    vhi = both.column("v_hi").to_numpy(zero_copy_only=False)
+    n = both.column("n").to_numpy(zero_copy_only=False)
     frac = (((n - 1) * q_num) % q_den).astype(np.float64) / float(q_den)
-    return pa.table({key: lo.column(key), out: pa.array(vlo + frac * (vhi - vlo), pa.float64())})
+    return pa.table({key: both.column(key), out: pa.array(vlo + frac * (vhi - vlo), pa.float64())})

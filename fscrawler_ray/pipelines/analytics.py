@@ -1520,9 +1520,7 @@ def q_value_moments_by_type(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def p(b: pa.Table) -> pa.Table:
-        cents = pc.round(
-            pc.multiply(b.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"
-        ).cast(pa.int64())
+        cents = _cents(b, "value", "value_cents").column("value_cents")
         return pa.table(
             {
                 "event_type": b.column("event_type"),
@@ -1568,7 +1566,10 @@ def q_cohort_retention(sf_dir: str):
         return pa.table({"user_id": b.column("user_id"), "w": w.cast(pa.int64())})
 
     pairs = grouped_sum(ev.map_batches(wk, batch_format="pyarrow"), ["user_id", "w"], {}, count_out="c")
-    pairs = _select(pairs, ["user_id", "w"])  # distinct (user, week)
+    # distinct (user, week) — consumed twice (cohort + join left); one
+    # materialize of the pair-sized table beats re-running the events
+    # scan and the pair-dedup shuffle a second time
+    pairs = _select(pairs, ["user_id", "w"]).materialize()
     cohort = grouped_min(pairs, "user_id", "w", "cohort_w").materialize()  # user-sized: size the join probe
 
     joined = _join(pairs, cohort, on="user_id", how="inner")
@@ -1761,16 +1762,13 @@ def q_forecast_revenue(sf_dir: str):
             pc.less(b.column("l_quantity"), pa.scalar(24.0)),
         )
         kept = b.filter(m)
-        cents = pc.round(
-            pc.multiply(pc.multiply(kept.column("l_extendedprice"), kept.column("l_discount")), pa.scalar(100.0)),
-            round_mode="half_towards_infinity",
-        ).cast(pa.int64())
-        s = pc.sum(cents)
+        kept = kept.append_column(
+            "rev", pc.multiply(kept.column("l_extendedprice"), kept.column("l_discount"))
+        )
+        s = pc.sum(_cents(kept, "rev", "rev_cents").column("rev_cents"))
         return pa.table({"rev_p": pa.array([s.as_py() if s.is_valid else 0], pa.int64())})
 
-    total = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]).map_batches(
-        p, batch_format="pyarrow"
-    ).sum("rev_p")
+    total = li.map_batches(p, batch_format="pyarrow").sum("rev_p")
     return pa.table({"revenue_cents": pa.array([int(total)], pa.int64())})
 
 

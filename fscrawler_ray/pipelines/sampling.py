@@ -33,6 +33,24 @@ def _mix32(ids: np.ndarray) -> np.ndarray:
     return (ids.astype(np.uint64) * np.uint64(KNUTH32)) & _M32
 
 
+def block_group_topk(codes: np.ndarray, sort_keys: tuple, k: int) -> np.ndarray:
+    """Row indices of the top-k rows per group within one block — the
+    partial-top-k combiner every grouped selection (stratified sampling,
+    per-key heavy hitters) pushes below its shuffle.  ``codes`` are int
+    group ids; ``sort_keys`` order within a group, least significant
+    first (np.lexsort convention).  Returned indices are sorted so
+    ``table.take`` preserves block order."""
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort(tuple(sort_keys) + (codes,))
+    cs = codes[order]
+    idx = np.arange(n)
+    first = np.r_[True, cs[1:] != cs[:-1]]
+    grp_start = np.maximum.accumulate(np.where(first, idx, 0))
+    return np.sort(order[(idx - grp_start) < k])
+
+
 def mixture_thresholds(rates: dict[str, float], default_rate: float = 1.0) -> dict:
     """Per-key integer keep-thresholds on the u32 hash (rate → round(rate·2^32)).
     Exported so the SQL oracle embeds the *same* integers."""
@@ -82,22 +100,15 @@ def stratified_sample(ds, k: int, key_col: str = "lang", id_col: str = "doc_id")
     row_number() OVER (PARTITION BY key ORDER BY hash, id) <= k."""
 
     def partial(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
+        if b.num_rows == 0:
             return b.select([key_col, id_col])
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         enc = b.column(key_col).combine_chunks().dictionary_encode()
         codes = (
             pa.compute.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        h = _mix32(ids)
-        order = np.lexsort((ids, h, codes))
-        cs = codes[order]
-        idx = np.arange(n)
-        first = np.r_[True, cs[1:] != cs[:-1]]
-        grp_start = np.maximum.accumulate(np.where(first, idx, 0))
-        keep = order[(idx - grp_start) < k]
-        return b.select([key_col, id_col]).take(pa.array(np.sort(keep)))
+        keep = block_group_topk(codes, (ids, _mix32(ids)), k)
+        return b.select([key_col, id_col]).take(pa.array(keep))
 
     import pandas as pd
 

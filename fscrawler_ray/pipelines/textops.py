@@ -634,20 +634,16 @@ def q_top_tokens_by_lang(sf_dir: str, k: int = 3):
     cnt = ds.map_batches(partial, batch_format="pyarrow").groupby(["lang", "tok"]).aggregate(Sum("c_p"))
 
     def prune(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
+        if b.num_rows == 0:
             return b
+        from .sampling import block_group_topk
+
         c = b.column("sum(c_p)").to_numpy(zero_copy_only=False).astype(np.int64)
         enc = b.column("lang").combine_chunks().dictionary_encode()
         codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
         toks = np.asarray(b.column("tok").to_pylist())
-        order = np.lexsort((toks, -c, codes))
-        cs = codes[order]
-        idx = np.arange(n)
-        first = np.r_[True, cs[1:] != cs[:-1]]
-        grp_start = np.maximum.accumulate(np.where(first, idx, 0))
-        keep = order[(idx - grp_start) < k]
-        return b.take(pa.array(np.sort(keep)))
+        keep = block_group_topk(codes, (toks, -c), k)
+        return b.take(pa.array(keep))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         c = g["sum(c_p)"].to_numpy().astype(np.int64)

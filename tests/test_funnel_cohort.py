@@ -44,8 +44,10 @@ def _write_events(tmp_path, rows):
 
 
 def _brute_funnel(rows, chain=("view", "click", "purchase")):
-    """Reference: user qualifies at stage k iff SOME strictly-increasing
-    subsequence of their events matches chain[:k]."""
+    """Reference: user qualifies at stage k iff SOME STRICTLY-increasing
+    (in ts) subsequence of their events matches chain[:k] — equal
+    timestamps across adjacent stages do NOT chain, mirroring the
+    product's ts > t_prev."""
     counts = [0] * len(chain)
     by_user = {}
     for u, t, ts in rows:
@@ -53,10 +55,12 @@ def _brute_funnel(rows, chain=("view", "click", "purchase")):
     for evs in by_user.values():
         evs.sort()
         best = 0
-        # greedy scan is optimal for subsequence matching
+        last_ts = None
+        # greedy earliest-transition is optimal for strict-subsequence match
         for ts, t in evs:
-            if best < len(chain) and t == chain[best]:
+            if best < len(chain) and t == chain[best] and (last_ts is None or ts > last_ts):
                 best += 1
+                last_ts = ts
         for k in range(best):
             counts[k] += 1
     return counts

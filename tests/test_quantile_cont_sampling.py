@@ -93,3 +93,24 @@ def test_top_tokens_by_lang_partition_invariant():
     for lang, g in a.groupby("lang"):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (np.diff(g["cnt"].to_numpy()) <= 0).all()
+
+
+def test_quantile_cont_empty_and_all_null_input():
+    t = pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})
+    got = grouped_quantile_cont(ray.data.from_arrow(t), "k", "v", 1, 2, out="med")
+    assert got.num_rows == 0 and "med" in got.column_names
+    t2 = pa.table({"k": pa.array(["a", "a"]), "v": pa.array([None, None], pa.float64())})
+    got2 = grouped_quantile_cont(ray.data.from_arrow(t2), "k", "v", 1, 2, out="med")
+    assert got2.num_rows == 0
+
+
+def test_quantile_cont_rank_pair_straddles_bin_boundary():
+    # even n with values engineered so the two middle order statistics
+    # land in DIFFERENT histogram bins during forced narrowing — the
+    # boundary-resolution path (vmax of lo bin / vmin of next bin)
+    vals = list(np.linspace(0.0, 1.0, 1000))  # n=1000: ranks 500, 501
+    got = grouped_quantile_cont(
+        _ds(["g"] * 1000, vals, blocks=8), "k", "v", 1, 2,
+        collect_limit=10, max_levels=6, n_bins=4,
+    ).to_pandas()
+    assert abs(got["q_value"][0] - np.quantile(np.array(vals), 0.5)) < 1e-12
