@@ -265,6 +265,20 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["media_id", "frame_no", "ts_ms"])
 
+    def images_quality_filter(sf_dir: str):
+        from fscrawler_ray.pipelines.image_corpus import clean_image_corpus
+
+        kept, tally = clean_image_corpus(images_dataset(min(rows_for_sf(sf_dir), 1024)))
+        import pyarrow as pa
+
+        return pa.table({k: [int(v)] for k, v in tally.items()})
+
+    def images_caption_consistency(sf_dir: str):
+        from fscrawler_ray.pipelines.image_corpus import caption_consistency
+
+        out = caption_consistency(images_dataset(min(rows_for_sf(sf_dir), 1024)))
+        return out
+
     def images_augment(sf_dir: str):
         from fscrawler_ray.stages.image_stages import augment_images
 
@@ -283,6 +297,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_thumbnails": images_thumbnails,
         "images_caption_extract": images_caption_extract,
         "images_augment": images_augment,
+        "images_quality_filter": images_quality_filter,
+        "images_caption_consistency": images_caption_consistency,
         "audio_features": audio_features,
         "video_frames": video_frames,
     }

@@ -1,0 +1,159 @@
+"""LAION-style image-corpus curation: quality filters + caption-image
+consistency over the input_hint image table (image_id, bytes, w, h, fmt,
+caption, phash).
+
+The filter ladder is ordered by cost, the way a 100-TB curation run must
+be: metadata predicates (size / aspect / caption length) drop rows
+vectorized BEFORE any payload is decoded; only survivors pay the decode,
+inside an actor-pool stage (codec state per actor, not per batch).
+Per-rule drop tallies fold as tiny integer partials — the image twin of
+corpus.clean_text_corpus's audit stance (and like that twin, the kept
+stream stays lazy; consuming BOTH the tally and the kept rows costs two
+passes, which is the streaming trade Ray Data makes for never pinning
+the corpus).
+
+Reference analog: the reference crawler filters paths/extensions before
+processing payloads (app/filters/* ordering, SURVEY §2.2); re-expressed
+here for pixel payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import codecs
+
+DEFAULT_RULES = {
+    "min_side": 48,  # thumbnails/icons out
+    "max_aspect": 2.5,  # banners out
+    "min_caption_tokens": 3,  # unusable alt-text out
+    "brightness_lo": 0.08,  # near-black decodes out
+    "brightness_hi": 0.97,  # blown-out decodes out
+}
+
+_DROP_COLS = ("drop_small", "drop_aspect", "drop_caption", "drop_dark", "drop_bright", "kept")
+
+
+def _meta_flags(b: pa.Table, rules: dict):
+    """Vectorized metadata predicates — no decode, no Python rows."""
+    w = b.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+    h = b.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+    small = (w < rules["min_side"]) | (h < rules["min_side"])
+    aspect = (np.maximum(w, h) / np.minimum(w, h)) > rules["max_aspect"]
+    cap = pc.coalesce(b.column("caption"), pa.scalar(""))
+    ntok = pc.list_value_length(pc.split_pattern_regex(cap, r"\s+")).to_numpy(zero_copy_only=False)
+    # split counts empty fragments; a caption of pure whitespace is 0 tokens
+    blank = pc.equal(pc.utf8_trim_whitespace(cap), "").to_numpy(zero_copy_only=False)
+    thin_caption = np.where(blank, 0, ntok) < rules["min_caption_tokens"]
+    return small, aspect, thin_caption
+
+
+class _QualityStage:
+    """Actor-pool stage: metadata ladder first, decode only survivors.
+    ``emit`` picks the output view — 'rows' (kept rows + brightness) or
+    'tally' (one 6-int audit row per batch)."""
+
+    def __init__(self, rules: dict, emit: str):
+        self.rules = dict(DEFAULT_RULES, **(rules or {}))
+        self.emit = emit
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        rules = self.rules
+        small, aspect, thin = _meta_flags(b, rules)
+        need_decode = ~(small | aspect | thin)
+        bright = np.zeros(b.num_rows, dtype=np.float64)
+        undecodable = np.zeros(b.num_rows, dtype=bool)
+        for i in np.flatnonzero(need_decode):  # payload decode: per-row by nature
+            try:
+                img, _, _, _ = codecs.decode(b.column("bytes")[int(i)].as_py())
+                bright[i] = float(img.astype(np.float32).mean()) / 255.0
+            except Exception:
+                undecodable[i] = True
+        dark = need_decode & ~undecodable & (bright < rules["brightness_lo"])
+        blown = need_decode & ~undecodable & (bright > rules["brightness_hi"])
+        kept = need_decode & ~undecodable & ~dark & ~blown
+        if self.emit == "rows":
+            return b.filter(pa.array(kept)).append_column(
+                "brightness", pa.array(bright[kept], pa.float64())
+            )
+        return pa.table(
+            {
+                "drop_small": pa.array([int(small.sum())], pa.int64()),
+                "drop_aspect": pa.array([int((aspect & ~small).sum())], pa.int64()),
+                "drop_caption": pa.array([int((thin & ~small & ~aspect).sum())], pa.int64()),
+                "drop_dark": pa.array([int((dark | undecodable).sum())], pa.int64()),
+                "drop_bright": pa.array([int(blown.sum())], pa.int64()),
+                "kept": pa.array([int(kept.sum())], pa.int64()),
+            }
+        )
+
+
+def clean_image_corpus(images_ds, rules: dict | None = None, concurrency=(1, 4), batch_size: int = 64):
+    """(kept Dataset — lazy, payload retained, + brightness column;
+    per-rule tally dict folded from one streaming audit pass)."""
+    kept = images_ds.map_batches(
+        _QualityStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"rules": rules or {}, "emit": "rows"},
+    )
+    tally_ds = images_ds.map_batches(
+        _QualityStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"rules": rules or {}, "emit": "tally"},
+    )
+    agg = {c: 0 for c in _DROP_COLS}
+    for tb in tally_ds.iter_batches(batch_format="pyarrow"):
+        for c in _DROP_COLS:
+            s = pc.sum(tb.column(c))
+            agg[c] += int(s.as_py() or 0)
+    return kept, agg
+
+
+def caption_consistency(images_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Caption-image agreement score (the CLIP-filter shape with a
+    deterministic stand-in model): decode → pixel-derived descriptor
+    words (hue / brightness / texture, as the caption extractor emits
+    them) → score = fraction of descriptor words the stored caption
+    contains.  Emits (image_id, consistency); a LAION-style alignment
+    threshold then becomes one streaming filter.
+
+    A learned scorer slots into the same actor stage (weights loaded
+    once in __init__) without touching the pipeline shape."""
+    from ..stages.multimodal import CaptionExtractStage
+
+    return images_ds.map_batches(
+        _ConsistencyStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _consistency_cls():
+    from ..stages.multimodal import CaptionExtractStage
+
+    class _Score(CaptionExtractStage):
+        def __call__(self, b: pa.Table) -> pa.Table:
+            feats = CaptionExtractStage.__call__(self, b)
+            stored = pc.utf8_lower(pc.coalesce(b.column("caption"), pa.scalar(""))).to_pylist()
+            derived = feats.column("extracted_caption").to_pylist()
+            score = np.zeros(b.num_rows, dtype=np.float64)
+            for i, (s, d) in enumerate(zip(stored, derived)):
+                if not d:
+                    continue  # undecodable → 0.0
+                words = [w for w in d.split() if w not in ("a", "image")]
+                score[i] = sum(1.0 for w in words if w in s) / max(1, len(words))
+            return pa.table(
+                {"image_id": b.column("image_id"), "consistency": pa.array(score, pa.float64())}
+            )
+
+    return _Score
+
+
+_ConsistencyStage = _consistency_cls()

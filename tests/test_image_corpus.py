@@ -1,0 +1,93 @@
+"""Image-corpus curation: quality-filter ladder + caption consistency."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from fscrawler_ray.functions.codecs import encode
+from fscrawler_ray.pipelines.image_corpus import caption_consistency, clean_image_corpus
+
+
+def _row(i, img, caption, fmt="png"):
+    h, w = img.shape[:2]
+    return {
+        "image_id": f"img{i}",
+        "bytes": encode(img, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": 0,
+    }
+
+
+def _table(rows):
+    return pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _img(val, w=64, h=64):
+    return np.full((h, w, 3), val, dtype=np.uint8)
+
+
+def test_quality_ladder_attributes_each_drop():
+    rows = [
+        _row(0, _img(128, w=10, h=64), "a perfectly fine caption"),  # small
+        _row(1, _img(128, w=200, h=64), "a perfectly fine caption"),  # aspect 3.1
+        _row(2, _img(128), "hi"),  # thin caption
+        _row(3, _img(0), "a perfectly fine caption"),  # black
+        _row(4, _img(255), "a perfectly fine caption"),  # blown out
+        _row(5, _img(128), "a perfectly fine caption"),  # keeper
+    ]
+    kept, tally = clean_image_corpus(ray.data.from_arrow(_table(rows)))
+    assert tally == {
+        "drop_small": 1,
+        "drop_aspect": 1,
+        "drop_caption": 1,
+        "drop_dark": 1,
+        "drop_bright": 1,
+        "kept": 1,
+    }
+    k = kept.to_pandas()
+    assert list(k["image_id"]) == ["img5"]
+    assert abs(k["brightness"][0] - 128 / 255) < 1e-6
+
+
+def test_quality_ladder_first_rule_wins():
+    # one row violating small AND aspect AND caption: attributed to the
+    # CHEAPEST rule only (ladder order), counted once
+    rows = [_row(0, _img(128, w=10, h=40), "x")]
+    _, tally = clean_image_corpus(ray.data.from_arrow(_table(rows)))
+    assert tally["drop_small"] == 1
+    assert tally["drop_aspect"] == 0 and tally["drop_caption"] == 0
+    assert sum(tally.values()) == 1
+
+
+def test_caption_consistency_separates_aligned_from_random():
+    from fscrawler_ray.stages.multimodal import CaptionExtractStage
+
+    base = _img(128)
+    derived = CaptionExtractStage()(
+        _table([_row(0, base, "placeholder")])
+    ).column("extracted_caption")[0].as_py()
+    rows = [
+        _row(0, base, derived),  # caption == what the pixels say
+        _row(1, base, "totally unrelated words here"),
+    ]
+    got = (
+        caption_consistency(ray.data.from_arrow(_table(rows)))
+        .to_pandas()
+        .set_index("image_id")["consistency"]
+    )
+    assert got["img0"] == 1.0
+    assert got["img1"] == 0.0
