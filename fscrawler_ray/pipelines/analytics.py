@@ -1778,3 +1778,53 @@ ORACLE_SQL["forecast_revenue"] = (
     "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
 )
 QUERIES["forecast_revenue"] = q_forecast_revenue
+
+
+def q_top_customers_per_nation(sf_dir: str, k: int = 3):
+    """Ranked top-k rows per partition key (the window-function
+    row_number() ≤ k shape) WITHOUT a global or per-group sort: the
+    shared per-block top-k combiner (sampling.block_group_topk) prunes
+    every block to ≤ k rows per nation before the shuffle, and the final
+    per-nation selection ranks ≤ k·blocks rows.  Balance ties break on
+    c_custkey, making the rank total and reproducible."""
+    import pandas as pd
+
+    from .sampling import block_group_topk
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        codes = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.take(pa.array(block_group_topk(codes, (keys, -bal), k)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        bal = g["c_acctbal"].to_numpy().astype(np.float64)
+        keys = g["c_custkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((keys, -bal))[:k]
+        out = g.iloc[order].copy()
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["c_nationkey", "c_custkey", "c_acctbal", "rnk"]]
+
+    out = cust.map_batches(prune, batch_format="pyarrow").groupby("c_nationkey").map_groups(
+        final, batch_format="pandas"
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("c_nationkey"), "c_nationkey", b.column("c_nationkey").cast(pa.int64())
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+ORACLE_SQL["top_customers_per_nation"] = (
+    "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER ("
+    "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk FROM customer) "
+    "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal, CAST(rnk AS BIGINT) AS rnk "
+    "FROM r WHERE rnk <= 3"
+)
+QUERIES["top_customers_per_nation"] = q_top_customers_per_nation
