@@ -105,6 +105,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "value_outliers",
         "shipping_priority",
         "lm_score_docs",
+        # session-4 families
+        "bm25_scores",
+        "median_value_by_type",
+        "cohort_retention",
+        "funnel_stages",
+        "top_tokens_by_lang",
+        "images_quality_filter",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:
