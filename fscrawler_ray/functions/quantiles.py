@@ -148,8 +148,11 @@ def grouped_quantile_disc(
         n = int(r["sum(n_p)"])
         rank = rank_fn(n) if rank_fn is not None else _rank_of(q_num, q_den, n)
         rank2 = rank2_fn(n) if rank2_fn is not None else None
-        if rank2 is not None and rank2 < rank:
-            raise ValueError(f"rank2 ({rank2}) must be >= rank ({rank})")
+        if rank2 is not None and not (rank <= rank2 <= rank + 1):
+            # the boundary-straddle resolution below is only valid for an
+            # ADJACENT pair (it infers rank == its bin's last element);
+            # distant second ranks need their own narrowing run
+            raise ValueError(f"rank2 ({rank2}) must be rank or rank+1 (rank={rank})")
         state[r[key]] = {
             "rank": rank,
             "rank2": rank2,

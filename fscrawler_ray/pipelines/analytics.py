@@ -1738,14 +1738,22 @@ QUERIES["user_event_entropy"] = q_user_event_entropy
 
 
 def q_forecast_revenue(sf_dir: str):
-    """TPC-H Q6 shape (flat filtered global sum): all three predicates
-    applied per batch on a 4-column pruned read, integer-cent partials,
-    ONE scalar crosses the cluster — the cheapest possible wide step.
-    (Q1's grouped twin is q_pricing_summary.)"""
+    """TPC-H Q6 shape (flat filtered global sum): the shipdate range is
+    PUSHED INTO the parquet scan (row-group statistics skip whole groups
+    before any bytes decode — at 100 TB the date predicate is the
+    difference between scanning a year and scanning the decade), the
+    remaining predicates apply per batch, integer-cent partials, ONE
+    scalar crosses the cluster.  (Q1's grouped twin is q_pricing_summary.)"""
     from datetime import datetime
 
-    li = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    import pyarrow.dataset as pads
+
     lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
 
     def p(b: pa.Table) -> pa.Table:
         m = pc.and_(
@@ -1828,3 +1836,59 @@ ORACLE_SQL["top_customers_per_nation"] = (
     "FROM r WHERE rnk <= 3"
 )
 QUERIES["top_customers_per_nation"] = q_top_customers_per_nation
+
+
+def q_winsorized_value_moments(sf_dir: str):
+    """Outlier-robust statistics via winsorization: values clipped to
+    their type's exact [p05, p95] (quantile_disc elements, so the clip
+    compares identical float64 bit patterns on both engines) before the
+    integer-cents sum — the curation pattern for heavy-tailed quality
+    scores where a trim would bias counts.  Thresholds come from the
+    histogram-narrowing quantile (two ranks, two runs, no group ever
+    sorted) and broadcast back for one streaming clipped-sum pass."""
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    lo_t = grouped_quantile_disc(ev, "event_type", "value", 1, 20, out="p05")
+    hi_t = grouped_quantile_disc(ev, "event_type", "value", 19, 20, out="p95")
+    lo_map = dict(zip(lo_t.column("event_type").to_pylist(), lo_t.column("p05").to_pylist()))
+    hi_map = dict(zip(hi_t.column("event_type").to_pylist(), hi_t.column("p95").to_pylist()))
+    names = np.array(sorted(lo_map))
+    lo_cut = np.array([lo_map[k] for k in names])
+    hi_cut = np.array([hi_map[k] for k in names])
+
+    def clip(b: pa.Table) -> pa.Table:
+        keys = b.column("event_type").to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.minimum(np.searchsorted(names, keys), len(names) - 1)
+        known = names[idx] == keys  # all-null-value types have no threshold → drop (SQL join)
+        # null values arrive as NaN from numpy: restore them to Arrow nulls
+        # (clip propagates NaN; a NaN→int64 cast would raise, and SQL's
+        # count(value)/sum skip nulls)
+        w = np.clip(vals[known], lo_cut[idx[known]], hi_cut[idx[known]])
+        t = pa.table(
+            {"event_type": pa.array(keys[known]), "w": pa.array(w, pa.float64(), from_pandas=True)}
+        )
+        t = _cents(t, "w", "w_cents")
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "one": pc.is_valid(t.column("w_cents")).cast(pa.int64()),
+                "w_cents": t.column("w_cents"),
+            }
+        )
+
+    out = grouped_sum(
+        ev.map_batches(clip, batch_format="pyarrow"), ["event_type"], {"one": "n", "w_cents": "wsum_cents"}
+    )
+    return _select(out, ["event_type", "n", "wsum_cents"])
+
+
+ORACLE_SQL["winsorized_value_moments"] = (
+    "WITH th AS (SELECT event_type, quantile_disc(value, 0.05) AS p05, "
+    "quantile_disc(value, 0.95) AS p95 FROM events GROUP BY event_type) "
+    "SELECT e.event_type, CAST(count(e.value) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(least(greatest(e.value, t.p05), t.p95) * 100) AS BIGINT)) AS BIGINT) AS wsum_cents "
+    "FROM events e JOIN th t USING (event_type) GROUP BY e.event_type"
+)
+QUERIES["winsorized_value_moments"] = q_winsorized_value_moments
