@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.hashing import xxh64_batch
 from ..stages.joins import broadcast_join, join
@@ -1892,3 +1892,308 @@ ORACLE_SQL["winsorized_value_moments"] = (
     "FROM events e JOIN th t USING (event_type) GROUP BY e.event_type"
 )
 QUERIES["winsorized_value_moments"] = q_winsorized_value_moments
+
+
+def grouped_max(ds, key: str, col: str, out: str, cast_int: bool = True):
+    """Grouped MAX with per-batch partials — the mergeable mirror of
+    ``grouped_min`` used by existence tests of the form
+    EXISTS(x > threshold) ⟺ max(x) > threshold."""
+
+    def p(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        if cast_int:
+            v = v.cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({key: b.column(key), "v": v}), [key]).aggregate([("v", "max")])
+        return pa.table({key: g.column(key), "v_p": g.column("v_max")})
+
+    agg = ds.map_batches(p, batch_format="pyarrow").groupby(key).aggregate(Max("v_p"))
+    return _rename(agg, {"max(v_p)": out})
+
+
+def q_order_priority_late(sf_dir: str):
+    """TPC-H Q4 shape (ref sql/stats.sql priority rollups): orders with at
+    least one lineitem shipped AFTER the order date, counted per priority.
+    The correlated EXISTS(l_shipdate > o_orderdate) is rewritten as a
+    mergeable grouped MAX — each block reduces lineitem to ≤1 row per
+    order key before the shuffle, the order-sized max table joins orders
+    through the size-aware front door, and only the 5-row priority count
+    ever reaches the driver."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    maxship = grouped_max(li, "l_orderkey", "l_shipdate", "max_ship_us")
+    maxship = _rename(maxship, {"l_orderkey": "o_orderkey"}).materialize()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = join(orders, maxship, on="o_orderkey", how="inner")
+
+    def late(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("max_ship_us"), b.column("o_orderdate").cast(pa.int64()))
+        return pa.table({"o_orderpriority": b.filter(keep).column("o_orderpriority")})
+
+    out = grouped_sum(j.map_batches(late, batch_format="pyarrow"), ["o_orderpriority"], {}, count_out="order_count")
+    return _select(out, ["o_orderpriority", "order_count"])
+
+
+ORACLE_SQL["order_priority_late"] = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority"
+)
+QUERIES["order_priority_late"] = q_order_priority_late
+
+
+def q_returnflag_priority(sf_dir: str):
+    """TPC-H Q12 shape: lineitems in a ship-year, split per return flag
+    into high-priority (1-URGENT/2-HIGH) vs low-priority order counts.
+    The order-priority dim is projected to (key, is_high:int64) before the
+    join — the only wide step is the front-door join keyed on order key;
+    the conditional CASE aggregation is two partial-aggregated sums."""
+    import datetime as dt
+
+    lo, hi = dt.datetime(1998, 1, 1), dt.datetime(1999, 1, 1)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        is_high = pc.is_in(b.column("o_orderpriority"), value_set=pa.array(["1-URGENT", "2-HIGH"])).cast(pa.int64())
+        return pa.table({"l_orderkey": b.column("o_orderkey").cast(pa.int64()), "is_high": is_high})
+
+    dim = orders.map_batches(prio, batch_format="pyarrow").materialize()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+        )
+        b = b.filter(m)
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "l_returnflag": b.column("l_returnflag")}
+        )
+
+    j = join(li.map_batches(prep, batch_format="pyarrow"), dim, on="l_orderkey", how="inner")
+
+    def split(b: pa.Table) -> pa.Table:
+        ih = b.column("is_high")
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "high": ih,
+                "low": pc.subtract(pa.scalar(1, pa.int64()), ih),
+            }
+        )
+
+    out = grouped_sum(
+        j.map_batches(split, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"high": "high_line_count", "low": "low_line_count"},
+    )
+    return _select(out, ["l_returnflag", "high_line_count", "low_line_count"])
+
+
+ORACLE_SQL["returnflag_priority"] = (
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM orders, lineitem WHERE o_orderkey = l_orderkey "
+    "AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01' "
+    "GROUP BY l_returnflag"
+)
+QUERIES["returnflag_priority"] = q_returnflag_priority
+
+
+def q_promo_revenue_monthly(sf_dir: str):
+    """TPC-H Q14 shape: per ship-month, PROMO-part revenue vs total
+    revenue.  The part dim shrinks to (key, is_promo:int64) and rides the
+    broadcast path of the front door; numerator/denominator are emitted as
+    raw integer-cents sums (never a float percentage) so the value hash is
+    bit-exact against SQL."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def dim(b: pa.Table) -> pa.Table:
+        promo = pc.equal(b.column("p_type"), "PROMO").cast(pa.int64())
+        return pa.table({"l_partkey": b.column("p_partkey").cast(pa.int64()), "is_promo": promo})
+
+    dim_ds = part.map_batches(dim, batch_format="pyarrow").materialize()
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        mo = pc.floor_temporal(b.column("l_shipdate"), unit="month").cast(pa.timestamp("us"))
+        rev = pc.round(
+            pc.multiply(
+                pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+                pa.scalar(100.0),
+            ),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"l_partkey": b.column("l_partkey").cast(pa.int64()), "mo": mo, "rev": rev})
+
+    j = join(li.map_batches(prep, batch_format="pyarrow"), dim_ds, on="l_partkey", how="inner")
+
+    def split(b: pa.Table) -> pa.Table:
+        rev = b.column("rev")
+        return pa.table({"mo": b.column("mo"), "promo": pc.multiply(rev, b.column("is_promo")), "total": rev})
+
+    out = grouped_sum(
+        j.map_batches(split, batch_format="pyarrow"), ["mo"], {"promo": "promo_cents", "total": "total_cents"}
+    )
+    return _select(out, ["mo", "promo_cents", "total_cents"])
+
+
+ORACLE_SQL["promo_revenue_monthly"] = (
+    "SELECT date_trunc('month', l_shipdate) AS mo, "
+    "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents, "
+    "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents "
+    "FROM lineitem, part WHERE l_partkey = p_partkey GROUP BY 1"
+)
+QUERIES["promo_revenue_monthly"] = q_promo_revenue_monthly
+
+
+def q_part_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier count per (brand, size), with a
+    supplier denylist anti-joined out.  Scale plan: (1) lineitem reduces
+    to distinct (part, supplier) pairs via a partial-aggregated pair
+    groupby — raw lineitems never shuffle; (2) the tiny denylist anti-join
+    and the part dim join both ride the front door; (3) count(DISTINCT)
+    is the exact two-groupby pattern (triple-dedup, then count)."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = grouped_sum(li, ["l_partkey", "l_suppkey"], {}, count_out="n")
+    pairs = pairs.map_batches(lambda b: b.select(["l_partkey", "l_suppkey"]), batch_format="pyarrow").materialize()
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def denylist(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").cast(pa.int64())
+        # k % 3 == 0 via truncated integer divide (pyarrow has no mod kernel)
+        mod = pc.subtract(k, pc.multiply(pc.divide(k, pa.scalar(3, pa.int64())), pa.scalar(3, pa.int64())))
+        return pa.table({"l_suppkey": k.filter(pc.equal(mod, pa.scalar(0, pa.int64())))})
+
+    bad = supp.map_batches(denylist, batch_format="pyarrow").materialize()
+    pairs = join(pairs, bad, on="l_suppkey", how="anti").materialize()
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    pdim = part.map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b.column("p_partkey").cast(pa.int64()),
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    trip = join(pairs, pdim, on="l_partkey", how="inner")
+    # distinct (brand, size, supplier) triples, then the tiny count groupby
+    trip = grouped_sum(trip, ["p_brand", "p_size", "l_suppkey"], {}, count_out="m")
+    out = grouped_sum(trip, ["p_brand", "p_size"], {}, count_out="supplier_cnt")
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size").cast(pa.int32()),
+                "supplier_cnt": b.column("supplier_cnt"),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+ORACLE_SQL["part_supplier_variety"] = (
+    "SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li JOIN part ON l_partkey = p_partkey "
+    "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0) "
+    "GROUP BY p_brand, p_size"
+)
+QUERIES["part_supplier_variety"] = q_part_supplier_variety
+
+
+def q_pps_sample_docs(sf_dir: str, k: int = 10, bucket: int = 4096):
+    """Deterministic probability-proportional-to-size (systematic) sample:
+    k docs per lang, selected where the doc-id-ordered cumulative n_chars
+    crosses an equally-spaced weight threshold — ALL-INTEGER arithmetic,
+    so the selected row set matches SQL window functions bit-exactly (no
+    float ranking boundary, unlike u^(1/w) reservoir keys).
+
+    Scale shape: the ordered per-lang running sum is split by contiguous
+    doc-id buckets — pass 1 is a partial-aggregated (lang, bucket) sum
+    whose exclusive prefix (bucket-table-sized, NOT doc-sized) is computed
+    on the driver and broadcast via ray.put; pass 2 is a bounded-size
+    groupby(lang, bucket).map_groups that adds its bucket's offset and
+    applies the threshold-crossing predicate locally.  Raw docs shuffle
+    exactly once (the bucket groupby)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        bkt = pc.divide(b.column("doc_id"), pa.scalar(bucket, pa.int64()))
+        return pa.table(
+            {"lang": b.column("lang"), "bkt": bkt, "doc_id": b.column("doc_id"), "n_chars": b.column("n_chars")}
+        )
+
+    pre_ds = docs.map_batches(pre, batch_format="pyarrow").materialize()
+
+    bsums = grouped_sum(pre_ds, ["lang", "bkt"], {"n_chars": "bsum"}).to_pandas()
+    bsums = bsums.sort_values(["lang", "bkt"]).reset_index(drop=True)
+    bsums["offset"] = bsums.groupby("lang")["bsum"].cumsum() - bsums["bsum"]
+    offsets = {(r.lang, r.bkt): int(r.offset) for r in bsums.itertuples()}
+    totals = bsums.groupby("lang")["bsum"].sum().astype("int64").to_dict()
+    state_ref = ray.put((offsets, totals))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(state_ref)
+        g = g.sort_values("doc_id")
+        lang, bkt = g["lang"].iat[0], int(g["bkt"].iat[0])
+        w = g["n_chars"].to_numpy(dtype=np.int64)
+        cum = offs[(lang, bkt)] + np.cumsum(w)
+        total = tots[lang]
+        sel = (cum * k) // total > ((cum - w) * k) // total
+        g = g.loc[sel]
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(), "lang": g["lang"].to_numpy(), "n_chars": g["n_chars"].to_numpy()}
+        )
+
+    return pre_ds.groupby(["lang", "bkt"]).map_groups(pick, batch_format="pandas")
+
+
+ORACLE_SQL["pps_sample_docs"] = (
+    "WITH w AS (SELECT doc_id, lang, n_chars, "
+    "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum, "
+    "sum(n_chars) OVER (PARTITION BY lang) AS total FROM documents) "
+    "SELECT doc_id, lang, n_chars FROM w WHERE (cum*10)//total > ((cum-n_chars)*10)//total"
+)
+QUERIES["pps_sample_docs"] = q_pps_sample_docs
+
+
+def q_orders_range30(sf_dir: str):
+    """Trailing-30-day RANGE-frame window over daily order revenue — the
+    gap-aware calendar twin of the ROWS-frame q_revenue_7d_moving: days
+    with no neighbors within 30 days contribute only themselves.  The wide
+    step is the partial-aggregated daily rollup; the window runs over the
+    tiny day table with a searchsorted lower bound."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b.column("o_orderdate"), unit="day").cast(pa.timestamp("us"))
+        b = pa.table({"d": d, "o_totalprice": b.column("o_totalprice")})
+        return _cents(b, "o_totalprice", "vc").drop_columns(["o_totalprice"])
+
+    daily = grouped_sum(orders.map_batches(prep, batch_format="pyarrow"), ["d"], {"vc": "day_cents"})
+    df = daily.to_pandas().sort_values("d").reset_index(drop=True)
+    day_us = df["d"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    vals = df["day_cents"].to_numpy(dtype=np.int64)
+    csum = np.concatenate([[0], np.cumsum(vals)])
+    lo = np.searchsorted(day_us, day_us - 29 * 86_400_000_000, side="left")
+    win = csum[1 : len(vals) + 1] - csum[lo]
+    return pa.table(
+        {
+            "d": pa.array(df["d"]).cast(pa.timestamp("us")),
+            "day_cents": pa.array(vals, pa.int64()),
+            "mov30_cents": pa.array(win, pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["orders_range30"] = (
+    "WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d, "
+    "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents FROM orders GROUP BY 1) "
+    "SELECT d, day_cents, CAST(sum(day_cents) OVER (ORDER BY d "
+    "RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS mov30_cents FROM daily"
+)
+QUERIES["orders_range30"] = q_orders_range30

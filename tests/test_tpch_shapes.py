@@ -1,0 +1,200 @@
+"""TPC-H-shape batch: Q4/Q12/Q14/Q16 analogs, the PPS systematic sampler
+and the RANGE-frame calendar window.
+
+The oracle sweep (tools/check_oracle.py) certifies SQL parity on the
+testdata; these tests pin the SEMANTICS on adversarial synthetic inputs —
+the strict `>` of the EXISTS rewrite, the ship-year boundary, the
+denylisted distinct count, threshold-crossing selection across bucket
+boundaries, and the gap-aware RANGE frame vs a brute-force scan.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fscrawler_ray.pipelines.analytics import (
+    q_order_priority_late,
+    q_orders_range30,
+    q_part_supplier_variety,
+    q_pps_sample_docs,
+    q_promo_revenue_monthly,
+    q_returnflag_priority,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _write(tmp_path, name, cols):
+    pq.write_table(pa.table(cols), tmp_path / f"{name}.parquet")
+
+
+def _rows(res):
+    t = res.to_pandas() if hasattr(res, "to_pandas") else res
+    import pandas as pd
+
+    if isinstance(t, pa.Table):
+        t = t.to_pandas()
+    assert isinstance(t, pd.DataFrame)
+    return t
+
+
+def test_order_priority_late_strict_inequality(tmp_path):
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderdate": pa.array([_ts("2020-01-05")] * 3 + [_ts("2020-02-01")], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["A", "A", "B", "B"]),
+        },
+    )
+    # order 1: one early + one late line (late); order 2: ship == orderdate
+    # exactly (NOT late — strict >); order 3: late; order 4: no lines.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                [_ts("2020-01-04"), _ts("2020-01-06"), _ts("2020-01-05"), _ts("2020-01-10")], pa.timestamp("us")
+            ),
+        },
+    )
+    df = _rows(q_order_priority_late(str(tmp_path))).set_index("o_orderpriority")["order_count"]
+    assert df.to_dict() == {"A": 1, "B": 1}
+
+
+def test_returnflag_priority_year_boundary(tmp_path):
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "l_returnflag": pa.array(["R", "R", "R", "N", "N"]),
+            "l_shipdate": pa.array(
+                [
+                    _ts("1998-06-01"),  # in window, high
+                    _ts("1997-06-01"),  # before window
+                    _ts("1998-06-01"),  # in window, low
+                    _ts("1998-12-31"),  # in window, low
+                    _ts("1999-01-01"),  # exclusive upper bound
+                ],
+                pa.timestamp("us"),
+            ),
+        },
+    )
+    df = _rows(q_returnflag_priority(str(tmp_path))).set_index("l_returnflag")
+    assert df.loc["R", "high_line_count"] == 1 and df.loc["R", "low_line_count"] == 1
+    assert df.loc["N", "high_line_count"] == 0 and df.loc["N", "low_line_count"] == 1
+
+
+def test_promo_revenue_monthly_split(tmp_path):
+    _write(
+        tmp_path,
+        "part",
+        {"p_partkey": pa.array([1, 2], pa.int64()), "p_type": pa.array(["PROMO", "STANDARD"])},
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 2, 1], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 50.0, 10.0]),
+            "l_discount": pa.array([0.1, 0.0, 0.0]),
+            "l_shipdate": pa.array([_ts("2020-01-15"), _ts("2020-01-20"), _ts("2020-02-01")], pa.timestamp("us")),
+        },
+    )
+    df = _rows(q_promo_revenue_monthly(str(tmp_path))).set_index("mo").sort_index()
+    jan, feb = df.iloc[0], df.iloc[1]
+    assert (jan["promo_cents"], jan["total_cents"]) == (9000, 14000)
+    assert (feb["promo_cents"], feb["total_cents"]) == (1000, 1000)
+
+
+def test_part_supplier_variety_denylist_distinct(tmp_path):
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["B1", "B1", "B2"]),
+            "p_size": pa.array([5, 5, 7], pa.int32()),
+        },
+    )
+    # duplicate (1, s1) pair collapses; supplier 3 is denylisted (3 % 3 == 0);
+    # s1 counts ONCE for (B1, 5) though it supplies both part 1 and part 2.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 1, 3, 4], pa.int64()),
+        },
+    )
+    _write(tmp_path, "supplier", {"s_suppkey": pa.array([1, 2, 3, 4], pa.int64())})
+    df = _rows(q_part_supplier_variety(str(tmp_path)))
+    got = {(r.p_brand, r.p_size): r.supplier_cnt for r in df.itertuples()}
+    assert got == {("B1", 5): 2, ("B2", 7): 1}
+
+
+def test_pps_sample_matches_bruteforce_across_buckets(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 40
+    doc_ids = np.arange(n, dtype=np.int64)
+    langs = np.array(["en", "fr"])[doc_ids % 2]
+    chars = rng.integers(1, 500, n).astype(np.int64)
+    _write(
+        tmp_path,
+        "documents",
+        {"doc_id": pa.array(doc_ids), "lang": pa.array(langs), "n_chars": pa.array(chars)},
+    )
+    k = 3
+    # brute force: doc-id-ordered cumulative weight, threshold crossings
+    expect = set()
+    for lang in ("en", "fr"):
+        m = langs == lang
+        ids, w = doc_ids[m], chars[m]
+        total, cum = int(w.sum()), 0
+        for i, wt in zip(ids, w):
+            prev, cum = cum, cum + int(wt)
+            if (cum * k) // total > (prev * k) // total:
+                expect.add(int(i))
+    # bucket=4 forces every lang across many buckets → exercises the
+    # offset-broadcast path, not the single-group degenerate case
+    df = _rows(q_pps_sample_docs(str(tmp_path), k=k, bucket=4))
+    assert set(df["doc_id"]) == expect
+    # systematic PPS yields at most k (exactly k when no weight > total/k)
+    assert df.groupby("lang").size().max() <= k
+
+
+def test_orders_range30_gap_aware(tmp_path):
+    base = dt.datetime(2020, 1, 1)
+    offsets = [0, 10, 29, 31, 100]
+    prices = [1.0, 2.0, 3.0, 4.0, 5.0]
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderdate": pa.array([base + dt.timedelta(days=o) for o in offsets], pa.timestamp("us")),
+            "o_totalprice": pa.array(prices),
+        },
+    )
+    df = _rows(q_orders_range30(str(tmp_path))).sort_values("d").reset_index(drop=True)
+    cents = [100, 200, 300, 400, 500]
+    expect = []
+    for i, o in enumerate(offsets):
+        expect.append(sum(c for c, oo in zip(cents, offsets) if o - 29 <= oo <= o))
+    assert list(df["mov30_cents"]) == expect
+    # day 29 reaches back to day 0 (inclusive frame edge); day 31 does not
+    assert df.loc[2, "mov30_cents"] == 600 and df.loc[3, "mov30_cents"] == 900
