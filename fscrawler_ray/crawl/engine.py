@@ -90,6 +90,13 @@ class CrawlConfig:
     # URL SET, seen-set exactness and the per-host politeness bound;
     # trades intra-host FIFO order for per-salt FIFO (see frontier.route_key)
     salt_hosts: dict | None = None
+    # frontier prioritization (the pagerank feedback loop, the mirror of
+    # salt_hosts): true-host → weight in (0, 1] scaling that host's
+    # token-bucket refill rate. Weights only DE-prioritize (w ≤ 1 is
+    # validated), so the per-host politeness bound is never raised; hosts
+    # absent from the dict crawl at full rate. Produced by
+    # CrawlEngine.suggest_priorities() from the observed host link graph.
+    host_priorities: dict | None = None
     max_rounds: int = 64
     checkpoint_dir: str | None = None
     out_dir: str | None = None
@@ -246,7 +253,7 @@ def _fetch_task(
                 }
             )
             _atomic_write(dl, os.path.join(dl_dir, f"part-{round_no:05d}-{part_id:04d}.parquet"))
-    return out.num_rows, skipped
+    return out.num_rows, skipped, fe.host_edges
 
 
 class _FetchExpand:
@@ -273,6 +280,10 @@ class _FetchExpand:
         self.salt_hosts = dict(salt_hosts or {})
         self._index = None
         self.dead_letters: list[tuple[str, int, str]] = []  # (url, seq, reason)
+        # host-level link tally for the pagerank feedback loop: bounded by
+        # this task's (parent-host × child-host) pairs, merged driver-side
+        # into a host-graph-sized accumulator (never URL-sized)
+        self.host_edges: dict[tuple[str, str], int] = {}
 
     def _meta(self, root_id: int) -> dict:
         if 0 <= root_id < len(self.root_meta):
@@ -328,9 +339,13 @@ class _FetchExpand:
         dir_rows = [i for i in range(len(urls)) if is_dirs[i]]
         kids_per_dir = children_batch(self.web, [urls[i] for i in dir_rows])
         for i, kids in zip(dir_rows, kids_per_dir):
+            src_host = true_host(hosts[i])
             for ci, child in enumerate(kids):
                 child_batches.append(child)
                 child_meta.append((seqs[i], ci, depths[i] + 1, root_ids[i]))
+                dst_host = child.split("://", 1)[1].split("/", 1)[0].lower()
+                e = (src_host, dst_host)
+                self.host_edges[e] = self.host_edges.get(e, 0) + 1
         for i, (url, seq, depth, host, is_dir, size, root_id) in enumerate(
             zip(urls, seqs, depths, hosts, is_dirs, sizes, root_ids)
         ):
@@ -425,6 +440,13 @@ class CrawlEngine:
                     f"politeness_capacity={cfg.politeness_capacity}): "
                     "the per-host rate bound could not be preserved"
                 )
+        for h, w in (cfg.host_priorities or {}).items():
+            if not (0.0 < float(w) <= 1.0):
+                raise ValueError(
+                    f"host_priorities[{h!r}]={w}: weights must be in (0, 1] — "
+                    "a weight above 1 would raise the host's rate past the "
+                    "politeness bound, and 0 would starve its queue forever"
+                )
         # seen-set service: one partition per shard, keyed xxh64(url) %
         # n_shards — INDEPENDENT of politeness routing, so salt plans can
         # change across resume (frontier.SeenService docstring)
@@ -449,6 +471,7 @@ class CrawlEngine:
                 seen_spill_dir=cfg.seen_spill_dir,
                 seen_exact_max_inmem=cfg.seen_exact_max_inmem,
                 seen_shards=self.seen_shards,
+                host_priorities=cfg.host_priorities,
             )
             for i in range(cfg.n_shards)
         ]
@@ -461,6 +484,13 @@ class CrawlEngine:
         self.stopped_early = False
         self.root_meta: list[dict] = []
         self.root_urls: list[str] = []
+        # observed host→host link counts (the pagerank feedback signal):
+        # host-graph-sized, NOT url-sized — each fetch task returns its own
+        # tiny tally and the driver merges. At 10^8-host web scale this
+        # accumulator would instead spool edge parts to parquet and
+        # suggest_priorities would call pipelines.graph.pagerank on them;
+        # the formulation below is the same power iteration.
+        self.host_edges: dict[tuple[str, str], int] = {}
         # the trace streams to disk UNCONDITIONALLY (driver RAM stays flat
         # with rounds): a sibling of out_dir when set, else a /tmp spool
         if cfg.out_dir:
@@ -648,6 +678,9 @@ class CrawlEngine:
         results = ray.get(refs)
         self.result_rows += sum(r[0] for r in results)
         self.skipped_unchanged += sum(r[1] for r in results)
+        for r in results:
+            for e, c in r[2].items():
+                self.host_edges[e] = self.host_edges.get(e, 0) + c
         self.round_history.append(
             {"round": self.round_no, "emitted": n, "rows": sum(r[0] for r in results), "fetch_sec": round(_time.time() - t0, 3)}
         )
@@ -711,6 +744,43 @@ class CrawlEngine:
                 out[host] = int(min(rate_cap, max(2, pending // thr)))
         return out
 
+    def suggest_priorities(self, floor: float = 0.25, d: float = 0.85, max_iter: int = 60) -> dict:
+        """Close the pagerank→frontier feedback loop (the prioritization
+        analog of ``suggest_salts``): rank hosts by weighted PageRank over
+        the link graph OBSERVED so far (self.host_edges, tallied by the
+        fetch tasks at child-expansion time), and map ranks to rate weights
+        w = clamp(rank / rank_max, floor, 1.0).  The returned dict plugs
+        straight into ``CrawlConfig.host_priorities`` for the next crawl —
+        or into checkpoint → resume, the same loop shape as auto-salting:
+        priorities are rate knobs, not routing, so changing them never
+        moves queued URLs.  ``floor`` bounds de-prioritization so low-rank
+        hosts still drain (no starvation); the engine never applies the
+        plan automatically."""
+        if not self.host_edges:
+            return {}
+        hosts = sorted({h for e in self.host_edges for h in e})
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        src = np.array([idx[s] for s, _ in self.host_edges], dtype=np.int64)
+        dst = np.array([idx[t] for _, t in self.host_edges], dtype=np.int64)
+        wts = np.array(list(self.host_edges.values()), dtype=np.float64)
+        outw = np.zeros(n)
+        np.add.at(outw, src, wts)
+        emitter = outw > 0
+        rank = np.full(n, 1.0 / n)
+        for _ in range(max_iter):
+            per_src = np.where(emitter, rank / np.maximum(outw, 1e-300), 0.0)
+            contrib = np.zeros(n)
+            np.add.at(contrib, dst, per_src[src] * wts)
+            dangling = float(rank[~emitter].sum())
+            nxt = (1.0 - d) / n + d * (contrib + dangling / n)
+            if np.abs(nxt - rank).sum() < 1e-12:
+                rank = nxt
+                break
+            rank = nxt
+        top = float(rank.max())
+        return {h: float(min(1.0, max(floor, rank[i] / top))) for h, i in idx.items()}
+
     def counters(self) -> dict:
         per = ray.get([s.get_counters.remote() for s in self.shards])
         tot: dict = {}
@@ -767,7 +837,11 @@ class CrawlEngine:
                 "politeness_budget": self.cfg.politeness_budget,
                 "web": spec_of(self.cfg.web),
                 "salt_hosts": dict(self.cfg.salt_hosts or {}),
+                "host_priorities": dict(self.cfg.host_priorities or {}),
             },
+            # the pagerank feedback signal survives checkpoint → resume so
+            # suggest_priorities keeps improving across runs
+            "host_edges": [[s, t, c] for (s, t), c in self.host_edges.items()],
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -851,6 +925,12 @@ class CrawlEngine:
         new_salts = {str(k): int(v) for k, v in (cfg.salt_hosts or {}).items()}
         if old_salts != new_salts:
             states = _reroute_frontier_states(states, new_salts, cfg.n_shards, old_salts)
+        # a CHANGED priority plan (the suggest_priorities loop) simply wins:
+        # priorities scale refill rates and move no state, so the resumed
+        # shards take the NEW cfg's weights, not the checkpointed ones
+        for st in states:
+            st["host_priorities"] = {str(h): float(w) for h, w in (cfg.host_priorities or {}).items()}
+        eng.host_edges = {(s, t): int(c) for s, t, c in manifest.get("host_edges", [])}
         ray.get([eng.shards[i].load_state.remote(st) for i, st in enumerate(states)])
         # continue appending to the original run's trace spool, pruning
         # parts any crashed attempt wrote past the checkpointed round; if

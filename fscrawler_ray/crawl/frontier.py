@@ -115,6 +115,7 @@ class FrontierShard:
         seen_spill_dir: str | None = None,
         seen_exact_max_inmem: int = 1 << 22,
         seen_shards: list | None = None,
+        host_priorities: dict | None = None,
     ):
         self.shard_id = shard_id
         self.web = make_source(web_cfg)  # any Source spec (SURVEY E1 gap fix)
@@ -127,6 +128,12 @@ class FrontierShard:
         # Default capacity == refill reproduces plain per-round budgets.
         self.capacity = politeness_capacity if politeness_capacity is not None else politeness_budget
         self.salt_hosts = dict(salt_hosts or {})
+        # frontier prioritization (the pagerank feedback loop): true-host →
+        # weight in (0, 1] scaling the token-bucket REFILL RATE. Priorities
+        # only ever lower a host below its politeness rate (w ≤ 1, validated
+        # by the engine), so the per-host politeness bound is preserved by
+        # construction; 1.0 / absent = full rate.
+        self.host_priorities = {str(h): float(w) for h, w in (host_priorities or {}).items()}
         self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
         self._last_refill: dict[str, int] = {}  # round of that pop
         # key-sharded seen ownership (module docstring): with SeenService
@@ -328,8 +335,7 @@ class FrontierShard:
             # budget so the per-HOST politeness bound still holds
             h0 = true_host(host)
             k = int(self.salt_hosts.get(h0, 1)) if self.salt_hosts else 1
-            budget = max(1, self.budget // k) if k > 1 else self.budget
-            capacity = max(1, self.capacity // k) if k > 1 else self.capacity
+            budget, capacity = self._host_rate(h0, k)
             # token bucket (logical clock): refill `budget` per elapsed round
             # since the host's last pop, capped at `capacity`
             elapsed = self.round - self._last_refill.get(host, -1)
@@ -392,6 +398,21 @@ class FrontierShard:
             schema=EMIT_SCHEMA,
         )
 
+    def _host_rate(self, h0: str, k: int) -> tuple[int, int]:
+        """Effective (refill, cap) for one route key: the host's priority
+        weight scales the politeness rate DOWN (never up), then salting
+        divides the scaled rate across the host's k salt queues.  Both
+        floors at 1 so every queued host keeps draining (priorities shift
+        crawl ORDER between hosts; they never starve one)."""
+        w = self.host_priorities.get(h0) if self.host_priorities else None
+        budget, capacity = self.budget, self.capacity
+        if w is not None and w < 1.0:
+            budget = max(1, int(budget * w))
+            capacity = max(1, int(capacity * w))
+        if k > 1:
+            budget, capacity = max(1, budget // k), max(1, capacity // k)
+        return budget, capacity
+
     def _prune_token_state(self) -> None:
         """Drop token-bucket entries that carry no information: a drained
         host whose allowance has saturated at capacity behaves identically
@@ -404,8 +425,7 @@ class FrontierShard:
                 continue
             h0 = true_host(host)
             k = int(self.salt_hosts.get(h0, 1)) if self.salt_hosts else 1
-            budget = max(1, self.budget // k) if k > 1 else self.budget
-            capacity = max(1, self.capacity // k) if k > 1 else self.capacity
+            budget, capacity = self._host_rate(h0, k)
             saturated = tok + budget * (self.round - self._last_refill.get(host, -1)) >= capacity
             # the missing-key default (tokens=0, last=-1) must ALSO yield
             # capacity at every future round, else dropping diverges when
@@ -460,6 +480,7 @@ class FrontierShard:
             "seen": self.seen.state() if self.seen is not None else None,
             "buffer": list(self._buffer),
             "salt_hosts": dict(self.salt_hosts),
+            "host_priorities": dict(self.host_priorities),
         }
 
     def load_state(self, st: dict) -> None:
@@ -477,6 +498,7 @@ class FrontierShard:
         # else: keep the external SeenService handles from __init__
         self._buffer = [tuple(t) for t in st["buffer"]]
         self.salt_hosts = dict(st.get("salt_hosts", {}))
+        self.host_priorities = {str(h): float(w) for h, w in st.get("host_priorities", {}).items()}
 
 
 def shard_of_host(host: str, n_shards: int) -> int:

@@ -57,6 +57,7 @@ def crawl_oracle(
     max_rounds: int = 100,
     fetch_payloads: bool = False,
     politeness_capacity: int | None = None,
+    host_priorities: dict | None = None,
 ) -> OracleResult:
     res = OracleResult(counters={"skipped_robots": 0, "skipped_filters": 0, "skipped_seen": 0, "containers": 0, "leaves": 0})
     chain = chain or FilterChain()
@@ -90,7 +91,13 @@ def crawl_oracle(
             q = queues[host]
             emitted_this_host = 0
             elapsed = _round - last_refill.get(host, -1)
-            allowance = min(capacity, tokens.get(host, 0) + politeness_budget * elapsed)
+            # priority weight scales the refill rate down (engine's
+            # FrontierShard._host_rate, minus salting — the oracle is unsalted)
+            w = (host_priorities or {}).get(host)
+            budget_h, cap_h = politeness_budget, capacity
+            if w is not None and w < 1.0:
+                budget_h, cap_h = max(1, int(budget_h * w)), max(1, int(cap_h * w))
+            allowance = min(cap_h, tokens.get(host, 0) + budget_h * elapsed)
             while q and emitted_this_host < allowance:
                 url, depth, root_id = q.popleft()
                 if not web.robots_allowed(host, url):
