@@ -2197,3 +2197,49 @@ ORACLE_SQL["orders_range30"] = (
     "RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS mov30_cents FROM daily"
 )
 QUERIES["orders_range30"] = q_orders_range30
+
+
+def q_purchases_near_errors(sf_dir: str, window_hours: int = 1):
+    """Two-stream BAND join: every (purchase, error) event pair from the
+    same user within ±1 hour — the symmetric time-proximity correlation
+    (attribution windows, label joining around an anchor event) that
+    neither an equi-join nor an as-of join expresses, and that
+    range_window_pairs (ordered SELF pairs, one stream) doesn't either.
+    One key-hash shuffle of both filtered streams; the per-bucket kernel
+    sorts the error side once and answers each purchase probe with two
+    searchsorteds (stages/joins.band_join_ids)."""
+    from ..stages.joins import band_join_ids
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pick(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), kind))
+            return pa.table(
+                {"event_id": t.column("event_id"), "user_id": t.column("user_id"), "ts": t.column("ts")}
+            )
+
+        return f
+
+    purchases = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    errors = ev.map_batches(pick("error"), batch_format="pyarrow")
+    out = band_join_ids(
+        purchases,
+        errors,
+        by_left="user_id",
+        by_right="user_id",
+        on_left="ts",
+        on_right="ts",
+        window=window_hours * 3_600_000_000,
+        left_id="event_id",
+        right_id="event_id",
+    )
+    return _rename(out, {"event_id": "purchase_id", "event_id_r": "error_id"})
+
+
+ORACLE_SQL["purchases_near_errors"] = (
+    "SELECT p.event_id AS purchase_id, e.event_id AS error_id FROM events p, events e "
+    "WHERE p.event_type = 'purchase' AND e.event_type = 'error' AND p.user_id = e.user_id "
+    "AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR"
+)
+QUERIES["purchases_near_errors"] = q_purchases_near_errors

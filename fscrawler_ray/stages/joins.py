@@ -482,3 +482,108 @@ def range_window_pairs(
     )
     # typed 0-row seed: keep the schema when every group is pair-free
     return ray.data.from_arrow(_empty()).union(out)
+
+
+def band_join_ids(
+    left_ds,
+    right_ds,
+    by_left: str,
+    by_right: str,
+    on_left: str,
+    on_right: str,
+    window: int,
+    left_id: str,
+    right_id: str,
+    n_partitions: int = 64,
+):
+    """Distributed two-table BAND join (inclusive both ends): emit
+    (left_id, right_id) for every pair with equal keys and
+    ``|on_left − on_right| ≤ window`` — the time-proximity join
+    (``ts BETWEEN anchor - w AND anchor + w``) that neither a plain
+    equi-join nor :func:`asof_join` expresses.  ``window`` is in the
+    ``on`` columns' units (µs for timestamp[us]).
+
+    Same physical shape as :func:`range_window_pairs`: ONE key-hash
+    shuffle co-locates both sides of each key (the two widened streams
+    union before the bucket groupby), and the per-bucket kernel sorts
+    the RIGHT side once on a key-segment composite ordinal, answers
+    every left probe with two global searchsorteds, and expands
+    vectorized — no per-key Python, output-proportional memory.  Same
+    partitioning assumption as asof_join (one bucket holds all rows of
+    its keys), plus n_keys × (time-span + 2·window) < 2^62 per bucket,
+    asserted.
+    """
+    lt = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    rt = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    lid_type, rid_type = lt[left_id], rt[right_id]
+    key_type = rt[by_right]
+    right_out = right_id + "_r" if right_id == left_id else right_id
+    out_schema = pa.schema([(left_id, lid_type), (right_out, rid_type)])
+
+    def widen(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            by = b.column(by_left if side == 1 else by_right)
+            on = b.column(on_left if side == 1 else on_right)
+            ids = b.column(left_id if side == 1 else right_id)
+            return pa.table(
+                {
+                    "__pcol": _bucket_col(by.cast(key_type), n_partitions, seed=37),
+                    "__side": pa.array(np.full(b.num_rows, side, np.int8)),
+                    "__k": by.cast(key_type),
+                    "__t": pa.array(_ordinal(on)),
+                    # ids carried as a shared int64 lane; restored by take
+                    # on the original column per side would lose the union
+                    # schema, so both ids must be int64-ordinal-able
+                    "__id": pa.array(_ordinal(ids)),
+                }
+            )
+
+        return f
+
+    def _empty() -> pa.Table:
+        return pa.table({left_id: pa.nulls(0, lid_type), right_out: pa.nulls(0, rid_type)}).cast(out_schema)
+
+    w = int(window)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty()
+        kv = _dense_keys(g.column("__k"))
+        t = g.column("__t").to_numpy(zero_copy_only=False)
+        ids = g.column("__id").to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        is_l = side == 1
+        if not is_l.any() or is_l.all():
+            return _empty()
+        tmin, tmax = int(t.min()), int(t.max())
+        span = (tmax - tmin) + 2 * w + 2
+        n_keys = int(kv.max()) + 1
+        assert n_keys * span < (1 << 62), "band_join composite overflow; raise n_partitions"
+        comp = (t - tmin) + kv * span
+        rc, rid = comp[~is_l], ids[~is_l]
+        ro = np.argsort(rc, kind="stable")
+        rc, rid = rc[ro], rid[ro]
+        lc, lid = comp[is_l], ids[is_l]
+        lo = np.searchsorted(rc, lc - w, side="left")
+        hi = np.searchsorted(rc, lc + w, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _empty()
+        idx_l = np.repeat(np.arange(len(lc), dtype=np.int64), counts)
+        offs = np.cumsum(counts) - counts
+        idx_r = np.arange(total, dtype=np.int64) - np.repeat(offs, counts) + lo[idx_l]
+        return pa.table(
+            {
+                left_id: pa.array(lid[idx_l]).cast(lid_type),
+                right_out: pa.array(rid[idx_r]).cast(rid_type),
+            }
+        ).cast(out_schema)
+
+    out = (
+        left_ds.map_batches(widen(1), batch_format="pyarrow")
+        .union(right_ds.map_batches(widen(0), batch_format="pyarrow"))
+        .groupby("__pcol")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    return ray.data.from_arrow(_empty()).union(out)

@@ -169,3 +169,78 @@ def test_range_window_pairs_string_key():
     out = range_window_pairs(ray.data.from_arrow(t), by="sid", on="ts", window=10, id_col="eid")
     got = sorted(map(tuple, out.to_pandas()[["id_a", "id_b", "sid"]].to_numpy().tolist()))
     assert got == [(1, 2, "a"), (4, 5, "b")]
+
+
+def _brute_band(lrows, rrows, w):
+    """Reference: (lid, rid) for same-key pairs with |lt - rt| <= w."""
+    return sorted(
+        (li, ri)
+        for li, (lk, lt) in enumerate(lrows)
+        for ri, (rk, rt) in enumerate(rrows)
+        if lk == rk and abs(lt - rt) <= w
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=15),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=15),
+    st.integers(0, 6),
+)
+def test_band_join_ids_fuzz(lrows, rrows, w):
+    from fscrawler_ray.stages.joins import band_join_ids
+
+    left = pa.table(
+        {
+            "k": pa.array([r[0] for r in lrows], pa.int64()),
+            "t": pa.array([r[1] for r in lrows], pa.int64()),
+            "lid": pa.array(range(len(lrows)), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([r[0] for r in rrows], pa.int64()),
+            "t": pa.array([r[1] for r in rrows], pa.int64()),
+            "rid": pa.array(range(len(rrows)), pa.int64()),
+        }
+    )
+    out = band_join_ids(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        by_left="k",
+        by_right="k",
+        on_left="t",
+        on_right="t",
+        window=w,
+        left_id="lid",
+        right_id="rid",
+        n_partitions=3,
+    ).to_pandas()
+    # 0-row Datasets lose their schema through to_pandas (known Ray quirk)
+    got = sorted(zip(out["lid"], out["rid"])) if len(out) else []
+    assert got == _brute_band(lrows, rrows, w)
+
+
+def test_band_join_boundary_inclusive_and_key_separation():
+    """±window is inclusive BOTH ends; equal times on different keys never
+    pair (the composite-segment separation)."""
+    from fscrawler_ray.stages.joins import band_join_ids
+
+    left = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "t": pa.array([100, 100], pa.int64()),
+         "lid": pa.array([10, 20], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([1, 1, 1, 2], pa.int64()),
+         "t": pa.array([95, 105, 106, 100], pa.int64()),
+         "rid": pa.array([0, 1, 2, 3], pa.int64())}
+    )
+    out = band_join_ids(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by_left="k", by_right="k", on_left="t", on_right="t",
+        window=5, left_id="lid", right_id="rid",
+    ).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    # 95 and 105 are exactly ±window (kept); 106 is out; key 2 pairs only
+    # with key 2 despite the identical timestamp
+    assert got == [(10, 0), (10, 1), (20, 3)]
