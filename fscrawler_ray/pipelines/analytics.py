@@ -2243,3 +2243,96 @@ ORACLE_SQL["purchases_near_errors"] = (
     "AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR"
 )
 QUERIES["purchases_near_errors"] = q_purchases_near_errors
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (argmin join): for every part, the supplier(s)
+    offering its minimum line price.  The per-part float MIN is a
+    mergeable partial aggregate (block-level TableGroupBy min, then the
+    part-sized shuffle); the argmin itself is an equality join back
+    against the fact stream — the min is a data element copied bit-exact,
+    so the float == filter matches SQL exactly.  Ties all survive
+    (deterministic SET, no ranking boundary).  Price emitted as integer
+    cents for the value hash."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def p(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"l_partkey": b.column("l_partkey"), "v": b.column("l_extendedprice")}), ["l_partkey"]
+        ).aggregate([("v", "min")])
+        return pa.table({"l_partkey": g.column("l_partkey"), "v_p": g.column("v_min")})
+
+    mins = li.map_batches(p, batch_format="pyarrow").groupby("l_partkey").aggregate(Min("v_p"))
+    mins = _rename(mins, {"min(v_p)": "min_price"}).materialize()
+    j = join(li, mins, on="l_partkey", how="inner")
+
+    def argmin(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_extendedprice"), b.column("min_price")))
+        b = _cents(b, "min_price", "min_price_cents")
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey").cast(pa.int64()),
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "min_price_cents": b.column("min_price_cents"),
+            }
+        )
+
+    # a tying supplier may appear on several lines of the same part —
+    # dedup the (part, supplier) pairs like SQL's DISTINCT
+    out = grouped_sum(
+        j.map_batches(argmin, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey", "min_price_cents"],
+        {},
+        count_out="n",
+    )
+    return _select(out, ["l_partkey", "l_suppkey", "min_price_cents"])
+
+
+ORACLE_SQL["min_cost_supplier"] = (
+    "WITH m AS (SELECT l_partkey, min(l_extendedprice) AS mp FROM lineitem GROUP BY 1) "
+    "SELECT DISTINCT CAST(l.l_partkey AS BIGINT) AS l_partkey, CAST(l.l_suppkey AS BIGINT) AS l_suppkey, "
+    "CAST(round(m.mp*100) AS BIGINT) AS min_price_cents "
+    "FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.mp"
+)
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+
+
+def q_value_hour_moments(sf_dir: str):
+    """Bivariate CROSS moments per event type: n / Σx / Σy / Σxy over
+    (value-cents, hour-of-day) — the mergeable building block of
+    covariance/correlation (cov = (n·Σxy − Σx·Σy)/n²), emitted as raw
+    BIGINTs so the hash is bit-exact (a float corr would diverge from
+    DuckDB in the last ulp).  Same partial-aggregated shape as the
+    univariate q_value_moments_by_type."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def p(b: pa.Table) -> pa.Table:
+        cents = _cents(b, "value", "vc").column("vc")
+        hour = pc.hour(b.column("ts")).cast(pa.int64())
+        valid = pc.is_valid(cents)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "one": valid.cast(pa.int64()),
+                "x": pc.if_else(valid, cents, pa.scalar(0, pa.int64())),
+                "y": pc.if_else(valid, hour, pa.scalar(0, pa.int64())),
+                "xy": pc.if_else(valid, pc.multiply(cents, hour), pa.scalar(0, pa.int64())),
+            }
+        )
+
+    out = grouped_sum(
+        ev.map_batches(p, batch_format="pyarrow"),
+        ["event_type"],
+        {"one": "n", "x": "sum_x", "y": "sum_y", "xy": "sum_xy"},
+    )
+    return _select(out, ["event_type", "n", "sum_x", "sum_y", "sum_xy"])
+
+
+ORACLE_SQL["value_hour_moments"] = (
+    "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN value IS NULL THEN 0 ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS sum_x, "
+    "CAST(sum(CASE WHEN value IS NULL THEN 0 ELSE CAST(hour(ts) AS BIGINT) END) AS BIGINT) AS sum_y, "
+    "CAST(sum(CASE WHEN value IS NULL THEN 0 ELSE CAST(round(value*100) AS BIGINT) * CAST(hour(ts) AS BIGINT) END) AS BIGINT) AS sum_xy "
+    "FROM events GROUP BY event_type"
+)
+QUERIES["value_hour_moments"] = q_value_hour_moments

@@ -198,3 +198,47 @@ def test_orders_range30_gap_aware(tmp_path):
     assert list(df["mov30_cents"]) == expect
     # day 29 reaches back to day 0 (inclusive frame edge); day 31 does not
     assert df.loc[2, "mov30_cents"] == 600 and df.loc[3, "mov30_cents"] == 900
+
+
+def test_min_cost_supplier_ties_survive(tmp_path):
+    # part 1: suppliers 1 and 2 tie at the min (both kept, each once even
+    # though supplier 1 hits the min on two lines); part 2: single min.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 10.0, 10.0, 99.0, 7.5, 8.0]),
+        },
+    )
+    from fscrawler_ray.pipelines.analytics import q_min_cost_supplier
+
+    df = _rows(q_min_cost_supplier(str(tmp_path)))
+    got = sorted(map(tuple, df.itertuples(index=False)))
+    assert got == [(1, 1, 1000), (1, 2, 1000), (2, 4, 750)]
+
+
+def test_value_hour_moments_reconstruct_covariance(tmp_path):
+    import pandas as pd
+
+    ts = [_ts("2024-01-01T03:00"), _ts("2024-01-01T10:30"), _ts("2024-01-02T23:59")]
+    vals = [1.25, 2.0, None]
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_type": pa.array(["a", "a", "a"]),
+            "value": pa.array(vals, pa.float64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        },
+    )
+    from fscrawler_ray.pipelines.analytics import q_value_hour_moments
+
+    r = _rows(q_value_hour_moments(str(tmp_path))).iloc[0]
+    # null value drops from ALL moments (count(value) semantics)
+    assert (r["n"], r["sum_x"], r["sum_y"], r["sum_xy"]) == (2, 325, 13, 2375)
+    n, sx, sy, sxy = r["n"], r["sum_x"], r["sum_y"], r["sum_xy"]
+    cov = (n * sxy - sx * sy) / n**2
+    x = np.array([125, 200]); y = np.array([3, 10])
+    assert abs(cov - np.mean((x - x.mean()) * (y - y.mean()))) < 1e-9
