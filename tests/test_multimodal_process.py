@@ -20,15 +20,20 @@ from fscrawler_ray.stages.multimodal import (
 CFG = WebConfig(seed=19, n_hosts=4, max_depth=3, fanout_dirs=2, fanout_files=4)
 
 
+def _caps_by_id(t):
+    return dict(zip(t.column("image_id").to_pylist(), t.column("extracted_caption").to_pylist()))
+
+
 def test_caption_extract_stage():
     ds = images_dataset(32).map_batches(CaptionExtractStage, batch_format="pyarrow", batch_size=16, concurrency=2)
     t = ds.take_batch(32, batch_format="pyarrow")
-    caps = t.column("extracted_caption").to_pylist()
-    assert all(c and c.startswith("a ") for c in caps)
+    caps = _caps_by_id(t)
+    assert all(c and c.startswith("a ") for c in caps.values())
     assert 0.0 <= min(t.column("brightness").to_pylist())
-    # deterministic
+    # deterministic PER IMAGE — keyed by id, not row position: the actor
+    # pool's block completion order is not stable (preserve_order=False)
     t2 = images_dataset(32).map_batches(CaptionExtractStage, batch_format="pyarrow", batch_size=16, concurrency=2).take_batch(32, batch_format="pyarrow")
-    assert caps == t2.column("extracted_caption").to_pylist()
+    assert caps == _caps_by_id(t2)
 
 
 def test_audio_stage_fake_backend():
