@@ -2336,3 +2336,244 @@ ORACLE_SQL["value_hour_moments"] = (
     "FROM events GROUP BY event_type"
 )
 QUERIES["value_hour_moments"] = q_value_hour_moments
+
+
+def _rev_cents(b: pa.Table, out: str = "rev_cents") -> pa.Array:
+    """Per-line discounted revenue as integer cents (the round-per-line
+    discipline shared by every revenue query)."""
+    return pc.round(
+        pc.multiply(
+            pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+            pa.scalar(100.0),
+        ),
+        round_mode="half_towards_infinity",
+    ).cast(pa.int64())
+
+
+def q_small_qty_loss(sf_dir: str):
+    """TPC-H Q17 shape (correlated avg subquery): revenue locked up in
+    lines whose quantity is below 20% of their part's average.  The
+    fractional avg comparison is cross-multiplied into exact integers
+    (qty·5·n < Σqty — no float boundary can flip a row), the per-part
+    (n, Σqty) stats are a mergeable grouped_sum broadcast back through
+    the join front door, and the brand dim joins AFTER the selective
+    quantity filter so only qualifying lines carry it."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def units(b: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(b.column("l_quantity"), pa.scalar(100.0)), round_mode="half_towards_infinity")
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey").cast(pa.int64()),
+                "qty_units": q.cast(pa.int64()),
+                "l_extendedprice": b.column("l_extendedprice"),
+            }
+        )
+
+    liu = li.map_batches(units, batch_format="pyarrow")
+    stats = grouped_sum(liu.drop_columns(["l_extendedprice"]), ["l_partkey"], {"qty_units": "sum_units"}, count_out="n")
+    stats = stats.materialize()  # part-sized dim: let the front door size it
+    j = join(liu, stats, on="l_partkey", how="inner")
+
+    def low(b: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(pc.multiply(b.column("qty_units"), pa.scalar(5, pa.int64())), b.column("n")),
+            b.column("sum_units"),
+        )
+        b = b.filter(keep)
+        b = _cents(b, "l_extendedprice", "price_cents")
+        return pa.table({"l_partkey": b.column("l_partkey"), "price_cents": b.column("price_cents")})
+
+    lows = j.map_batches(low, batch_format="pyarrow")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    part = part.map_batches(
+        lambda b: pa.table({"l_partkey": b.column("p_partkey").cast(pa.int64()), "p_brand": b.column("p_brand")}),
+        batch_format="pyarrow",
+    ).materialize()
+    out = grouped_sum(join(lows, part, on="l_partkey", how="inner"), ["p_brand"], {"price_cents": "loss_cents"}, count_out="n_lines")
+    return _select(out, ["p_brand", "n_lines", "loss_cents"])
+
+
+ORACLE_SQL["small_qty_loss"] = (
+    "WITH s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_units FROM lineitem GROUP BY 1) "
+    "SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS loss_cents "
+    "FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE CAST(round(l.l_quantity*100) AS BIGINT) * 5 * s.n < s.sum_units "
+    "GROUP BY p.p_brand"
+)
+QUERIES["small_qty_loss"] = q_small_qty_loss
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (HAVING over a fact groupby, then dims): orders
+    whose total quantity exceeds 200 units, decorated with customer and
+    order dims, top-100 by price.  The only wide step is the order-keyed
+    grouped_sum; the surviving key set is HAVING-selective so it rides
+    the join front door as a broadcast dim; quantities stay integer
+    centi-units end to end."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def units(b: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(b.column("l_quantity"), pa.scalar(100.0)), round_mode="half_towards_infinity")
+        return pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "qty_units": q.cast(pa.int64())})
+
+    per_order = grouped_sum(li.map_batches(units, batch_format="pyarrow"), ["l_orderkey"], {"qty_units": "total_units"})
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b.column("total_units"), pa.scalar(20_000, pa.int64()))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "price_cents")
+        return pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "o_orderdate": b.column("o_orderdate"),
+                "price_cents": b.column("price_cents"),
+            }
+        )
+
+    j = join(orders.map_batches(prep, batch_format="pyarrow"), big, on="l_orderkey", how="inner")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey").cast(pa.int64()), "c_name": b.column("c_name")}),
+        batch_format="pyarrow",
+    ).materialize()
+    j = join(j, cust, on="o_custkey", how="inner")
+    out = j.sort(["price_cents", "l_orderkey"], descending=[True, False]).limit(100)
+    return _select(out, ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "price_cents", "total_units"])
+
+
+ORACLE_SQL["large_orders"] = (
+    "WITH big AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS total_units "
+    "FROM lineitem GROUP BY 1 HAVING total_units > 20000) "
+    "SELECT c.c_name, CAST(o.o_custkey AS BIGINT) AS o_custkey, CAST(o.o_orderkey AS BIGINT) AS l_orderkey, "
+    "o.o_orderdate, CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents, big.total_units "
+    "FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey JOIN customer c ON c.c_custkey = o.o_custkey "
+    "ORDER BY price_cents DESC, l_orderkey LIMIT 100"
+)
+QUERIES["large_orders"] = q_large_orders
+
+
+def q_rich_dormant_by_nation(sf_dir: str):
+    """TPC-H Q22 shape (scalar-subquery threshold + NOT EXISTS): customers
+    whose balance beats the average positive balance AND who made no
+    purchase (every testdata customer has orders, so the NOT EXISTS
+    runs against purchase events), rolled up by nation.  The global avg
+    is a two-number partial aggregate (Σ, n) broadcast as an exact
+    integer cross-multiply (bal·n > Σ — no float avg crosses the wire);
+    the NOT EXISTS is an anti-join against the distinct purchaser key
+    set through the front door."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal(b: pa.Table) -> pa.Table:
+        b = _cents(b, "c_acctbal", "bal_cents")
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "bal_cents": b.column("bal_cents"),
+            }
+        )
+
+    cb = cust.map_batches(bal, batch_format="pyarrow").materialize()
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        p = b.filter(pc.greater(b.column("bal_cents"), pa.scalar(0, pa.int64())))
+        return pa.table(
+            {"s": [pc.sum(p.column("bal_cents")).as_py() or 0], "n": pa.array([p.num_rows], pa.int64())}
+        )
+
+    parts = cb.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    s_total, n_total = int(parts["s"].sum()), int(parts["n"].sum())
+
+    def rich(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater(
+                pc.multiply(b.column("bal_cents"), pa.scalar(n_total, pa.int64())),
+                pa.scalar(s_total, pa.int64()),
+            )
+        )
+
+    rich_ds = cb.map_batches(rich, batch_format="pyarrow")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    keys = (
+        ev.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": pc.unique(
+                        b.filter(pc.equal(b.column("event_type"), "purchase")).column("user_id").cast(pa.int64())
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_custkey")
+        .count()
+        .map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
+        .materialize()
+    )
+    dormant = join(rich_ds, keys, on="c_custkey", how="anti")
+    out = grouped_sum(dormant, ["c_nationkey"], {"bal_cents": "total_bal_cents"}, count_out="n_cust")
+    return _select(out, ["c_nationkey", "n_cust", "total_bal_cents"])
+
+
+ORACLE_SQL["rich_dormant_by_nation"] = (
+    "WITH cb AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+    "CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer), "
+    "t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM cb WHERE bal_cents > 0) "
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents "
+    "FROM cb, t WHERE bal_cents * t.n > t.s "
+    "AND NOT EXISTS (SELECT 1 FROM events e WHERE e.event_type = 'purchase' AND e.user_id = cb.c_custkey) "
+    "GROUP BY c_nationkey"
+)
+QUERIES["rich_dormant_by_nation"] = q_rich_dormant_by_nation
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (argmax over an aggregate): the supplier(s) with
+    the maximum quarterly revenue.  Revenue is a supplier-keyed
+    grouped_sum in exact cents; the global max is a one-row aggregate;
+    ties survive via the integer equality filter (no ranking boundary);
+    the name dim joins only the winner rows."""
+    import datetime as dt
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)), pc.less(b.column("l_shipdate"), pa.scalar(hi))
+        )
+        b = b.filter(m)
+        return pa.table({"s_suppkey": b.column("l_suppkey").cast(pa.int64()), "rev_cents": _rev_cents(b)})
+
+    rev = grouped_sum(li.map_batches(prep, batch_format="pyarrow"), ["s_suppkey"], {"rev_cents": "total_revenue_cents"})
+    rev = rev.materialize()
+    mx = rev.max("total_revenue_cents")
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue_cents"), pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    sup = sup.map_batches(
+        lambda b: pa.table({"s_suppkey": b.column("s_suppkey").cast(pa.int64()), "s_name": b.column("s_name")}),
+        batch_format="pyarrow",
+    ).materialize()
+    out = join(winners, sup, on="s_suppkey", how="inner")
+    return _select(out, ["s_suppkey", "s_name", "total_revenue_cents"])
+
+
+ORACLE_SQL["top_supplier"] = (
+    "WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, "
+    "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_revenue_cents "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+    "SELECT r.s_suppkey, s.s_name, r.total_revenue_cents FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey "
+    "WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)"
+)
+QUERIES["top_supplier"] = q_top_supplier

@@ -242,3 +242,126 @@ def test_value_hour_moments_reconstruct_covariance(tmp_path):
     cov = (n * sxy - sx * sy) / n**2
     x = np.array([125, 200]); y = np.array([3, 10])
     assert abs(cov - np.mean((x - x.mean()) * (y - y.mean()))) < 1e-9
+
+
+def test_small_qty_loss_strict_fraction_boundary(tmp_path):
+    # part 1: avg qty = 10 → threshold 2.0; the qty==2 line is NOT below
+    # 20% (strict <), qty==1 is; part 2: single line never below its own avg.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "l_quantity": pa.array([18.0, 19.0, 2.0, 1.0, 5.0]),
+            "l_extendedprice": pa.array([10.0, 10.0, 10.0, 3.5, 10.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "part",
+        {"p_partkey": pa.array([1, 2], pa.int64()), "p_brand": pa.array(["B1", "B2"])},
+    )
+    from fscrawler_ray.pipelines.analytics import q_small_qty_loss
+
+    df = _rows(q_small_qty_loss(str(tmp_path)))
+    got = {r.p_brand: (r.n_lines, r.loss_cents) for r in df.itertuples()}
+    assert got == {"B1": (1, 350)}
+
+
+def test_large_orders_strict_threshold_and_dims(tmp_path):
+    # order 1 totals exactly 200 units (NOT > 200 — excluded); order 2
+    # crosses via two lines; order 3 is huge but loses the price sort.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 2, 2, 3], pa.int64()),
+            "l_quantity": pa.array([200.0, 150.0, 51.0, 300.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([10, 20, 30], pa.int64()),
+            "o_totalprice": pa.array([999.0, 50.0, 25.0]),
+            "o_orderdate": pa.array([_ts("2020-01-01")] * 3, pa.timestamp("us")),
+        },
+    )
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([10, 20, 30], pa.int64()),
+            "c_name": pa.array(["alice", "bob", "carol"]),
+        },
+    )
+    from fscrawler_ray.pipelines.analytics import q_large_orders
+
+    df = _rows(q_large_orders(str(tmp_path)))
+    assert list(df["l_orderkey"]) == [2, 3]  # price desc, order 1 excluded
+    assert list(df["c_name"]) == ["bob", "carol"]
+    assert list(df["total_units"]) == [20100, 30000]
+
+
+def test_rich_dormant_by_nation_avg_boundary(tmp_path):
+    # positive balances: 100, 300 → avg 200.  cust 1 (=200 exactly) NOT
+    # rich (strict >); cust 2 (300) rich but purchased; cust 3 (300) rich
+    # and dormant; cust 4 negative balance never rich.
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([7, 7, 7, 8], pa.int64()),
+            "c_acctbal": pa.array([2.0, 3.0, 3.0, -5.0]),
+        },
+    )
+    # positive-average base: cust1=200c, cust2=300c, cust3=300c, avg=800/3≈266.7
+    # → rich = {2, 3}; cust 2 purchases, cust 3 has only a click event.
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([2, 3], pa.int64()),
+            "event_type": pa.array(["purchase", "click"]),
+        },
+    )
+    from fscrawler_ray.pipelines.analytics import q_rich_dormant_by_nation
+
+    df = _rows(q_rich_dormant_by_nation(str(tmp_path)))
+    got = {r.c_nationkey: (r.n_cust, r.total_bal_cents) for r in df.itertuples()}
+    assert got == {7: (1, 300)}
+
+
+def test_top_supplier_ties_and_window_edges(tmp_path):
+    # suppliers 1 and 2 tie at max revenue inside the quarter; supplier 3's
+    # bigger line ships exactly at the exclusive upper bound (dropped), and
+    # supplier 4's at the inclusive lower bound (kept, but smaller).
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 100.0, 500.0, 40.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+            "l_shipdate": pa.array(
+                [_ts("1997-02-01"), _ts("1997-03-31"), _ts("1997-04-01"), _ts("1997-01-01")],
+                pa.timestamp("us"),
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "s_name": pa.array(["s1", "s2", "s3", "s4"]),
+        },
+    )
+    from fscrawler_ray.pipelines.analytics import q_top_supplier
+
+    df = _rows(q_top_supplier(str(tmp_path)))
+    got = sorted(zip(df["s_suppkey"], df["s_name"], df["total_revenue_cents"]))
+    assert got == [(1, "s1", 10000), (2, "s2", 10000)]
