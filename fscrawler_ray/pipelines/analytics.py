@@ -2577,3 +2577,125 @@ ORACLE_SQL["top_supplier"] = (
     "WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)"
 )
 QUERIES["top_supplier"] = q_top_supplier
+
+
+def q_customer_balance_windows(sf_dir: str, k: int = 4):
+    """Ranking-window family in one pass: ntile(k), percent_rank and
+    cume_dist per nation over balance cents.  Nations co-partition in one
+    shuffle; inside each group the three windows are a single sort plus
+    two searchsorted probes (competition rank = left probe, cume_dist =
+    right probe) — no per-row loop.  ntile follows the SQL-standard
+    remainder rule (first n%k tiles get the extra row); percent_rank and
+    cume_dist are exact small-integer divisions, bit-identical to
+    DuckDB's."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "c_acctbal", "bal_cents")
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "bal_cents": b.column("bal_cents"),
+            }
+        )
+
+    ds = cust.map_batches(prep, batch_format="pyarrow")
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bal_cents", "c_custkey"])
+        n = len(g)
+        vals = g["bal_cents"].to_numpy()
+        base, rem = divmod(n, k)
+        sizes = np.concatenate([np.full(rem, base + 1, np.int64), np.full(k - rem, base, np.int64)])
+        tile = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
+        rank = np.searchsorted(vals, vals, side="left") + 1  # competition rank (ties share)
+        cume = np.searchsorted(vals, vals, side="right")
+        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(),
+                "c_nationkey": g["c_nationkey"].to_numpy(),
+                "bal_cents": vals,
+                "quartile": tile,
+                "pr": pr,
+                "cd": cume / n,
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(windows, batch_format="pandas")
+
+
+ORACLE_SQL["customer_balance_windows"] = (
+    "WITH cb AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+    "CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer) "
+    "SELECT c_custkey, c_nationkey, bal_cents, "
+    "ntile(4) OVER (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey) AS quartile, "
+    "percent_rank() OVER (PARTITION BY c_nationkey ORDER BY bal_cents) AS pr, "
+    "cume_dist() OVER (PARTITION BY c_nationkey ORDER BY bal_cents) AS cd FROM cb"
+)
+QUERIES["customer_balance_windows"] = q_customer_balance_windows
+
+
+def q_lang_list_by_source(sf_dir: str):
+    """collect_list analog (SQL string_agg): the sorted distinct language
+    roster per source as one comma-joined string + its cardinality.  The
+    distinct (source, lang) pair set is the only wide step (pair-keyed
+    groupby); the roster assembly runs on the pair-sized survivors — at
+    10^10 docs the pair table is |sources|×|langs|, not |docs|."""
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    pairs = grouped_sum(docs, ["source", "lang"], {}, count_out="cnt")
+
+    def roster(g: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(g["lang"].tolist())
+        return pd.DataFrame({"source": [g["source"].iat[0]], "langs": [",".join(langs)], "n_langs": [len(langs)]})
+
+    out = pairs.groupby("source").map_groups(roster, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"source": b.column("source"), "langs": b.column("langs"), "n_langs": b.column("n_langs").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["lang_list_by_source"] = (
+    "WITH d AS (SELECT DISTINCT source, lang FROM documents) "
+    "SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs, CAST(count(*) AS BIGINT) AS n_langs "
+    "FROM d GROUP BY source"
+)
+QUERIES["lang_list_by_source"] = q_lang_list_by_source
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix over user event streams: count of each
+    (event_type → next event_type) adjacency under LEAD ordering
+    (ts, event_id).  Users co-partition once; the per-user kernel is a
+    sort + shift; the pair counts pre-aggregate per group before the tiny
+    (|types|²)-row final rollup."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        a = g["event_type"].to_numpy()
+        if len(a) < 2:
+            return pd.DataFrame({"a": [], "b": [], "n_partial": []})
+        df = pd.DataFrame({"a": a[:-1], "b": a[1:]})
+        out = df.groupby(["a", "b"], sort=False).size().reset_index(name="n_partial")
+        return out
+
+    partials = ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    out = partials.groupby(["a", "b"]).aggregate(Sum("n_partial"))
+    out = _rename(out, {"sum(n_partial)": "n"})
+    return out.map_batches(
+        lambda b: pa.table({"a": b.column("a"), "b": b.column("b"), "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["event_transitions"] = (
+    "WITH w AS (SELECT event_type AS a, "
+    "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b FROM events) "
+    "SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM w WHERE b IS NOT NULL GROUP BY a, b"
+)
+QUERIES["event_transitions"] = q_event_transitions

@@ -1,0 +1,79 @@
+"""Ranking windows (ntile / percent_rank / cume_dist), collect-list
+string_agg, and LEAD transition counts — semantics pinned on adversarial
+synthetic inputs (tie ranks, ntile remainder rule, single-row partitions,
+ts ties broken by event_id); the oracle sweep certifies SQL parity."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fscrawler_ray.pipelines.analytics import (
+    q_customer_balance_windows,
+    q_event_transitions,
+    q_lang_list_by_source,
+)
+
+
+def _write(tmp_path, name, cols):
+    pq.write_table(pa.table(cols), tmp_path / f"{name}.parquet")
+
+
+def _rows(res):
+    t = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if isinstance(t, pa.Table):
+        t = t.to_pandas()
+    return t
+
+
+def test_balance_windows_ties_remainder_singleton(tmp_path):
+    # nation 7: 5 rows over 4 tiles (remainder → first tile gets 2);
+    # two ties at 200 share competition rank; nation 8: single row (pr=0).
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5, 9], pa.int64()),
+            "c_nationkey": pa.array([7, 7, 7, 7, 7, 8], pa.int64()),
+            "c_acctbal": pa.array([1.0, 2.0, 2.0, 3.0, 4.0, 5.0]),
+        },
+    )
+    df = _rows(q_customer_balance_windows(str(tmp_path))).set_index("c_custkey").sort_index()
+    assert list(df["quartile"]) == [1, 1, 2, 3, 4, 1]
+    # ranks in nation 7: 1, 2, 2, 4, 5 → pr = (rank-1)/4
+    assert list(df["pr"]) == [0.0, 0.25, 0.25, 0.75, 1.0, 0.0]
+    # cume_dist: rows ≤ value over n
+    assert list(df["cd"]) == [0.2, 0.6, 0.6, 0.8, 1.0, 1.0]
+
+
+def test_lang_roster_sorted_distinct(tmp_path):
+    _write(
+        tmp_path,
+        "documents",
+        {
+            "source": pa.array(["s1", "s1", "s1", "s2"]),
+            "lang": pa.array(["fr", "en", "fr", "zh"]),
+        },
+    )
+    df = _rows(q_lang_list_by_source(str(tmp_path))).set_index("source")
+    assert df.loc["s1", "langs"] == "en,fr" and df.loc["s1", "n_langs"] == 2
+    assert df.loc["s2", "langs"] == "zh" and df.loc["s2", "n_langs"] == 1
+
+
+def test_event_transitions_tie_broken_by_event_id(tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: a→b→b (two ts-tied rows ordered by event_id); user 2: single
+    # event contributes nothing.
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": pa.array([10, 11, 12, 20], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([t0, t0 + dt.timedelta(seconds=1), t0 + dt.timedelta(seconds=1), t0], pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "b", "c"]),
+        },
+    )
+    df = _rows(q_event_transitions(str(tmp_path)))
+    got = {(r.a, r.b): r.n for r in df.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1}
