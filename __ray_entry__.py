@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         decontam,
         dedup,
+        editdist,
         formats,
         graph,
         index_sink,
@@ -383,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": textops.q_pack_sequences,
             "lm_score_docs": textops.q_lm_score_docs,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
+            "similar_part_names": editdist.q_similar_part_names,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
             "boilerplate_docs": decontam.q_boilerplate_docs,
@@ -398,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql = dict(ORACLE_SQL)
     from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
+    from fscrawler_ray.pipelines.editdist import ORACLE_SQL as EDITDIST_SQL
     from fscrawler_ray.pipelines.formats import ORACLE_SQL as FORMATS_SQL
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
     from fscrawler_ray.pipelines.sampling import ORACLE_SQL as SAMPLING_SQL
@@ -407,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(TEXT_SQL)
     sql.update(SAMPLING_SQL)
     sql.update(DECONTAM_SQL)
+    sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "

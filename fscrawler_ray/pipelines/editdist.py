@@ -1,0 +1,89 @@
+"""Fuzzy similarity join: near-miss name pairs by edit distance.
+
+The family's fourth verify kernel (exact-Jaccard, hamming/simhash,
+cosine — now Levenshtein).  Candidates co-partition by a blocking key in
+ONE shuffle; inside each block a length band (|Δlen| ≤ max_dist is a
+NECESSARY condition for lev ≤ max_dist) prunes the quadratic pair set
+before the vectorized DP (functions/editdist.levenshtein_pairs) runs.
+
+Scale posture: the block key bounds the quadratic term — at 10^10 rows
+you block on (brand, length-bucket) or an LSH bucket of the name's
+character n-grams, exactly like the MinHash pipeline's banding; the
+per-block kernel is unchanged.  Extends the reference's exact
+duplicate-finder (app/data_manager.py) to near-miss names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..functions.editdist import levenshtein_pairs
+
+
+def similar_name_pairs(
+    ds,
+    key: str,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+):
+    """All (id_a < id_b) pairs within each `key` block whose `name_col`
+    edit distance is ≤ max_dist.  Returns a Dataset with columns
+    (key, out_a, out_b, dist)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=g[key].dtype),
+                out_a: pd.Series([], dtype=np.int64),
+                out_b: pd.Series([], dtype=np.int64),
+                "dist": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        names = g[name_col].to_numpy(dtype=object)
+        ii, jj = np.triu_indices(len(g), k=1)
+        lens = np.array([len(x or "") for x in names], dtype=np.int64)
+        band = np.abs(lens[ii] - lens[jj]) <= max_dist
+        ii, jj = ii[band], jj[band]
+        if len(ii) == 0:
+            return empty
+        d = levenshtein_pairs(names[ii], names[jj])
+        m = d <= max_dist
+        return pd.DataFrame(
+            {
+                key: np.repeat(g[key].iat[0], int(m.sum())),
+                out_a: ids[ii[m]],
+                out_b: ids[jj[m]],
+                "dist": d[m],
+            }
+        )
+
+    return ds.groupby(key).map_groups(pairs, batch_format="pandas")
+
+
+def q_similar_part_names(sf_dir: str, max_dist: int = 2):
+    """Within-brand part-name near-miss pairs (fuzzy duplicate catalog
+    entries)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_name"])
+    return similar_name_pairs(
+        ds, key="p_brand", id_col="p_partkey", name_col="p_name",
+        max_dist=max_dist, out_a="partkey_a", out_b="partkey_b",
+    )
+
+
+ORACLE_SQL = {
+    "similar_part_names": (
+        "SELECT a.p_brand, CAST(a.p_partkey AS BIGINT) AS partkey_a, "
+        "CAST(b.p_partkey AS BIGINT) AS partkey_b, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2"
+    )
+}
