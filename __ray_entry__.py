@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "similar_part_names": editdist.q_similar_part_names,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
+            "dup_spans_docs": decontam.q_dup_spans_docs,
             "boilerplate_docs": decontam.q_boilerplate_docs,
         }
     )

@@ -225,6 +225,89 @@ def repetition_stats(ds, w: int = 2):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+_SPAN_SEED = 7741
+
+
+def _window_sites(b: pa.Table, window: int, stride: int):
+    """Aligned character-window sites for one batch → (doc_idx ROW indices,
+    pos, hash).  The loop is over WINDOW INDEX (≤ max_len/stride per
+    batch), each iteration one vectorized slice+hash over the whole
+    column — never a loop over rows."""
+    arr = b.column("text")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    nwin = np.where(lens >= window, (lens - window) // stride + 1, 0)
+    mx = int(nwin.max()) if len(nwin) else 0
+    rows, poss, hs = [], [], []
+    for i in range(mx):
+        start = i * stride
+        idx = np.flatnonzero(lens >= start + window)
+        sub = pc.utf8_slice_codeunits(arr.take(pa.array(idx, pa.int64())), start, start + window)
+        rows.append(idx)
+        poss.append(np.full(len(idx), start, np.int64))
+        hs.append(xxh64_batch(sub, seed=_SPAN_SEED))
+    if not rows:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64)
+    return np.concatenate(rows), np.concatenate(poss), np.concatenate(hs)
+
+
+def q_dup_spans_docs(sf_dir: str, window: int = 32, stride: int = 16, min_sites: int = 2):
+    """Exact substring-duplication SPANS (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better', char-window form): every
+    stride-aligned ``window``-char site whose text occurs at ≥2 sites
+    corpus-wide → (doc_id, pos).  Two streaming passes, neither
+    materializes the window table:
+
+    1. counts: per-batch partial counts of window hashes (np.unique) →
+       one hash-keyed groupby of 16-byte partials → the ≥2 keys
+       (duplicate-span-sized, the output's own scale) sort onto the
+       driver;
+    2. probe: recompute sites per batch, searchsorted against the
+       broadcast key set, emit only hit sites.
+
+    The gram-count twin is q_boilerplate_docs (token W-grams, counts per
+    doc); this one keeps POSITIONS so a downstream cut pass can excise
+    the span (the paper's actual intervention)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, h = _window_sites(b, window, stride)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64())})
+        hu, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": hu.view(np.int64), "c_p": cnt.astype(np.int64)})
+
+    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow").groupby("h").aggregate(Sum("c_p"))
+    parts = [
+        t.column("h").to_numpy(zero_copy_only=False)
+        for t in agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("sum(c_p)"), min_sites)).select(["h"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    dup = np.sort(np.concatenate(parts).view(np.uint64)) if parts else np.empty(0, np.uint64)
+    dup_ref = ray.put(dup)
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys = ray.get(dup_ref)
+        row, pos, h = _window_sites(b, window, stride)
+        if len(h) == 0 or len(keys) == 0:
+            return pa.table({"doc_id": b.column("doc_id").slice(0, 0), "pos": pa.array([], pa.int64())})
+        p = np.searchsorted(keys, h)
+        hit = (p < len(keys)) & (keys[np.minimum(p, len(keys) - 1)] == h)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(row[hit], pa.int64())).cast(pa.int64()),
+                "pos": pa.array(pos[hit], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+
 def q_decontam_hits(sf_dir: str, w: int = 8, mod: int = 97):
     return decontaminate(_docs(sf_dir), benchmark_gram_hashes(sf_dir, w=w, mod=mod), w=w)
 
@@ -250,6 +333,13 @@ ORACLE_SQL = {
         "bp AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3) "
         "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS bp_hits "
         "FROM grams g JOIN bp USING (g) GROUP BY g.doc_id"
+    ),
+    "dup_spans_docs": (
+        "WITH idx AS (SELECT doc_id, text, unnest(generate_series(0, (length(text)-32)//16)) AS i "
+        "FROM documents WHERE length(text) >= 32), "
+        "s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i*16 AS BIGINT) AS pos, "
+        "substr(text, CAST(i*16+1 AS BIGINT), 32) AS sh FROM idx) "
+        "SELECT doc_id, pos FROM s WHERE sh IN (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2)"
     ),
     "repetition_docs": (
         "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "

@@ -164,3 +164,54 @@ def test_boilerplate_partition_invariance():
         sets.append(tuple(boilerplate_gram_hashes(ds, w=3, min_docs=3).tolist()))
     assert sets[0] == sets[1] == sets[2]
     assert len(sets[0]) > 0
+
+
+def test_dup_spans_planted(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    from fscrawler_ray.pipelines.decontam import q_dup_spans_docs
+
+    shared = "X" * 16 + "Y" * 16  # one aligned 32-char window
+    # doc 1: shared at pos 0; doc 2: shared at pos 16 (stride-aligned);
+    # doc 3: intra-doc repeat of its own window at 0 and 32;
+    # doc 4: unique text, no hits; doc 5: too short for any window.
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        shared + "tail of doc one.....",
+                        "0123456789abcdef" + shared,
+                        "Z" * 32 + "Z" * 32,
+                        "completely unique text with no twin beyond here",
+                        "short",
+                    ]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = q_dup_spans_docs(str(tmp_path)).to_pandas()
+    got = sorted(zip(df["doc_id"], df["pos"]))
+    # doc 3's Z-run: windows at 0/16/32 are ALL "Z"*32 → three sites
+    assert got == [(1, 0), (2, 16), (3, 0), (3, 16), (3, 32)]
+
+
+def test_dup_spans_codepoint_alignment(tmp_path, ray_session):
+    """Window offsets count CODEPOINTS (DuckDB substr semantics), not
+    bytes: a 2-byte char before the shared span must not misalign it."""
+    import pyarrow.parquet as pq
+    from fscrawler_ray.pipelines.decontam import q_dup_spans_docs
+
+    span = "é" * 16 + "ü" * 16
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([span + "padpadpadpadpadp", "0123456789abcdef" + span]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = q_dup_spans_docs(str(tmp_path)).to_pandas()
+    assert sorted(zip(df["doc_id"], df["pos"])) == [(1, 0), (2, 16)]
