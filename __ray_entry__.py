@@ -81,7 +81,13 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         if sf_dir not in _written_cache:
             import shutil
 
-            cfg = _scale(sf_dir)
+            import dataclasses
+
+            # dup_rate up to 0.5 so mirror pairs EXIST at check scale (the
+            # written run is deliberately tiny; at 5% the 64 shared payload
+            # identities almost never collide across hosts) — payload
+            # identity only, the URL set and trace are untouched
+            cfg = dataclasses.replace(_scale(sf_dir), dup_rate=0.5)
             out = CRAWL_ROLLUP_DIR
             shutil.rmtree(out, ignore_errors=True)
             shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
@@ -96,6 +102,23 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         from fscrawler_ray.pipelines.crawl_report import host_rollup
 
         return host_rollup(_shared_written_run(sf_dir)).to_pandas()
+
+    def crawl_mirrors(sf_dir: str):
+        """Mirror-host pairs over the SAME written crawl output as
+        crawl_rollup, SQL-CHECKED: the oracle self-joins the distinct
+        (host, image_id) pairs of the written parquet.  Collected eagerly
+        for the same shared-dir reason as crawl_rollup."""
+        from fscrawler_ray.pipelines.crawl_report import mirror_hosts
+
+        import pyarrow as pa
+
+        out = _shared_written_run(sf_dir)
+        batches = list(mirror_hosts(out).iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return pa.table(
+                {"host_a": pa.array([], pa.string()), "host_b": pa.array([], pa.string()), "shared": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(batches)
 
     def crawl_rollup(sf_dir: str):
         """Crawl → partitioned parquet → Dataset rollup, SQL-CHECKED: the
@@ -194,6 +217,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,
+        "crawl_mirrors": crawl_mirrors,
         "host_pagerank": host_pagerank,
     }
 
@@ -413,6 +437,13 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_mirrors"] = (
+        "WITH d AS (SELECT DISTINCT host, image_id "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "
+        "SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared "
+        "FROM d a JOIN d b ON a.image_id = b.image_id AND a.host < b.host "
+        "GROUP BY a.host, b.host"
+    )
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "
         "CAST(sum(size) AS BIGINT) AS total_size "

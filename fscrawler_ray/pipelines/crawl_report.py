@@ -114,6 +114,42 @@ def empty_hosts(out_dir: str, trace: pa.Table):
     return crawled_hosts.filter(pa.array(mask))
 
 
+def mirror_hosts(out_dir: str, min_shared: int = 1):
+    """Mirror detection: host pairs serving the same content identity
+    (image_id — the payload hash the store dedups on), with shared-content
+    counts.  The web-scale mirror/CDN collapse signal: a crawler that
+    knows host A mirrors host B can skip B's frontier entirely.
+
+    Two wide steps, both content-keyed: a (host, image_id) pair-dedup
+    groupby, then per-image host-pair expansion inside map_groups (hosts
+    per content is mirror-count-sized, so the quadratic term is bounded);
+    the final pair count is a grouped_sum over pair keys.  Payload bytes
+    never shuffle — only (host, image_id) strings."""
+    import numpy as np
+    import pandas as pd
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(out_dir, columns=["host", "image_id"])
+    distinct = grouped_sum(ds, ["host", "image_id"], {}, count_out="cnt")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = np.sort(g["host"].to_numpy(dtype=object))
+        if len(hosts) < 2:
+            return pd.DataFrame({"host_a": pd.Series([], dtype=object), "host_b": pd.Series([], dtype=object)})
+        ia, ib = np.triu_indices(len(hosts), k=1)
+        return pd.DataFrame({"host_a": hosts[ia], "host_b": hosts[ib]})
+
+    per_img = distinct.groupby("image_id").map_groups(expand, batch_format="pandas")
+    out = grouped_sum(per_img, ["host_a", "host_b"], {}, count_out="shared")
+    return out.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("shared"), min_shared)).select(
+            ["host_a", "host_b", "shared"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def read_dead_letters(out_dir: str):
     """Per-row fetch failures recorded as data (the reference's errored-path
     log, crawling_queue_consumer.py:123-126) — sibling table of out_dir."""

@@ -107,3 +107,22 @@ def test_store_backend():
         store.write_table(t, d)
         keys = store.existing_keys(d, ["image_id", "size"])
         assert len(keys) == 4
+
+
+def test_mirror_hosts(tmp_path, ray_session):
+    """Planted mirrors: hosts a+b share two contents (one of them via a
+    DUPLICATE row on b — pair-dedup must count it once), a+c share one,
+    c+d share nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import mirror_hosts
+
+    rows = {
+        "host": ["a", "b", "b", "a", "b", "a", "c", "c", "d"],
+        "image_id": ["i1", "i1", "i1", "i2", "i2", "i3", "i3", "i4", "i5"],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "part-0.parquet")
+    df = mirror_hosts(str(tmp_path)).to_pandas()
+    got = {(r.host_a, r.host_b): r.shared for r in df.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1}
