@@ -97,6 +97,14 @@ class CrawlConfig:
     # absent from the dict crawl at full rate. Produced by
     # CrawlEngine.suggest_priorities() from the observed host link graph.
     host_priorities: dict | None = None
+    # crawler-trap guard: per-host (per route key when salted) discovery
+    # budget — a host generating unbounded distinct children (calendar
+    # pages, session-id URL spaces) stops being expanded past this many
+    # enqueued URLs; surplus children are counted in counters
+    # ["trap_dropped"] and the host lands in summary()["trapped_hosts"].
+    # None = unbounded (the default; politeness + max_depth still bound
+    # per-round work, this bounds the URL SPACE).
+    max_urls_per_host: int | None = None
     max_rounds: int = 64
     checkpoint_dir: str | None = None
     out_dir: str | None = None
@@ -440,6 +448,11 @@ class CrawlEngine:
                     f"politeness_capacity={cfg.politeness_capacity}): "
                     "the per-host rate bound could not be preserved"
                 )
+        if cfg.max_urls_per_host is not None and cfg.max_urls_per_host < 1:
+            raise ValueError(
+                f"max_urls_per_host={cfg.max_urls_per_host}: the trap budget "
+                "must be >= 1 (None disables it)"
+            )
         for h, w in (cfg.host_priorities or {}).items():
             if not (0.0 < float(w) <= 1.0):
                 raise ValueError(
@@ -472,6 +485,7 @@ class CrawlEngine:
                 seen_exact_max_inmem=cfg.seen_exact_max_inmem,
                 seen_shards=self.seen_shards,
                 host_priorities=cfg.host_priorities,
+                max_urls_per_host=cfg.max_urls_per_host,
             )
             for i in range(cfg.n_shards)
         ]
@@ -797,13 +811,17 @@ class CrawlEngine:
 
     def summary(self) -> dict:
         c = self.counters()
-        return {
+        out = {
             "rounds": self.round_no,
             "emitted": int(self.seq_offset),
             "result_rows": self.result_rows,
             "skipped_unchanged": self.skipped_unchanged,
             "counters": {k: v for k, v in c.items() if k != "per_shard"},
         }
+        if self.cfg.max_urls_per_host is not None:
+            trapped = ray.get([s.trapped_hosts.remote() for s in self.shards])
+            out["trapped_hosts"] = sorted({h for sub in trapped for h in sub})
+        return out
 
     # -- checkpoint / resume ------------------------------------------------
 

@@ -116,6 +116,7 @@ class FrontierShard:
         seen_exact_max_inmem: int = 1 << 22,
         seen_shards: list | None = None,
         host_priorities: dict | None = None,
+        max_urls_per_host: int | None = None,
     ):
         self.shard_id = shard_id
         self.web = make_source(web_cfg)  # any Source spec (SURVEY E1 gap fix)
@@ -134,6 +135,16 @@ class FrontierShard:
         # by the engine), so the per-host politeness bound is preserved by
         # construction; 1.0 / absent = full rate.
         self.host_priorities = {str(h): float(w) for h, w in (host_priorities or {}).items()}
+        # crawler-trap guard: per-ROUTE-KEY discovery budget (for salted
+        # hosts the budget divides across salts, like politeness). A host
+        # generating unbounded distinct children (calendar pages, session
+        # ids) hits the cap; its surplus children are dropped and counted,
+        # and the host is flagged. Deterministic w.r.t. n_shards: all URLs
+        # of a route key buffer at one shard, and per-host arrival order is
+        # the (parent_seq, child_idx)-sorted subsequence — shard-invariant.
+        self.max_urls_per_host = max_urls_per_host
+        self._host_discovered: dict[str, int] = {}
+        self._trapped: set[str] = set()
         self._tokens: dict[str, int] = {}  # tokens left after the host's last pop
         self._last_refill: dict[str, int] = {}  # round of that pop
         # key-sharded seen ownership (module docstring): with SeenService
@@ -166,6 +177,7 @@ class FrontierShard:
             "skipped_seen": 0,
             "containers": 0,
             "leaves": 0,
+            "trap_dropped": 0,
         }
 
     # -- enqueue path -------------------------------------------------------
@@ -180,10 +192,18 @@ class FrontierShard:
         new = self._check_and_add(keys)
         self.counters["skipped_seen"] += int((~new).sum())
         added = 0
+        cap = self.max_urls_per_host
         for i in np.flatnonzero(new):
             url = urls[i]
             host = url.split("://", 1)[1].split("/", 1)[0].lower()
             rkey = route_key(url, host, self.salt_hosts)
+            if cap is not None:
+                seen_n = self._host_discovered.get(rkey, 0)
+                if seen_n >= cap:
+                    self.counters["trap_dropped"] += 1
+                    self._trapped.add(host)
+                    continue
+                self._host_discovered[rkey] = seen_n + 1
             self.queues.setdefault(rkey, []).append((url, int(depths[i]), int(roots[i])))
             added += 1
         self.counters["enqueued"] += added
@@ -459,6 +479,10 @@ class FrontierShard:
     def get_counters(self) -> dict:
         return dict(self.counters, shard=self.shard_id, round=self.round, pending=self.pending_count())
 
+    def trapped_hosts(self) -> list[str]:
+        """Hosts that hit the discovery budget (crawler-trap suspects)."""
+        return sorted(self._trapped)
+
     def seen_keys(self) -> np.ndarray:
         assert self.seen is not None, "seen set is externalized; read the SeenService actors"
         return np.sort(self.seen.keys_array())
@@ -481,6 +505,8 @@ class FrontierShard:
             "buffer": list(self._buffer),
             "salt_hosts": dict(self.salt_hosts),
             "host_priorities": dict(self.host_priorities),
+            "host_discovered": dict(self._host_discovered),
+            "trapped": sorted(self._trapped),
         }
 
     def load_state(self, st: dict) -> None:
@@ -499,6 +525,9 @@ class FrontierShard:
         self._buffer = [tuple(t) for t in st["buffer"]]
         self.salt_hosts = dict(st.get("salt_hosts", {}))
         self.host_priorities = {str(h): float(w) for h, w in st.get("host_priorities", {}).items()}
+        self._host_discovered = dict(st.get("host_discovered", {}))
+        self._trapped = set(st.get("trapped", []))
+        self.counters.setdefault("trap_dropped", 0)
 
 
 def shard_of_host(host: str, n_shards: int) -> int:
