@@ -303,6 +303,11 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         out = caption_consistency(images_dataset(min(rows_for_sf(sf_dir), 1024)))
         return out
 
+    def images_aspect_buckets(sf_dir: str):
+        from fscrawler_ray.pipelines.image_corpus import aspect_buckets
+
+        return aspect_buckets(images_dataset(min(rows_for_sf(sf_dir), 2048)))
+
     def images_augment(sf_dir: str):
         from fscrawler_ray.stages.image_stages import augment_images
 
@@ -321,6 +326,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_thumbnails": images_thumbnails,
         "images_caption_extract": images_caption_extract,
         "images_augment": images_augment,
+        "images_aspect_buckets": images_aspect_buckets,
         "images_quality_filter": images_quality_filter,
         "images_caption_consistency": images_caption_consistency,
         "audio_features": audio_features,

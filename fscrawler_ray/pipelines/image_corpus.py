@@ -157,3 +157,77 @@ def _consistency_cls():
 
 
 _ConsistencyStage = _consistency_cls()
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (diffusion-training batch packing)
+# ---------------------------------------------------------------------------
+
+# NovelAI-style ratio ladder: every image joins the bucket whose aspect
+# is nearest in log space, so batches share a crop geometry
+ASPECT_LADDER = ((1, 1), (5, 4), (4, 5), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16))
+
+
+def _bucket_labels(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-log-ratio bucket label ('4:3', ...) per image."""
+    ladder = np.array([rw / rh for rw, rh in ASPECT_LADDER])
+    d = np.abs(np.log(w / h)[:, None] - np.log(ladder)[None, :])
+    labels = np.array([f"{rw}:{rh}" for rw, rh in ASPECT_LADDER], dtype=object)
+    return labels[d.argmin(axis=1)]
+
+
+def aspect_buckets(ds, batch_size: int = 16, range_hex: int = 6):
+    """Aspect-ratio bucketing: assign every image to its nearest-ratio
+    bucket, then pack each bucket into fixed-size training batches in
+    image_id order — the image twin of textops.pack_by_budget's two-level
+    scan, run PER BUCKET:
+
+    1. metadata stage (no decode): bucket label from (w, h), plus a range
+       key ``rng`` = leading hex of the image_id (lex-order-preserving, so
+       per-(bucket, rng) groups concatenate in global image_id order);
+    2. per-(bucket, rng) counts → driver-side exclusive cumsum per bucket
+       (range-table-sized) → broadcast offsets;
+    3. per-group local sort + arange + offset → global position in the
+       bucket → ``batch_idx`` = position // batch_size.
+
+    No global sort, no driver row loop; payload bytes never leave the
+    first projection.  Output: (image_id, bucket, batch_idx)."""
+    import pandas as pd
+
+    import ray as _ray
+
+    from .analytics import grouped_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = b.column("image_id")
+        rng = pc.binary_slice(ids.cast(pa.binary()), 4, 4 + range_hex).cast(pa.string())
+        return pa.table(
+            {
+                "image_id": ids,
+                "bucket": pa.array(_bucket_labels(w, h), pa.string()),
+                "rng": rng,
+            }
+        )
+
+    slim = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    totals = grouped_sum(slim, ["bucket", "rng"], {}, count_out="n").to_pandas()
+    totals = totals.sort_values(["bucket", "rng"]).reset_index(drop=True)
+    totals["off"] = totals.groupby("bucket")["n"].cumsum() - totals["n"]
+    offs_ref = _ray.put({(r.bucket, r.rng): int(r.off) for r in totals.itertuples()})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(offs_ref)
+        g = g.sort_values("image_id")
+        base = offs[(g["bucket"].iat[0], g["rng"].iat[0])]
+        pos = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "image_id": g["image_id"].to_numpy(),
+                "bucket": g["bucket"].to_numpy(),
+                "batch_idx": pos // batch_size,
+            }
+        )
+
+    return slim.groupby(["bucket", "rng"]).map_groups(pack, batch_format="pandas")

@@ -91,3 +91,34 @@ def test_caption_consistency_separates_aligned_from_random():
     )
     assert got["img0"] == 1.0
     assert got["img1"] == 0.0
+
+
+def test_aspect_bucket_labels():
+    import numpy as np
+
+    from fscrawler_ray.pipelines.image_corpus import _bucket_labels
+
+    w = np.array([100.0, 160.0, 90.0, 99.0, 200.0])
+    h = np.array([100.0, 90.0, 160.0, 100.0, 100.0])
+    # 200x100 (ratio 2.0) snaps to the ladder's widest bucket, 16:9
+    assert list(_bucket_labels(w, h)) == ["1:1", "16:9", "9:16", "1:1", "16:9"]
+
+
+def test_aspect_buckets_pack_deterministically(ray_session):
+    from fscrawler_ray.pipelines.image_corpus import aspect_buckets
+    from fscrawler_ray.sources.images import images_dataset
+
+    a = aspect_buckets(images_dataset(300, parallelism=2), batch_size=8).to_pandas()
+    b = aspect_buckets(images_dataset(300, parallelism=7), batch_size=8).to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)  # sharding-invariant assignment
+    # every batch is full (== batch_size) except at most the last per bucket
+    for bucket, g in a.groupby("bucket"):
+        sizes = g.groupby("batch_idx").size().sort_index()
+        assert (sizes.iloc[:-1] == 8).all() and sizes.iloc[-1] <= 8
+        # batch ids are dense from 0
+        assert list(sizes.index) == list(range(len(sizes)))
+    # within a bucket, batches follow image_id order
+    g = a[a["bucket"] == a["bucket"].iloc[0]].sort_values("image_id")
+    assert (g["batch_idx"].to_numpy() == sorted(g["batch_idx"].to_numpy())).all()
