@@ -2699,3 +2699,236 @@ ORACLE_SQL["event_transitions"] = (
     "SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM w WHERE b IS NOT NULL GROUP BY a, b"
 )
 QUERIES["event_transitions"] = q_event_transitions
+
+
+def q_returned_revenue_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape (returned-item ranking): revenue lost to returns
+    per customer inside a quarter, top-k.  Return-flag and date filters
+    apply before either join; the surviving order keys ride the front
+    door; one customer-keyed grouped sum, then the k-row sort."""
+    import datetime as dt
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    okeys = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.filter(
+                    pc.and_(
+                        pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                        pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+                    )
+                )
+                .column("o_orderkey")
+                .cast(pa.int64()),
+                "o_custkey": b.filter(
+                    pc.and_(
+                        pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                        pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+                    )
+                )
+                .column("o_custkey")
+                .cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        return pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "rev_cents": _rev_cents(b)})
+
+    j = join(li.map_batches(prep, batch_format="pyarrow"), okeys, on="l_orderkey", how="inner")
+    per_cust = grouped_sum(j, ["o_custkey"], {"rev_cents": "revenue_cents"})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_name": b.column("c_name"),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    out = join(per_cust, cust, on="o_custkey", how="inner")
+    out = out.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+    return _select(out, ["o_custkey", "c_name", "c_nationkey", "revenue_cents"])
+
+
+ORACLE_SQL["returned_revenue_customers"] = (
+    "SELECT CAST(o.o_custkey AS BIGINT) AS o_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey, "
+    "CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON c.c_custkey = o.o_custkey "
+    "WHERE l.l_returnflag = 'R' AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01' "
+    "GROUP BY o.o_custkey, c.c_name, c.c_nationkey ORDER BY revenue_cents DESC, o_custkey LIMIT 20"
+)
+QUERIES["returned_revenue_customers"] = q_returned_revenue_customers
+
+
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape (distribution of counts): how many customers
+    placed exactly N orders, INCLUDING the zero bucket.  Two tiny
+    cascaded grouped counts (orders → per-customer count → per-count
+    customers); the zero bucket is total-customers minus
+    customers-with-orders — one scalar, no outer join of the fact
+    table."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = grouped_sum(orders, ["o_custkey"], {}, count_out="c_count").materialize()
+    dist = grouped_sum(per_cust, ["c_count"], {}, count_out="custdist")
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_with = per_cust.count()
+    t = pa.concat_tables(
+        [b.select(["c_count", "custdist"]) for b in dist.iter_batches(batch_format="pyarrow")]
+    )
+    if n_customers > n_with:
+        t = pa.concat_tables(
+            [t, pa.table({"c_count": pa.array([0], pa.int64()), "custdist": pa.array([n_customers - n_with], pa.int64())})]
+        )
+    return t
+
+
+ORACLE_SQL["order_count_distribution"] = (
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+    "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+    "GROUP BY c_count"
+)
+QUERIES["order_count_distribution"] = q_order_count_distribution
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive multi-branch predicate): revenue from
+    three OR-ed (brand, size-range, quantity-range) branches.  The
+    quantity SUPERSET filter [1, 30] pushes down before the join; the
+    part dim carries only (brand, size); the branch disjunction evaluates
+    vectorized post-join.  One global two-number aggregate."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity")
+        b = b.filter(pc.and_(pc.greater_equal(q, pa.scalar(1.0)), pc.less_equal(q, pa.scalar(30.0))))
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey").cast(pa.int64()),
+                "l_quantity": b.column("l_quantity"),
+                "rev_cents": _rev_cents(b),
+            }
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b.column("p_partkey").cast(pa.int64()),
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = join(li.map_batches(prep, batch_format="pyarrow"), part, on="l_partkey", how="inner")
+
+    def branches(b: pa.Table) -> pa.Table:
+        q, br, sz = b.column("l_quantity"), b.column("p_brand"), b.column("p_size")
+
+        def leg(brand, smax, qlo, qhi):
+            return pc.and_(
+                pc.and_(pc.equal(br, brand), pc.less_equal(sz, pa.scalar(smax, pa.int64()))),
+                pc.and_(pc.greater_equal(q, pa.scalar(float(qlo))), pc.less_equal(q, pa.scalar(float(qhi)))),
+            )
+
+        keep = pc.or_(pc.or_(leg("Brand#12", 15, 1, 11), leg("Brand#23", 25, 10, 20)), leg("Brand#4", 50, 20, 30))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "n_lines": pa.array([t.num_rows], pa.int64()),
+                "rev_p": pa.array([pc.sum(t.column("rev_cents")).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts_t = j.map_batches(branches, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_lines": pa.array([int(parts_t["n_lines"].sum())], pa.int64()),
+            "revenue_cents": pa.array([int(parts_t["rev_p"].sum())], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["disjunctive_revenue"] = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey WHERE "
+    "(p.p_brand = 'Brand#12' AND p.p_size <= 15 AND l.l_quantity BETWEEN 1 AND 11) OR "
+    "(p.p_brand = 'Brand#23' AND p.p_size <= 25 AND l.l_quantity BETWEEN 10 AND 20) OR "
+    "(p.p_brand = 'Brand#4'  AND p.p_size <= 50 AND l.l_quantity BETWEEN 20 AND 30)"
+)
+QUERIES["disjunctive_revenue"] = q_disjunctive_revenue
+
+
+def q_late_sole_suppliers(sf_dir: str, late_days: int = 60):
+    """TPC-H Q21 shape (sole-blame correlated EXISTS, re-expressed as
+    aggregates): in multi-supplier orders where EXACTLY ONE supplier
+    shipped late (> orderdate + late_days), charge that supplier.  The
+    EXISTS/NOT-EXISTS pair collapses into per-order distinct counts:
+    (#suppliers, #late suppliers) — pair-dedup grouped MAX of the late
+    flag, then an order-keyed rollup, then one join back to pick the
+    guilty supplier rows.  Everything integer; every shuffle is keyed by
+    order or supplier."""
+    orders = _rename(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]), {"o_orderkey": "l_orderkey"}
+    ).materialize()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = join(li, orders, on="l_orderkey", how="inner")
+
+    def flag(b: pa.Table) -> pa.Table:
+        late = pc.greater(
+            b.column("l_shipdate"),
+            pc.add(b.column("o_orderdate"), pa.scalar(np.timedelta64(late_days * 86400, "s"))),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "late": late.cast(pa.int64()),
+            }
+        )
+
+    flagged = j.map_batches(flag, batch_format="pyarrow")
+    # distinct (order, supplier) with late = MAX over the pair's lines
+    pairs = flagged.groupby(["l_orderkey", "l_suppkey"]).aggregate(Max("late"))
+    pairs = _rename(pairs, {"max(late)": "late_any"}).materialize()
+    per_order = grouped_sum(pairs, ["l_orderkey"], {"late_any": "nl"}, count_out="ns")
+    guilty_orders = per_order.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater(b.column("ns"), pa.scalar(1, pa.int64())), pc.equal(b.column("nl"), pa.scalar(1, pa.int64())))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+    late_pairs = pairs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("late_any"), pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    culprit = join(late_pairs, guilty_orders, on="l_orderkey", how="semi")
+    out = grouped_sum(culprit, ["l_suppkey"], {}, count_out="numwait")
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    sup = sup.map_batches(
+        lambda b: pa.table({"l_suppkey": b.column("s_suppkey").cast(pa.int64()), "s_name": b.column("s_name")}),
+        batch_format="pyarrow",
+    ).materialize()
+    out = join(out, sup, on="l_suppkey", how="inner")
+    return _select(out, ["l_suppkey", "s_name", "numwait"])
+
+
+ORACLE_SQL["late_sole_suppliers"] = (
+    "WITH pairs AS (SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey, CAST(l.l_suppkey AS BIGINT) AS l_suppkey, "
+    "max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_any "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2), "
+    "per_order AS (SELECT l_orderkey, count(*) AS ns, sum(late_any) AS nl FROM pairs GROUP BY 1) "
+    "SELECT p.l_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM pairs p JOIN per_order o ON p.l_orderkey = o.l_orderkey JOIN supplier s ON s.s_suppkey = p.l_suppkey "
+    "WHERE p.late_any = 1 AND o.ns > 1 AND o.nl = 1 GROUP BY p.l_suppkey, s.s_name"
+)
+QUERIES["late_sole_suppliers"] = q_late_sole_suppliers

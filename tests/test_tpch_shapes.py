@@ -365,3 +365,77 @@ def test_top_supplier_ties_and_window_edges(tmp_path):
     df = _rows(q_top_supplier(str(tmp_path)))
     got = sorted(zip(df["s_suppkey"], df["s_name"], df["total_revenue_cents"]))
     assert got == [(1, "s1", 10000), (2, "s2", 10000)]
+
+
+def test_order_count_distribution_zero_bucket(tmp_path):
+    _write(tmp_path, "customer", {"c_custkey": pa.array([1, 2, 3, 4], pa.int64())})
+    # cust 1: 2 orders; cust 2: 1; cust 3+4: none → zero bucket = 2
+    _write(tmp_path, "orders", {"o_custkey": pa.array([1, 1, 2], pa.int64())})
+    from fscrawler_ray.pipelines.analytics import q_order_count_distribution
+
+    df = _rows(q_order_count_distribution(str(tmp_path)))
+    got = dict(zip(df["c_count"], df["custdist"]))
+    assert got == {2: 1, 1: 1, 0: 2}
+
+
+def test_late_sole_suppliers_blame_semantics(tmp_path):
+    base = _ts("2020-01-01")
+    late = _ts("2020-04-01")  # > 60 days after base
+    ontime = _ts("2020-01-15")
+    # order 1: suppliers 1 (late twice — counted once) + 2 (on time) → blame 1
+    # order 2: suppliers 1 and 2 BOTH late → nl=2, nobody blamed
+    # order 3: single supplier late → ns=1, excluded
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 1, 2, 9], pa.int64()),
+            "l_shipdate": pa.array([late, late, ontime, late, late, late], pa.timestamp("us")),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array([base, base, base], pa.timestamp("us")),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {"s_suppkey": pa.array([1, 2, 9], pa.int64()), "s_name": pa.array(["s1", "s2", "s9"])},
+    )
+    from fscrawler_ray.pipelines.analytics import q_late_sole_suppliers
+
+    df = _rows(q_late_sole_suppliers(str(tmp_path)))
+    assert [(r.l_suppkey, r.s_name, r.numwait) for r in df.itertuples()] == [(1, "s1", 1)]
+
+
+def test_disjunctive_revenue_branch_isolation(tmp_path):
+    # one line per branch, one line matching brand but failing its branch's
+    # quantity window (and every other branch), one superset-filter reject
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#4"]),
+            "p_size": pa.array([10, 20, 30], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 2, 3, 1, 1], pa.int64()),
+            "l_quantity": pa.array([5.0, 15.0, 25.0, 20.0, 40.0]),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 99.0, 99.0]),
+            "l_discount": pa.array([0.0, 0.5, 0.0, 0.0, 0.0]),
+        },
+    )
+    from fscrawler_ray.pipelines.analytics import q_disjunctive_revenue
+
+    df = _rows(q_disjunctive_revenue(str(tmp_path)))
+    assert (df["n_lines"].iat[0], df["revenue_cents"].iat[0]) == (3, 1000 + 1000 + 3000)
