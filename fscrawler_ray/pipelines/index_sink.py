@@ -406,7 +406,40 @@ def q_bm25_scores(sf_dir: str, terms: tuple = RANK_TERMS):
     )
 
 
+def q_bm25_topk(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10):
+    """BM25 retrieval top-k with a DETERMINISTIC ranking contract: scores
+    quantize to integer MICROS (floor(score·10⁶ + ½)) and rank by
+    (score_micro DESC, doc_id) — the quantized integer IS the spec, so
+    the k-boundary never rides a float ulp (the lesson of r03-session-4's
+    full-set bm25_scores, now upgraded to an actual top-k).  Candidate
+    scoring reuses q_bm25_scores' three streaming passes; the sort runs
+    over the candidate-sized score table."""
+    t = q_bm25_scores(sf_dir, terms=terms)
+    s = t.column("score").to_numpy(zero_copy_only=False)
+    micros = np.floor(s * 1e6 + 0.5).astype(np.int64)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, -micros))[:k]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.int64()), "score_micro": pa.array(micros[order], pa.int64())}
+    )
+
+
 ORACLE_SQL = {
+    "bm25_topk": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok "
+        "FROM documents), "
+        "kt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM kt "
+        "WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok), "
+        "n AS (SELECT count(*) AS nn, (SELECT count(*) FROM kt)::DOUBLE / count(*) AS avgdl FROM documents), "
+        "lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM kt GROUP BY doc_id), "
+        "scores AS (SELECT tf.doc_id, sum(ln((nn - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 "
+        "/ (tf + 1.2 * (0.25 + 0.75 * (len / avgdl)))) AS score "
+        "FROM tf JOIN df USING (tok) JOIN lens USING (doc_id), n GROUP BY tf.doc_id) "
+        "SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro "
+        "FROM scores ORDER BY score_micro DESC, doc_id LIMIT 10"
+    ),
     "bm25_scores": (
         "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok "
         "FROM documents), "

@@ -81,3 +81,33 @@ def test_bm25_longer_doc_scores_below_shorter_at_equal_tf(tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     got = q_bm25_scores(str(tmp_path)).to_pandas().set_index("doc_id")["score"]
     assert got[1] > got[2]  # length normalization penalizes the padded doc
+
+
+def test_bm25_topk_quantized_rank(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.index_sink import q_bm25_topk
+
+    # doc 1 mentions 'hash' 3x (short), doc 2 once (long), doc 3 never;
+    # docs 4+5 are identical → equal scores, tie broken by doc_id
+    texts = [
+        "hash hash hash",
+        "hash " + "filler " * 40,
+        "nothing relevant here",
+        "join merge",
+        "join merge",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()), "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    t = q_bm25_topk(str(tmp_path), k=3).to_pandas()
+    assert 3 not in set(t["doc_id"])  # non-matching doc absent
+    # ties quantize equal and resolve by doc_id: 4 before 5
+    if {4, 5} <= set(t["doc_id"]):
+        s = t.set_index("doc_id")["score_micro"]
+        assert s[4] == s[5]
+        assert list(t["doc_id"]).index(4) < list(t["doc_id"]).index(5)
+    assert (np.diff(t["score_micro"].to_numpy()) <= 0).all()  # descending
