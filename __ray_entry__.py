@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lm_score_docs": textops.q_lm_score_docs,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "similar_part_names": editdist.q_similar_part_names,
+            "name_triangles": editdist.q_name_triangles,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
             "dup_spans_docs": decontam.q_dup_spans_docs,

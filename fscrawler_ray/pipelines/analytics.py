@@ -2932,3 +2932,57 @@ ORACLE_SQL["late_sole_suppliers"] = (
     "WHERE p.late_any = 1 AND o.ns > 1 AND o.nl = 1 GROUP BY p.l_suppkey, s.s_name"
 )
 QUERIES["late_sole_suppliers"] = q_late_sole_suppliers
+
+
+def q_events_hopping(sf_dir: str, hop_min: int = 30, win_min: int = 60):
+    """HOPPING-window aggregate (60-min windows every 30 min): each event
+    lands in win/hop overlapping windows, so the map stage REPLICATES the
+    row once per covering window (the standard streaming-SQL lowering of
+    HOP to a flat-map + tumbling groupby) and one grouped_sum folds the
+    partials.  Window keys are integer epoch-microseconds — no timestamp
+    arithmetic crosses an engine boundary."""
+    assert win_min % hop_min == 0, "window must be a multiple of the hop"
+    hop_us = hop_min * 60_000_000
+    n_cover = win_min // hop_min
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def replicate(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "vc")
+        # null → 0 like the oracle's CASE, so an all-null window still
+        # sums to 0 instead of null
+        b = b.set_column(
+            b.schema.get_field_index("vc"),
+            "vc",
+            pc.fill_null(b.column("vc"), pa.scalar(0, pa.int64())),
+        )
+        w0 = pc.multiply(
+            pc.divide(b.column("ts").cast(pa.int64()), pa.scalar(hop_us, pa.int64())),
+            pa.scalar(hop_us, pa.int64()),
+        )
+        parts = []
+        for i in range(n_cover):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": b.column("event_type"),
+                        "win_us": pc.subtract(w0, pa.scalar(i * hop_us, pa.int64())),
+                        "vc": b.column("vc"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    agg = grouped_sum(ev.map_batches(replicate, batch_format="pyarrow"), ["event_type", "win_us"], {"vc": "total_cents"}, count_out="cnt")
+    return _select(agg, ["event_type", "win_us", "cnt", "total_cents"])
+
+
+ORACLE_SQL["events_hopping"] = (
+    "WITH w AS (SELECT event_type, "
+    "CASE WHEN value IS NULL THEN 0 ELSE CAST(round(value*100) AS BIGINT) END AS vc, "
+    "(epoch_us(ts)//1800000000)*1800000000 AS w0 FROM events), "
+    "b AS (SELECT event_type, vc, w0 AS win_us FROM w "
+    "UNION ALL SELECT event_type, vc, w0 - 1800000000 FROM w) "
+    "SELECT event_type, win_us, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(vc) AS BIGINT) AS total_cents FROM b GROUP BY event_type, win_us"
+)
+QUERIES["events_hopping"] = q_events_hopping

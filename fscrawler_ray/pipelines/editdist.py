@@ -79,7 +79,26 @@ def q_similar_part_names(sf_dir: str, max_dist: int = 2):
     )
 
 
+def q_name_triangles(sf_dir: str, max_dist: int = 2):
+    """Triangles in the within-brand name-similarity graph — cliques of
+    mutually near-miss catalog names (the fuzzy-dup cluster signal one
+    step above pairs).  Edges come from the fuzzy join; enumeration is
+    graph.triangles' distributed wedge-check."""
+    from .graph import triangles
+
+    pairs = q_similar_part_names(sf_dir, max_dist=max_dist)
+    out = triangles(pairs, a_col="partkey_a", b_col="partkey_b")
+    return out
+
+
 ORACLE_SQL = {
+    "name_triangles": (
+        "WITH e AS (SELECT CAST(a.p_partkey AS BIGINT) AS x, CAST(b.p_partkey AS BIGINT) AS y "
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2) "
+        "SELECT e1.x AS a, e1.y AS b, e2.y AS c "
+        "FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"
+    ),
     "similar_part_names": (
         "SELECT a.p_brand, CAST(a.p_partkey AS BIGINT) AS partkey_a, "
         "CAST(b.p_partkey AS BIGINT) AS partkey_b, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "

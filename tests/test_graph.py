@@ -142,3 +142,21 @@ def test_pagerank_star_center_wins():
     )
     r = pagerank(e).to_pandas().set_index("node")["rank"]
     assert r[0] > r[1] * 3
+
+
+def test_triangles_wedge_check(ray_session):
+    import ray as _ray
+
+    from fscrawler_ray.pipelines.graph import triangles
+
+    # K4 on {1,2,3,4} (4 triangles) + a dangling path 4-5-6 (none) +
+    # duplicate and reversed edges that must dedup/canonicalize away
+    edges = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 2, 3, 4, 5, 3, 2], pa.int64()),
+            "b": pa.array([2, 3, 4, 3, 4, 4, 5, 6, 1, 1], pa.int64()),
+        }
+    )
+    out = triangles(_ray.data.from_arrow(edges)).to_pandas()
+    got = sorted(map(tuple, out[["a", "b", "c"]].itertuples(index=False)))
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]

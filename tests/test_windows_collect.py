@@ -77,3 +77,28 @@ def test_event_transitions_tie_broken_by_event_id(tmp_path):
     df = _rows(q_event_transitions(str(tmp_path)))
     got = {(r.a, r.b): r.n for r in df.itertuples()}
     assert got == {("a", "b"): 1, ("b", "b"): 1}
+
+
+def test_events_hopping_window_coverage(tmp_path):
+    # an event at minute 45 covers windows starting at :30 and :00; an
+    # event exactly on a hop boundary covers its own window and the prior
+    t0 = dt.datetime(2024, 1, 1, 0, 45)
+    t1 = dt.datetime(2024, 1, 1, 1, 0)
+    pq_cols = {
+        "event_type": pa.array(["x", "x"]),
+        "ts": pa.array([t0, t1], pa.timestamp("us")),
+        "value": pa.array([1.0, None], pa.float64()),
+    }
+    pq.write_table(pa.table(pq_cols), tmp_path / "events.parquet")
+    from fscrawler_ray.pipelines.analytics import q_events_hopping
+
+    df = _rows(q_events_hopping(str(tmp_path))).sort_values("win_us").reset_index(drop=True)
+    base = int(dt.datetime(2024, 1, 1).timestamp() * 1e6)
+    m30 = 1_800_000_000
+    got = {int(r.win_us): (r.cnt, r.total_cents) for r in df.itertuples()}
+    # windows: 0:00(covers 0:45? window [start, start+60) → 0:00 window covers 0:45 ✓)
+    assert got == {
+        base + 0 * m30: (1, 100),   # event@0:45 (window 0:00-1:00)
+        base + 1 * m30: (2, 100),   # both events (0:30-1:30)
+        base + 2 * m30: (1, 0),     # null-value event@1:00 (1:00-2:00)
+    }
