@@ -2986,3 +2986,138 @@ ORACLE_SQL["events_hopping"] = (
     "CAST(sum(vc) AS BIGINT) AS total_cents FROM b GROUP BY event_type, win_us"
 )
 QUERIES["events_hopping"] = q_events_hopping
+
+
+def _nation_map(sf_dir: str, key_out: str, name_out: str) -> pa.Table:
+    t = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    return pa.table({key_out: t.column("n_nationkey").cast(pa.int64()), name_out: t.column("n_name")})
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape (two-sided dimension decoration): shipped revenue
+    between every ORDERED (supplier nation → customer nation) pair per
+    ship-year, cross-border only.  The supplier→nation and nation-name
+    maps are guaranteed broadcasts; the orders hop re-keys the fact
+    stream through the front door; ONE grouped sum at the
+    (25×25×years)-row grain."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "s_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "ship_year": pc.year(b.column("l_shipdate")).cast(pa.int64()),
+                "rev_cents": _rev_cents(b),
+            }
+        )
+
+    sup = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sup_nat = pa.table(
+        {"s_suppkey": sup.column("s_suppkey").cast(pa.int64()), "nk": sup.column("s_nationkey").cast(pa.int64())}
+    ).join(_nation_map(sf_dir, "nk", "supp_nation"), keys="nk").drop_columns(["nk"])
+    j = join(li.map_batches(prep, batch_format="pyarrow"), sup_nat, on="s_suppkey", how="inner")
+    orders = _rename(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]), {"o_orderkey": "l_orderkey"}
+    )
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "c_custkey": b.column("o_custkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = join(j, orders, on="l_orderkey", how="inner")
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_nat = pa.table(
+        {"c_custkey": cust.column("c_custkey").cast(pa.int64()), "nk": cust.column("c_nationkey").cast(pa.int64())}
+    ).join(_nation_map(sf_dir, "nk", "cust_nation"), keys="nk").drop_columns(["nk"])
+    j = join(j, cust_nat, on="c_custkey", how="inner")
+    j = j.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("supp_nation"), b.column("cust_nation"))),
+        batch_format="pyarrow",
+    )
+    out = grouped_sum(j, ["supp_nation", "cust_nation", "ship_year"], {"rev_cents": "revenue_cents"})
+    return _select(out, ["supp_nation", "cust_nation", "ship_year", "revenue_cents"])
+
+
+ORACLE_SQL["nation_trade_volume"] = (
+    "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+    "CAST(year(l.l_shipdate) AS BIGINT) AS ship_year, "
+    "CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+    "WHERE ns.n_name <> nc.n_name GROUP BY 1, 2, 3"
+)
+QUERIES["nation_trade_volume"] = q_nation_trade_volume
+
+
+def q_market_share(sf_dir: str, region: str = "EUROPE"):
+    """TPC-H Q8 shape (share-of-total): per ship-year, each supplier
+    nation's revenue into one customer REGION, alongside the year total —
+    numerator and denominator emitted as raw integer cents (the share is
+    their quotient; a float share would cost the exact hash).  The year
+    totals are a second, years-sized aggregate joined back broadcast."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "s_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "ship_year": pc.year(b.column("l_shipdate")).cast(pa.int64()),
+                "rev_cents": _rev_cents(b),
+            }
+        )
+
+    # customers of the region — semi-prune orders before the fact join
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = _read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    reg_keys = set(
+        reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey").to_pylist()
+    )
+    nat_keys = nat.filter(
+        pc.is_in(nat.column("n_regionkey"), value_set=pa.array(sorted(reg_keys), nat.column("n_regionkey").type))
+    ).column("n_nationkey")
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_in = cust.filter(pc.is_in(cust.column("c_nationkey"), value_set=nat_keys))
+    cust_dim = pa.table({"c_custkey": cust_in.column("c_custkey").cast(pa.int64())})
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b.column("o_orderkey").cast(pa.int64()), "c_custkey": b.column("o_custkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    okeys = join(orders, cust_dim, on="c_custkey", how="semi").drop_columns(["c_custkey"]).materialize()
+    j = join(li.map_batches(prep, batch_format="pyarrow"), okeys, on="l_orderkey", how="semi")
+    sup = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sup_nat = pa.table(
+        {"s_suppkey": sup.column("s_suppkey").cast(pa.int64()), "nk": sup.column("s_nationkey").cast(pa.int64())}
+    ).join(_nation_map(sf_dir, "nk", "supp_nation"), keys="nk").drop_columns(["nk"])
+    j = join(j, sup_nat, on="s_suppkey", how="inner")
+    per = grouped_sum(j, ["ship_year", "supp_nation"], {"rev_cents": "nation_cents"}).materialize()
+    totals = grouped_sum(per, ["ship_year"], {"nation_cents": "year_cents"})
+    totals_t = pa.concat_tables(
+        [b.select(["ship_year", "year_cents"]) for b in totals.iter_batches(batch_format="pyarrow")]
+    )
+    out = join(per, totals_t, on="ship_year", how="inner")
+    return _select(out, ["ship_year", "supp_nation", "nation_cents", "year_cents"])
+
+
+ORACLE_SQL["market_share"] = (
+    "WITH base AS (SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year, ns.n_name AS supp_nation, "
+    "CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rc "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+    "JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'EUROPE' "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation ns ON ns.n_nationkey = s.s_nationkey) "
+    "SELECT ship_year, supp_nation, CAST(sum(rc) AS BIGINT) AS nation_cents, "
+    "CAST(sum(sum(rc)) OVER (PARTITION BY ship_year) AS BIGINT) AS year_cents "
+    "FROM base GROUP BY ship_year, supp_nation"
+)
+QUERIES["market_share"] = q_market_share

@@ -439,3 +439,73 @@ def test_disjunctive_revenue_branch_isolation(tmp_path):
 
     df = _rows(q_disjunctive_revenue(str(tmp_path)))
     assert (df["n_lines"].iat[0], df["revenue_cents"].iat[0]) == (3, 1000 + 1000 + 3000)
+
+
+def test_nation_trade_volume_cross_border_only(tmp_path):
+    _write(tmp_path, "nation", {
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["NA", "NB"]),
+    })
+    _write(tmp_path, "supplier", {
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    })
+    _write(tmp_path, "customer", {
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_nationkey": pa.array([0, 1], pa.int64()),
+    })
+    _write(tmp_path, "orders", {
+        "o_orderkey": pa.array([100, 200], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+    })
+    # line 1: supp NA → cust NB (cross); line 2: supp NB → cust NB (domestic, dropped)
+    _write(tmp_path, "lineitem", {
+        "l_orderkey": pa.array([200, 200], pa.int64()),
+        "l_suppkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 99.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+        "l_shipdate": pa.array([_ts("1997-05-01")] * 2, pa.timestamp("us")),
+    })
+    from fscrawler_ray.pipelines.analytics import q_nation_trade_volume
+
+    df = _rows(q_nation_trade_volume(str(tmp_path)))
+    assert [(r.supp_nation, r.cust_nation, r.ship_year, r.revenue_cents) for r in df.itertuples()] == [
+        ("NA", "NB", 1997, 1000)
+    ]
+
+
+def test_market_share_totals_close(tmp_path):
+    _write(tmp_path, "region", {
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["EUROPE", "ASIA"]),
+    })
+    _write(tmp_path, "nation", {
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["N0", "N1", "N2"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    })
+    _write(tmp_path, "supplier", {
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    })
+    # cust 10 in EUROPE; cust 30 in ASIA (its order excluded entirely)
+    _write(tmp_path, "customer", {
+        "c_custkey": pa.array([10, 30], pa.int64()),
+        "c_nationkey": pa.array([0, 2], pa.int64()),
+    })
+    _write(tmp_path, "orders", {
+        "o_orderkey": pa.array([100, 300], pa.int64()),
+        "o_custkey": pa.array([10, 30], pa.int64()),
+    })
+    _write(tmp_path, "lineitem", {
+        "l_orderkey": pa.array([100, 100, 300], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 30.0, 99.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array([_ts("1997-05-01")] * 3, pa.timestamp("us")),
+    })
+    from fscrawler_ray.pipelines.analytics import q_market_share
+
+    df = _rows(q_market_share(str(tmp_path))).sort_values("supp_nation").reset_index(drop=True)
+    assert list(df["nation_cents"]) == [1000, 3000]
+    assert list(df["year_cents"]) == [4000, 4000]  # denominator shared per year
