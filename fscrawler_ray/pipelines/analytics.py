@@ -2579,51 +2579,71 @@ ORACLE_SQL["top_supplier"] = (
 QUERIES["top_supplier"] = q_top_supplier
 
 
-def q_customer_balance_windows(sf_dir: str, k: int = 4):
+def q_customer_balance_windows(sf_dir: str, k: int = 4, bucket_cents: int = 100_000):
     """Ranking-window family in one pass: ntile(k), percent_rank and
-    cume_dist per nation over balance cents.  Nations co-partition in one
-    shuffle; inside each group the three windows are a single sort plus
-    two searchsorted probes (competition rank = left probe, cume_dist =
-    right probe) — no per-row loop.  ntile follows the SQL-standard
-    remainder rule (first n%k tiles get the extra row); percent_rank and
-    cume_dist are exact small-integer divisions, bit-identical to
-    DuckDB's."""
+    cume_dist per nation over balance cents — via the TWO-LEVEL SCAN, not
+    a whole-partition map_groups (a nation is corpus/25 at 10^10 rows; no
+    task may hold one).  Rows bucket by VALUE RANGE (bal_cents //
+    bucket_cents — a prefix of the sort order, and ties can never span a
+    bucket), per-(nation, bucket) counts roll up small, the driver
+    broadcasts exclusive offsets + nation totals, and each bounded bucket
+    group computes its rows' global positions locally:
+
+    - ntile(k) = SQL remainder rule on the global position;
+    - percent_rank = (global first-occurrence rank − 1)/(n − 1) — the
+      first occurrence is bucket-local because ties stay in-bucket;
+    - cume_dist = global right-edge / n.
+    All divisions are exact small-integer / small-integer, bit-identical
+    to DuckDB's."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
 
     def prep(b: pa.Table) -> pa.Table:
         b = _cents(b, "c_acctbal", "bal_cents")
+        bkt = np.floor_divide(
+            b.column("bal_cents").to_numpy(zero_copy_only=False), bucket_cents
+        )
         return pa.table(
             {
                 "c_custkey": b.column("c_custkey").cast(pa.int64()),
                 "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
                 "bal_cents": b.column("bal_cents"),
+                "bkt": pa.array(bkt, pa.int64()),
             }
         )
 
-    ds = cust.map_batches(prep, batch_format="pyarrow")
+    pre = cust.map_batches(prep, batch_format="pyarrow").materialize()
+    stats = grouped_sum(pre, ["c_nationkey", "bkt"], {}, count_out="n").to_pandas()
+    stats = stats.sort_values(["c_nationkey", "bkt"]).reset_index(drop=True)
+    stats["off"] = stats.groupby("c_nationkey")["n"].cumsum() - stats["n"]
+    offs = {(r.c_nationkey, r.bkt): int(r.off) for r in stats.itertuples()}
+    tots = stats.groupby("c_nationkey")["n"].sum().astype("int64").to_dict()
+    state_ref = ray.put((offs, tots))
 
     def windows(g: pd.DataFrame) -> pd.DataFrame:
+        offs_, tots_ = ray.get(state_ref)
         g = g.sort_values(["bal_cents", "c_custkey"])
-        n = len(g)
+        nation, bkt = int(g["c_nationkey"].iat[0]), int(g["bkt"].iat[0])
+        base = offs_[(nation, bkt)]
+        n = tots_[nation]
         vals = g["bal_cents"].to_numpy()
-        base, rem = divmod(n, k)
-        sizes = np.concatenate([np.full(rem, base + 1, np.int64), np.full(k - rem, base, np.int64)])
-        tile = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
-        rank = np.searchsorted(vals, vals, side="left") + 1  # competition rank (ties share)
-        cume = np.searchsorted(vals, vals, side="right")
-        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        pos = base + np.arange(len(g), dtype=np.int64)
+        q, rem = divmod(n, k)
+        tile = np.where(pos < rem * (q + 1), pos // (q + 1), rem + (pos - rem * (q + 1)) // max(q, 1)) + 1
+        rank = base + np.searchsorted(vals, vals, side="left") + 1
+        cume = base + np.searchsorted(vals, vals, side="right")
+        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(len(g))
         return pd.DataFrame(
             {
                 "c_custkey": g["c_custkey"].to_numpy(),
                 "c_nationkey": g["c_nationkey"].to_numpy(),
                 "bal_cents": vals,
-                "quartile": tile,
+                "quartile": tile.astype(np.int64),
                 "pr": pr,
                 "cd": cume / n,
             }
         )
 
-    return ds.groupby("c_nationkey").map_groups(windows, batch_format="pandas")
+    return pre.groupby(["c_nationkey", "bkt"]).map_groups(windows, batch_format="pandas")
 
 
 ORACLE_SQL["customer_balance_windows"] = (

@@ -102,3 +102,42 @@ def test_events_hopping_window_coverage(tmp_path):
         base + 1 * m30: (2, 100),   # both events (0:30-1:30)
         base + 2 * m30: (1, 0),     # null-value event@1:00 (1:00-2:00)
     }
+
+
+def test_balance_windows_cross_bucket_scan(tmp_path):
+    """Force the two-level scan across MANY value buckets (bucket_cents=100)
+    and check against the single-partition brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 60
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    nat = (keys % 3).astype(np.int64)
+    bal = rng.integers(-300, 300, n) / 100.0  # cents span several 100-buckets
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(keys), "c_nationkey": pa.array(nat), "c_acctbal": pa.array(bal)}),
+        tmp_path / "customer.parquet",
+    )
+    from fscrawler_ray.pipelines.analytics import q_customer_balance_windows
+
+    df = _rows(q_customer_balance_windows(str(tmp_path), bucket_cents=100)).sort_values("c_custkey")
+    # brute force per nation
+    import pandas as pd
+
+    cents = np.round(bal * 100).astype(np.int64)
+    ref = pd.DataFrame({"k": keys, "nat": nat, "c": cents})
+    for _, g in ref.groupby("nat"):
+        g = g.sort_values(["c", "k"]).reset_index(drop=True)
+        m = len(g)
+        q, rem = divmod(m, 4)
+        sizes = [q + 1] * rem + [q] * (4 - rem)
+        tile = np.repeat(np.arange(1, 5), sizes)[:m]
+        vals = g["c"].to_numpy()
+        rank = np.searchsorted(vals, vals, "left") + 1
+        cume = np.searchsorted(vals, vals, "right")
+        sub = df[df["c_nationkey"] == g["nat"].iat[0]].set_index("c_custkey")
+        for i, row in g.iterrows():
+            got = sub.loc[row["k"]]
+            assert got["quartile"] == tile[i]
+            assert got["pr"] == ((rank[i] - 1) / (m - 1) if m > 1 else 0.0)
+            assert got["cd"] == cume[i] / m
