@@ -112,6 +112,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "funnel_stages",
         "top_tokens_by_lang",
         "images_quality_filter",
+        # session-6 families
+        "similar_part_names",
+        "name_triangles",
+        "dup_spans_docs",
+        "events_hopping",
+        "late_sole_suppliers",
+        "nation_trade_volume",
+        "customer_balance_windows",
+        "images_aspect_buckets",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -97,8 +97,9 @@ class CrawlConfig:
     # absent from the dict crawl at full rate. Produced by
     # CrawlEngine.suggest_priorities() from the observed host link graph.
     host_priorities: dict | None = None
-    # crawler-trap guard: per-host (per route key when salted) discovery
-    # budget — a host generating unbounded distinct children (calendar
+    # crawler-trap guard: per-host discovery budget (a salted host's k
+    # queues each get max(1, cap // k), so the host total stays ≈ cap)
+    # — a host generating unbounded distinct children (calendar
     # pages, session-id URL spaces) stops being expanded past this many
     # enqueued URLs; surplus children are counted in counters
     # ["trap_dropped"] and the host lands in summary()["trapped_hosts"].
@@ -196,6 +197,26 @@ def _reroute_frontier_states(states: list[dict], new_salts: dict, n_shards: int,
             tokens[sid][rkey] = tok
             if rkey in st.get("last_refill", {}):
                 refills[sid][rkey] = st["last_refill"][rkey]
+    # trap accounting follows the plan change: aggregate consumed budget
+    # per TRUE host, then redistribute over the new route keys (ceil-split
+    # per salt), so re-salting can never hand a trapped host fresh budget
+    disc_by_host: dict[str, int] = {}
+    trapped_all: set = set()
+    for st in states:
+        for rkey, c in st.get("host_discovered", {}).items():
+            h0 = true_host(rkey)
+            disc_by_host[h0] = disc_by_host.get(h0, 0) + int(c)
+        trapped_all.update(st.get("trapped", []))
+    discovered: list[dict] = [{} for _ in range(n_shards)]
+    for h0, total in disc_by_host.items():
+        k = int(new_salts.get(h0, 1))
+        if k <= 1:
+            discovered[shard_of_host(h0, n_shards)][h0] = total
+        else:
+            per = -(-total // k)
+            for j in range(k):
+                rk = f"{h0}#{j}"
+                discovered[shard_of_host(rk, n_shards)][rk] = per
     out = []
     for i, st in enumerate(states):
         st = dict(st)
@@ -204,6 +225,8 @@ def _reroute_frontier_states(states: list[dict], new_salts: dict, n_shards: int,
         st["tokens"] = tokens[i]
         st["last_refill"] = refills[i]
         st["salt_hosts"] = dict(new_salts)
+        st["host_discovered"] = discovered[i]
+        st["trapped"] = sorted(trapped_all)
         out.append(st)
     return out
 

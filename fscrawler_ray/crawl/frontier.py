@@ -135,8 +135,9 @@ class FrontierShard:
         # by the engine), so the per-host politeness bound is preserved by
         # construction; 1.0 / absent = full rate.
         self.host_priorities = {str(h): float(w) for h, w in (host_priorities or {}).items()}
-        # crawler-trap guard: per-ROUTE-KEY discovery budget (for salted
-        # hosts the budget divides across salts, like politeness). A host
+        # crawler-trap guard: per-host discovery budget, tracked per ROUTE
+        # KEY with a per-salt share of max(1, cap // k) — like politeness,
+        # so a salted host's total budget stays ≈ cap instead of k·cap. A host
         # generating unbounded distinct children (calendar pages, session
         # ids) hits the cap; its surplus children are dropped and counted,
         # and the host is flagged. Deterministic w.r.t. n_shards: all URLs
@@ -198,8 +199,10 @@ class FrontierShard:
             host = url.split("://", 1)[1].split("/", 1)[0].lower()
             rkey = route_key(url, host, self.salt_hosts)
             if cap is not None:
+                k = int(self.salt_hosts.get(host, 1)) if self.salt_hosts else 1
+                rcap = max(1, cap // k) if k > 1 else cap
                 seen_n = self._host_discovered.get(rkey, 0)
-                if seen_n >= cap:
+                if seen_n >= rcap:
                     self.counters["trap_dropped"] += 1
                     self._trapped.add(host)
                     continue

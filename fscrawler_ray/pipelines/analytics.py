@@ -2338,7 +2338,7 @@ ORACLE_SQL["value_hour_moments"] = (
 QUERIES["value_hour_moments"] = q_value_hour_moments
 
 
-def _rev_cents(b: pa.Table, out: str = "rev_cents") -> pa.Array:
+def _rev_cents(b: pa.Table) -> pa.Array:
     """Per-line discounted revenue as integer cents (the round-per-line
     discipline shared by every revenue query)."""
     return pc.round(
@@ -2361,11 +2361,11 @@ def q_small_qty_loss(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
     def units(b: pa.Table) -> pa.Table:
-        q = pc.round(pc.multiply(b.column("l_quantity"), pa.scalar(100.0)), round_mode="half_towards_infinity")
+        b = _cents(b, "l_quantity", "qty_units")
         return pa.table(
             {
                 "l_partkey": b.column("l_partkey").cast(pa.int64()),
-                "qty_units": q.cast(pa.int64()),
+                "qty_units": b.column("qty_units"),
                 "l_extendedprice": b.column("l_extendedprice"),
             }
         )
@@ -2416,8 +2416,8 @@ def q_large_orders(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
     def units(b: pa.Table) -> pa.Table:
-        q = pc.round(pc.multiply(b.column("l_quantity"), pa.scalar(100.0)), round_mode="half_towards_infinity")
-        return pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "qty_units": q.cast(pa.int64())})
+        b = _cents(b, "l_quantity", "qty_units")
+        return pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "qty_units": b.column("qty_units")})
 
     per_order = grouped_sum(li.map_batches(units, batch_format="pyarrow"), ["l_orderkey"], {"qty_units": "total_units"})
     big = per_order.map_batches(
@@ -2699,9 +2699,16 @@ def q_event_transitions(sf_dir: str):
         g = g.sort_values(["ts", "event_id"])
         a = g["event_type"].to_numpy()
         if len(a) < 2:
-            return pd.DataFrame({"a": [], "b": [], "n_partial": []})
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=object),
+                    "b": pd.Series([], dtype=object),
+                    "n_partial": pd.Series([], dtype=np.int64),
+                }
+            )
         df = pd.DataFrame({"a": a[:-1], "b": a[1:]})
         out = df.groupby(["a", "b"], sort=False).size().reset_index(name="n_partial")
+        out["n_partial"] = out["n_partial"].astype(np.int64)
         return out
 
     partials = ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
@@ -2730,29 +2737,22 @@ def q_returned_revenue_customers(sf_dir: str, k: int = 20):
 
     lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    okeys = orders.map_batches(
-        lambda b: pa.table(
+
+    def in_window(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+            )
+        )
+        return pa.table(
             {
-                "l_orderkey": b.filter(
-                    pc.and_(
-                        pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
-                        pc.less(b.column("o_orderdate"), pa.scalar(hi)),
-                    )
-                )
-                .column("o_orderkey")
-                .cast(pa.int64()),
-                "o_custkey": b.filter(
-                    pc.and_(
-                        pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
-                        pc.less(b.column("o_orderdate"), pa.scalar(hi)),
-                    )
-                )
-                .column("o_custkey")
-                .cast(pa.int64()),
+                "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    okeys = orders.map_batches(in_window, batch_format="pyarrow").materialize()
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -2799,9 +2799,9 @@ def q_order_count_distribution(sf_dir: str):
     dist = grouped_sum(per_cust, ["c_count"], {}, count_out="custdist")
     n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
     n_with = per_cust.count()
-    t = pa.concat_tables(
-        [b.select(["c_count", "custdist"]) for b in dist.iter_batches(batch_format="pyarrow")]
-    )
+    batches = [b.select(["c_count", "custdist"]) for b in dist.iter_batches(batch_format="pyarrow")]
+    empty = pa.table({"c_count": pa.array([], pa.int64()), "custdist": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches) if batches else empty
     if n_customers > n_with:
         t = pa.concat_tables(
             [t, pa.table({"c_count": pa.array([0], pa.int64()), "custdist": pa.array([n_customers - n_with], pa.int64())})]
@@ -3120,8 +3120,11 @@ def q_market_share(sf_dir: str, region: str = "EUROPE"):
     j = join(j, sup_nat, on="s_suppkey", how="inner")
     per = grouped_sum(j, ["ship_year", "supp_nation"], {"rev_cents": "nation_cents"}).materialize()
     totals = grouped_sum(per, ["ship_year"], {"nation_cents": "year_cents"})
-    totals_t = pa.concat_tables(
-        [b.select(["ship_year", "year_cents"]) for b in totals.iter_batches(batch_format="pyarrow")]
+    tb = [b.select(["ship_year", "year_cents"]) for b in totals.iter_batches(batch_format="pyarrow")]
+    totals_t = (
+        pa.concat_tables(tb)
+        if tb
+        else pa.table({"ship_year": pa.array([], pa.int64()), "year_cents": pa.array([], pa.int64())})
     )
     out = join(per, totals_t, on="ship_year", how="inner")
     return _select(out, ["ship_year", "supp_nation", "nation_cents", "year_cents"])

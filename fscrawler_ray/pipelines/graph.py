@@ -197,7 +197,7 @@ def pagerank(
     return pa.table({"node": pa.array(nodes), "rank": pa.array(rank, pa.float64())})
 
 
-def triangles(edges_ds, a_col: str = "a", b_col: str = "b", n_partitions: int = 32):
+def triangles(edges_ds, a_col: str = "a", b_col: str = "b"):
     """Distributed triangle enumeration by WEDGE-CHECK: every node lists
     its ordered neighbor pairs (wedges), and a wedge (b, c) closes iff
     (b, c) is itself an edge — one semi-join of the wedge stream against

@@ -183,8 +183,9 @@ def aspect_buckets(ds, batch_size: int = 16, range_hex: int = 6):
     scan, run PER BUCKET:
 
     1. metadata stage (no decode): bucket label from (w, h), plus a range
-       key ``rng`` = leading hex of the image_id (lex-order-preserving, so
-       per-(bucket, rng) groups concatenate in global image_id order);
+       key ``rng`` = the image_id's leading bytes (a lex-order-preserving
+       PREFIX of the id for any id scheme, so per-(bucket, rng) groups
+       concatenate in global image_id order);
     2. per-(bucket, rng) counts → driver-side exclusive cumsum per bucket
        (range-table-sized) → broadcast offsets;
     3. per-group local sort + arange + offset → global position in the
@@ -202,7 +203,7 @@ def aspect_buckets(ds, batch_size: int = 16, range_hex: int = 6):
         w = b.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
         h = b.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
         ids = b.column("image_id")
-        rng = pc.binary_slice(ids.cast(pa.binary()), 4, 4 + range_hex).cast(pa.string())
+        rng = pc.binary_slice(ids.cast(pa.binary()), 0, 4 + range_hex).cast(pa.string())
         return pa.table(
             {
                 "image_id": ids,

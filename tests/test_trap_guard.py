@@ -69,3 +69,50 @@ def test_trap_budget_resume_continues_counting(tmp_path, ray_session):
     )
     resumed.run()  # continue from manifest (no seeds re-added)
     assert resumed.trace_table().column("url").to_pylist() == full.column("url").to_pylist()
+
+
+def test_trap_budget_divides_across_salts(ray_session):
+    """A salted host's k queues share the budget (max(1, cap//k) each), so
+    salting can't multiply the host's URL space; and a salt-plan change on
+    resume migrates the consumed budget instead of resetting it."""
+    cap = 12
+    salted = CrawlEngine(
+        CrawlConfig(
+            web=CFG, n_shards=2, politeness_budget=3, max_rounds=60,
+            max_urls_per_host=cap, salt_hosts={CFG.hot_host: 2},
+        )
+    )
+    salted.run(SynthWeb(CFG).seeds())
+    t = salted.trace_table()
+    per_host = t.group_by("host").aggregate([("url", "count")])
+    assert pc.max(per_host.column("url_count")).as_py() <= cap  # not k*cap
+
+
+def test_trap_budget_survives_salt_change_on_resume(tmp_path, ray_session):
+    cap = 10
+    d = str(tmp_path / "ckpt")
+    partial = CrawlEngine(
+        CrawlConfig(
+            web=CFG, n_shards=2, politeness_budget=3, max_rounds=4,
+            max_urls_per_host=cap, checkpoint_dir=d,
+        )
+    )
+    partial.run(SynthWeb(CFG).seeds())
+    partial.checkpoint()
+    # resume with a NEW salt plan for the hot host: consumed budget is
+    # redistributed (ceil-split), so the host cannot exceed ≈cap overall
+    resumed = CrawlEngine.resume(
+        CrawlConfig(
+            web=CFG, n_shards=2, politeness_budget=3, max_rounds=60,
+            max_urls_per_host=cap, checkpoint_dir=d, salt_hosts={CFG.hot_host: 2},
+        )
+    )
+    resumed.run()
+    t = resumed.trace_table()
+    per_host = t.group_by("host").aggregate([("url", "count")])
+    hosts = per_host.column("host").to_pylist()
+    counts = dict(zip(hosts, per_host.column("url_count").to_pylist()))
+    # ceil-split re-distribution may round the consumed budget up by at
+    # most 1 per salt queue; the host still cannot exceed cap + k - 1
+    assert counts.get(CFG.hot_host, 0) <= cap + 1
+    assert max(counts.values()) <= cap + 1
