@@ -2917,9 +2917,26 @@ def q_late_sole_suppliers(sf_dir: str, late_days: int = 60):
         )
 
     flagged = j.map_batches(flag, batch_format="pyarrow")
-    # distinct (order, supplier) with late = MAX over the pair's lines
-    pairs = flagged.groupby(["l_orderkey", "l_suppkey"]).aggregate(Max("late"))
-    pairs = _rename(pairs, {"max(late)": "late_any"}).materialize()
+
+    # distinct (order, supplier) with late = MAX over the pair's lines —
+    # partial-aggregated per block so the shuffle carries pair partials,
+    # not raw lines
+    def pmax(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["l_orderkey", "l_suppkey"]).aggregate([("late", "max")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "l_suppkey": g.column("l_suppkey"),
+                "late_p": g.column("late_max"),
+            }
+        )
+
+    pairs = (
+        flagged.map_batches(pmax, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late_p"))
+    )
+    pairs = _rename(pairs, {"max(late_p)": "late_any"}).materialize()
     per_order = grouped_sum(pairs, ["l_orderkey"], {"late_any": "nl"}, count_out="ns")
     guilty_orders = per_order.map_batches(
         lambda b: b.filter(
