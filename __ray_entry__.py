@@ -120,6 +120,62 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(batches)
 
+    def crawl_snapshot_diff(sf_dir: str):
+        """CDC report over the SAME written crawl output, SQL-CHECKED: the
+        'previous' snapshot derives from the current one by deterministic
+        SQL-expressible rules (drop seq%3==0 → those read 'added'; bump
+        size by 7 at seq%5==0 → 'changed'; add url#gone ghosts at seq%7==0
+        → 'removed'), so both engines diff the same two relations."""
+        import ray as _ray
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fscrawler_ray.pipelines.crawl_report import snapshot_diff
+
+        out = _shared_written_run(sf_dir)
+        cur = _ray.data.read_parquet(out, columns=["url", "seq", "size"])
+
+        def mk_prev(b: pa.Table) -> pa.Table:
+            seq = b.column("seq")
+            keep = b.filter(pc.not_equal(pc.subtract(seq, pc.multiply(pc.divide(seq, 3), 3)), 0))
+            kseq = keep.column("seq")
+            bump = pc.equal(pc.subtract(kseq, pc.multiply(pc.divide(kseq, 5), 5)), 0)
+            size = pc.add(
+                keep.column("size").cast(pa.int64()),
+                pc.if_else(bump, pa.scalar(7, pa.int64()), pa.scalar(0, pa.int64())),
+            )
+            ghosts = b.filter(pc.equal(pc.subtract(seq, pc.multiply(pc.divide(seq, 7), 7)), 0))
+            return pa.table(
+                {
+                    "url": pa.concat_arrays(
+                        [
+                            keep.column("url").combine_chunks().cast(pa.string()),
+                            pc.binary_join_element_wise(
+                                ghosts.column("url").combine_chunks().cast(pa.string()), "#gone", ""
+                            ),
+                        ]
+                    ),
+                    "size": pa.concat_arrays(
+                        [size.combine_chunks(), ghosts.column("size").cast(pa.int64()).combine_chunks()]
+                    ),
+                }
+            )
+
+        prev = cur.map_batches(mk_prev, batch_format="pyarrow")
+        diff = snapshot_diff(cur.drop_columns(["seq"]), prev, key="url", cmp_col="size")
+        batches = list(diff.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "status": pa.array([], pa.string()),
+                    "cur_size": pa.array([], pa.int64()),
+                    "prev_size": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(batches)
+
     def crawl_rollup(sf_dir: str):
         """Crawl → partitioned parquet → Dataset rollup, SQL-CHECKED: the
         oracle reads the same written parquet via DuckDB read_parquet()
@@ -218,6 +274,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,
         "crawl_mirrors": crawl_mirrors,
+        "crawl_snapshot_diff": crawl_snapshot_diff,
         "host_pagerank": host_pagerank,
     }
 
@@ -445,6 +502,18 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_snapshot_diff"] = (
+        "WITH cur AS (SELECT url, seq, CAST(size AS BIGINT) AS size "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "prev AS (SELECT url, CAST(size + CASE WHEN seq % 5 = 0 THEN 7 ELSE 0 END AS BIGINT) AS size "
+        "FROM cur WHERE seq % 3 <> 0 "
+        "UNION ALL SELECT url || '#gone', size FROM cur WHERE seq % 7 = 0) "
+        "SELECT COALESCE(c.url, p.url) AS url, "
+        "CASE WHEN p.url IS NULL THEN 'added' WHEN c.url IS NULL THEN 'removed' "
+        "WHEN c.size <> p.size THEN 'changed' ELSE 'unchanged' END AS status, "
+        "c.size AS cur_size, p.size AS prev_size "
+        "FROM cur c FULL OUTER JOIN prev p ON c.url = p.url"
+    )
     sql["crawl_mirrors"] = (
         "WITH d AS (SELECT DISTINCT host, image_id "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "

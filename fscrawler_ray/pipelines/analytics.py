@@ -3161,3 +3161,52 @@ ORACLE_SQL["market_share"] = (
     "FROM base GROUP BY ship_year, supp_nation"
 )
 QUERIES["market_share"] = q_market_share
+
+
+def q_train_test_split(sf_dir: str, train_pct: int = 90):
+    """Deterministic corpus splitting, the two standard modes in one
+    output: a per-document hash split (Knuth multiplicative hash of
+    doc_id — SQL-expressible, so the assignment is engine-independent and
+    RE-RUNNABLE) and a leakage-safe per-SOURCE split (every doc of a
+    source lands on the same side, the decontamination-friendly variant).
+    All-integer arithmetic; stateless map_batches, zero shuffles."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    m = np.uint64(2654435761)
+    cut = np.uint64((train_pct * (1 << 32)) // 100)
+    # hex threshold for the md5-prefix comparison (fixed-width lowercase
+    # hex compares lexicographically == numerically)
+    hex_cut = f"{int(cut):08x}"
+
+    def split(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            doc_hash = (d * m) % np.uint64(1 << 32)
+        src = b.column("source")
+        # md5 is the shared string hash (computable on ANY engine); sources
+        # are corpus-label cardinality, so hash uniques and map back
+        uniq = pc.unique(src).to_pylist()
+        pref = {s: hashlib.md5((s or "").encode()).hexdigest()[:8] for s in uniq}
+        src_split = np.array(
+            ["train" if pref[s] < hex_cut else "test" for s in src.to_pylist()], dtype=object
+        )
+        doc_split = np.where(doc_hash < cut, "train", "test")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "doc_split": pa.array(doc_split.tolist(), pa.string()),
+                "source_split": pa.array(src_split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow")
+
+
+ORACLE_SQL["train_test_split"] = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train' ELSE 'test' END AS doc_split, "
+    "CASE WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'train' ELSE 'test' END AS source_split "
+    "FROM documents"
+)
+QUERIES["train_test_split"] = q_train_test_split

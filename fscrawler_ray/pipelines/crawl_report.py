@@ -181,3 +181,60 @@ def crawl_consistency(engine_counters: dict, out_dir: str) -> dict:
         "consistent": bool(ok),
         "non_image_or_skipped": leaves - total_rows,
     }
+
+
+def snapshot_diff(cur_ds, prev_ds, key: str = "url", cmp_col: str = "size"):
+    """Change-data-capture between two crawl snapshots: FULL OUTER join on
+    the row key, then a vectorized status verdict per row — ``added``
+    (key only in current), ``removed`` (only in previous), ``changed``
+    (both, compare column differs), ``unchanged``.  The one wide step is
+    the outer join's key-hash co-partition (the stages/joins front door;
+    a broadcast would re-emit unmatched rows per batch, so outer always
+    co-partitions).  The reference's incremental re-crawl answers "skip
+    or refetch?" row by row (crawling_queue_consumer.py:110-115); this is
+    the set-level report of the same comparison.
+
+    Output: (key, status, cur_<cmp_col>, prev_<cmp_col>)."""
+    import numpy as np
+
+    from ..stages.joins import join as _join
+
+    def mark(flag: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: b.column(key),
+                    cmp_col: b.column(cmp_col).cast(pa.int64()),
+                    flag: pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                }
+            )
+
+        return f
+
+    cur = cur_ds.map_batches(mark("__c"), batch_format="pyarrow")
+    prev = prev_ds.map_batches(mark("__p"), batch_format="pyarrow")
+    j = _join(cur, prev, on=key, how="outer")
+
+    def verdict(b: pa.Table) -> pa.Table:
+        has_c = pc.is_valid(b.column("__c")).to_numpy(zero_copy_only=False)
+        has_p = pc.is_valid(b.column("__p")).to_numpy(zero_copy_only=False)
+        cv = b.column(cmp_col).to_numpy(zero_copy_only=False)
+        pv = b.column(cmp_col + "_r").to_numpy(zero_copy_only=False)
+        # SQL NULL semantics: a null compare value on EITHER side reads
+        # 'unchanged' (c.size <> p.size is NULL), never 'changed'
+        vc = pc.is_valid(b.column(cmp_col)).to_numpy(zero_copy_only=False)
+        vp = pc.is_valid(b.column(cmp_col + "_r")).to_numpy(zero_copy_only=False)
+        differs = vc & vp & (cv != pv)
+        status = np.where(
+            ~has_p, "added", np.where(~has_c, "removed", np.where(differs, "changed", "unchanged"))
+        )
+        return pa.table(
+            {
+                key: b.column(key),
+                "status": pa.array(status.tolist(), pa.string()),
+                f"cur_{cmp_col}": b.column(cmp_col),
+                f"prev_{cmp_col}": b.column(cmp_col + "_r"),
+            }
+        )
+
+    return j.map_batches(verdict, batch_format="pyarrow")

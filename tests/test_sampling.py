@@ -65,3 +65,34 @@ def test_stratified_small_group_returns_all_rows():
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "lang": pa.array(["xx"] * 3)})
     out = stratified_sample(ray.data.from_arrow(t), 10).to_pandas()
     assert len(out) == 3 and sorted(out["rnk"]) == [1, 2, 3]
+
+
+def test_train_test_split_deterministic_and_leakage_safe(tmp_path, ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.analytics import q_train_test_split
+
+    n = 400
+    src = ["s%d" % (i % 7) for i in range(n)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "source": pa.array(src)}),
+        tmp_path / "documents.parquet",
+    )
+    df = q_train_test_split(str(tmp_path)).to_pandas()
+    # per-source split is leakage-safe: one side per source
+    per_src = df.assign(source=src).groupby("source")["source_split"].nunique()
+    assert (per_src == 1).all()
+    # doc split matches the multiplicative-hash rule exactly
+    for r in df.itertuples():
+        expect = "train" if (r.doc_id * 2654435761) % (1 << 32) < (90 << 32) // 100 else "test"
+        assert r.doc_split == expect
+    # source rule matches md5-prefix comparison
+    for s in set(src):
+        want = "train" if hashlib.md5(s.encode()).hexdigest()[:8] < "e6666666" else "test"
+        got = df.assign(source=src).loc[lambda d: d["source"] == s, "source_split"].iloc[0]
+        assert got == want
+    # both splits are roughly 90/10 on the doc side
+    assert 0.75 <= (df["doc_split"] == "train").mean() <= 1.0

@@ -126,3 +126,38 @@ def test_mirror_hosts(tmp_path, ray_session):
     df = mirror_hosts(str(tmp_path)).to_pandas()
     got = {(r.host_a, r.host_b): r.shared for r in df.itertuples()}
     assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_snapshot_diff_statuses(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from fscrawler_ray.pipelines.crawl_report import snapshot_diff
+
+    cur = _ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "c", "n1", "n2"]),
+                "size": pa.array([1, 2, 3, None, None], pa.int64()),
+            }
+        )
+    )
+    prev = _ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "gone", "n1", "n2"]),
+                "size": pa.array([1, 99, 5, None, 7], pa.int64()),
+            }
+        )
+    )
+    df = snapshot_diff(cur, prev).to_pandas().set_index("url")
+    assert df.loc["a", "status"] == "unchanged"
+    assert df.loc["b", "status"] == "changed"
+    assert df.loc["c", "status"] == "added"
+    assert df.loc["gone", "status"] == "removed"
+    # SQL NULL semantics: null on either side is never 'changed'
+    assert df.loc["n1", "status"] == "unchanged"
+    assert df.loc["n2", "status"] == "unchanged"
+    assert int(df.loc["b", "cur_size"]) == 2 and int(df.loc["b", "prev_size"]) == 99
