@@ -176,6 +176,56 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(batches)
 
+    def crawl_prefix_rollup(sf_dir: str):
+        """Bottom-up URL-hierarchy rollup over the written crawl output,
+        SQL-CHECKED: every path PREFIX (depth 3..d) aggregates the bytes
+        and file count beneath it — the reference's 'biggest directories'
+        report (metrics_observer.py) computed top-down from leaves by
+        prefix replication + ONE grouped sum, instead of the reference's
+        event-driven per-dir accumulation."""
+        import ray as _ray
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fscrawler_ray.pipelines.analytics import grouped_sum
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["url", "size"])
+
+        def prefixes(b: pa.Table) -> pa.Table:
+            url = b.column("url")
+            if isinstance(url, pa.ChunkedArray):
+                url = url.combine_chunks()
+            segs = pc.split_pattern(url, "/")
+            nseg = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+            size = pc.fill_null(b.column("size").cast(pa.int64()), 0)
+            parts = []
+            # prefix depths 3..max ('http:', '', host, ...) — depth 3 is the
+            # host root; the leaf itself (full depth) is excluded
+            mx = int(nseg.max()) if len(nseg) else 0
+            for d in range(3, mx):
+                m = nseg > d
+                idx = pa.array(np.flatnonzero(m), pa.int64())
+                if len(idx) == 0:
+                    continue
+                sl = pc.list_slice(segs.take(idx), 0, d)
+                pref = pc.binary_join(sl, "/")
+                parts.append(pa.table({"prefix": pref, "sz": size.take(idx)}))
+            if not parts:
+                return pa.table({"prefix": pa.array([], pa.string()), "sz": pa.array([], pa.int64())})
+            return pa.concat_tables(parts)
+
+        import numpy as np
+
+        agg = grouped_sum(ds.map_batches(prefixes, batch_format="pyarrow"), ["prefix"], {"sz": "total_bytes"}, count_out="files")
+        batches = [b.select(["prefix", "files", "total_bytes"]) for b in agg.iter_batches(batch_format="pyarrow")]
+        if not batches:
+            return pa.table(
+                {"prefix": pa.array([], pa.string()), "files": pa.array([], pa.int64()), "total_bytes": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(batches)
+
     def crawl_rollup(sf_dir: str):
         """Crawl → partitioned parquet → Dataset rollup, SQL-CHECKED: the
         oracle reads the same written parquet via DuckDB read_parquet()
@@ -275,6 +325,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_rollup": crawl_rollup,
         "crawl_mirrors": crawl_mirrors,
         "crawl_snapshot_diff": crawl_snapshot_diff,
+        "crawl_prefix_rollup": crawl_prefix_rollup,
         "host_pagerank": host_pagerank,
     }
 
@@ -502,6 +553,15 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_prefix_rollup"] = (
+        "WITH rows_ AS (SELECT url, COALESCE(CAST(size AS BIGINT), 0) AS size, "
+        "string_split(url, '/') AS segs "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "pref AS (SELECT array_to_string(list_slice(segs, 1, i), '/') AS prefix, size "
+        "FROM rows_, unnest(generate_series(3, len(segs) - 1)) t(i)) "
+        "SELECT prefix, CAST(count(*) AS BIGINT) AS files, CAST(sum(size) AS BIGINT) AS total_bytes "
+        "FROM pref GROUP BY prefix"
+    )
     sql["crawl_snapshot_diff"] = (
         "WITH cur AS (SELECT url, seq, CAST(size AS BIGINT) AS size "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "

@@ -3210,3 +3210,63 @@ ORACLE_SQL["train_test_split"] = (
     "FROM documents"
 )
 QUERIES["train_test_split"] = q_train_test_split
+
+
+def q_rolling_wau(sf_dir: str, window_days: int = 7):
+    """Trailing-7-day distinct users per day (the WAU curve): COUNT
+    DISTINCT over a sliding RANGE frame, which SQL window functions can't
+    express — the standard lowering is pair replication: each distinct
+    (day, user) pair claims every day in [day, day+6] (flat-map ×W), a
+    second pair-dedup collapses multi-visit users inside the window, and
+    a day-keyed count finishes.  Three pair-keyed grouped steps, nothing
+    driver-side; emitted days restrict to days that EXIST in the data
+    (the SQL mirror joins the day list)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b.column("ts"), unit="day").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"day_us": d, "user_id": b.column("user_id").cast(pa.int64())})
+
+    pairs = grouped_sum(ev.map_batches(day_pairs, batch_format="pyarrow"), ["day_us", "user_id"], {}, count_out="c")
+    day_us = 86_400_000_000
+
+    def replicate(b: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(window_days):
+            parts.append(
+                pa.table(
+                    {
+                        "day_us": pc.add(b.column("day_us"), pa.scalar(i * day_us, pa.int64())),
+                        "user_id": b.column("user_id"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    claims = grouped_sum(pairs.map_batches(replicate, batch_format="pyarrow"), ["day_us", "user_id"], {}, count_out="c")
+    wau = grouped_sum(claims, ["day_us"], {}, count_out="wau")
+    # restrict to observed days (the replication invents up to W-1 future days)
+    days = grouped_sum(pairs, ["day_us"], {}, count_out="c").map_batches(
+        lambda b: b.select(["day_us"]), batch_format="pyarrow"
+    ).materialize()
+    out = join(wau, days, on="day_us", how="semi")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b.column("day_us").cast(pa.timestamp("us")),
+                "wau": b.column("wau").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_SQL["rolling_wau"] = (
+    "WITH pairs AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events), "
+    "days AS (SELECT DISTINCT day FROM pairs) "
+    "SELECT d.day AS day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau "
+    "FROM days d JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+    "GROUP BY d.day"
+)
+QUERIES["rolling_wau"] = q_rolling_wau

@@ -141,3 +141,35 @@ def test_balance_windows_cross_bucket_scan(tmp_path):
             assert got["quartile"] == tile[i]
             assert got["pr"] == ((rank[i] - 1) / (m - 1) if m > 1 else 0.0)
             assert got["cd"] == cume[i] / m
+
+
+def test_rolling_wau_window_semantics(tmp_path):
+    import numpy as np
+
+    base = dt.datetime(2024, 3, 1)
+    # user 1 on day 0 and day 3 (distinct ONCE in any window holding both);
+    # user 2 on day 0 only; day 7 is outside day 0's window; day 8 only
+    # sees day 3's (user 1) not day 0's users... and itself (user 3)
+    rows = [
+        (1, base),
+        (1, base),  # same-day duplicate collapses
+        (2, base),
+        (1, base + dt.timedelta(days=3)),
+        (3, base + dt.timedelta(days=8)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from fscrawler_ray.pipelines.analytics import q_rolling_wau
+
+    df = _rows(q_rolling_wau(str(tmp_path))).sort_values("day").reset_index(drop=True)
+    days = [(d - np.datetime64(base)).astype("timedelta64[D]").astype(int) for d in df["day"].to_numpy()]
+    got = dict(zip(days, df["wau"]))
+    # only OBSERVED days appear (0, 3, 8), never invented future days
+    assert got == {0: 2, 3: 2, 8: 2}  # day 8 window [2..8] holds users {1, 3}
