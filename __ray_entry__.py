@@ -176,6 +176,27 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(batches)
 
+    def crawl_content_groups(sf_dir: str):
+        """The reference's Content grouping (many URLs → one payload
+        identity) over the written run, SQL-CHECKED: copies + first URL +
+        canonical size per image_id."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import content_groups
+
+        out = _shared_written_run(sf_dir)
+        batches = list(content_groups(out).iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "copies": pa.array([], pa.int64()),
+                    "first_url": pa.array([], pa.string()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(batches)
+
     def crawl_prefix_rollup(sf_dir: str):
         """Bottom-up URL-hierarchy rollup over the written crawl output,
         SQL-CHECKED: every path PREFIX (depth 3..d) aggregates the bytes
@@ -326,6 +347,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_mirrors": crawl_mirrors,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "crawl_prefix_rollup": crawl_prefix_rollup,
+        "crawl_content_groups": crawl_content_groups,
         "host_pagerank": host_pagerank,
     }
 
@@ -553,6 +575,11 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_content_groups"] = (
+        "SELECT image_id, CAST(count(*) AS BIGINT) AS copies, min(url) AS first_url, "
+        "CAST(min(size) AS BIGINT) AS size "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY image_id"
+    )
     sql["crawl_prefix_rollup"] = (
         "WITH rows_ AS (SELECT url, COALESCE(CAST(size AS BIGINT), 0) AS size, "
         "string_split(url, '/') AS segs "

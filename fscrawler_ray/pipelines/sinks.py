@@ -115,3 +115,28 @@ def write_xspf(rows: pa.Table, path: str, location_col: str = "url", title_col: 
             )
         f.write("  </trackList>\n</playlist>\n")
     return path
+
+
+def compact_results(out_dir: str, dest_dir: str, rows_per_file: int = 100_000) -> dict:
+    """Small-file compaction for a partitioned crawl output: a crawl at
+    politeness-bounded round granularity writes one part per (round,
+    task), which at 10^10 URLs means millions of KB-sized files — a
+    metadata DoS on any object store.  Compaction streams the dir through
+    Ray Data and rewrites it as ``rows_per_file``-row parquet files into
+    ``dest_dir`` (never in place: the source stays valid for resume until
+    the caller swaps), preserving every row and column.
+
+    Returns {rows, files_before, files_after}.  Row-set equality is the
+    caller's contract (tested in test_sinks_report_config); ordering is
+    NOT preserved — downstream consumers key on (seq) anyway."""
+    import glob
+
+    import ray
+
+    files_before = len(glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True))
+    ds = ray.data.read_parquet(out_dir)
+    n = ds.count()
+    os.makedirs(dest_dir, exist_ok=True)
+    ds.write_parquet(dest_dir, num_rows_per_file=rows_per_file)
+    files_after = len(glob.glob(os.path.join(dest_dir, "**", "*.parquet"), recursive=True))
+    return {"rows": n, "files_before": files_before, "files_after": files_after}

@@ -161,3 +161,29 @@ def test_snapshot_diff_statuses(tmp_path, ray_session):
     assert df.loc["n1", "status"] == "unchanged"
     assert df.loc["n2", "status"] == "unchanged"
     assert int(df.loc["b", "cur_size"]) == 2 and int(df.loc["b", "prev_size"]) == 99
+
+
+def test_compact_results_preserves_rows(tmp_path, ray_session):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.sinks import compact_results
+
+    src = tmp_path / "out"
+    for r in range(6):  # six tiny part files, nested like round dirs
+        d = src / f"round={r}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"seq": pa.array(range(r * 10, r * 10 + 10), pa.int64()), "host": pa.array(["h"] * 10)}),
+            d / "part-0.parquet",
+        )
+    dest = tmp_path / "compact"
+    stats = compact_results(str(src), str(dest), rows_per_file=100)
+    assert stats["rows"] == 60 and stats["files_before"] == 6
+    assert stats["files_after"] < stats["files_before"]
+    import ray as _ray
+
+    got = sorted(_ray.data.read_parquet(str(dest)).to_pandas()["seq"])
+    assert got == list(range(60))  # every row survives, exactly once
