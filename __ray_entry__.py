@@ -176,6 +176,21 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(batches)
 
+    def crawl_compact(sf_dir: str):
+        """Small-file compaction exercised on the shared written run
+        (rows-only: file counts depend on writer parallelism)."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.sinks import compact_results
+
+        out = _shared_written_run(sf_dir)
+        dest = "/tmp/fscrawler_compact_check"
+        shutil.rmtree(dest, ignore_errors=True)
+        stats = compact_results(out, dest, rows_per_file=50_000)
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in stats.items()})
+
     def crawl_content_groups(sf_dir: str):
         """The reference's Content grouping (many URLs → one payload
         identity) over the written run, SQL-CHECKED: copies + first URL +
@@ -348,6 +363,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "crawl_prefix_rollup": crawl_prefix_rollup,
         "crawl_content_groups": crawl_content_groups,
+        "crawl_compact": crawl_compact,
         "host_pagerank": host_pagerank,
     }
 
