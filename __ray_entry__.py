@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(sf),
             "knn_int8": lambda sf: similarity.knn_int8(sf),
+            "knn_pq": lambda sf: similarity.knn_pq(sf),
             "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify

@@ -78,3 +78,21 @@ def test_semantic_neardup_equals_within_cluster_bruteforce(tmp_path):
                 want.add((i, j))
     assert got_pairs == want
     assert len(want) >= 8  # the planted copies land in their base's cluster
+
+
+def test_knn_pq_recall_and_determinism(ray_session):
+    from fscrawler_ray.pipelines.similarity import knn_bruteforce, knn_pq
+
+    sf = "/root/testdata/sf0.001"
+    bf = knn_bruteforce(sf).to_pandas()
+    a = knn_pq(sf).to_pandas()
+    b = knn_pq(sf).to_pandas()
+    # deterministic end to end (sampling, codebooks, shortlist, re-rank)
+    assert a.equals(b)
+    recalls = []
+    for qid, g in bf.groupby("query_id"):
+        truth, got = set(g["vec_id"]), set(a[a["query_id"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    # exact re-rank over an 8x shortlist: high recall even on
+    # near-uniform synthetic vectors
+    assert sum(recalls) / len(recalls) >= 0.7
