@@ -3270,3 +3270,105 @@ ORACLE_SQL["rolling_wau"] = (
     "GROUP BY d.day"
 )
 QUERIES["rolling_wau"] = q_rolling_wau
+
+
+def q_validate_docs(sf_dir: str):
+    """Data-quality validation suite over the documents table — the
+    Great-Expectations shape as Dataset ops, one row per rule with its
+    violation count: null text, non-positive length, length/text
+    disagreement, unknown language, duplicate doc_id.  The scalar rules
+    fold as per-block integer partials (one tiny global sum); the
+    uniqueness rule is the only keyed step and pre-aggregates per block
+    before its groupby.  Rule names sort deterministically."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    langs = pa.array(["en", "fr", "de", "es", "zh"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        null_text = pc.sum(pc.is_null(b.column("text")).cast(pa.int64())).as_py() or 0
+        npos = pc.sum(pc.less_equal(b.column("n_chars"), 0).cast(pa.int64())).as_py() or 0
+        tlen = pc.utf8_length(pc.fill_null(b.column("text"), ""))
+        mismatch = pc.sum(pc.not_equal(tlen.cast(pa.int64()), b.column("n_chars").cast(pa.int64())).cast(pa.int64())).as_py() or 0
+        badlang = pc.sum(pc.invert(pc.is_in(b.column("lang"), value_set=langs)).cast(pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "rule": pa.array(["null_text", "nonpositive_len", "len_mismatch", "unknown_lang"]),
+                "v": pa.array([null_text, npos, mismatch, badlang], pa.int64()),
+            }
+        )
+
+    scalars = grouped_sum(docs.map_batches(partial, batch_format="pyarrow"), ["rule"], {"v": "violations"})
+    dup_keys = grouped_sum(docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow"), ["doc_id"], {}, count_out="c")
+    dups = dup_keys.map_batches(
+        lambda b: pa.table(
+            {
+                "rule": pa.array(["dup_doc_id"] * 1),
+                "violations": pa.array(
+                    [int(pc.sum(pc.subtract(b.column("c"), pa.scalar(1, pa.int64()))).as_py() or 0)], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # fold the per-block dup partials into one row
+    dup_total = grouped_sum(dups, ["rule"], {"violations": "violations"})
+    out = scalars.union(dup_total)
+    return _select(out, ["rule", "violations"])
+
+
+ORACLE_SQL["validate_docs"] = (
+    "SELECT 'null_text' AS rule, CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS violations FROM documents "
+    "UNION ALL SELECT 'nonpositive_len', CAST(count(*) FILTER (n_chars <= 0) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'len_mismatch', CAST(count(*) FILTER (length(COALESCE(text, '')) <> n_chars) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'unknown_lang', CAST(count(*) FILTER (lang NOT IN ('en','fr','de','es','zh')) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'dup_doc_id', CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents"
+)
+QUERIES["validate_docs"] = q_validate_docs
+
+
+def q_orphan_orders(sf_dir: str):
+    """Referential-integrity check (FK validation as a flagged left
+    join): per order status, how many orders DO resolve to a customer
+    row and how many are orphans — the constraint report every ingest
+    pipeline runs before publishing a snapshot (emitting both sides
+    keeps the result non-degenerate on clean data)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.column("o_custkey").cast(pa.int64()), "o_orderstatus": b.column("o_orderstatus")}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "__m": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = join(orders, cust, on="c_custkey", how="left")
+
+    def flags(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b.column("__m")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "matched": m,
+                "orphans": pc.subtract(pa.scalar(1, pa.int64()), m),
+            }
+        )
+
+    out = grouped_sum(j.map_batches(flags, batch_format="pyarrow"), ["o_orderstatus"], {"matched": "matched", "orphans": "orphans"})
+    return _select(out, ["o_orderstatus", "matched", "orphans"])
+
+
+ORACLE_SQL["orphan_orders"] = (
+    "SELECT o_orderstatus, "
+    "CAST(count(*) FILTER (c.c_custkey IS NOT NULL) AS BIGINT) AS matched, "
+    "CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS orphans "
+    "FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey "
+    "GROUP BY o_orderstatus"
+)
+QUERIES["orphan_orders"] = q_orphan_orders

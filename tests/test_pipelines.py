@@ -425,3 +425,52 @@ def test_quantize_int8_bounds_and_reconstruction():
     cos_t = v[0] @ v[1]
     cos_q = (codes[0].astype(np.int32) @ codes[1].astype(np.int32)) * scales[0] * scales[1]
     assert abs(cos_t - cos_q) < 0.02
+
+
+def test_validate_docs_planted_violations(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.analytics import q_validate_docs
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 2, 3, 4], pa.int64()),  # dup id 2
+                "text": pa.array(["abc", None, "xy", "12345", "ok"]),
+                "lang": pa.array(["en", "fr", "xx", "de", "zz"]),  # 2 unknown
+                "n_chars": pa.array([3, 0, 2, 99, 2], pa.int64()),  # 0-len + mismatch
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = q_validate_docs(str(tmp_path)).to_pandas().set_index("rule")["violations"]
+    assert df.to_dict() == {
+        "null_text": 1,
+        "nonpositive_len": 1,
+        # null text → COALESCE('') len 0 vs n_chars 0 agrees; '12345' vs 99 disagrees
+        "len_mismatch": 1,
+        "unknown_lang": 2,
+        "dup_doc_id": 1,
+    }
+
+
+def test_orphan_orders_planted(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.analytics import q_orphan_orders
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 7, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F", "F", "O"]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2], pa.int64())}), tmp_path / "customer.parquet")
+    df = q_orphan_orders(str(tmp_path)).to_pandas().set_index("o_orderstatus")
+    assert (df.loc["O", "matched"], df.loc["O", "orphans"]) == (2, 0)
+    assert (df.loc["F", "matched"], df.loc["F", "orphans"]) == (1, 1)
