@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
             "bm25_scores": lambda sf: index_sink.q_bm25_scores(sf),
             "bm25_topk": lambda sf: index_sink.q_bm25_topk(sf),
+            "hybrid_search": lambda sf: index_sink.q_hybrid_search(sf),
             "corpus_dedup": corpus.dedup_corpus,
             "corpus_prep": _corpus_prep,
             "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],

@@ -475,3 +475,44 @@ ORACLE_SQL = {
         ") WHERE token <> '' GROUP BY token HAVING count(DISTINCT doc_id) >= 50"
     ),
 }
+
+
+def q_hybrid_search(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10, oversample: int = 4, alpha: float = 0.5):
+    """Two-stage hybrid retrieval (the production BM25→dense pattern with
+    Rocchio pseudo-relevance feedback): the quantized BM25 top-(k·o)
+    shortlist fetches its embeddings through ONE vec_id-pushdown read,
+    the top-3 lexical hits define the dense query centroid, and the final
+    rank blends min-max-normalized BM25 with cosine-to-centroid
+    (alpha·lex + (1-alpha)·dense), ties broken by doc_id.  Everything
+    past the streaming BM25 pass is shortlist-sized; approximate/float
+    blend → rows-only + pytest."""
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as pads
+
+    from .similarity import _norm, _vecs
+
+    short = q_bm25_topk(sf_dir, terms=terms, k=k * oversample).to_pandas()
+    if len(short) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())})
+    ids = short["doc_id"].to_numpy(dtype=np.int64)
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pc_.field("vec_id").isin(pa.array(np.unique(ids)))
+    )
+    got = t.column("vec_id").to_numpy()
+    vv = _norm(_vecs(t.column("embedding")).astype(np.float64))
+    pos = {int(v): i for i, v in enumerate(got)}
+    have = np.array([i for i, d in enumerate(ids) if int(d) in pos], dtype=np.int64)
+    ids, bm = ids[have], short["score_micro"].to_numpy(dtype=np.float64)[have]
+    emb = vv[[pos[int(d)] for d in ids]]
+    centroid = _norm(emb[: min(3, len(emb))].mean(axis=0, keepdims=True))[0]  # Rocchio PRF
+    dense = emb @ centroid
+    span = bm.max() - bm.min()
+    lex = (bm - bm.min()) / span if span > 0 else np.zeros_like(bm)
+    blend = alpha * lex + (1 - alpha) * dense
+    order = np.lexsort((ids, -blend))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        }
+    )

@@ -111,3 +111,16 @@ def test_bm25_topk_quantized_rank(tmp_path, ray_session):
         assert s[4] == s[5]
         assert list(t["doc_id"]).index(4) < list(t["doc_id"]).index(5)
     assert (np.diff(t["score_micro"].to_numpy()) <= 0).all()  # descending
+
+
+def test_hybrid_search_shortlist_and_determinism(ray_session):
+    from fscrawler_ray.pipelines.index_sink import q_bm25_topk, q_hybrid_search
+
+    sf = "/root/testdata/sf0.001"
+    a = q_hybrid_search(sf).to_pandas()
+    b = q_hybrid_search(sf).to_pandas()
+    assert a.equals(b)
+    assert list(a["rnk"]) == list(range(1, len(a) + 1))
+    # the hybrid result is a re-ranking OF the lexical shortlist
+    short = set(q_bm25_topk(sf, k=40).to_pandas()["doc_id"])
+    assert set(a["doc_id"]) <= short
