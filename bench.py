@@ -121,6 +121,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "nation_trade_volume",
         "customer_balance_windows",
         "images_aspect_buckets",
+        "knn_pq",
+        "rolling_wau",
+        "validate_docs",
+        "train_test_split",
+        "hybrid_search",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:
