@@ -84,11 +84,20 @@ def q_name_triangles(sf_dir: str, max_dist: int = 2):
     mutually near-miss catalog names (the fuzzy-dup cluster signal one
     step above pairs).  Edges come from the fuzzy join; enumeration is
     graph.triangles' distributed wedge-check."""
+    import pyarrow as pa
+
     from .graph import triangles
 
     pairs = q_similar_part_names(sf_dir, max_dist=max_dist)
     out = triangles(pairs, a_col="partkey_a", b_col="partkey_b")
-    return out
+    # collect (output-sized) with a TYPED empty fallback: a 0-row Dataset
+    # loses its schema through to_pandas, failing the dtype-strict check
+    batches = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(batches)
 
 
 ORACLE_SQL = {
