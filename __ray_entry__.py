@@ -176,6 +176,33 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.concat_tables(batches)
 
+    def crawl_politeness_audit(sf_dir: str):
+        """Politeness-compliance audit over the written run, SQL-CHECKED:
+        the per-(host, round) landing counts roll up to each host's MAX
+        per-round rate — the observable the per-host token bucket bounds
+        (test_trap_guard/test_token_bucket assert the bound; this query
+        exposes it as data)."""
+        import ray as _ray
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.analytics import grouped_sum
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["host", "round"])
+        per_round = grouped_sum(ds, ["host", "round"], {}, count_out="n").materialize()
+        from ray.data.aggregate import Max
+
+        agg = per_round.groupby("host").aggregate(Max("n"))
+        batches = [
+            b.rename_columns(["host", "max_per_round"])
+            for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not batches:
+            return pa.table({"host": pa.array([], pa.string()), "max_per_round": pa.array([], pa.int64())})
+        return pa.concat_tables(batches)
+
     def crawl_compact(sf_dir: str):
         """Small-file compaction exercised on the shared written run
         (rows-only: file counts depend on writer parallelism)."""
@@ -364,6 +391,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_prefix_rollup": crawl_prefix_rollup,
         "crawl_content_groups": crawl_content_groups,
         "crawl_compact": crawl_compact,
+        "crawl_politeness_audit": crawl_politeness_audit,
         "host_pagerank": host_pagerank,
     }
 
@@ -593,6 +621,11 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_politeness_audit"] = (
+        "WITH pr AS (SELECT host, round, CAST(count(*) AS BIGINT) AS n "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host, round) "
+        "SELECT host, CAST(max(n) AS BIGINT) AS max_per_round FROM pr GROUP BY host"
+    )
     sql["crawl_content_groups"] = (
         "SELECT image_id, CAST(count(*) AS BIGINT) AS copies, min(url) AS first_url, "
         "CAST(min(size) AS BIGINT) AS size "
