@@ -18,6 +18,19 @@ from typing import Any
 CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
 
 
+def _collect(ds, empty_cols: dict) -> Any:
+    """Collect an output-sized Dataset eagerly with a TYPED empty
+    fallback (a 0-row Dataset loses its schema through to_pandas, which
+    fails the driver's dtype-strict compare).  ``empty_cols`` maps column
+    name → pyarrow type, stating the schema once per query."""
+    import pyarrow as pa
+
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table({n: pa.array([], t) for n, t in empty_cols.items()})
+    return pa.concat_tables(batches)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (input_hint image table →
     attrs → hash → decode+phash verify → caption features)."""
@@ -113,12 +126,9 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
 
         out = _shared_written_run(sf_dir)
-        batches = list(mirror_hosts(out).iter_batches(batch_format="pyarrow"))
-        if not batches:
-            return pa.table(
-                {"host_a": pa.array([], pa.string()), "host_b": pa.array([], pa.string()), "shared": pa.array([], pa.int64())}
-            )
-        return pa.concat_tables(batches)
+        return _collect(
+            mirror_hosts(out), {"host_a": pa.string(), "host_b": pa.string(), "shared": pa.int64()}
+        )
 
     def crawl_snapshot_diff(sf_dir: str):
         """CDC report over the SAME written crawl output, SQL-CHECKED: the
@@ -164,17 +174,10 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         prev = cur.map_batches(mk_prev, batch_format="pyarrow")
         diff = snapshot_diff(cur.drop_columns(["seq"]), prev, key="url", cmp_col="size")
-        batches = list(diff.iter_batches(batch_format="pyarrow"))
-        if not batches:
-            return pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "status": pa.array([], pa.string()),
-                    "cur_size": pa.array([], pa.int64()),
-                    "prev_size": pa.array([], pa.int64()),
-                }
-            )
-        return pa.concat_tables(batches)
+        return _collect(
+            diff,
+            {"url": pa.string(), "status": pa.string(), "cur_size": pa.int64(), "prev_size": pa.int64()},
+        )
 
     def crawl_politeness_audit(sf_dir: str):
         """Politeness-compliance audit over the written run, SQL-CHECKED:
@@ -194,14 +197,10 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Max
 
         agg = per_round.groupby("host").aggregate(Max("n"))
-        batches = [
-            b.rename_columns(["host", "max_per_round"])
-            for b in agg.iter_batches(batch_format="pyarrow")
-            if b.num_rows
-        ]
-        if not batches:
-            return pa.table({"host": pa.array([], pa.string()), "max_per_round": pa.array([], pa.int64())})
-        return pa.concat_tables(batches)
+        agg = agg.map_batches(
+            lambda b: b.rename_columns(["host", "max_per_round"]), batch_format="pyarrow"
+        )
+        return _collect(agg, {"host": pa.string(), "max_per_round": pa.int64()})
 
     def crawl_compact(sf_dir: str):
         """Small-file compaction exercised on the shared written run
@@ -227,17 +226,10 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         from fscrawler_ray.pipelines.crawl_report import content_groups
 
         out = _shared_written_run(sf_dir)
-        batches = list(content_groups(out).iter_batches(batch_format="pyarrow"))
-        if not batches:
-            return pa.table(
-                {
-                    "image_id": pa.array([], pa.string()),
-                    "copies": pa.array([], pa.int64()),
-                    "first_url": pa.array([], pa.string()),
-                    "size": pa.array([], pa.int64()),
-                }
-            )
-        return pa.concat_tables(batches)
+        return _collect(
+            content_groups(out),
+            {"image_id": pa.string(), "copies": pa.int64(), "first_url": pa.string(), "size": pa.int64()},
+        )
 
     def crawl_prefix_rollup(sf_dir: str):
         """Bottom-up URL-hierarchy rollup over the written crawl output,
@@ -282,12 +274,8 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
 
         agg = grouped_sum(ds.map_batches(prefixes, batch_format="pyarrow"), ["prefix"], {"sz": "total_bytes"}, count_out="files")
-        batches = [b.select(["prefix", "files", "total_bytes"]) for b in agg.iter_batches(batch_format="pyarrow")]
-        if not batches:
-            return pa.table(
-                {"prefix": pa.array([], pa.string()), "files": pa.array([], pa.int64()), "total_bytes": pa.array([], pa.int64())}
-            )
-        return pa.concat_tables(batches)
+        agg = agg.map_batches(lambda b: b.select(["prefix", "files", "total_bytes"]), batch_format="pyarrow")
+        return _collect(agg, {"prefix": pa.string(), "files": pa.int64(), "total_bytes": pa.int64()})
 
     def crawl_rollup(sf_dir: str):
         """Crawl → partitioned parquet → Dataset rollup, SQL-CHECKED: the

@@ -3187,9 +3187,12 @@ def q_train_test_split(sf_dir: str, train_pct: int = 90):
         # md5 is the shared string hash (computable on ANY engine); sources
         # are corpus-label cardinality, so hash uniques and map back
         uniq = pc.unique(src).to_pylist()
-        pref = {s: hashlib.md5((s or "").encode()).hexdigest()[:8] for s in uniq}
+        # NULL source → 'test', matching the SQL CASE (NULL comparison
+        # falls through to ELSE); only valid sources hash
+        pref = {s: hashlib.md5(s.encode()).hexdigest()[:8] for s in uniq if s is not None}
         src_split = np.array(
-            ["train" if pref[s] < hex_cut else "test" for s in src.to_pylist()], dtype=object
+            ["train" if (s is not None and pref[s] < hex_cut) else "test" for s in src.to_pylist()],
+            dtype=object,
         )
         doc_split = np.where(doc_hash < cut, "train", "test")
         return pa.table(
@@ -3227,7 +3230,9 @@ def q_rolling_wau(sf_dir: str, window_days: int = 7):
         d = pc.floor_temporal(b.column("ts"), unit="day").cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table({"day_us": d, "user_id": b.column("user_id").cast(pa.int64())})
 
-    pairs = grouped_sum(ev.map_batches(day_pairs, batch_format="pyarrow"), ["day_us", "user_id"], {}, count_out="c")
+    pairs = grouped_sum(
+        ev.map_batches(day_pairs, batch_format="pyarrow"), ["day_us", "user_id"], {}, count_out="c"
+    ).materialize()  # consumed by BOTH the replicate branch and the day list
     day_us = 86_400_000_000
 
     def replicate(b: pa.Table) -> pa.Table:
@@ -3280,7 +3285,9 @@ def q_validate_docs(sf_dir: str):
     fold as per-block integer partials (one tiny global sum); the
     uniqueness rule is the only keyed step and pre-aggregates per block
     before its groupby.  Rule names sort deterministically."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    # materialized: consumed by BOTH the scalar-rules pass and the
+    # uniqueness groupby (an unmaterialized Dataset re-reads per consumer)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]).materialize()
     langs = pa.array(["en", "fr", "de", "es", "zh"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -3288,7 +3295,13 @@ def q_validate_docs(sf_dir: str):
         npos = pc.sum(pc.less_equal(b.column("n_chars"), 0).cast(pa.int64())).as_py() or 0
         tlen = pc.utf8_length(pc.fill_null(b.column("text"), ""))
         mismatch = pc.sum(pc.not_equal(tlen.cast(pa.int64()), b.column("n_chars").cast(pa.int64())).cast(pa.int64())).as_py() or 0
-        badlang = pc.sum(pc.invert(pc.is_in(b.column("lang"), value_set=langs)).cast(pa.int64())).as_py() or 0
+        # SQL NOT IN semantics: a NULL lang is neither in nor out (the
+        # FILTER drops it) — count only VALID unknown values
+        badlang = pc.sum(
+            pc.and_(pc.invert(pc.is_in(b.column("lang"), value_set=langs)), pc.is_valid(b.column("lang"))).cast(
+                pa.int64()
+            )
+        ).as_py() or 0
         return pa.table(
             {
                 "rule": pa.array(["null_text", "nonpositive_len", "len_mismatch", "unknown_lang"]),

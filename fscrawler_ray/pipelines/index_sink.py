@@ -486,22 +486,17 @@ def q_hybrid_search(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10, oversam
     (alpha·lex + (1-alpha)·dense), ties broken by doc_id.  Everything
     past the streaming BM25 pass is shortlist-sized; approximate/float
     blend → rows-only + pytest."""
-    import pyarrow.compute as pc_
-    import pyarrow.dataset as pads
+    from .similarity import _norm, fetch_vectors
 
-    from .similarity import _norm, _vecs
-
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())})
     short = q_bm25_topk(sf_dir, terms=terms, k=k * oversample).to_pandas()
     if len(short) == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())})
+        return empty
     ids = short["doc_id"].to_numpy(dtype=np.int64)
-    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"], filter=pc_.field("vec_id").isin(pa.array(np.unique(ids)))
-    )
-    got = t.column("vec_id").to_numpy()
-    vv = _norm(_vecs(t.column("embedding")).astype(np.float64))
-    pos = {int(v): i for i, v in enumerate(got)}
+    pos, vv = fetch_vectors(sf_dir, np.unique(ids))
     have = np.array([i for i, d in enumerate(ids) if int(d) in pos], dtype=np.int64)
+    if len(have) == 0:  # no shortlisted doc has an embedding row
+        return empty
     ids, bm = ids[have], short["score_micro"].to_numpy(dtype=np.float64)[have]
     emb = vv[[pos[int(d)] for d in ids]]
     centroid = _norm(emb[: min(3, len(emb))].mean(axis=0, keepdims=True))[0]  # Rocchio PRF

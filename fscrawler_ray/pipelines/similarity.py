@@ -499,6 +499,22 @@ def train_pq(sf_dir: str, m: int = 8, ks: int = 32, iters: int = 8, sample: int 
     return books
 
 
+def fetch_vectors(sf_dir: str, ids: np.ndarray) -> tuple[dict, np.ndarray]:
+    """Pushdown fetch of specific embedding rows (row-group-pruned isin
+    filter) → (vec_id → row-index map, unit-normalized matrix).  Shared
+    by the PQ re-rank and the hybrid-search dense stage — the shortlist
+    is the ONLY data that leaves the parquet."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(pa.array(np.asarray(ids)))
+    )
+    got = t.column("vec_id").to_numpy()
+    vv = _norm(_vecs(t.column("embedding")).astype(np.float64))
+    return {int(v): i for i, v in enumerate(got)}, vv
+
+
 def encode_pq(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, dim) unit vectors → (n, m) uint8 codes (vectorized argmin per
     subspace)."""
@@ -560,9 +576,6 @@ def knn_pq(sf_dir: str, n_queries: int = 4, k: int = 10, m: int = 8, ks: int = 3
     through ONE vec_id-pushdown filtered read with exact cosine.  The
     scale path where the fp32 matrix of knn_bruteforce no longer fits;
     approximate by construction → rows-only + recall-tested."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
     books = train_pq(sf_dir, m=m, ks=ks)
     qids, q = _load_queries(sf_dir, n_queries)
     mq, ksq, dsub = books.shape
@@ -579,13 +592,7 @@ def knn_pq(sf_dir: str, n_queries: int = 4, k: int = 10, m: int = 8, ks: int = 3
         .groupby("query_id", sort=True)
         .head(k * oversample)
     )
-    ids = np.unique(short["vec_id"].to_numpy())
-    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(pa.array(ids))
-    )
-    got = t.column("vec_id").to_numpy()
-    vv = _norm(_vecs(t.column("embedding")).astype(np.float64))
-    pos = {int(v): i for i, v in enumerate(got)}
+    pos, vv = fetch_vectors(sf_dir, np.unique(short["vec_id"].to_numpy()))
     rows = []
     for qi, qid in enumerate(qids):
         sl = short[short["query_id"] == qid]["vec_id"].to_numpy()

@@ -137,6 +137,6 @@ def compact_results(out_dir: str, dest_dir: str, rows_per_file: int = 100_000) -
     ds = ray.data.read_parquet(out_dir)
     n = ds.count()
     os.makedirs(dest_dir, exist_ok=True)
-    ds.write_parquet(dest_dir, num_rows_per_file=rows_per_file)
+    ds.write_parquet(dest_dir, min_rows_per_file=rows_per_file)
     files_after = len(glob.glob(os.path.join(dest_dir, "**", "*.parquet"), recursive=True))
     return {"rows": n, "files_before": files_before, "files_after": files_after}
