@@ -3385,3 +3385,33 @@ ORACLE_SQL["orphan_orders"] = (
     "GROUP BY o_orderstatus"
 )
 QUERIES["orphan_orders"] = q_orphan_orders
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event-type pair,
+    how many users exhibit BOTH — the association signal item-recommender
+    pipelines start from.  Distinct (user, type) pairs reduce first (one
+    pair-keyed groupby); the per-user basket expansion is bounded by the
+    type-alphabet size; one tiny pair-count rollup finishes."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    pairs = grouped_sum(ev, ["user_id", "event_type"], {}, count_out="c")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["event_type"].to_numpy(dtype=object))
+        if len(ts) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        ia, ib = np.triu_indices(len(ts), k=1)
+        return pd.DataFrame({"a": ts[ia], "b": ts[ib]})
+
+    baskets = pairs.groupby("user_id").map_groups(expand, batch_format="pandas")
+    out = grouped_sum(baskets, ["a", "b"], {}, count_out="users")
+    return _select(out, ["a", "b", "users"])
+
+
+ORACLE_SQL["event_cooccurrence"] = (
+    "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+    "SELECT x.event_type AS a, y.event_type AS b, CAST(count(*) AS BIGINT) AS users "
+    "FROM d x JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type "
+    "GROUP BY x.event_type, y.event_type"
+)
+QUERIES["event_cooccurrence"] = q_event_cooccurrence
