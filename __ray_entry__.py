@@ -397,6 +397,11 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = images_dataset(rows_for_sf(sf_dir))
         return phash_dedup(ds)
 
+    def images_dedup_keep_best(sf_dir: str):
+        from fscrawler_ray.pipelines.dedup import phash_dedup_keep_best
+
+        return phash_dedup_keep_best(images_dataset(rows_for_sf(sf_dir)))
+
     def images_phash_neardup(sf_dir: str):
         from fscrawler_ray.pipelines.dedup import phash_neardup_pairs
 
@@ -483,6 +488,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "images_enrich": images_enrich,
         "images_phash_dedup": images_phash_dedup,
+        "images_dedup_keep_best": images_dedup_keep_best,
         "images_phash_neardup": images_phash_neardup,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,

@@ -33,9 +33,10 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 
 from ..functions.hashing import xxh64_batch
 from ..functions.text import minhash_signatures, shingle_hashes, simhash64
@@ -62,6 +63,45 @@ def phash_dedup(images_ds):
         return b.filter(pc.greater(b.column("copies"), 1))
 
     return out.map_batches(f, batch_format="pyarrow")
+
+
+def phash_dedup_keep_best(images_ds):
+    """Curation-grade exact dedup: within each phash duplicate group keep
+    the HIGHEST-RESOLUTION copy (argmax w·h, ties to min image_id) — the
+    keep-best policy a LAION-style pipeline wants instead of keep-first.
+    Same argmax-join shape as q_min_cost_supplier: a mergeable grouped
+    MAX of the pixel count (per-block partials, payload bytes never
+    shuffle), then an equality join back picks the winner rows; a final
+    min(image_id) per group resolves resolution ties deterministically."""
+    slim = images_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "phash": b.column("phash").cast(pa.int64()),
+                "image_id": b.column("image_id"),
+                "px": pc.multiply(b.column("w").cast(pa.int64()), b.column("h").cast(pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by the max pass AND the argmax filter
+
+    def pmax(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["phash", "px"]), ["phash"]).aggregate([("px", "max")])
+        return pa.table({"phash": g.column("phash"), "px_p": g.column("px_max")})
+
+    mx = slim.map_batches(pmax, batch_format="pyarrow").groupby("phash").aggregate(Max("px_p"))
+    mx = mx.map_batches(
+        lambda b: b.rename_columns(["phash", "best_px"]), batch_format="pyarrow"
+    ).materialize()
+    from ..stages.joins import join as _join
+
+    j = _join(slim, mx, on="phash", how="inner")
+    winners = j.map_batches(
+        lambda b: b.filter(pc.equal(b.column("px"), b.column("best_px"))), batch_format="pyarrow"
+    )
+    out = winners.groupby("phash").aggregate(Min("image_id"), Count())
+    return out.map_batches(
+        lambda b: b.rename_columns(["phash", "keeper_image_id", "ties"]), batch_format="pyarrow"
+    )
 
 
 def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128, distributed: bool = True):

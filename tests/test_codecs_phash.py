@@ -77,3 +77,26 @@ def test_reencode_reconstruction_matches_decode():
             via_codec = decode(encode(img, fmt))[0]
             fast = reencode_reconstruction(img, fmt)
             assert np.array_equal(via_codec, fast), fmt
+
+
+def test_phash_dedup_keep_best(ray_session):
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from fscrawler_ray.pipelines.dedup import phash_dedup_keep_best
+
+    # group 7: three copies, the 100x80 one wins; group 9: resolution tie
+    # between b1/b2 → min image_id; singleton group 5 keeps itself
+    t = pa.table(
+        {
+            "image_id": pa.array(["a1", "a2", "a3", "b2", "b1", "c"]),
+            "phash": pa.array([7, 7, 7, 9, 9, 5], pa.int64()),
+            "w": pa.array([10, 100, 50, 20, 20, 8], pa.int32()),
+            "h": pa.array([10, 80, 50, 20, 20, 8], pa.int32()),
+        }
+    )
+    df = phash_dedup_keep_best(_ray.data.from_arrow(t)).to_pandas().set_index("phash")
+    assert df.loc[7, "keeper_image_id"] == "a2" and df.loc[7, "ties"] == 1
+    assert df.loc[9, "keeper_image_id"] == "b1" and df.loc[9, "ties"] == 2
+    assert df.loc[5, "keeper_image_id"] == "c"
