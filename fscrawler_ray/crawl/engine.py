@@ -781,6 +781,25 @@ class CrawlEngine:
                 out[host] = int(min(rate_cap, max(2, pending // thr)))
         return out
 
+    def governor_plan(self, salt_threshold: int | None = None, priority_floor: float = 0.25) -> dict:
+        """The adaptive-crawl governor in one call: every feedback lever
+        the run's own telemetry supports, packaged for the next crawl (or
+        checkpoint → resume) — ``salt_hosts`` from frontier backlog
+        (suggest_salts), ``host_priorities`` from the observed link graph
+        (suggest_priorities), and ``trapped_hosts`` from the discovery
+        budget (drop or down-prioritize).  The engine never applies a
+        plan automatically; plans are DATA handed back to the operator,
+        validated on the next CrawlConfig."""
+        trapped: list[str] = []
+        if self.cfg.max_urls_per_host is not None:
+            got = ray.get([s.trapped_hosts.remote() for s in self.shards])
+            trapped = sorted({h for sub in got for h in sub})
+        return {
+            "salt_hosts": self.suggest_salts(threshold=salt_threshold),
+            "host_priorities": self.suggest_priorities(floor=priority_floor),
+            "trapped_hosts": trapped,
+        }
+
     def suggest_priorities(self, floor: float = 0.25, d: float = 0.85, max_iter: int = 60) -> dict:
         """Close the pagerank→frontier feedback loop (the prioritization
         analog of ``suggest_salts``): rank hosts by weighted PageRank over

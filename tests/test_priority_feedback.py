@@ -121,3 +121,26 @@ def test_feedback_survives_checkpoint_and_new_plan_wins(tmp_path):
     # ... and the NEW weight plan reached every shard (not the old empty one)
     for st in ray.get([s.state.remote() for s in res.shards]):
         assert st["host_priorities"] == plan
+
+
+def test_governor_plan_composes_all_levers(ray_session):
+    from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+    cfg = WebConfig(seed=13, n_hosts=5, max_depth=3, fanout_dirs=2, fanout_files=5)
+    eng = CrawlEngine(
+        CrawlConfig(web=cfg, n_shards=2, politeness_budget=3, max_rounds=20, max_urls_per_host=9)
+    )
+    eng.run(SynthWeb(cfg).seeds())
+    plan = eng.governor_plan()
+    assert set(plan) == {"salt_hosts", "host_priorities", "trapped_hosts"}
+    # the plan must be directly consumable by the next CrawlConfig
+    CrawlEngine(
+        CrawlConfig(
+            web=cfg, n_shards=2, politeness_budget=3, max_rounds=1,
+            salt_hosts=plan["salt_hosts"], host_priorities=plan["host_priorities"],
+            max_urls_per_host=9,
+        )
+    )
+    assert plan["trapped_hosts"]  # the tight budget flags hosts
+    assert all(0 < w <= 1 for w in plan["host_priorities"].values())
