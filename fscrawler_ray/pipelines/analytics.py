@@ -3415,3 +3415,42 @@ ORACLE_SQL["event_cooccurrence"] = (
     "GROUP BY x.event_type, y.event_type"
 )
 QUERIES["event_cooccurrence"] = q_event_cooccurrence
+
+
+def q_revenue_yoy(sf_dir: str):
+    """Year-over-year comparison: each month's order revenue beside the
+    same month one year earlier (NULL when no prior year) — the growth
+    view every revenue dashboard opens with.  The wide step is ONE
+    monthly grouped sum; the self-alignment runs on the months-sized
+    rollup (a driver-side dict probe here; at a 10³-month horizon this
+    table is always tiny)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        mo = pc.floor_temporal(b.column("o_orderdate"), unit="month").cast(pa.timestamp("us"))
+        b = _cents(b, "o_totalprice", "vc")
+        return pa.table({"mo": mo, "vc": b.column("vc")})
+
+    monthly = grouped_sum(orders.map_batches(prep, batch_format="pyarrow"), ["mo"], {"vc": "rev_cents"})
+    df = monthly.to_pandas()
+    prev = {}
+    for r in df.itertuples():
+        ts = pd.Timestamp(r.mo)
+        prev[ts.replace(year=ts.year + 1)] = int(r.rev_cents)
+    out_prev = [prev.get(pd.Timestamp(m)) for m in df["mo"]]
+    return pa.table(
+        {
+            "mo": pa.array(df["mo"]).cast(pa.timestamp("us")),
+            "rev_cents": pa.array(df["rev_cents"].astype(np.int64)),
+            "prev_year_cents": pa.array(out_prev, pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["revenue_yoy"] = (
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo, "
+    "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents FROM orders GROUP BY 1) "
+    "SELECT a.mo, a.rev_cents, b.rev_cents AS prev_year_cents "
+    "FROM m a LEFT JOIN m b ON b.mo + INTERVAL 12 MONTH = a.mo"
+)
+QUERIES["revenue_yoy"] = q_revenue_yoy

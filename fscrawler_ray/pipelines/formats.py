@@ -74,6 +74,39 @@ def _roundtrip(sf_dir: str, fmt: str):
     return pa.concat_tables(batches)
 
 
+def q_docs_hive_roundtrip(sf_dir: str):
+    """Hive-partitioned parquet round-trip (the brief's 'write partitioned
+    Parquet, one directory per key' resumable-output discipline): write
+    the documents metadata partitioned BY LANG, read it back through the
+    partition-aware scan, and certify losslessness against the original
+    table — partition values survive the column→directory→column trip
+    (dtype included)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=_COLS)
+    out = _scratch(sf_dir, "hive")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out, partition_cols=["lang"])
+    back = ray.data.read_parquet(out)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "lang": b.column("lang").cast(pa.string()),
+                "source": b.column("source").cast(pa.string()),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    batches = list(
+        back.map_batches(project, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    if not batches:
+        return pa.table({n: pa.array([], t) for n, t in
+                         [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string()), ("n_chars", pa.int64())]})
+    return pa.concat_tables(batches)
+
+
 def q_docs_jsonl_roundtrip(sf_dir: str):
     return _roundtrip(sf_dir, "jsonl")
 
@@ -86,4 +119,5 @@ ORACLE_SQL = {
     # identity through the format: the oracle reads the ORIGINAL parquet
     "docs_jsonl_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
     "docs_csv_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
+    "docs_hive_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
 }
