@@ -3454,3 +3454,38 @@ ORACLE_SQL["revenue_yoy"] = (
     "FROM m a LEFT JOIN m b ON b.mo + INTERVAL 12 MONTH = a.mo"
 )
 QUERIES["revenue_yoy"] = q_revenue_yoy
+
+
+def q_value_mad_by_type(sf_dir: str):
+    """Robust dispersion per key: MEDIAN ABSOLUTE DEVIATION via two
+    chained exact-quantile passes (median, then median of |x − med|) —
+    the outlier-resistant twin of q_value_moments_by_type's variance.
+    Each pass is the histogram-narrowing selector (per-(key, bin) count
+    partials only); the per-key medians broadcast as a tiny dict between
+    them.  |x − med| is the identical float op on both engines, so the
+    deviation multiset — and the interpolated median over it — match."""
+    from ..functions.quantiles import grouped_quantile_cont
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"]).materialize()
+    med = grouped_quantile_cont(ev, "event_type", "value", 1, 2, out="med").to_pandas()
+    med_map = dict(zip(med["event_type"], med["med"]))
+    med_ref = ray.put(med_map)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        centers = np.array([m.get(t, np.nan) for t in b.column("event_type").to_pylist()])
+        return pa.table(
+            {"event_type": b.column("event_type"), "absdev": pa.array(np.abs(v - centers))}
+        )
+
+    devs = ev.map_batches(dev, batch_format="pyarrow")
+    return grouped_quantile_cont(devs, "event_type", "absdev", 1, 2, out="mad")
+
+
+ORACLE_SQL["value_mad_by_type"] = (
+    "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1) "
+    "SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS mad "
+    "FROM events e JOIN med USING (event_type) GROUP BY e.event_type"
+)
+QUERIES["value_mad_by_type"] = q_value_mad_by_type
