@@ -3489,3 +3489,33 @@ ORACLE_SQL["value_mad_by_type"] = (
     "FROM events e JOIN med USING (event_type) GROUP BY e.event_type"
 )
 QUERIES["value_mad_by_type"] = q_value_mad_by_type
+
+
+def q_events_dow_hour(sf_dir: str):
+    """Calendar heatmap: event count + value cents by (ISO day-of-week,
+    hour) — the 7×24 seasonality grid.  One partial-aggregated groupby;
+    the only subtlety is calendar parity: pyarrow day_of_week is
+    0=Monday, DuckDB isodow is 1=Monday, aligned by +1."""
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "vc")
+        return pa.table(
+            {
+                "dow": pc.add(pc.day_of_week(b.column("ts")), pa.scalar(1, pa.int64())).cast(pa.int64()),
+                "hour": pc.hour(b.column("ts")).cast(pa.int64()),
+                "vc": pc.fill_null(b.column("vc"), pa.scalar(0, pa.int64())),
+            }
+        )
+
+    agg = grouped_sum(ev.map_batches(prep, batch_format="pyarrow"), ["dow", "hour"], {"vc": "total_cents"}, count_out="cnt")
+    return _select(agg, ["dow", "hour", "cnt", "total_cents"])
+
+
+ORACLE_SQL["events_dow_hour"] = (
+    "SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hour, "
+    "CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(CASE WHEN value IS NULL THEN 0 ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS total_cents "
+    "FROM events GROUP BY 1, 2"
+)
+QUERIES["events_dow_hour"] = q_events_dow_hour
