@@ -3519,3 +3519,77 @@ ORACLE_SQL["events_dow_hour"] = (
     "FROM events GROUP BY 1, 2"
 )
 QUERIES["events_dow_hour"] = q_events_dow_hour
+
+
+def q_urgent_revenue_bloom(sf_dir: str):
+    """Bloom-join showcase: revenue of lineitems belonging to URGENT
+    orders, pruned by a broadcast Bloom of the urgent order keys (the
+    crawl seen-set's filter as a join accelerator) with exact
+    verification — identical answer to the plain semi join, ~5× smaller
+    broadcast at scale.  One global two-number aggregate."""
+    from ..stages.joins import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    keys_parts = [
+        b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")).column("o_orderkey").to_numpy(zero_copy_only=False)
+        for b in orders.iter_batches(batch_format="pyarrow")
+    ]
+    keys = np.concatenate([k for k in keys_parts if len(k)]) if any(len(k) for k in keys_parts) else np.empty(0, np.int64)
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "rev_cents": _rev_cents(b)}),
+        batch_format="pyarrow",
+    )
+    hit = bloom_semi_join(li, keys.astype(np.int64), on="l_orderkey")
+    parts = hit.map_batches(
+        lambda b: pa.table(
+            {"n_lines": pa.array([b.num_rows], pa.int64()), "rc": pa.array([pc.sum(b.column("rev_cents")).as_py() or 0], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return pa.table(
+        {
+            "n_lines": pa.array([int(parts["n_lines"].sum())], pa.int64()),
+            "revenue_cents": pa.array([int(parts["rc"].sum())], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["urgent_revenue_bloom"] = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey "
+    "AND o.o_orderpriority = '1-URGENT')"
+)
+QUERIES["urgent_revenue_bloom"] = q_urgent_revenue_bloom
+
+
+def q_value_quartiles_by_type(sf_dir: str):
+    """Quartile bands per key (P25/P50/P75 of value cents) — three exact
+    histogram-narrowing selections over INTEGER cents joined into one
+    band table; the box-plot backbone without any per-group sort."""
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    ev = ev.map_batches(lambda b: _cents(b, "value", "vc"), batch_format="pyarrow").drop_columns(["value"]).materialize()
+    q1 = grouped_quantile_disc(ev, "event_type", "vc", 1, 4, out="q1_cents")
+    q2 = grouped_quantile_disc(ev, "event_type", "vc", 2, 4, out="med_cents")
+    q3 = grouped_quantile_disc(ev, "event_type", "vc", 3, 4, out="q3_cents")
+    out = q1.join(q2, keys="event_type").join(q3, keys="event_type")
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "q1_cents": out.column("q1_cents").cast(pa.int64()),
+            "med_cents": out.column("med_cents").cast(pa.int64()),
+            "q3_cents": out.column("q3_cents").cast(pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["value_quartiles_by_type"] = (
+    "WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE value IS NOT NULL) "
+    "SELECT event_type, CAST(quantile_disc(vc, 0.25) AS BIGINT) AS q1_cents, "
+    "CAST(quantile_disc(vc, 0.5) AS BIGINT) AS med_cents, "
+    "CAST(quantile_disc(vc, 0.75) AS BIGINT) AS q3_cents FROM c GROUP BY event_type"
+)
+QUERIES["value_quartiles_by_type"] = q_value_quartiles_by_type

@@ -22,3 +22,26 @@ def test_hot_host_detected_midcrawl():
 
     total = sum(ray.get([s.pending_count.remote() for s in eng.shards]))
     assert sum(n for _, n in eng.hot_hosts(top=10**6)) == total
+
+
+def test_bloom_semi_join_exact_and_prune_modes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from fscrawler_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(5)
+    left = pa.table({"k": pa.array(rng.integers(0, 5000, 20000), pa.int64())})
+    keys = np.unique(rng.integers(0, 5000, 200)).astype(np.int64)
+    ds = _ray.data.from_arrow(left).repartition(4)
+    got = bloom_semi_join(ds, keys, on="k").to_pandas()["k"].to_numpy()
+    truth = left.column("k").to_numpy(zero_copy_only=False)
+    truth = truth[np.isin(truth, keys)]
+    assert sorted(got) == sorted(truth)  # exact mode == true semi join
+    # prune mode is a SUPERSET (bloom has no false negatives) and still
+    # drops the vast majority of non-matching rows at 1e-3 fp
+    pruned = bloom_semi_join(ds, keys, on="k", exact=False).to_pandas()["k"].to_numpy()
+    assert set(truth) <= set(pruned)
+    assert len(pruned) <= len(truth) + 0.01 * len(left)
