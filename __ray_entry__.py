@@ -202,6 +202,32 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         )
         return _collect(agg, {"host": pa.string(), "max_per_round": pa.int64()})
 
+    def crawl_depth_funnel(sf_dir: str):
+        """Frontier depth funnel over the written run, SQL-CHECKED: rows
+        and bytes landed per crawl depth — the discovery-decay curve that
+        tells an operator where max_depth should sit."""
+        import ray as _ray
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fscrawler_ray.pipelines.analytics import grouped_sum
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["depth", "size"])
+        ds = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "depth": b.column("depth").cast(pa.int64()),
+                    "size": pc.fill_null(b.column("size").cast(pa.int64()), 0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        agg = grouped_sum(ds, ["depth"], {"size": "total_bytes"}, count_out="files")
+        agg = agg.map_batches(lambda b: b.select(["depth", "files", "total_bytes"]), batch_format="pyarrow")
+        return _collect(agg, {"depth": pa.int64(), "files": pa.int64(), "total_bytes": pa.int64()})
+
     def crawl_compact(sf_dir: str):
         """Small-file compaction exercised on the shared written run
         (rows-only: file counts depend on writer parallelism)."""
@@ -380,6 +406,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_content_groups": crawl_content_groups,
         "crawl_compact": crawl_compact,
         "crawl_politeness_audit": crawl_politeness_audit,
+        "crawl_depth_funnel": crawl_depth_funnel,
         "host_pagerank": host_pagerank,
     }
 
@@ -616,6 +643,11 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_depth_funnel"] = (
+        "SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS files, "
+        "CAST(sum(COALESCE(size, 0)) AS BIGINT) AS total_bytes "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY depth"
+    )
     sql["crawl_politeness_audit"] = (
         "WITH pr AS (SELECT host, round, CAST(count(*) AS BIGINT) AS n "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host, round) "

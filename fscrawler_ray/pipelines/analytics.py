@@ -3593,3 +3593,54 @@ ORACLE_SQL["value_quartiles_by_type"] = (
     "CAST(quantile_disc(vc, 0.75) AS BIGINT) AS q3_cents FROM c GROUP BY event_type"
 )
 QUERIES["value_quartiles_by_type"] = q_value_quartiles_by_type
+
+
+def q_scaled_doclen_by_lang(sf_dir: str):
+    """Feature engineering: min-max normalized document length within
+    each language (the per-group scaler every tabular-ML pipeline
+    applies before training).  Grouped min+max reduce as per-block
+    partials; the lang-sized band table broadcasts; the scale itself is
+    one vectorized map — a single int-int float division on both
+    engines, so even the floats hash-match."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).materialize()
+
+    def pminmax(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["lang", "n_chars"]), ["lang"]).aggregate(
+            [("n_chars", "min"), ("n_chars", "max")]
+        )
+        return pa.table(
+            {"lang": g.column("lang"), "mn_p": g.column("n_chars_min"), "mx_p": g.column("n_chars_max")}
+        )
+
+    bands = (
+        docs.map_batches(pminmax, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Min("mn_p"), Max("mx_p"))
+        .to_pandas()
+    )
+    band_ref = ray.put(
+        {r.lang: (int(r[1]), int(r[2])) for r in bands.itertuples(index=False)}
+    )
+
+    def scale(b: pa.Table) -> pa.Table:
+        m = ray.get(band_ref)
+        langs = b.column("lang").to_pylist()
+        mn = np.array([m[l][0] for l in langs], dtype=np.float64)
+        mx = np.array([m[l][1] for l in langs], dtype=np.float64)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        span = mx - mn
+        scaled = np.where(span > 0, (x - mn) / np.where(span > 0, span, 1.0), 0.0)
+        return pa.table(
+            {"doc_id": b.column("doc_id").cast(pa.int64()), "lang": b.column("lang"), "scaled_len": pa.array(scaled)}
+        )
+
+    return docs.map_batches(scale, batch_format="pyarrow")
+
+
+ORACLE_SQL["scaled_doclen_by_lang"] = (
+    "WITH b AS (SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx FROM documents GROUP BY 1) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, "
+    "CASE WHEN b.mx > b.mn THEN (d.n_chars - b.mn) / CAST(b.mx - b.mn AS DOUBLE) ELSE 0.0 END AS scaled_len "
+    "FROM documents d JOIN b USING (lang)"
+)
+QUERIES["scaled_doclen_by_lang"] = q_scaled_doclen_by_lang
