@@ -3644,3 +3644,38 @@ ORACLE_SQL["scaled_doclen_by_lang"] = (
     "FROM documents d JOIN b USING (lang)"
 )
 QUERIES["scaled_doclen_by_lang"] = q_scaled_doclen_by_lang
+
+
+def q_user_interarrival_median(sf_dir: str):
+    """Behavioral cadence: each user's MEDIAN inter-event gap in
+    microseconds (the session-timeout calibration statistic).  Users
+    co-partition once; inside each (bounded) user group the gaps are one
+    vectorized diff over the (ts, event_id)-sorted stream and the median
+    interpolates the two middle order statistics exactly like SQL's
+    quantile_cont — integer gaps, dyadic quantile, so the float matches
+    bit-for-bit.  Users with < 2 events have no gap and are absent (SQL
+    join semantics)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(t) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64), "median_gap_us": pd.Series([], dtype=np.float64)}
+            )
+        d = np.diff(t).astype(np.float64)
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iat[0])], "median_gap_us": [float(np.median(d))]}
+        )
+
+    return ev.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+ORACLE_SQL["user_interarrival_median"] = (
+    "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, quantile_cont(CAST(gap AS DOUBLE), 0.5) AS median_gap_us "
+    "FROM g WHERE gap IS NOT NULL GROUP BY user_id"
+)
+QUERIES["user_interarrival_median"] = q_user_interarrival_median
