@@ -16,6 +16,7 @@ from typing import Any
 # oracle_sql() string must name the path, and the driver re-runs the Ray
 # query before the SQL, so last-write-wins keeps the two sides consistent
 CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
+CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -74,15 +75,30 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({k: [int(v)] for k, v in c.items() if isinstance(v, int)})
 
     def crawl_scan(sf_dir: str):
-        """No-stat fast-scan mode (FastCrawler analog): enumerate-only."""
+        """No-stat fast-scan mode (FastCrawler analog): enumerate-only —
+        now SQL-CHECKED: the scan streams its trace to a FIXED spool and
+        the oracle reads the same parts back via DuckDB, certifying the
+        engine's trace_table() reconstruction (part merge + seq order)
+        against the raw on-disk lineage."""
+        import shutil
+
         import pyarrow as pa
 
         cfg = _scale(sf_dir)
+        out = CRAWL_SCAN_DIR
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
+        shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
         eng = CrawlEngine(
-            CrawlConfig(web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, fetch_payloads=False)
+            CrawlConfig(
+                web=cfg, n_shards=2, politeness_budget=8, max_rounds=40, fetch_payloads=False, out_dir=out
+            )
         )
         eng.run(SynthWeb(cfg).seeds())
-        return eng.trace_table()
+        t = eng.trace_table()
+        return t.set_column(
+            t.schema.get_field_index("seq"), "seq", t.column("seq").cast(pa.int64())
+        )
 
     # crawl_host_report and crawl_rollup consume the WRITTEN output of one
     # identical crawl config — share a single cached written run per
@@ -112,9 +128,16 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         return _written_cache[sf_dir]
 
     def crawl_host_report(sf_dir: str):
+        """Per-host rollup over the written run — now SQL-CHECKED like its
+        siblings (was rows-only through round 2)."""
+        import pyarrow as pa
+
         from fscrawler_ray.pipelines.crawl_report import host_rollup
 
-        return host_rollup(_shared_written_run(sf_dir)).to_pandas()
+        return _collect(
+            host_rollup(_shared_written_run(sf_dir)),
+            {"host": pa.string(), "files": pa.int64(), "total_bytes": pa.int64(), "max_depth": pa.int64()},
+        )
 
     def crawl_mirrors(sf_dir: str):
         """Mirror-host pairs over the SAME written crawl output as
@@ -643,6 +666,15 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql["crawl_scan"] = (
+        "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
+        f"FROM read_parquet('{CRAWL_SCAN_DIR}_trace/part-*.parquet')"
+    )
+    sql["crawl_host_report"] = (
+        "SELECT host, CAST(count(*) AS BIGINT) AS files, CAST(sum(size) AS BIGINT) AS total_bytes, "
+        "CAST(max(depth) AS BIGINT) AS max_depth "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host"
+    )
     sql["crawl_depth_funnel"] = (
         "SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS files, "
         "CAST(sum(COALESCE(size, 0)) AS BIGINT) AS total_bytes "
