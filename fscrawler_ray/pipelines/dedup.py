@@ -367,6 +367,11 @@ def _pairs_distributed_ds(buckets_ds, key_cols: list[str], id_col: str, max_buck
     )
     if len(dup_keys) == 0:
         return empty
+    # adaptive fan-out: the driver KNOWS the surviving-bucket count, so
+    # size the expansion shuffle to it — a handful of partitions at
+    # sandbox scale (shuffle fixed cost), the full n_partitions ceiling
+    # on a skewed/huge corpus (never one straggler task, VERDICT r02 #4)
+    n_partitions = int(min(n_partitions, max(2, len(dup_keys) // 512)))
 
     def tag(b: pa.Table) -> pa.Table:
         pcol = (_bucket_mix_key(b) % np.uint64(n_partitions)).astype(np.int64)
