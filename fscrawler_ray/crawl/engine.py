@@ -790,15 +790,19 @@ class CrawlEngine:
         budget (drop or down-prioritize).  The engine never applies a
         plan automatically; plans are DATA handed back to the operator,
         validated on the next CrawlConfig."""
-        trapped: list[str] = []
-        if self.cfg.max_urls_per_host is not None:
-            got = ray.get([s.trapped_hosts.remote() for s in self.shards])
-            trapped = sorted({h for sub in got for h in sub})
         return {
             "salt_hosts": self.suggest_salts(threshold=salt_threshold),
             "host_priorities": self.suggest_priorities(floor=priority_floor),
-            "trapped_hosts": trapped,
+            "trapped_hosts": self._trapped_hosts(),
         }
+
+    def _trapped_hosts(self) -> list[str]:
+        """Union of trap-flagged hosts across shards ([] when the guard
+        is off) — shared by summary() and governor_plan()."""
+        if self.cfg.max_urls_per_host is None:
+            return []
+        got = ray.get([s.trapped_hosts.remote() for s in self.shards])
+        return sorted({h for sub in got for h in sub})
 
     def suggest_priorities(self, floor: float = 0.25, d: float = 0.85, max_iter: int = 60) -> dict:
         """Close the pagerank→frontier feedback loop (the prioritization
@@ -861,8 +865,7 @@ class CrawlEngine:
             "counters": {k: v for k, v in c.items() if k != "per_shard"},
         }
         if self.cfg.max_urls_per_host is not None:
-            trapped = ray.get([s.trapped_hosts.remote() for s in self.shards])
-            out["trapped_hosts"] = sorted({h for sub in trapped for h in sub})
+            out["trapped_hosts"] = self._trapped_hosts()
         return out
 
     # -- checkpoint / resume ------------------------------------------------

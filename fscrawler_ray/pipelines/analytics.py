@@ -3473,13 +3473,17 @@ def q_value_mad_by_type(sf_dir: str):
 
     def dev(b: pa.Table) -> pa.Table:
         m = ray.get(med_ref)
+        # SQL NULL-skip parity: a NULL value contributes no deviation row
+        # (NaN would read as VALID and poison the narrowing histogram)
+        b = b.filter(pc.is_valid(b.column("value")))
         v = b.column("value").to_numpy(zero_copy_only=False)
         centers = np.array([m.get(t, np.nan) for t in b.column("event_type").to_pylist()])
         return pa.table(
             {"event_type": b.column("event_type"), "absdev": pa.array(np.abs(v - centers))}
         )
 
-    devs = ev.map_batches(dev, batch_format="pyarrow")
+    # materialized: the quantile selector consumes its input several times
+    devs = ev.map_batches(dev, batch_format="pyarrow").materialize()
     return grouped_quantile_cont(devs, "event_type", "absdev", 1, 2, out="mad")
 
 
@@ -3530,11 +3534,23 @@ def q_urgent_revenue_bloom(sf_dir: str):
     from ..stages.joins import bloom_semi_join
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # filter INSIDE the tasks: only the urgent keys cross to the driver
+    urgent = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+                .column("o_orderkey")
+                .cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+    )
     keys_parts = [
-        b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")).column("o_orderkey").to_numpy(zero_copy_only=False)
-        for b in orders.iter_batches(batch_format="pyarrow")
+        b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        for b in urgent.iter_batches(batch_format="pyarrow")
+        if b.num_rows
     ]
-    keys = np.concatenate([k for k in keys_parts if len(k)]) if any(len(k) for k in keys_parts) else np.empty(0, np.int64)
+    keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(
         lambda b: pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()), "rev_cents": _rev_cents(b)}),

@@ -43,6 +43,11 @@ def _roundtrip(sf_dir: str, fmt: str):
     elif fmt == "csv":
         ds.write_csv(out)
         back = ray.data.read_csv(out)
+    elif fmt == "hive":
+        # hive-partitioned parquet: the partition column round-trips
+        # through the column→directory→column encoding
+        ds.write_parquet(out, partition_cols=["lang"])
+        back = ray.data.read_parquet(out)
     else:
         raise ValueError(fmt)
 
@@ -76,35 +81,10 @@ def _roundtrip(sf_dir: str, fmt: str):
 
 def q_docs_hive_roundtrip(sf_dir: str):
     """Hive-partitioned parquet round-trip (the brief's 'write partitioned
-    Parquet, one directory per key' resumable-output discipline): write
-    the documents metadata partitioned BY LANG, read it back through the
-    partition-aware scan, and certify losslessness against the original
-    table — partition values survive the column→directory→column trip
-    (dtype included)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=_COLS)
-    out = _scratch(sf_dir, "hive")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    ds.write_parquet(out, partition_cols=["lang"])
-    back = ray.data.read_parquet(out)
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id").cast(pa.int64()),
-                "lang": b.column("lang").cast(pa.string()),
-                "source": b.column("source").cast(pa.string()),
-                "n_chars": b.column("n_chars").cast(pa.int64()),
-            }
-        )
-
-    batches = list(
-        back.map_batches(project, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    )
-    if not batches:
-        return pa.table({n: pa.array([], t) for n, t in
-                         [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string()), ("n_chars", pa.int64())]})
-    return pa.concat_tables(batches)
+    Parquet, one directory per key' resumable-output discipline):
+    partition values must survive the column→directory→column trip,
+    dtype included."""
+    return _roundtrip(sf_dir, "hive")
 
 
 def q_docs_jsonl_roundtrip(sf_dir: str):
