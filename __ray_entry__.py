@@ -62,8 +62,11 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             cfg = _scale(sf_dir)
             eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40))
             summary = eng.run(SynthWeb(cfg).seeds())
-            _run_cache[sf_dir] = (eng.trace_table(), summary)
+            _run_cache[sf_dir] = (eng.trace_table(), summary, eng)
         return _run_cache[sf_dir]
+
+    def _shared_engine(sf_dir: str):
+        return _shared_run(sf_dir)[2]
 
     def crawl_trace(sf_dir: str):
         return _shared_run(sf_dir)[0]
@@ -73,6 +76,28 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         c = _shared_run(sf_dir)[1]["counters"]
         return pa.table({k: [int(v)] for k, v in c.items() if isinstance(v, int)})
+
+    def crawl_host_degree(sf_dir: str):
+        """Observed host-graph degrees from the shared trace run's link
+        tally (the pagerank feedback signal exposed as data): per host,
+        weighted out-degree and in-degree.  Host-graph-sized; rows-only
+        (the tally is engine state, not SQL-reachable)."""
+        import pyarrow as pa
+
+        eng = _shared_engine(sf_dir)
+        outd: dict[str, int] = {}
+        ind: dict[str, int] = {}
+        for (s, t), c in eng.host_edges.items():
+            outd[s] = outd.get(s, 0) + int(c)
+            ind[t] = ind.get(t, 0) + int(c)
+        hosts = sorted(set(outd) | set(ind))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "out_links": pa.array([outd.get(h, 0) for h in hosts], pa.int64()),
+                "in_links": pa.array([ind.get(h, 0) for h in hosts], pa.int64()),
+            }
+        )
 
     def crawl_scan(sf_dir: str):
         """No-stat fast-scan mode (FastCrawler analog): enumerate-only —
@@ -420,6 +445,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "crawl_trace": crawl_trace,
         "crawl_counters": crawl_counters,
+        "crawl_host_degree": crawl_host_degree,
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,

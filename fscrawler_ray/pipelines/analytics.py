@@ -3695,3 +3695,47 @@ ORACLE_SQL["user_interarrival_median"] = (
     "FROM g WHERE gap IS NOT NULL GROUP BY user_id"
 )
 QUERIES["user_interarrival_median"] = q_user_interarrival_median
+
+
+def q_source_lang_lift(sf_dir: str):
+    """Association LIFT between source and language — observed joint count
+    against the independence expectation, emitted as the exact integer
+    pair (n_joint·N, n_source·n_lang) so lift = left/right without any
+    float crossing the engine boundary.  Three tiny grouped counts (joint,
+    two marginals) and one broadcast decoration of the joint table."""
+    docs = _read(sf_dir, "documents", columns=["source", "lang"]).materialize()
+    joint = grouped_sum(docs, ["source", "lang"], {}, count_out="n_joint").materialize()
+    src = grouped_sum(docs, ["source"], {}, count_out="n_src").to_pandas()
+    lng = grouped_sum(docs, ["lang"], {}, count_out="n_lang").to_pandas()
+    total = int(src["n_src"].sum())
+    maps_ref = ray.put(
+        (dict(zip(src["source"], src["n_src"].astype(int))), dict(zip(lng["lang"], lng["n_lang"].astype(int))), total)
+    )
+
+    def lift(b: pa.Table) -> pa.Table:
+        s_map, l_map, n = ray.get(maps_ref)
+        nj = b.column("n_joint").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = np.array([s_map[s] for s in b.column("source").to_pylist()], dtype=np.int64)
+        nl = np.array([l_map[t] for t in b.column("lang").to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "lang": b.column("lang"),
+                "obs_scaled": pa.array(nj * n, pa.int64()),
+                "exp_scaled": pa.array(ns * nl, pa.int64()),
+            }
+        )
+
+    return joint.map_batches(lift, batch_format="pyarrow")
+
+
+ORACLE_SQL["source_lang_lift"] = (
+    "WITH j AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nj FROM documents GROUP BY 1, 2), "
+    "s AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY 1), "
+    "l AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM documents GROUP BY 1), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) "
+    "SELECT j.source, j.lang, CAST(j.nj * t.n AS BIGINT) AS obs_scaled, "
+    "CAST(s.ns * l.nl AS BIGINT) AS exp_scaled "
+    "FROM j JOIN s USING (source) JOIN l USING (lang), t"
+)
+QUERIES["source_lang_lift"] = q_source_lang_lift
