@@ -390,7 +390,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         from fscrawler_ray.functions.hashing import xxh64_batch
         from fscrawler_ray.pipelines.graph import pagerank
 
-        trace, _ = _shared_run(sf_dir)
+        trace = _shared_run(sf_dir)[0]
         cfg = _scale(sf_dir)
         urls_ds = _ray.data.from_arrow(trace.select(["url"]))
 
