@@ -36,6 +36,13 @@ def hll_fold(values: pa.Array | pa.ChunkedArray, p: int = 12, registers: np.ndar
     if len(values) == 0:
         return registers
     h = xxh64_batch(values.cast(pa.string()), seed=77)
+    return _regs_update(h, p, registers)
+
+
+def _regs_update(h: np.ndarray, p: int, registers: np.ndarray) -> np.ndarray:
+    """Register-update kernel shared by every HLL fold: first ``p`` hash
+    bits pick the register; rank = 1 + leading-zeros of the remaining
+    left-aligned 64-p bits, capped at 64-p+1."""
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # low 64-p bits, left-aligned
     # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
@@ -55,6 +62,39 @@ def hll_fold(values: pa.Array | pa.ChunkedArray, p: int = 12, registers: np.ndar
     return registers
 
 
+def md5_u64_batch(values: pa.Array) -> np.ndarray:
+    """Little-endian first 8 bytes of md5(utf8(value)) → uint64 — exactly
+    DuckDB's ``md5_number_upper(CAST(x AS VARCHAR))``, verified bitwise
+    against duckdb 1.0. Per-value hashlib loop (md5 has no vectorized
+    kernel here) amortized by hashing UNIQUE values once per batch; this
+    hash exists so a sketch can be replayed by the SQL oracle — the scale
+    path stays on the vectorized xxh64 fold."""
+    import hashlib
+
+    vals = pa.compute.unique(values)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "little") for v in vals.to_pylist()),
+        dtype=np.uint64,
+        count=len(vals),
+    )
+    pos = pa.compute.index_in(values, value_set=vals).to_numpy(zero_copy_only=False)
+    return uh[pos.astype(np.int64)]
+
+
+def hll_fold_md5(values: pa.Array | pa.ChunkedArray, p: int = 12, registers: np.ndarray | None = None) -> np.ndarray:
+    """``hll_fold`` with the SQL-replayable md5 register hash (see
+    ``md5_u64_batch``); same register/rank split, same merge."""
+    m = 1 << p
+    if registers is None:
+        registers = np.zeros(m, dtype=np.uint8)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = values.drop_null()
+    if len(values) == 0:
+        return registers
+    return _regs_update(md5_u64_batch(values.cast(pa.string())), p, registers)
+
+
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Element-wise max — associative/commutative/idempotent."""
     return np.maximum(a, b)
@@ -70,6 +110,28 @@ def hll_estimate(registers: np.ndarray) -> float:
         if zeros:
             return m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+def hll_estimate_sql_exact(registers: np.ndarray, p: int) -> float:
+    """``hll_estimate`` rewritten so a DuckDB oracle reproduces it
+    BIT-IDENTICALLY: the 2^-rank sum is folded in exact integer
+    arithmetic (sum of 2^(cap-r), a Python int ≤ 2^(64+1)), the alpha
+    constant is the same literal expression both sides, every float op is
+    a power-of-two scaling or a single division, and the linear-counting
+    log goes through libm (``math.log`` here ≡ DuckDB ``ln``, verified
+    bitwise on this platform). See ORACLE_SQL['approx_distinct_users_by_type']."""
+    import math
+
+    m = 1 << p
+    cap = 64 - p + 1
+    counts = np.bincount(registers, minlength=cap + 1)
+    s_int = sum(int(c) << (cap - r) for r, c in enumerate(counts.tolist()) if c)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * float(1 << cap) / float(s_int)
+    zeros = int(counts[0])
+    if raw <= 2.5 * m and zeros > 0:
+        return float(m) * math.log(float(m) / zeros)
+    return raw
 
 
 def hll_distinct(ds, col: str, p: int = 12) -> float:
@@ -141,6 +203,26 @@ def hll_distinct_by_key(ds, key: str, col: str, p: int = 12) -> pa.Table:
         {
             key: pa.array(ks),
             "approx_distinct": pa.array([int(round(hll_estimate(acc[k]))) for k in ks], pa.int64()),
+        }
+    )
+
+
+def hll_distinct_by_key_md5(ds, key: str, col: str, p: int = 12) -> pa.Table:
+    """``hll_distinct_by_key`` on the SQL-replayable md5 register hash with
+    the bit-exact estimator — the variant the driver's DuckDB oracle can
+    replay register-for-register (registers, ranks, integer 2^-rank sum,
+    libm linear-counting log, half-up final rounding all match). Same
+    shuffle-free mergeable-partial shape as the xxh64 path."""
+    import math
+
+    acc = _fold_by_key(ds, key, lambda sl: hll_fold_md5(sl.column(col), p=p), hll_merge, np.uint8)
+    ks = sorted(acc, key=lambda k: (k is None, k))
+    ests = [hll_estimate_sql_exact(acc[k], p) for k in ks]
+    return pa.table(
+        {
+            key: pa.array(ks),
+            # floor(x + 0.5): explicit half-up — round() would banker-round
+            "approx_distinct": pa.array([int(math.floor(e + 0.5)) for e in ests], pa.int64()),
         }
     )
 

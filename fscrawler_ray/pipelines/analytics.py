@@ -510,12 +510,16 @@ def q_approx_distinct_users_by_type(sf_dir: str):
     """The SKETCHED twin of q_distinct_users_by_type: per-key HyperLogLog
     registers folded per block and max-merged — zero shuffles and
     #keys × 4 KB of state where the exact version pays two shuffles.
-    Approximate (σ ≈ 1.6% at p=12) → rows-only check; the accuracy bound
-    vs the exact query is pytest-asserted (tests/test_sketches.py)."""
-    from ..functions.sketches import hll_distinct_by_key
+    Approximate (σ ≈ 1.6% at p=12) yet SQL-CHECKED: the register hash is
+    DuckDB's md5_number_upper, the 2^-rank sum folds in exact integer
+    arithmetic, and the linear-counting log is the same libm — the oracle
+    replays the sketch register-for-register (see ORACLE_SQL entry).
+    The accuracy bound vs the exact query stays pytest-asserted
+    (tests/test_sketches.py); scale paths use the vectorized xxh64 fold."""
+    from ..functions.sketches import hll_distinct_by_key_md5
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
-    return hll_distinct_by_key(ds, key="event_type", col="user_id", p=12)
+    return hll_distinct_by_key_md5(ds, key="event_type", col="user_id", p=12)
 
 
 def q_median_chars_by_lang(sf_dir: str):
@@ -929,6 +933,38 @@ ORACLE_SQL = {
     "distinct_users_by_type": (
         "SELECT event_type, cast(count(DISTINCT user_id) AS BIGINT) AS users "
         "FROM events GROUP BY event_type"
+    ),
+    # Replays the HLL sketch register-for-register (p=12, m=4096, cap=53):
+    # md5_number_upper == little-endian first 8 md5 bytes (the engine's
+    # md5_u64_batch); rank = 53 - bitlen(low 52 bits) via bin() string
+    # length (exact, no FP); the 2^-rank sum folds as HUGEINT 2^(53-r);
+    # absent registers contribute 2^53 each; linear counting through the
+    # same libm ln; half-up final rounding. Bit-identical to
+    # hll_estimate_sql_exact by construction.
+    "approx_distinct_users_by_type": (
+        "WITH h AS ("
+        " SELECT event_type, md5_number_upper(CAST(user_id AS VARCHAR)) AS hv"
+        " FROM events WHERE user_id IS NOT NULL"
+        "), reg AS ("
+        " SELECT event_type, hv >> 52 AS idx,"
+        "  CASE WHEN hv % 4503599627370496::UBIGINT = 0 THEN 53"
+        "       ELSE 53 - length(bin(hv % 4503599627370496::UBIGINT)) END AS rnk"
+        " FROM h"
+        "), rmax AS ("
+        " SELECT event_type, idx, MAX(rnk) AS r FROM reg GROUP BY event_type, idx"
+        "), agg AS ("
+        " SELECT event_type, COUNT(*) AS cnt,"
+        "  SUM(9007199254740992::HUGEINT / CAST(1::UBIGINT << r AS HUGEINT)) AS s_present"
+        " FROM rmax GROUP BY event_type"
+        "), est AS ("
+        " SELECT event_type, 4096 - cnt AS zeros,"
+        "  (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * 9007199254740992"
+        "   / CAST(s_present + CAST(4096 - cnt AS HUGEINT) * 9007199254740992::HUGEINT AS DOUBLE) AS raw"
+        " FROM agg"
+        ") SELECT event_type,"
+        " CAST(floor(CASE WHEN raw <= 10240.0 AND zeros > 0"
+        "   THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END + 0.5) AS BIGINT) AS approx_distinct "
+        "FROM est ORDER BY event_type"
     ),
     "median_chars_by_lang": (
         "SELECT lang, cast(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars "

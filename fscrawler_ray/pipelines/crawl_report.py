@@ -114,17 +114,25 @@ def empty_hosts(out_dir: str, trace: pa.Table):
     return crawled_hosts.filter(pa.array(mask))
 
 
-def mirror_hosts(out_dir: str, min_shared: int = 1):
+def mirror_hosts(out_dir: str, min_shared: int = 1, max_hosts: int = 64, drop_tally: dict | None = None):
     """Mirror detection: host pairs serving the same content identity
     (image_id — the payload hash the store dedups on), with shared-content
     counts.  The web-scale mirror/CDN collapse signal: a crawler that
     knows host A mirrors host B can skip B's frontier entirely.
 
     Two wide steps, both content-keyed: a (host, image_id) pair-dedup
-    groupby, then per-image host-pair expansion inside map_groups (hosts
-    per content is mirror-count-sized, so the quadratic term is bounded);
-    the final pair count is a grouped_sum over pair keys.  Payload bytes
-    never shuffle — only (host, image_id) strings."""
+    groupby, then per-image host-pair expansion inside map_groups; the
+    final pair count is a grouped_sum over pair keys.  Payload bytes
+    never shuffle — only (host, image_id) strings.
+
+    The quadratic term is CAPPED, not assumed away: true mirrors are
+    mirror-count-sized, but one globally popular payload (a logo on 100k
+    hosts) would make its group emit 5x10^9 pairs — so each image keeps
+    only its top-``max_hosts`` hosts (by per-host copy count, then host
+    name; deterministic) and the dropped tail is COUNTED, the same
+    counted-drop discipline as the frontier's trap guard.  Pass a dict as
+    ``drop_tally`` to receive {'images_capped', 'hosts_dropped'} — the
+    tally aggregates group sizes, never the pair expansion."""
     import numpy as np
     import pandas as pd
 
@@ -133,7 +141,23 @@ def mirror_hosts(out_dir: str, min_shared: int = 1):
     ds = ray.data.read_parquet(out_dir, columns=["host", "image_id"])
     distinct = grouped_sum(ds, ["host", "image_id"], {}, count_out="cnt")
 
+    if drop_tally is not None:
+        # group-size aggregate only (2-column count table, streaming):
+        # excess = max(0, hosts_per_image - cap), summed on the driver
+        sizes = distinct.groupby("image_id").count()
+        images_capped = hosts_dropped = 0
+        for b in sizes.iter_batches(batch_format="pyarrow"):
+            n = b.column("count()").to_numpy(zero_copy_only=False)
+            over = n > max_hosts
+            images_capped += int(over.sum())
+            hosts_dropped += int((n[over] - max_hosts).sum())
+        drop_tally["images_capped"] = images_capped
+        drop_tally["hosts_dropped"] = hosts_dropped
+
     def expand(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_hosts:
+            # keep the K best-evidenced mirrors: copy count desc, host asc
+            g = g.sort_values(["cnt", "host"], ascending=[False, True]).iloc[:max_hosts]
         hosts = np.sort(g["host"].to_numpy(dtype=object))
         if len(hosts) < 2:
             return pd.DataFrame({"host_a": pd.Series([], dtype=object), "host_b": pd.Series([], dtype=object)})

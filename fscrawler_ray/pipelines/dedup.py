@@ -22,8 +22,9 @@ groupby-(band,bucket) map_groups; verification happens either in-group
 the group holds everything needed) or via a repartition-by-doc_id join
 that ships only candidate docs' shingle sets (minhash / n-gram Jaccard).
 Nothing materializes the bucket table or any payload on the driver; only
-output-sized results do. ``mode="driver"`` keeps the single-process fast
-path for small inputs and for the distributed/driver equivalence tests.
+output-sized results do. The driver-side equivalence baselines live in
+tests/driver_baselines.py — OUTSIDE the package — sharing these bucket
+builders, so no production caller can take a corpus-sized to_pandas() path.
 """
 
 from __future__ import annotations
@@ -104,7 +105,7 @@ def phash_dedup_keep_best(images_ds):
     )
 
 
-def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128, distributed: bool = True):
+def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128):
     """Near-duplicate IMAGE pairs via banded perceptual hash: two 64-bit
     phashes within Hamming ≤ 6 agree on at least one of 4 16-bit bands with
     high probability; candidates are verified by full Hamming distance.
@@ -112,9 +113,9 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128, 
     the reference's exact (size, hash) duplicate finder for *almost*
     identical pixels — re-encodes, resizes, small edits).
 
-    DEFAULT distributed path: the phash rides each bucket row, pairs are
-    expanded AND verified inside the (band, bucket) groups, then deduped
-    by a pair-keyed groupby — no driver-side bucket table or phash map."""
+    The phash rides each bucket row, pairs are expanded AND verified
+    inside the (band, bucket) groups, then deduped by a pair-keyed
+    groupby — no driver-side bucket table or phash map."""
 
     def sketch(b: pa.Table) -> pa.Table:
         ph = b.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -140,46 +141,25 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128, 
     )
     from ..functions.phash import hamming64
 
-    if distributed:
-        def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
-            ids = g["doc_id"].to_numpy()
-            ph = g["phash"].to_numpy().astype(np.int64)
-            d = hamming64(ph[ia], ph[ib])
-            keep = d <= max_hamming
-            return pd.DataFrame(
-                {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": d[keep].astype(np.float64)}
-            )
-
-        t = _grouped_verified_pairs(buckets, verify, "hamming", max_bucket)
-        if t.num_rows == 0:
-            return empty
-        return pa.table(
-            {
-                "image_a": t.column("doc_a"),
-                "image_b": t.column("doc_b"),
-                "hamming": t.column("hamming").cast(pa.int64()),
-            }
+    def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.int64)
+        d = hamming64(ph[ia], ph[ib])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": d[keep].astype(np.float64)}
         )
 
-    cand = _collision_pairs(buckets.drop_columns(["phash"]).to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
-    if len(cand) == 0:
+    t = _grouped_verified_pairs(buckets, verify, "hamming", max_bucket)
+    if t.num_rows == 0:
         return empty
-    ph_map = (
-        images_ds.select_columns(["image_id", "phash"])
-        .to_pandas()
-        .drop_duplicates(subset=["image_id"])
-        .set_index("image_id")["phash"]
+    return pa.table(
+        {
+            "image_a": t.column("doc_a"),
+            "image_b": t.column("doc_b"),
+            "hamming": t.column("hamming").cast(pa.int64()),
+        }
     )
-    sa = ph_map.loc[cand["doc_a"]].to_numpy().astype(np.int64)
-    sb = ph_map.loc[cand["doc_b"]].to_numpy().astype(np.int64)
-    d = hamming64(sa, sb)
-    keep = d <= max_hamming
-    if not keep.any():
-        return empty
-    out = pd.DataFrame(
-        {"image_a": cand["doc_a"][keep], "image_b": cand["doc_b"][keep], "hamming": d[keep]}
-    )
-    return pa.Table.from_pandas(out.sort_values(["image_a", "image_b"]), preserve_index=False)
 
 
 def images_neardup_groups(images_ds, max_hamming: int = 6):
@@ -238,33 +218,10 @@ def images_neardup_groups(images_ds, max_hamming: int = 6):
 _PAIRS_CACHE: dict[tuple, pa.Table] = {}
 
 
-def minhash_lsh_pairs(
-    sf_dir: str,
-    num_perm: int = 64,
-    bands: int = 16,
-    jaccard_threshold: float = 0.5,
-    max_bucket: int = 64,
-    distributed: bool = True,
-    cache: bool = True,
-):
-    """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
-
-    Stage 1 (map_batches): per-doc minhash signature → ``bands`` rows of
-    (band, bucket_hash, doc_id). Stage 2 (groupby band+bucket → map_groups):
-    emit candidate pairs (capped per bucket against quadratic blowup).
-    Stage 3: exact shingle-Jaccard verification as a repartition-by-doc_id
-    join (the DEFAULT distributed path); ``distributed=False`` keeps the
-    driver-side fast path for tiny inputs / equivalence tests.
-    """
-    try:  # key on (path, size, mtime) so a rewritten input never serves stale pairs
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        src_id = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        src_id = None
-    key = (sf_dir, src_id, num_perm, bands, jaccard_threshold, max_bucket, distributed)
-    if cache and key in _PAIRS_CACHE:
-        return _PAIRS_CACHE[key]
-    docs = _docs(sf_dir)
+def minhash_buckets(docs, num_perm: int = 64, bands: int = 16):
+    """Stage 1 of MinHash LSH: per-doc signature → ``bands`` rows of
+    (band, bucket_hash, doc_id).  Shared by the distributed pipeline and
+    the driver-side equivalence baseline in tests/driver_baselines.py."""
     r = num_perm // bands
 
     def sigs(b: pa.Table) -> pa.Table:
@@ -285,16 +242,38 @@ def minhash_lsh_pairs(
             )
         return pa.concat_tables(band_rows)
 
-    buckets = docs.map_batches(sigs, batch_format="pyarrow")
-    if distributed:
-        cand = _pairs_distributed_ds(buckets, ["band", "bucket"], "doc_id", max_bucket)
-        out = verify_jaccard_distributed(sf_dir, cand, jaccard_threshold)
-    else:
-        cand_pd = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
-        if len(cand_pd) == 0:
-            out = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-        else:
-            out = verify_jaccard(sf_dir, cand_pd, jaccard_threshold)
+    return docs.map_batches(sigs, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 64,
+    cache: bool = True,
+):
+    """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
+
+    Stage 1 (map_batches): per-doc minhash signature → ``bands`` rows of
+    (band, bucket_hash, doc_id). Stage 2 (groupby band+bucket → map_groups):
+    emit candidate pairs (capped per bucket against quadratic blowup).
+    Stage 3: exact shingle-Jaccard verification as a repartition-by-doc_id
+    join.  Fully distributed — the driver-side equivalence baseline lives
+    in tests/driver_baselines.py, OUT of the package, so no caller can
+    accidentally take a corpus-sized to_pandas() path at scale.
+    """
+    try:  # key on (path, size, mtime) so a rewritten input never serves stale pairs
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        src_id = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        src_id = None
+    key = (sf_dir, src_id, num_perm, bands, jaccard_threshold, max_bucket)
+    if cache and key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
+    buckets = minhash_buckets(_docs(sf_dir), num_perm=num_perm, bands=bands)
+    cand = _pairs_distributed_ds(buckets, ["band", "bucket"], "doc_id", max_bucket)
+    out = verify_jaccard_distributed(sf_dir, cand, jaccard_threshold)
     if cache:
         _PAIRS_CACHE[key] = out
     return out
@@ -586,57 +565,15 @@ def _collision_pairs(buckets: pd.DataFrame, key_cols: list[str], id_col: str, ma
     ).drop_duplicates()
 
 
-def verify_jaccard(sf_dir: str, pairs: pd.DataFrame, threshold: float) -> pa.Table:
-    """Exact n-gram (3-token shingle) Jaccard for candidate pairs. Sandbox:
-    shingle sets come from one pass over the documents table (broadcast);
-    scale path: repartition docs and pairs by doc_id and join."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    h, doc = shingle_hashes(t.column("text"), 3)
-    doc_ids = t.column("doc_id").to_numpy()
-    # doc (row index) is non-decreasing → O(T) segment slicing, then exact
-    # set ops only on the candidate rows
-    seg: dict[int, np.ndarray] = {}
-    if len(h):
-        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
-        bounds = np.append(starts, len(doc))
-        for k, row in enumerate(doc[starts]):
-            seg[int(doc_ids[row])] = np.unique(h[bounds[k] : bounds[k + 1]])
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
-        sa, sb = seg.get(a), seg.get(b)
-        if sa is None or sb is None or not len(sa) or not len(sb):
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
-
-
 # ---------------------------------------------------------------------------
 # SimHash banding
 # ---------------------------------------------------------------------------
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, distributed: bool = True, max_bucket: int = 64):
-    """Near-dup candidates via 4×16-bit SimHash bands (two sketches within
-    Hamming ≤ 3 of each other must agree on ≥1 of 4 bands), verified by
-    full 64-bit Hamming.
-
-    DEFAULT distributed path: the 64-bit sketch travels on each bucket row,
-    so verification happens inside the (band, bucket) group — no driver
-    materialization of the bucket or sketch tables (VERDICT r01 #2)."""
-    docs = _docs(sf_dir)
+def simhash_buckets(docs):
+    """4×16-bit SimHash band rows with the full 64-bit sketch riding each
+    row (in-group verification needs it).  Shared with the driver-side
+    baseline in tests/driver_baselines.py."""
 
     def sketch(b: pa.Table) -> pa.Table:
         s = simhash64(b.column("text"))
@@ -656,50 +593,37 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, distributed: bool = True, m
             )
         return pa.concat_tables(rows)
 
-    buckets = docs.map_batches(sketch, batch_format="pyarrow")
+    return docs.map_batches(sketch, batch_format="pyarrow")
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64):
+    """Near-dup candidates via 4×16-bit SimHash bands (two sketches within
+    Hamming ≤ 3 of each other must agree on ≥1 of 4 bands), verified by
+    full 64-bit Hamming.
+
+    The 64-bit sketch travels on each bucket row, so verification happens
+    inside the (band, bucket) group — no driver materialization of the
+    bucket or sketch tables (VERDICT r01 #2); the driver-side equivalence
+    baseline lives in tests/driver_baselines.py."""
+    buckets = simhash_buckets(_docs(sf_dir))
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
     )
     from ..functions.phash import hamming64
 
-    if distributed:
-        def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
-            ids = g["doc_id"].to_numpy()
-            sk = g["simhash"].to_numpy().astype(np.int64)
-            d = hamming64(sk[ia], sk[ib])
-            keep = d <= max_hamming
-            return pd.DataFrame(
-                {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": d[keep].astype(np.float64)}
-            )
-
-        t = _grouped_verified_pairs(buckets, verify, "hamming", max_bucket)
-        if t.num_rows == 0:
-            return empty
-        return t.set_column(2, "hamming", t.column("hamming").cast(pa.int64()))
-
-    cand = _collision_pairs(buckets.drop_columns(["simhash"]).to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
-    if len(cand) == 0:
-        return empty
-    # verify candidates by full 64-bit Hamming; the per-doc sketch table is
-    # small (one int per doc) — broadcast-sized by construction
-    sk = (
-        docs.map_batches(
-            lambda b: pa.table({"doc_id": b.column("doc_id"), "simhash": pa.array(simhash64(b.column("text")))}),
-            batch_format="pyarrow",
+    def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        sk = g["simhash"].to_numpy().astype(np.int64)
+        d = hamming64(sk[ia], sk[ib])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": d[keep].astype(np.float64)}
         )
-        .to_pandas()
-        .set_index("doc_id")["simhash"]
-    )
-    sa = sk.loc[cand["doc_a"].astype(int)].to_numpy().astype(np.int64)
-    sb = sk.loc[cand["doc_b"].astype(int)].to_numpy().astype(np.int64)
-    d = hamming64(sa, sb)
-    keep = d <= max_hamming
-    out = pd.DataFrame(
-        {"doc_a": cand["doc_a"][keep].astype(np.int64), "doc_b": cand["doc_b"][keep].astype(np.int64), "hamming": d[keep]}
-    )
-    if len(out) == 0:
+
+    t = _grouped_verified_pairs(buckets, verify, "hamming", max_bucket)
+    if t.num_rows == 0:
         return empty
-    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]), preserve_index=False)
+    return t.set_column(2, "hamming", t.column("hamming").cast(pa.int64()))
 
 
 # ---------------------------------------------------------------------------
@@ -707,26 +631,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, distributed: bool = True, m
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup_pairs(
-    sf_dir: str,
-    threshold: float = 0.4,
-    n_planes: int = 4,
-    n_tables: int = 8,
-    seed: int = 5,
-    max_bucket: int = 128,
-    distributed: bool = True,
-):
-    """Vector pairs with cosine ≥ threshold via random-hyperplane LSH:
-    ``n_tables`` independent tables of ``n_planes``-bit sign signatures
-    (recall for cos θ: 1-(1-(1-θ/π)^planes)^tables — for this corpus's
-    genuine-pair band around cos 0.4-0.5 that is ~0.75+).
-
-    DEFAULT distributed path: the normalized vector rides each bucket row
-    (×n_tables duplication of vector bytes through ONE shuffle — the price
-    of in-group verification; the alternative join costs two shuffles),
-    cosine is verified inside the (band, bucket) group, pairs deduped by a
-    pair-keyed groupby. No driver-side bucket table or embedding matrix."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+def embedding_buckets(emb, n_planes: int = 4, n_tables: int = 8, seed: int = 5, with_vec: bool = True):
+    """Random-hyperplane LSH band rows; ``with_vec`` carries the
+    normalized float32 vector on each row for in-group verification.
+    Shared with the driver-side baseline in tests/driver_baselines.py."""
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.normal(size=(n_tables, 64, n_planes)).astype(np.float64)
     planes_ref = ray.put(planes)
@@ -746,56 +654,54 @@ def embedding_neardup_pairs(
                 "bucket": pa.array(bucket),
                 "doc_id": b.column("vec_id"),
             }
-            if distributed:
+            if with_vec:
                 cols["vec"] = pa.array([r.astype(np.float32).tobytes() for r in v], pa.binary())
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)
 
-    buckets = emb.map_batches(bucketize, batch_format="pyarrow")
+    return emb.map_batches(bucketize, batch_format="pyarrow")
+
+
+def embedding_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 5,
+    max_bucket: int = 128,
+):
+    """Vector pairs with cosine ≥ threshold via random-hyperplane LSH:
+    ``n_tables`` independent tables of ``n_planes``-bit sign signatures
+    (recall for cos θ: 1-(1-(1-θ/π)^planes)^tables — for this corpus's
+    genuine-pair band around cos 0.4-0.5 that is ~0.75+).
+
+    The normalized vector rides each bucket row (×n_tables duplication of
+    vector bytes through ONE shuffle — the price of in-group verification;
+    the alternative join costs two shuffles), cosine is verified inside
+    the (band, bucket) group, pairs deduped by a pair-keyed groupby.  No
+    driver-side bucket table or embedding matrix; the driver-side
+    equivalence baseline lives in tests/driver_baselines.py."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    buckets = embedding_buckets(emb, n_planes=n_planes, n_tables=n_tables, seed=seed)
     empty = pa.table(
         {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
     )
-    if distributed:
-        def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
-            ids = g["doc_id"].to_numpy()
-            v = np.stack([np.frombuffer(x, dtype=np.float32) for x in g["vec"]]).astype(np.float64)
-            cos = (v[ia] * v[ib]).sum(axis=1)
-            keep = cos >= threshold
-            return pd.DataFrame(
-                {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "cosine": np.round(cos[keep], 6)}
-            )
 
-        t = _grouped_verified_pairs(buckets, verify, "cosine", max_bucket)
-        if t.num_rows == 0:
-            return empty
-        return pa.table(
-            {"vec_a": t.column("doc_a"), "vec_b": t.column("doc_b"), "cosine": t.column("cosine")}
+    def verify(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        v = np.stack([np.frombuffer(x, dtype=np.float32) for x in g["vec"]]).astype(np.float64)
+        cos = (v[ia] * v[ib]).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "cosine": np.round(cos[keep], 6)}
         )
 
-    cand = _collision_pairs(buckets.to_pandas(), ["band", "bucket"], "doc_id", max_bucket)
-    if len(cand) == 0:
+    t = _grouped_verified_pairs(buckets, verify, "cosine", max_bucket)
+    if t.num_rows == 0:
         return empty
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    v = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-    row_of = {int(i): k for k, i in enumerate(ids)}
-    ra = np.array([row_of[int(a)] for a in cand["doc_a"]])
-    rb = np.array([row_of[int(b)] for b in cand["doc_b"]])
-    cos = (v[ra] * v[rb]).sum(axis=1)
-    keep = cos >= threshold
-    if not keep.any():
-        return empty
-    out = pd.DataFrame(
-        {
-            "vec_a": cand["doc_a"][keep].astype(np.int64),
-            "vec_b": cand["doc_b"][keep].astype(np.int64),
-            "cosine": np.round(cos[keep], 6),
-        }
+    return pa.table(
+        {"vec_a": t.column("doc_a"), "vec_b": t.column("doc_b"), "cosine": t.column("cosine")}
     )
-    return pa.Table.from_pandas(out.sort_values(["vec_a", "vec_b"]), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

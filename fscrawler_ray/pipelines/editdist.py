@@ -6,20 +6,32 @@ ONE shuffle; inside each block a length band (|Δlen| ≤ max_dist is a
 NECESSARY condition for lev ≤ max_dist) prunes the quadratic pair set
 before the vectorized DP (functions/editdist.levenshtein_pairs) runs.
 
-Scale posture: the block key bounds the quadratic term — at 10^10 rows
-you block on (brand, length-bucket) or an LSH bucket of the name's
-character n-grams, exactly like the MinHash pipeline's banding; the
-per-block kernel is unchanged.  Extends the reference's exact
-duplicate-finder (app/data_manager.py) to near-miss names.
+Scale posture: the block key bounds the quadratic term.  The default
+block is COMPOSITE — (key, len(name)//B) with each row replicated into
+its home bucket and the next one up ("ghost" copy).  |Δlen| ≤ max_dist
+is necessary for lev ≤ max_dist, and with B ≥ max_dist such a pair spans
+at most ADJACENT buckets, so home+ghost replication covers every
+qualifying pair; a pair is emitted only where at least one side is a
+home copy, so each pair surfaces in exactly one bucket (both-home in the
+shared bucket, split-home in the upper one, both-ghost filtered).  One
+hot key therefore shards into O(name-length/B) groups instead of one
+quadratic reducer — the same banding discipline as the MinHash pipeline.
+Extends the reference's exact duplicate-finder (app/data_manager.py) to
+near-miss names.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..functions.editdist import levenshtein_pairs
+
+_BUCKET = "_len_bucket"
+_HOME = "_is_home"
 
 
 def similar_name_pairs(
@@ -30,10 +42,32 @@ def similar_name_pairs(
     max_dist: int = 2,
     out_a: str = "id_a",
     out_b: str = "id_b",
+    len_bucket: int | None = 8,
 ):
     """All (id_a < id_b) pairs within each `key` block whose `name_col`
     edit distance is ≤ max_dist.  Returns a Dataset with columns
-    (key, out_a, out_b, dist)."""
+    (key, out_a, out_b, dist).
+
+    ``len_bucket`` widens the block key to (key, length-bucket) with
+    ±1-bucket ghost replication (see module docstring) so one hot key
+    cannot funnel into a single quadratic ``map_groups`` task; pass
+    ``None`` to block on ``key`` alone (test/equivalence baseline)."""
+    banded = len_bucket is not None
+    if banded:
+        width = max(int(len_bucket), max_dist, 1)
+
+        def explode(b: pa.Table) -> pa.Table:
+            lens = pc.utf8_length(pc.fill_null(b.column(name_col), "")).cast(pa.int64())
+            h = pc.divide(lens, width)
+            home = b.append_column(_BUCKET, h).append_column(
+                _HOME, pa.array(np.ones(b.num_rows, dtype=bool))
+            )
+            ghost = b.append_column(_BUCKET, pc.add(h, 1)).append_column(
+                _HOME, pa.array(np.zeros(b.num_rows, dtype=bool))
+            )
+            return pa.concat_tables([home, ghost])
+
+        ds = ds.map_batches(explode, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -50,6 +84,10 @@ def similar_name_pairs(
         ids = g[id_col].to_numpy(dtype=np.int64)
         names = g[name_col].to_numpy(dtype=object)
         ii, jj = np.triu_indices(len(g), k=1)
+        if banded:
+            hm = g[_HOME].to_numpy(dtype=bool)
+            keep = hm[ii] | hm[jj]  # both-ghost pairs belong to the bucket below
+            ii, jj = ii[keep], jj[keep]
         lens = np.array([len(x or "") for x in names], dtype=np.int64)
         band = np.abs(lens[ii] - lens[jj]) <= max_dist
         ii, jj = ii[band], jj[band]
@@ -66,7 +104,8 @@ def similar_name_pairs(
             }
         )
 
-    return ds.groupby(key).map_groups(pairs, batch_format="pandas")
+    group_keys = [key, _BUCKET] if banded else key
+    return ds.groupby(group_keys).map_groups(pairs, batch_format="pandas")
 
 
 def q_similar_part_names(sf_dir: str, max_dist: int = 2):

@@ -197,15 +197,23 @@ def pagerank(
     return pa.table({"node": pa.array(nodes), "rank": pa.array(rank, pa.float64())})
 
 
-def triangles(edges_ds, a_col: str = "a", b_col: str = "b"):
+def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024):
     """Distributed triangle enumeration by WEDGE-CHECK: every node lists
     its ordered neighbor pairs (wedges), and a wedge (b, c) closes iff
     (b, c) is itself an edge — one semi-join of the wedge stream against
-    the edge set.  The classic two-round MapReduce formulation (Suri &
-    Vassilvitskii, "Counting Triangles and the Curse of the Last
-    Reducer"): wedge generation co-partitions by pivot node, the closure
-    check co-partitions by the wedge's (lexicographically) smaller
-    endpoint, so no node's adjacency ever sits on the driver.
+    the edge set (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer").
+
+    The last-reducer curse itself is handled by SV's partitioned wedge
+    generation: the per-pivot group task never emits wedges — it emits
+    CHUNK-PAIR rows, the pivot's sorted neighbor list split into
+    ``chunk``-sized slices paired (i ≤ j), so a degree-d hub leaves its
+    group task as O(d²/chunk) bytes across (d/chunk)²/2 rows instead of
+    d²/2 wedges from one task.  A downstream small-batch ``map_batches``
+    expands each chunk pair into ≤ chunk² wedges AND probes the broadcast
+    edge-key set in the same kernel, so per-task compute is bounded by
+    batch_size × chunk² and the wedge stream never materializes — only
+    triangles leave the stage.
 
     Input: undirected edges with a < b per row (dedup not required).
     Output: one row per triangle (a < b < c)."""
@@ -225,20 +233,39 @@ def triangles(edges_ds, a_col: str = "a", b_col: str = "b"):
         lambda t: t.select(["a", "b"]), batch_format="pyarrow"
     ).materialize()
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+    def chunk_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # pivot = the SMALLER endpoint of both wedge legs (a < b and a < c),
-        # so each triangle is generated by exactly one pivot: its min node
+        # so each triangle is generated by exactly one pivot: its min node.
+        # Neighbor slices travel as little-endian int64 BINARY blobs, not
+        # arrow lists — binary cells stay row-aligned through every block
+        # coalesce/slice the batcher does downstream.
         nbrs = np.sort(g["b"].to_numpy(dtype=np.int64))
         if len(nbrs) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "c": pd.Series([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(nbrs), k=1)
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "nb_i": pd.Series([], dtype=object),
+                    "nb_j": pd.Series([], dtype=object),
+                    "same": pd.Series([], dtype=bool),
+                }
+            )
+        parts = [nbrs[s : s + chunk].tobytes() for s in range(0, len(nbrs), chunk)]
+        rows_i, rows_j, same = [], [], []
+        for i in range(len(parts)):
+            for j in range(i, len(parts)):
+                rows_i.append(parts[i])
+                rows_j.append(parts[j])
+                same.append(i == j)
         return pd.DataFrame(
-            {"a": np.repeat(g["a"].iat[0], len(ii)), "b": nbrs[ii], "c": nbrs[jj]}
+            {
+                "a": np.full(len(rows_i), g["a"].iat[0], dtype=np.int64),
+                "nb_i": pd.Series(rows_i, dtype=object),
+                "nb_j": pd.Series(rows_j, dtype=object),
+                "same": np.array(same, dtype=bool),
+            }
         )
 
-    wedge_ds = edges.groupby("a").map_groups(wedges, batch_format="pandas")
+    pair_ds = edges.groupby("a").map_groups(chunk_pairs, batch_format="pandas")
     # closure check: wedge (b, c) closes iff it is an edge — broadcast the
     # (deduped, pair-hashed) edge key set when small, else a key-hash
     # co-partition; here the edge set is output-scale, so a sorted-key
@@ -256,13 +283,46 @@ def triangles(edges_ds, a_col: str = "a", b_col: str = "b"):
     edge_keys = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.uint64)
     keys_ref = _ray.put(edge_keys)
 
-    def close(t: pa.Table) -> pa.Table:
+    def expand_and_close(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
         ks = _ray.get(keys_ref)
         if t.num_rows == 0 or len(ks) == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
-        k = pair_key(t.column("b").to_numpy(zero_copy_only=False).astype(np.int64),
-                     t.column("c").to_numpy(zero_copy_only=False).astype(np.int64))
-        i = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
-        return t.filter(pa.array(ks[i] == k))
+            return empty
+        out_a, out_b, out_c = [], [], []
+        pivots = t.column("a").to_numpy(zero_copy_only=False)
+        sames = t.column("same").to_numpy(zero_copy_only=False)
+        col_i, col_j = t.column("nb_i"), t.column("nb_j")
+        for r in range(t.num_rows):
+            ni = np.frombuffer(col_i[r].as_py(), dtype=np.int64)
+            nj = np.frombuffer(col_j[r].as_py(), dtype=np.int64)
+            if sames[r]:
+                ii, jj = np.triu_indices(len(ni), k=1)
+                b, c = ni[ii], nj[jj]
+            else:
+                # neighbor list was sorted before chunking: all of nb_i <
+                # all of nb_j, so the full cross product is already b < c
+                b = np.repeat(ni, len(nj))
+                c = np.tile(nj, len(ni))
+            if not len(b):
+                continue
+            k = pair_key(b, c)
+            pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+            m = ks[pos] == k
+            if m.any():
+                out_a.append(np.full(int(m.sum()), pivots[r], dtype=np.int64))
+                out_b.append(b[m])
+                out_c.append(c[m])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "c": pa.array(np.concatenate(out_c)),
+            }
+        )
 
-    return wedge_ds.map_batches(close, batch_format="pyarrow")
+    # batch_size bounds per-task wedge-expansion work to batch_size × chunk²
+    return pair_ds.map_batches(expand_and_close, batch_format="pyarrow", batch_size=8)

@@ -54,3 +54,72 @@ def test_similar_pairs_planted(tmp_path, ray_session):
     df = q_similar_part_names(str(tmp_path)).to_pandas()
     got = sorted(zip(df["partkey_a"], df["partkey_b"], df["dist"]))
     assert got == [(1, 2, 2), (1, 3, 1)]  # gadget→widgets is 3, over the cap
+
+
+def _pairs_set(df):
+    return set(zip(df["id_a"], df["id_b"], df["dist"]))
+
+
+def test_composite_length_blocking_equivalence(ray_session):
+    """Banded (key, len-bucket) blocking emits EXACTLY the key-only pair
+    set — incl. pairs straddling a bucket boundary (ghost path) — and
+    never emits a pair twice."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    alpha = list("ab")
+    names = ["".join(rng.choice(alpha, rng.integers(3, 21))) for _ in range(250)]
+    # planted boundary-straddlers for B=8: len 7 vs len 9, dist 2
+    names += ["aaaaaaa", "aaaaaaaaa", "bbbbbbbb"]
+    n = len(names)
+    t = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "k": pa.array(["hot"] * n),
+            "name": pa.array(names),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    banded = similar_name_pairs(ds, "k", "id", "name", max_dist=2, len_bucket=8).to_pandas()
+    plain = similar_name_pairs(
+        ray.data.from_arrow(t), "k", "id", "name", max_dist=2, len_bucket=None
+    ).to_pandas()
+    assert len(banded) == len(_pairs_set(banded))  # no duplicate emission
+    assert _pairs_set(banded) == _pairs_set(plain)
+    # the planted boundary pair (len 7 vs 9, buckets 0 vs 1) must survive
+    assert (n - 3, n - 2, 2) in _pairs_set(banded)
+
+
+def test_hot_key_group_size_is_bounded(ray_session):
+    """One hot brand must shard across length buckets: no single
+    map_groups group sees more than home+ghost of two adjacent buckets
+    (the anti-funnel property the module docstring promises)."""
+    import ray
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(5, 61, size=400)
+    names = ["x" * int(l) for l in lens]
+    B = 8
+    t = pa.table(
+        {
+            "id": pa.array(range(len(names)), pa.int64()),
+            "k": pa.array(["hot"] * len(names)),
+            "name": pa.array(names),
+        }
+    )
+    # group sizes under the composite key: home copies of bucket g + ghost
+    # copies from bucket g-1
+    home = np.bincount(lens // B)
+    sizes = home + np.r_[0, home[:-1]]
+    assert sizes.max() < len(names) // 2  # sharded, not funneled
+    out = similar_name_pairs(
+        ray.data.from_arrow(t), "k", "id", "name", max_dist=2, len_bucket=B
+    ).to_pandas()
+    # equal-length all-x names are dist 0; |Δlen|≤2 pairs have dist Δlen
+    want = {
+        (i, j, abs(int(lens[i]) - int(lens[j])))
+        for i in range(len(lens))
+        for j in range(i + 1, len(lens))
+        if abs(int(lens[i]) - int(lens[j])) <= 2
+    }
+    assert _pairs_set(out) == want

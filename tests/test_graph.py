@@ -160,3 +160,23 @@ def test_triangles_wedge_check(ray_session):
     out = triangles(_ray.data.from_arrow(edges)).to_pandas()
     got = sorted(map(tuple, out[["a", "b", "c"]].itertuples(index=False)))
     assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_triangles_hub_pivot_partitioned(ray_session):
+    """The curse-of-the-last-reducer fixture: one hub adjacent to 4,000
+    leaves. With chunk=256 the hub's group task emits only chunk-pair
+    rows (16×17/2 = 136 rows of ≤256 ids), never the 8M wedges; planted
+    leaf-leaf edges close exactly the expected triangles."""
+    import ray as _ray
+
+    from fscrawler_ray.pipelines.graph import triangles
+
+    n = 4000
+    hub_edges = [(0, i) for i in range(1, n + 1)]
+    # close a few wedges, incl. ones that straddle chunk boundaries
+    closers = [(1, 2), (255, 258), (1024, 3999), (5, 3000)]
+    a, b = zip(*(hub_edges + closers))
+    edges = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    out = triangles(_ray.data.from_arrow(edges), chunk=256).to_pandas()
+    got = sorted(map(tuple, out[["a", "b", "c"]].itertuples(index=False)))
+    assert got == sorted((0,) + c for c in closers)

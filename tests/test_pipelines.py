@@ -130,8 +130,10 @@ def test_minhash_distributed_path_matches_driver_path():
     must produce the same pair set + jaccard values as the driver path."""
     from fscrawler_ray.pipelines.dedup import minhash_lsh_pairs
 
-    dist = minhash_lsh_pairs(SF).to_pandas()  # default = distributed
-    drv = minhash_lsh_pairs(SF, distributed=False).to_pandas()
+    from tests.driver_baselines import minhash_pairs_driver
+
+    dist = minhash_lsh_pairs(SF).to_pandas()  # package path = distributed
+    drv = minhash_pairs_driver(SF).to_pandas()
     assert _pairkey(dist) == _pairkey(drv)
     d = dist.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     v = drv.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -141,8 +143,10 @@ def test_minhash_distributed_path_matches_driver_path():
 def test_simhash_distributed_matches_driver():
     from fscrawler_ray.pipelines.dedup import simhash_pairs
 
+    from tests.driver_baselines import simhash_pairs_driver
+
     dist = simhash_pairs(SF).to_pandas()
-    drv = simhash_pairs(SF, distributed=False).to_pandas()
+    drv = simhash_pairs_driver(SF).to_pandas()
     assert _pairkey(dist) == _pairkey(drv)
     assert sorted(dist["hamming"]) == sorted(drv["hamming"])
 
@@ -150,8 +154,10 @@ def test_simhash_distributed_matches_driver():
 def test_embedding_distributed_matches_driver():
     from fscrawler_ray.pipelines.dedup import embedding_neardup_pairs
 
+    from tests.driver_baselines import embedding_pairs_driver
+
     dist = embedding_neardup_pairs(SF).to_pandas()
-    drv = embedding_neardup_pairs(SF, distributed=False).to_pandas()
+    drv = embedding_pairs_driver(SF).to_pandas()
     # float32 transport in the distributed path: pair sets equal, cosines
     # equal to ~1e-4
     assert _pairkey(dist, "vec_a", "vec_b") == _pairkey(drv, "vec_a", "vec_b")

@@ -187,3 +187,30 @@ def test_compact_results_preserves_rows(tmp_path, ray_session):
 
     got = sorted(_ray.data.read_parquet(str(dest)).to_pandas()["seq"])
     assert got == list(range(60))  # every row survives, exactly once
+
+
+def test_mirror_hosts_caps_popular_content(tmp_path, ray_session):
+    """A 1,000-host popular payload must NOT expand to 499,500 pairs: the
+    per-image group keeps top-max_hosts hosts (copy count desc, then host
+    asc — here all cnt=1, so lexicographically first) and the dropped
+    tail is counted in the tally; an uncapped mirror pair is untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import mirror_hosts
+
+    hosts = [f"h{i:04d}" for i in range(1000)]
+    rows = {
+        "host": hosts + ["x", "y"],
+        "image_id": ["logo"] * 1000 + ["pic", "pic"],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "part-0.parquet")
+    tally: dict = {}
+    df = mirror_hosts(str(tmp_path), max_hosts=16, drop_tally=tally).to_pandas()
+    assert tally == {"images_capped": 1, "hosts_dropped": 984}
+    # bounded: C(16,2) pairs from the capped group + the planted pair
+    assert len(df) == 16 * 15 // 2 + 1
+    kept = {h for pair in zip(df["host_a"], df["host_b"]) for h in pair}
+    assert kept - {"x", "y"} == set(hosts[:16])  # deterministic keeps
+    got = {(r.host_a, r.host_b): r.shared for r in df.itertuples()}
+    assert got[("x", "y")] == 1

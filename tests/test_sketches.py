@@ -162,3 +162,49 @@ def test_query_wrappers_match_exact_counterparts():
     ).df().set_index("lang")["m"]
     for _, r in med.iterrows():
         assert abs(r["approx_quantile"] - float(exact[r["lang"]])) <= 2.1, r["lang"]
+
+
+def test_md5_register_hash_matches_duckdb_bitwise():
+    """md5_u64_batch IS md5_number_upper(CAST(x AS VARCHAR)) — the whole
+    SQL-replayable-sketch contract rests on this byte order."""
+    import duckdb
+
+    from fscrawler_ray.functions.sketches import md5_u64_batch
+
+    vals = [str(v) for v in [0, 1, 42, 10**12, -7]] + ["", "abc", "héllo"]
+    got = md5_u64_batch(pa.array(vals, pa.string()))
+    want = [
+        duckdb.sql(f"SELECT md5_number_upper('{v}'::VARCHAR)").fetchone()[0] for v in vals
+    ]
+    assert [int(g) for g in got] == want
+
+
+def test_hll_md5_grouped_matches_exact_and_sql_estimator():
+    """The md5-register grouped HLL stays inside the accuracy bound AND
+    its estimator path is the integer-exact one (sum of 2^(cap-r) folded
+    as Python ints, libm log) — spot-check against a direct recompute."""
+    import math
+
+    import duckdb
+
+    from fscrawler_ray.functions.sketches import (
+        hll_distinct_by_key_md5,
+        hll_estimate_sql_exact,
+        hll_fold_md5,
+    )
+    import ray
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    out = hll_distinct_by_key_md5(ds, key="event_type", col="user_id", p=12).to_pandas()
+    want = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS u FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df().set_index("event_type")["u"]
+    for _, r in out.iterrows():
+        w = int(want[r["event_type"]])
+        assert abs(int(r["approx_distinct"]) - w) / w < 0.05, (r["event_type"], w)
+
+    # estimator recompute parity on a single fold
+    regs = hll_fold_md5(pa.array([f"u{i}" for i in range(500)]), p=12)
+    est = hll_estimate_sql_exact(regs, p=12)
+    zeros = int((regs == 0).sum())
+    assert est == 4096.0 * math.log(4096.0 / zeros)  # linear-counting regime
