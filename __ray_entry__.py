@@ -178,6 +178,61 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             mirror_hosts(out), {"host_a": pa.string(), "host_b": pa.string(), "shared": pa.int64()}
         )
 
+    def crawl_exif_report(sf_dir: str):
+        """Per-(camera, orientation) shot report parsed from the EXIF-analog
+        binary segments embedded in the crawled payloads
+        (stages/image_stages.exif_batch over the shared written run),
+        SQL-CHECKED: the generator derives EXIF fields from the low 40 bits
+        of the payload seed — exactly what image_id's hex preserves — so
+        the oracle re-derives (orientation, camera, last capture) from
+        image_id while the engine genuinely parses container bytes."""
+        import ray as _ray
+
+        import pyarrow as pa
+
+        from ray.data.aggregate import Max, Sum
+
+        from fscrawler_ray.stages.image_stages import exif_batch
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["image_id", "bytes"])
+        keys = ["exif_camera", "exif_orientation"]
+
+        def partial(b: pa.Table) -> pa.Table:
+            # per-block combiner (max + count), so only group-sized partials shuffle
+            p = exif_batch(b).select(keys + ["exif_captured_at_us"])
+            g = pa.TableGroupBy(p, keys).aggregate([("exif_captured_at_us", "max"), ([], "count_all")])
+            return pa.table(
+                {
+                    "exif_camera": g.column("exif_camera"),
+                    "exif_orientation": g.column("exif_orientation"),
+                    "mx": g.column("exif_captured_at_us_max"),
+                    "cnt": g.column("count_all"),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(Max("mx"), Sum("cnt"))
+        rep = agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "exif_camera": b.column("exif_camera"),
+                    "exif_orientation": b.column("exif_orientation"),
+                    "shots": b.column("sum(cnt)").cast(pa.int64()),
+                    "last_capture_us": b.column("max(mx)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return _collect(
+            rep,
+            {
+                "exif_camera": pa.string(),
+                "exif_orientation": pa.int32(),
+                "shots": pa.int64(),
+                "last_capture_us": pa.int64(),
+            },
+        )
+
     def crawl_snapshot_diff(sf_dir: str):
         """CDC report over the SAME written crawl output, SQL-CHECKED: the
         'previous' snapshot derives from the current one by deterministic
@@ -450,6 +505,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,
         "crawl_mirrors": crawl_mirrors,
+        "crawl_exif_report": crawl_exif_report,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "crawl_prefix_rollup": crawl_prefix_rollup,
         "crawl_content_groups": crawl_content_groups,
@@ -724,6 +780,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM rows_, unnest(generate_series(3, len(segs) - 1)) t(i)) "
         "SELECT prefix, CAST(count(*) AS BIGINT) AS files, CAST(sum(size) AS BIGINT) AS total_bytes "
         "FROM pref GROUP BY prefix"
+    )
+    # EXIF-analog report: the engine PARSES the binary metadata segment out
+    # of each payload; the oracle re-derives the same fields from image_id's
+    # hex (= low 40 bits of the payload seed, the generator's EXIF source —
+    # sources/synthweb.exif_fields_for)
+    sql["crawl_exif_report"] = (
+        "WITH ps AS (SELECT CAST('0x' || substr(image_id, 5) AS UBIGINT) AS s "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "ex AS (SELECT 1 + s % 8 AS exif_orientation, "
+        "CASE (s >> 3) % 8 WHEN 0 THEN 'Acme DX-100' WHEN 1 THEN 'Acme DX-200' "
+        "WHEN 2 THEN 'Borealis Z5' WHEN 3 THEN 'Borealis Z9' WHEN 4 THEN 'Crater Mini' "
+        "WHEN 5 THEN 'Crater Pro' WHEN 6 THEN 'Dune 4K' ELSE 'Dune 8K' END AS exif_camera, "
+        "1700000000000000 - ((s >> 6) % 31536000) * 1000000 AS captured_us FROM ps) "
+        "SELECT exif_camera, CAST(exif_orientation AS BIGINT) AS exif_orientation, "
+        "CAST(count(*) AS BIGINT) AS shots, CAST(max(captured_us) AS BIGINT) AS last_capture_us "
+        "FROM ex GROUP BY exif_camera, exif_orientation"
     )
     sql["crawl_snapshot_diff"] = (
         "WITH cur AS (SELECT url, seq, CAST(size AS BIGINT) AS size "

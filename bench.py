@@ -57,7 +57,7 @@ def crawl_workload(n_hosts: int = 256, budget: int = 256, max_depth: int = 5, ou
     t0 = time.time()
     summary = eng.run(SynthWeb(cfg).seeds())
     dt = time.time() - t0
-    eng.cleanup_trace_spool()  # short-lived engine: don't leak /tmp spools
+    eng.shutdown()  # kill actors + spool: engines here are single-use
     return {"seconds": dt, "urls": summary["emitted"], "urls_per_sec": summary["emitted"] / dt, "rows": summary["result_rows"]}
 
 

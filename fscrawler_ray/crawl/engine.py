@@ -517,6 +517,9 @@ class CrawlEngine:
         self.result_rows = 0
         self.skipped_unchanged = 0
         self.round_history: list[dict] = []  # progress reporting (W6 analog)
+        # wall-time per driver phase, accumulated across rounds — the
+        # feedback loop for round-transition overhead (scaling item r03 #5)
+        self.phase_sec: dict[str, float] = {}
         self.observers: list = []  # callables taking a RoundEvent (E1 analog)
         self.stopped_early = False
         self.root_meta: list[dict] = []
@@ -550,6 +553,22 @@ class CrawlEngine:
 
         if self.cfg.out_dir is None and self.trace_dir.startswith(tempfile.gettempdir()):
             shutil.rmtree(self.trace_dir, ignore_errors=True)
+
+    def shutdown(self, cleanup_spool: bool = True) -> None:
+        """Kill this engine's frontier + seen actors. Short-lived engines
+        (benchmarks, report helpers, test fixtures) otherwise leave idle
+        actor processes behind until Python's GC drops the handles — on a
+        busy node that pile-up slows every subsequent actor spawn. The
+        engine is unusable afterwards."""
+        if cleanup_spool:
+            self.cleanup_trace_spool()
+        for a in list(self.shards) + list(getattr(self, "seen_shards", []) or []):
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self.shards = []
+        self.seen_shards = []
 
     def add_observer(self, fn) -> None:
         """Register a per-round observer: ``fn(event: RoundEvent)``; set
@@ -587,6 +606,13 @@ class CrawlEngine:
 
     # -- round loop ---------------------------------------------------------
 
+    def _acc(self, phase: str, t0: float) -> float:
+        import time as _t
+
+        now = _t.time()
+        self.phase_sec[phase] = self.phase_sec.get(phase, 0.0) + (now - t0)
+        return now
+
     def run(self, seeds: list[str] | None = None, max_rounds: int | None = None, seed_meta: list[dict] | None = None) -> dict:
         """Round loop. The round transition (enqueue children + pop next
         round) is a single actor RPC per shard (``end_and_pop_meta``) except
@@ -595,13 +621,23 @@ class CrawlEngine:
         COUNTS cross the driver; emission rows go shard → object store →
         fetch task (VERDICT r01 #4)."""
         if seeds:
+            import time as _time0
+
+            t0 = _time0.time()
             self.add_seeds(seeds, seed_meta)
+            self._acc("seeds", t0)
         max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
         metas: list[dict] | None = None
+        import time as _time
+
         while self.round_no < max_rounds:
             if metas is None:
+                t0 = _time.time()
                 metas = ray.get([s.pop_round_meta.remote() for s in self.shards])
+                self._acc("pop_meta", t0)
+            t0 = _time.time()
             emitted = self._process_round(metas)
+            self._acc("process", t0)
             stop = self._notify_observers(emitted)
             ckpt_due = (
                 self.cfg.checkpoint_every
@@ -609,7 +645,9 @@ class CrawlEngine:
                 and (self.round_no + 1) % self.cfg.checkpoint_every == 0
             )
             if stop or ckpt_due or self.round_no + 1 >= max_rounds:
+                t0 = _time.time()
                 ray.get([s.end_round.remote() for s in self.shards])
+                self._acc("end_round", t0)
                 self.round_no += 1
                 metas = None
                 if ckpt_due or (stop and self.cfg.checkpoint_dir):
@@ -617,16 +655,24 @@ class CrawlEngine:
                 if stop:
                     self.stopped_early = True
                     break
-                if emitted == 0 and sum(ray.get([s.pending_count.remote() for s in self.shards])) == 0:
+                t0 = _time.time()
+                n_pending = sum(ray.get([s.pending_count.remote() for s in self.shards]))
+                self._acc("pending", t0)
+                if emitted == 0 and n_pending == 0:
                     break
             else:
+                t0 = _time.time()
                 res = ray.get([s.end_and_pop_meta.remote() for s in self.shards])
+                self._acc("end_and_pop", t0)
                 metas = [r[0] for r in res]
                 pending = sum(r[1] for r in res)
                 self.round_no += 1
                 if emitted == 0 and pending == 0 and all(len(m["hosts"]) == 0 for m in metas):
                     break
-        return self.summary()
+        t0 = _time.time()
+        out = self.summary()
+        self._acc("summary", t0)
+        return out
 
     def _notify_observers(self, emitted: int) -> bool:
         """Reference analog of the observer notify loop + should_stop token
@@ -682,6 +728,9 @@ class CrawlEngine:
             # rows (task overhead)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             rows_per_chunk = max(16, -(-n // (3 * cpus)))
+        import time as _time
+
+        t0 = _time.time()
         chunked = ray.get(
             [
                 s.emit_round_chunks.remote(
@@ -690,6 +739,7 @@ class CrawlEngine:
                 for s, m in zip(self.shards, metas)
             ]
         )
+        t0 = self._acc("emit_chunks", t0)
         refs = []
         part_id = 0
         for chunk_refs, _n_s in chunked:
@@ -709,10 +759,10 @@ class CrawlEngine:
                     )
                 )
                 part_id += 1
-        import time as _time
-
+        self._acc("spawn", t0)
         t0 = _time.time()
         results = ray.get(refs)
+        self._acc("fetch", t0)
         self.result_rows += sum(r[0] for r in results)
         self.skipped_unchanged += sum(r[1] for r in results)
         for r in results:

@@ -38,8 +38,12 @@ FORMATS = tuple(_QUANT)
 _HDR = struct.Struct("<HHB")  # w, h, quant
 
 
-def encode(img: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 image deterministically."""
+def encode(img: np.ndarray, fmt: str, exif: bytes | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 image deterministically. ``exif`` (a
+    pack_exif payload) embeds as each container's REAL metadata shape —
+    JPEG APP1 segment, PNG eXIf chunk (with CRC), RIFF EXIF subchunk — so
+    the extractor stage genuinely parses container structure (the analog
+    of the reference's draft exif_extractor.py)."""
     if fmt not in _QUANT:
         raise ValueError(f"unknown format {fmt!r}")
     h, w, c = img.shape
@@ -48,8 +52,83 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     payload = (img // q).astype(np.uint8).tobytes() if q > 1 else img.tobytes()
     body = _HDR.pack(w, h, q) + zlib.compress(payload, level=1)
     if fmt == "webp":
-        return MAGIC["webp"] + struct.pack("<I", len(body) + 8) + b"WEBPFSR " + body
-    return MAGIC[fmt] + body
+        meta = b""
+        if exif is not None:
+            pad = exif + (b"\x00" if len(exif) % 2 else b"")  # RIFF pads to even
+            meta = b"EXIF" + struct.pack("<I", len(exif)) + pad
+        return MAGIC["webp"] + struct.pack("<I", len(body) + len(meta) + 8) + b"WEBPFSR " + meta + body
+    if fmt == "jpeg":
+        meta = b""
+        if exif is not None:
+            seg = b"Exif\x00\x00" + exif
+            meta = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+        return MAGIC[fmt] + meta + body
+    meta = b""
+    if exif is not None:
+        meta = struct.pack(">I", len(exif)) + b"eXIf" + exif + struct.pack(">I", zlib.crc32(exif))
+    return MAGIC[fmt] + meta + body
+
+
+# -- EXIF-analog metadata block (reference draft exif_extractor.py) ---------
+
+_EXIF_TIFF = b"II*\x00"  # little-endian TIFF magic, as real EXIF payloads open
+_EXIF_FIXED = struct.Struct("<HHq")  # orientation, camera-name len, captured_at (us epoch)
+
+
+def pack_exif(orientation: int, camera: str, captured_at_us: int) -> bytes:
+    """Fixed TIFF-flavored EXIF-analog payload: orientation (1-8), camera
+    model string, capture timestamp (µs since epoch)."""
+    name = camera.encode("utf-8")
+    return _EXIF_TIFF + _EXIF_FIXED.pack(orientation, len(name), captured_at_us) + name
+
+
+def parse_exif(payload: bytes) -> dict | None:
+    """Inverse of pack_exif; None on anything malformed (honest parser)."""
+    if len(payload) < 4 + _EXIF_FIXED.size or payload[:4] != _EXIF_TIFF:
+        return None
+    orientation, nlen, ts = _EXIF_FIXED.unpack_from(payload, 4)
+    name = payload[4 + _EXIF_FIXED.size : 4 + _EXIF_FIXED.size + nlen]
+    if len(name) != nlen or not (1 <= orientation <= 8):
+        return None
+    return {"orientation": orientation, "camera": name.decode("utf-8"), "captured_at_us": ts}
+
+
+def extract_exif(buf: bytes) -> bytes | None:
+    """Locate the container's metadata segment and return the EXIF-analog
+    payload, or None when the image carries none."""
+    fmt = sniff_format(buf)
+    if fmt == "jpeg" and buf[4:6] == b"\xff\xe1":
+        (seglen,) = struct.unpack_from(">H", buf, 6)
+        seg = buf[8 : 6 + seglen]
+        return seg[6:] if seg[:6] == b"Exif\x00\x00" else None
+    if fmt == "png" and buf[12:16] == b"eXIf":
+        (plen,) = struct.unpack_from(">I", buf, 8)
+        payload = buf[16 : 16 + plen]
+        (crc,) = struct.unpack_from(">I", buf, 16 + plen)
+        return payload if crc == zlib.crc32(payload) else None
+    if fmt == "webp" and buf[16:20] == b"EXIF":
+        (plen,) = struct.unpack_from("<I", buf, 20)
+        return buf[24 : 24 + plen]
+    return None
+
+
+def _body_offset(buf: bytes, fmt: str) -> int:
+    """Offset of the pixel body, skipping any metadata segment."""
+    if fmt == "jpeg":
+        if buf[4:6] == b"\xff\xe1":
+            (seglen,) = struct.unpack_from(">H", buf, 6)
+            return 6 + seglen
+        return len(MAGIC["jpeg"])
+    if fmt == "png":
+        if buf[12:16] == b"eXIf":
+            (plen,) = struct.unpack_from(">I", buf, 8)
+            return 8 + 4 + 4 + plen + 4
+        return len(MAGIC["png"])
+    # webp: 16-byte RIFF header, then an optional padded EXIF subchunk
+    if buf[16:20] == b"EXIF":
+        (plen,) = struct.unpack_from("<I", buf, 20)
+        return 24 + plen + (plen % 2)
+    return 16
 
 
 def sniff_format(buf: bytes) -> str | None:
@@ -68,7 +147,7 @@ def decode(buf: bytes) -> tuple[np.ndarray, int, int, str]:
     fmt = sniff_format(buf)
     if fmt is None:
         raise ValueError("unknown image format")
-    off = 16 if fmt == "webp" else len(MAGIC[fmt])
+    off = _body_offset(buf, fmt)
     w, h, q = _HDR.unpack_from(buf, off)
     raw = zlib.decompress(buf[off + _HDR.size :])
     img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)

@@ -40,6 +40,31 @@ _EXTS = ["jpg", "png", "webp", "jpg", "png", "jpg", "tmp", "log", "html"]
 
 EPOCH_US = 1_700_000_000_000_000  # fixed logical clock base (2023-11-14T22:13:20Z)
 
+# EXIF-analog camera models (reference draft exif_extractor.py): synthetic
+# but shaped like real Make/Model strings
+_CAMERAS = (
+    "Acme DX-100",
+    "Acme DX-200",
+    "Borealis Z5",
+    "Borealis Z9",
+    "Crater Mini",
+    "Crater Pro",
+    "Dune 4K",
+    "Dune 8K",
+)
+
+
+def exif_fields_for(ps40: int) -> tuple[int, str, int]:
+    """Deterministic EXIF-analog fields from the LOW 40 BITS of the payload
+    seed — exactly the bits image_id preserves (``img_%012x`` truncates to
+    40 bits), so a SQL oracle can re-derive (orientation, camera,
+    captured_at) from image_id alone while the engine parses them from the
+    embedded binary segment."""
+    orientation = 1 + ps40 % 8
+    camera = _CAMERAS[(ps40 >> 3) % len(_CAMERAS)]
+    captured_at_us = EPOCH_US - ((ps40 >> 6) % (365 * 86400)) * 1_000_000
+    return orientation, camera, captured_at_us
+
 
 @dataclass(frozen=True)
 class WebConfig:
@@ -278,7 +303,9 @@ class SynthWeb:
         rng_w = 48 + ps % 160
         rng_h = 48 + (ps >> 7) % 160
         img = synth_image(ps & 0xFFFFFFFF, rng_w, rng_h)
-        buf = encode(img, fmt)
+        from ..functions.codecs import pack_exif
+
+        buf = encode(img, fmt, exif=pack_exif(*exif_fields_for(ps & 0xFFFFFFFFFF)))
         row = {
             "image_id": f"img_{ps & 0xFFFFFFFFFF:012x}",
             "bytes": buf,

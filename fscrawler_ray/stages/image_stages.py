@@ -80,6 +80,29 @@ def attrs_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
+def exif_batch(batch: pa.Table) -> pa.Table:
+    """Parse the embedded EXIF-analog metadata segment out of each payload
+    (JPEG APP1 / PNG eXIf / RIFF EXIF — functions/codecs.extract_exif; the
+    reference's draft exif_extractor.py analog).  Adds ``exif_orientation``
+    (int32, null when absent/malformed), ``exif_camera`` (string) and
+    ``exif_captured_at_us`` (int64 µs epoch).  Loops only at the per-image
+    container-parse boundary, like every codec stage."""
+    data = batch.column("bytes")
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    orient: list[int | None] = []
+    camera: list[str | None] = []
+    captured: list[int | None] = []
+    for buf in data.to_pylist():
+        meta = codecs.parse_exif(codecs.extract_exif(buf or b"") or b"")
+        orient.append(meta["orientation"] if meta else None)
+        camera.append(meta["camera"] if meta else None)
+        captured.append(meta["captured_at_us"] if meta else None)
+    out = batch.append_column("exif_orientation", pa.array(orient, pa.int32()))
+    out = out.append_column("exif_camera", pa.array(camera, pa.string()))
+    return out.append_column("exif_captured_at_us", pa.array(captured, pa.int64()))
+
+
 def decode_phash_verify_batch(batch: pa.Table) -> pa.Table:
     """Stateless form of :class:`DecodePhashVerify` (max_hamming=0) for
     plain task pools — the stage holds no per-worker state, so elastic

@@ -59,18 +59,60 @@ class CuckooFilter:
 
     def add_many(self, keys: np.ndarray) -> int:
         """Insert keys (idempotent per fingerprint/bucket pair); returns the
-        number inserted. Raises RuntimeError when the filter is full."""
+        number inserted. Raises RuntimeError when the filter is full.
+
+        Vectorized: hashes/alt-buckets once for the whole batch, dedups on
+        the (home bucket, fp) identity, drops already-present fingerprints,
+        then scatters into empty slots two passes (home bucket, alt bucket)
+        with a per-bucket rank so same-bucket keys take distinct slots.
+        Only keys whose both buckets filled in-batch fall back to the
+        scalar cuckoo eviction walk (rare below the load ceiling).  Slot
+        placement may differ from one-at-a-time insertion, but membership
+        semantics are exact on (bucket-pair, fp) either way."""
         keys = np.asarray(keys, dtype=np.uint64)
-        inserted = 0
+        if len(keys) == 0:
+            return 0
         fps = self._fp(keys)
         i1s = self._i1(keys)
-        for fp, i1 in zip(fps, i1s):
-            if self._insert_one(np.uint16(fp), int(i1)):
+        i2s = self._alt(i1s, fps)
+        # batch-dedup on the filter's identity (home bucket, fp) — the
+        # sequential path would see the second occurrence as already-present
+        pairkey = (i1s.astype(np.uint64) << np.uint64(16)) | fps.astype(np.uint64)
+        _, first = np.unique(pairkey, return_index=True)
+        sel = np.sort(first)
+        fps, i1s, i2s = fps[sel], i1s[sel], i2s[sel]
+        present = (self.table[i1s] == fps[:, None]).any(axis=1) | (
+            self.table[i2s] == fps[:, None]
+        ).any(axis=1)
+        fps, i1s, i2s = fps[~present], i1s[~present], i2s[~present]
+        inserted = 0
+        pending = np.arange(len(fps))
+        for target in (i1s, i2s):
+            if not len(pending):
+                break
+            t = target[pending]
+            order = np.argsort(t, kind="stable")
+            ts = t[order]
+            # rank of each key among batch keys aiming at the same bucket
+            starts = np.r_[0, 1 + np.flatnonzero(ts[1:] != ts[:-1])]
+            sizes = np.diff(np.r_[starts, len(ts)])
+            rank = np.arange(len(ts)) - np.repeat(starts, sizes)
+            empt = self.table[ts] == _EMPTY
+            can = rank < empt.sum(axis=1)
+            # slot for rank r = column index of the (r+1)-th empty slot
+            slot = np.argmax(np.cumsum(empt, axis=1) == (rank + 1)[:, None], axis=1)
+            self.table[ts[can], slot[can]] = fps[pending][order][can]
+            inserted += int(can.sum())
+            pending = pending[order][~can]
+        self.count += inserted
+        for j in pending:  # eviction walk for the stragglers
+            if self._insert_one(np.uint16(fps[j]), int(i1s[j]), int(i2s[j])):
                 inserted += 1
         return inserted
 
-    def _insert_one(self, fp: np.uint16, i1: int) -> bool:
-        i2 = int(self._alt(np.array([i1]), np.array([fp]))[0])
+    def _insert_one(self, fp: np.uint16, i1: int, i2: int | None = None) -> bool:
+        if i2 is None:
+            i2 = int(self._alt(np.array([i1]), np.array([fp]))[0])
         for i in (i1, i2):
             row = self.table[i]
             if (row == fp).any():

@@ -100,3 +100,56 @@ def test_phash_dedup_keep_best(ray_session):
     assert df.loc[7, "keeper_image_id"] == "a2" and df.loc[7, "ties"] == 1
     assert df.loc[9, "keeper_image_id"] == "b1" and df.loc[9, "ties"] == 2
     assert df.loc[5, "keeper_image_id"] == "c"
+
+
+def test_exif_analog_roundtrip_and_stage(ray_session):
+    """The EXIF-analog segment: embeds as each container's real metadata
+    shape, never perturbs decoded pixels, parses back exactly, and the
+    stage derives the same fields the generator committed to image_id."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fscrawler_ray.functions.codecs import (
+        decode,
+        encode,
+        extract_exif,
+        pack_exif,
+        parse_exif,
+        synth_image,
+    )
+    from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig, exif_fields_for
+    from fscrawler_ray.stages.image_stages import exif_batch
+
+    img = synth_image(7, 56, 40)
+    for fmt in ("png", "jpeg", "webp"):
+        ex = pack_exif(3, "Crater Pro", 1_650_000_000_000_000)
+        b1, b0 = encode(img, fmt, exif=ex), encode(img, fmt)
+        assert (decode(b1)[0] == decode(b0)[0]).all()
+        assert parse_exif(extract_exif(b1)) == {
+            "orientation": 3,
+            "camera": "Crater Pro",
+            "captured_at_us": 1_650_000_000_000_000,
+        }
+        assert extract_exif(b0) is None
+
+    cfg = WebConfig(seed=7, n_hosts=4, max_depth=3, fanout_dirs=2, fanout_files=6)
+    web = SynthWeb(cfg)
+    rows = []
+    for url in web.children("http://host00.example.com/"):
+        r = web.fetch(url)
+        if r:
+            rows.append(r)
+    assert rows
+    t = pa.table(
+        {"image_id": [r["image_id"] for r in rows], "bytes": [r["bytes"] for r in rows]}
+    )
+    out = exif_batch(t)
+    for i in range(len(rows)):
+        ps40 = int(rows[i]["image_id"][4:], 16)
+        o, cam, ts = exif_fields_for(ps40)
+        assert out.column("exif_orientation")[i].as_py() == o
+        assert out.column("exif_camera")[i].as_py() == cam
+        assert out.column("exif_captured_at_us")[i].as_py() == ts
+    # malformed payload → nulls, not exceptions
+    bad = exif_batch(pa.table({"image_id": ["x"], "bytes": [b"not an image"]}))
+    assert bad.column("exif_orientation")[0].as_py() is None
