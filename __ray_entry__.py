@@ -17,6 +17,8 @@ from typing import Any
 # query before the SQL, so last-write-wins keeps the two sides consistent
 CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
 CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
+CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
+IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -59,9 +61,19 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
     def _shared_run(sf_dir: str) -> tuple:
         if sf_dir not in _run_cache:
+            import shutil
+
             cfg = _scale(sf_dir)
-            eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40))
+            # fixed out_dir: the run streams its trace + results to a known
+            # spool so crawl_trace / crawl_counters_audit get real DuckDB
+            # oracles over the on-disk lineage (the crawl_scan pattern)
+            out = CRAWL_SHARED_DIR
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(out.rstrip("/") + "_trace", ignore_errors=True)
+            shutil.rmtree(out.rstrip("/") + "_deadletter", ignore_errors=True)
+            eng = CrawlEngine(CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40, out_dir=out))
             summary = eng.run(SynthWeb(cfg).seeds())
+            _run_cache.clear()  # the fixed dir holds ONE sf at a time
             _run_cache[sf_dir] = (eng.trace_table(), summary, eng)
         return _run_cache[sf_dir]
 
@@ -69,13 +81,36 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         return _shared_run(sf_dir)[2]
 
     def crawl_trace(sf_dir: str):
-        return _shared_run(sf_dir)[0]
+        # SQL-CHECKED: the engine's trace_table() reconstruction (part merge
+        # + global seq order) vs DuckDB reading the same streamed parts
+        import pyarrow as pa
+
+        t = _shared_run(sf_dir)[0]
+        return t.set_column(
+            t.schema.get_field_index("seq"), "seq", t.column("seq").cast(pa.int64())
+        )
 
     def crawl_counters(sf_dir: str):
         import pyarrow as pa
 
         c = _shared_run(sf_dir)[1]["counters"]
         return pa.table({k: [int(v)] for k, v in c.items() if isinstance(v, int)})
+
+    def crawl_counters_audit(sf_dir: str):
+        """SQL-CHECKED counter/lineage consistency: the engine's own
+        accounting (seq_offset, result_rows — driver-side integers) vs
+        DuckDB counting the on-disk trace parts and result partitions the
+        same run wrote.  A lost/duplicated part or a drifted counter breaks
+        the match."""
+        import pyarrow as pa
+
+        s = _shared_run(sf_dir)[1]
+        return pa.table(
+            {
+                "emitted": pa.array([int(s["emitted"])], pa.int64()),
+                "result_rows": pa.array([int(s["result_rows"])], pa.int64()),
+            }
+        )
 
     def crawl_host_degree(sf_dir: str):
         """Observed host-graph degrees from the shared trace run's link
@@ -500,6 +535,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "crawl_trace": crawl_trace,
         "crawl_counters": crawl_counters,
+        "crawl_counters_audit": crawl_counters_audit,
         "crawl_host_degree": crawl_host_degree,
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
@@ -522,6 +558,80 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
     def images_enrich(sf_dir: str):
         return flagship(sf_dir)
+
+    # the attrs/caption-feature stages get REAL DuckDB oracles by spooling
+    # the synthetic input table (bytes included) to a fixed parquet dir:
+    # the engine runs its kernels over a read-back of the spool while the
+    # oracle independently re-derives the same columns from the raw bytes /
+    # caption strings (octet_length, magic-byte hex CASE, RE2 counts)
+    _spool_cache: dict[str, str] = {}
+
+    def _images_spool(sf_dir: str) -> str:
+        if sf_dir not in _spool_cache:
+            import shutil
+
+            out = IMAGES_SPOOL_DIR
+            shutil.rmtree(out, ignore_errors=True)
+            n = min(rows_for_sf(sf_dir), 4096)
+            images_dataset(n).write_parquet(out)
+            _spool_cache.clear()  # the fixed dir holds ONE sf at a time
+            _spool_cache[sf_dir] = out
+        return _spool_cache[sf_dir]
+
+    def images_attrs(sf_dir: str):
+        """SQL-CHECKED magic-byte sniff + size + family ladder: attrs_batch
+        over the spooled bytes vs DuckDB's independent hex-prefix CASE."""
+        import ray as _ray
+
+        from fscrawler_ray.stages.image_stages import attrs_batch
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "bytes"])
+
+        def f(b):
+            import pyarrow as pa
+
+            out = attrs_batch(b)
+            return pa.table(
+                {
+                    "image_id": out.column("image_id"),
+                    "size": out.column("size"),
+                    "sniffed_fmt": out.column("sniffed_fmt"),
+                    "content_family": out.column("content_family").cast(pa.string()),
+                    "content_category": out.column("content_category").cast(pa.string()),
+                    "content_min_age": out.column("content_min_age").cast(pa.int64()),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def images_caption_features(sf_dir: str):
+        """SQL-CHECKED caption feature kernels (token count, '+'-run rating
+        cap-at-5, quality ratios, langid) over the spooled captions."""
+        import ray as _ray
+
+        from fscrawler_ray.functions.text import langid_batch, quality_features, rating_batch
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "caption"])
+
+        def f(b):
+            import pyarrow as pa
+
+            cap = b.column("caption")
+            if isinstance(cap, pa.ChunkedArray):
+                cap = cap.combine_chunks()
+            q = quality_features(cap)
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "caption_tokens": q.column("n_tokens"),
+                    "rating": rating_batch(cap).cast(pa.int64()),
+                    "mean_token_len": q.column("mean_token_len"),
+                    "punct_ratio": q.column("punct_ratio"),
+                    "caption_lang": langid_batch(cap),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
 
     def images_phash_dedup(sf_dir: str):
         from fscrawler_ray.pipelines.dedup import phash_dedup
@@ -547,11 +657,28 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         return groups(ds)
 
     def images_thumbnails(sf_dir: str):
+        """SQL-CHECKED: the actor-pool thumbnailer decodes the REAL payload
+        bytes and downscales; the oracle re-derives the thumb dims from the
+        spooled w/h metadata — certifying decoded dims ≡ metadata dims plus
+        the downscale arithmetic, end-to-end through the actor pool."""
+        import pyarrow as pa
+        import ray as _ray
+
         from fscrawler_ray.stages.image_stages import ThumbnailStage
 
-        ds = images_dataset(min(rows_for_sf(sf_dir), 512))
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "bytes"])
         out = ds.map_batches(ThumbnailStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
-        return out.select_columns(["image_id", "thumb_w", "thumb_h"])
+
+        def shape(b):
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "thumb_w": b.column("thumb_w").cast(pa.int64()),
+                    "thumb_h": b.column("thumb_h").cast(pa.int64()),
+                }
+            )
+
+        return out.map_batches(shape, batch_format="pyarrow")
 
     def images_caption_extract(sf_dir: str):
         from fscrawler_ray.stages.multimodal import CaptionExtractStage
@@ -619,6 +746,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "images_enrich": images_enrich,
+        "images_attrs": images_attrs,
+        "images_caption_features": images_caption_features,
         "images_phash_dedup": images_phash_dedup,
         "images_dedup_keep_best": images_dedup_keep_best,
         "images_phash_neardup": images_phash_neardup,
@@ -673,7 +802,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(
         {
             "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
-            "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+            # check scale probes ALL centroids → exhaustive ≡ brute force,
+            # certifying the IVF index build (no lost/duplicated vectors),
+            # the partitioned read path and the scoring kernel against the
+            # SQL oracle; nprobe<n pruning + recall are pytest-asserted
+            "knn_ivf": lambda sf: similarity.knn_ivf(sf, nprobe=16),
             "knn_int8": lambda sf: similarity.knn_int8(sf),
             "knn_pq": lambda sf: similarity.knn_pq(sf),
             "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
@@ -699,6 +832,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "corpus_dedup": corpus.dedup_corpus,
             "corpus_prep": _corpus_prep,
             "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],
+            # exact-only composed clean (no LSH) — every rule deterministic,
+            # so the whole C4-style pipeline is SQL-checked end-to-end
+            "corpus_clean_exact": lambda sf: corpus.clean_text_corpus(sf, neardup=False)[0],
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,
@@ -735,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
     sql = dict(ORACLE_SQL)
+    from fscrawler_ray.pipelines.corpus import ORACLE_SQL as CORPUS_SQL
     from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
     from fscrawler_ray.pipelines.editdist import ORACLE_SQL as EDITDIST_SQL
     from fscrawler_ray.pipelines.formats import ORACLE_SQL as FORMATS_SQL
@@ -748,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DECONTAM_SQL)
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
+    sql.update(CORPUS_SQL)
     sql["crawl_scan"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
         f"FROM read_parquet('{CRAWL_SCAN_DIR}_trace/part-*.parquet')"
@@ -828,5 +966,72 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings q, embeddings e "
         "WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4) AND e.vec_id <> q.vec_id "
         "QUALIFY rnk <= 10"
+    )
+    # exhaustive-probe IVF ≡ brute force (see the queries() entry): same
+    # oracle — a lost or duplicated vector in the hive-partitioned index
+    # would break the match
+    sql["knn_ivf"] = sql["knn_bruteforce"]
+    sql["crawl_trace"] = (
+        "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
+        f"FROM read_parquet('{CRAWL_SHARED_DIR}_trace/part-*.parquet')"
+    )
+    sql["crawl_counters_audit"] = (
+        "SELECT CAST((SELECT count(*) "
+        f"FROM read_parquet('{CRAWL_SHARED_DIR}_trace/part-*.parquet')) AS BIGINT) AS emitted, "
+        "CAST((SELECT count(*) "
+        f"FROM read_parquet('{CRAWL_SHARED_DIR}/round=*/table-*/*.parquet')) AS BIGINT) AS result_rows"
+    )
+    # attrs over the spooled input bytes: DuckDB independently re-derives
+    # size (octet_length) and the magic-byte sniff (hex-prefix CASE over the
+    # container headers: PNG 89504E470D0A1A0A / JPEG FFD8FFE0 / RIFF....WEBP)
+    sql["images_attrs"] = (
+        "WITH b AS (SELECT image_id, octet_length(bytes) AS size, hex(bytes) AS h "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "s AS (SELECT image_id, size, "
+        "CASE WHEN substring(h, 1, 16) = '89504E470D0A1A0A' THEN 'png' "
+        "WHEN substring(h, 1, 8) = 'FFD8FFE0' THEN 'jpeg' "
+        "WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57454250' THEN 'webp' "
+        "ELSE NULL END AS sniffed_fmt FROM b) "
+        "SELECT image_id, CAST(size AS BIGINT) AS size, sniffed_fmt, "
+        "CASE WHEN sniffed_fmt IS NULL THEN 'APPLICATION' ELSE 'PICTURE' END AS content_family, "
+        "CASE WHEN sniffed_fmt IS NULL THEN 'APP' ELSE 'PHOTO' END AS content_category, "
+        "CAST(CASE WHEN sniffed_fmt IS NULL THEN 12 ELSE 3 END AS BIGINT) AS content_min_age "
+        "FROM s"
+    )
+    # thumbnail dims from the spooled metadata: s = max(w,h)/64; dims pass
+    # through when s<=1, else trunc(dim/s) floored at 1 — identical float
+    # ops to ThumbnailStage._downscale over the DECODED pixel dims
+    sql["images_thumbnails"] = (
+        "WITH s AS (SELECT image_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h, "
+        "CAST(greatest(w, h) AS DOUBLE) / 64.0 AS sc "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')) "
+        "SELECT image_id, "
+        "CAST(CASE WHEN sc <= 1 THEN w ELSE greatest(1.0, trunc(w / sc)) END AS BIGINT) AS thumb_w, "
+        "CAST(CASE WHEN sc <= 1 THEN h ELSE greatest(1.0, trunc(h / sc)) END AS BIGINT) AS thumb_h "
+        "FROM s"
+    )
+    sql["images_caption_features"] = (
+        "WITH c AS (SELECT image_id, caption, "
+        "CAST(length(caption) AS DOUBLE) AS n_chars, "
+        "CAST(len(regexp_extract_all(caption, '\\S+')) AS DOUBLE) AS n_tokens, "
+        "CAST(len(regexp_extract_all(caption, '[^\\w\\s]')) AS DOUBLE) AS n_punct "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "l AS (SELECT image_id, "
+        "len(regexp_extract_all(lower(caption), '\\b(the|and|of|to|is|that|with|for)\\b')) AS c0, "
+        "len(regexp_extract_all(lower(caption), '\\b(le|la|les|des|est|que|une|dans)\\b')) AS c1, "
+        "len(regexp_extract_all(lower(caption), '\\b(der|die|und|das|ist|nicht|ein|mit)\\b')) AS c2, "
+        "len(regexp_extract_all(lower(caption), '\\b(el|los|las|que|una|por|con|para)\\b')) AS c3, "
+        "len(regexp_extract_all(lower(caption), '的|是|了|在|我|有|和|不')) AS c4 FROM c) "
+        "SELECT c.image_id, CAST(c.n_tokens AS BIGINT) AS caption_tokens, "
+        "CASE WHEN regexp_extract(c.caption, '\\+\\+*') = '' THEN NULL "
+        "ELSE least(CAST(length(regexp_extract(c.caption, '\\+\\+*')) AS BIGINT), 5) END AS rating, "
+        "(c.n_chars - (c.n_tokens - 1.0)) / greatest(c.n_tokens, 1.0) AS mean_token_len, "
+        "c.n_punct / greatest(c.n_chars, 1.0) AS punct_ratio, "
+        "CASE WHEN l.c0 + l.c1 + l.c2 + l.c3 + l.c4 = 0 THEN 'und' "
+        "WHEN l.c0 >= l.c1 AND l.c0 >= l.c2 AND l.c0 >= l.c3 AND l.c0 >= l.c4 THEN 'en' "
+        "WHEN l.c1 >= l.c2 AND l.c1 >= l.c3 AND l.c1 >= l.c4 THEN 'fr' "
+        "WHEN l.c2 >= l.c3 AND l.c2 >= l.c4 THEN 'de' "
+        "WHEN l.c3 >= l.c4 THEN 'es' ELSE 'zh' END AS caption_lang "
+        "FROM c JOIN l ON c.image_id = l.image_id"
     )
     return sql

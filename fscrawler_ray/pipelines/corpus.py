@@ -113,6 +113,7 @@ def clean_text_corpus(
     jaccard_threshold: float = 0.5,
     extra_drop: dict | None = None,
     keep_text: bool = False,
+    neardup: bool = True,
 ):
     """The composed cleaning pass. Returns (kept_dataset, stats_dict);
     the dataset streams (doc_id, lang, pred_lang, quality_score, n_chars
@@ -127,11 +128,16 @@ def clean_text_corpus(
     ``extra_drop``: {name: sorted int64 doc_id array} — each adds a
     ``rej_<name>`` audit column/tally key and joins the keep decision
     (the hook composed pipelines like prep.py use for decontamination)."""
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
-    comp = neardup_components(
-        pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64),
-        pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
-    )
+    if neardup:
+        pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+        comp = neardup_components(
+            pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64),
+            pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    else:
+        # exact-only mode: every remaining rule is deterministic, which
+        # makes the composed pipeline SQL-checkable (corpus_clean_exact)
+        comp = {"drop": np.empty(0, np.int64), "components": 0}
     drop_ref = ray.put(comp["drop"].astype(np.uint64))
     # GLOBAL exact dedup decided up front (batch-local dedup would make the
     # output depend on Ray block boundaries): groupby text-hash → for dup
@@ -216,3 +222,26 @@ def clean_text_corpus(
         lambda b: b.filter(b.column("kept")).drop_columns(audit_cols), batch_format="pyarrow"
     )
     return kept, tally
+
+
+def _corpus_clean_exact_sql() -> str:
+    """DuckDB replay of clean_text_corpus(neardup=False): the composed
+    C4-style pipeline with every rule deterministic — langid allow-list,
+    composite quality score (reusing the bit-exact quality_docs SQL),
+    min-chars, and global exact dedup (min-doc_id keeper per text group)."""
+    from .textops import ORACLE_SQL as TEXT_SQL
+
+    return (
+        f"WITH qd AS ({TEXT_SQL['quality_docs']}), "
+        f"lg AS ({TEXT_SQL['langid_docs']}), "
+        "dup AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m "
+        "FROM documents) WHERE doc_id <> m) "
+        "SELECT d.doc_id, d.lang, lg.pred_lang, qd.quality_score, "
+        "CAST(length(d.text) AS BIGINT) AS n_chars "
+        "FROM documents d JOIN qd ON d.doc_id = qd.doc_id JOIN lg ON d.doc_id = lg.doc_id "
+        "WHERE lg.pred_lang IN ('en', 'fr', 'de', 'es') AND qd.quality_score >= 0.25 "
+        "AND length(d.text) >= 40 AND d.doc_id NOT IN (SELECT doc_id FROM dup)"
+    )
+
+
+ORACLE_SQL = {"corpus_clean_exact": _corpus_clean_exact_sql()}

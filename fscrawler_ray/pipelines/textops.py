@@ -116,6 +116,43 @@ ORACLE_SQL = {
         "n_punct / greatest(n_chars, 1.0) AS punct_ratio, "
         "n_stop / greatest(n_tokens, 1.0) AS stopword_ratio FROM c"
     ),
+    # the full composite quality score replayed in SQL: identical RE2
+    # counts, identical float expression order (0.4*len + 0.3*gaussian +
+    # 0.2*punct + 0.1*stop, rounded to 6 decimals on both sides)
+    "quality_docs": (
+        "WITH c AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct, "
+        f"CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}')) AS DOUBLE) AS n_stop "
+        "FROM documents), "
+        "r AS (SELECT doc_id, n_chars, "
+        "(n_chars - (n_tokens - 1.0)) / greatest(n_tokens, 1.0) AS mean_token_len, "
+        "n_punct / greatest(n_chars, 1.0) AS punct_ratio, "
+        "n_stop / greatest(n_tokens, 1.0) AS stopword_ratio FROM c) "
+        "SELECT doc_id, round("
+        "0.4 * least(n_chars / 500.0, 1.0) "
+        "+ 0.3 * exp(-0.5 * ((mean_token_len - 5.0) / 3.0) * ((mean_token_len - 5.0) / 3.0)) "
+        "+ 0.2 * least(greatest(1.0 - 4.0 * punct_ratio, 0.0), 1.0) "
+        "+ 0.1 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score, "
+        "mean_token_len, punct_ratio FROM r"
+    ),
+    # the mergeable histogram-sketch median replayed exactly: bin index =
+    # min(floor(clip(x, 0, 8192) * 0.5), 4095), then the discrete-quantile
+    # bin scan (first bin whose cumulative count reaches floor(q*(n-1))+1)
+    # and the bin's upper edge (bin+1)*2.0 — all integer/float arithmetic
+    # DuckDB reproduces bit-identically (the HLL-oracle pattern)
+    "approx_median_chars_by_lang": (
+        "WITH d AS (SELECT lang, least(CAST(floor("
+        "least(greatest(CAST(n_chars AS DOUBLE), 0.0), 8192.0) * 0.5) AS BIGINT), 4095) AS b "
+        "FROM documents WHERE n_chars IS NOT NULL), "
+        "hist AS (SELECT lang, b, count(*) AS c FROM d GROUP BY lang, b), "
+        "tot AS (SELECT lang, sum(c) AS n FROM hist GROUP BY lang), "
+        "cum AS (SELECT lang, b, sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum FROM hist), "
+        "sel AS (SELECT c.lang AS lang, min(c.b) AS bin FROM cum c "
+        "JOIN tot t ON c.lang IS NOT DISTINCT FROM t.lang "
+        "WHERE c.cum >= floor(0.5 * (t.n - 1)) + 1 GROUP BY c.lang) "
+        "SELECT lang, CAST((bin + 1) * 2.0 AS DOUBLE) AS approx_quantile FROM sel"
+    ),
 }
 
 
