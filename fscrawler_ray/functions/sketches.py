@@ -81,6 +81,58 @@ def md5_u64_batch(values: pa.Array) -> np.ndarray:
     return uh[pos.astype(np.int64)]
 
 
+def md5_chunks_batch(values: pa.Array, depth: int) -> np.ndarray:
+    """``depth`` independent uint64 hashes per value from ONE md5 pass:
+    chunk d = int(hexdigest[8d:8d+8], 16) — exactly DuckDB's
+    ``CAST('0x' || substring(md5(x), 1+8*d, 8) AS UBIGINT)``.  depth ≤ 4
+    (md5 hexdigest has 32 chars).  Unique-amortized like md5_u64_batch;
+    exists so the CMS oracle can replay the grid — the scale path stays on
+    the vectorized xxh64 fold."""
+    import hashlib
+
+    assert depth <= 4
+    vals = pa.compute.unique(values)
+    vl = vals.to_pylist()
+    uh = np.empty((depth, len(vl)), dtype=np.uint64)
+    for i, v in enumerate(vl):
+        hx = hashlib.md5(v.encode()).hexdigest()
+        for d in range(depth):
+            uh[d, i] = int(hx[8 * d : 8 * d + 8], 16)
+    pos = pa.compute.index_in(values, value_set=vals).to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[:, pos]
+
+
+def cms_fold_md5(
+    values: pa.Array | pa.ChunkedArray, width: int = 4096, depth: int = 4, registers: np.ndarray | None = None
+) -> np.ndarray:
+    """``cms_fold`` with the SQL-replayable md5-chunk row hashes; same
+    grid shape, same add-merge."""
+    if registers is None:
+        registers = np.zeros((depth, width), dtype=np.int64)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = values.drop_null()
+    if len(values) == 0:
+        return registers
+    ch = md5_chunks_batch(values.cast(pa.string()), depth)
+    for d in range(depth):
+        np.add.at(registers[d], (ch[d] % np.uint64(width)).astype(np.int64), 1)
+    return registers
+
+
+def cms_query_md5(registers: np.ndarray, items: pa.Array) -> np.ndarray:
+    """Estimated counts from an md5-chunk grid (min over rows)."""
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    s = items.cast(pa.string())
+    depth, width = registers.shape
+    ch = md5_chunks_batch(s, depth)
+    est = np.full(len(s), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        est = np.minimum(est, registers[d, (ch[d] % np.uint64(width)).astype(np.int64)])
+    return est
+
+
 def hll_fold_md5(values: pa.Array | pa.ChunkedArray, p: int = 12, registers: np.ndarray | None = None) -> np.ndarray:
     """``hll_fold`` with the SQL-replayable md5 register hash (see
     ``md5_u64_batch``); same register/rank split, same merge."""

@@ -243,6 +243,85 @@ def q_top_tokens_approx(sf_dir: str, k: int = 20):
     return heavy_hitters(toks, "tok", k=k)
 
 
+def q_cms_token_estimates(sf_dir: str, k: int = 20, width: int = 4096, depth: int = 4):
+    """SQL-replayable Count-Min certification (the HLL-oracle pattern for
+    the CMS sketch): the md5-chunk grid is folded distributedly (per-block
+    partials, driver add-merges depth×width ints), probed at a
+    DETERMINISTIC candidate set — the exact top-k tokens by true count
+    (cnt desc, token asc) — and DuckDB replays grid + probes
+    bit-identically.  Output (token, exact_count, approx_count);
+    approx ≥ exact by construction.  The scale path for unknown-universe
+    heavy hitters stays q_top_tokens_approx (vectorized xxh64 +
+    candidate-union, rows-only)."""
+    import numpy as np
+
+    from ..functions.sketches import cms_fold_md5, cms_merge, cms_query_md5
+    from .analytics import grouped_sum
+    from .index_sink import tokenize
+
+    def flat(b: pa.Table) -> pa.Table:
+        flat_toks, _, keep = tokenize(b.column("text"))
+        return pa.table({"tok": flat_toks.filter(keep)})
+
+    toks = _docs(sf_dir, ["text"]).map_batches(flat, batch_format="pyarrow")
+
+    # exact candidates: distributed grouped count → per-block partial
+    # top-k → driver-final top-k over ≤ blocks×k rows
+    def partial(df):
+        return df.sort_values(["cnt", "tok"], ascending=[False, True]).head(k)
+
+    counts = grouped_sum(toks, ["tok"], {}, count_out="cnt")
+    parts = [
+        b
+        for b in counts.map_batches(
+            lambda b: pa.Table.from_pandas(partial(b.to_pandas()), preserve_index=False),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    cand = (
+        pa.concat_tables(parts)
+        .to_pandas()
+        .sort_values(["cnt", "tok"], ascending=[False, True])
+        .head(k)
+    )
+    cand_toks = pa.array(cand["tok"].tolist(), pa.string())
+
+    def fold(b: pa.Table) -> pa.Table:
+        regs = cms_fold_md5(b.column("tok"), width=width, depth=depth)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for b in toks.map_batches(fold, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for buf in b.column("regs").to_pylist():
+            merged = cms_merge(merged, np.frombuffer(buf, dtype=np.int64).reshape(depth, width))
+    est = cms_query_md5(merged, cand_toks)
+    return pa.table(
+        {
+            "token": cand_toks,
+            "exact_count": pa.array(cand["cnt"].to_numpy().astype(np.int64)),
+            "approx_count": pa.array(est, pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["cms_token_estimates"] = (
+    # grid cells and probe indices both = CAST('0x'||substring(md5(tok),
+    # 1+8*d, 8) AS UBIGINT) % width — bit-identical to md5_chunks_batch
+    "WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS tok FROM documents), "
+    "tk AS (SELECT tok FROM t WHERE tok <> ''), "
+    "cand AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20), "
+    "d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(dep)), "
+    "cells AS (SELECT dep, CAST('0x' || substring(md5(tok), 1 + 8 * dep, 8) AS UBIGINT) % 4096 AS idx, "
+    "count(*) AS c FROM tk, d GROUP BY dep, idx), "
+    "probes AS (SELECT cand.tok, cand.cnt, dep, "
+    "CAST('0x' || substring(md5(cand.tok), 1 + 8 * dep, 8) AS UBIGINT) % 4096 AS idx FROM cand, d) "
+    "SELECT p.tok AS token, CAST(min(p.cnt) AS BIGINT) AS exact_count, "
+    "CAST(min(c.c) AS BIGINT) AS approx_count "
+    "FROM probes p JOIN cells c ON p.dep = c.dep AND p.idx = c.idx GROUP BY p.tok"
+)
+
+
 def q_approx_median_chars_by_lang(sf_dir: str):
     """Approximate grouped median via the mergeable histogram sketch —
     the shuffle-free twin of the exact median_chars_by_lang query (value

@@ -208,3 +208,47 @@ def test_hll_md5_grouped_matches_exact_and_sql_estimator():
     est = hll_estimate_sql_exact(regs, p=12)
     zeros = int((regs == 0).sum())
     assert est == 4096.0 * math.log(4096.0 / zeros)  # linear-counting regime
+
+
+def test_md5_chunks_match_duckdb_bitwise():
+    """md5_chunks_batch chunk d IS CAST('0x'||substring(md5(x),1+8d,8) AS
+    UBIGINT) — the CMS-oracle contract."""
+    import duckdb
+
+    from fscrawler_ray.functions.sketches import md5_chunks_batch
+
+    vals = ["", "abc", "héllo", "the", "42"]
+    got = md5_chunks_batch(pa.array(vals, pa.string()), 4)
+    for d in range(4):
+        want = [
+            duckdb.sql(
+                f"SELECT CAST('0x' || substring(md5('{v}'), {1 + 8 * d}, 8) AS UBIGINT)"
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert [int(x) for x in got[d]] == want
+
+
+def test_cms_md5_merge_upper_bound_and_exact_on_head():
+    """Partial-fold add-merge ≡ one-shot fold; estimates upper-bound true
+    counts and are exact on the heavy head at this width."""
+    from fscrawler_ray.functions.sketches import cms_fold_md5, cms_merge, cms_query_md5
+
+    rng = np.random.default_rng(7)
+    vals = [f"tok{int(i)}" for i in rng.zipf(1.7, 4000) if i < 500]
+    arr = pa.array(vals, pa.string())
+    one = cms_fold_md5(arr, width=1024, depth=4)
+    half = len(vals) // 2
+    merged = cms_merge(
+        cms_fold_md5(pa.array(vals[:half], pa.string()), width=1024, depth=4),
+        cms_fold_md5(pa.array(vals[half:], pa.string()), width=1024, depth=4),
+    )
+    assert (one == merged).all()
+    import collections
+
+    truth = collections.Counter(vals)
+    items = sorted(truth, key=lambda t: (-truth[t], t))[:10]
+    est = cms_query_md5(one, pa.array(items, pa.string()))
+    for t, e in zip(items, est):
+        assert e >= truth[t]
+        assert e - truth[t] <= len(vals) * 4 / 1024  # within CMS error bound
