@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint_docs": textops.q_fingerprint_docs,
             "corpus_mixture": sampling.q_corpus_mixture,
             "stratified_sample": sampling.q_stratified_sample,
+            "weighted_sample": sampling.q_weighted_sample,
             "uniform_sample": sampling.q_uniform_sample,
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
             "cms_token_estimates": lambda sf: textops.q_cms_token_estimates(sf),

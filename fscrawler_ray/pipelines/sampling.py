@@ -175,6 +175,53 @@ def q_uniform_sample(sf_dir: str):
     return uniform_sample(ds, UNIFORM_K)
 
 
+WEIGHTED_K = 8
+_TWO64 = 18446744073709551616.0
+
+
+def weighted_reservoir_by_key(ds, key: str, id_col: str, weight_col: str, k: int):
+    """Group-wise weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): per row, ES key = ln(u) / w where u is a deterministic
+    md5-uniform of the row id and w = abs(weight) + 1; the k largest keys
+    per group ARE a weighted sample.  Membership is a pure row-local
+    function, so the distributed shape is the stratified-sample combiner:
+    per-block partial top-k per group, then one final top-k over
+    ≤ blocks × groups × k candidate rows.  Deterministic across any
+    partitioning; the SQL oracle replays u, the key and the ranking
+    bit-exactly (md5_number_upper, +0.5, /2^64, ln and abs are the same
+    IEEE-double ops on both sides)."""
+    import pyarrow.compute as pc
+
+    from ..functions.sketches import md5_u64_batch
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("ky", pa.array([], pa.float64()))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        w = np.abs(b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)) + 1.0
+        h = md5_u64_batch(pc.cast(b.column(id_col), pa.string()))
+        u = (h.astype(np.float64) + 0.5) / _TWO64
+        ky = np.log(u) / w
+        _, codes = np.unique(np.asarray(b.column(key).to_pylist(), dtype=object), return_inverse=True)
+        idx = block_group_topk(codes.astype(np.int64), (ids, -ky), k)
+        return b.append_column("ky", pa.array(ky)).take(pa.array(idx, pa.int64()))
+
+    cand = ds.map_batches(part, batch_format="pyarrow")
+    parts = [b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows]
+    df = pa.concat_tables(parts).to_pandas()
+    df = df.sort_values([key, "ky", id_col], ascending=[True, False, True])
+    df = df.groupby(key, sort=True).head(k).copy()
+    df["rnk"] = df.groupby(key).cumcount() + 1
+    out = df.drop(columns=["ky"]).reset_index(drop=True)
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_weighted_sample(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    return weighted_reservoir_by_key(ds, "event_type", "event_id", "value", WEIGHTED_K)
+
+
 def _mixture_case_sql() -> str:
     thr = mixture_thresholds(MIXTURE_RATES)
     whens = " ".join(f"WHEN '{kk}' THEN {v}" for kk, v in thr.items() if kk is not None)
@@ -195,5 +242,13 @@ ORACLE_SQL = {
         "WITH ranked AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
         f"ORDER BY (doc_id * {KNUTH32}) % 4294967296, doc_id) AS rnk FROM documents) "
         f"SELECT lang, doc_id, cast(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {STRATA_K}"
+    ),
+    "weighted_sample": (
+        "WITH b AS (SELECT event_type, event_id, value, "
+        f"ln((md5_number_upper(CAST(event_id AS VARCHAR)) + 0.5) / {_TWO64:.1f}) "
+        "/ (abs(value) + 1.0) AS ky FROM events), "
+        "r AS (SELECT event_type, event_id, value, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY ky DESC, event_id) AS rnk FROM b) "
+        f"SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {WEIGHTED_K}"
     ),
 }

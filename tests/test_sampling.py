@@ -96,3 +96,33 @@ def test_train_test_split_deterministic_and_leakage_safe(tmp_path, ray_session):
         assert got == want
     # both splits are roughly 90/10 on the doc side
     assert 0.75 <= (df["doc_split"] == "train").mean() <= 1.0
+
+
+def test_weighted_reservoir_partition_invariant_and_weight_biased():
+    """ES A-Res: identical under any partitioning; weights steer inclusion
+    (a group where one row holds ~all the weight must sample that row)."""
+    from fscrawler_ray.pipelines.sampling import weighted_reservoir_by_key
+
+    def ds(n_blocks):
+        t = pa.table(
+            {
+                "k": pa.array(["a"] * 200 + ["b"] * 200),
+                "id": pa.array(np.arange(400, dtype=np.int64)),
+                "w": pa.array(
+                    # group a: uniform weights; group b: row 200 dominates
+                    np.r_[np.full(200, 1.0), np.r_[1e6, np.full(199, 0.001)]]
+                ),
+            }
+        )
+        d = ray.data.from_arrow(t)
+        return d.repartition(n_blocks) if n_blocks > 1 else d
+
+    a = weighted_reservoir_by_key(ds(1), "k", "id", "w", 5).to_pandas()
+    b = weighted_reservoir_by_key(ds(9), "k", "id", "w", 5).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["k", "rnk"]).reset_index(drop=True),
+        b.sort_values(["k", "rnk"]).reset_index(drop=True),
+    )
+    assert len(a) == 10 and set(a["k"]) == {"a", "b"}
+    bgrp = a[a["k"] == "b"]
+    assert int(bgrp[bgrp["rnk"] == 1]["id"].iloc[0]) == 200  # dominant weight wins rank 1
