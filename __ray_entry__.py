@@ -269,6 +269,27 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_iptc_report(sf_dir: str):
+        """Per-row IPTC extraction over the shared written run, SQL-CHECKED:
+        the engine parses the IIM dataset stream trailing the EXIF block in
+        each payload (stages/image_stages.iptc_batch); the oracle re-derives
+        (caption, keywords, byline) from image_id's hex — the generator
+        contract (sources/synthweb.iptc_fields_for)."""
+        import ray as _ray
+
+        from fscrawler_ray.stages.image_stages import iptc_batch
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["image_id", "bytes"])
+
+        def f(b):
+            import pyarrow as pa
+
+            t = iptc_batch(b)
+            return t.select(["image_id", "iptc_caption", "iptc_byline", "iptc_keywords"])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
     def crawl_snapshot_diff(sf_dir: str):
         """CDC report over the SAME written crawl output, SQL-CHECKED: the
         'previous' snapshot derives from the current one by deterministic
@@ -543,6 +564,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_rollup": crawl_rollup,
         "crawl_mirrors": crawl_mirrors,
         "crawl_exif_report": crawl_exif_report,
+        "crawl_iptc_report": crawl_iptc_report,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "crawl_prefix_rollup": crawl_prefix_rollup,
         "crawl_content_groups": crawl_content_groups,
@@ -960,6 +982,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT exif_camera, CAST(exif_orientation AS BIGINT) AS exif_orientation, "
         "CAST(count(*) AS BIGINT) AS shots, CAST(max(captured_us) AS BIGINT) AS last_capture_us "
         "FROM ex GROUP BY exif_camera, exif_orientation"
+    )
+    # IPTC-analog per-row report: oracle re-derives the IIM fields from
+    # image_id's hex (= low 40 bits of the payload seed, the generator's
+    # IPTC source — sources/synthweb.iptc_fields_for)
+    from fscrawler_ray.sources.synthweb import _BYLINES, _IPTC_KW
+
+    _kw_case = lambda shift: (  # noqa: E731 — tiny local SQL builder
+        f"CASE (s >> {shift}) % 8 "
+        + " ".join(f"WHEN {j} THEN '{k}'" for j, k in enumerate(_IPTC_KW[:-1]))
+        + f" ELSE '{_IPTC_KW[-1]}' END"
+    )
+    _byline_case = (
+        "CASE (s >> 10) % 6 "
+        + " ".join(f"WHEN {j} THEN '{b}'" for j, b in enumerate(_BYLINES[:-1]))
+        + f" ELSE '{_BYLINES[-1]}' END"
+    )
+    sql["crawl_iptc_report"] = (
+        "WITH ps AS (SELECT image_id, CAST('0x' || substr(image_id, 5) AS UBIGINT) AS s "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "
+        "SELECT image_id, 'Scene ' || CAST(s % 997 AS VARCHAR) AS iptc_caption, "
+        f"{_byline_case} AS iptc_byline, "
+        f"{_kw_case(13)} || ',' || {_kw_case(16)} AS iptc_keywords FROM ps"
     )
     sql["crawl_snapshot_diff"] = (
         "WITH cur AS (SELECT url, seq, CAST(size AS BIGINT) AS size "

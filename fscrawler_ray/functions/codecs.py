@@ -112,6 +112,73 @@ def extract_exif(buf: bytes) -> bytes | None:
     return None
 
 
+# -- IPTC-IIM-analog datasets (reference draft itpc_extractor.py) -----------
+#
+# Real IPTC rides in the image's metadata slot as a stream of IIM datasets
+# (0x1C marker, record, dataset, big-endian length, data). Here the stream
+# is appended AFTER the EXIF-analog block inside the same container
+# segment — parse_exif reads only its fixed part and ignores the trailing
+# datasets, exactly like real APP1/APP13 coexistence.
+
+
+def pack_iptc(caption: str, keywords: list[str], byline: str) -> bytes:
+    """IIM dataset stream: 2:120 Caption-Abstract, 2:25 Keywords
+    (repeatable), 2:80 By-line."""
+
+    def ds(rec: int, dset: int, data: bytes) -> bytes:
+        return bytes([0x1C, rec, dset]) + struct.pack(">H", len(data)) + data
+
+    out = ds(2, 0x78, caption.encode("utf-8"))
+    for k in keywords:
+        out += ds(2, 0x19, k.encode("utf-8"))
+    return out + ds(2, 0x50, byline.encode("utf-8"))
+
+
+def parse_iptc(payload: bytes) -> dict | None:
+    """Scan an IIM dataset stream; None on malformed or empty input
+    (honest parser — no generator fallback)."""
+    off, caption, byline, kws = 0, None, None, []
+    while off + 5 <= len(payload):
+        if payload[off] != 0x1C:
+            return None
+        rec, dset = payload[off + 1], payload[off + 2]
+        (ln,) = struct.unpack_from(">H", payload, off + 3)
+        data = payload[off + 5 : off + 5 + ln]
+        if len(data) != ln:
+            return None
+        if rec == 2:
+            if dset == 0x78:
+                caption = data.decode("utf-8")
+            elif dset == 0x19:
+                kws.append(data.decode("utf-8"))
+            elif dset == 0x50:
+                byline = data.decode("utf-8")
+        off += 5 + ln
+    if caption is None and byline is None and not kws:
+        return None
+    return {"caption": caption, "keywords": kws, "byline": byline}
+
+
+def meta_parts(payload: bytes) -> tuple[bytes, bytes]:
+    """Split a metadata-slot payload into (EXIF-analog block, trailing
+    IIM stream); whole payload is EXIF when no valid block leads."""
+    if len(payload) < 4 + _EXIF_FIXED.size or payload[:4] != _EXIF_TIFF:
+        return payload, b""
+    _, nlen, _ = _EXIF_FIXED.unpack_from(payload, 4)
+    end = 4 + _EXIF_FIXED.size + nlen
+    return payload[:end], payload[end:]
+
+
+def extract_iptc(buf: bytes) -> dict | None:
+    """Locate the container's metadata segment and parse the IIM stream
+    trailing the EXIF-analog block, or None when absent."""
+    payload = extract_exif(buf)
+    if payload is None:
+        return None
+    _, trailing = meta_parts(payload)
+    return parse_iptc(trailing) if trailing else None
+
+
 def _body_offset(buf: bytes, fmt: str) -> int:
     """Offset of the pixel body, skipping any metadata segment."""
     if fmt == "jpeg":

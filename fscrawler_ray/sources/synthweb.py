@@ -54,6 +54,38 @@ _CAMERAS = (
 )
 
 
+# IPTC-analog vocab (reference draft itpc_extractor.py): bylines and
+# keyword tags shaped like real IIM 2:80 / 2:25 values
+_BYLINES = (
+    "A. Stone",
+    "B. Rivers",
+    "C. Vega",
+    "D. Marsh",
+    "E. Calder",
+    "F. Onda",
+)
+_IPTC_KW = (
+    "landscape",
+    "urban",
+    "portrait",
+    "wildlife",
+    "aerial",
+    "macro",
+    "night",
+    "street",
+)
+
+
+def iptc_fields_for(ps40: int) -> tuple[str, list[str], str]:
+    """Deterministic IPTC-analog (caption, keywords, byline) from the low
+    40 bits of the payload seed — re-derivable from image_id by the SQL
+    oracle, like exif_fields_for."""
+    caption = f"Scene {ps40 % 997}"
+    keywords = [_IPTC_KW[(ps40 >> 13) % 8], _IPTC_KW[(ps40 >> 16) % 8]]
+    byline = _BYLINES[(ps40 >> 10) % 6]
+    return caption, keywords, byline
+
+
 def exif_fields_for(ps40: int) -> tuple[int, str, int]:
     """Deterministic EXIF-analog fields from the LOW 40 BITS of the payload
     seed — exactly the bits image_id preserves (``img_%012x`` truncates to
@@ -303,9 +335,14 @@ class SynthWeb:
         rng_w = 48 + ps % 160
         rng_h = 48 + (ps >> 7) % 160
         img = synth_image(ps & 0xFFFFFFFF, rng_w, rng_h)
-        from ..functions.codecs import pack_exif
+        from ..functions.codecs import pack_exif, pack_iptc
 
-        buf = encode(img, fmt, exif=pack_exif(*exif_fields_for(ps & 0xFFFFFFFFFF)))
+        # one metadata slot, two real blocks: EXIF-analog first, IPTC IIM
+        # datasets trailing (parse_exif reads its fixed part only — the
+        # APP1/APP13 coexistence shape)
+        ps40 = ps & 0xFFFFFFFFFF
+        meta = pack_exif(*exif_fields_for(ps40)) + pack_iptc(*iptc_fields_for(ps40))
+        buf = encode(img, fmt, exif=meta)
         row = {
             "image_id": f"img_{ps & 0xFFFFFFFFFF:012x}",
             "bytes": buf,

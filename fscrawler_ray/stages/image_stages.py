@@ -103,6 +103,29 @@ def exif_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("exif_captured_at_us", pa.array(captured, pa.int64()))
 
 
+def iptc_batch(batch: pa.Table) -> pa.Table:
+    """Parse the IPTC-IIM-analog datasets trailing the EXIF block in each
+    payload's metadata segment (functions/codecs.extract_iptc; the
+    reference's draft itpc_extractor.py analog).  Adds ``iptc_caption``,
+    ``iptc_byline`` (string, null when absent/malformed) and
+    ``iptc_keywords`` (comma-joined string).  Loops only at the per-image
+    container-parse boundary."""
+    data = batch.column("bytes")
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    caps: list[str | None] = []
+    bylines: list[str | None] = []
+    kws: list[str | None] = []
+    for buf in data.to_pylist():
+        meta = codecs.extract_iptc(buf or b"")
+        caps.append(meta["caption"] if meta else None)
+        bylines.append(meta["byline"] if meta else None)
+        kws.append(",".join(meta["keywords"]) if meta and meta["keywords"] else None)
+    out = batch.append_column("iptc_caption", pa.array(caps, pa.string()))
+    out = out.append_column("iptc_byline", pa.array(bylines, pa.string()))
+    return out.append_column("iptc_keywords", pa.array(kws, pa.string()))
+
+
 def decode_phash_verify_batch(batch: pa.Table) -> pa.Table:
     """Stateless form of :class:`DecodePhashVerify` (max_hamming=0) for
     plain task pools — the stage holds no per-worker state, so elastic

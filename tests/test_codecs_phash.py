@@ -153,3 +153,26 @@ def test_exif_analog_roundtrip_and_stage(ray_session):
     # malformed payload → nulls, not exceptions
     bad = exif_batch(pa.table({"image_id": ["x"], "bytes": [b"not an image"]}))
     assert bad.column("exif_orientation")[0].as_py() is None
+
+
+def test_iptc_pack_parse_roundtrip_and_coexistence():
+    """IIM pack → parse identity; EXIF + IPTC coexist in ONE metadata slot
+    (parse_exif reads its fixed block, extract_iptc the trailing stream);
+    malformed streams are rejected."""
+    import numpy as np
+
+    from fscrawler_ray.functions import codecs
+
+    got = codecs.parse_iptc(codecs.pack_iptc("Scene 1", ["urban", "night"], "A. Stone"))
+    assert got == {"caption": "Scene 1", "keywords": ["urban", "night"], "byline": "A. Stone"}
+    assert codecs.parse_iptc(b"\x1b junk") is None
+    assert codecs.parse_iptc(b"") is None
+    img = np.zeros((8, 8, 3), np.uint8)
+    meta = codecs.pack_exif(3, "Crater Pro", 123456) + codecs.pack_iptc("Scene 9", ["macro"], "C. Vega")
+    for fmt in ("png", "jpeg", "webp"):
+        buf = codecs.encode(img, fmt, exif=meta)
+        ex = codecs.parse_exif(codecs.extract_exif(buf))
+        assert ex == {"orientation": 3, "camera": "Crater Pro", "captured_at_us": 123456}
+        ip = codecs.extract_iptc(buf)
+        assert ip == {"caption": "Scene 9", "keywords": ["macro"], "byline": "C. Vega"}
+        codecs.decode(buf)  # pixel body offset still correct with both blocks
