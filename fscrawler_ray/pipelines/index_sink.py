@@ -477,6 +477,37 @@ ORACLE_SQL = {
 }
 
 
+def _hybrid_sql(k: int = 10, oversample: int = 4, alpha: float = 0.5) -> str:
+    """DuckDB replay of q_hybrid_search: the bm25_topk CTE (widened to the
+    oversampled shortlist), the have-an-embedding filter, per-vector unit
+    normalization, the Rocchio top-3 centroid, cosine-to-centroid and the
+    min-max blend — rnk output only, so the 1e-16 libm sum-order drift in
+    the dense floats cannot surface unless two blends tie to ~1e-15."""
+    short = ORACLE_SQL["bm25_topk"].replace("LIMIT 10", f"LIMIT {k * oversample}")
+    return (
+        f"WITH short AS ({short}), "
+        "sr AS (SELECT doc_id, score_micro, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS lexrank FROM short), "
+        "se AS (SELECT sr.doc_id, sr.score_micro, sr.lexrank, e.embedding "
+        "FROM sr JOIN embeddings e ON e.vec_id = sr.doc_id), "
+        "sv AS (SELECT *, row_number() OVER (ORDER BY lexrank) AS r2 FROM se), "
+        "dims AS (SELECT doc_id, r2, i, embedding[i] AS x "
+        "FROM sv, unnest(generate_series(1, len(embedding))) AS s(i)), "
+        "nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nv FROM dims GROUP BY doc_id), "
+        "und AS (SELECT d.doc_id, d.r2, d.i, d.x / n.nv AS u FROM dims d JOIN nrm n USING (doc_id)), "
+        "cent AS (SELECT i, avg(u) AS c FROM und WHERE r2 <= 3 GROUP BY i), "
+        "cn AS (SELECT sqrt(sum(c * c)) AS nc FROM cent), "
+        "dense AS (SELECT u.doc_id, sum(u.u * (cent.c / cn.nc)) AS dns "
+        "FROM und u JOIN cent USING (i), cn GROUP BY u.doc_id), "
+        "mm AS (SELECT min(score_micro) AS lo, max(score_micro) AS hi FROM sv), "
+        "blend AS (SELECT sv.doc_id, "
+        f"{alpha} * (CASE WHEN mm.hi > mm.lo THEN (sv.score_micro - mm.lo)::DOUBLE / (mm.hi - mm.lo) ELSE 0.0 END) "
+        f"+ {1 - alpha} * dense.dns AS b "
+        "FROM sv JOIN dense USING (doc_id), mm) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rnk FROM blend "
+        f"ORDER BY b DESC, doc_id LIMIT {k}"
+    )
+
+
 def q_hybrid_search(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10, oversample: int = 4, alpha: float = 0.5):
     """Two-stage hybrid retrieval (the production BM25→dense pattern with
     Rocchio pseudo-relevance feedback): the quantized BM25 top-(k·o)
@@ -511,3 +542,6 @@ def q_hybrid_search(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10, oversam
             "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
         }
     )
+
+
+ORACLE_SQL["hybrid_search"] = _hybrid_sql()
