@@ -775,9 +775,15 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     def images_aspect_buckets(sf_dir: str):
+        """SQL-CHECKED: the two-level bucket-pack scan over the spooled
+        metadata vs DuckDB's window replay (nearest-log-ratio argmin with
+        first-min tie-break, then per-bucket image_id-rank // batch_size)."""
+        import ray as _ray
+
         from fscrawler_ray.pipelines.image_corpus import aspect_buckets
 
-        return aspect_buckets(images_dataset(min(rows_for_sf(sf_dir), 2048)))
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "w", "h"])
+        return aspect_buckets(ds)
 
     def images_augment(sf_dir: str):
         from fscrawler_ray.stages.image_stages import augment_images
@@ -1093,6 +1099,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN sc <= 1 THEN w ELSE greatest(1.0, trunc(w / sc)) END AS BIGINT) AS thumb_w, "
         "CAST(CASE WHEN sc <= 1 THEN h ELSE greatest(1.0, trunc(h / sc)) END AS BIGINT) AS thumb_h "
         "FROM s"
+    )
+    # aspect bucketing replay: ladder ratios as exact double divisions,
+    # nearest-log-ratio with numpy-argmin first-min tie-break (ORDER BY
+    # dist, ladder index), then per-bucket rank in image_id order // 16
+    from fscrawler_ray.pipelines.image_corpus import ASPECT_LADDER
+
+    _lad_rows = ", ".join(f"({i}, '{rw}:{rh}', CAST({rw} AS DOUBLE) / {rh})" for i, (rw, rh) in enumerate(ASPECT_LADDER))
+    sql["images_aspect_buckets"] = (
+        f"WITH im AS (SELECT image_id, w, h FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        f"lad AS (SELECT * FROM (VALUES {_lad_rows}) AS v(i, lbl, r)), "
+        "d AS (SELECT image_id, lbl, i, abs(ln(CAST(w AS DOUBLE) / h) - ln(r)) AS dist FROM im, lad), "
+        "pick AS (SELECT image_id, lbl FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY image_id ORDER BY dist, i) AS rn FROM d) WHERE rn = 1) "
+        "SELECT image_id, lbl AS bucket, "
+        "CAST((row_number() OVER (PARTITION BY lbl ORDER BY image_id) - 1) // 16 AS BIGINT) AS batch_idx "
+        "FROM pick"
     )
     sql["images_caption_features"] = (
         "WITH c AS (SELECT image_id, caption, "
