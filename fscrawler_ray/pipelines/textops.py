@@ -305,6 +305,25 @@ def q_cms_token_estimates(sf_dir: str, k: int = 20, width: int = 4096, depth: in
     )
 
 
+# the add-alpha bigram LM replayed over raw token strings (the engine's
+# 64-bit gram hashes are injective at check scale, so string-keyed counts
+# equal hash-keyed counts); per-doc mean log-prob rounded to 6 decimals on
+# both sides — the ~1e-16 sum-order drift cannot survive the rounding
+# except on measure-zero boundaries
+ORACLE_SQL["lm_score_docs"] = (
+    "WITH raw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents), "
+    "tk0 AS (SELECT doc_id, i, s[i] AS tok FROM raw, unnest(generate_series(1, len(s))) AS u(i)), "
+    "tk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j, tok "
+    "FROM tk0 WHERE tok <> ''), "
+    "big AS (SELECT doc_id, tok AS t1, lead(tok) OVER (PARTITION BY doc_id ORDER BY j) AS t2 FROM tk), "
+    "bp AS (SELECT doc_id, t1, t2 FROM big WHERE t2 IS NOT NULL), "
+    "cb AS (SELECT t1, t2, CAST(count(*) AS DOUBLE) AS cb FROM bp GROUP BY t1, t2), "
+    "cu AS (SELECT tok AS t1, CAST(count(*) AS DOUBLE) AS cu FROM tk GROUP BY tok), "
+    "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vv FROM tk) "
+    "SELECT bp.doc_id, round(avg(ln((cb.cb + 0.1) / (cu.cu + 0.1 * vv))), 6) AS avg_logprob "
+    "FROM bp JOIN cb USING (t1, t2) JOIN cu USING (t1), v GROUP BY bp.doc_id"
+)
+
 ORACLE_SQL["cms_token_estimates"] = (
     # grid cells and probe indices both = CAST('0x'||substring(md5(tok),
     # 1+8*d, 8) AS UBIGINT) % width — bit-identical to md5_chunks_batch
