@@ -20,6 +20,7 @@ CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
 CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
+VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -747,14 +748,25 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["media_id", "id3_title", "id3_artist", "id3_year"])
 
     def video_frames(sf_dir: str):
-        # REAL demux+decode: FSV1 containers of codec-encoded frames; the
-        # sampler seeks the TOC and decodes only the sampled frames
+        """REAL demux+decode, now SQL-CHECKED: the sampler parses the FSV1
+        TOC (total frames + fps from the container header) and decodes only
+        the evenly-spaced picks; the oracle replays the pick arithmetic
+        ((f+0.5)*total/eff truncated, ts = idx/fps*1000) from the spooled
+        fps metadata and the generator's frames_per_clip contract (8)."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
         import ray as _ray
 
         from fscrawler_ray.stages.multimodal import VideoFrameSampleStage, synth_video_table
 
         t = synth_video_table(min(rows_for_sf(sf_dir), 256))
-        out = _ray.data.from_arrow(t).repartition(8).map_batches(
+        shutil.rmtree(VIDEO_SPOOL_DIR, ignore_errors=True)
+        os.makedirs(VIDEO_SPOOL_DIR, exist_ok=True)
+        pq.write_table(t.select(["media_id", "bytes", "fps"]), os.path.join(VIDEO_SPOOL_DIR, "part-0.parquet"))
+        ds = _ray.data.read_parquet(VIDEO_SPOOL_DIR, columns=["media_id", "bytes"]).repartition(8)
+        out = ds.map_batches(
             VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
             fn_constructor_kwargs={"backend": "fsv"},
         )
@@ -786,14 +798,36 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         return aspect_buckets(ds)
 
     def images_augment(sf_dir: str):
-        from fscrawler_ray.stages.image_stages import augment_images
+        """SQL-CHECKED: the augment actor pool decodes REAL payloads,
+        applies the md5-selected geometric op and re-encodes; the oracle
+        re-derives (op, output dims) from the spooled metadata via
+        md5_number_upper — certifying op selection, decoded dims ≡
+        metadata dims, and the rot/flip dimension algebra."""
+        import pyarrow as pa
+        import ray as _ray
 
-        # cap like the sibling payload-producing stages: the rows-only
-        # check gains nothing from re-encoding thousands of full images
-        ds = images_dataset(min(rows_for_sf(sf_dir), 512))
-        out = augment_images(ds)
-        # drop the payload column for the driver's rows-only check
-        return out.select_columns(["image_id", "aug_op", "aug_w", "aug_h"])
+        from fscrawler_ray.stages.image_stages import AugmentStage
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "bytes"])
+        out = ds.map_batches(
+            AugmentStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=4,
+            fn_constructor_kwargs={"op_hash": "md5"},
+        )
+
+        def shape(b):
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "aug_op": b.column("aug_op"),
+                    "aug_w": b.column("aug_w").cast(pa.int64()),
+                    "aug_h": b.column("aug_h").cast(pa.int64()),
+                }
+            )
+
+        return out.map_batches(shape, batch_format="pyarrow")
 
     return {
         "images_enrich": images_enrich,
@@ -1087,6 +1121,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT media_id, 'Track ' || lpad(CAST(i AS VARCHAR), 5, '0') AS id3_title, "
         f"CASE i % 8 {_artist_whens} END AS id3_artist, "
         "CAST(1990 + (i * 7) % 30 AS BIGINT) AS id3_year FROM m"
+    )
+    # augment replay: op = md5_number_upper(image_id) % 4; rot90/rot270
+    # swap the output dims, flip/rot180 keep them
+    sql["images_augment"] = (
+        "WITH m AS (SELECT image_id, w, h, md5_number_upper(image_id) % 4 AS o "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')) "
+        "SELECT image_id, "
+        "CASE o WHEN 0 THEN 'flip_h' WHEN 1 THEN 'rot90' WHEN 2 THEN 'rot180' ELSE 'rot270' END AS aug_op, "
+        "CAST(CASE WHEN o IN (1, 3) THEN h ELSE w END AS BIGINT) AS aug_w, "
+        "CAST(CASE WHEN o IN (1, 3) THEN w ELSE h END AS BIGINT) AS aug_h "
+        "FROM m"
+    )
+    # frame-sampler replay: eff = min(3, total)=3 picks at
+    # idx = trunc((f+0.5)*total/eff) with the generator's frames_per_clip
+    # contract (total=8), ts = trunc(idx/fps*1000); the engine reads total
+    # and fps from the FSV1 container header it demuxes
+    sql["video_frames"] = (
+        "WITH m AS (SELECT media_id, CAST(fps AS DOUBLE) AS fps "
+        f"FROM read_parquet('{VIDEO_SPOOL_DIR}/part-0.parquet')), "
+        "f AS (SELECT * FROM (VALUES (0), (1), (2)) v(f)), "
+        "p AS (SELECT media_id, f, CAST(trunc((f + 0.5) * 8 / 3) AS INT) AS idx, fps FROM m, f) "
+        "SELECT media_id, CAST(f AS INT) AS frame_no, "
+        "CAST(trunc(idx / fps * 1000) AS INT) AS ts_ms FROM p"
     )
     # thumbnail dims from the spooled metadata: s = max(w,h)/64; dims pass
     # through when s<=1, else trunc(dim/s) floored at 1 — identical float

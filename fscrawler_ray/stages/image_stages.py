@@ -269,12 +269,17 @@ class AugmentStage:
 
     _OPS = ("flip_h", "rot90", "rot180", "rot270")
 
-    def __init__(self, codec: str = "builtin"):
+    def __init__(self, codec: str = "builtin", op_hash: str = "xxh64"):
         if codec != "builtin":
             raise NotImplementedError(
                 f"external codec {codec!r} not available in this environment; "
                 "use codec='builtin' (deterministic in-repo codecs)"
             )
+        # 'md5' picks ops via the SQL-replayable md5_number_upper hash so
+        # the oracle can re-derive (op, dims); the scale path stays on the
+        # vectorized xxh64 default
+        assert op_hash in ("xxh64", "md5")
+        self.op_hash = op_hash
 
     @staticmethod
     def apply_op(img: np.ndarray, op: str) -> np.ndarray:
@@ -292,7 +297,12 @@ class AugmentStage:
         from ..functions.hashing import xxh64_batch
 
         ids = batch.column("image_id")
-        h = xxh64_batch(ids.cast(pa.string()), seed=99)
+        if self.op_hash == "md5":
+            from ..functions.sketches import md5_u64_batch
+
+            h = md5_u64_batch(ids.cast(pa.string()))
+        else:
+            h = xxh64_batch(ids.cast(pa.string()), seed=99)
         ops = [self._OPS[int(x % np.uint64(len(self._OPS)))] for x in h]
         out_bytes: list[bytes | None] = []
         out_w: list[int] = []
