@@ -934,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "uniform_sample": sampling.q_uniform_sample,
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
             "cms_token_estimates": lambda sf: textops.q_cms_token_estimates(sf),
+            "simhash_md5_docs": textops.q_simhash_md5_docs,
+            "fingerprint_md5_docs": textops.q_fingerprint_md5_docs,
             "top_tokens_by_lang": lambda sf: textops.q_top_tokens_by_lang(sf),
             "props_extract": textops.q_props_extract,
             "props_redact": textops.q_props_redact,

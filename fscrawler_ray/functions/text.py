@@ -232,6 +232,71 @@ def simhash64(texts) -> np.ndarray:
     return (out_bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
 
 
+def simhash64_md5(texts) -> np.ndarray:
+    """``simhash64`` with the SQL-replayable md5 token hash
+    (md5_number_upper) — same little-endian bit algebra, same >0 sign
+    rule.  Exists so the oracle can replay the sketch; the scale path
+    stays on the vectorized xxh64 ``simhash64``."""
+    from .sketches import md5_u64_batch
+
+    arr = pa.array(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    n = len(arr)
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, doc = flat.filter(pa.array(mask)), doc[mask]
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    h = md5_u64_batch(flat)
+    bits = np.unpackbits(
+        np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    contrib = bits * 2 - 1
+    acc = np.zeros((n, 64), dtype=np.int64)
+    starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+    acc[doc[starts]] = np.add.reduceat(contrib, starts, axis=0)
+    out_bits = (acc > 0).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    return (out_bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def fingerprint64_md5(texts) -> np.ndarray:
+    """``fingerprint64``'s SQL-replayable twin: min md5 hash of 3-token
+    shingle STRINGS (tokens joined with unit separator \\x1f, so the
+    oracle rebuilds the identical preimage); 0 for docs with <3 tokens."""
+    from .sketches import md5_u64_batch
+
+    arr = pa.array(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    n = len(arr)
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    t = np.asarray(flat.filter(pa.array(mask)).to_pylist(), dtype=object)
+    doc = doc[mask]
+    out = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(t) >= 3:
+        s1, s2 = np.roll(t, -1), np.roll(t, -2)
+        valid = (np.roll(doc, -1) == doc) & (np.roll(doc, -2) == doc)
+        valid[-2:] = False
+        if valid.any():
+            sep = "\x1f"
+            sh = [a + sep + b + sep + c for a, b, c in zip(t[valid], s1[valid], s2[valid])]
+            hs = md5_u64_batch(pa.array(sh, pa.string()))
+            dv = doc[valid]
+            starts = np.flatnonzero(np.diff(dv, prepend=dv[0] - 1))
+            out[dv[starts]] = np.minimum.reduceat(hs, starts)
+    out[out == np.iinfo(np.uint64).max] = 0
+    return out.astype(np.int64)
+
+
 def fingerprint64(texts) -> np.ndarray:
     """(n_docs,) int64 rolling-hash document fingerprint: min mixed hash of
     3-token shingles (winnowing-style min-sampling); 0 for empty docs."""

@@ -243,6 +243,64 @@ def q_top_tokens_approx(sf_dir: str, k: int = 20):
     return heavy_hitters(toks, "tok", k=k)
 
 
+def q_simhash_md5_docs(sf_dir: str):
+    """SQL-replayable SimHash (md5 token hash; the xxh64 ``simhash_docs``
+    stays the scale path — same pattern as cms_token_estimates)."""
+    from ..functions.text import simhash64_md5
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "simhash": pa.array(simhash64_md5(b.column("text")))}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_fingerprint_md5_docs(sf_dir: str):
+    """SQL-replayable winnowing fingerprint (min md5 of 3-token shingle
+    strings; xxh64 ``fingerprint_docs`` stays the scale path)."""
+    from ..functions.text import fingerprint64_md5
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "fingerprint": pa.array(fingerprint64_md5(b.column("text")))}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_WRAP64 = (
+    "CAST(CASE WHEN {v} >= 9223372036854775808 THEN CAST({v} AS HUGEINT) - 18446744073709551616 "
+    "ELSE CAST({v} AS HUGEINT) END AS BIGINT)"
+)
+
+ORACLE_SQL["simhash_md5_docs"] = (
+    "WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS s FROM documents), "
+    "tk0 AS (SELECT doc_id, s[i] AS tok FROM raw, unnest(generate_series(1, len(s))) AS u(i)), "
+    "hh AS (SELECT doc_id, md5_number_upper(tok) AS h FROM tk0 WHERE tok <> ''), "
+    "bt AS (SELECT unnest(generate_series(0, 63)) AS b), "
+    "acc AS (SELECT doc_id, bt.b AS b, sum(CASE WHEN (h >> bt.b) & 1 = 1 THEN 1 ELSE -1 END) AS sc "
+    "FROM hh, bt GROUP BY doc_id, bt.b), "
+    "m AS (SELECT doc_id, sum(1::HUGEINT << b) AS v FROM acc WHERE sc > 0 GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    + _WRAP64.format(v="COALESCE(m.v, 0)")
+    + " AS simhash FROM documents d LEFT JOIN m USING (doc_id)"
+)
+
+ORACLE_SQL["fingerprint_md5_docs"] = (
+    "WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS s FROM documents), "
+    "tk0 AS (SELECT doc_id, i, s[i] AS tok FROM raw, unnest(generate_series(1, len(s))) AS u(i)), "
+    "tk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j, tok "
+    "FROM tk0 WHERE tok <> ''), "
+    "sh AS (SELECT doc_id, tok || chr(31) || lead(tok) OVER w || chr(31) || lead(tok, 2) OVER w AS s "
+    "FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY j)), "
+    "m AS (SELECT doc_id, min(md5_number_upper(s)) AS v FROM sh WHERE s IS NOT NULL GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    + _WRAP64.format(v="COALESCE(m.v, 0)")
+    + " AS fingerprint FROM documents d LEFT JOIN m USING (doc_id)"
+)
+
+
 def q_cms_token_estimates(sf_dir: str, k: int = 20, width: int = 4096, depth: int = 4):
     """SQL-replayable Count-Min certification (the HLL-oracle pattern for
     the CMS sketch): the md5-chunk grid is folded distributedly (per-block

@@ -252,3 +252,21 @@ def test_cms_md5_merge_upper_bound_and_exact_on_head():
     for t, e in zip(items, est):
         assert e >= truth[t]
         assert e - truth[t] <= len(vals) * 4 / 1024  # within CMS error bound
+
+
+def test_md5_sketch_twins_structural_properties():
+    """The SQL-replayable md5 twins keep the sketches' contracts: identical
+    docs → identical sketches; near-identical docs → small simhash hamming
+    distance; shared shingles → shared fingerprint min."""
+    from fscrawler_ray.functions.text import fingerprint64_md5, simhash64_md5
+
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    s = simhash64_md5([a, a, b, ""])
+    assert s[0] == s[1]
+    ham = bin((int(s[0]) ^ int(s[2])) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 24  # one of nine distinct words changed → near, not far
+    assert s[3] == 0
+    f = fingerprint64_md5([a, a, "one two", ""])
+    assert f[0] == f[1]
+    assert f[2] == 0 and f[3] == 0  # <3 tokens → 0
