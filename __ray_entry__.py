@@ -900,6 +900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),
+            # the SQL-checkable exact twin: shared-shingle inverted-index
+            # candidates (recall 1.0 at this threshold) + the same verify
+            "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_exact(sf),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "semantic_neardup": lambda sf: dedup.semantic_neardup_pairs(sf),
@@ -963,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
     sql = dict(ORACLE_SQL)
     from fscrawler_ray.pipelines.corpus import ORACLE_SQL as CORPUS_SQL
     from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
+    from fscrawler_ray.pipelines.dedup import ORACLE_SQL as DEDUP_SQL
     from fscrawler_ray.pipelines.editdist import ORACLE_SQL as EDITDIST_SQL
     from fscrawler_ray.pipelines.formats import ORACLE_SQL as FORMATS_SQL
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
@@ -976,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(EDITDIST_SQL)
     sql.update(FORMATS_SQL)
     sql.update(CORPUS_SQL)
+    sql.update(DEDUP_SQL)
     sql["crawl_scan"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
         f"FROM read_parquet('{CRAWL_SCAN_DIR}_trace/part-*.parquet')"

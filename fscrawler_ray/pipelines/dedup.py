@@ -279,6 +279,55 @@ def minhash_lsh_pairs(
     return out
 
 
+def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.5, ngram: int = 3, max_bucket: int = 256, cache: bool = True):
+    """EXACT n-gram Jaccard similarity join (doc_a < doc_b, jaccard ≥ t):
+    candidate pairs come from the shared-shingle INVERTED INDEX instead of
+    LSH bands — any pair with jaccard > 0 shares ≥1 shingle, so recall is
+    1.0 by construction (the property that makes this the SQL-checkable
+    twin of minhash_lsh_pairs; the LSH path stays the scale default for
+    low thresholds, where the shared-shingle candidate graph explodes).
+    Same distributed shape: singleton-kill counts pass → partitioned
+    capped expansion → exact pair-keyed verification.  The ``max_bucket``
+    cap can only drop a qualifying pair whose EVERY shared shingle sits
+    in a > max_bucket bucket — boilerplate-only overlap; the oracle
+    certifies the cap is lossless at check scale."""
+    key = ("exact", sf_dir, threshold, ngram, max_bucket)
+    if cache and key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
+    from ..functions.text import shingle_hashes
+
+    def sh(b: pa.Table) -> pa.Table:
+        h, doc = shingle_hashes(b.column("text"), ngram)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[doc]
+        o = np.lexsort((h, did))
+        h, did = h[o], did[o]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (did[1:] != did[:-1])  # DISTINCT (doc, shingle)
+        h, did = h[keep], did[keep]
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(h), np.int32)),
+                "bucket": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(did),
+            }
+        )
+
+    buckets = _docs(sf_dir).map_batches(sh, batch_format="pyarrow")
+    cand = _pairs_distributed_ds(buckets, ["band", "bucket"], "doc_id", max_bucket)
+    out = verify_jaccard_distributed(sf_dir, cand, threshold, ngram)
+    if cache:
+        _PAIRS_CACHE[key] = out
+    return out
+
+
 def _bucket_mix_key(b: pa.Table) -> np.ndarray:
     """Collision-safe uint64 key for a (band, bucket) pair."""
     from ..functions.hashing import xxh64_u64
@@ -770,3 +819,26 @@ def semantic_neardup_pairs(
     return pa.table(
         {"vec_a": t.column("doc_a"), "vec_b": t.column("doc_b"), "cosine": t.column("cosine")}
     )
+
+
+# DuckDB replay of ngram_jaccard_exact: all-pairs exact Jaccard over
+# DISTINCT 3-token shingle strings (lowercased \s+ tokens re-ranked after
+# dropping empties, joined with \x1f — the fingerprint_md5 preimage
+# convention); round(j, 6) matches the verify kernel
+ORACLE_SQL = {
+    "ngram_jaccard_exact": (
+        "WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS s FROM documents), "
+        "tk0 AS (SELECT doc_id, i, s[i] AS tok FROM raw, unnest(generate_series(1, len(s))) AS u(i)), "
+        "tk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j, tok "
+        "FROM tk0 WHERE tok <> ''), "
+        "sh0 AS (SELECT doc_id, tok || chr(31) || lead(tok) OVER w || chr(31) || lead(tok, 2) OVER w AS s "
+        "FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY j)), "
+        "shd AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix "
+        "FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(CAST(ix AS DOUBLE) / (na.n + nb.n - ix), 6) AS jaccard "
+        "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b "
+        "WHERE CAST(ix AS DOUBLE) / (na.n + nb.n - ix) >= 0.5"
+    ),
+}

@@ -79,3 +79,32 @@ def test_prepare_training_corpus_composition():
     n = df["chunk_tokens"].to_numpy()
     prefix = np.concatenate([[0], np.cumsum(n)[:-1]])
     assert (df["bin"].to_numpy() == prefix // 256).all()
+
+
+def test_ngram_jaccard_exact_finds_planted_pairs(tmp_path):
+    """The inverted-index exact join finds every planted near-dup pair with
+    the exact jaccard value and emits nothing for unrelated docs."""
+    from fscrawler_ray.pipelines.dedup import ngram_jaccard_exact
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the rain falls gently on the quiet street")
+    texts = [base, base.replace("rain", "snow")]
+    texts += [f"unrelated doc {i} " + " ".join(f"w{i}{j}" for j in range(30)) for i in range(20)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    d = tmp_path / "mini2"; d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = ngram_jaccard_exact(str(d), threshold=0.5, cache=False).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(0, 1)}
+    # exact jaccard: one word swap in the middle breaks 3 of the shingles
+    # on each side; verify against a brute-force set computation
+    def shingles(s):
+        tk = s.lower().split()
+        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+    sa, sb = shingles(texts[0]), shingles(texts[1])
+    want = round(len(sa & sb) / len(sa | sb), 6)
+    assert abs(float(out["jaccard"].iloc[0]) - want) < 1e-9
