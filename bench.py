@@ -126,6 +126,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "validate_docs",
         "train_test_split",
         "hybrid_search",
+        # round-4 families
+        "cms_token_estimates",
+        "weighted_sample",
+        "lm_score_docs",
+        "ngram_jaccard_exact",
+        "images_attrs",
+        "images_augment",
+        "audio_id3_report",
+        "corpus_clean_exact",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:
