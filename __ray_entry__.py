@@ -404,6 +404,24 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         stats = compact_results(out, dest, rows_per_file=50_000)
         return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in stats.items()})
 
+    def crawl_compact_audit(sf_dir: str):
+        """SQL-CHECKED compaction lineage: the engine's pre-compaction row
+        count vs DuckDB counting the compacted files it wrote — a dropped
+        or duplicated row in the rewrite breaks the match.  (File counts
+        stay in the rows-only crawl_compact: they depend on writer
+        parallelism.)"""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.sinks import compact_results
+
+        out = _shared_written_run(sf_dir)
+        dest = "/tmp/fscrawler_oracle_compact"
+        shutil.rmtree(dest, ignore_errors=True)
+        stats = compact_results(out, dest, rows_per_file=50_000)
+        return pa.table({"rows": pa.array([int(stats["rows"])], pa.int64())})
+
     def crawl_content_groups(sf_dir: str):
         """The reference's Content grouping (many URLs → one payload
         identity) over the written run, SQL-CHECKED: copies + first URL +
@@ -570,6 +588,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_prefix_rollup": crawl_prefix_rollup,
         "crawl_content_groups": crawl_content_groups,
         "crawl_compact": crawl_compact,
+        "crawl_compact_audit": crawl_compact_audit,
         "crawl_politeness_audit": crawl_politeness_audit,
         "crawl_depth_funnel": crawl_depth_funnel,
         "host_pagerank": host_pagerank,
@@ -894,7 +913,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # SQL oracle; nprobe<n pruning + recall are pytest-asserted
             "knn_ivf": lambda sf: similarity.knn_ivf(sf, nprobe=16),
             "knn_int8": lambda sf: similarity.knn_int8(sf),
-            "knn_pq": lambda sf: similarity.knn_pq(sf),
+            # check scale: shortlist covers the whole table, so the exact
+            # re-rank IS brute force — certifies the ADC plumbing, the
+            # vec_id-pushdown fetch and the re-rank kernel against the SQL
+            # oracle; the pruned-shortlist recall is pytest-asserted
+            "knn_pq": lambda sf: similarity.knn_pq(sf, oversample=1_000_000),
             "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
@@ -1052,6 +1075,10 @@ def oracle_sql() -> dict[str, str]:
         f"{_byline_case} AS iptc_byline, "
         f"{_kw_case(13)} || ',' || {_kw_case(16)} AS iptc_keywords FROM ps"
     )
+    sql["crawl_compact_audit"] = (
+        "SELECT CAST((SELECT count(*) "
+        "FROM read_parquet('/tmp/fscrawler_oracle_compact/**/*.parquet')) AS BIGINT) AS rows"
+    )
     sql["crawl_snapshot_diff"] = (
         "WITH cur AS (SELECT url, seq, CAST(size AS BIGINT) AS size "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
@@ -1088,6 +1115,8 @@ def oracle_sql() -> dict[str, str]:
     # oracle — a lost or duplicated vector in the hive-partitioned index
     # would break the match
     sql["knn_ivf"] = sql["knn_bruteforce"]
+    # exhaustive-shortlist PQ ≡ brute force (see the queries() entry)
+    sql["knn_pq"] = sql["knn_bruteforce"]
     sql["crawl_trace"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
         f"FROM read_parquet('{CRAWL_SHARED_DIR}_trace/part-*.parquet')"
