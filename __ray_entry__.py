@@ -1119,22 +1119,29 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_pq"] = sql["knn_bruteforce"]
     # int8-quantized kNN replayed exactly: per-vector L2 normalize, the
     # symmetric scale max|u|/127 (1e-12 floor), clipped rounded codes,
-    # INTEGER dot products, rescale by both scales, rank. Integer dots
-    # make ranking drift-proof except on same-(dot, scale) ties, which
-    # vec_id breaks identically on both sides.
+    # INTEGER dot products, rescale by both scales, rank.  The engine
+    # computes codes with the FLOAT64 scale but rescales with the
+    # FLOAT32-cast scale quantize_int8 returns, so the oracle carries
+    # both: s (f64, code computation) and s32 (f32-rounded then widened,
+    # rescale) — multiplied left-to-right in f64 exactly like numpy's
+    # (dots * qs[:,None]) * scales[None,:].  Integer dots + bit-matched
+    # scales make ranking drift-proof except on same-(dot, scale) ties,
+    # which vec_id breaks identically on both sides.
     sql["knn_int8"] = (
         "WITH ed AS (SELECT vec_id, i, embedding[i] AS x "
         "FROM embeddings, unnest(generate_series(1, len(embedding))) s(i)), "
         "nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM ed GROUP BY vec_id), "
         "un AS (SELECT e.vec_id, e.i, e.x / n.nv AS u FROM ed e JOIN nr n USING (vec_id)), "
-        "sc AS (SELECT vec_id, greatest(max(abs(u)) / 127.0, 1e-12) AS s FROM un GROUP BY vec_id), "
+        "sc AS (SELECT vec_id, greatest(max(abs(u)) / 127.0, 1e-12) AS s, "
+        "CAST(CAST(greatest(max(abs(u)) / 127.0, 1e-12) AS FLOAT) AS DOUBLE) AS s32 "
+        "FROM un GROUP BY vec_id), "
         "cd AS (SELECT u.vec_id, u.i, CAST(least(greatest(round(u.u / s.s), -127.0), 127.0) AS INTEGER) AS c "
         "FROM un u JOIN sc s USING (vec_id)), "
         "qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4), "
         "dot AS (SELECT qc.vec_id AS query_id, vc.vec_id, sum(qc.c * vc.c) AS d "
         "FROM cd qc JOIN cd vc ON qc.i = vc.i AND vc.vec_id <> qc.vec_id "
         "WHERE qc.vec_id IN (SELECT vec_id FROM qs) GROUP BY 1, 2), "
-        "sims AS (SELECT d.query_id, d.vec_id, d.d * sq.s * sv.s AS sim "
+        "sims AS (SELECT d.query_id, d.vec_id, CAST(d.d AS DOUBLE) * sq.s32 * sv.s32 AS sim "
         "FROM dot d JOIN sc sq ON sq.vec_id = d.query_id JOIN sc sv ON sv.vec_id = d.vec_id) "
         "SELECT query_id, vec_id, "
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "

@@ -136,10 +136,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "audio_id3_report",
         "corpus_clean_exact",
     ]
+    # time the PRODUCTION paths: the queries() registry widens knn_pq's
+    # shortlist to the whole table so the SQL oracle can certify it at
+    # check scale (exhaustive re-rank ≡ brute force) — timing that entry
+    # would benchmark brute force, not the pruned PQ ANN path
+    from fscrawler_ray.pipelines import similarity as _sim
+
+    overrides = {"knn_pq": lambda sf: _sim.knn_pq(sf)}
     extras: dict[str, float] = {}
     for name in extra_names:
         t0 = time.time()
-        res = qs[name](sf_dir)
+        res = overrides.get(name, qs[name])(sf_dir)
         if hasattr(res, "iter_batches"):
             for b in res.iter_batches(batch_format="pyarrow"):
                 pass
