@@ -90,25 +90,35 @@ def parse_exif(payload: bytes) -> dict | None:
     name = payload[4 + _EXIF_FIXED.size : 4 + _EXIF_FIXED.size + nlen]
     if len(name) != nlen or not (1 <= orientation <= 8):
         return None
-    return {"orientation": orientation, "camera": name.decode("utf-8"), "captured_at_us": ts}
+    try:
+        camera = name.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return {"orientation": orientation, "camera": camera, "captured_at_us": ts}
 
 
 def extract_exif(buf: bytes) -> bytes | None:
     """Locate the container's metadata segment and return the EXIF-analog
     payload, or None when the image carries none."""
     fmt = sniff_format(buf)
-    if fmt == "jpeg" and buf[4:6] == b"\xff\xe1":
-        (seglen,) = struct.unpack_from(">H", buf, 6)
-        seg = buf[8 : 6 + seglen]
-        return seg[6:] if seg[:6] == b"Exif\x00\x00" else None
-    if fmt == "png" and buf[12:16] == b"eXIf":
-        (plen,) = struct.unpack_from(">I", buf, 8)
-        payload = buf[16 : 16 + plen]
-        (crc,) = struct.unpack_from(">I", buf, 16 + plen)
-        return payload if crc == zlib.crc32(payload) else None
-    if fmt == "webp" and buf[16:20] == b"EXIF":
-        (plen,) = struct.unpack_from("<I", buf, 20)
-        return buf[24 : 24 + plen]
+    try:
+        if fmt == "jpeg" and buf[4:6] == b"\xff\xe1":
+            (seglen,) = struct.unpack_from(">H", buf, 6)
+            seg = buf[8 : 6 + seglen]
+            return seg[6:] if seg[:6] == b"Exif\x00\x00" else None
+        if fmt == "png" and buf[12:16] == b"eXIf":
+            (plen,) = struct.unpack_from(">I", buf, 8)
+            payload = buf[16 : 16 + plen]
+            if len(payload) != plen:
+                return None  # declared length runs past the buffer
+            (crc,) = struct.unpack_from(">I", buf, 16 + plen)
+            return payload if crc == zlib.crc32(payload) else None
+        if fmt == "webp" and buf[16:20] == b"EXIF":
+            (plen,) = struct.unpack_from("<I", buf, 20)
+            payload = buf[24 : 24 + plen]
+            return payload if len(payload) == plen else None
+    except struct.error:  # truncated header/length field
+        return None
     return None
 
 
@@ -146,13 +156,17 @@ def parse_iptc(payload: bytes) -> dict | None:
         data = payload[off + 5 : off + 5 + ln]
         if len(data) != ln:
             return None
-        if rec == 2:
+        if rec == 2 and dset in (0x78, 0x19, 0x50):
+            try:
+                text = data.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
             if dset == 0x78:
-                caption = data.decode("utf-8")
+                caption = text
             elif dset == 0x19:
-                kws.append(data.decode("utf-8"))
-            elif dset == 0x50:
-                byline = data.decode("utf-8")
+                kws.append(text)
+            else:
+                byline = text
         off += 5 + ln
     if caption is None and byline is None and not kws:
         return None

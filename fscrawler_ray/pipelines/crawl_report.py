@@ -130,29 +130,44 @@ def mirror_hosts(out_dir: str, min_shared: int = 1, max_hosts: int = 64, drop_ta
     hosts) would make its group emit 5x10^9 pairs — so each image keeps
     only its top-``max_hosts`` hosts (by per-host copy count, then host
     name; deterministic) and the dropped tail is COUNTED, the same
-    counted-drop discipline as the frontier's trap guard.  Pass a dict as
-    ``drop_tally`` to receive {'images_capped', 'hosts_dropped'} — the
-    tally aggregates group sizes, never the pair expansion."""
+    counted-drop discipline as the frontier's trap guard.  The tally
+    ALWAYS runs (it aggregates group sizes, never the pair expansion):
+    pass a dict as ``drop_tally`` to receive {'images_capped',
+    'hosts_dropped'}; without one, any capping logs a warning — pairs
+    are never dropped silently."""
+    import logging
+
     import numpy as np
     import pandas as pd
 
     from .analytics import grouped_sum
 
     ds = ray.data.read_parquet(out_dir, columns=["host", "image_id"])
-    distinct = grouped_sum(ds, ["host", "image_id"], {}, count_out="cnt")
+    # materialized because BOTH the size tally and the pair expansion
+    # consume it — one execution of the read+dedup, not two
+    distinct = grouped_sum(ds, ["host", "image_id"], {}, count_out="cnt").materialize()
 
+    # group-size aggregate only (2-column count table, streaming):
+    # excess = max(0, hosts_per_image - cap), summed on the driver
+    sizes = distinct.groupby("image_id").count()
+    images_capped = hosts_dropped = 0
+    for b in sizes.iter_batches(batch_format="pyarrow"):
+        n = b.column("count()").to_numpy(zero_copy_only=False)
+        over = n > max_hosts
+        images_capped += int(over.sum())
+        hosts_dropped += int((n[over] - max_hosts).sum())
     if drop_tally is not None:
-        # group-size aggregate only (2-column count table, streaming):
-        # excess = max(0, hosts_per_image - cap), summed on the driver
-        sizes = distinct.groupby("image_id").count()
-        images_capped = hosts_dropped = 0
-        for b in sizes.iter_batches(batch_format="pyarrow"):
-            n = b.column("count()").to_numpy(zero_copy_only=False)
-            over = n > max_hosts
-            images_capped += int(over.sum())
-            hosts_dropped += int((n[over] - max_hosts).sum())
         drop_tally["images_capped"] = images_capped
         drop_tally["hosts_dropped"] = hosts_dropped
+    elif images_capped:
+        logging.getLogger(__name__).warning(
+            "mirror_hosts: %d image(s) exceeded max_hosts=%d; %d host "
+            "memberships dropped from pair expansion (pass drop_tally to "
+            "collect these counts)",
+            images_capped,
+            max_hosts,
+            hosts_dropped,
+        )
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > max_hosts:

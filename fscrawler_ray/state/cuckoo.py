@@ -75,11 +75,17 @@ class CuckooFilter:
         fps = self._fp(keys)
         i1s = self._i1(keys)
         i2s = self._alt(i1s, fps)
-        # batch-dedup on the filter's identity (home bucket, fp) — the
-        # sequential path would see the second occurrence as already-present
-        pairkey = (i1s.astype(np.uint64) << np.uint64(16)) | fps.astype(np.uint64)
-        _, first = np.unique(pairkey, return_index=True)
-        sel = np.sort(first)
+        # batch-dedup on the filter's TRUE identity — the UNORDERED bucket
+        # pair + fp (alt() is an involution, so two keys with the same fp
+        # and swapped home/alt buckets are membership-identical; keying on
+        # home bucket alone would insert both and break idempotence)
+        lo = np.minimum(i1s, i2s)
+        hi = np.maximum(i1s, i2s)
+        order = np.lexsort((fps, hi, lo))
+        lo_s, hi_s, fp_s = lo[order], hi[order], fps[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]) | (fp_s[1:] != fp_s[:-1])
+        sel = np.sort(order[first])
         fps, i1s, i2s = fps[sel], i1s[sel], i2s[sel]
         present = (self.table[i1s] == fps[:, None]).any(axis=1) | (
             self.table[i2s] == fps[:, None]

@@ -176,3 +176,30 @@ def test_iptc_pack_parse_roundtrip_and_coexistence():
         ip = codecs.extract_iptc(buf)
         assert ip == {"caption": "Scene 9", "keywords": ["macro"], "byline": "C. Vega"}
         codecs.decode(buf)  # pixel body offset still correct with both blocks
+
+
+def test_metadata_extractors_null_on_corrupt_containers():
+    """Truncated/corrupt metadata segments must yield None, never raise
+    (one corrupt payload must not kill a whole map_batches task):
+    bogus declared lengths, headers cut mid-field, non-UTF8 text."""
+    import struct
+
+    from fscrawler_ray.functions import codecs
+
+    cases = [
+        # PNG eXIf chunk declaring a length far past the buffer
+        codecs.MAGIC["png"] + struct.pack(">I", 0x7FFFFFFF) + b"eXIf" + b"xx",
+        # WebP cut off right after the EXIF tag (length field missing)
+        codecs.MAGIC["webp"] + struct.pack("<I", 12) + b"WEBPEXIF",
+        # WebP EXIF whose declared length overruns the buffer
+        codecs.MAGIC["webp"] + struct.pack("<I", 20) + b"WEBPEXIF" + struct.pack("<I", 999) + b"ab",
+        # JPEG APP1 marker with no length bytes
+        codecs.MAGIC["jpeg"] + b"\xff\xe1",
+    ]
+    for buf in cases:
+        assert codecs.extract_exif(buf) is None
+        assert codecs.extract_iptc(buf) is None
+    # non-UTF8 dataset text → None, not UnicodeDecodeError
+    assert codecs.parse_iptc(b"\x1c\x02\x78\x00\x02\xff\xfe") is None
+    bad_cam = codecs._EXIF_TIFF + codecs._EXIF_FIXED.pack(3, 2, 123) + b"\xff\xfe"
+    assert codecs.parse_exif(bad_cam) is None

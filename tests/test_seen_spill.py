@@ -161,3 +161,31 @@ def test_seenset_state_roundtrip_preserves_spill_config(tmp_path):
     import os
 
     assert os.listdir(spill), "restored store did not spill to disk"
+
+
+def test_cuckoo_add_many_crossed_bucket_twins_idempotent():
+    """Two keys sharing a fingerprint whose home/alt buckets are SWAPPED
+    (alt() is an involution) are membership-identical; the vectorized
+    add_many must insert exactly one, matching sequential insertion, and
+    a delete of either key must clear both (regression: batch dedup once
+    keyed on home bucket only, inserting the fingerprint twice)."""
+    from fscrawler_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=1500)
+    assert cf.n_buckets == 512
+    keys = np.array([86274, 130294], dtype=np.uint64)
+    fps = cf._fp(keys)
+    i1 = cf._i1(keys)
+    i2 = cf._alt(i1, fps)
+    # fixture really is the crossed-twin case
+    assert fps[0] == fps[1] and i1[0] == i2[1] and i1[1] == i2[0]
+
+    assert cf.add_many(keys) == 1
+    assert cf.count == 1
+    seq = CuckooFilter(capacity=1500)
+    assert sum(seq.add_many(keys[i : i + 1]) for i in range(2)) == 1
+    # idempotent re-add, and one delete clears both twins
+    assert cf.add_many(keys) == 0
+    assert cf.delete_many(keys[:1]) == 1
+    assert not cf.contains_many(keys).any()
+    assert cf.count == 0
