@@ -926,6 +926,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # the SQL-checkable exact twin: shared-shingle inverted-index
             # candidates (recall 1.0 at this threshold) + the same verify
             "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_exact(sf),
+            # the SQL-checkable LSH twin: md5/mod-P hashes end-to-end, so
+            # the oracle replays candidate GENERATION (bands → buckets →
+            # pairs), not just the exact-Jaccard verify
+            "minhash_md5_neardup": lambda sf: dedup.minhash_md5_pairs(sf),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "semantic_neardup": lambda sf: dedup.semantic_neardup_pairs(sf),

@@ -264,37 +264,89 @@ def simhash64_md5(texts) -> np.ndarray:
     return (out_bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
 
 
-def fingerprint64_md5(texts) -> np.ndarray:
-    """``fingerprint64``'s SQL-replayable twin: min md5 hash of 3-token
-    shingle STRINGS (tokens joined with unit separator \\x1f, so the
-    oracle rebuilds the identical preimage); 0 for docs with <3 tokens."""
+def md5_shingle3_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """md5-u64 hashes of 3-token shingle STRINGS (lowercased \\s+ tokens,
+    empties dropped, joined with unit separator \\x1f) plus their doc
+    indices, doc-ordered — the SQL-replayable twin of ``shingle_hashes``
+    (DuckDB rebuilds the identical preimage with lead() windows and
+    hashes it with md5_number_upper).  Shared by fingerprint64_md5 and
+    the md5 MinHash pipeline; the scale path stays on xxh64."""
     from .sketches import md5_u64_batch
 
     arr = pa.array(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
-    n = len(arr)
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    doc = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
     mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     t = np.asarray(flat.filter(pa.array(mask)).to_pylist(), dtype=object)
     doc = doc[mask]
+    if len(t) < 3:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    s1, s2 = np.roll(t, -1), np.roll(t, -2)
+    valid = (np.roll(doc, -1) == doc) & (np.roll(doc, -2) == doc)
+    valid[-2:] = False
+    if not valid.any():
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    sep = "\x1f"
+    sh = [a + sep + b + sep + c for a, b, c in zip(t[valid], s1[valid], s2[valid])]
+    return md5_u64_batch(pa.array(sh, pa.string())), doc[valid]
+
+
+def fingerprint64_md5(texts) -> np.ndarray:
+    """``fingerprint64``'s SQL-replayable twin: min md5 hash of 3-token
+    shingle STRINGS (tokens joined with unit separator \\x1f, so the
+    oracle rebuilds the identical preimage); 0 for docs with <3 tokens."""
+    arr = pa.array(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    n = len(arr)
+    hs, dv = md5_shingle3_hashes(arr)
     out = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
-    if len(t) >= 3:
-        s1, s2 = np.roll(t, -1), np.roll(t, -2)
-        valid = (np.roll(doc, -1) == doc) & (np.roll(doc, -2) == doc)
-        valid[-2:] = False
-        if valid.any():
-            sep = "\x1f"
-            sh = [a + sep + b + sep + c for a, b, c in zip(t[valid], s1[valid], s2[valid])]
-            hs = md5_u64_batch(pa.array(sh, pa.string()))
-            dv = doc[valid]
-            starts = np.flatnonzero(np.diff(dv, prepend=dv[0] - 1))
-            out[dv[starts]] = np.minimum.reduceat(hs, starts)
+    if len(hs):
+        starts = np.flatnonzero(np.diff(dv, prepend=dv[0] - 1))
+        out[dv[starts]] = np.minimum.reduceat(hs, starts)
     out[out == np.iinfo(np.uint64).max] = 0
     return out.astype(np.int64)
+
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def mh_perm_consts(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a_p, b_p) constants for the mod-(2^61-1) universal
+    hash family h_p(x) = (a_p·x + b_p) mod P, derived from md5 of fixed
+    strings so the engine kernel and the DuckDB oracle inline the SAME
+    literals.  a_p ∈ [1, 2^31-1] keeps the numpy split multiply exact;
+    b_p ∈ [0, P)."""
+    import hashlib
+
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
+    for p in range(num_perm):
+        a[p] = int.from_bytes(hashlib.md5(f"mh-a-{p}".encode()).digest()[:4], "little") % (
+            (1 << 31) - 1
+        ) + 1
+        b[p] = int.from_bytes(hashlib.md5(f"mh-b-{p}".encode()).digest()[:8], "little") % MERSENNE61
+    return a, b
+
+
+def mulmod61(a: int, x: np.ndarray) -> np.ndarray:
+    """(a · x) mod (2^61 - 1) vectorized in uint64 — a < 2^31, x < 2^61.
+    The high 32-bit partial product is rotated back into range via
+    2^61 ≡ 1 (mod P); everything stays below 2^63, so plain uint64
+    arithmetic is exact (DuckDB computes the same value directly in
+    HUGEINT: ``(a * x) % 2305843009213693951``)."""
+    P = np.uint64(MERSENNE61)
+    a = np.uint64(a)
+    t = a * (x >> np.uint64(32))  # a·xhi < 2^60 < P
+    # t·2^32 mod P: t = thi·2^29 + tlo  →  thi + tlo·2^32  (2^61 ≡ 1)
+    y = (t >> np.uint64(29)) + ((t & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    low = a * (x & np.uint64(0xFFFFFFFF))  # < 2^63
+    y = y + (low & P) + (low >> np.uint64(61))
+    y = (y & P) + (y >> np.uint64(61))
+    y = (y & P) + (y >> np.uint64(61))
+    return np.where(y >= P, y - P, y)
 
 
 def fingerprint64(texts) -> np.ndarray:

@@ -328,6 +328,88 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.5, ngram: int = 3, max
     return out
 
 
+def minhash_md5_pairs(
+    sf_dir: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 4096,
+    cache: bool = True,
+):
+    """SQL-replayable twin of ``minhash_lsh_pairs``: the FULL LSH pipeline
+    — shingle → MinHash signature → banded buckets → candidate pairs →
+    exact Jaccard verify — built only from hashes DuckDB recomputes
+    bit-identically, so the oracle replays CANDIDATE GENERATION itself
+    (which near-dup pairs LSH even surfaces), not just the verification
+    arithmetic.  Per-shingle hash = md5-u64 of the \\x1f-joined shingle
+    string reduced mod P = 2^61-1; permutations h_p(x) = (a_p·x+b_p) mod P
+    with md5-derived constants (``mh_perm_consts``); band-bucket key =
+    md5-u64 of the comma-joined decimal minima, so even bucket-collision
+    false candidates are IDENTICAL on both sides.  ``max_bucket`` is set
+    far above any bucket size the synthetic corpus produces at check
+    scale, so the cap (the scale guard) never fires during parity runs.
+    The production path stays on the vectorized xxh64
+    ``minhash_lsh_pairs``; distributed shape is the same: one
+    singleton-kill counts pass, partitioned capped expansion, pair-keyed
+    exact verification."""
+    key = ("mh-md5", sf_dir, num_perm, bands, jaccard_threshold, max_bucket)
+    if cache and key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
+    from ..functions.sketches import md5_u64_batch
+    from ..functions.text import MERSENNE61, md5_shingle3_hashes, mh_perm_consts, mulmod61
+
+    r = num_perm // bands
+    a_c, b_c = mh_perm_consts(num_perm)
+    P = np.uint64(MERSENNE61)
+
+    def sigs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        hs, doc = md5_shingle3_hashes(b.column("text"))
+        if len(hs) == 0:
+            return empty
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = hs % P
+        # doc is non-decreasing by construction → segmented min via reduceat
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        present = doc[starts]
+        sig = np.empty((len(present), num_perm), dtype=np.uint64)
+        for p in range(num_perm):
+            hp = mulmod61(int(a_c[p]), x) + b_c[p]  # < 2^62, exact in uint64
+            hp = (hp & P) + (hp >> np.uint64(61))
+            hp = np.where(hp >= P, hp - P, hp)
+            sig[:, p] = np.minimum.reduceat(hp, starts)
+        ids = did[present]
+        rows = []
+        for band in range(bands):
+            pre = [
+                ",".join(str(int(v)) for v in row) for row in sig[:, band * r : (band + 1) * r]
+            ]
+            bucket = md5_u64_batch(pa.array(pre, pa.string())).view(np.int64)
+            rows.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), band, np.int32)),
+                        "bucket": pa.array(bucket),
+                        "doc_id": pa.array(ids),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    buckets = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
+    cand = _pairs_distributed_ds(buckets, ["band", "bucket"], "doc_id", max_bucket)
+    out = verify_jaccard_distributed(sf_dir, cand, jaccard_threshold)
+    if cache:
+        _PAIRS_CACHE[key] = out
+    return out
+
+
 def _bucket_mix_key(b: pa.Table) -> np.ndarray:
     """Collision-safe uint64 key for a (band, bucket) pair."""
     from ..functions.hashing import xxh64_u64
@@ -842,3 +924,46 @@ ORACLE_SQL = {
         "WHERE CAST(ix AS DOUBLE) / (na.n + nb.n - ix) >= 0.5"
     ),
 }
+
+
+def _minhash_md5_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB replay of minhash_md5_pairs — the permutation constants are
+    inlined from the SAME mh_perm_consts the engine kernel uses, so both
+    sides compute identical signatures, band buckets, candidate pairs and
+    verified Jaccard (see minhash_md5_pairs docstring)."""
+    from ..functions.text import MERSENNE61, mh_perm_consts
+
+    a_c, b_c = mh_perm_consts(num_perm)
+    r = num_perm // bands
+    vals = ", ".join(
+        f"({p}, {int(a_c[p])}::HUGEINT, {int(b_c[p])}::HUGEINT)" for p in range(num_perm)
+    )
+    P = MERSENNE61
+    return (
+        "WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS s FROM documents), "
+        "tk0 AS (SELECT doc_id, i, s[i] AS tok FROM raw, unnest(generate_series(1, len(s))) AS u(i)), "
+        "tk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j, tok "
+        "FROM tk0 WHERE tok <> ''), "
+        "sh0 AS (SELECT doc_id, tok || chr(31) || lead(tok) OVER w || chr(31) || lead(tok, 2) OVER w AS s "
+        "FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY j)), "
+        "shd AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL), "
+        f"perms(p, a, b) AS (VALUES {vals}), "
+        f"xr AS (SELECT doc_id, CAST(md5_number_upper(s) AS HUGEINT) % {P} AS x FROM shd), "
+        f"mins AS (SELECT doc_id, p, min((a * x + b) % {P}) AS m "
+        "FROM xr CROSS JOIN perms GROUP BY doc_id, p), "
+        f"bk AS (SELECT doc_id, CAST(p // {r} AS INTEGER) AS band, "
+        "md5_number_upper(string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)) AS bucket "
+        f"FROM mins GROUP BY doc_id, p // {r}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ix FROM cand c "
+        "JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s "
+        "GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, round(CAST(ix AS DOUBLE) / (na.n + nb.n - ix), 6) AS jaccard "
+        "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b "
+        f"WHERE CAST(ix AS DOUBLE) / (na.n + nb.n - ix) >= {threshold}"
+    )
+
+
+ORACLE_SQL["minhash_md5_neardup"] = _minhash_md5_oracle()

@@ -480,3 +480,50 @@ def test_orphan_orders_planted(tmp_path, ray_session):
     df = q_orphan_orders(str(tmp_path)).to_pandas().set_index("o_orderstatus")
     assert (df.loc["O", "matched"], df.loc["O", "orphans"]) == (2, 0)
     assert (df.loc["F", "matched"], df.loc["F", "orphans"]) == (1, 1)
+
+
+def test_minhash_md5_twin_matches_lsh_semantics(tmp_path):
+    """The SQL-replayable md5 MinHash twin: (a) mod-P permutation kernel is
+    exact vs arbitrary-precision ints, (b) surfaces the planted near-dup,
+    (c) its pair set is a SUBSET of the exact shared-shingle join (LSH can
+    only miss, never invent — verification is exact) with full recall on
+    the high-jaccard planted pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.functions.text import MERSENNE61, mh_perm_consts, mulmod61
+    from fscrawler_ray.pipelines.dedup import minhash_md5_pairs, ngram_jaccard_exact
+
+    rng = np.random.default_rng(3)
+    xs = np.concatenate(
+        [
+            rng.integers(0, MERSENNE61, 500, dtype=np.uint64),
+            np.array([0, 1, MERSENNE61 - 1], dtype=np.uint64),
+        ]
+    )
+    a_c, b_c = mh_perm_consts(8)
+    assert (a_c >= 1).all() and (a_c < 1 << 31).all() and (b_c < MERSENNE61).all()
+    for a in [1, (1 << 31) - 1, int(a_c[5])]:
+        ref = (a * xs.astype(object)) % MERSENNE61
+        assert (mulmod61(a, xs).astype(object) == ref).all()
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
+        "windowsill and the rain falls gently on the quiet empty street below the old clock tower"
+    )
+    near = base.replace("rain", "snow")
+    texts = [base, near] + [
+        f"unrelated document number {i} about systems " + " ".join(f"w{i}{j}" for j in range(25))
+        for i in range(30)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    d = tmp_path / "mini_md5"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = minhash_md5_pairs(str(d)).to_pandas()
+    assert ((got["doc_a"] == 0) & (got["doc_b"] == 1)).any()
+    assert (got["jaccard"] >= 0.5).all()
+    exact = ngram_jaccard_exact(str(d)).to_pandas()
+    sg = set(zip(got["doc_a"], got["doc_b"]))
+    se = set(zip(exact["doc_a"], exact["doc_b"]))
+    assert sg <= se
