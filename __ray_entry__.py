@@ -21,6 +21,8 @@ CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
+HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
+PAGERANK_EXACT_ITERS = 20
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -508,18 +510,13 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
              "n_images": pa.array([], pa.int64()), "total_size": pa.array([], pa.int64())}
         )
 
-    def host_pagerank(sf_dir: str):
-        """Link analysis over the crawled host graph (crawl-prioritization
-        signal): expand each traced URL's children through the batched
-        Source protocol, hash hosts to int64 node ids, run the
-        distributed power iteration, and map ids back to host names.
-        Reuses the cached shared crawl run — zero extra crawl cost."""
-        import numpy as np
+    def _host_edges(sf_dir: str):
+        """Materialized (src_host, dst_host) edge Dataset of the crawled
+        host graph: expand each traced URL's children through the batched
+        Source protocol.  Reuses the cached shared crawl run."""
         import pyarrow as pa
 
         import ray as _ray
-        from fscrawler_ray.functions.hashing import xxh64_batch
-        from fscrawler_ray.pipelines.graph import pagerank
 
         trace = _shared_run(sf_dir)[0]
         cfg = _scale(sf_dir)
@@ -542,6 +539,19 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
+        # consumed several times (two distinct-host groupbys + pagerank) —
+        # materialize so the child expansion runs ONCE
+        return urls_ds.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def _pagerank_over_hosts(e, max_iter: int = 60, tol: float = 1e-12):
+        """Hash hosts to int64 node ids, run the distributed power
+        iteration, map ids back to host names → pa.Table(host, rank)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from fscrawler_ray.functions.hashing import xxh64_batch
+        from fscrawler_ray.pipelines.graph import pagerank
+
         def to_ids(b: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -550,9 +560,6 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        # consumed three times (two distinct-host groupbys + pagerank) —
-        # materialize so the child expansion runs ONCE
-        e = urls_ds.map_batches(edges, batch_format="pyarrow").materialize()
         # id → host name map: collect only the DISTINCT host names (a
         # host-table-sized grouped count per endpoint column), hash them
         # driver-side — the edge stream itself never reaches the driver
@@ -563,7 +570,9 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         hl = sorted(distinct_hosts)
         ids = xxh64_batch(pa.array(hl, pa.string()), seed=1).view(np.int64)
         names = dict(zip(ids.tolist(), hl))
-        r = pagerank(e.map_batches(to_ids, batch_format="pyarrow")).to_pandas()
+        r = pagerank(
+            e.map_batches(to_ids, batch_format="pyarrow"), max_iter=max_iter, tol=tol
+        ).to_pandas()
         r["host"] = [names[i] for i in r["node"]]
         out = r.sort_values("rank", ascending=False).reset_index(drop=True)
         return pa.table(
@@ -572,6 +581,27 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
                 "rank": pa.array(out["rank"], pa.float64()),
             }
         )
+
+    def host_pagerank(sf_dir: str):
+        """Link analysis over the crawled host graph (crawl-prioritization
+        signal); converges by tol → iteration count is data-dependent, so
+        the check is rows-only (host_pagerank_exact is the SQL twin)."""
+        return _pagerank_over_hosts(_host_edges(sf_dir))
+
+    def host_pagerank_exact(sf_dir: str):
+        """SQL-CHECKED PageRank: the derived host-edge table is spooled to
+        a fixed parquet dir and the power iteration runs a FIXED 20 rounds
+        (tol=0 disables early convergence), so DuckDB replays the exact
+        same 20 unrolled iterations over the same spooled edges — an
+        iterative distributed algorithm inside the oracle net."""
+        import shutil
+
+        import ray as _ray
+
+        shutil.rmtree(HOST_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_EDGES_DIR).materialize()
+        return _pagerank_over_hosts(e, max_iter=PAGERANK_EXACT_ITERS, tol=0.0)
 
     return {
         "crawl_trace": crawl_trace,
@@ -592,6 +622,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit": crawl_politeness_audit,
         "crawl_depth_funnel": crawl_depth_funnel,
         "host_pagerank": host_pagerank,
+        "host_pagerank_exact": host_pagerank_exact,
     }
 
 
@@ -939,6 +970,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "neardup_components": lambda sf: graph.connected_components(
                 _ray_data_from(dedup.minhash_lsh_pairs(sf))
             ),
+            # same distributed pointer-jumping CC, but over the md5 LSH
+            # pair graph — SQL-CHECKED end-to-end (recursive-CTE closure)
+            "neardup_components_exact": lambda sf: graph.connected_components(
+                _ray_data_from(dedup.minhash_md5_pairs(sf))
+            ),
             "term_df": index_sink.q_term_df,
             "phrase_hits": index_sink.q_phrase_hits,
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
@@ -985,6 +1021,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(_crawl_queries())
     out.update(_image_queries())
     return out
+
+
+def _host_pagerank_oracle(iters: int = PAGERANK_EXACT_ITERS) -> str:
+    """DuckDB replay of host_pagerank_exact: ``iters`` power iterations
+    unrolled as CTEs over the spooled host-edge parquet, mirroring
+    graph.pagerank's update rank' = (1-d)/N + d·(Σ_in rank/outdeg +
+    dangling_mass/N) term by term (same float64 expression tree; the
+    checker's rtol absorbs sum-order drift)."""
+    parts = [
+        # every CTE is MATERIALIZED: DuckDB otherwise INLINES the chain,
+        # and 20 iterations of inlining is exponential planning blowup
+        f"WITH e AS MATERIALIZED (SELECT src_host AS s, dst_host AS t FROM read_parquet('{HOST_EDGES_DIR}/*.parquet')), "
+        "deg AS MATERIALIZED (SELECT s, count(*) AS od FROM e GROUP BY s), "
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT t FROM e), "
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes), "
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes), "
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.t AS node, sum(p.pr / dg.od) AS contrib "
+            f"FROM e JOIN r{k - 1} p ON p.node = e.s JOIN deg dg ON dg.s = e.s GROUP BY e.t), "
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.pr), 0.0) AS dm FROM r{k - 1} p "
+            "LEFT JOIN deg dg ON dg.s = p.node WHERE dg.s IS NULL), "
+            f"r{k} AS MATERIALIZED (SELECT nd.node, (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c.contrib, 0.0) + dk.dm / nn.n) AS pr "
+            f"FROM nodes nd CROSS JOIN nn CROSS JOIN d{k} dk LEFT JOIN c{k} c ON c.node = nd.node), "
+        )
+    parts.append(f'SELECT node AS host, pr AS "rank" FROM r{iters}')
+    return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1041,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT prefix, CAST(count(*) AS BIGINT) AS files, CAST(sum(size) AS BIGINT) AS total_bytes "
         "FROM pref GROUP BY prefix"
     )
+    sql["host_pagerank_exact"] = _host_pagerank_oracle()
     # EXIF-analog report: the engine PARSES the binary metadata segment out
     # of each payload; the oracle re-derives the same fields from image_id's
     # hex (= low 40 bits of the payload seed, the generator's EXIF source —

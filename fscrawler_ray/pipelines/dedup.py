@@ -967,3 +967,24 @@ def _minhash_md5_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0
 
 
 ORACLE_SQL["minhash_md5_neardup"] = _minhash_md5_oracle()
+
+
+def _neardup_components_oracle() -> str:
+    """DuckDB replay of connected components over the md5 LSH pair graph:
+    the pair table is the (already bit-identical) minhash_md5 oracle, the
+    closure is a recursive-CTE reachability walk, and label = min reached
+    node — the same keeper-is-min-id contract as graph.connected_components.
+    Transitive closure is O(V·E) rows, fine at check scale; the engine
+    side is the production pointer-jumping path."""
+    return (
+        "WITH RECURSIVE pr AS (" + _minhash_md5_oracle() + "), "
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM pr "
+        "UNION SELECT doc_b, doc_a FROM pr), "
+        "reach(a, b) AS ("
+        "(SELECT a, a FROM e UNION SELECT a, b FROM e) "
+        "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
+        "SELECT a AS node, min(b) AS label FROM reach GROUP BY a"
+    )
+
+
+ORACLE_SQL["neardup_components_exact"] = _neardup_components_oracle()
