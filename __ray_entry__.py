@@ -917,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         decontam,
         dedup,
+        dsir,
         editdist,
         formats,
         graph,
@@ -1005,6 +1006,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "top_tokens_by_lang": lambda sf: textops.q_top_tokens_by_lang(sf),
             "props_extract": textops.q_props_extract,
             "props_redact": textops.q_props_redact,
+            # DSIR importance resampling (Xie et al. 2023): hashed-ngram
+            # importance weights target-vs-raw, int64 micro-nats — both the
+            # per-doc weights and the top-k selection are SQL-checked
+            "dsir_weights": dsir.q_dsir_weights,
+            "dsir_select": lambda sf: dsir.q_dsir_select(sf),
             "chunk_docs": textops.q_chunk_docs,
             "vocab_coverage": textops.q_vocab_coverage,
             "pack_sequences": textops.q_pack_sequences,
@@ -1058,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.corpus import ORACLE_SQL as CORPUS_SQL
     from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
     from fscrawler_ray.pipelines.dedup import ORACLE_SQL as DEDUP_SQL
+    from fscrawler_ray.pipelines.dsir import ORACLE_SQL as DSIR_SQL
     from fscrawler_ray.pipelines.editdist import ORACLE_SQL as EDITDIST_SQL
     from fscrawler_ray.pipelines.formats import ORACLE_SQL as FORMATS_SQL
     from fscrawler_ray.pipelines.index_sink import ORACLE_SQL as INDEX_SQL
@@ -1072,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(FORMATS_SQL)
     sql.update(CORPUS_SQL)
     sql.update(DEDUP_SQL)
+    sql.update(DSIR_SQL)
     sql["crawl_scan"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
         f"FROM read_parquet('{CRAWL_SCAN_DIR}_trace/part-*.parquet')"
