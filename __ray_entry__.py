@@ -999,6 +999,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "stratified_sample": sampling.q_stratified_sample,
             "weighted_sample": sampling.q_weighted_sample,
             "uniform_sample": sampling.q_uniform_sample,
+            # deterministic epoch shuffle: md5 permutation → shard + global
+            # rank within shard via a two-pass distributed rank (SQL-checked
+            # against one ROW_NUMBER window)
+            "epoch_shuffle": sampling.q_epoch_shuffle,
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
             "cms_token_estimates": lambda sf: textops.q_cms_token_estimates(sf),
             "simhash_md5_docs": textops.q_simhash_md5_docs,

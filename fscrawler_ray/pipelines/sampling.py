@@ -222,6 +222,102 @@ def q_weighted_sample(sf_dir: str):
     return weighted_reservoir_by_key(ds, "event_type", "event_id", "value", WEIGHTED_K)
 
 
+EPOCH_SHARDS = 8  # output shards for the epoch shuffle query
+_EPOCH_BUCKET_BITS = 8  # 2^8 rank buckets per shard bounds the rank groups
+_EPOCH_SEED = "ep1"
+
+
+def _epoch_keys(ids, seed: str) -> np.ndarray:
+    """Deterministic uint64 permutation key per row id: md5 of
+    ``seed + '|' + str(id)`` — DuckDB rebuilds the identical preimage with
+    ``'seed|' || CAST(id AS VARCHAR)``."""
+    import pyarrow.compute as pc
+
+    from ..functions.sketches import md5_u64_batch
+
+    pre = pc.binary_join_element_wise(
+        pa.scalar(f"{seed}|"), pc.cast(ids, pa.string()), pa.scalar("")
+    )
+    return md5_u64_batch(pre)
+
+
+def epoch_shuffle(ds, n_shards: int = EPOCH_SHARDS, seed: str = _EPOCH_SEED, id_col: str = "doc_id"):
+    """Deterministic global epoch shuffle → (id, shard, pos): the training
+    staple of writing each epoch as a reproducible random permutation of
+    the corpus split into ``n_shards`` reader shards.
+
+    Permutation key = md5(seed|id); shard = key % n_shards (row-local,
+    zero shuffle); pos = the row's rank within its shard by (key, id).
+    The rank is computed scale-safely in two streaming passes — a
+    distributed rank, not a global sort: pass 1 histograms (shard,
+    key-top-bits bucket) per block into a groupby bounded by
+    n_shards·2^bits rows, whose prefix sums are broadcast as rank
+    offsets; pass 2 groups on (shard, bucket) — group size is
+    corpus/(n_shards·2^bits), bounded — and emits pos = offset +
+    local rank.  Every step is exact integer arithmetic, so the SQL
+    oracle replays it with one ROW_NUMBER() window."""
+    from ray.data.aggregate import Sum
+
+    bits = _EPOCH_BUCKET_BITS
+    shift = np.uint64(64 - bits)
+
+    def hist(b: pa.Table) -> pa.Table:
+        key = _epoch_keys(b.column(id_col), seed)
+        code = (key % np.uint64(n_shards)) * np.uint64(1 << bits) + (key >> shift)
+        cnt = np.bincount(code.astype(np.int64), minlength=n_shards << bits)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz], pa.int64())})
+
+    counts = np.zeros(n_shards << bits, np.int64)
+    for t in (
+        ds.map_batches(hist, batch_format="pyarrow").groupby("code").aggregate(Sum("n"))
+    ).iter_batches(batch_format="pyarrow"):
+        counts[t.column("code").to_numpy(zero_copy_only=False)] = t.column("sum(n)").to_numpy(
+            zero_copy_only=False
+        )
+    # exclusive prefix sums restart at every shard boundary
+    offsets = np.concatenate(
+        [np.r_[0, np.cumsum(c[:-1])] for c in counts.reshape(n_shards, 1 << bits)]
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        key = _epoch_keys(b.column(id_col), seed)
+        shard = (key % np.uint64(n_shards)).astype(np.int64)
+        bucket = (key >> shift).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "key": pa.array(key, pa.uint64()),
+                "shard": pa.array(shard, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def rank(g):
+        import pandas as pd
+
+        g = g.sort_values(["key", id_col]).reset_index(drop=True)
+        off = offsets[int(g["shard"].iloc[0]) << bits | int(g["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "shard": g["shard"],
+                "pos": np.asarray(off + np.arange(len(g)), np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["shard", "bucket"])
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def q_epoch_shuffle(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return epoch_shuffle(ds)
+
+
 def _mixture_case_sql() -> str:
     thr = mixture_thresholds(MIXTURE_RATES)
     whens = " ".join(f"WHEN '{kk}' THEN {v}" for kk, v in thr.items() if kk is not None)
@@ -229,6 +325,13 @@ def _mixture_case_sql() -> str:
 
 
 ORACLE_SQL = {
+    "epoch_shuffle": (
+        f"WITH k AS (SELECT doc_id, md5_number_upper('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS key "
+        "FROM documents) "
+        f"SELECT doc_id, CAST(key % {EPOCH_SHARDS} AS BIGINT) AS shard, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY key % {EPOCH_SHARDS} ORDER BY key, doc_id) - 1 AS BIGINT) AS pos "
+        "FROM k"
+    ),
     "corpus_mixture": (
         "SELECT doc_id, lang FROM documents "
         f"WHERE (doc_id * {KNUTH32}) % 4294967296 < {_mixture_case_sql()}"

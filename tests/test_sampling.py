@@ -126,3 +126,38 @@ def test_weighted_reservoir_partition_invariant_and_weight_biased():
     assert len(a) == 10 and set(a["k"]) == {"a", "b"}
     bgrp = a[a["k"] == "b"]
     assert int(bgrp[bgrp["rnk"] == 1]["id"].iloc[0]) == 200  # dominant weight wins rank 1
+
+
+def test_epoch_shuffle_is_a_balanced_permutation():
+    """(shard, pos) must be a bijection onto shard-local 0..n_s-1 ranges,
+    invariant to input partitioning, and a different seed must produce a
+    genuinely different permutation."""
+    from fscrawler_ray.pipelines.sampling import EPOCH_SHARDS, epoch_shuffle
+
+    def run(n_blocks=1, seed="ep1"):
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        return (
+            epoch_shuffle(ds, seed=seed)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run()
+    b = run(n_blocks=7)
+    pd.testing.assert_frame_equal(a, b)
+    n = len(a)
+    assert sorted(a["doc_id"]) == sorted(pd.read_parquet(f"{SF}/documents.parquet")["doc_id"])
+    # per shard: pos is exactly 0..count-1 (no gaps, no dupes)
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g))), s
+    # shards are hash-balanced: no shard more than 2x the mean
+    sizes = a["shard"].value_counts()
+    assert len(sizes) == EPOCH_SHARDS
+    assert sizes.max() < 2 * n / EPOCH_SHARDS
+    # another seed reshuffles: same ids, different (shard, pos) for most
+    c = run(seed="ep2")
+    moved = ((a["shard"] != c["shard"]) | (a["pos"] != c["pos"])).mean()
+    assert moved > 0.8, moved
