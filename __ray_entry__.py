@@ -1022,6 +1022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "similar_part_names": editdist.q_similar_part_names,
             "name_triangles": editdist.q_name_triangles,
+            # k-core of the name-similarity graph: distributed peel with a
+            # fixed round count, SQL-checked via unrolled filter+degree CTEs
+            "name_kcore": editdist.q_name_kcore,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
             "dup_spans_docs": decontam.q_dup_spans_docs,

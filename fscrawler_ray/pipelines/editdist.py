@@ -139,7 +139,48 @@ def q_name_triangles(sf_dir: str, max_dist: int = 2):
     return pa.concat_tables(batches)
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 12
+
+
+def q_name_kcore(sf_dir: str, k: int = KCORE_K):
+    """k-core of the within-brand name-similarity graph — the densest
+    fuzzy-duplicate clusters (every member near-misses ≥ k others even
+    after all looser names are peeled away; the density signal one step
+    above triangles).  Runs graph.kcore's distributed peel a FIXED
+    KCORE_ROUNDS rounds so the DuckDB oracle replays the identical
+    unrolled filter+degree rounds over the levenshtein edge set — extra
+    rounds past the fixpoint are no-ops, so parity holds."""
+    from .graph import kcore
+
+    pairs = q_similar_part_names(sf_dir)
+    out = kcore(pairs, k=k, a_col="partkey_a", b_col="partkey_b", rounds=KCORE_ROUNDS)
+    return out.rename_columns(["partkey", "deg"])
+
+
+def _name_kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT CAST(a.p_partkey AS BIGINT) AS x, CAST(b.p_partkey AS BIGINT) AS y "
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2), "
+        "e AS MATERIALIZED (SELECT x AS s, y AS t FROM e0 UNION ALL SELECT y, x FROM e0), "
+        "d1 AS MATERIALIZED (SELECT s, count(*) AS deg FROM e GROUP BY s), "
+        f"l1 AS MATERIALIZED (SELECT s FROM d1 WHERE deg >= {k}), "
+    ]
+    for r in range(2, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT e.s, count(*) AS deg FROM e "
+            f"JOIN l{r - 1} lx ON e.s = lx.s JOIN l{r - 1} ly ON e.t = ly.s GROUP BY e.s), "
+            f"l{r} AS MATERIALIZED (SELECT s FROM d{r} WHERE deg >= {k}), "
+        )
+    parts.append(
+        f"SELECT s AS partkey, CAST(deg AS BIGINT) AS deg FROM d{rounds} WHERE deg >= {k}"
+    )
+    return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
+
+
 ORACLE_SQL = {
+    "name_kcore": _name_kcore_sql(),
     "name_triangles": (
         "WITH e AS (SELECT CAST(a.p_partkey AS BIGINT) AS x, CAST(b.p_partkey AS BIGINT) AS y "
         "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "

@@ -197,6 +197,126 @@ def pagerank(
     return pa.table({"node": pa.array(nodes), "rank": pa.array(rank, pa.float64())})
 
 
+def kcore(edges_ds, k: int = 3, a_col: str = "src", b_col: str = "dst", rounds: int | None = None, max_rounds: int = 64):
+    """k-core decomposition by iterative peeling: repeatedly delete every
+    node whose degree in the surviving induced subgraph is < k; the
+    fixpoint is the k-core (Seidman 1983; the standard crawl/spam-farm
+    density signal over a host graph).  Returns pa.Table(node, deg) — the
+    core members with their within-core degrees.
+
+    Works over any node dtype (string hosts included).  Edges are
+    canonicalized once (undirected, deduped, self-loops dropped) and
+    symmetrized into a materialized edge stream; each peel round is ONE
+    vectorized ``is_in`` filter of the edge stream against the broadcast
+    live-node set plus ONE per-node degree groupby — the same
+    node-table-sized driver state and edge-never-on-driver posture as
+    connected_components/pagerank above.
+
+    ``rounds=None`` peels until fixpoint (early exit).  ``rounds=R`` runs
+    exactly R rounds with no early exit — the SQL-replay twin: DuckDB
+    unrolls the same R filter+degree rounds as CTEs, and since extra
+    rounds past the fixpoint are no-ops, parity holds whether or not R
+    overshoots."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        x, y = t.column(a_col), t.column(b_col)
+        lo, hi = pc.min_element_wise(x, y), pc.max_element_wise(x, y)
+        keep = pc.not_equal(lo, hi)
+        return pa.table({"a": pc.filter(lo, keep), "b": pc.filter(hi, keep)})
+
+    dedup = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table({"s": pa.concat_arrays([a, b]), "t": pa.concat_arrays([b, a])})
+
+    e = dedup.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def degrees(live) -> tuple[list, np.ndarray]:
+        """One peel round: degree of every live node within the live-
+        induced subgraph (live=None → whole graph)."""
+        if live is not None and not live:
+            return [], np.empty(0, np.int64)
+        if live is None:
+            filt = e
+        else:
+            live_arr = pa.array(live)
+
+            def f(t: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.is_in(t.column("s"), value_set=live_arr),
+                    pc.is_in(t.column("t"), value_set=live_arr),
+                )
+                return t.filter(m)
+
+            filt = e.map_batches(f, batch_format="pyarrow")
+        nodes, degs = [], []
+        for b in filt.groupby("s").count().iter_batches(batch_format="pyarrow"):
+            nodes.extend(b.column("s").to_pylist())
+            degs.append(b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64))
+        return nodes, (np.concatenate(degs) if degs else np.empty(0, np.int64))
+
+    live = None
+    n_rounds = rounds if rounds is not None else max_rounds
+    last_nodes: list = []
+    last_degs = np.empty(0, np.int64)
+    converged = False
+    for _ in range(n_rounds):
+        nodes, degs = degrees(live)
+        m = degs >= k
+        nxt = sorted(nd for nd, keep in zip(nodes, m) if keep)
+        last_nodes, last_degs = nodes, degs
+        if live is not None and nxt == live:
+            converged = True
+            if rounds is None:
+                break
+        live = nxt
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"kcore did not converge in max_rounds={max_rounds}; parallel "
+            "peeling needs O(peel-depth) rounds — raise max_rounds"
+        )
+    kept = sorted(
+        (nd, int(dg)) for nd, dg, keep in zip(last_nodes, last_degs, last_degs >= k) if keep
+    )
+    # typed node column even when the core is empty (a null-typed empty
+    # array reads back as object dtype and fails the strict dtype check)
+    sch = e.schema()
+    ntype = getattr(sch, "base_schema", sch).field("s").type
+    return pa.table(
+        {
+            "node": pa.array([nd for nd, _ in kept], ntype),
+            "deg": pa.array([dg for _, dg in kept], pa.int64()),
+        }
+    )
+
+
+def kcore_reference(edges: pa.Table, k: int, a_col: str = "src", b_col: str = "dst") -> dict:
+    """Driver-side peeling truth for tests: dict node → core degree."""
+    import collections
+
+    adj: dict = collections.defaultdict(set)
+    for a, b in zip(edges.column(a_col).to_pylist(), edges.column(b_col).to_pylist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
 def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024):
     """Distributed triangle enumeration by WEDGE-CHECK: every node lists
     its ordered neighbor pairs (wedges), and a wedge (b, c) closes iff

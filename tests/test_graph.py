@@ -180,3 +180,50 @@ def test_triangles_hub_pivot_partitioned(ray_session):
     out = triangles(_ray.data.from_arrow(edges), chunk=256).to_pandas()
     got = sorted(map(tuple, out[["a", "b", "c"]].itertuples(index=False)))
     assert got == sorted((0,) + c for c in closers)
+
+
+def test_kcore_matches_reference_peeling(ray_session):
+    """Distributed peel ≡ driver-side peeling truth on random graphs,
+    including string node ids; fixed-rounds twin ≡ fixpoint path."""
+    import pandas as pd
+
+    from fscrawler_ray.pipelines.graph import kcore, kcore_reference
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n, m = 60, 150
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        edges = pa.table(
+            {
+                "src": pa.array([f"n{x}" for x in a]),
+                "dst": pa.array([f"n{x}" for x in b]),
+            }
+        )
+        for k in (2, 3, 4):
+            got = kcore(ray.data.from_arrow(edges), k=k).to_pandas()
+            ref = kcore_reference(edges, k)
+            assert dict(zip(got["node"], got["deg"])) == ref, (trial, k)
+            fixed = kcore(ray.data.from_arrow(edges), k=k, rounds=16).to_pandas()
+            pd.testing.assert_frame_equal(got, fixed)
+
+
+def test_kcore_peels_pendant_chain_from_clique(ray_session):
+    """K5 with a long pendant chain: the chain peels away over many
+    rounds, the clique survives with degree 4."""
+    from fscrawler_ray.pipelines.graph import kcore
+
+    kq = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    chain = [("c0", "p0")] + [(f"p{i}", f"p{i+1}") for i in range(20)]
+    edges = pa.table(
+        {
+            "src": pa.array([x for x, _ in kq + chain]),
+            "dst": pa.array([y for _, y in kq + chain]),
+        }
+    )
+    got = kcore(ray.data.from_arrow(edges), k=2).to_pandas()
+    assert sorted(got["node"]) == [f"c{i}" for i in range(5)]
+    assert (got["deg"] == 4).all()
+    # empty core comes back typed, not null
+    empty = kcore(ray.data.from_arrow(edges), k=5).to_pandas()
+    assert len(empty) == 0 and empty["deg"].dtype == np.int64
