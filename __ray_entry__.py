@@ -982,6 +982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bm25_scores": lambda sf: index_sink.q_bm25_scores(sf),
             "bm25_topk": lambda sf: index_sink.q_bm25_topk(sf),
             "hybrid_search": lambda sf: index_sink.q_hybrid_search(sf),
+            # per-doc top-3 tf-idf keywords (micro-quantized integer
+            # ranking; one vocab-bounded df groupby + one streaming pass)
+            "doc_keywords": lambda sf: index_sink.q_doc_keywords(sf),
             "corpus_dedup": corpus.dedup_corpus,
             "corpus_prep": _corpus_prep,
             "corpus_clean": lambda sf: corpus.clean_text_corpus(sf)[0],

@@ -219,6 +219,89 @@ def q_term_df(sf_dir: str, min_df: int = 50):
     return df.map_batches(finish, batch_format="pyarrow")
 
 
+KEYWORDS_K = 3  # keywords per document
+
+
+def q_doc_keywords(sf_dir: str, k: int = KEYWORDS_K):
+    """Per-document keyword extraction: the top-k tokens of every doc by
+    tf-idf (score = tf · ln(N/df), micro-quantized so ranking is pure
+    integer+string ordering), tie-broken by token.  The distributed shape
+    is ONE vocab-bounded df groupby whose (token → idf) table broadcasts
+    into a single streaming pass — a document's tokens live entirely in
+    its own row, so per-block top-k IS the final per-doc top-k (no second
+    shuffle).  The reference's keyword extractor (P4,
+    app/processors/metadata_extractor/keywords_extractor.py) splits
+    names into tags; this is its corpus-statistics upgrade."""
+    import math
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    N = docs.count()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        doc_ids = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        return pa.table({"token": flat, "doc_id": pa.array(doc_ids)}).filter(keep)
+
+    # df per token: (token, doc) dedup then count — vocab-bounded output
+    df_tbl = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .count()
+        .groupby("token")
+        .count()
+    )
+    toks: list[str] = []
+    dfs: list[int] = []
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        toks.extend(b.column("token").to_pylist())
+        dfs.extend(b.column("count()").to_pylist())
+    vocab = pa.array(toks, pa.string())
+    # math.log == libm == DuckDB's std::log on the same double N/df
+    idf = np.array([math.log(N / d) for d in dfs], np.float64)
+
+    def topk(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        local = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        ft = flat.filter(keep)
+        if isinstance(ft, pa.ChunkedArray):
+            ft = ft.combine_chunks()
+        local = local[keep.to_numpy(zero_copy_only=False)]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "score_micro": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if len(ft) == 0:
+            return empty
+        pos = pc.index_in(ft, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = local * len(toks) + pos
+        ukey, tf = np.unique(key, return_counts=True)
+        udoc, upos = ukey // len(toks), ukey % len(toks)
+        score = np.floor(tf.astype(np.float64) * idf[upos] * 1_000_000.0 + 0.5).astype(np.int64)
+        utok = np.asarray(vocab.take(pa.array(upos)).to_pylist(), dtype=object)
+        order = np.lexsort((utok, -score, udoc))
+        sd = udoc[order]
+        first = np.r_[True, sd[1:] != sd[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(sd)), 0))
+        rnk = np.arange(len(sd)) - grp_start + 1
+        m = rnk <= k
+        sel = order[m]
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[udoc[sel]], pa.int64()),
+                "token": pa.array(utok[sel].tolist(), pa.string()),
+                "score_micro": pa.array(score[sel], pa.int64()),
+                "rnk": pa.array(rnk[m], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(topk, batch_format="pyarrow")
+
+
 def _default_index_dir(sf_dir: str) -> str:
     """Parameter-keyed /tmp index dir (the IVF pattern, similarity.py):
     keyed on source path+size+mtime so a changed corpus rebuilds and a
@@ -425,6 +508,20 @@ def q_bm25_topk(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10):
 
 
 ORACLE_SQL = {
+    "doc_keywords": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token "
+        "FROM documents), "
+        "kt AS (SELECT doc_id, token FROM toks WHERE token <> ''), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM kt GROUP BY doc_id, token), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM kt GROUP BY token), "
+        "n AS (SELECT count(*) AS nn FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.token, "
+        "CAST(floor(tf * ln(nn / df) * 1000000 + 0.5) AS BIGINT) AS score_micro "
+        "FROM tf JOIN df USING (token), n), "
+        "r AS (SELECT doc_id, token, score_micro, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY score_micro DESC, token) AS rnk FROM s) "
+        "SELECT doc_id, token, score_micro, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3"
+    ),
     "bm25_topk": (
         "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok "
         "FROM documents), "

@@ -160,3 +160,31 @@ def test_tfidf_topk_planted(tmp_path, monkeypatch):
     # doc0 = 3*4000 = 12000; doc1 = 2000+4000 = 6000; doc2 = 4*2000 = 8000
     assert out["doc_id"].tolist() == [0, 2, 1]
     assert out["score"].tolist() == [12000, 8000, 6000]
+
+
+def test_doc_keywords_prefers_rare_terms(ray_session, tmp_path):
+    """A doc mixing a corpus-wide stopword with a unique term must rank
+    the unique term first; rnk is 1..k with no dupes per doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.index_sink import q_doc_keywords
+
+    rows = [(i, "common filler words here " + (f"unique{i} " * 2)) for i in range(20)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_doc_keywords(str(tmp_path)).to_pandas()
+    top1 = out[out["rnk"] == 1].set_index("doc_id")["token"]
+    for i in range(20):
+        assert top1[i] == f"unique{i}", top1[i]
+    # per doc: ranks are 1..3, distinct tokens
+    for _, g in out.groupby("doc_id"):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+        assert g["token"].is_unique
