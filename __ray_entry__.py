@@ -1028,6 +1028,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # k-core of the name-similarity graph: distributed peel with a
             # fixed round count, SQL-checked via unrolled filter+degree CTEs
             "name_kcore": editdist.q_name_kcore,
+            # composed entity resolution: fuzzy pairs -> distributed CC ->
+            # canonical min-id (recursive-CTE closure oracle)
+            "part_entities": editdist.q_part_entities,
+            # unicode canonicalization (lower -> NFC -> whitespace collapse)
+            "normalize_docs": textops.q_normalize_docs,
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
             "dup_spans_docs": decontam.q_dup_spans_docs,

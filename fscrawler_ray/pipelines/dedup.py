@@ -294,34 +294,153 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.5, ngram: int = 3, max
     key = ("exact", sf_dir, threshold, ngram, max_bucket)
     if cache and key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
+    import math
+
+    from ray.data.aggregate import Sum
+
     from ..functions.text import shingle_hashes
 
-    def sh(b: pa.Table) -> pa.Table:
+    def distinct_doc_shingles(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         h, doc = shingle_hashes(b.column("text"), ngram)
         if len(h) == 0:
-            return pa.table(
-                {
-                    "band": pa.array([], pa.int32()),
-                    "bucket": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                }
-            )
-        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[doc]
-        o = np.lexsort((h, did))
-        h, did = h[o], did[o]
+            return h, doc
+        o = np.lexsort((h, doc))
+        h, doc = h[o], doc[o]
         keep = np.ones(len(h), dtype=bool)
-        keep[1:] = (h[1:] != h[:-1]) | (did[1:] != did[:-1])  # DISTINCT (doc, shingle)
-        h, did = h[keep], did[keep]
+        keep[1:] = (h[1:] != h[:-1]) | (doc[1:] != doc[:-1])  # DISTINCT (doc, shingle)
+        return h[keep], doc[keep]
+
+    # PASS 1 — global shingle document frequencies (prefix-filter order).
+    # Per-block the (doc, shingle) set is already distinct (a doc's rows
+    # never split), so a partial per-shingle count + one vocab-bounded
+    # groupby gives exact df; collected driver-side (vocab-sized) and
+    # broadcast as (sorted hashes, df).
+    def partial_df(b: pa.Table) -> pa.Table:
+        h, _ = distinct_doc_shingles(b)
+        if len(h) == 0:
+            return pa.table({"sh": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"sh": pa.array(u.view(np.int64)), "n": pa.array(c.astype(np.int64))})
+
+    svals: list[np.ndarray] = []
+    scnts: list[np.ndarray] = []
+    for t in (
+        _docs(sf_dir).map_batches(partial_df, batch_format="pyarrow").groupby("sh").aggregate(Sum("n"))
+    ).iter_batches(batch_format="pyarrow"):
+        svals.append(t.column("sh").to_numpy(zero_copy_only=False).astype(np.int64))
+        scnts.append(t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64))
+    if not svals:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+        )
+        return empty
+    sh_sorted = np.concatenate(svals)
+    df_sorted = np.concatenate(scnts)
+    o = np.argsort(sh_sorted)
+    sh_sorted, df_sorted = sh_sorted[o], df_sorted[o]
+    df_ref = ray.put((sh_sorted, df_sorted))
+
+    # PASS 2 — emit only each doc's PREFIX shingles under the global
+    # (df asc, hash asc) order: length |A| - ceil(t*|A|) + 1 (Xiao et al.,
+    # PPJoin prefix filter).  Any pair with J >= t must share a prefix
+    # shingle on BOTH sides, so recall stays exactly 1.0 while the
+    # candidate buckets collapse to the RARE shingles.
+    def sh(b: pa.Table) -> pa.Table:
+        shs, dfs = ray.get(df_ref)
+        h, doc = distinct_doc_shingles(b)
+        empty = pa.table(
+            {
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        if len(h) == 0:
+            return empty
+        d = dfs[np.searchsorted(shs, h.view(np.int64))]
+        # within each doc (h, doc sorted by doc already): order by (df, hash)
+        o = np.lexsort((h, d, doc))
+        h, doc, d = h[o], doc[o], d[o]
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        bnd = np.append(starts, len(doc))
+        sizes = np.diff(bnd)
+        pref = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        np.maximum(pref, 1, out=pref)
+        local = np.arange(len(doc)) - np.repeat(bnd[:-1], sizes)
+        keep = local < np.repeat(pref, sizes)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[doc[keep]]
         return pa.table(
             {
-                "band": pa.array(np.zeros(len(h), np.int32)),
-                "bucket": pa.array(h.view(np.int64)),
+                "band": pa.array(np.zeros(int(keep.sum()), np.int32)),
+                "bucket": pa.array(h[keep].view(np.int64)),
                 "doc_id": pa.array(did),
+                # positional-filter payload: the shingle's rank within its
+                # doc's (df, hash) order and the doc's total shingle count
+                "pos": pa.array(local[keep].astype(np.int32)),
+                "sz": pa.array(np.repeat(sizes, sizes)[keep].astype(np.int32)),
             }
         )
 
-    buckets = _docs(sf_dir).map_batches(sh, batch_format="pyarrow")
-    cand = _pairs_distributed_ds(buckets, ["band", "bucket"], "doc_id", max_bucket)
+    buckets = _docs(sf_dir).map_batches(sh, batch_format="pyarrow").materialize()
+    dup_keys = _dup_bucket_keys(buckets)
+    if len(dup_keys) == 0:
+        out = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+        )
+        if cache:
+            _PAIRS_CACHE[key] = out
+        return out
+    n_partitions = int(min(64, max(2, len(dup_keys) // 512)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        pcol = (_bucket_mix_key(b) % np.uint64(n_partitions)).astype(np.int64)
+        return b.append_column("__pcol", pa.array(pcol))
+
+    def expand_pos(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket pair expansion WITH the PPJoin positional filter:
+        an emission for shingle w shared by docs x, y at sorted positions
+        (i, j) can support overlap at most 1 + min(|x|-i-1, |y|-j-1); a
+        true J >= t pair needs overlap >= ceil(t/(1+t)·(|x|+|y|)), and its
+        minimal-order shared shingle's emission always passes the bound,
+        so dropping failing emissions is lossless (Xiao et al., PPJoin)."""
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["bucket", "doc_id"])
+        bk = g["bucket"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        sz = g["sz"].to_numpy(dtype=np.int64)
+        change = np.ones(len(g), dtype=bool)
+        change[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(change)
+        sizes_g = np.diff(np.append(starts, len(g)))
+        out_a, out_b = [], []
+        for s, n in zip(starts, sizes_g):
+            if n < 2:
+                continue
+            e = s + min(int(n), max_bucket)
+            ia, ib = np.triu_indices(e - s, k=1)
+            ia += s
+            ib += s
+            bound = 1 + np.minimum(sz[ia] - pos[ia] - 1, sz[ib] - pos[ib] - 1)
+            need = np.ceil(threshold / (1.0 + threshold) * (sz[ia] + sz[ib]))
+            m = (bound >= need) & (
+                np.minimum(sz[ia], sz[ib]) >= np.ceil(threshold * np.maximum(sz[ia], sz[ib]))
+            )
+            if m.any():
+                out_a.append(ids[ia[m]])
+                out_b.append(ids[ib[m]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    filtered = _filter_dup_buckets(buckets, dup_keys)
+    cand = filtered.map_batches(tag, batch_format="pyarrow").groupby("__pcol").map_groups(
+        expand_pos, batch_format="pandas"
+    )
     out = verify_jaccard_distributed(sf_dir, cand, threshold, ngram)
     if cache:
         _PAIRS_CACHE[key] = out

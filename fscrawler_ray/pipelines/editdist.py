@@ -139,6 +139,20 @@ def q_name_triangles(sf_dir: str, max_dist: int = 2):
     return pa.concat_tables(batches)
 
 
+def q_part_entities(sf_dir: str):
+    """Entity resolution, composed end-to-end: fuzzy blocking+verify
+    (similar_name_pairs) → distributed connected components → canonical
+    id = min partkey per component.  The full resolve — blocking, edit-
+    distance verify, transitive closure — is SQL-checked (levenshtein
+    edge set + recursive-CTE reachability), the same contract as
+    corpus dedup's keeper-is-min-id."""
+    from .graph import connected_components
+
+    pairs = q_similar_part_names(sf_dir)
+    out = connected_components(pairs, a_col="partkey_a", b_col="partkey_b")
+    return out.rename_columns(["partkey", "canonical"])
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 12
 
@@ -180,6 +194,15 @@ def _name_kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 
 
 ORACLE_SQL = {
+    "part_entities": (
+        "WITH RECURSIVE e0 AS (SELECT CAST(a.p_partkey AS BIGINT) AS x, CAST(b.p_partkey AS BIGINT) AS y "
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2), "
+        "e AS (SELECT x AS a, y AS b FROM e0 UNION SELECT y, x FROM e0), "
+        "reach(a, b) AS ((SELECT a, a FROM e UNION SELECT a, b FROM e) "
+        "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
+        "SELECT a AS partkey, min(b) AS canonical FROM reach GROUP BY a"
+    ),
     "name_kcore": _name_kcore_sql(),
     "name_triangles": (
         "WITH e AS (SELECT CAST(a.p_partkey AS BIGINT) AS x, CAST(b.p_partkey AS BIGINT) AS y "

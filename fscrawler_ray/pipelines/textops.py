@@ -106,6 +106,12 @@ ORACLE_SQL = {
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ') AS canon "
         "FROM documents"
     ),
+    "normalize_docs": (
+        "WITH n AS (SELECT doc_id, "
+        "trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')) AS norm_text "
+        "FROM documents) "
+        "SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm FROM n"
+    ),
     "quality_ratios": (
         "WITH c AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, "
         "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens, "
@@ -397,6 +403,36 @@ ORACLE_SQL["cms_token_estimates"] = (
     "CAST(min(c.c) AS BIGINT) AS approx_count "
     "FROM probes p JOIN cells c ON p.dep = c.dep AND p.idx = c.idx GROUP BY p.tok"
 )
+
+
+def q_normalize_docs(sf_dir: str):
+    """Unicode text canonicalization — the standard corpus-prep first
+    step: lowercase → NFC normalize → collapse runs of whitespace to one
+    space → trim.  NFC runs through Python's unicodedata (one C call per
+    row): this build's pyarrow utf8_normalize does NOT canonically
+    compose (e + U+0301 stays decomposed), while DuckDB's nfc_normalize
+    does — unicodedata matches DuckDB bit-for-bit on composition.  The
+    regex collapse is RE2 on both sides and the trim is ASCII-space-only
+    to match DuckDB's trim(); output includes the normalized length so
+    dedup keys downstream are comparable."""
+    import unicodedata
+
+    import pyarrow.compute as _pc
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        low = _pc.utf8_lower(t)
+        n = pa.array([unicodedata.normalize("NFC", x) for x in low.to_pylist()], pa.string())
+        coll = _pc.utf8_trim(_pc.replace_substring_regex(n, r"\s+", " "), characters=" ")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "norm_text": coll,
+                "n_chars_norm": _pc.utf8_length(coll).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_approx_median_chars_by_lang(sf_dir: str):

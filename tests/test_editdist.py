@@ -123,3 +123,35 @@ def test_hot_key_group_size_is_bounded(ray_session):
         if abs(int(lens[i]) - int(lens[j])) <= 2
     }
     assert _pairs_set(out) == want
+
+
+def test_part_entities_canonical_is_component_min(tmp_path, ray_session):
+    """Planted fuzzy clusters resolve to min-partkey canonicals through
+    the composed blocking -> verify -> CC pipeline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.editdist import q_part_entities
+
+    # cluster A: 3 near-miss names (chain), cluster B: 2, one singleton
+    rows = [
+        (10, "B1", "widget alpha"),
+        (11, "B1", "widget alphb"),   # dist 1 to 10
+        (12, "B1", "widget alphbc"),  # dist 1 to 11, 2 to 10
+        (20, "B1", "gizmo omega"),
+        (21, "B1", "gizmo omegb"),    # dist 1 to 20
+        (30, "B2", "widget alpha"),   # same name, other brand: no edge
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_brand": pa.array([r[1] for r in rows]),
+                "p_name": pa.array([r[2] for r in rows]),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    out = q_part_entities(str(tmp_path)).to_pandas()
+    got = dict(zip(out["partkey"], out["canonical"]))
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}  # singleton absent

@@ -232,3 +232,26 @@ def test_lm_score_matches_driver_reference(tmp_path):
     assert set(got.index) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-5, i
+
+
+def test_normalize_docs_canonicalizes(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import q_normalize_docs
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["  Héllo\t\tWörld  ", "MIXED   Case x", "中文  TEXT"]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    import unicodedata
+
+    out = q_normalize_docs(str(tmp_path)).to_pandas().sort_values("doc_id")
+    want = [unicodedata.normalize("NFC", w) for w in ["héllo wörld", "mixed case x", "中文 text"]]
+    assert list(out["norm_text"]) == want
+    assert list(out["n_chars_norm"]) == [11, 12, 7]
