@@ -1033,6 +1033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "part_entities": editdist.q_part_entities,
             # unicode canonicalization (lower -> NFC -> whitespace collapse)
             "normalize_docs": textops.q_normalize_docs,
+            # PMI bigram collocations (micro-quantized, min-count floor)
+            "collocations": lambda sf: textops.q_collocations(sf),
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
             "dup_spans_docs": decontam.q_dup_spans_docs,

@@ -92,6 +92,9 @@ def _langid_sql() -> str:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_K = 50
+
 ORACLE_SQL = {
     "quality_counts": (
         "SELECT doc_id, length(text) AS n_chars, "
@@ -105,6 +108,21 @@ ORACLE_SQL = {
         "SELECT doc_id, array_to_string(list_sort(list_distinct("
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ') AS canon "
         "FROM documents"
+    ),
+    "collocations": (
+        "WITH toksl AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents), "
+        "uni AS (SELECT unnest(t) AS x FROM toksl), "
+        "ucnt AS (SELECT x, count(*) AS c FROM uni GROUP BY x), "
+        "n AS (SELECT count(*) AS n FROM uni), "
+        "bi AS (SELECT t[i] AS x, t[i + 1] AS y FROM toksl, "
+        "unnest(generate_series(1, len(t) - 1)) AS u(i)), "
+        "bcnt AS (SELECT x, y, count(*) AS cxy FROM bi GROUP BY x, y), "
+        f"p AS (SELECT bcnt.x, bcnt.y, cxy, ux.c AS cx, uy.c AS cy FROM bcnt "
+        f"JOIN ucnt ux ON ux.x = bcnt.x JOIN ucnt uy ON uy.x = bcnt.y WHERE cxy >= {PMI_MIN_COUNT}) "
+        "SELECT x, y, CAST(cxy AS BIGINT) AS pair_count, "
+        "CAST(round(1000000 * (((ln(cxy) + ln(n.n)) - ln(cx)) - ln(cy))) AS BIGINT) AS pmi_micro "
+        f"FROM p, n ORDER BY pmi_micro DESC, x, y LIMIT {PMI_K}"
     ),
     "normalize_docs": (
         "WITH n AS (SELECT doc_id, "
@@ -403,6 +421,124 @@ ORACLE_SQL["cms_token_estimates"] = (
     "CAST(min(c.c) AS BIGINT) AS approx_count "
     "FROM probes p JOIN cells c ON p.dep = c.dep AND p.idx = c.idx GROUP BY p.tok"
 )
+
+
+def q_collocations(sf_dir: str, k: int = PMI_K, min_count: int = PMI_MIN_COUNT):
+    """Corpus-wide bigram collocations: top-k adjacent token pairs by
+    pointwise mutual information PMI = ln(c_xy·N / (c_x·c_y)) with a
+    min-count floor (Church & Hanks 1990), micro-quantized so ranking is
+    pure integer+string ordering.  Distributed shape: one bigram-vocab-
+    bounded grouped count + one unigram-vocab-bounded grouped count whose
+    (token → count) table broadcasts into the scoring pass; the driver
+    merges per-block partial top-k candidates only.  ln through math.log
+    (libm) so DuckDB's ln quantizes identically."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _tok_flat(b: pa.Table):
+        toks = _pc.split_pattern_regex(_pc.utf8_lower(b.column("text")), r"\s+")
+        flat = _pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = _pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        m = _pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return np.asarray(flat.filter(pa.array(m)).to_pylist(), dtype=object), doc[m]
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        t, _ = _tok_flat(b)
+        u, c = np.unique(t, return_counts=True)
+        return pa.table({"x": pa.array(u.tolist(), pa.string()), "c_p": pa.array(c.astype(np.int64))})
+
+    ucnt = ds.map_batches(uni_partial, batch_format="pyarrow").groupby("x").aggregate(Sum("c_p"))
+    toks_l: list[str] = []
+    cnts_l: list[np.ndarray] = []
+    for b in ucnt.iter_batches(batch_format="pyarrow"):
+        toks_l.extend(b.column("x").to_pylist())
+        cnts_l.append(b.column("sum(c_p)").to_numpy(zero_copy_only=False).astype(np.int64))
+    if not toks_l:
+        return pa.table(
+            {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+             "pair_count": pa.array([], pa.int64()), "pmi_micro": pa.array([], pa.int64())}
+        )
+    ucounts = np.concatenate(cnts_l)
+    N = int(ucounts.sum())
+    vocab = pa.array(toks_l, pa.string())
+    log_n = math.log(N)
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        t, doc = _tok_flat(b)
+        if len(t) < 2:
+            return pa.table({"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        same = np.roll(doc, -1) == doc
+        same[-1] = False
+        x, y = t[same], np.roll(t, -1)[same]
+        # count per (x, y) within the block via a joined key
+        key = np.char.add(np.char.add(x.astype(str), "\x1f"), y.astype(str))
+        u, idx, c = np.unique(key, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "x": pa.array(x[idx].tolist(), pa.string()),
+                "y": pa.array(y[idx].tolist(), pa.string()),
+                "c_p": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    bcnt = ds.map_batches(bi_partial, batch_format="pyarrow").groupby(["x", "y"]).aggregate(Sum("c_p"))
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+             "pair_count": pa.array([], pa.int64()), "pmi_micro": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        cxy = b.column("sum(c_p)").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = cxy >= min_count
+        if not m.any():
+            return empty
+        b = b.filter(pa.array(m))
+        cxy = cxy[m]
+        px = _pc.index_in(b.column("x"), value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        py = _pc.index_in(b.column("y"), value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = ucounts[px], ucounts[py]
+        pmi = np.empty(len(cxy), np.int64)
+        for i in range(len(cxy)):
+            v = (((math.log(cxy[i]) + log_n) - math.log(cx[i])) - math.log(cy[i])) * 1_000_000.0
+            pmi[i] = int(math.copysign(math.floor(abs(v) + 0.5), v))
+        xs = np.asarray(b.column("x").to_pylist(), dtype=object)
+        ys = np.asarray(b.column("y").to_pylist(), dtype=object)
+        keep = np.lexsort((ys, xs, -pmi))[:k]
+        keep = np.sort(keep)
+        return pa.table(
+            {
+                "x": pa.array(xs[keep].tolist(), pa.string()),
+                "y": pa.array(ys[keep].tolist(), pa.string()),
+                "pair_count": pa.array(cxy[keep], pa.int64()),
+                "pmi_micro": pa.array(pmi[keep], pa.int64()),
+            }
+        )
+
+    cands = bcnt.map_batches(score_topk, batch_format="pyarrow")
+    parts = [t for t in cands.iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+             "pair_count": pa.array([], pa.int64()), "pmi_micro": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts)
+    xs = np.asarray(t.column("x").to_pylist(), dtype=object)
+    ys = np.asarray(t.column("y").to_pylist(), dtype=object)
+    pmi = t.column("pmi_micro").to_numpy(zero_copy_only=False)
+    keep = np.lexsort((ys, xs, -pmi))[:k]
+    return t.take(pa.array(np.sort(keep)))
 
 
 def q_normalize_docs(sf_dir: str):

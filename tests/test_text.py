@@ -255,3 +255,34 @@ def test_normalize_docs_canonicalizes(tmp_path, ray_session):
     want = [unicodedata.normalize("NFC", w) for w in ["héllo wörld", "mixed case x", "中文 text"]]
     assert list(out["norm_text"]) == want
     assert list(out["n_chars_norm"]) == [11, 12, 7]
+
+
+def test_collocations_finds_planted_bigram(tmp_path, ray_session):
+    """A bigram that always co-occurs must out-PMI frequent-but-
+    independent pairs; min-count floor drops rare pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import q_collocations
+
+    rng = __import__("numpy").random.default_rng(3)
+    common = ["the", "a", "data", "row", "table"]
+    docs = []
+    for i in range(40):
+        toks = list(rng.choice(common, 20))
+        toks += ["hong", "kong"]  # planted collocation, always adjacent
+        docs.append(" ".join(toks))
+    docs.append("rare pair")  # below min_count
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_collocations(str(tmp_path), k=10).to_pandas()
+    top = out.sort_values("pmi_micro", ascending=False).iloc[0]
+    assert (top["x"], top["y"]) == ("hong", "kong")
+    assert not ((out["x"] == "rare") & (out["y"] == "pair")).any()
