@@ -951,6 +951,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # oracle; the pruned-shortlist recall is pytest-asserted
             "knn_pq": lambda sf: similarity.knn_pq(sf, oversample=1_000_000),
             "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
+            # contrastive hard-negative mining: cosine rank window (10, 30]
+            "hard_negatives": lambda sf: similarity.hard_negatives(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -1211,6 +1213,14 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_ivf"] = sql["knn_bruteforce"]
     # exhaustive-shortlist PQ ≡ brute force (see the queries() entry)
     sql["knn_pq"] = sql["knn_bruteforce"]
+    # hard negatives = the same ranking, window (10, 30]
+    sql["hard_negatives"] = (
+        "SELECT q.vec_id AS query_id, e.vec_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "
+        "FROM embeddings q, embeddings e "
+        "WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4) AND e.vec_id <> q.vec_id "
+        "QUALIFY rnk > 10 AND rnk <= 30"
+    )
     # int8-quantized kNN replayed exactly: per-vector L2 normalize, the
     # symmetric scale max|u|/127 (1e-12 floor), clipped rounded codes,
     # INTEGER dot products, rescale by both scales, rank.  The engine

@@ -128,7 +128,9 @@ def q_name_triangles(sf_dir: str, max_dist: int = 2):
     from .graph import triangles
 
     pairs = q_similar_part_names(sf_dir, max_dist=max_dist)
-    out = triangles(pairs, a_col="partkey_a", b_col="partkey_b")
+    # the fuzzy join emits every (a < b) pair exactly once -> skip the
+    # pair-dedup shuffle inside triangles
+    out = triangles(pairs, a_col="partkey_a", b_col="partkey_b", assume_unique=True)
     # collect (output-sized) with a TYPED empty fallback: a 0-row Dataset
     # loses its schema through to_pandas, failing the dtype-strict check
     batches = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]

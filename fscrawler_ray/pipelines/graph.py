@@ -317,7 +317,7 @@ def kcore_reference(edges: pa.Table, k: int, a_col: str = "src", b_col: str = "d
     return {n: len(nb) for n, nb in adj.items()}
 
 
-def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024):
+def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024, assume_unique: bool = False):
     """Distributed triangle enumeration by WEDGE-CHECK: every node lists
     its ordered neighbor pairs (wedges), and a wedge (b, c) closes iff
     (b, c) is itself an edge — one semi-join of the wedge stream against
@@ -348,10 +348,16 @@ def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024):
         return pa.table({"a": lo, "b": hi})
 
     edges = edges_ds.map_batches(canon, batch_format="pyarrow")
-    # dedup the edge set once (pair-keyed groupby), reuse for both sides
-    edges = edges.groupby(["a", "b"]).count().map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
-    ).materialize()
+    # dedup the edge set once (pair-keyed groupby), reuse for both sides;
+    # callers whose edge stream is unique by construction (the fuzzy-join
+    # emits every pair exactly once) pass assume_unique=True and skip the
+    # shuffle — at sandbox scale the two-key groupby costs more than the
+    # whole wedge check
+    if not assume_unique:
+        edges = edges.groupby(["a", "b"]).count().map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
+    edges = edges.materialize()
 
     def chunk_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # pivot = the SMALLER endpoint of both wedge legs (a < b and a < c),
@@ -367,21 +373,24 @@ def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024):
                     "nb_i": pd.Series([], dtype=object),
                     "nb_j": pd.Series([], dtype=object),
                     "same": pd.Series([], dtype=bool),
+                    "w": pd.Series([], dtype=np.int64),
                 }
             )
         parts = [nbrs[s : s + chunk].tobytes() for s in range(0, len(nbrs), chunk)]
-        rows_i, rows_j, same = [], [], []
+        rows_i, rows_j, same, w = [], [], [], []
         for i in range(len(parts)):
             for j in range(i, len(parts)):
                 rows_i.append(parts[i])
                 rows_j.append(parts[j])
                 same.append(i == j)
+                w.append((len(parts[i]) // 8) * (len(parts[j]) // 8))
         return pd.DataFrame(
             {
                 "a": np.full(len(rows_i), g["a"].iat[0], dtype=np.int64),
                 "nb_i": pd.Series(rows_i, dtype=object),
                 "nb_j": pd.Series(rows_j, dtype=object),
                 "same": np.array(same, dtype=bool),
+                "w": np.array(w, dtype=np.int64),
             }
         )
 
@@ -444,5 +453,27 @@ def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024):
             }
         )
 
-    # batch_size bounds per-task wedge-expansion work to batch_size × chunk²
-    return pair_ds.map_batches(expand_and_close, batch_format="pyarrow", batch_size=8)
+    # Weight-aware two-tier batching: per-task wedge work is bounded by
+    # batch_size × max-row-weight in BOTH tiers, but the LIGHT tier (the
+    # overwhelming majority — pivots with small neighbor lists) rides in
+    # big batches so a dense graph doesn't shatter into thousands of
+    # 10 ms tasks (the fixed-batch_size=8 version spent 2× the wedge
+    # compute on task overhead at sf0.1), while HEAVY chunk pairs (hub
+    # pivots, weight up to chunk²) stay at batch_size=4 so no straggler
+    # exceeds ~4·chunk² wedge checks.
+    pair_ds = pair_ds.materialize()  # chunk-pair-row-sized, consumed twice
+    light_thr = 65536
+
+    def _light(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("w"), light_thr))
+
+    def _heavy(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("w"), light_thr))
+
+    light = pair_ds.map_batches(_light, batch_format="pyarrow").map_batches(
+        expand_and_close, batch_format="pyarrow", batch_size=512
+    )
+    heavy = pair_ds.map_batches(_heavy, batch_format="pyarrow").map_batches(
+        expand_and_close, batch_format="pyarrow", batch_size=4
+    )
+    return light.union(heavy)

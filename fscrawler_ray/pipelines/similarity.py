@@ -114,6 +114,26 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 4, k: int = 10):
     return _final_topk(cand.to_pandas(), k)
 
 
+NEG_LO = 10  # hard negatives sit just below the positives window…
+NEG_HI = 30  # …ranks (NEG_LO, NEG_HI]: similar enough to be hard, not near-dups
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 4, lo: int = NEG_LO, hi: int = NEG_HI):
+    """Contrastive hard-negative mining: for each query vector, the
+    neighbors ranked (lo, hi] by cosine — the standard retrieval-training
+    recipe (high-similarity non-positives make the hardest negatives;
+    rank-window mining à la DPR/ANCE).  Same distributed shape as
+    knn_bruteforce: per-block partial top-hi, driver merges candidates
+    only, then drops the positives window."""
+    qids, q = _load_queries(sf_dir, n_queries)
+    q_ref, qid_ref = ray.put(q), ray.put(qids)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = emb.map_batches(_BatchTopK(q_ref, qid_ref, hi), batch_format="pyarrow", batch_size=2048)
+    t = _final_topk(cand.to_pandas(), hi).to_pandas()
+    t = t[t["rnk"] > lo]
+    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+
+
 def _sample_vectors(sf_dir: str, sample: int, seed: int) -> np.ndarray:
     """Deterministic distributed bottom-k-by-hash sample: each batch emits
     only its ``sample`` smallest xxh64(vec_id) rows (a partial top-k, the
