@@ -588,6 +588,37 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         the check is rows-only (host_pagerank_exact is the SQL twin)."""
         return _pagerank_over_hosts(_host_edges(sf_dir))
 
+    def crawl_host_degree_exact(sf_dir: str):
+        """SQL-CHECKED weighted host in/out-degrees over the SPOOLED
+        derived host-edge table (the same edges host_pagerank_exact
+        replays): two grouped sums + an outer merge.  The rows-only
+        crawl_host_degree reads the engine's internal link tally instead;
+        this twin certifies the same degree arithmetic through DuckDB."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+        from ray.data.aggregate import Count
+
+        shutil.rmtree(HOST_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_EDGES_DIR)
+        outd: dict[str, int] = {}
+        ind: dict[str, int] = {}
+        for col, acc in (("src_host", outd), ("dst_host", ind)):
+            for b in e.groupby(col).aggregate(Count()).iter_batches(batch_format="pyarrow"):
+                for h, c in zip(b.column(col).to_pylist(), b.column("count()").to_pylist()):
+                    acc[h] = acc.get(h, 0) + int(c)
+        hosts = sorted(set(outd) | set(ind))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "out_links": pa.array([outd.get(h, 0) for h in hosts], pa.int64()),
+                "in_links": pa.array([ind.get(h, 0) for h in hosts], pa.int64()),
+            }
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -608,6 +639,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_counters": crawl_counters,
         "crawl_counters_audit": crawl_counters_audit,
         "crawl_host_degree": crawl_host_degree,
+        "crawl_host_degree_exact": crawl_host_degree_exact,
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,
@@ -1133,6 +1165,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM pref GROUP BY prefix"
     )
     sql["host_pagerank_exact"] = _host_pagerank_oracle()
+    sql["crawl_host_degree_exact"] = (
+        "WITH o AS (SELECT src_host AS host, count(*) AS outd "
+        f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet') GROUP BY src_host), "
+        "i AS (SELECT dst_host AS host, count(*) AS ind "
+        f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet') GROUP BY dst_host) "
+        "SELECT COALESCE(o.host, i.host) AS host, "
+        "CAST(COALESCE(o.outd, 0) AS BIGINT) AS out_links, "
+        "CAST(COALESCE(i.ind, 0) AS BIGINT) AS in_links "
+        "FROM o FULL OUTER JOIN i ON o.host = i.host"
+    )
     # EXIF-analog report: the engine PARSES the binary metadata segment out
     # of each payload; the oracle re-derives the same fields from image_id's
     # hex (= low 40 bits of the payload seed, the generator's EXIF source —
