@@ -3199,6 +3199,71 @@ ORACLE_SQL["market_share"] = (
 QUERIES["market_share"] = q_market_share
 
 
+KFOLD_K = 5
+
+
+def q_kfold_assign(sf_dir: str, k: int = KFOLD_K):
+    """Deterministic stratified k-fold assignment for cross-validation:
+    fold = rank of md5(doc_id) WITHIN the doc's language stratum, mod k —
+    every stratum contributes to every fold as evenly as arithmetic
+    allows (fold counts within a stratum differ by ≤ 1), unlike a plain
+    hash%k which only balances in expectation.  The stratum rank is the
+    epoch_shuffle two-pass DISTRIBUTED rank (per-block (lang, hash-top-
+    bits) histograms → broadcast prefix-sum offsets → bounded
+    (lang, bucket) groups emit offset + local rank), so no task ever
+    holds a whole stratum; the SQL oracle replays it with one
+    ROW_NUMBER window."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketches import md5_u64_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    bits = 8
+    shift = np.uint64(64 - bits)
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        h = md5_u64_batch(pc.cast(b.column("doc_id"), pa.string()))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "lang": b.column("lang"),
+                "h": pa.array(h.view(np.int64)),
+                "bkt": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    hashed = docs.map_batches(hash_rows, batch_format="pyarrow").materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["lang", "bkt"]), ["lang", "bkt"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"), "bkt": g.column("bkt"), "n": g.column("count_all")})
+
+    counts: dict[str, np.ndarray] = {}
+    for t in (
+        hashed.map_batches(hist, batch_format="pyarrow").groupby(["lang", "bkt"]).aggregate(Sum("n"))
+    ).iter_batches(batch_format="pyarrow"):
+        for lang, bkt, n in zip(
+            t.column("lang").to_pylist(), t.column("bkt").to_pylist(), t.column("sum(n)").to_pylist()
+        ):
+            counts.setdefault(lang, np.zeros(1 << bits, np.int64))[bkt] = n
+    offsets = {
+        lang: np.r_[0, np.cumsum(c[:-1])] for lang, c in counts.items()
+    }
+
+    def rank_fold(g):
+        import pandas as pd
+
+        order = np.lexsort((g["doc_id"].to_numpy(), g["h"].to_numpy().view(np.uint64)))
+        off = offsets[g["lang"].iat[0]][int(g["bkt"].iat[0])]
+        rank = np.empty(len(g), np.int64)
+        rank[order] = off + np.arange(len(g))
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "lang": g["lang"], "fold": rank % k}
+        )
+
+    return hashed.groupby(["lang", "bkt"]).map_groups(rank_fold, batch_format="pandas")
+
+
 def q_train_test_split(sf_dir: str, train_pct: int = 90):
     """Deterministic corpus splitting, the two standard modes in one
     output: a per-document hash split (Knuth multiplicative hash of
@@ -3249,6 +3314,13 @@ ORACLE_SQL["train_test_split"] = (
     "FROM documents"
 )
 QUERIES["train_test_split"] = q_train_test_split
+ORACLE_SQL["kfold_assign"] = (
+    "WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+    "ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rnk FROM documents) "
+    f"SELECT doc_id, lang, CAST(rnk % {KFOLD_K} AS BIGINT) AS fold FROM r"
+)
+QUERIES["kfold_assign"] = q_kfold_assign
 
 
 def q_rolling_wau(sf_dir: str, window_days: int = 7):

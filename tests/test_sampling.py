@@ -161,3 +161,17 @@ def test_epoch_shuffle_is_a_balanced_permutation():
     c = run(seed="ep2")
     moved = ((a["shard"] != c["shard"]) | (a["pos"] != c["pos"])).mean()
     assert moved > 0.8, moved
+
+
+def test_kfold_is_stratified_balanced(ray_session):
+    """Per stratum, fold sizes differ by <= 1; assignment is deterministic
+    and partition-invariant."""
+    from fscrawler_ray.pipelines.analytics import q_kfold_assign
+
+    a = q_kfold_assign(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = q_kfold_assign(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    for lang, g in a.groupby("lang"):
+        sizes = g["fold"].value_counts()
+        assert sizes.max() - sizes.min() <= 1, (lang, sizes)
+    assert set(a["fold"]) == set(range(5))
