@@ -588,6 +588,52 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         the check is rows-only (host_pagerank_exact is the SQL twin)."""
         return _pagerank_over_hosts(_host_edges(sf_dir))
 
+    def crawl_mirrors_approx(sf_dir: str, p: int = 6):
+        """SKETCHED twin of crawl_mirrors: per-host HyperLogLog registers
+        over content ids, pairwise intersection by inclusion-exclusion
+        |A∩B| ≈ est(A) + est(B) − est(max-merge(A,B)) — the mergeable-
+        sketch answer to 'how much content do two hosts share' that costs
+        #hosts × 2^p bytes instead of a distinct-pair shuffle.  All-pairs
+        output is host-table²-sized (fine: hosts are cluster-scale
+        metadata, not corpus rows).  SQL-CHECKED register-for-register at
+        p=6 via the md5 HLL template (the approx_distinct oracle pattern),
+        with the exact same integer 2^-rank fold and libm log."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.functions.sketches import (
+            _fold_by_key,
+            hll_estimate_sql_exact,
+            hll_fold_md5,
+            hll_merge,
+        )
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["host", "image_id"])
+        acc = _fold_by_key(
+            ds, "host", lambda sl: hll_fold_md5(sl.column("image_id"), p=p), hll_merge, np.uint8
+        )
+        hosts = sorted(acc)
+        est = {h: hll_estimate_sql_exact(acc[h], p) for h in hosts}
+        ha, hb, inter = [], [], []
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1 :]:
+                u = hll_estimate_sql_exact(hll_merge(acc[a], acc[b]), p)
+                ha.append(a)
+                hb.append(b)
+                inter.append(int(math.floor(((est[a] + est[b]) - u) * 1000.0 + 0.5)))
+        return pa.table(
+            {
+                "host_a": pa.array(ha, pa.string()),
+                "host_b": pa.array(hb, pa.string()),
+                "inter_milli": pa.array(inter, pa.int64()),
+            }
+        )
+
     def crawl_host_degree_exact(sf_dir: str):
         """SQL-CHECKED weighted host in/out-degrees over the SPOOLED
         derived host-edge table (the same edges host_pagerank_exact
@@ -640,6 +686,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_counters_audit": crawl_counters_audit,
         "crawl_host_degree": crawl_host_degree,
         "crawl_host_degree_exact": crawl_host_degree_exact,
+        "crawl_mirrors_approx": crawl_mirrors_approx,
         "crawl_scan": crawl_scan,
         "crawl_host_report": crawl_host_report,
         "crawl_rollup": crawl_rollup,
@@ -1235,6 +1282,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared "
         "FROM d a JOIN d b ON a.image_id = b.image_id AND a.host < b.host "
         "GROUP BY a.host, b.host"
+    )
+    # pairwise HLL intersection replay (p=6: idx = hv >> 58, cap 59,
+    # 2^58 = 288230376151711744, 2^59 = 576460752303423488, 2.5·m = 160)
+    _est = (
+        "SELECT {keys}, CASE WHEN raw <= 160.0 AND zeros > 0 "
+        "THEN 64.0 * ln(64.0 / zeros) ELSE raw END AS est FROM ("
+        "SELECT {keys}, 64 - COUNT(*) AS zeros, "
+        "(0.7213 / (1 + 1.079 / 64)) * 64 * 64 * 576460752303423488 "
+        "/ CAST(SUM(576460752303423488::HUGEINT / CAST(1::UBIGINT << r AS HUGEINT)) "
+        "+ CAST(64 - COUNT(*) AS HUGEINT) * 576460752303423488::HUGEINT AS DOUBLE) AS raw "
+        "FROM {src} GROUP BY {keys})"
+    )
+    sql["crawl_mirrors_approx"] = (
+        "WITH src AS (SELECT host, md5_number_upper(CAST(image_id AS VARCHAR)) AS hv "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE image_id IS NOT NULL), "
+        "reg AS (SELECT host, hv >> 58 AS idx, "
+        "CASE WHEN hv % 288230376151711744::UBIGINT = 0 THEN 59 "
+        "ELSE 59 - length(bin(hv % 288230376151711744::UBIGINT)) END AS rnk FROM src), "
+        "rmax AS (SELECT host, idx, MAX(rnk) AS r FROM reg GROUP BY host, idx), "
+        "hest AS (" + _est.format(keys="host", src="rmax") + "), "
+        "hosts AS (SELECT DISTINCT host FROM src), "
+        "pairs AS (SELECT a.host AS ha, b.host AS hb FROM hosts a JOIN hosts b ON a.host < b.host), "
+        "upool AS (SELECT ha, hb, idx, MAX(r) AS r FROM ("
+        "SELECT p.ha, p.hb, r.idx, r.r FROM pairs p JOIN rmax r ON r.host = p.ha "
+        "UNION ALL SELECT p.ha, p.hb, r.idx, r.r FROM pairs p JOIN rmax r ON r.host = p.hb"
+        ") GROUP BY ha, hb, idx), "
+        "uest AS (" + _est.format(keys="ha, hb", src="upool") + ") "
+        "SELECT p.ha AS host_a, p.hb AS host_b, "
+        "CAST(floor(((ea.est + eb.est) - u.est) * 1000.0 + 0.5) AS BIGINT) AS inter_milli "
+        "FROM pairs p JOIN hest ea ON ea.host = p.ha JOIN hest eb ON eb.host = p.hb "
+        "JOIN uest u ON u.ha = p.ha AND u.hb = p.hb"
     )
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "

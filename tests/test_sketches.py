@@ -270,3 +270,29 @@ def test_md5_sketch_twins_structural_properties():
     f = fingerprint64_md5([a, a, "one two", ""])
     assert f[0] == f[1]
     assert f[2] == 0 and f[3] == 0  # <3 tokens → 0
+
+
+def test_hll_pairwise_intersection_inclusion_exclusion():
+    """est(A) + est(B) - est(A ∪ B) approximates |A ∩ B| within HLL error
+    at p=10; the merge is idempotent/commutative so the union estimate is
+    order-independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fscrawler_ray.functions.sketches import (
+        hll_estimate_sql_exact,
+        hll_fold_md5,
+        hll_merge,
+    )
+
+    p = 10
+    a_vals = pa.array([f"item{i}" for i in range(3000)])
+    b_vals = pa.array([f"item{i}" for i in range(2000, 6000)])  # overlap 1000
+    ra = hll_fold_md5(a_vals, p=p)
+    rb = hll_fold_md5(b_vals, p=p)
+    ea, eb = hll_estimate_sql_exact(ra, p), hll_estimate_sql_exact(rb, p)
+    eu = hll_estimate_sql_exact(hll_merge(ra, rb), p)
+    inter = ea + eb - eu
+    assert abs(inter - 1000) / 1000 < 0.25, inter
+    eu2 = hll_estimate_sql_exact(hll_merge(rb, ra), p)
+    assert eu == eu2
