@@ -2954,37 +2954,47 @@ def q_late_sole_suppliers(sf_dir: str, late_days: int = 60):
 
     flagged = j.map_batches(flag, batch_format="pyarrow")
 
-    # distinct (order, supplier) with late = MAX over the pair's lines —
-    # partial-aggregated per block so the shuffle carries pair partials,
-    # not raw lines
-    def pmax(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(b, ["l_orderkey", "l_suppkey"]).aggregate([("late", "max")])
-        return pa.table(
-            {
-                "l_orderkey": g.column("l_orderkey"),
-                "l_suppkey": g.column("l_suppkey"),
-                "late_p": g.column("late_max"),
-            }
-        )
+    # ONE shuffle: bucket lines by hash(orderkey) so every order's lines
+    # land in the same bounded bucket task, then run the whole correlated
+    # logic — pair-dedup late MAX, per-order (#suppliers, #late), the
+    # exactly-one-late filter and the culprit pick — VECTORIZED inside
+    # the bucket kernel (round 3 used pair-groupby + order-rollup + semi
+    # join back: three wide ops where one suffices; the three-shuffle
+    # plan cost ~2× at sf0.1)
+    n_buckets = 64
 
-    pairs = (
-        flagged.map_batches(pmax, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_suppkey"])
-        .aggregate(Max("late_p"))
+    def bucketize(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import xxh64_u64
+
+        o = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = (xxh64_u64(o.view(np.uint64), seed=41) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__b", pa.array(bkt))
+
+    def culprits(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["l_orderkey"].to_numpy(dtype=np.int64)
+        s = g["l_suppkey"].to_numpy(dtype=np.int64)
+        late = g["late"].to_numpy(dtype=np.int64)
+        # pair-dedup with late = max over the pair's lines (suppkey fits
+        # in the low bits: TPC-H suppkeys ≪ 2^20)
+        comb = (o << np.int64(20)) | s
+        order = np.lexsort((-late, comb))
+        comb_s, late_s, o_s, s_s = comb[order], late[order], o[order], s[order]
+        first = np.r_[True, comb_s[1:] != comb_s[:-1]]
+        po, ps, pl = o_s[first], s_s[first], late_s[first]  # distinct pairs, max late
+        # per-order rollup over the pair rows (sorted by comb → by order)
+        ostart = np.r_[True, po[1:] != po[:-1]]
+        oid = np.cumsum(ostart) - 1
+        ns = np.bincount(oid)
+        nl = np.bincount(oid, weights=pl).astype(np.int64)
+        guilty = (ns > 1) & (nl == 1)
+        m = guilty[oid] & (pl == 1)
+        return pd.DataFrame({"l_suppkey": ps[m]})
+
+    culprit = (
+        flagged.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(culprits, batch_format="pandas")
     )
-    pairs = _rename(pairs, {"max(late_p)": "late_any"}).materialize()
-    per_order = grouped_sum(pairs, ["l_orderkey"], {"late_any": "nl"}, count_out="ns")
-    guilty_orders = per_order.map_batches(
-        lambda b: b.filter(
-            pc.and_(pc.greater(b.column("ns"), pa.scalar(1, pa.int64())), pc.equal(b.column("nl"), pa.scalar(1, pa.int64())))
-        ).select(["l_orderkey"]),
-        batch_format="pyarrow",
-    ).materialize()
-    late_pairs = pairs.map_batches(
-        lambda b: b.filter(pc.equal(b.column("late_any"), pa.scalar(1, pa.int64()))),
-        batch_format="pyarrow",
-    )
-    culprit = join(late_pairs, guilty_orders, on="l_orderkey", how="semi")
     out = grouped_sum(culprit, ["l_suppkey"], {}, count_out="numwait")
     sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     sup = sup.map_batches(
