@@ -1103,6 +1103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vocab_coverage": textops.q_vocab_coverage,
             "pack_sequences": textops.q_pack_sequences,
             "lm_score_docs": textops.q_lm_score_docs,
+            # CCNet head/middle/tail terciles over the LM score (NTILE
+            # replay; distributed rank)
+            "lm_buckets": textops.q_lm_buckets,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "similar_part_names": editdist.q_similar_part_names,
             "name_triangles": editdist.q_name_triangles,

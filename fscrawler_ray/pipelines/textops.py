@@ -406,6 +406,75 @@ ORACLE_SQL["lm_score_docs"] = (
     "FROM bp JOIN cb USING (t1, t2) JOIN cu USING (t1), v GROUP BY bp.doc_id"
 )
 
+def q_lm_buckets(sf_dir: str):
+    """CCNet-style quality bucketing: every scored document lands in the
+    head / middle / tail tercile of the corpus by LM score (Wenzek et al.
+    2020 — the published recipe keeps 'head', samples 'middle', drops
+    'tail').  Tercile = NTILE(3) over (score DESC, doc_id), computed with
+    the epoch-shuffle DISTRIBUTED rank (monotone-uint64 float key →
+    per-block top-bits histograms → broadcast offsets → bounded bucket
+    groups), so no task ever holds the corpus ranking."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    scores = q_lm_score_docs(sf_dir).materialize()
+    n = scores.count()
+    k = 3
+    sz, big = divmod(n, k)
+
+    def f64_desc_key(x: np.ndarray) -> np.ndarray:
+        b = np.ascontiguousarray(x, np.float64).view(np.uint64)
+        mask = np.where(b >> np.uint64(63) == 1, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0x8000000000000000))
+        return ~(b ^ mask)  # bit-flip of the ascending monotone key → descending
+
+    bits = 8
+    shift = np.uint64(64 - bits)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ky = f64_desc_key(b.column("avg_logprob").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "ky": pa.array(ky, pa.uint64()),
+                "bkt": pa.array((ky >> shift).astype(np.int64)),
+            }
+        )
+
+    kd = scores.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        cnt = np.bincount(b.column("bkt").to_numpy(zero_copy_only=False), minlength=1 << bits)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bkt": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz], pa.int64())})
+
+    counts = np.zeros(1 << bits, np.int64)
+    for t in (
+        kd.map_batches(hist, batch_format="pyarrow").groupby("bkt").aggregate(Sum("n"))
+    ).iter_batches(batch_format="pyarrow"):
+        counts[t.column("bkt").to_numpy(zero_copy_only=False)] = t.column("sum(n)").to_numpy(zero_copy_only=False)
+    offsets = np.r_[0, np.cumsum(counts[:-1])]
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(), g["ky"].to_numpy().view(np.uint64)))
+        rank = np.empty(len(g), np.int64)
+        rank[order] = offsets[int(g["bkt"].iat[0])] + np.arange(len(g))
+        # NTILE(k): the first n%k tiles get size sz+1, the rest sz
+        cut = big * (sz + 1)
+        t = np.where(rank < cut, rank // max(sz + 1, 1), big + (rank - cut) // max(sz, 1))
+        lbl = np.array(["head", "middle", "tail"], dtype=object)[np.minimum(t, k - 1)]
+        return pd.DataFrame({"doc_id": g["doc_id"], "bucket": lbl})
+
+    return kd.groupby("bkt").map_groups(tile, batch_format="pandas")
+
+
+ORACLE_SQL["lm_buckets"] = (
+    "WITH s AS (" + ORACLE_SQL["lm_score_docs"] + ") "
+    "SELECT doc_id, CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id) "
+    "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM s"
+)
+
 ORACLE_SQL["cms_token_estimates"] = (
     # grid cells and probe indices both = CAST('0x'||substring(md5(tok),
     # 1+8*d, 8) AS UBIGINT) % width — bit-identical to md5_chunks_batch

@@ -286,3 +286,17 @@ def test_collocations_finds_planted_bigram(tmp_path, ray_session):
     top = out.sort_values("pmi_micro", ascending=False).iloc[0]
     assert (top["x"], top["y"]) == ("hong", "kong")
     assert not ((out["x"] == "rare") & (out["y"] == "pair")).any()
+
+
+def test_lm_buckets_are_balanced_terciles(ray_session):
+    from fscrawler_ray.pipelines.textops import q_lm_buckets, q_lm_score_docs
+
+    sf = "/root/testdata/sf0.001"
+    b = q_lm_buckets(sf).to_pandas()
+    sizes = b["bucket"].value_counts()
+    assert set(sizes.index) == {"head", "middle", "tail"}
+    assert sizes.max() - sizes.min() <= 1
+    s = q_lm_score_docs(sf).to_pandas()
+    m = b.merge(s, on="doc_id")
+    means = m.groupby("bucket")["avg_logprob"].mean()
+    assert means["head"] > means["middle"] > means["tail"]
