@@ -1106,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # CCNet head/middle/tail terciles over the LM score (NTILE
             # replay; distributed rank)
             "lm_buckets": textops.q_lm_buckets,
+            # per-source KL divergence vs the corpus token distribution
+            "source_kl": textops.q_source_kl,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "similar_part_names": editdist.q_similar_part_names,
             "name_triangles": editdist.q_name_triangles,

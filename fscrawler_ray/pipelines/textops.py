@@ -406,6 +406,92 @@ ORACLE_SQL["lm_score_docs"] = (
     "FROM bp JOIN cb USING (t1, t2) JOIN cu USING (t1), v GROUP BY bp.doc_id"
 )
 
+def q_source_kl(sf_dir: str):
+    """Corpus-mixture diagnostics: per-source KL divergence of the
+    source's token distribution from the whole-corpus distribution,
+    KL(P_s ‖ P_c) = Σ_t (n_st/N_s)·ln((n_st·N_c)/(N_s·n_ct)) — the
+    standard drift/skew check before fixing mixture weights (a source
+    whose KL is high is lexically unlike the corpus).  Each term is
+    micro-quantized to int64 BEFORE the sum, so per-source totals are
+    exact order-free integer sums (the DSIR λ discipline) and DuckDB
+    replays term-for-term.  Shapes: one (source, token) grouped count
+    (vocab×sources-bounded), one token grouped count broadcast —
+    never a corpus-row shuffle."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        flat, row = _doc_tokens(b)
+        src = b.column("source").take(pa.array(row, pa.int64()))
+        g = pa.TableGroupBy(pa.table({"source": src, "tok": flat}), ["source", "tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"source": g.column("source"), "tok": g.column("tok"), "c_p": g.column("count_all")}
+        )
+
+    st = (
+        ds.map_batches(st_partial, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(Sum("c_p"))
+        .materialize()
+    )
+    # corpus token counts (vocab-bounded) from the same (source, token) table
+    ctok: dict[str, int] = {}
+    for b in st.iter_batches(batch_format="pyarrow"):
+        for t, c in zip(b.column("tok").to_pylist(), b.column("sum(c_p)").to_pylist()):
+            ctok[t] = ctok.get(t, 0) + int(c)
+    n_c = sum(ctok.values())
+    vocab = pa.array(sorted(ctok), pa.string())
+    cvec = np.array([ctok[t] for t in sorted(ctok)], np.int64)
+    # per-source totals (sources-bounded)
+    ns: dict[str, int] = {}
+    for b in st.iter_batches(batch_format="pyarrow"):
+        for s, c in zip(b.column("source").to_pylist(), b.column("sum(c_p)").to_pylist()):
+            ns[s] = ns.get(s, 0) + int(c)
+
+    def terms(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()), "t_q": pa.array([], pa.int64())})
+        pos = _pc.index_in(b.column("tok"), value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        nst = b.column("sum(c_p)").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = b.column("source").to_pylist()
+        t_q = np.empty(len(nst), np.int64)
+        for i in range(len(nst)):
+            n_s = ns[srcs[i]]
+            # mirror DuckDB's BIGINT/BIGINT → cast-both-to-DOUBLE division
+            ratio = float(nst[i] * n_c) / float(n_s * int(cvec[pos[i]]))
+            v = 1_000_000.0 * ((float(nst[i]) / float(n_s)) * math.log(ratio))
+            t_q[i] = int(math.copysign(math.floor(abs(v) + 0.5), v))
+        return pa.table({"source": pa.array(srcs, pa.string()), "t_q": pa.array(t_q, pa.int64())})
+
+    out = st.map_batches(terms, batch_format="pyarrow").groupby("source").aggregate(Sum("t_q"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b.column("source"), "kl_micro": b.column("sum(t_q)").cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["source_kl"] = (
+    "WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '')) AS tok FROM documents), "
+    "st AS (SELECT source, tok, count(*) AS nst FROM toks GROUP BY source, tok), "
+    "ct AS (SELECT tok, count(*) AS nct FROM toks GROUP BY tok), "
+    "ns AS (SELECT source, count(*) AS n_s FROM toks GROUP BY source), "
+    "nc AS (SELECT count(*) AS n_c FROM toks), "
+    "term AS (SELECT st.source, CAST(round(1000000 * ((nst / n_s) * ln((nst * n_c) / (n_s * nct)))) AS BIGINT) AS t_q "
+    "FROM st JOIN ct USING (tok) JOIN ns USING (source), nc) "
+    "SELECT source, CAST(sum(t_q) AS BIGINT) AS kl_micro FROM term GROUP BY source"
+)
+
+
 def q_lm_buckets(sf_dir: str):
     """CCNet-style quality bucketing: every scored document lands in the
     head / middle / tail tercile of the corpus by LM score (Wenzek et al.

@@ -300,3 +300,36 @@ def test_lm_buckets_are_balanced_terciles(ray_session):
     m = b.merge(s, on="doc_id")
     means = m.groupby("bucket")["avg_logprob"].mean()
     assert means["head"] > means["middle"] > means["tail"]
+
+
+def test_source_kl_detects_lexical_outlier(tmp_path, ray_session):
+    """A source with disjoint vocabulary has much higher KL than sources
+    drawn from the shared distribution; KL is always >= 0 up to
+    quantization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import q_source_kl
+
+    rng = __import__("numpy").random.default_rng(11)
+    common = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs, srcs = [], []
+    for i in range(30):
+        docs.append(" ".join(rng.choice(common, 30)))
+        srcs.append("mainstream%d" % (i % 3))
+    for i in range(10):
+        docs.append(" ".join(["zork", "quux", "blorp"] * 10))
+        srcs.append("outlier")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+                "source": pa.array(srcs),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_source_kl(str(tmp_path)).to_pandas().set_index("source")["kl_micro"]
+    assert (out >= -3).all(), out  # ≥ 0 up to per-term quantization
+    assert out["outlier"] > 3 * max(out[s] for s in out.index if s != "outlier")
