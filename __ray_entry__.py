@@ -1087,6 +1087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # rank within shard via a two-pass distributed rank (SQL-checked
             # against one ROW_NUMBER window)
             "epoch_shuffle": sampling.q_epoch_shuffle,
+            # temperature-scaled multilingual rebalancing (alpha = 0.7)
+            "temperature_mixture": sampling.q_temperature_mixture,
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),
             "cms_token_estimates": lambda sf: textops.q_cms_token_estimates(sf),
             "simhash_md5_docs": textops.q_simhash_md5_docs,

@@ -222,6 +222,48 @@ def q_weighted_sample(sf_dir: str):
     return weighted_reservoir_by_key(ds, "event_type", "event_id", "value", WEIGHTED_K)
 
 
+TEMP_ALPHA = 0.7  # temperature for the multilingual rebalancing query
+
+
+def temperature_mixture(ds, alpha: float = TEMP_ALPHA, key_col: str = "lang", id_col: str = "doc_id"):
+    """Temperature-scaled mixture sampling — the standard multilingual
+    rebalancing (sample language l proportional to p_l^α, α<1 upweights
+    low-resource languages; Conneau & Lample 2019, mT5).  Per-language
+    keep-rate r_l = p_l^(α−1) / max_k p_k^(α−1), so the most
+    over-represented language is downsampled hardest and the rarest keeps
+    rate 1.  Membership is the house deterministic Bernoulli
+    (KNUTH32 hash of the row id vs round(r_l·2^32)) — row-local,
+    partition-invariant, zero shuffle after one tiny per-language count.
+    The SQL oracle recomputes p_l, the pow() ladder and the integer
+    threshold with the identical expression tree."""
+    from ray.data.aggregate import Count
+
+    counts: dict[str, int] = {}
+    for b in ds.groupby(key_col).aggregate(Count()).iter_batches(batch_format="pyarrow"):
+        for k, c in zip(b.column(key_col).to_pylist(), b.column("count()").to_pylist()):
+            counts[k] = int(c)
+    n = sum(counts.values())
+    import math
+
+    w = {k: (c / n) ** (alpha - 1.0) for k, c in counts.items()}
+    mx = max(w.values())
+    # floor(x + 0.5): half-up like DuckDB's round() (Python round bankers)
+    thr = {k: int(math.floor(v / mx * 4294967296.0 + 0.5)) for k, v in w.items()}
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix32(ids)
+        t = np.array([thr[k] for k in b.column(key_col).to_pylist()], np.uint64)
+        return b.filter(pa.array(h < t))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_temperature_mixture(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return temperature_mixture(ds)
+
+
 EPOCH_SHARDS = 8  # output shards for the epoch shuffle query
 _EPOCH_BUCKET_BITS = 8  # 2^8 rank buckets per shard bounds the rank groups
 _EPOCH_SEED = "ep1"
@@ -325,6 +367,14 @@ def _mixture_case_sql() -> str:
 
 
 ORACLE_SQL = {
+    "temperature_mixture": (
+        "WITH c AS (SELECT lang, count(*) AS cl FROM documents GROUP BY lang), "
+        "n AS (SELECT sum(cl) AS nn FROM c), "
+        f"w AS (SELECT lang, pow(cl / nn, {TEMP_ALPHA - 1.0!r}) AS wl FROM c, n), "
+        "r AS (SELECT lang, CAST(floor(wl / (SELECT max(wl) FROM w) * 4294967296.0 + 0.5) AS UBIGINT) AS thr FROM w) "
+        f"SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+        f"WHERE (d.doc_id * {KNUTH32}) % 4294967296 < r.thr"
+    ),
     "epoch_shuffle": (
         f"WITH k AS (SELECT doc_id, md5_number_upper('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS key "
         "FROM documents) "

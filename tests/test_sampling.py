@@ -175,3 +175,26 @@ def test_kfold_is_stratified_balanced(ray_session):
         sizes = g["fold"].value_counts()
         assert sizes.max() - sizes.min() <= 1, (lang, sizes)
     assert set(a["fold"]) == set(range(5))
+
+
+def test_temperature_mixture_rebalances_toward_rare(ray_session):
+    """alpha<1 keeps the rarest language at ~rate 1 and downsamples the
+    most common hardest; deterministic and partition-invariant."""
+    from fscrawler_ray.pipelines.sampling import temperature_mixture
+
+    full = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+
+    def run(n_blocks=1):
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        return temperature_mixture(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    n_in = full["lang"].value_counts()
+    n_out = a["lang"].value_counts()
+    rates = (n_out / n_in).dropna()
+    rare, common = n_in.idxmin(), n_in.idxmax()
+    assert rates[rare] > 0.9  # rarest kept near rate 1
+    assert rates[common] < rates[rare]  # most common downsampled hardest
