@@ -978,6 +978,22 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _cluster_sizes(labels):
+    """(cluster size → #clusters) distribution over a (node, label)
+    component table — label-table-sized, pure integer groupbys."""
+    import pyarrow as pa
+
+    df = labels.to_pandas() if hasattr(labels, "to_pandas") else labels
+    per = df.groupby("label")["node"].count()
+    dist = per.groupby(per).count().sort_index()
+    return pa.table(
+        {
+            "cluster_size": pa.array(dist.index.astype("int64")),
+            "n_clusters": pa.array(dist.to_numpy().astype("int64")),
+        }
+    )
+
+
 def _ray_data_from(table):
     import ray as _ray
 
@@ -1057,6 +1073,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "neardup_components_exact": lambda sf: graph.connected_components(
                 _ray_data_from(dedup.minhash_md5_pairs(sf))
             ),
+            # the dedup report everyone asks for: how big are the dup
+            # clusters?  size distribution over the CC labels (cluster
+            # size -> #clusters), SQL-checked through the same closure
+            "neardup_cluster_sizes": lambda sf: _cluster_sizes(
+                graph.connected_components(_ray_data_from(dedup.minhash_md5_pairs(sf)))
+            ),
             "term_df": index_sink.q_term_df,
             "phrase_hits": index_sink.q_phrase_hits,
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
@@ -1110,6 +1132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lm_buckets": textops.q_lm_buckets,
             # per-source KL divergence vs the corpus token distribution
             "source_kl": textops.q_source_kl,
+            # docs per power-of-two token-count bucket (integer log2)
+            "doclen_histogram": textops.q_doclen_histogram,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "similar_part_names": editdist.q_similar_part_names,
             "name_triangles": editdist.q_name_triangles,
@@ -1185,6 +1209,12 @@ def oracle_sql() -> dict[str, str]:
     sql.update(CORPUS_SQL)
     sql.update(DEDUP_SQL)
     sql.update(DSIR_SQL)
+    sql["neardup_cluster_sizes"] = (
+        "SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM (SELECT label, count(*) AS sz FROM ("
+        + sql["neardup_components_exact"]
+        + ") comp GROUP BY label) GROUP BY sz"
+    )
     sql["crawl_scan"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "
         f"FROM read_parquet('{CRAWL_SCAN_DIR}_trace/part-*.parquet')"

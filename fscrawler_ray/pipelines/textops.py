@@ -406,6 +406,47 @@ ORACLE_SQL["lm_score_docs"] = (
     "FROM bp JOIN cb USING (t1, t2) JOIN cu USING (t1), v GROUP BY bp.doc_id"
 )
 
+def q_doclen_histogram(sf_dir: str):
+    """Corpus length profile: docs per power-of-two TOKEN-count bucket
+    (bucket = floor(log2(n_tokens)); the standard sanity plot before
+    chunk/pack decisions).  floor(log2) of a positive int is bit_length−1
+    — pure integer on both sides (DuckDB: length(bin(x))−1).  Zero-token
+    docs land in bucket −1.  One streaming count + one tiny groupby."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        n = _pc.count_substring_regex(b.column("text"), r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+        # token counts are small ints: bit_length per UNIQUE count is exact
+        u, c = np.unique(n, return_counts=True)
+        ub = np.array([(int(x).bit_length() - 1) if x > 0 else -1 for x in u], np.int64)
+        t = {}
+        for bb, cc in zip(ub, c):
+            t[bb] = t.get(bb, 0) + int(cc)
+        ks = sorted(t)
+        return pa.table(
+            {"bucket": pa.array(ks, pa.int64()), "n_p": pa.array([t[k] for k in ks], pa.int64())}
+        )
+
+    out = ds.map_batches(part, batch_format="pyarrow").groupby("bucket").aggregate(Sum("n_p"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"bucket": b.column("bucket"), "n_docs": b.column("sum(n_p)").cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["doclen_histogram"] = (
+    "WITH n AS (SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents) "
+    "SELECT CASE WHEN nt > 0 THEN CAST(length(bin(CAST(nt AS UBIGINT))) - 1 AS BIGINT) ELSE -1 END AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM n GROUP BY bucket"
+)
+
+
 def q_source_kl(sf_dir: str):
     """Corpus-mixture diagnostics: per-source KL divergence of the
     source's token distribution from the whole-corpus distribution,
