@@ -1134,6 +1134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "source_kl": textops.q_source_kl,
             # docs per power-of-two token-count bucket (integer log2)
             "doclen_histogram": textops.q_doclen_histogram,
+            # per-language type/token/hapax counts (lexical diversity)
+            "lang_ttr": textops.q_lang_ttr,
             "approx_median_chars_by_lang": textops.q_approx_median_chars_by_lang,
             "similar_part_names": editdist.q_similar_part_names,
             "name_triangles": editdist.q_name_triangles,

@@ -406,6 +406,74 @@ ORACLE_SQL["lm_score_docs"] = (
     "FROM bp JOIN cb USING (t1, t2) JOIN cu USING (t1), v GROUP BY bp.doc_id"
 )
 
+def q_lang_ttr(sf_dir: str):
+    """Lexical-diversity profile per language: type count (distinct
+    tokens), token count, and hapax count (tokens seen once) — the
+    classic type-token-ratio report, kept in exact integers so the
+    diversity ratio is computed by the consumer at whatever precision
+    they want.  One (lang, token) grouped count (vocab-bounded), then a
+    lang-bounded rollup."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        flat, row = _doc_tokens(b)
+        langs = b.column("lang").take(pa.array(row, pa.int64()))
+        g = pa.TableGroupBy(pa.table({"lang": langs, "tok": flat}), ["lang", "tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"lang": g.column("lang"), "tok": g.column("tok"), "c_p": g.column("count_all")})
+
+    lt = ds.map_batches(part, batch_format="pyarrow").groupby(["lang", "tok"]).aggregate(Sum("c_p"))
+
+    def roll(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        c = b.column("sum(c_p)")
+        one = _pc.equal(c, 1).cast(pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"lang": b.column("lang"), "t": c, "h": one}), ["lang"]
+        ).aggregate([("t", "count"), ("t", "sum"), ("h", "sum")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "types_p": g.column("t_count").cast(pa.int64()),
+                "tokens_p": g.column("t_sum").cast(pa.int64()),
+                "hapax_p": g.column("h_sum").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        lt.map_batches(roll, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("types_p"), Sum("tokens_p"), Sum("hapax_p"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_types": b.column("sum(types_p)").cast(pa.int64()),
+                "n_tokens": b.column("sum(tokens_p)").cast(pa.int64()),
+                "n_hapax": b.column("sum(hapax_p)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["lang_ttr"] = (
+    "WITH toks AS (SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '')) AS tok FROM documents), "
+    "lt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax FROM lt GROUP BY lang"
+)
+
+
 def q_doclen_histogram(sf_dir: str):
     """Corpus length profile: docs per power-of-two TOKEN-count bucket
     (bucket = floor(log2(n_tokens)); the standard sanity plot before
