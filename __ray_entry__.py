@@ -1094,6 +1094,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # exact-only composed clean (no LSH) — every rule deterministic,
             # so the whole C4-style pipeline is SQL-checked end-to-end
             "corpus_clean_exact": lambda sf: corpus.clean_text_corpus(sf, neardup=False)[0],
+            # cross-document exact span dedup REMOVAL (C4 duplicated-span
+            # rule / Lee et al. ExactSubstr shape on non-overlapping
+            # 8-token tiles): first global occurrence survives, cleaned
+            # text reassembled per doc; SQL-checked end-to-end
+            "span_dedup_clean": corpus.q_span_dedup_clean,
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,

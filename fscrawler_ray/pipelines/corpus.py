@@ -244,4 +244,186 @@ def _corpus_clean_exact_sql() -> str:
     )
 
 
-ORACLE_SQL = {"corpus_clean_exact": _corpus_clean_exact_sql()}
+SPAN_W = 8  # tokens per dedup tile
+
+
+def q_span_dedup_clean(sf_dir: str, w: int = SPAN_W):
+    """Cross-document exact span dedup REMOVAL (the C4 "duplicated
+    three-sentence span" rule / Lee et al. 2022 ExactSubstr shape, on
+    non-overlapping tiles): split each doc into w-token tiles (trailing
+    partial tile included), drop every tile whose exact token string
+    occurred EARLIER in the corpus — global order (doc_id, tile_idx),
+    first occurrence survives, repeats within one doc count too — and
+    reassemble the surviving tiles into clean text per doc.  Complements
+    ``q_dup_spans_docs`` (decontam.py), which only FLAGS duplicated
+    windows; this emits the cleaned corpus plus per-doc drop tallies.
+
+    Reference analog: duplicate finder + content-dedup decision
+    (app/crawler/crawlers.py hash-key paths), applied inside documents
+    instead of across files.
+
+    Scale posture (100 TB): a boilerplate tile present in 10^9 docs
+    would make any direct groupby/join on the tile key one giant task,
+    so the winner decision uses the per-block partial pattern: each
+    block keeps only its LOCAL-min occurrence per tile as a candidate
+    (everything else is definitively dropped without leaving the
+    block), candidates (distinct-tile-bounded, ≤ blocks per hot tile)
+    flow through a Min aggregate + co-partitioned join, and the only
+    corpus-sized exchange is the final per-doc reassembly groupby.
+    """
+    from ray.data.aggregate import Min
+
+    max_ti = 1 << 20  # zkey packing bound; 10^6 tiles/doc ≫ any real doc
+
+    def tile_batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        lens = (
+            pc.fill_null(pc.list_value_length(toks), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks().to_numpy(zero_copy_only=False)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tiles = -(-lens // w)  # ceil; 0-token docs emit no tiles
+        total = int(n_tiles.sum())
+        if not total:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "ti": pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.string()),
+                    "zkey": pa.array([], pa.int64()),
+                }
+            )
+        row = np.repeat(np.arange(len(lens)), n_tiles)
+        off = np.concatenate([[0], np.cumsum(n_tiles)])
+        ti = np.arange(total) - np.repeat(off[:-1], n_tiles)
+        if np.any(ti >= max_ti):
+            raise ValueError("tile index exceeds zkey packing bound")
+        tok_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        start = tok_off[row] + ti * w  # first token of each tile
+        end = tok_off[row] + np.minimum((ti + 1) * w, lens[row])
+        # join up to w tokens per tile with ONE vectorized pass per slot
+        # (the only Python loop is w iterations — the decontam pattern)
+        tiles = np.full(total, "", dtype=object)
+        for j in range(w):
+            idx = start + j
+            valid = idx < end
+            if not valid.any():
+                break
+            piece = np.where(valid, flat[np.minimum(idx, len(flat) - 1)], "").astype(object)
+            if j:
+                piece = np.where(valid, " ", "").astype(object) + piece
+            tiles = tiles + piece
+        did = doc_ids[row]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "ti": pa.array(ti, pa.int64()),
+                "tile": pa.array(tiles, pa.string()),
+                "zkey": pa.array(did * max_ti + ti, pa.int64()),
+            }
+        )
+
+    def local_min_partial(b: pa.Table) -> pa.Table:
+        """Block-local pre-aggregation: one (tile, min zkey) row per
+        distinct tile in this block — a hot tile leaves each block as ONE
+        row, so the winner groupby's key volume is dedup-bounded and
+        skew-safe regardless of how many occurrences the tile has."""
+        import pandas as pd
+
+        if not b.num_rows:
+            return pa.table({"tile": pa.array([], pa.string()), "zkey": pa.array([], pa.int64())})
+        z = b.column("zkey").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(b.column("tile").to_pandas(), sort=False)
+        gmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(gmin, codes, z)
+        return pa.table({"tile": pa.array(uniq, pa.string()), "zkey": pa.array(gmin, pa.int64())})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tiles = docs.map_batches(tile_batch, batch_format="pyarrow")
+
+    # winner per tile = global min zkey; zkey ENCODES the winning (doc_id,
+    # ti) coordinates, so no join back on the tile key is ever needed —
+    # the corpus stream is only shuffled ONCE (by doc_id, for reassembly)
+    # and the tile-keyed exchange sees pre-aggregated dedup-bounded rows.
+    # Both branches re-execute the cheap tile pass independently; since
+    # local_min_partial's OUTPUT feeds a Min aggregate whose result is
+    # block-split-independent, nondeterministic batch boundaries between
+    # the two executions cannot change the answer.
+    winners = (
+        tiles.map_batches(local_min_partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Min("zkey"))
+    )
+
+    def _coords(b: pa.Table) -> pa.Table:
+        z = b.column("min(zkey)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(z // max_ti, pa.int64()),
+                "ti": pa.array(z % max_ti, pa.int64()),
+                "tile": pa.array(np.full(len(z), "", object), pa.string()),
+                "side": pa.array(np.ones(len(z), np.int8)),
+            }
+        )
+
+    winner_coords = winners.map_batches(_coords, batch_format="pyarrow")
+    tagged = tiles.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "ti": b.column("ti"),
+                "tile": b.column("tile"),
+                "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def reassemble(g):
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        win_ti = set(g["ti"].to_numpy()[side == 1].tolist())
+        rows = g[side == 0].sort_values("ti")
+        keep = rows["ti"].isin(win_ti).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "clean_text": [" ".join(rows["tile"].to_numpy()[keep])],
+                "n_tiles": [len(rows)],
+                "n_dropped": [int((~keep).sum())],
+            }
+        )
+
+    return (
+        tagged.union(winner_coords)
+        .groupby("doc_id")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def _span_dedup_clean_sql(w: int = SPAN_W) -> str:
+    """DuckDB replay: tile via list_slice over the token array, rank each
+    tile string by (doc_id, ti), keep rank 1, string_agg the survivors."""
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "
+        f"tiles AS (SELECT doc_id, l, unnest(range(0, CAST(ceil(len(l) / {w}.0) AS BIGINT))) AS ti "
+        "FROM toks WHERE len(l) > 0), "
+        f"ts AS (SELECT doc_id, ti, array_to_string(list_slice(l, ti * {w} + 1, ti * {w} + {w}), ' ') AS tile "
+        "FROM tiles), "
+        "rk AS (SELECT doc_id, ti, tile, row_number() OVER (PARTITION BY tile ORDER BY doc_id, ti) AS rn "
+        "FROM ts) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY ti), '') AS clean_text, "
+        "CAST(count(*) AS BIGINT) AS n_tiles, "
+        "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped "
+        "FROM rk GROUP BY doc_id"
+    )
+
+
+ORACLE_SQL = {
+    "corpus_clean_exact": _corpus_clean_exact_sql(),
+    "span_dedup_clean": _span_dedup_clean_sql(),
+}

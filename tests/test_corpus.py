@@ -108,3 +108,64 @@ def test_ngram_jaccard_exact_finds_planted_pairs(tmp_path):
     sa, sb = shingles(texts[0]), shingles(texts[1])
     want = round(len(sa & sb) / len(sa | sb), 6)
     assert abs(float(out["jaccard"].iloc[0]) - want) < 1e-9
+
+
+def test_span_dedup_clean_planted(tmp_path):
+    """Planted duplicate tiles: first global occurrence survives (even
+    within one doc); cleaned text matches a brute-force replay."""
+    from fscrawler_ray.pipelines.corpus import SPAN_W, q_span_dedup_clean
+
+    w = SPAN_W
+    boiler = " ".join(f"b{j}" for j in range(w))          # exactly one tile
+    uniq = lambda i: " ".join(f"u{i}x{j}" for j in range(w))
+    texts = [
+        boiler + " " + uniq(0),                # doc 0: boiler tile 0 KEEPS
+        uniq(1) + " " + boiler,                # doc 1: boiler at tile 1 drops
+        boiler + " " + boiler,                 # doc 2: both tiles drop
+        uniq(3) + " tail partial",             # doc 3: partial tile survives
+        "tail partial",                        # doc 4: dup of doc 3's partial tile
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    d = tmp_path / "mini"; d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    df = q_span_dedup_clean(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["clean_text"].tolist() == [
+        boiler + " " + uniq(0),
+        uniq(1),
+        "",
+        uniq(3) + " tail partial",
+        "",
+    ]
+    assert df["n_tiles"].tolist() == [2, 2, 2, 2, 1]
+    assert df["n_dropped"].tolist() == [0, 1, 2, 0, 1]
+
+
+def test_span_dedup_clean_partition_invariant():
+    """Same answer regardless of input block structure (the winner
+    decision must not depend on Ray batch/block boundaries)."""
+    import ray
+
+    from fscrawler_ray.pipelines.corpus import q_span_dedup_clean
+
+    a = q_span_dedup_clean(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # re-run with a very different block structure
+    import fscrawler_ray.pipelines.corpus as corpus_mod
+    orig = ray.data.read_parquet
+
+    def shredded(path, **kw):
+        return orig(path, override_num_blocks=17, **kw)
+
+    ray.data.read_parquet, saved = shredded, orig
+    try:
+        b = q_span_dedup_clean(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        ray.data.read_parquet = saved
+    assert a.equals(b)
