@@ -665,6 +665,26 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def crawl_tier_plan(sf_dir: str):
+        """Recrawl tier scheduler over the shared written run, SQL-CHECKED:
+        per-host change rates from K deterministic observation epochs →
+        tier bands → integer budget split (crawl_report.tier_plan)."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import tier_plan
+
+        return _collect(
+            tier_plan(_shared_written_run(sf_dir)),
+            {
+                "host": pa.string(),
+                "n_urls": pa.int64(),
+                "changes": pa.int64(),
+                "rate_micro": pa.int64(),
+                "tier": pa.string(),
+                "budget": pa.int64(),
+            },
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -700,6 +720,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_compact_audit": crawl_compact_audit,
         "crawl_politeness_audit": crawl_politeness_audit,
         "crawl_depth_funnel": crawl_depth_funnel,
+        "crawl_tier_plan": crawl_tier_plan,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1235,6 +1256,44 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS files, "
         "CAST(sum(COALESCE(size, 0)) AS BIGINT) AS total_bytes "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY depth"
+    )
+    from fscrawler_ray.pipelines.crawl_report import (
+        TIER_BANDS,
+        TIER_BUDGET,
+        TIER_FLOOR,
+        TIER_PRIMES,
+    )
+
+    _k = len(TIER_PRIMES)
+    _ch = " + ".join(
+        f"CASE WHEN (seq + {t}) % {p} = 0 THEN 1 ELSE 0 END"
+        for t, p in enumerate(TIER_PRIMES, 1)
+    )
+    _tier_case = (
+        "CASE "
+        + " ".join(f"WHEN rate_micro >= {lo} THEN '{nm}'" for nm, lo, _ in TIER_BANDS)
+        + f" ELSE '{TIER_FLOOR[0]}' END"
+    )
+    _w_case = (
+        "CASE tier "
+        + " ".join(f"WHEN '{nm}' THEN {w}" for nm, _, w in TIER_BANDS)
+        + f" ELSE {TIER_FLOOR[1]} END"
+    )
+    sql["crawl_tier_plan"] = (
+        f"WITH c AS (SELECT host, {_ch} AS ch "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(ch) AS BIGINT) AS changes FROM c GROUP BY host), "
+        f"hr AS (SELECT *, changes * 1000000 // (n_urls * {_k}) AS rate_micro FROM h), "
+        f"ht AS (SELECT *, {_tier_case} AS tier FROM hr), "
+        f"hw AS (SELECT *, {_w_case} AS w FROM ht), "
+        "tt AS (SELECT tier, SUM(n_urls) AS tier_urls, SUM(w * n_urls) AS tier_mass "
+        "FROM hw GROUP BY tier), "
+        f"tq AS (SELECT tier, tier_urls, {TIER_BUDGET} * tier_mass "
+        "// (SELECT SUM(tier_mass) FROM tt) AS tier_quota FROM tt) "
+        "SELECT hw.host, hw.n_urls, hw.changes, CAST(hw.rate_micro AS BIGINT) AS rate_micro, "
+        "hw.tier, CAST(tq.tier_quota * hw.n_urls // tq.tier_urls AS BIGINT) AS budget "
+        "FROM hw JOIN tq USING (tier)"
     )
     sql["crawl_politeness_audit"] = (
         "WITH pr AS (SELECT host, round, CAST(count(*) AS BIGINT) AS n "

@@ -277,3 +277,123 @@ def snapshot_diff(cur_ds, prev_ds, key: str = "url", cmp_col: str = "size"):
         )
 
     return j.map_batches(verdict, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Recrawl tier scheduling (the "tier crawl" core): Cho & Garcia-Molina-style
+# freshness-driven scheduling — estimate per-host change rates from repeated
+# snapshots, band hosts into recrawl tiers, split a fixed crawl budget.
+
+TIER_PRIMES = (3, 5, 7, 11, 13, 17)  # one deterministic change epoch each
+TIER_BANDS = (("hot", 250_000, 8), ("daily", 120_000, 4), ("weekly", 60_000, 2))
+TIER_FLOOR = ("archive", 1)  # below every band
+TIER_BUDGET = 100_000  # crawl slots per scheduling cycle
+
+
+def tier_plan(out_dir: str, budget: int = TIER_BUDGET):
+    """Recrawl tier scheduler over a crawl snapshot: estimate each host's
+    content change rate from K observation epochs, band hosts into recrawl
+    tiers (hot/daily/weekly/archive), and split a fixed crawl budget across
+    tiers by weighted mass, then within a tier by host size.  The reference
+    decides refetch-vs-skip per row at crawl time
+    (app/crawler/crawling_queue_consumer.py:110-115 `__eq__` skip); this is
+    the fleet-level version of the same freshness question — WHICH hosts
+    earn re-crawl slots, and how many (Cho & Garcia-Molina, "Effective page
+    refresh policies for web crawlers", TODS 2003).
+
+    The K per-epoch change indicators are deterministic functions of the
+    row's crawl sequence number ((seq + t) mod prime_t == 0 — the same
+    synthetic-CDC device as snapshot_diff above), so a DuckDB oracle can
+    replay the whole plan bit-for-bit; a real deployment feeds observed
+    changed-flags from snapshot_diff runs into the identical aggregation.
+
+    Integer arithmetic end-to-end: rate_micro = changes*1e6 // (n_urls*K);
+    tier quota = budget * tier_mass // total_mass (mass = weight*n_urls);
+    host budget = tier_quota * n_urls // tier_urls.
+
+    Scale posture (100 TB / 10^10 URLs): the URL-sized stream is touched
+    once by a per-block partial (host-local counts), so the one shuffle is
+    host-bounded; the tier table is 4 rows (driver-side by construction);
+    the host table is materialized once (hosts ≪ URLs) and re-streamed for
+    the final budget pass — nothing URL-sized ever leaves the first stage.
+    """
+    import numpy as np
+
+    K = len(TIER_PRIMES)
+    ds = ray.data.read_parquet(out_dir, columns=["host", "seq"])
+
+    def changes_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if not b.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "n_urls": pa.array([], pa.int64()),
+                    "changes": pa.array([], pa.int64()),
+                }
+            )
+        seq = b.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = np.zeros(len(seq), np.int64)
+        for t, p in enumerate(TIER_PRIMES, 1):
+            ch += (seq + t) % p == 0
+        codes, hosts = pd.factorize(b.column("host").to_pandas(), sort=False)
+        n = np.bincount(codes, minlength=len(hosts)).astype(np.int64)
+        cs = np.zeros(len(hosts), np.int64)
+        np.add.at(cs, codes, ch)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_urls": pa.array(n),
+                "changes": pa.array(cs),
+            }
+        )
+
+    agg = (
+        ds.map_batches(changes_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_urls"), Sum("changes"))
+    )
+
+    def band(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["host", "n_urls", "changes"])
+        n = b.column("n_urls").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("changes").to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = c * 1_000_000 // (n * K)
+        tier = np.full(len(n), TIER_FLOOR[0], dtype=object)
+        weight = np.full(len(n), TIER_FLOOR[1], np.int64)
+        for name, lo, w in reversed(TIER_BANDS):  # ascending thresholds
+            m = rate >= lo
+            tier[m] = name
+            weight[m] = w
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_urls": pa.array(n),
+                "changes": pa.array(c),
+                "rate_micro": pa.array(rate),
+                "tier": pa.array(tier.tolist(), pa.string()),
+                "mass": pa.array(weight * n),
+            }
+        )
+
+    hosts_ds = agg.map_batches(band, batch_format="pyarrow").materialize()
+
+    # tier totals: 4 rows by construction — a broadcast-sized driver table
+    tt = hosts_ds.groupby("tier").aggregate(Sum("n_urls"), Sum("mass")).to_pandas()
+    total_mass = int(tt["sum(mass)"].sum())
+    quota = {}
+    urls_in = {}
+    for _, r in tt.iterrows():
+        urls_in[r["tier"]] = int(r["sum(n_urls)"])
+        quota[r["tier"]] = budget * int(r["sum(mass)"]) // total_mass if total_mass else 0
+
+    def allocate(b: pa.Table) -> pa.Table:
+        tiers = b.column("tier").to_pylist()
+        n = b.column("n_urls").to_numpy(zero_copy_only=False)
+        bud = np.array(
+            [quota[t] * int(nn) // urls_in[t] for t, nn in zip(tiers, n)], np.int64
+        )
+        return b.drop_columns(["mass"]).append_column("budget", pa.array(bud))
+
+    return hosts_ds.map_batches(allocate, batch_format="pyarrow")

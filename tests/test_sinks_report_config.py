@@ -214,3 +214,76 @@ def test_mirror_hosts_caps_popular_content(tmp_path, ray_session):
     assert kept - {"x", "y"} == set(hosts[:16])  # deterministic keeps
     got = {(r.host_a, r.host_b): r.shared for r in df.itertuples()}
     assert got[("x", "y")] == 1
+
+
+def test_tier_plan_brute_force(tmp_path, ray_session):
+    """tier_plan ≡ a row-at-a-time Python replay: change indicators, host
+    rates, tier bands, and the two-stage integer budget split all match."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import (
+        TIER_BANDS,
+        TIER_BUDGET,
+        TIER_FLOOR,
+        TIER_PRIMES,
+        tier_plan,
+    )
+
+    rng = np.random.default_rng(7)
+    hosts, seqs = [], []
+    seq = 0
+    for h, n in [("a", 40), ("b", 3), ("c", 17), ("d", 1), ("e", 200)]:
+        for _ in range(n):
+            hosts.append(h)
+            seqs.append(seq)
+            seq += int(rng.integers(1, 4))  # gappy, non-contiguous seqs
+    pq.write_table(
+        pa.table({"host": pa.array(hosts), "seq": pa.array(seqs, pa.int64())}),
+        tmp_path / "snap.parquet",
+    )
+
+    got = (
+        tier_plan(str(tmp_path))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    K = len(TIER_PRIMES)
+    per_host: dict[str, list[int]] = {}
+    for h, s in zip(hosts, seqs):
+        ch = sum((s + t) % p == 0 for t, p in enumerate(TIER_PRIMES, 1))
+        per_host.setdefault(h, []).append(ch)
+    rows = {}
+    for h, chs in per_host.items():
+        n, c = len(chs), sum(chs)
+        rate = c * 1_000_000 // (n * K)
+        tier, w = TIER_FLOOR
+        for nm, lo, ww in TIER_BANDS:
+            if rate >= lo:
+                tier, w = nm, ww
+                break
+        rows[h] = dict(n_urls=n, changes=c, rate_micro=rate, tier=tier, w=w)
+    total_mass = sum(r["w"] * r["n_urls"] for r in rows.values())
+    tiers = {}
+    for r in rows.values():
+        t = tiers.setdefault(r["tier"], dict(urls=0, mass=0))
+        t["urls"] += r["n_urls"]
+        t["mass"] += r["w"] * r["n_urls"]
+    for t in tiers.values():
+        t["quota"] = TIER_BUDGET * t["mass"] // total_mass
+    for h, r in rows.items():
+        t = tiers[r["tier"]]
+        r["budget"] = t["quota"] * r["n_urls"] // t["urls"]
+
+    assert list(got["host"]) == sorted(rows)
+    for _, g in got.iterrows():
+        r = rows[g["host"]]
+        for col in ("n_urls", "changes", "rate_micro", "budget"):
+            assert int(g[col]) == r[col], (g["host"], col)
+        assert g["tier"] == r["tier"]
+    # budget never exceeds the cycle allowance and hot hosts outrank archive
+    assert int(got["budget"].sum()) <= TIER_BUDGET
