@@ -1030,6 +1030,7 @@ def _corpus_prep(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from fscrawler_ray.pipelines import (
         analytics,
+        bpe as _bpe,
         corpus,
         decontam,
         dedup,
@@ -1120,6 +1121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # 8-token tiles): first global occurrence survives, cleaned
             # text reassembled per doc; SQL-checked end-to-end
             "span_dedup_clean": corpus.q_span_dedup_clean,
+            # distributed BPE tokenizer training: one corpus pass collapses
+            # to a vocab-bounded word table, K merge rounds over it; the
+            # oracle replays the rounds as unrolled CTEs (pipelines/bpe.py)
+            "bpe_merges": _bpe.q_bpe_merges,
+            "bpe_vocab": _bpe.q_bpe_vocab,
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,
@@ -1237,6 +1243,9 @@ def oracle_sql() -> dict[str, str]:
     sql.update(CORPUS_SQL)
     sql.update(DEDUP_SQL)
     sql.update(DSIR_SQL)
+    from fscrawler_ray.pipelines.bpe import ORACLE_SQL as BPE_SQL
+
+    sql.update(BPE_SQL)
     sql["neardup_cluster_sizes"] = (
         "SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
         "FROM (SELECT label, count(*) AS sz FROM ("

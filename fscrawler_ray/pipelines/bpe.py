@@ -1,0 +1,266 @@
+"""Distributed BPE tokenizer training (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units") — the
+tokenizer-training step of an LLM data pipeline, Ray-Data-native.
+
+Reference analog: the keyword/token extractors process text row by row
+(app/processors/metadata_extractor/text_line_keywords_processor.py); this
+LEARNS the subword inventory from corpus statistics instead.
+
+Shape (the standard distributed BPE trainer, e.g. Spark implementations):
+
+1. ONE streaming corpus-sized pass collapses documents to a distinct-word
+   frequency table (per-block partial counts, then a word-keyed groupby) —
+   at 100 TB this is the only stage that sees the corpus, and its shuffle
+   key volume is vocabulary-bounded (Heaps' law: ~10^7-10^8 distinct words,
+   not 10^10 documents).
+2. K merge rounds run over the word table only: count adjacent symbol
+   pairs (weighted by word frequency, per-block partials again), pick the
+   global argmax (count desc, then lexicographic for determinism), apply
+   the merge everywhere.  A real 32k-merge tokenizer run is the same loop;
+   the per-round cost is bounded by the word table, never the corpus.
+
+Symbolization trick that keeps BOTH sides vectorized AND bit-identical:
+a word's current symbol sequence is stored as a bracketed string —
+"hello" → "(h)(e)(l)(l)(o)(</w>)" — so applying merge (a, b) is ONE plain
+substring replace of "(a)(b)" with "(ab)".  Arrow's replace_substring and
+DuckDB's replace() share left-to-right non-overlapping semantics, which is
+exactly BPE's merge order ("(l)(l)(l)" → "(ll)(l)"), and per-symbol
+brackets mean consecutive occurrences never share a delimiter character
+(the classic space-separated encoding fails there).  Words are restricted
+to [a-z]+ (post-lowering), so the bracket characters cannot occur inside a
+symbol.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Sum
+
+BPE_MERGES = 10  # unrolled in the SQL oracle; a real run sets 32_000
+EOW = "</w>"
+
+
+def _word_counts(sf_dir: str):
+    """Corpus pass: documents.text → distinct (word, freq), words = [a-z]+
+    runs of the lowered text (the SQL twin is regexp_extract_all)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(pc.ascii_lower(b.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        if not len(flat):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
+            )
+        codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq, pa.string()), "freq": pa.array(n)})
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("freq"))
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["word", "freq"]), batch_format="pyarrow"
+    )
+
+
+def _symbolize(b: pa.Table) -> pa.Table:
+    """word → '(w)(o)(r)(d)(</w>)' initial symbolization."""
+    words = b.column("word").to_numpy(zero_copy_only=False)
+    s = np.array(
+        ["".join(f"({c})" for c in w) + f"({EOW})" for w in words], dtype=object
+    )
+    return pa.table({"s": pa.array(s, pa.string()), "freq": b.column("freq")})
+
+
+def _pair_counts(words_ds):
+    """Adjacent-symbol pair counts weighted by word freq; per-block partial
+    then a pair-keyed groupby (pair key volume ≤ running vocab²-bounded,
+    in practice ~alphabet-sized early and merge-table-sized late)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "lhs": pa.array([], pa.string()),
+                "rhs": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not b.num_rows:
+            return empty
+        syms = pc.split_pattern(pc.utf8_trim(b.column("s"), "()"), ")(")
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(syms).to_pandas().to_numpy()
+        freq = b.column("freq").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        if not total:
+            return empty
+        # adjacent positions within the same word only
+        off = np.concatenate([[0], np.cumsum(lens)])
+        is_last = np.zeros(total, bool)
+        is_last[off[1:] - 1] = True
+        li = np.arange(total)[~is_last]
+        if not len(li):
+            return empty
+        w_of = np.repeat(np.arange(len(lens)), lens)[li]
+        pair = np.char.add(
+            np.char.add(flat[li].astype(str), "\t"), flat[li + 1].astype(str)
+        )
+        codes, uniq = pd.factorize(pair, sort=False)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, codes, freq[w_of])
+        l_r = np.char.partition(uniq.astype(str), "\t")
+        return pa.table(
+            {
+                "lhs": pa.array(l_r[:, 0], pa.string()),
+                "rhs": pa.array(l_r[:, 2], pa.string()),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    out = (
+        words_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lhs", "rhs"])
+        .aggregate(Sum("cnt"))
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["lhs", "rhs", "cnt"]), batch_format="pyarrow"
+    )
+
+
+def train_bpe(sf_dir: str, k: int = BPE_MERGES):
+    """Learn the first ``k`` BPE merges over documents.text.
+
+    Returns (merges_table, final_words_ds): merges_table is a k-row arrow
+    table (step, lhs, rhs, cnt) — the tokenizer artifact — and
+    final_words_ds the word table under the learned segmentation.
+    """
+    words = _word_counts(sf_dir).map_batches(_symbolize, batch_format="pyarrow")
+    words = words.materialize()  # vocab-bounded; re-read every round
+
+    steps = []
+    for step in range(1, k + 1):
+        top = (
+            _pair_counts(words)
+            .sort(["cnt", "lhs", "rhs"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        steps.append({"step": step, "lhs": lhs, "rhs": rhs, "cnt": cnt})
+        pat, rep = f"({lhs})({rhs})", f"({lhs}{rhs})"
+
+        def apply(b: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "s": pc.replace_substring(b.column("s"), pat, rep),
+                    "freq": b.column("freq"),
+                }
+            )
+
+        words = words.map_batches(apply, batch_format="pyarrow").materialize()
+
+    merges = pa.table(
+        {
+            "step": pa.array([r["step"] for r in steps], pa.int64()),
+            "lhs": pa.array([r["lhs"] for r in steps], pa.string()),
+            "rhs": pa.array([r["rhs"] for r in steps], pa.string()),
+            "cnt": pa.array([r["cnt"] for r in steps], pa.int64()),
+        }
+    )
+    return merges, words
+
+
+def q_bpe_merges(sf_dir: str):
+    """queries() surface: the learned merge table (the tokenizer)."""
+    return train_bpe(sf_dir)[0]
+
+
+def q_bpe_vocab(sf_dir: str):
+    """queries() surface: symbol inventory after BPE_MERGES merges —
+    per-symbol corpus counts (freq-weighted), the subword vocabulary."""
+    _, words = train_bpe(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if not b.num_rows:
+            return pa.table(
+                {"sym": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        syms = pc.split_pattern(pc.utf8_trim(b.column("s"), "()"), ")(")
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(syms).to_pandas().to_numpy()
+        freq = b.column("freq").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(flat, sort=False)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, codes, np.repeat(freq, lens))
+        return pa.table({"sym": pa.array(uniq, pa.string()), "cnt": pa.array(cnt)})
+
+    out = (
+        words.map_batches(partial, batch_format="pyarrow")
+        .groupby("sym")
+        .aggregate(Sum("cnt"))
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["sym", "cnt"]), batch_format="pyarrow"
+    )
+
+
+def _iter_sql(k: int) -> str:
+    """Unrolled-CTE DuckDB replay of the k merge rounds (the PageRank-style
+    fixed-iteration oracle device)."""
+    parts = [
+        "WITH w0 AS (SELECT '(' || array_to_string(string_split(word, ''), ')(') "
+        f"|| ')({EOW})' AS s, freq FROM ("
+        "SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+        "FROM documents) GROUP BY word))"
+    ]
+    for i in range(1, k + 1):
+        p = (
+            f"p{i} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, "
+            "CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+            f"SELECT string_split(trim(s, '()'), ')(') AS syms, freq FROM w{i-1}), "
+            "unnest(range(1, len(syms))) t(i) GROUP BY lhs, rhs)"
+        )
+        m = f"m{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        w = (
+            f"w{i} AS (SELECT replace(s, '(' || m.lhs || ')(' || m.rhs || ')', "
+            f"'(' || m.lhs || m.rhs || ')') AS s, freq FROM w{i-1}, m{i} m)"
+        )
+        parts += [p, m, w]
+    return ", ".join(parts)
+
+
+def bpe_merges_sql(k: int = BPE_MERGES) -> str:
+    body = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, cnt FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return _iter_sql(k) + " SELECT * FROM (" + body + ")"
+
+
+def bpe_vocab_sql(k: int = BPE_MERGES) -> str:
+    return (
+        _iter_sql(k)
+        + " SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest(string_split(trim(s, '()'), ')(')) AS sym, freq FROM w{k}"
+        ") GROUP BY sym"
+    )
+
+
+ORACLE_SQL = {"bpe_merges": bpe_merges_sql(), "bpe_vocab": bpe_vocab_sql()}
