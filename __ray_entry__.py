@@ -830,6 +830,17 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = images_dataset(rows_for_sf(sf_dir))
         return groups(ds)
 
+    def images_phash_search(sf_dir: str):
+        """Query-time Hamming retrieval over the spooled phash table,
+        SQL-CHECKED: the engine broadcast-probes (XOR + SWAR popcount);
+        the oracle brute-forces bit_count(xor(...)) over the same spool."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.similarity import phash_search
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
+        return phash_search(ds)
+
     def images_thumbnails(sf_dir: str):
         """SQL-CHECKED: the actor-pool thumbnailer decodes the REAL payload
         bytes and downscales; the oracle re-derives the thumb dims from the
@@ -988,6 +999,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_neardup": images_phash_neardup,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
+        "images_phash_search": images_phash_search,
         "images_caption_extract": images_caption_extract,
         "images_augment": images_augment,
         "images_aspect_buckets": images_aspect_buckets,
@@ -1497,6 +1509,13 @@ def oracle_sql() -> dict[str, str]:
     # attrs over the spooled input bytes: DuckDB independently re-derives
     # size (octet_length) and the magic-byte sniff (hex-prefix CASE over the
     # container headers: PNG 89504E470D0A1A0A / JPEG FFD8FFE0 / RIFF....WEBP)
+    sql["images_phash_search"] = (
+        "WITH t AS (SELECT image_id, CAST(phash AS BIGINT) AS ph "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "q AS (SELECT image_id AS query_id, ph AS qph FROM t ORDER BY image_id LIMIT 8) "
+        "SELECT q.query_id, t.image_id, CAST(bit_count(xor(q.qph, t.ph)) AS BIGINT) AS dist "
+        "FROM q CROSS JOIN t WHERE bit_count(xor(q.qph, t.ph)) <= 10"
+    )
     sql["images_attrs"] = (
         "WITH b AS (SELECT image_id, octet_length(bytes) AS size, hex(bytes) AS h "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "

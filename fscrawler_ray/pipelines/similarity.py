@@ -620,3 +620,70 @@ def knn_pq(sf_dir: str, n_queries: int = 4, k: int = 10, m: int = 8, ks: int = 3
         sims = vv[idx] @ q[qi]
         rows.append(pd.DataFrame({"query_id": qid, "vec_id": sl, "cosine": sims}))
     return _final_topk(pd.concat(rows, ignore_index=True), k)
+
+
+# ---------------------------------------------------------------------------
+# Query-time perceptual-hash retrieval (the image twin of kNN search)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no Python loop)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def phash_search(images_ds, n_queries: int = 8, radius: int = 10):
+    """Query-time near-duplicate IMAGE retrieval: find every corpus image
+    within Hamming ``radius`` of each query's 64-bit perceptual hash —
+    reverse image search over phashes (the query-side complement of
+    ``dedup.phash_neardup_pairs``, which mines all corpus-internal pairs).
+
+    Scale posture (10^10 images): the query side is tiny by definition, so
+    it is BROADCAST (closed over as a Q-sized numpy array) and the corpus
+    streams through one zero-shuffle map_batches doing an (n × Q) XOR +
+    SWAR popcount — no index, no all-to-all.  When Q grows past ~10^3,
+    switch to the banded-bucket prefilter phash_neardup_pairs uses (any
+    pair within Hamming ≤ 6 of a 4×16-bit banding shares a band); the
+    brute probe is the exact baseline the bands are verified against.
+
+    Query selection here (the ``n_queries`` lexicographically-first
+    image_ids) is deterministic test scaffolding — production callers pass
+    their own hashes.
+
+    Output: (query_id, image_id, dist) for every match incl. the query row
+    itself (dist 0) — self-matches certify probe correctness for free.
+    """
+    slim = images_ds.map_batches(
+        lambda b: b.select(["image_id", "phash"]), batch_format="pyarrow"
+    )
+    qrows = slim.sort("image_id").limit(n_queries).take_all()
+    qids = np.array([r["image_id"] for r in qrows], dtype=object)
+    qph = np.array([r["phash"] for r in qrows], dtype=np.int64).view(np.uint64)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_numpy(zero_copy_only=False)
+        ph = b.column("phash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        if not len(ph) or not len(qph):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "image_id": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        d = _popcount64(ph[:, None] ^ qph[None, :])  # (n, Q)
+        ci, qi = np.nonzero(d <= radius)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.string()),
+                "image_id": pa.array(ids[ci], pa.string()),
+                "dist": pa.array(d[ci, qi], pa.int64()),
+            }
+        )
+
+    return slim.map_batches(probe, batch_format="pyarrow")

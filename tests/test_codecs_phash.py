@@ -203,3 +203,44 @@ def test_metadata_extractors_null_on_corrupt_containers():
     assert codecs.parse_iptc(b"\x1c\x02\x78\x00\x02\xff\xfe") is None
     bad_cam = codecs._EXIF_TIFF + codecs._EXIF_FIXED.pack(3, 2, 123) + b"\xff\xfe"
     assert codecs.parse_exif(bad_cam) is None
+
+
+def test_phash_search_radius(ray_session):
+    """Broadcast Hamming probe: finds planted flips within the radius,
+    excludes flips beyond it; self-match at dist 0; popcount exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.pipelines.similarity import _popcount64, phash_search
+
+    base = np.uint64(0xDEADBEEFCAFEF00D)
+
+    def flip(h, bits):
+        x = np.uint64(h)
+        for b in bits:
+            x ^= np.uint64(1) << np.uint64(b)
+        return np.int64(x)
+
+    rows = [
+        ("a-query", np.int64(base)),
+        ("b-near", flip(base, range(3))),       # dist 3 → hit
+        ("c-edge", flip(base, range(10))),      # dist 10 → hit (<= radius)
+        ("d-far", flip(base, range(11))),       # dist 11 → miss
+        ("e-opposite", np.int64(~base)),        # dist 64 → miss
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "phash": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = phash_search(ray.data.from_arrow(t), n_queries=1, radius=10).to_pandas()
+    got = dict(zip(out["image_id"], out["dist"]))
+    assert got == {"a-query": 0, "b-near": 3, "c-edge": 10}
+    assert (out["query_id"] == "a-query").all()
+
+    # SWAR popcount ≡ int.bit_count on random uint64s
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 2**63, size=1000, dtype=np.int64).view(np.uint64)
+    assert (_popcount64(xs) == [int(x).bit_count() for x in xs]).all()
