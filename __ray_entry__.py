@@ -1138,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # oracle replays the rounds as unrolled CTEs (pipelines/bpe.py)
             "bpe_merges": _bpe.q_bpe_merges,
             "bpe_vocab": _bpe.q_bpe_vocab,
+            "bpe_encode_docs": _bpe.q_bpe_encode_docs,
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,

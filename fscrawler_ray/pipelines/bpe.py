@@ -224,7 +224,7 @@ def _iter_sql(k: int) -> str:
     """Unrolled-CTE DuckDB replay of the k merge rounds (the PageRank-style
     fixed-iteration oracle device)."""
     parts = [
-        "WITH w0 AS (SELECT '(' || array_to_string(string_split(word, ''), ')(') "
+        "WITH w0 AS MATERIALIZED (SELECT '(' || array_to_string(string_split(word, ''), ')(') "
         f"|| ')({EOW})' AS s, freq FROM ("
         "SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
@@ -232,14 +232,14 @@ def _iter_sql(k: int) -> str:
     ]
     for i in range(1, k + 1):
         p = (
-            f"p{i} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, "
+            f"p{i} AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs, "
             "CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
             f"SELECT string_split(trim(s, '()'), ')(') AS syms, freq FROM w{i-1}), "
             "unnest(range(1, len(syms))) t(i) GROUP BY lhs, rhs)"
         )
-        m = f"m{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        m = f"m{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
         w = (
-            f"w{i} AS (SELECT replace(s, '(' || m.lhs || ')(' || m.rhs || ')', "
+            f"w{i} AS MATERIALIZED (SELECT replace(s, '(' || m.lhs || ')(' || m.rhs || ')', "
             f"'(' || m.lhs || m.rhs || ')') AS s, freq FROM w{i-1}, m{i} m)"
         )
         parts += [p, m, w]
@@ -264,3 +264,106 @@ def bpe_vocab_sql(k: int = BPE_MERGES) -> str:
 
 
 ORACLE_SQL = {"bpe_merges": bpe_merges_sql(), "bpe_vocab": bpe_vocab_sql()}
+
+
+def q_bpe_encode_docs(sf_dir: str, k: int = BPE_MERGES):
+    """Apply the learned tokenizer to the corpus: per-document subword
+    count under the first ``k`` BPE merges, plus the character count the
+    subwords cover — the fertility / compression diagnostic every
+    tokenizer-training run reports (subwords-per-word, chars-per-subword).
+
+    Scale posture: training touches the corpus once (word-count pass);
+    encoding is ONE more zero-shuffle streaming pass — the k learned
+    merges are a broadcast-sized list applied as k chained vectorized
+    substring replaces per batch.  Nothing corpus-sized shuffles.
+
+    Output: (doc_id, n_words, n_chars, n_subwords).
+    """
+    merges, _ = train_bpe(sf_dir, k=k)
+    pats = [
+        (f"({r['lhs']})({r['rhs']})", f"({r['lhs']}{r['rhs']})")
+        for r in merges.to_pylist()
+    ]
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def encode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.ascii_lower(b.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False)
+        # per-word bracket symbolization, vectorized: each kept word w →
+        # '(' + join(chars, ')(') + ')(</w>)'
+        kept = flat.filter(keep)
+        n_chars_w = pc.utf8_length(kept).cast(pa.int64())
+        words_np = kept.to_numpy(zero_copy_only=False)
+        s = np.array(
+            ["(" + ")(".join(w) + f")({EOW})" for w in words_np], dtype=object
+        )
+        sa = pa.array(s, pa.string())
+        for pat, rep in pats:
+            sa = pc.replace_substring(sa, pat, rep)
+        # subwords per word = bracketed segment count, excluding a
+        # STANDALONE '(</w>)' marker segment (a merged marker like
+        # '(t</w>)' is a real subword and counts)
+        n_sub_w = (
+            pc.count_substring(sa, "(").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            - pc.count_substring(sa, f"({EOW})")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # roll word stats back up to docs
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        w_doc = np.repeat(np.arange(len(lens)), lens)[keep_np]
+        n_docs = b.num_rows
+        n_words = np.bincount(w_doc, minlength=n_docs).astype(np.int64)
+        n_chars = np.zeros(n_docs, np.int64)
+        np.add.at(n_chars, w_doc, n_chars_w.to_numpy(zero_copy_only=False))
+        n_sub = np.zeros(n_docs, np.int64)
+        np.add.at(n_sub, w_doc, n_sub_w)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_chars": pa.array(n_chars),
+                "n_subwords": pa.array(n_sub),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_encode_sql(k: int = BPE_MERGES) -> str:
+    """Replay: explode doc words, apply the SAME k replaces (the merge CTEs
+    come from _iter_sql's m1..mK), count '(' segments per word, roll up."""
+    reps = "s"
+    for i in range(1, k + 1):
+        reps = (
+            f"replace({reps}, '(' || (SELECT lhs FROM m{i}) || ')(' || "
+            f"(SELECT rhs FROM m{i}) || ')', '(' || (SELECT lhs FROM m{i}) || "
+            f"(SELECT rhs FROM m{i}) || ')')"
+        )
+    return (
+        _iter_sql(k) + ", "
+        "dw AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+        "FROM documents), "
+        "enc AS MATERIALIZED (SELECT doc_id, length(word) AS wchars, "
+        "'(' || array_to_string(string_split(word, ''), ')(') || ')(" + EOW + ")' AS s "
+        "FROM dw), "
+        f"done AS MATERIALIZED (SELECT doc_id, wchars, {reps} AS s2 FROM enc) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(e.n_chars, 0) AS BIGINT) AS n_chars, "
+        "CAST(COALESCE(e.n_subwords, 0) AS BIGINT) AS n_subwords "
+        "FROM documents d LEFT JOIN ("
+        "SELECT doc_id, count(*) AS n_words, SUM(wchars) AS n_chars, "
+        "SUM(length(s2) - length(replace(s2, '(', '')) "
+        f"- (length(s2) - length(replace(s2, '({EOW})', ''))) // {len(EOW) + 2}"
+        ") AS n_subwords "
+        "FROM done GROUP BY doc_id) e USING (doc_id)"
+    )
+
+
+ORACLE_SQL["bpe_encode_docs"] = bpe_encode_sql()

@@ -123,3 +123,58 @@ def test_bpe_block_invariance(ray_session):
     finally:
         ray.data.read_parquet = orig
     assert a.to_pylist() == b.to_pylist()
+
+
+def test_bpe_encode_matches_reference(tmp_path, ray_session):
+    """Per-doc subword counts under the learned merges match a row-by-row
+    reference encode (train + apply on the same tiny corpus)."""
+    from fscrawler_ray.pipelines.bpe import q_bpe_encode_docs
+
+    texts = [
+        "low low lower newest newest",
+        "the newest widest low",
+        "",                      # zero-word doc → all-zero row
+        "zz top zz top zz",
+    ]
+    d = _mini_docs(tmp_path, texts)
+    got = (
+        q_bpe_encode_docs(d, k=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    merges, vocab = _ref_bpe(texts, 6)
+    order = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def encode_word(w):
+        syms = list(w) + ["</w>"]
+        while True:
+            best, bi = None, None
+            for i in range(len(syms) - 1):
+                r = order.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                return syms
+            a, b = syms[bi], syms[bi + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    for doc_id, t in enumerate(texts):
+        words = re.findall(r"[a-z]+", t.lower())
+        row = got[got["doc_id"] == doc_id].iloc[0]
+        assert int(row["n_words"]) == len(words)
+        assert int(row["n_chars"]) == sum(len(w) for w in words)
+        # engine counts subwords EXCLUDING the </w> marker symbol per word
+        want_sub = sum(
+            len([s for s in encode_word(w) if s != "</w>"]) for w in words
+        )
+        assert int(row["n_subwords"]) == want_sub, (doc_id, t)
