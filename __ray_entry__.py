@@ -841,6 +841,17 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return phash_search(ds)
 
+    def images_shard_manifest(sf_dir: str):
+        """WebDataset-style byte-budget shard assignment over the spooled
+        image table, SQL-CHECKED: the engine runs the two-level distributed
+        prefix scan; the oracle replays it as one window cumsum."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.image_corpus import shard_manifest
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "bytes"])
+        return shard_manifest(ds)
+
     def images_thumbnails(sf_dir: str):
         """SQL-CHECKED: the actor-pool thumbnailer decodes the REAL payload
         bytes and downscales; the oracle re-derives the thumb dims from the
@@ -1000,6 +1011,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
+        "images_shard_manifest": images_shard_manifest,
         "images_caption_extract": images_caption_extract,
         "images_augment": images_augment,
         "images_aspect_buckets": images_aspect_buckets,
@@ -1510,6 +1522,15 @@ def oracle_sql() -> dict[str, str]:
     # attrs over the spooled input bytes: DuckDB independently re-derives
     # size (octet_length) and the magic-byte sniff (hex-prefix CASE over the
     # container headers: PNG 89504E470D0A1A0A / JPEG FFD8FFE0 / RIFF....WEBP)
+    from fscrawler_ray.pipelines.image_corpus import SHARD_CAP_BYTES
+
+    sql["images_shard_manifest"] = (
+        "SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
+        "CAST(floor(coalesce(sum(octet_length(bytes)) OVER "
+        "(ORDER BY image_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"/ {SHARD_CAP_BYTES}) AS BIGINT) AS shard "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')"
+    )
     sql["images_phash_search"] = (
         "WITH t AS (SELECT image_id, CAST(phash AS BIGINT) AS ph "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "

@@ -135,6 +135,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "images_augment",
         "audio_id3_report",
         "corpus_clean_exact",
+        # round-4 late-session families
+        "span_dedup_clean",
+        "crawl_tier_plan",
+        "bpe_merges",
+        "bpe_encode_docs",
+        "images_phash_search",
     ]
     # time the PRODUCTION paths: the queries() registry widens knn_pq's
     # shortlist to the whole table so the SQL oracle can certify it at

@@ -232,3 +232,54 @@ def aspect_buckets(ds, batch_size: int = 16, range_hex: int = 6):
         )
 
     return slim.groupby(["bucket", "rng"]).map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style training-shard assignment
+
+SHARD_CAP_BYTES = 512 * 1024  # payload bytes per training shard
+
+
+def shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: int = 64):
+    """WebDataset-style shard assignment: images in image_id order are
+    packed into ``cap``-byte training shards by cumulative payload offset
+    (shard = floor(exclusive-prefix-bytes / cap)) — the deterministic,
+    resumable layout a 100-TB image-corpus export wants: any shard can be
+    re-cut independently because its membership is a pure function of the
+    byte prefix sum, not of which writer task ran.
+
+    Reuses textops.pack_by_budget's two-level distributed prefix scan
+    (per-range totals → broadcast offsets → in-range cumsum), so nothing
+    corpus-sized is sorted globally and payload BYTES never shuffle —
+    only (image_id, nbytes) rides the scan.
+
+    Output: (image_id, nbytes, shard) — one row per image.
+    """
+    import numpy as np
+
+    from .textops import pack_by_budget
+
+    def slim(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id")
+        nbytes = pc.binary_length(b.column("bytes")).cast(pa.int64())
+        num = pc.utf8_slice_codeunits(ids, 4, 14).cast(pa.int64())
+        return pa.table(
+            {
+                "image_id": ids,
+                "nbytes": nbytes,
+                "rng": pc.divide(num, range_width),
+            }
+        )
+
+    s = images_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    packed = pack_by_budget(s, "nbytes", cap, ["image_id"])
+    return packed.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "nbytes": b.column("nbytes").cast(pa.int64()),
+                "shard": b.column("bin").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -122,3 +122,36 @@ def test_aspect_buckets_pack_deterministically(ray_session):
     # within a bucket, batches follow image_id order
     g = a[a["bucket"] == a["bucket"].iloc[0]].sort_values("image_id")
     assert (g["batch_idx"].to_numpy() == sorted(g["batch_idx"].to_numpy())).all()
+
+
+def test_shard_manifest_capacity_and_order(ray_session):
+    """Shard assignment is the exclusive-byte-prefix // cap rule: shards
+    are contiguous in image_id order, and every shard's payload stays
+    under cap + its last item's size (an item may straddle the boundary)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.pipelines.image_corpus import shard_manifest
+
+    rng = np.random.default_rng(11)
+    n = 300
+    sizes = rng.integers(1_000, 40_000, size=n)
+    t = pa.table(
+        {
+            "image_id": pa.array([f"img_{i:010d}" for i in range(n)], pa.string()),
+            "bytes": pa.array([b"x" * int(s) for s in sizes], pa.binary()),
+        }
+    )
+    cap = 100_000
+    out = (
+        shard_manifest(ray.data.from_arrow(t), cap=cap, range_width=7)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    prefix = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    assert (out["shard"].to_numpy() == prefix // cap).all()
+    assert (out["nbytes"].to_numpy() == sizes).all()
+    # contiguity: shard ids are non-decreasing in id order
+    assert (np.diff(out["shard"].to_numpy()) >= 0).all()
