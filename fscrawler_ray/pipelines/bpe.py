@@ -149,16 +149,27 @@ def train_bpe(sf_dir: str, k: int = BPE_MERGES):
     words = _word_counts(sf_dir).map_batches(_symbolize, batch_format="pyarrow")
     words = words.materialize()  # vocab-bounded; re-read every round
 
+    def block_best(b: pa.Table) -> pa.Table:
+        """Per-block argmax partial (cnt desc, then lexicographic): the
+        global top-1 needs no sort shuffle — each aggregate block emits one
+        candidate and the driver folds the block-count-sized remainder."""
+        if not b.num_rows:
+            return b
+        import pandas as pd
+
+        df = b.to_pandas().sort_values(
+            ["cnt", "lhs", "rhs"], ascending=[False, True, True]
+        )
+        return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
     steps = []
     for step in range(1, k + 1):
-        top = (
-            _pair_counts(words)
-            .sort(["cnt", "lhs", "rhs"], descending=[True, False, False])
-            .limit(1)
-            .take_all()
-        )
-        if not top:
+        cands = _pair_counts(words).map_batches(
+            block_best, batch_format="pyarrow"
+        ).take_all()
+        if not cands:
             break
+        top = sorted(cands, key=lambda r: (-r["cnt"], r["lhs"], r["rhs"]))[:1]
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         steps.append({"step": step, "lhs": lhs, "rhs": rhs, "cnt": cnt})
         pat, rep = f"({lhs})({rhs})", f"({lhs}{rhs})"
