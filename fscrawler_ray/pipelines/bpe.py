@@ -195,15 +195,28 @@ def train_bpe(sf_dir: str, k: int = BPE_MERGES):
     return merges, words
 
 
+_TRAIN_CACHE: dict[tuple, tuple] = {}
+
+
+def _trained(sf_dir: str, k: int = BPE_MERGES):
+    """Per-process memo of (merges, final words ds): the trainer is
+    deterministic, so the three queries() surfaces (merges / vocab /
+    encode) share one run per (sf_dir, k) inside a sweep or bench."""
+    key = (sf_dir, k)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = train_bpe(sf_dir, k=k)
+    return _TRAIN_CACHE[key]
+
+
 def q_bpe_merges(sf_dir: str):
     """queries() surface: the learned merge table (the tokenizer)."""
-    return train_bpe(sf_dir)[0]
+    return _trained(sf_dir)[0]
 
 
 def q_bpe_vocab(sf_dir: str):
     """queries() surface: symbol inventory after BPE_MERGES merges —
     per-symbol corpus counts (freq-weighted), the subword vocabulary."""
-    _, words = train_bpe(sf_dir)
+    _, words = _trained(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -290,7 +303,7 @@ def q_bpe_encode_docs(sf_dir: str, k: int = BPE_MERGES):
 
     Output: (doc_id, n_words, n_chars, n_subwords).
     """
-    merges, _ = train_bpe(sf_dir, k=k)
+    merges, _ = _trained(sf_dir, k)
     pats = [
         (f"({r['lhs']})({r['rhs']})", f"({r['lhs']}{r['rhs']})")
         for r in merges.to_pylist()
