@@ -397,3 +397,28 @@ def tier_plan(out_dir: str, budget: int = TIER_BUDGET):
         return b.drop_columns(["mass"]).append_column("budget", pa.array(bud))
 
     return hosts_ds.map_batches(allocate, batch_format="pyarrow")
+
+
+def tier_priorities(plan, floor: float = 0.25) -> dict:
+    """Close the tier-crawl loop: convert a ``tier_plan`` result into the
+    ``CrawlConfig.host_priorities`` rate map for the NEXT crawl cycle —
+    each host's token-bucket refill scales by budget share, so hot-tier
+    hosts refetch at full politeness rate while archive-tier hosts throttle
+    toward ``floor`` (weights live in (0, 1]; the engine never rates UP,
+    so the politeness ceiling is preserved — frontier.py:425-431).
+
+    Only hosts throttled below 1.0 are emitted (absent host → full rate),
+    so the map's size is bounded by the throttled set, not the host count;
+    a deployment feeding a 10^8-host plan keeps its top-K throttle list.
+    """
+    import numpy as np
+
+    if hasattr(plan, "to_pandas"):
+        plan = plan.to_pandas()
+    hosts = plan["host"].to_numpy()
+    budget = plan["budget"].to_numpy()
+    mx = budget.max() if len(budget) else 0
+    if not mx:
+        return {}
+    w = np.clip(budget / mx, floor, 1.0)
+    return {str(h): float(x) for h, x in zip(hosts, w) if x < 1.0}

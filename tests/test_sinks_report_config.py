@@ -287,3 +287,55 @@ def test_tier_plan_brute_force(tmp_path, ray_session):
         assert g["tier"] == r["tier"]
     # budget never exceeds the cycle allowance and hot hosts outrank archive
     assert int(got["budget"].sum()) <= TIER_BUDGET
+
+
+def test_tier_crawl_loop_composed(tmp_path, ray_session):
+    """The tier-crawl loop end-to-end: crawl → tier_plan over the written
+    snapshot → tier_priorities → re-crawl under the throttle map.
+    Invariants: (a) coverage is priority-invariant (rate knobs only),
+    (b) every throttled host obeys its scaled per-round politeness bound,
+    (c) at least one host was actually throttled (the plan bites)."""
+    import math
+    from collections import Counter
+
+    from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from fscrawler_ray.pipelines.crawl_report import tier_plan, tier_priorities
+    from fscrawler_ray.sources.synthweb import SynthWeb, WebConfig
+
+    web = WebConfig(seed=42, n_hosts=12, max_depth=3)
+    budget = 6
+    out = str(tmp_path / "cycle1")
+    eng = CrawlEngine(
+        CrawlConfig(web=web, n_shards=2, politeness_budget=budget,
+                    max_rounds=60, out_dir=out)
+    )
+    eng.run(SynthWeb(web).seeds())
+    urls1 = set(r["url"] for r in eng.trace_table().to_pylist())
+    eng.shutdown()
+
+    plan = tier_plan(out).to_pandas()
+    prio = tier_priorities(plan, floor=0.25)
+    assert prio, "tier plan should throttle at least one non-max host"
+    assert all(0 < w < 1 for w in prio.values())
+
+    import ray
+
+    out2 = str(tmp_path / "cycle2")
+    eng2 = CrawlEngine(
+        CrawlConfig(web=web, n_shards=2, politeness_budget=budget,
+                    max_rounds=200, host_priorities=prio, out_dir=out2)
+    )
+    eng2.run(SynthWeb(web).seeds())
+    trace2 = eng2.trace_table().to_pylist()
+    eng2.shutdown()
+
+    # (a) coverage unchanged
+    assert set(r["url"] for r in trace2) == urls1
+    # (b) per-(host, round) written rows obey the throttled refill (the
+    # hive 'round' partition carries the round number)
+    rows = ray.data.read_parquet(out2, columns=["host", "round"]).take_all()
+    per = Counter((r["host"], r["round"]) for r in rows)
+    assert per
+    for (h, _), n in per.items():
+        w = prio.get(h, 1.0)
+        assert n <= math.ceil(budget * w), (h, n, w)
