@@ -1151,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bpe_merges": _bpe.q_bpe_merges,
             "bpe_vocab": _bpe.q_bpe_vocab,
             "bpe_encode_docs": _bpe.q_bpe_encode_docs,
+            "bpe_fertility_by_lang": _bpe.q_bpe_fertility_by_lang,
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,

@@ -391,3 +391,105 @@ def bpe_encode_sql(k: int = BPE_MERGES) -> str:
 
 
 ORACLE_SQL["bpe_encode_docs"] = bpe_encode_sql()
+
+
+def q_bpe_fertility_by_lang(sf_dir: str, k: int = BPE_MERGES):
+    """Tokenizer-equity diagnostic (fertility per language): fold the
+    per-document encode stats by documents.lang — fertility_micro =
+    subwords-per-word × 10^6 as exact integer division, the number a
+    multilingual tokenizer run inspects to see which languages the merge
+    inventory under-serves.  Same posture as q_bpe_encode_docs plus one
+    lang-bounded groupby; the doc→lang decoration rides the encode pass
+    (doc_id order is block order, so lang comes from the SAME read —
+    no join)."""
+    merges, _ = _trained(sf_dir, k)
+    pats = [
+        (f"({r['lhs']})({r['rhs']})", f"({r['lhs']}{r['rhs']})")
+        for r in merges.to_pylist()
+    ]
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(pc.ascii_lower(b.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False)
+        kept = flat.filter(keep)
+        words_np = kept.to_numpy(zero_copy_only=False)
+        s = np.array(
+            ["(" + ")(".join(w) + f")({EOW})" for w in words_np], dtype=object
+        )
+        sa = pa.array(s, pa.string())
+        for pat, rep in pats:
+            sa = pc.replace_substring(sa, pat, rep)
+        n_sub_w = (
+            pc.count_substring(sa, "(").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            - pc.count_substring(sa, f"({EOW})")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        w_doc = np.repeat(np.arange(len(lens)), lens)[keep_np]
+        codes, langs = pd.factorize(b.column("lang").to_pandas(), sort=False)
+        n_words = np.bincount(codes[w_doc], minlength=len(langs)).astype(np.int64)
+        n_sub = np.zeros(len(langs), np.int64)
+        np.add.at(n_sub, codes[w_doc], n_sub_w)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_words": pa.array(n_words),
+                "n_subwords": pa.array(n_sub),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_words"), Sum("n_subwords"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["lang", "n_words", "n_subwords"])
+        # a lang with zero extractable words has no word rows in the SQL
+        # twin (GROUP BY over the word table) — drop it here too
+        b = b.filter(pc.greater(b.column("n_words"), 0))
+        w = b.column("n_words").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("n_subwords").to_numpy(zero_copy_only=False).astype(np.int64)
+        fert = s * 1_000_000 // np.maximum(w, 1)
+        return b.append_column("fertility_micro", pa.array(fert, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bpe_fertility_sql(k: int = BPE_MERGES) -> str:
+    reps = "s"
+    for i in range(1, k + 1):
+        reps = (
+            f"replace({reps}, '(' || (SELECT lhs FROM m{i}) || ')(' || "
+            f"(SELECT rhs FROM m{i}) || ')', '(' || (SELECT lhs FROM m{i}) || "
+            f"(SELECT rhs FROM m{i}) || ')')"
+        )
+    return (
+        _iter_sql(k) + ", "
+        "dw2 AS MATERIALIZED (SELECT lang, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), "
+        "enc2 AS MATERIALIZED (SELECT lang, "
+        "'(' || array_to_string(string_split(word, ''), ')(') || ')(" + EOW + ")' AS s "
+        "FROM dw2), "
+        f"done2 AS MATERIALIZED (SELECT lang, {reps} AS s2 FROM enc2) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(length(s2) - length(replace(s2, '(', '')) "
+        f"- (length(s2) - length(replace(s2, '({EOW})', ''))) // {len(EOW) + 2}"
+        ") AS BIGINT) AS n_subwords, "
+        "CAST(SUM(length(s2) - length(replace(s2, '(', '')) "
+        f"- (length(s2) - length(replace(s2, '({EOW})', ''))) // {len(EOW) + 2}"
+        ") * 1000000 // count(*) AS BIGINT) AS fertility_micro "
+        "FROM done2 GROUP BY lang"
+    )
+
+
+ORACLE_SQL["bpe_fertility_by_lang"] = bpe_fertility_sql()
