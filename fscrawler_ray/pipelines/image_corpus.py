@@ -283,3 +283,83 @@ def shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: int = 64)
         ),
         batch_format="pyarrow",
     )
+
+
+def write_shards(images_ds, out_dir: str, cap: int = SHARD_CAP_BYTES, range_width: int = 64):
+    """Materialize the shard layout ``shard_manifest`` plans: one payload
+    blob per shard (concatenated image bytes in image_id order) plus an
+    index parquet per shard recording (image_id, offset, nbytes) — the
+    WebDataset/tar-analog export a training loader memory-maps.
+
+    Resumable by construction (the W2 batched-commit stance,
+    crawl/engine.py round partitions): a shard whose blob AND index both
+    exist is skipped on re-run, so a failed export restarts where it died;
+    blob+index are written blob-first and the index last, making the index
+    the commit marker.  Shard membership is a pure prefix-sum function, so
+    a re-cut after a failure reproduces identical files.
+
+    The one wide step is the shard-keyed groupby that co-locates each
+    shard's payload rows in its writer task; shard ids are contiguous in
+    image_id order, so the exchange is near-local, and each group is
+    cap-bounded (≤ cap + one straddling item).
+
+    Returns the per-shard summary (shard, n_items, total_bytes, skipped).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    assign = shard_manifest(images_ds, cap=cap, range_width=range_width)
+    from ..stages.joins import join as _join
+
+    rows = _join(
+        images_ds.map_batches(
+            lambda b: b.select(["image_id", "bytes"]), batch_format="pyarrow"
+        ),
+        assign,
+        on="image_id",
+        how="inner",
+    )
+
+    def write_one(g):
+        import pandas as pd
+
+        g = g.sort_values("image_id")
+        shard = int(g["shard"].iloc[0])
+        blob_path = os.path.join(out_dir, f"shard-{shard:06d}.bin")
+        idx_path = os.path.join(out_dir, f"shard-{shard:06d}.index.parquet")
+        if os.path.exists(idx_path) and os.path.exists(blob_path):
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_items": [len(g)],
+                    "total_bytes": [int(g["nbytes"].sum())],
+                    "skipped": [True],
+                }
+            )
+        payloads = g["bytes"].tolist()
+        sizes = np.array([len(p) for p in payloads], np.int64)
+        offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        with open(blob_path, "wb") as f:
+            for p in payloads:
+                f.write(p)
+        idx = pa.table(
+            {
+                "image_id": pa.array(g["image_id"].tolist(), pa.string()),
+                "offset": pa.array(offs),
+                "nbytes": pa.array(sizes),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(idx, idx_path)  # index last = commit marker
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_items": [len(g)],
+                "total_bytes": [int(sizes.sum())],
+                "skipped": [False],
+            }
+        )
+
+    return rows.groupby("shard").map_groups(write_one, batch_format="pandas")

@@ -155,3 +155,65 @@ def test_shard_manifest_capacity_and_order(ray_session):
     assert (out["nbytes"].to_numpy() == sizes).all()
     # contiguity: shard ids are non-decreasing in id order
     assert (np.diff(out["shard"].to_numpy()) >= 0).all()
+
+
+def test_write_shards_roundtrip_and_resume(tmp_path, ray_session):
+    """Shard export: blobs + offset indexes reconstruct every payload
+    byte-for-byte; a re-run skips every completed shard (index = commit
+    marker); membership matches shard_manifest exactly."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from fscrawler_ray.pipelines.image_corpus import shard_manifest, write_shards
+
+    rng = np.random.default_rng(5)
+    n = 120
+    payloads = [rng.bytes(int(s)) for s in rng.integers(500, 9_000, size=n)]
+    t = pa.table(
+        {
+            "image_id": pa.array([f"img_{i:010d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = str(tmp_path / "shards")
+    cap = 25_000
+    summary = (
+        write_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9)
+        .to_pandas()
+        .sort_values("shard")
+    )
+    assert not summary["skipped"].any()
+    assert summary["n_items"].sum() == n
+
+    want = (
+        shard_manifest(ray.data.from_arrow(t), cap=cap, range_width=9)
+        .to_pandas()
+        .sort_values("image_id")
+    )
+    got_rows = {}
+    for shard in summary["shard"]:
+        blob = open(os.path.join(out, f"shard-{shard:06d}.bin"), "rb").read()
+        idx = pq.read_table(
+            os.path.join(out, f"shard-{shard:06d}.index.parquet")
+        ).to_pandas()
+        assert len(blob) == int(idx["nbytes"].sum())
+        for _, r in idx.iterrows():
+            got_rows[r["image_id"]] = (
+                shard,
+                blob[int(r["offset"]) : int(r["offset"]) + int(r["nbytes"])],
+            )
+    assert len(got_rows) == n
+    for i, (_, w) in enumerate(want.iterrows()):
+        shard, data = got_rows[w["image_id"]]
+        assert shard == int(w["shard"])
+        assert data == payloads[i]
+
+    # resume: everything already committed → all skipped, files untouched
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+    again = write_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9).to_pandas()
+    assert again["skipped"].all()
+    assert mtimes == {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
