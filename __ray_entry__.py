@@ -685,6 +685,23 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_host_quality(sf_dir: str):
+        """Per-host image-quality ladder pass rates over the shared written
+        run, SQL-CHECKED (integer metadata predicates only)."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import host_quality
+
+        return _collect(
+            host_quality(_shared_written_run(sf_dir)),
+            {
+                "host": pa.string(),
+                "n_images": pa.int64(),
+                "n_pass": pa.int64(),
+                "pass_rate_micro": pa.int64(),
+            },
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -721,6 +738,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit": crawl_politeness_audit,
         "crawl_depth_funnel": crawl_depth_funnel,
         "crawl_tier_plan": crawl_tier_plan,
+        "crawl_host_quality": crawl_host_quality,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1329,6 +1347,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT hw.host, hw.n_urls, hw.changes, CAST(hw.rate_micro AS BIGINT) AS rate_micro, "
         "hw.tier, CAST(tq.tier_quota * hw.n_urls // tq.tier_urls AS BIGINT) AS budget "
         "FROM hw JOIN tq USING (tier)"
+    )
+    sql["crawl_host_quality"] = (
+        "WITH f AS (SELECT host, "
+        "CASE WHEN w >= 48 AND h >= 48 AND 2 * greatest(w, h) <= 5 * least(w, h) "
+        "AND len(regexp_extract_all(coalesce(caption, ''), '\\S+')) >= 3 "
+        "THEN 1 ELSE 0 END AS ok "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(sum(ok) AS BIGINT) AS n_pass, "
+        "CAST(sum(ok) * 1000000 // greatest(count(*), 1) AS BIGINT) AS pass_rate_micro "
+        "FROM f GROUP BY host"
     )
     sql["crawl_politeness_audit"] = (
         "WITH pr AS (SELECT host, round, CAST(count(*) AS BIGINT) AS n "

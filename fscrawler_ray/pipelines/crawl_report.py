@@ -422,3 +422,75 @@ def tier_priorities(plan, floor: float = 0.25) -> dict:
         return {}
     w = np.clip(budget / mx, floor, 1.0)
     return {str(h): float(x) for h, x in zip(hosts, w) if x < 1.0}
+
+
+def host_quality(out_dir: str):
+    """Per-host image-quality rollup over a crawl snapshot — the signal a
+    tier-crawl fleet feeds back into budget allocation (a host serving
+    icons and captionless banners earns fewer recrawl slots than one
+    serving well-captioned photos).  The ladder is the METADATA prefix of
+    image_corpus.clean_image_corpus's rules — min side 48, aspect ≤ 2.5,
+    caption ≥ 3 tokens — in pure integer arithmetic (aspect as
+    2·max(w,h) ≤ 5·min(w,h)) so a SQL oracle replays it exactly; the
+    decode-stage rules (brightness) stay in the actor-pool pipeline.
+
+    One URL-sized streaming pass (per-block host partials), one
+    host-bounded groupby.  Output: (host, n_images, n_pass,
+    pass_rate_micro)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(out_dir, columns=["host", "w", "h", "caption"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if not b.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "n_images": pa.array([], pa.int64()),
+                    "n_pass": pa.array([], pa.int64()),
+                }
+            )
+        w = b.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        cap = pc.coalesce(b.column("caption"), pa.scalar(""))
+        ntok = np.zeros(b.num_rows, np.int64)
+        toks = pc.split_pattern_regex(cap, r"\S+")  # count matches via split
+        # token count = number of \S+ runs = pieces - 1 when splitting ON
+        # the runs themselves
+        ntok = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            - 1
+        )
+        mx, mn = np.maximum(w, h), np.minimum(w, h)
+        ok = (w >= 48) & (h >= 48) & (2 * mx <= 5 * mn) & (ntok >= 3)
+        codes, hosts = pd.factorize(b.column("host").to_pandas(), sort=False)
+        n = np.bincount(codes, minlength=len(hosts)).astype(np.int64)
+        p = np.zeros(len(hosts), np.int64)
+        np.add.at(p, codes, ok.astype(np.int64))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_images": pa.array(n),
+                "n_pass": pa.array(p),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_images"), Sum("n_pass"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = b.rename_columns(["host", "n_images", "n_pass"])
+        n = b.column("n_images").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("n_pass").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "pass_rate_micro", pa.array(p * 1_000_000 // np.maximum(n, 1), pa.int64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
