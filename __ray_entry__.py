@@ -836,6 +836,32 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return phash_dedup_keep_best(images_dataset(rows_for_sf(sf_dir)))
 
+    def images_phash_dedup_spool(sf_dir: str):
+        """SQL-CHECKED twin of images_phash_dedup: the SAME groupby-dedup
+        kernel (group by phash → min keeper → copies>1) over the SPOOLED
+        phash column, so DuckDB can replay the group/keeper/copies logic
+        exactly.  The decode-side phash (pixels → hash) stays pytest-
+        verified; this certifies the distributed dedup shape."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import phash_dedup
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
+        return phash_dedup(ds)
+
+    def images_dedup_keep_best_spool(sf_dir: str):
+        """SQL-CHECKED twin of images_dedup_keep_best: the argmax-join
+        keep-best-resolution keeper policy over the spooled metadata vs
+        DuckDB's max-px + equality-join replay."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import phash_dedup_keep_best
+
+        ds = _ray.data.read_parquet(
+            _images_spool(sf_dir), columns=["image_id", "phash", "w", "h"]
+        )
+        return phash_dedup_keep_best(ds)
+
     def images_phash_neardup(sf_dir: str):
         from fscrawler_ray.pipelines.dedup import phash_neardup_pairs
 
@@ -1024,7 +1050,9 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_attrs": images_attrs,
         "images_caption_features": images_caption_features,
         "images_phash_dedup": images_phash_dedup,
+        "images_phash_dedup_spool": images_phash_dedup_spool,
         "images_dedup_keep_best": images_dedup_keep_best,
+        "images_dedup_keep_best_spool": images_dedup_keep_best_spool,
         "images_phash_neardup": images_phash_neardup,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
@@ -1646,6 +1674,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT image_id, lbl AS bucket, "
         "CAST((row_number() OVER (PARTITION BY lbl ORDER BY image_id) - 1) // 16 AS BIGINT) AS batch_idx "
         "FROM pick"
+    )
+    sql["images_phash_dedup_spool"] = (
+        "SELECT CAST(phash AS BIGINT) AS phash, min(image_id) AS keeper_image_id, "
+        "CAST(count(*) AS BIGINT) AS copies "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') "
+        "GROUP BY phash HAVING count(*) > 1"
+    )
+    sql["images_dedup_keep_best_spool"] = (
+        "WITH s AS (SELECT CAST(phash AS BIGINT) AS phash, image_id, "
+        "CAST(w AS BIGINT) * h AS px "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "m AS (SELECT phash, max(px) AS best_px FROM s GROUP BY phash) "
+        "SELECT s.phash, min(s.image_id) AS keeper_image_id, "
+        "CAST(count(*) AS BIGINT) AS ties "
+        "FROM s JOIN m USING (phash) WHERE s.px = m.best_px GROUP BY s.phash"
     )
     sql["images_caption_features"] = (
         "WITH c AS (SELECT image_id, caption, "
