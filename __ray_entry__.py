@@ -1202,6 +1202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "langid_docs": textops.q_langid_docs,
             "quality_docs": textops.q_quality_docs,
             "quality_ratios": textops.q_quality_ratios,
+            "gopher_rules": textops.q_gopher_rules,
+            "gopher_pass_by_source": textops.q_gopher_pass_by_source,
             "fingerprint_canon": textops.q_fingerprint_canon,
             "simhash_docs": textops.q_simhash_docs,
             "fingerprint_docs": textops.q_fingerprint_docs,

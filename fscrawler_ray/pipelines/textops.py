@@ -298,6 +298,59 @@ _WRAP64 = (
     "ELSE CAST({v} AS HUGEINT) END AS BIGINT)"
 )
 
+# Gopher rules: every count is RE2 on both sides; every threshold is a
+# cross-multiplied integer inequality, so the flags replay bit-for-bit
+# Gopher's published list is {the,be,to,of,and,that,have,with}; "be" is
+# swapped for "a" so the rule discriminates on this synthetic corpus's
+# vocabulary (the ≥2-distinct semantics are unchanged)
+GOPHER_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOP_SUM = " + ".join(
+    f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+    for w in GOPHER_STOPWORDS
+)
+_GOPHER_COUNTS_CTE = (
+    "SELECT doc_id, source, "
+    "cast(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+    "length(text) - cast(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_wordchars, "
+    "cast(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS n_sym, "
+    "1 + cast(len(regexp_extract_all(text, '\\n')) AS BIGINT) AS n_lines, "
+    "cast(len(regexp_extract_all(text, '(?m)^[ \\t]*[•*-]')) AS BIGINT) AS n_bullet, "
+    "cast(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS BIGINT) AS n_ell, "
+    "cast(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS n_alpha_w, "
+    f"({_GOPHER_STOP_SUM}) AS n_stop "
+    "FROM documents"
+)
+_GOPHER_FLAGS_CTE = (
+    "SELECT doc_id, source, n_words, "
+    f"CASE WHEN n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS r_word_count, "
+    "CASE WHEN 3 * n_words <= n_wordchars AND n_wordchars <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_len, "
+    "CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS r_symbol, "
+    "CASE WHEN 10 * n_bullet <= n_lines THEN 1 ELSE 0 END AS r_bullet, "
+    "CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS r_ellipsis, "
+    "CASE WHEN 5 * n_alpha_w >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha, "
+    "CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop "
+    "FROM c"
+)
+ORACLE_SQL["gopher_rules"] = (
+    f"WITH c AS ({_GOPHER_COUNTS_CTE}), f AS ({_GOPHER_FLAGS_CTE}) "
+    "SELECT doc_id, n_words, "
+    "CAST(r_word_count AS BIGINT) AS r_word_count, CAST(r_mean_len AS BIGINT) AS r_mean_len, "
+    "CAST(r_symbol AS BIGINT) AS r_symbol, CAST(r_bullet AS BIGINT) AS r_bullet, "
+    "CAST(r_ellipsis AS BIGINT) AS r_ellipsis, CAST(r_alpha AS BIGINT) AS r_alpha, "
+    "CAST(r_stop AS BIGINT) AS r_stop, "
+    "CAST(r_word_count * r_mean_len * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop AS BIGINT) AS gopher_pass "
+    "FROM f"
+)
+ORACLE_SQL["gopher_pass_by_source"] = (
+    f"WITH c AS ({_GOPHER_COUNTS_CTE}), f AS ({_GOPHER_FLAGS_CTE}), "
+    "p AS (SELECT source, r_word_count * r_mean_len * r_symbol * r_bullet * "
+    "r_ellipsis * r_alpha * r_stop AS gpass FROM f) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(gpass) AS BIGINT) AS n_pass, "
+    "CAST(sum(gpass) * 1000000 // count(*) AS BIGINT) AS pass_rate_micro "
+    "FROM p GROUP BY source"
+)
 ORACLE_SQL["simhash_md5_docs"] = (
     "WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS s FROM documents), "
     "tk0 AS (SELECT doc_id, s[i] AS tok FROM raw, unnest(generate_series(1, len(s))) AS u(i)), "
@@ -833,6 +886,142 @@ def q_normalize_docs(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def gopher_flag_batch(text: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) as EXACT
+    integer comparisons — every threshold is a cross-multiplied integer
+    inequality (3·n_words ≤ n_wordchars instead of mean ≥ 3.0), so DuckDB
+    replays the flags bit-for-bit with no float drift.  Both engines run
+    RE2, so every count is `count_substring_regex` ≡
+    `len(regexp_extract_all(...))`.  Rules:
+
+      r_word_count : 50 ≤ n_words ≤ 100000
+      r_mean_len   : mean word length in [3, 10]
+      r_symbol     : (# + … + ...) per word ≤ 0.1
+      r_bullet     : ≥ 90% of lines do NOT start with a bullet
+      r_ellipsis   : ≤ 30% of lines end with an ellipsis
+      r_alpha      : ≥ 80% of words contain an alphabetic character
+      r_stop       : ≥ 2 distinct Gopher stop words present
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_words = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    n_ws = pc.count_substring_regex(text, r"\s").cast(pa.int64())
+    n_wordchars = pc.subtract(pc.utf8_length(text).cast(pa.int64()), n_ws)
+    n_sym = pc.count_substring_regex(text, r"#|…|\.\.\.").cast(pa.int64())
+    n_lines = pc.add(pc.count_substring_regex(text, r"\n").cast(pa.int64()), 1)
+    n_bullet = pc.count_substring_regex(text, r"(?m)^[ \t]*[•*-]").cast(pa.int64())
+    n_ell = pc.count_substring_regex(text, r"(?m)(\.\.\.|…)$").cast(pa.int64())
+    n_alpha_w = pc.count_substring_regex(text, r"\S*[A-Za-z]\S*").cast(pa.int64())
+    low = pc.utf8_lower(text)
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = pc.match_substring_regex(low, rf"\b{w}\b").cast(pa.int64())
+        n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+
+    def _flag(b):
+        return b.cast(pa.int64())
+
+    r_wc = _flag(
+        pc.and_(
+            pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+            pc.less_equal(n_words, GOPHER_MAX_WORDS),
+        )
+    )
+    r_ml = _flag(
+        pc.and_(
+            pc.less_equal(pc.multiply(n_words, 3), n_wordchars),
+            pc.less_equal(n_wordchars, pc.multiply(n_words, 10)),
+        )
+    )
+    r_sym = _flag(pc.less_equal(pc.multiply(n_sym, 10), n_words))
+    r_bul = _flag(pc.less_equal(pc.multiply(n_bullet, 10), n_lines))
+    r_ell = _flag(pc.less_equal(pc.multiply(n_ell, 10), pc.multiply(n_lines, 3)))
+    r_alp = _flag(pc.greater_equal(pc.multiply(n_alpha_w, 5), pc.multiply(n_words, 4)))
+    r_stp = _flag(pc.greater_equal(n_stop, 2))
+    gpass = r_wc
+    for r in (r_ml, r_sym, r_bul, r_ell, r_alp, r_stp):
+        gpass = pc.multiply(gpass, r)
+    return pa.table(
+        {
+            "n_words": n_words,
+            "r_word_count": r_wc,
+            "r_mean_len": r_ml,
+            "r_symbol": r_sym,
+            "r_bullet": r_bul,
+            "r_ellipsis": r_ell,
+            "r_alpha": r_alp,
+            "r_stop": r_stp,
+            "gopher_pass": gpass,
+        }
+    )
+
+
+def q_gopher_rules(sf_dir: str):
+    """Per-document Gopher quality-rule flags — one zero-shuffle streaming
+    pass (the standard pretraining-corpus quality gate, beside the C4
+    rules in corpus.py and the CCNet LM buckets)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        flags = gopher_flag_batch(b.column("text"))
+        return pa.table({"doc_id": b.column("doc_id"), **{c: flags.column(c) for c in flags.column_names}})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_gopher_pass_by_source(sf_dir: str):
+    """Gopher pass-rate rollup per source — per-block integer partials
+    before one source-sized groupby (the curation feedback signal: which
+    ingestion source is producing junk)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def f(b: pa.Table) -> pa.Table:
+        flags = gopher_flag_batch(b.column("text"))
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "source": b.column("source"),
+                    "n_docs": pa.array([1] * len(b), pa.int64()),
+                    "n_pass": flags.column("gopher_pass"),
+                }
+            ),
+            ["source"],
+        ).aggregate([("n_docs", "sum"), ("n_pass", "sum")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": g.column("n_docs_sum"),
+                "n_pass": g.column("n_pass_sum"),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_pass"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": b.column("sum(n_docs)"),
+                "n_pass": b.column("sum(n_pass)"),
+                # int64 // int64: pyarrow divide truncates, and both
+                # operands are non-negative, so trunc ≡ floor ≡ DuckDB //
+                "pass_rate_micro": pc.divide(
+                    pc.multiply(b.column("sum(n_pass)").cast(pa.int64()), 1_000_000),
+                    b.column("sum(n_docs)").cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_approx_median_chars_by_lang(sf_dir: str):

@@ -333,3 +333,36 @@ def test_source_kl_detects_lexical_outlier(tmp_path, ray_session):
     out = q_source_kl(str(tmp_path)).to_pandas().set_index("source")["kl_micro"]
     assert (out >= -3).all(), out  # ≥ 0 up to per-term quantization
     assert out["outlier"] > 3 * max(out[s] for s in out.index if s != "outlier")
+
+
+def test_gopher_flags_rules():
+    """Each Gopher rule trips on its crafted violator and passes on a
+    clean document; the flags are exact integers (no float thresholds)."""
+    import pyarrow as pa
+
+    from fscrawler_ray.pipelines.textops import gopher_flag_batch
+
+    clean = "the quick brown fox jumps over a lazy dog " * 8  # 72 words, the+a
+    short = "the a fox"  # < 50 words
+    symbolic = ("# " * 30 + "the a word ") * 2  # symbol ratio > 0.1
+    bullets = "\n".join("- the a item %d word word word word" % i for i in range(8))
+    ellipses = "\n".join("the a line %d word word..." % i for i in range(10))
+    numeric = "the a " + " ".join(str(i) for i in range(60))  # <80% alpha words
+    longwords = "the a " + " ".join(["x" * 40] * 60)  # mean word len > 10
+    t = gopher_flag_batch(
+        pa.array([clean, short, symbolic, bullets, ellipses, numeric, longwords])
+    )
+    flags = {c: t.column(c).to_pylist() for c in t.column_names}
+    assert flags["gopher_pass"][0] == 1
+    assert flags["r_word_count"][1] == 0
+    assert flags["r_symbol"][2] == 0
+    assert flags["r_bullet"][3] == 0
+    assert flags["r_ellipsis"][4] == 0
+    assert flags["r_alpha"][5] == 0
+    assert flags["r_mean_len"][6] == 0
+    assert flags["r_stop"][0] == 1 and all(
+        f == 0 for f in gopher_flag_batch(pa.array(["zork " * 60])).column("r_stop").to_pylist()
+    )
+    # every flag column is int64 0/1
+    for c in t.column_names:
+        assert t.column(c).type == pa.int64()
