@@ -702,6 +702,27 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_url_filter(sf_dir: str):
+        """FineWeb-style per-URL filter verdicts over the shared written
+        run, SQL-CHECKED (integer structural predicates + broadcast host
+        blocklist + banned-token list)."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import url_filter
+
+        return _collect(
+            url_filter(_shared_written_run(sf_dir)),
+            {
+                "url": pa.string(),
+                "r_len": pa.int64(),
+                "r_digits": pa.int64(),
+                "r_depth": pa.int64(),
+                "r_host": pa.int64(),
+                "r_token": pa.int64(),
+                "url_pass": pa.int64(),
+            },
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -739,6 +760,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth_funnel": crawl_depth_funnel,
         "crawl_tier_plan": crawl_tier_plan,
         "crawl_host_quality": crawl_host_quality,
+        "crawl_url_filter": crawl_url_filter,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1676,6 +1698,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT image_id, lbl AS bucket, "
         "CAST((row_number() OVER (PARTITION BY lbl ORDER BY image_id) - 1) // 16 AS BIGINT) AS batch_idx "
         "FROM pick"
+    )
+    from fscrawler_ray.pipelines.crawl_report import (
+        URL_BANNED_TOKENS,
+        URL_BLOCKED_HOSTS,
+        URL_MAX_LEN,
+        URL_MAX_SLASHES,
+    )
+
+    _blk = ", ".join(f"'{h}'" for h in URL_BLOCKED_HOSTS)
+    _tok = " OR ".join(f"regexp_matches(url, '{t}')" for t in URL_BANNED_TOKENS)
+    sql["crawl_url_filter"] = (
+        "WITH c AS (SELECT url, host, CAST(length(url) AS BIGINT) AS ln, "
+        "cast(len(regexp_extract_all(url, '[0-9]')) AS BIGINT) AS n_dig, "
+        "cast(len(regexp_extract_all(url, '/')) AS BIGINT) AS n_sl "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "
+        "SELECT url, "
+        f"CAST(CASE WHEN ln <= {URL_MAX_LEN} THEN 1 ELSE 0 END AS BIGINT) AS r_len, "
+        "CAST(CASE WHEN 4 * n_dig <= ln THEN 1 ELSE 0 END AS BIGINT) AS r_digits, "
+        f"CAST(CASE WHEN n_sl <= {URL_MAX_SLASHES} THEN 1 ELSE 0 END AS BIGINT) AS r_depth, "
+        f"CAST(CASE WHEN host IN ({_blk}) THEN 0 ELSE 1 END AS BIGINT) AS r_host, "
+        f"CAST(CASE WHEN {_tok} THEN 0 ELSE 1 END AS BIGINT) AS r_token, "
+        f"CAST(CASE WHEN ln <= {URL_MAX_LEN} AND 4 * n_dig <= ln "
+        f"AND n_sl <= {URL_MAX_SLASHES} AND host NOT IN ({_blk}) "
+        f"AND NOT ({_tok}) THEN 1 ELSE 0 END AS BIGINT) AS url_pass "
+        "FROM c"
     )
     sql["images_phash_dedup_spool"] = (
         "SELECT CAST(phash AS BIGINT) AS phash, min(image_id) AS keeper_image_id, "

@@ -494,3 +494,62 @@ def host_quality(out_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# FineWeb/RefinedWeb-style URL filtering: structural URL heuristics plus a
+# broadcast blocklist, applied BEFORE fetch in a real crawl (here over a
+# written snapshot so the oracle replays it).  All thresholds are integer
+# cross-multiplications; the blocklist is module-small here — at 100 TB
+# scale it rides ray.put once and pc.is_in inside every task, never a join.
+URL_MAX_LEN = 80
+URL_MAX_SLASHES = 4  # scheme contributes 2; path depth ≤ 2 passes
+URL_BLOCKED_HOSTS = ("host03.example.com", "host13.example.com")
+URL_BANNED_TOKENS = ("img_9", "gallery7")  # adult-keyword-list analog
+
+
+def url_filter(out_dir: str):
+    """Per-URL FineWeb-style filter verdicts over a crawl snapshot — one
+    zero-shuffle streaming pass.  Rules (each an exact integer predicate):
+
+      r_len    : len(url) ≤ 80
+      r_digits : digit ratio ≤ 0.25  (4·n_digits ≤ len)
+      r_depth  : ≤ 4 '/' total (scheme's 2 + path depth 2)
+      r_host   : host not on the blocklist (broadcast is_in)
+      r_token  : no banned token substring anywhere in the URL
+      url_pass : all of the above
+    """
+    ds = ray.data.read_parquet(out_dir, columns=["url", "host"])
+    blocked = pa.array(list(URL_BLOCKED_HOSTS), pa.string())
+
+    def f(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        ln = pc.utf8_length(url).cast(pa.int64())
+        n_dig = pc.count_substring_regex(url, r"[0-9]").cast(pa.int64())
+        n_sl = pc.count_substring_regex(url, r"/").cast(pa.int64())
+        r_len = pc.less_equal(ln, URL_MAX_LEN).cast(pa.int64())
+        r_dig = pc.less_equal(pc.multiply(n_dig, 4), ln).cast(pa.int64())
+        r_dep = pc.less_equal(n_sl, URL_MAX_SLASHES).cast(pa.int64())
+        r_host = pc.invert(pc.is_in(b.column("host"), value_set=blocked)).cast(pa.int64())
+        r_tok = None
+        for t in URL_BANNED_TOKENS:
+            hit = pc.match_substring(url, t)
+            r_tok = hit if r_tok is None else pc.or_(r_tok, hit)
+        r_tok = pc.invert(r_tok).cast(pa.int64())
+        gpass = r_len
+        for r in (r_dig, r_dep, r_host, r_tok):
+            gpass = pc.multiply(gpass, r)
+        return pa.table(
+            {
+                "url": url,
+                "r_len": r_len,
+                "r_digits": r_dig,
+                "r_depth": r_dep,
+                "r_host": r_host,
+                "r_token": r_tok,
+                "url_pass": gpass,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

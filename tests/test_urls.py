@@ -79,3 +79,37 @@ def test_canonicalize_scheme_aware_ports_and_query():
 def test_canonicalize_leading_dotdot():
     got = canonicalize(["http://h/../x", "http://h/..", "http://h/../../y"]).to_pylist()
     assert got == ["http://h/x", "http://h/", "http://h/y"]
+
+
+def test_url_filter_rules(tmp_path):
+    """Each FineWeb-style URL rule trips on its planted violator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import url_filter
+
+    rows = [
+        ("http://ok.example.com/g1/img_12345.jpg", "ok.example.com", "clean"),
+        ("http://ok.example.com/" + "x" * 90 + ".jpg", "ok.example.com", "too_long"),
+        ("http://ok.example.com/123456789012345.jpg", "ok.example.com", "digits"),
+        ("http://ok.example.com/a/b/c/d/e.jpg", "ok.example.com", "deep"),
+        ("http://host03.example.com/g1/img_1.jpg", "host03.example.com", "blocked"),
+        ("http://ok.example.com/g1/img_90001.jpg", "ok.example.com", "banned_tok"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "host": pa.array([r[1] for r in rows]),
+            }
+        ),
+        tmp_path / "part-0.parquet",
+    )
+    out = url_filter(str(tmp_path)).to_pandas().set_index("url")
+    by = {r[2]: out.loc[r[0]] for r in rows}
+    assert by["clean"]["url_pass"] == 1
+    assert by["too_long"]["r_len"] == 0 and by["too_long"]["url_pass"] == 0
+    assert by["digits"]["r_digits"] == 0
+    assert by["deep"]["r_depth"] == 0
+    assert by["blocked"]["r_host"] == 0
+    assert by["banned_tok"]["r_token"] == 0
