@@ -723,6 +723,16 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_curation_funnel(sf_dir: str):
+        """Composed LAION-style curation funnel over the shared written
+        run, SQL-CHECKED end-to-end: URL rules → quality ladder →
+        keep-best phash dedup → byte-budget shard count."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.image_corpus import curation_funnel
+
+        return curation_funnel(_shared_written_run(sf_dir))
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -761,6 +771,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_tier_plan": crawl_tier_plan,
         "crawl_host_quality": crawl_host_quality,
         "crawl_url_filter": crawl_url_filter,
+        "crawl_curation_funnel": crawl_curation_funnel,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1723,6 +1734,35 @@ def oracle_sql() -> dict[str, str]:
         f"AND n_sl <= {URL_MAX_SLASHES} AND host NOT IN ({_blk}) "
         f"AND NOT ({_tok}) THEN 1 ELSE 0 END AS BIGINT) AS url_pass "
         "FROM c"
+    )
+    from fscrawler_ray.pipelines.image_corpus import SHARD_CAP_BYTES as _CAP
+
+    sql["crawl_curation_funnel"] = (
+        "WITH t AS (SELECT image_id, url, host, CAST(w AS BIGINT) AS w, "
+        "CAST(h AS BIGINT) AS h, caption, CAST(phash AS BIGINT) AS phash, "
+        "CAST(size AS BIGINT) AS size, CAST(length(url) AS BIGINT) AS ln, "
+        "cast(len(regexp_extract_all(url, '[0-9]')) AS BIGINT) AS n_dig, "
+        "cast(len(regexp_extract_all(url, '/')) AS BIGINT) AS n_sl "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "f AS (SELECT *, "
+        f"CASE WHEN ln <= {URL_MAX_LEN} AND 4 * n_dig <= ln AND n_sl <= {URL_MAX_SLASHES} "
+        f"AND host NOT IN ({_blk}) AND NOT ({_tok}) THEN 1 ELSE 0 END AS url_pass, "
+        "CASE WHEN least(w, h) >= 48 AND 2 * greatest(w, h) <= 5 * least(w, h) "
+        "AND len(regexp_extract_all(coalesce(caption, ''), '\\S+')) >= 3 "
+        "THEN 1 ELSE 0 END AS ok FROM t), "
+        "s2 AS (SELECT *, w * h AS px FROM f WHERE url_pass = 1 AND ok = 1), "
+        "m AS (SELECT phash, max(px) AS best FROM s2 GROUP BY phash), "
+        "win AS (SELECT s2.* FROM s2 JOIN m ON s2.phash = m.phash AND s2.px = m.best), "
+        "k AS (SELECT phash, min(image_id) AS keeper FROM win GROUP BY phash), "
+        "kr AS (SELECT win.size AS size FROM win JOIN k "
+        "ON win.phash = k.phash AND win.image_id = k.keeper), "
+        "tot AS (SELECT COALESCE(sum(size), 0) AS kb, count(*) AS nk FROM kr) "
+        "SELECT 'total' AS stage, CAST(count(*) AS BIGINT) AS n FROM f "
+        "UNION ALL SELECT 'url_pass', CAST(COALESCE(sum(url_pass), 0) AS BIGINT) FROM f "
+        "UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) FROM s2 "
+        "UNION ALL SELECT 'dedup', CAST(nk AS BIGINT) FROM tot "
+        f"UNION ALL SELECT 'shards', CAST(CASE WHEN kb = 0 THEN 0 "
+        f"ELSE (kb + {_CAP} - 1) // {_CAP} END AS BIGINT) FROM tot"
     )
     sql["images_phash_dedup_spool"] = (
         "SELECT CAST(phash AS BIGINT) AS phash, min(image_id) AS keeper_image_id, "

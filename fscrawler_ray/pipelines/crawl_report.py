@@ -507,6 +507,40 @@ URL_BLOCKED_HOSTS = ("host03.example.com", "host13.example.com")
 URL_BANNED_TOKENS = ("img_9", "gallery7")  # adult-keyword-list analog
 
 
+def url_flag_batch(url, host) -> pa.Table:
+    """The per-URL rule kernel (shared by url_filter and the curation
+    funnel): exact integer predicates over (url, host) arrays."""
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    blocked = pa.array(list(URL_BLOCKED_HOSTS), pa.string())
+    ln = pc.utf8_length(url).cast(pa.int64())
+    n_dig = pc.count_substring_regex(url, r"[0-9]").cast(pa.int64())
+    n_sl = pc.count_substring_regex(url, r"/").cast(pa.int64())
+    r_len = pc.less_equal(ln, URL_MAX_LEN).cast(pa.int64())
+    r_dig = pc.less_equal(pc.multiply(n_dig, 4), ln).cast(pa.int64())
+    r_dep = pc.less_equal(n_sl, URL_MAX_SLASHES).cast(pa.int64())
+    r_host = pc.invert(pc.is_in(host, value_set=blocked)).cast(pa.int64())
+    r_tok = None
+    for t in URL_BANNED_TOKENS:
+        hit = pc.match_substring(url, t)
+        r_tok = hit if r_tok is None else pc.or_(r_tok, hit)
+    r_tok = pc.invert(r_tok).cast(pa.int64())
+    gpass = r_len
+    for r in (r_dig, r_dep, r_host, r_tok):
+        gpass = pc.multiply(gpass, r)
+    return pa.table(
+        {
+            "url": url,
+            "r_len": r_len,
+            "r_digits": r_dig,
+            "r_depth": r_dep,
+            "r_host": r_host,
+            "r_token": r_tok,
+            "url_pass": gpass,
+        }
+    )
+
+
 def url_filter(out_dir: str):
     """Per-URL FineWeb-style filter verdicts over a crawl snapshot — one
     zero-shuffle streaming pass.  Rules (each an exact integer predicate):
@@ -519,37 +553,8 @@ def url_filter(out_dir: str):
       url_pass : all of the above
     """
     ds = ray.data.read_parquet(out_dir, columns=["url", "host"])
-    blocked = pa.array(list(URL_BLOCKED_HOSTS), pa.string())
 
     def f(b: pa.Table) -> pa.Table:
-        url = b.column("url")
-        if isinstance(url, pa.ChunkedArray):
-            url = url.combine_chunks()
-        ln = pc.utf8_length(url).cast(pa.int64())
-        n_dig = pc.count_substring_regex(url, r"[0-9]").cast(pa.int64())
-        n_sl = pc.count_substring_regex(url, r"/").cast(pa.int64())
-        r_len = pc.less_equal(ln, URL_MAX_LEN).cast(pa.int64())
-        r_dig = pc.less_equal(pc.multiply(n_dig, 4), ln).cast(pa.int64())
-        r_dep = pc.less_equal(n_sl, URL_MAX_SLASHES).cast(pa.int64())
-        r_host = pc.invert(pc.is_in(b.column("host"), value_set=blocked)).cast(pa.int64())
-        r_tok = None
-        for t in URL_BANNED_TOKENS:
-            hit = pc.match_substring(url, t)
-            r_tok = hit if r_tok is None else pc.or_(r_tok, hit)
-        r_tok = pc.invert(r_tok).cast(pa.int64())
-        gpass = r_len
-        for r in (r_dig, r_dep, r_host, r_tok):
-            gpass = pc.multiply(gpass, r)
-        return pa.table(
-            {
-                "url": url,
-                "r_len": r_len,
-                "r_digits": r_dig,
-                "r_depth": r_dep,
-                "r_host": r_host,
-                "r_token": r_tok,
-                "url_pass": gpass,
-            }
-        )
+        return url_flag_batch(b.column("url"), b.column("host"))
 
     return ds.map_batches(f, batch_format="pyarrow")

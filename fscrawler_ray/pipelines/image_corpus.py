@@ -363,3 +363,106 @@ def write_shards(images_ds, out_dir: str, cap: int = SHARD_CAP_BYTES, range_widt
         )
 
     return rows.groupby("shard").map_groups(write_one, batch_format="pandas")
+
+
+def curation_funnel(out_dir: str, cap: int = SHARD_CAP_BYTES):
+    """LAION-style end-to-end curation FUNNEL over a crawl snapshot — the
+    composed pipeline an image-corpus team actually runs, reported as
+    stage-by-stage survivor counts:
+
+      total      all crawled rows
+      url_pass   FineWeb-style URL rules (crawl_report.url_flag_batch)
+      quality    + metadata quality ladder (min side 48, aspect ≤ 2.5,
+                 caption ≥ 3 tokens — integer predicates)
+      dedup      + exact-pixel dedup: one keep-best-resolution keeper per
+                 phash group (argmax w·h, ties → min image_id)
+      shards     byte-budget shard count over the keepers' payload sizes
+
+    Shape: one URL-sized streaming flag pass with per-block integer
+    partials (total/url/quality counts never shuffle rows), ONE
+    phash-keyed groupby over quality survivors for the keeper argmax, and
+    a scalar shard-count fold — no stage materializes the corpus."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .crawl_report import url_flag_batch
+
+    ds = ray.data.read_parquet(
+        out_dir, columns=["image_id", "url", "host", "w", "h", "caption", "phash", "size"]
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        up = url_flag_batch(b.column("url"), b.column("host")).column("url_pass")
+        w = b.column("w").cast(pa.int64())
+        h = b.column("h").cast(pa.int64())
+        cap_ = pc.coalesce(b.column("caption"), pa.scalar(""))
+        ntok = pc.count_substring_regex(cap_, r"\S+").cast(pa.int64())
+        mx = pc.max_element_wise(w, h)
+        mn = pc.min_element_wise(w, h)
+        ok = pc.and_(
+            pc.and_(pc.greater_equal(mn, 48), pc.less_equal(pc.multiply(mx, 2), pc.multiply(mn, 5))),
+            pc.greater_equal(ntok, 3),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "phash": b.column("phash").cast(pa.int64()),
+                "px": pc.multiply(w, h),
+                "size": b.column("size").cast(pa.int64()),
+                "url_pass": up,
+                "quality": pc.multiply(up, ok),
+            }
+        )
+
+    flagged = ds.map_batches(flags, batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "total": pa.array([b.num_rows], pa.int64()),
+                "url_pass": pa.array([pc.sum(b.column("url_pass")).as_py() or 0], pa.int64()),
+                "quality": pa.array([pc.sum(b.column("quality")).as_py() or 0], pa.int64()),
+            }
+        )
+
+    partial = flagged.map_batches(counts, batch_format="pyarrow").to_pandas()
+    n_total, n_url, n_qual = (int(partial[c].sum()) for c in ("total", "url_pass", "quality"))
+
+    surv = flagged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("quality"), 1)), batch_format="pyarrow"
+    ).materialize()  # consumed by the max pass AND the winner filter
+    # keeper = argmax px per phash (tie → min image_id): grouped max, join
+    # back, then min image_id among winners, then the keeper's size
+    best = surv.groupby("phash").aggregate(Max("px"))
+    best = best.map_batches(lambda b: b.rename_columns(["phash", "best_px"]), batch_format="pyarrow")
+    from ..stages.joins import join as _join
+
+    winners = _join(surv, best.materialize(), on="phash", how="inner").map_batches(
+        lambda b: b.filter(pc.equal(b.column("px"), b.column("best_px"))),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by the keeper-min pass AND the size lookup
+    keep = winners.groupby("phash").aggregate(Min("image_id"))
+    keep = keep.map_batches(
+        lambda b: b.rename_columns(["phash", "keeper_id"]), batch_format="pyarrow"
+    )
+    keeper_rows = _join(winners, keep.materialize(), on="phash", how="inner").map_batches(
+        lambda b: b.filter(pc.equal(b.column("image_id"), b.column("keeper_id"))),
+        batch_format="pyarrow",
+    )
+    agg = keeper_rows.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "bytes": pa.array([pc.sum(b.column("size")).as_py() or 0], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_keep, keep_bytes = int(agg["n"].sum()), int(agg["bytes"].sum())
+    n_shards = (keep_bytes + cap - 1) // cap if keep_bytes else 0
+    return pa.table(
+        {
+            "stage": pa.array(["total", "url_pass", "quality", "dedup", "shards"], pa.string()),
+            "n": pa.array([n_total, n_url, n_qual, n_keep, n_shards], pa.int64()),
+        }
+    )

@@ -217,3 +217,50 @@ def test_write_shards_roundtrip_and_resume(tmp_path, ray_session):
     again = write_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9).to_pandas()
     assert again["skipped"].all()
     assert mtimes == {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+
+
+def test_curation_funnel_stages(tmp_path):
+    """Planted rows exercise every funnel stage: URL-filtered, quality-
+    filtered, keep-best dedup (two resolutions of one phash), shard
+    count = ceil(keeper bytes / cap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.image_corpus import curation_funnel
+
+    def row(iid, url, host, w, h, caption, phash, size):
+        return (iid, url, host, w, h, caption, phash, size)
+
+    rows = [
+        # clean keeper candidates: same phash, two resolutions -> 1 keeper
+        row("img_a", "http://ok.com/g/img_1.jpg", "ok.com", 100, 100, "a red cat", 7, 1000),
+        row("img_b", "http://ok.com/g/img_2.jpg", "ok.com", 200, 200, "a red cat", 7, 4000),
+        # distinct phash survivor
+        row("img_c", "http://ok.com/g/img_3.jpg", "ok.com", 100, 100, "a blue dog", 8, 2000),
+        # fails URL rules (banned token)
+        row("img_d", "http://ok.com/g/img_90.jpg", "ok.com", 100, 100, "a red cat", 9, 1000),
+        # passes URL, fails quality (tiny)
+        row("img_e", "http://ok.com/g/img_4.jpg", "ok.com", 10, 10, "a red cat", 10, 1000),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([r[0] for r in rows]),
+                "url": pa.array([r[1] for r in rows]),
+                "host": pa.array([r[2] for r in rows]),
+                "w": pa.array([r[3] for r in rows], pa.int32()),
+                "h": pa.array([r[4] for r in rows], pa.int32()),
+                "caption": pa.array([r[5] for r in rows]),
+                "phash": pa.array([r[6] for r in rows], pa.int64()),
+                "size": pa.array([r[7] for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "part-0.parquet",
+    )
+    out = curation_funnel(str(tmp_path), cap=5000).to_pandas().set_index("stage")["n"]
+    assert out["total"] == 5
+    assert out["url_pass"] == 4  # img_d dropped
+    assert out["quality"] == 3  # img_e dropped
+    assert out["dedup"] == 2  # img_a loses to img_b (higher px)
+    # keeper bytes = 4000 (img_b) + 2000 (img_c) = 6000 -> 2 shards at cap 5000
+    assert out["shards"] == 2
