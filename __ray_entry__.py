@@ -901,6 +901,20 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = images_dataset(rows_for_sf(sf_dir))
         return phash_neardup_pairs(ds)
 
+    def images_phash_neardup_spool(sf_dir: str):
+        """SQL-CHECKED twin of images_phash_neardup: the banded candidate
+        generation + in-group Hamming verify over the SPOOLED phash
+        column vs DuckDB's band self-join + bit_count(xor) replay.
+        max_bucket is lifted above the spool size so the oracle sees the
+        untruncated band expansion (truncation is the documented scale
+        guard, pytest-covered)."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import phash_neardup_pairs
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
+        return phash_neardup_pairs(ds, max_bucket=1_000_000)
+
     def images_neardup_groups(sf_dir: str):
         from fscrawler_ray.pipelines.dedup import images_neardup_groups as groups
 
@@ -1087,6 +1101,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_dedup_keep_best": images_dedup_keep_best,
         "images_dedup_keep_best_spool": images_dedup_keep_best_spool,
         "images_phash_neardup": images_phash_neardup,
+        "images_phash_neardup_spool": images_phash_neardup_spool,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -1769,6 +1784,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS copies "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') "
         "GROUP BY phash HAVING count(*) > 1"
+    )
+    # band value = (ph >> 16b) & 0xFFFF: the mask keeps only bits that are
+    # identical under arithmetic (DuckDB) and logical (numpy uint64) shift
+    sql["images_phash_neardup_spool"] = (
+        "WITH t AS (SELECT image_id, CAST(phash AS BIGINT) AS ph "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "b AS (SELECT band, (ph >> (16 * band)) & 65535 AS bucket, image_id, ph "
+        "FROM t, (VALUES (0), (1), (2), (3)) v(band)) "
+        "SELECT DISTINCT x.image_id AS image_a, y.image_id AS image_b, "
+        "CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming "
+        "FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.image_id < y.image_id "
+        "WHERE bit_count(xor(x.ph, y.ph)) <= 6"
     )
     sql["images_dedup_keep_best_spool"] = (
         "WITH s AS (SELECT CAST(phash AS BIGINT) AS phash, image_id, "
