@@ -915,6 +915,25 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return phash_neardup_pairs(ds, max_bucket=1_000_000)
 
+    def images_caption_dedup(sf_dir: str):
+        """SQL-CHECKED caption-level exact dedup over the spool — the
+        text-side counterpart of phash dedup (duplicate captions across
+        images are the classic spam signal in web image corpora): caption
+        groups with >1 image, keeper = min image_id."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+        from ray.data.aggregate import Count, Min
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "caption"])
+        out = ds.groupby("caption").aggregate(Min("image_id"), Count())
+
+        def f(b):
+            b = b.rename_columns(["caption", "keeper_image_id", "n_images"])
+            return b.filter(pc.greater(b.column("n_images"), 1))
+
+        return out.map_batches(f, batch_format="pyarrow")
+
     def images_neardup_groups(sf_dir: str):
         from fscrawler_ray.pipelines.dedup import images_neardup_groups as groups
 
@@ -1102,6 +1121,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_dedup_keep_best_spool": images_dedup_keep_best_spool,
         "images_phash_neardup": images_phash_neardup,
         "images_phash_neardup_spool": images_phash_neardup_spool,
+        "images_caption_dedup": images_caption_dedup,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -1784,6 +1804,12 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS copies "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') "
         "GROUP BY phash HAVING count(*) > 1"
+    )
+    sql["images_caption_dedup"] = (
+        "SELECT caption, min(image_id) AS keeper_image_id, "
+        "CAST(count(*) AS BIGINT) AS n_images "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') "
+        "GROUP BY caption HAVING count(*) > 1"
     )
     # band value = (ph >> 16b) & 0xFFFF: the mask keeps only bits that are
     # identical under arithmetic (DuckDB) and logical (numpy uint64) shift
