@@ -915,6 +915,18 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return phash_neardup_pairs(ds, max_bucket=1_000_000)
 
+    def images_neardup_groups_spool(sf_dir: str):
+        """SQL-CHECKED twin of images_neardup_groups: transitive closure of
+        the banded phash near-dup pairs over the spool — the engine's
+        union-find (on the output-sized pair table) vs DuckDB's recursive-
+        CTE reachability, canonical = lexicographic-min member."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import images_neardup_groups as groups
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
+        return groups(ds, max_bucket=1_000_000)
+
     def images_caption_dedup(sf_dir: str):
         """SQL-CHECKED caption-level exact dedup over the spool — the
         text-side counterpart of phash dedup (duplicate captions across
@@ -1122,6 +1134,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_neardup": images_phash_neardup,
         "images_phash_neardup_spool": images_phash_neardup_spool,
         "images_caption_dedup": images_caption_dedup,
+        "images_neardup_groups_spool": images_neardup_groups_spool,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -1823,6 +1836,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket "
         "AND x.image_id < y.image_id "
         "WHERE bit_count(xor(x.ph, y.ph)) <= 6"
+    )
+    sql["images_neardup_groups_spool"] = (
+        "WITH RECURSIVE t AS (SELECT image_id, CAST(phash AS BIGINT) AS ph "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "bb AS (SELECT band, (ph >> (16 * band)) & 65535 AS bucket, image_id, ph "
+        "FROM t, (VALUES (0), (1), (2), (3)) v(band)), "
+        "p AS (SELECT DISTINCT x.image_id AS a, y.image_id AS b "
+        "FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.image_id < y.image_id "
+        "WHERE bit_count(xor(x.ph, y.ph)) <= 6), "
+        "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+        "reach(a, b) AS ((SELECT a, a FROM e UNION SELECT a, b FROM e) "
+        "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
+        "SELECT a AS image_id, min(b) AS canonical_id FROM reach GROUP BY a"
     )
     sql["images_dedup_keep_best_spool"] = (
         "WITH s AS (SELECT CAST(phash AS BIGINT) AS phash, image_id, "

@@ -162,7 +162,7 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 6, max_bucket: int = 128):
     )
 
 
-def images_neardup_groups(images_ds, max_hamming: int = 6):
+def images_neardup_groups(images_ds, max_hamming: int = 6, max_bucket: int = 128):
     """Transitive near-duplicate IMAGE groups: the banded-phash pairs
     closed under connectivity, so a re-encode chain a~b~c lands in ONE
     group even when hamming(a, c) exceeds the pairwise cutoff — the image
@@ -174,7 +174,7 @@ def images_neardup_groups(images_ds, max_hamming: int = 6):
     (same stance as corpus_dedup — pairs, not images, bound driver
     memory); the pair generation itself is the distributed banded
     phash pipeline."""
-    pairs = phash_neardup_pairs(images_ds, max_hamming=max_hamming)
+    pairs = phash_neardup_pairs(images_ds, max_hamming=max_hamming, max_bucket=max_bucket)
     empty = pa.table(
         {"image_id": pa.array([], pa.string()), "canonical_id": pa.array([], pa.string())}
     )
