@@ -141,6 +141,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bpe_merges",
         "bpe_encode_docs",
         "images_phash_search",
+        # round-4 final-session families
+        "gopher_rules",
+        "crawl_url_filter",
+        "crawl_curation_funnel",
+        "images_neardup_groups_spool",
     ]
     # time the PRODUCTION paths: the queries() registry widens knn_pq's
     # shortlist to the whole table so the SQL oracle can certify it at

@@ -82,55 +82,58 @@ def _symbolize(b: pa.Table) -> pa.Table:
     return pa.table({"s": pa.array(s, pa.string()), "freq": b.column("freq")})
 
 
+def _pair_count_block(b: pa.Table) -> pa.Table:
+    """Adjacent-symbol pair counts weighted by word freq for ONE block —
+    the shared kernel of the distributed per-block partial AND the
+    driver-side small-vocab fast path (one block = global counts)."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            "lhs": pa.array([], pa.string()),
+            "rhs": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if not b.num_rows:
+        return empty
+    syms = pc.split_pattern(pc.utf8_trim(b.column("s"), "()"), ")(")
+    lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(syms).to_pandas().to_numpy()
+    freq = b.column("freq").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    if not total:
+        return empty
+    # adjacent positions within the same word only
+    off = np.concatenate([[0], np.cumsum(lens)])
+    is_last = np.zeros(total, bool)
+    is_last[off[1:] - 1] = True
+    li = np.arange(total)[~is_last]
+    if not len(li):
+        return empty
+    w_of = np.repeat(np.arange(len(lens)), lens)[li]
+    pair = np.char.add(
+        np.char.add(flat[li].astype(str), "\t"), flat[li + 1].astype(str)
+    )
+    codes, uniq = pd.factorize(pair, sort=False)
+    cnt = np.zeros(len(uniq), np.int64)
+    np.add.at(cnt, codes, freq[w_of])
+    l_r = np.char.partition(uniq.astype(str), "\t")
+    return pa.table(
+        {
+            "lhs": pa.array(l_r[:, 0], pa.string()),
+            "rhs": pa.array(l_r[:, 2], pa.string()),
+            "cnt": pa.array(cnt),
+        }
+    )
+
+
 def _pair_counts(words_ds):
     """Adjacent-symbol pair counts weighted by word freq; per-block partial
     then a pair-keyed groupby (pair key volume ≤ running vocab²-bounded,
     in practice ~alphabet-sized early and merge-table-sized late)."""
-
-    def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        empty = pa.table(
-            {
-                "lhs": pa.array([], pa.string()),
-                "rhs": pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-            }
-        )
-        if not b.num_rows:
-            return empty
-        syms = pc.split_pattern(pc.utf8_trim(b.column("s"), "()"), ")(")
-        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(syms).to_pandas().to_numpy()
-        freq = b.column("freq").to_numpy(zero_copy_only=False).astype(np.int64)
-        total = int(lens.sum())
-        if not total:
-            return empty
-        # adjacent positions within the same word only
-        off = np.concatenate([[0], np.cumsum(lens)])
-        is_last = np.zeros(total, bool)
-        is_last[off[1:] - 1] = True
-        li = np.arange(total)[~is_last]
-        if not len(li):
-            return empty
-        w_of = np.repeat(np.arange(len(lens)), lens)[li]
-        pair = np.char.add(
-            np.char.add(flat[li].astype(str), "\t"), flat[li + 1].astype(str)
-        )
-        codes, uniq = pd.factorize(pair, sort=False)
-        cnt = np.zeros(len(uniq), np.int64)
-        np.add.at(cnt, codes, freq[w_of])
-        l_r = np.char.partition(uniq.astype(str), "\t")
-        return pa.table(
-            {
-                "lhs": pa.array(l_r[:, 0], pa.string()),
-                "rhs": pa.array(l_r[:, 2], pa.string()),
-                "cnt": pa.array(cnt),
-            }
-        )
-
     out = (
-        words_ds.map_batches(partial, batch_format="pyarrow")
+        words_ds.map_batches(_pair_count_block, batch_format="pyarrow")
         .groupby(["lhs", "rhs"])
         .aggregate(Sum("cnt"))
     )
@@ -139,15 +142,54 @@ def _pair_counts(words_ds):
     )
 
 
-def train_bpe(sf_dir: str, k: int = BPE_MERGES):
+def train_bpe(sf_dir: str, k: int = BPE_MERGES, driver_vocab_limit: int = 100_000):
     """Learn the first ``k`` BPE merges over documents.text.
 
     Returns (merges_table, final_words_ds): merges_table is a k-row arrow
     table (step, lhs, rhs, cnt) — the tokenizer artifact — and
     final_words_ds the word table under the learned segmentation.
-    """
+
+    Adaptive rounds: the corpus pass is ALWAYS distributed (the only
+    stage that sees the corpus); the K merge rounds run over the
+    vocabulary-bounded word table, which below ``driver_vocab_limit``
+    rows is output-sized state — those rounds run driver-side on the
+    collected table with the SAME kernel (`_pair_count_block` on one
+    block IS the global pair count), saving 2·K Ray executions of pure
+    scheduling overhead.  Above the limit (a 100 TB corpus's 10^7-10^8
+    distinct words) the rounds run as distributed partial-argmax passes;
+    both paths are merge-for-merge identical (pytest parity)."""
     words = _word_counts(sf_dir).map_batches(_symbolize, batch_format="pyarrow")
     words = words.materialize()  # vocab-bounded; re-read every round
+    if words.count() <= driver_vocab_limit:
+        t = pa.concat_tables(
+            [b for b in words.iter_batches(batch_format="pyarrow")] or
+            [pa.table({"s": pa.array([], pa.string()), "freq": pa.array([], pa.int64())})]
+        )
+        steps = []
+        for step in range(1, k + 1):
+            cnts = _pair_count_block(t)
+            if not cnts.num_rows:
+                break
+            df = cnts.to_pandas().sort_values(
+                ["cnt", "lhs", "rhs"], ascending=[False, True, True]
+            ).head(1)
+            lhs, rhs, cnt = df["lhs"].iloc[0], df["rhs"].iloc[0], int(df["cnt"].iloc[0])
+            steps.append({"step": step, "lhs": lhs, "rhs": rhs, "cnt": cnt})
+            t = pa.table(
+                {
+                    "s": pc.replace_substring(t.column("s"), f"({lhs})({rhs})", f"({lhs}{rhs})"),
+                    "freq": t.column("freq"),
+                }
+            )
+        merges = pa.table(
+            {
+                "step": pa.array([r["step"] for r in steps], pa.int64()),
+                "lhs": pa.array([r["lhs"] for r in steps], pa.string()),
+                "rhs": pa.array([r["rhs"] for r in steps], pa.string()),
+                "cnt": pa.array([r["cnt"] for r in steps], pa.int64()),
+            }
+        )
+        return merges, ray.data.from_arrow(t)
 
     def block_best(b: pa.Table) -> pa.Table:
         """Per-block argmax partial (cnt desc, then lexicographic): the

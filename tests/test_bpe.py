@@ -178,3 +178,28 @@ def test_bpe_encode_matches_reference(tmp_path, ray_session):
             len([s for s in encode_word(w) if s != "</w>"]) for w in words
         )
         assert int(row["n_subwords"]) == want_sub, (doc_id, t)
+
+
+def test_driver_and_distributed_rounds_identical(tmp_path):
+    """The small-vocab driver fast path and the distributed partial-argmax
+    rounds learn merge-for-merge identical tokenizers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.bpe import train_bpe
+
+    docs = [
+        "low lower lowest newer newest wide wider widest",
+        "low low low newer newer wide wide wide wide",
+        "the lowest of the low the widest of the wide",
+    ] * 4
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}),
+        tmp_path / "documents.parquet",
+    )
+    m_fast, w_fast = train_bpe(str(tmp_path), k=8, driver_vocab_limit=100_000)
+    m_dist, w_dist = train_bpe(str(tmp_path), k=8, driver_vocab_limit=0)
+    assert m_fast.to_pydict() == m_dist.to_pydict()
+    f = w_fast.to_pandas().sort_values("s").reset_index(drop=True)
+    d = w_dist.to_pandas().sort_values("s").reset_index(drop=True)
+    assert f.equals(d)
