@@ -3878,3 +3878,234 @@ ORACLE_SQL["source_lang_lift"] = (
     "FROM j JOIN s USING (source) JOIN l USING (lang), t"
 )
 QUERIES["source_lang_lift"] = q_source_lang_lift
+
+
+def q_slow_orders_by_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi join lowered to a pre-aggregated max):
+    per order priority, how many orders have ANY lineitem shipping ≥ 60
+    days after the order date.  EXISTS(l_shipdate ≥ o_orderdate + 60d)
+    ⇔ max(l_shipdate) ≥ o_orderdate + 60d, so the lineitem side collapses
+    to ONE grouped max per order key BEFORE the join — the semi join
+    never sees lineitem fan-out (the partial-aggregation stance every
+    wide step here takes)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def pmax(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "o_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                    "ship": b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                }
+            ),
+            ["o_orderkey"],
+        ).aggregate([("ship", "max")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"), "ship_p": g.column("ship_max")})
+
+    mx = li.map_batches(pmax, batch_format="pyarrow").groupby("o_orderkey").aggregate(Max("ship_p"))
+    mx = mx.map_batches(lambda b: b.rename_columns(["o_orderkey", "max_ship"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "odate": b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(orders, mx.materialize(), on="o_orderkey", how="left")
+
+    def flags(b: pa.Table) -> pa.Table:
+        ms = b.column("max_ship")
+        late = pc.and_kleene(
+            pc.is_valid(ms),
+            pc.greater_equal(
+                pc.coalesce(ms, pa.scalar(0, pa.int64())),
+                pc.add(b.column("odate"), pa.scalar(60 * 86_400 * 1_000_000, pa.int64())),
+            ),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n_orders": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_slow": late,
+            }
+        )
+
+    agg = grouped_sum(j.map_batches(flags, batch_format="pyarrow"), ["o_orderpriority"], {"n_orders": "n_orders", "n_slow": "n_slow"})
+    return _select(agg, ["o_orderpriority", "n_orders", "n_slow"])
+
+
+ORACLE_SQL["slow_orders_by_priority"] = (
+    "WITH m AS (SELECT l_orderkey AS o_orderkey, max(l_shipdate) AS max_ship "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(count(*) FILTER (m.max_ship >= o.o_orderdate + INTERVAL 60 DAY) AS BIGINT) AS n_slow "
+    "FROM orders o LEFT JOIN m USING (o_orderkey) GROUP BY o_orderpriority"
+)
+QUERIES["slow_orders_by_priority"] = q_slow_orders_by_priority
+
+
+def q_supplier_diversity(sf_dir: str):
+    """TPC-H Q16 shape (distinct-count join with an excluded-supplier
+    anti list): per (p_brand, p_size), how many DISTINCT suppliers ship
+    the part — excluding suppliers in bad standing (s_acctbal < 0, the
+    'complaints' analog), with partsupp evidence taken from lineitem.
+    Distinct = one (brand, size, suppkey)-keyed dedup groupby before the
+    counting groupby; the exclusion list is negative-balance suppliers,
+    broadcast as an is_in mask (never a shuffle)."""
+    bad = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    bad_keys = pa.array(
+        bad.filter(pc.less(bad.column("s_acctbal"), 0.0)).column("s_suppkey").cast(pa.int64())
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li = li.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("l_partkey").cast(pa.int64()),
+                "suppkey": b.column("l_suppkey").cast(pa.int64()),
+            }
+        ).filter(
+            pc.invert(pc.is_in(b.column("l_suppkey").cast(pa.int64()), value_set=bad_keys))
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = join(li, part, on="p_partkey", how="inner")
+    distinct = j.groupby(["p_brand", "p_size", "suppkey"]).aggregate(Count())
+    cnt = distinct.groupby(["p_brand", "p_size"]).aggregate(Count())
+    cnt = cnt.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size"),
+                "supplier_cnt": b.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _select(cnt, ["p_brand", "p_size", "supplier_cnt"])
+
+
+ORACLE_SQL["supplier_diversity"] = (
+    "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_size"
+)
+QUERIES["supplier_diversity"] = q_supplier_diversity
+
+
+IDLE_ORDER_CAP = 4  # 'idle' = fewer than this many orders
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (global-scalar threshold + order-count left join):
+    per market segment, how many customers are 'idle rich' — balance
+    above the average POSITIVE balance AND fewer than IDLE_ORDER_CAP
+    orders — plus their combined balance, alongside the segment's total
+    customer count (both sides emitted so the report is non-degenerate
+    on busy data).  The average is a broadcast scalar in exact integer
+    cents (sum_cents, n_pos), so the threshold compare is the
+    cross-multiplied integer bal·n_pos > s_pos — no float mean drift;
+    the per-customer order count is a pre-aggregated custkey-bounded
+    table joined through the size-aware front door."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "bal_cents": pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment"),
+            }
+        )
+
+    cds = cust.map_batches(cents, batch_format="pyarrow").materialize()
+    # global scalar: (sum of positive balances in cents, count) — exact ints
+    parts = [
+        b
+        for b in cds.map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array(
+                        [pc.sum(b.filter(pc.greater(b.column("bal_cents"), 0)).column("bal_cents")).as_py() or 0],
+                        pa.int64(),
+                    ),
+                    "n": pa.array([pc.sum(pc.greater(b.column("bal_cents"), 0).cast(pa.int64())).as_py() or 0], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    tot = pa.concat_tables(parts)
+    s_pos = int(pc.sum(tot.column("s")).as_py() or 0)
+    n_pos = int(pc.sum(tot.column("n")).as_py() or 0)
+    # per-customer order counts (custkey-bounded, pre-aggregated)
+    okeys = _read(sf_dir, "orders", columns=["o_custkey"]).groupby("o_custkey").aggregate(Count())
+    okeys = okeys.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("o_custkey").cast(pa.int64()),
+                "n_orders_c": b.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(cds, okeys.materialize(), on="c_custkey", how="left")
+
+    def pick(b: pa.Table) -> pa.Table:
+        nc = pc.coalesce(b.column("n_orders_c"), pa.scalar(0, pa.int64()))
+        # bal > avg_pos ⇔ bal·n_pos > s_pos (n_pos > 0; exact integers)
+        rich = pc.greater(pc.multiply(b.column("bal_cents"), n_pos), s_pos)
+        idle = pc.less(nc, IDLE_ORDER_CAP)
+        m = pc.and_(rich, idle).cast(pa.int64())
+        return pa.table(
+            {
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n_customers": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_idle_rich": m,
+                "idle_rich_bal_cents": pc.multiply(b.column("bal_cents"), m),
+            }
+        )
+
+    agg = grouped_sum(
+        j.map_batches(pick, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        {
+            "n_customers": "n_customers",
+            "n_idle_rich": "n_idle_rich",
+            "idle_rich_bal_cents": "idle_rich_bal_cents",
+        },
+    )
+    return _select(agg, ["c_mktsegment", "n_customers", "n_idle_rich", "idle_rich_bal_cents"])
+
+
+ORACLE_SQL["idle_rich_customers"] = (
+    "WITH c AS (SELECT c_custkey, c_mktsegment, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer), "
+    "t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s_pos, "
+    "CAST(count(*) AS BIGINT) AS n_pos FROM c WHERE bal_cents > 0), "
+    "o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS nc FROM orders GROUP BY 1), "
+    "j AS (SELECT c.*, COALESCE(o.nc, 0) AS nc FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey), "
+    "f AS (SELECT c_mktsegment, bal_cents, CASE WHEN bal_cents * t.n_pos > t.s_pos "
+    f"AND nc < {IDLE_ORDER_CAP} THEN 1 ELSE 0 END AS m FROM j, t) "
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, "
+    "CAST(sum(m) AS BIGINT) AS n_idle_rich, "
+    "CAST(sum(bal_cents * m) AS BIGINT) AS idle_rich_bal_cents "
+    "FROM f GROUP BY c_mktsegment"
+)
+QUERIES["idle_rich_customers"] = q_idle_rich_customers
