@@ -927,6 +927,43 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return groups(ds, max_bucket=1_000_000)
 
+    def images_shard_roundtrip(sf_dir: str):
+        """SQL-CHECKED shard sink/source roundtrip: the spool is exported
+        through the resumable WebDataset-style blob writer, read back via
+        the one-task-per-shard loader, and every payload is certified
+        byte-exact against the original table (md5-of-hex, which DuckDB
+        recomputes from the spooled bytes)."""
+        import hashlib
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.image_corpus import read_shards, write_shards
+
+        import ray as _ray
+
+        spool = _images_spool(sf_dir)
+        out = "/tmp/fscrawler_oracle_shards"
+        shutil.rmtree(out, ignore_errors=True)
+        src = _ray.data.read_parquet(spool, columns=["image_id", "bytes"])
+        for _ in write_shards(src, out).iter_batches(batch_format="pyarrow"):
+            pass  # consume the writer summaries (the export itself)
+
+        def cert(b: pa.Table) -> pa.Table:
+            payloads = b.column("bytes").to_pylist()
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
+                    "payload_md5": pa.array(
+                        [hashlib.md5(p.hex().upper().encode()).hexdigest() for p in payloads],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return read_shards(out).map_batches(cert, batch_format="pyarrow")
+
     def images_caption_dedup(sf_dir: str):
         """SQL-CHECKED caption-level exact dedup over the spool — the
         text-side counterpart of phash dedup (duplicate captions across
@@ -1135,6 +1172,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_neardup_spool": images_phash_neardup_spool,
         "images_caption_dedup": images_caption_dedup,
         "images_neardup_groups_spool": images_neardup_groups_spool,
+        "images_shard_roundtrip": images_shard_roundtrip,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -1817,6 +1855,11 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS copies "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') "
         "GROUP BY phash HAVING count(*) > 1"
+    )
+    sql["images_shard_roundtrip"] = (
+        "SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
+        "md5(hex(bytes)) AS payload_md5 "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')"
     )
     sql["images_caption_dedup"] = (
         "SELECT caption, min(image_id) AS keeper_image_id, "

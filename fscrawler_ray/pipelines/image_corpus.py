@@ -466,3 +466,64 @@ def curation_funnel(out_dir: str, cap: int = SHARD_CAP_BYTES):
             "n": pa.array([n_total, n_url, n_qual, n_keep, n_shards], pa.int64()),
         }
     )
+
+
+def read_shards(out_dir: str):
+    """Read back a ``write_shards`` export as a Dataset of
+    (image_id, bytes, shard) — the loader side of the WebDataset-style
+    sink, one task per shard (the shard list is shard-count-bounded on
+    the driver; payload bytes are read inside the tasks, never the
+    driver)."""
+    import glob
+    import os
+    import re
+
+    import ray
+
+    idxs = sorted(glob.glob(os.path.join(out_dir, "shard-*.index.parquet")))
+    shards = [int(re.search(r"shard-(\d+)", os.path.basename(p)).group(1)) for p in idxs]
+    t = pa.table(
+        {
+            "shard": pa.array(shards, pa.int64()),
+            "idx_path": pa.array(idxs, pa.string()),
+            "blob_path": pa.array(
+                [p.replace(".index.parquet", ".bin") for p in idxs], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(max(1, len(shards)))
+
+    def load(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for shard, ip, bp in zip(
+            b.column("shard").to_pylist(),
+            b.column("idx_path").to_pylist(),
+            b.column("blob_path").to_pylist(),
+        ):
+            idx = pq.read_table(ip)
+            with open(bp, "rb") as f:
+                blob = f.read()
+            offs = idx.column("offset").to_pylist()
+            szs = idx.column("nbytes").to_pylist()
+            outs.append(
+                pa.table(
+                    {
+                        "image_id": idx.column("image_id"),
+                        "bytes": pa.array([blob[o : o + n] for o, n in zip(offs, szs)], pa.binary()),
+                        "shard": pa.array([shard] * len(offs), pa.int64()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "bytes": pa.array([], pa.binary()),
+                    "shard": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
