@@ -1305,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # exact-only composed clean (no LSH) — every rule deterministic,
             # so the whole C4-style pipeline is SQL-checked end-to-end
             "corpus_clean_exact": lambda sf: corpus.clean_text_corpus(sf, neardup=False)[0],
+            "corpus_funnel": corpus.corpus_funnel,
             # cross-document exact span dedup REMOVAL (C4 duplicated-span
             # rule / Lee et al. ExactSubstr shape on non-overlapping
             # 8-token tiles): first global occurrence survives, cleaned

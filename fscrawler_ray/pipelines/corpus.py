@@ -427,3 +427,86 @@ ORACLE_SQL = {
     "corpus_clean_exact": _corpus_clean_exact_sql(),
     "span_dedup_clean": _span_dedup_clean_sql(),
 }
+
+
+def corpus_funnel(sf_dir: str):
+    """End-to-end TEXT curation FUNNEL — the composed gate stack a
+    pretraining-prep run applies, reported as stage-by-stage survivor
+    counts (the text twin of image_corpus.curation_funnel):
+
+      total     all documents
+      clean     C4-style composed clean (langid allow-list, quality
+                score, min-chars, global exact dedup — the
+                corpus_clean_exact rules)
+      gopher    + the Gopher quality-rule gate (textops.gopher_flag_batch)
+      decontam  + benchmark decontamination (zero 8-gram hits against the
+                broadcast benchmark set)
+
+    One corpus pass for the clean stream; gopher + decontam flags ride
+    the SAME pass over the kept stream (per-batch integer partials, the
+    benchmark set broadcast once) — nothing corpus-sized is pinned."""
+    from .decontam import _token_hashes, _window_hashes, benchmark_gram_hashes
+    from .textops import gopher_flag_batch
+
+    kept, tally = clean_text_corpus(sf_dir, neardup=False, keep_text=True)
+    bench_ref = ray.put(benchmark_gram_hashes(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = gopher_flag_batch(b.column("text")).column("gopher_pass")
+        gmask = pc.equal(g, 1)
+        bset = ray.get(bench_ref)
+        h, row, _ = _token_hashes(b.column("text"))
+        gr, grow = _window_hashes(h, row, 8)
+        hit_doc = np.zeros(b.num_rows, bool)
+        if len(gr) and len(bset):
+            pos = np.searchsorted(bset, gr)
+            hit = (pos < len(bset)) & (bset[np.minimum(pos, len(bset) - 1)] == gr)
+            hit_doc[np.unique(grow[hit])] = True
+        gm = gmask.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "clean": pa.array([b.num_rows], pa.int64()),
+                "gopher": pa.array([int(gm.sum())], pa.int64()),
+                "decontam": pa.array([int((gm & ~hit_doc).sum())], pa.int64()),
+            }
+        )
+
+    sums = {"clean": 0, "gopher": 0, "decontam": 0}
+    for b in kept.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k in sums:
+            sums[k] += int(pc.sum(b.column(k)).as_py() or 0)
+    return pa.table(
+        {
+            "stage": pa.array(["total", "clean", "gopher", "decontam"], pa.string()),
+            "n": pa.array(
+                [int(tally["total"]), sums["clean"], sums["gopher"], sums["decontam"]],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _corpus_funnel_sql() -> str:
+    """Funnel replay: each stage's CTE is the already-bit-exact oracle of
+    its component query (DuckDB allows a WITH-bearing subquery as a CTE
+    body), so the funnel certifies the COMPOSITION, not new kernels."""
+    from .decontam import ORACLE_SQL as DECONTAM_SQL
+    from .textops import ORACLE_SQL as TEXT_SQL
+
+    return (
+        f"WITH ce AS ({_corpus_clean_exact_sql()}), "
+        f"g AS ({TEXT_SQL['gopher_rules']}), "
+        f"dh AS ({DECONTAM_SQL['decontam_hits']}) "
+        "SELECT 'total' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents "
+        "UNION ALL SELECT 'clean', CAST(count(*) AS BIGINT) FROM ce "
+        "UNION ALL SELECT 'gopher', CAST(count(*) AS BIGINT) "
+        "FROM ce JOIN g USING (doc_id) WHERE g.gopher_pass = 1 "
+        "UNION ALL SELECT 'decontam', CAST(count(*) AS BIGINT) "
+        "FROM ce JOIN g USING (doc_id) WHERE g.gopher_pass = 1 "
+        "AND doc_id NOT IN (SELECT doc_id FROM dh)"
+    )
+
+
+ORACLE_SQL["corpus_funnel"] = _corpus_funnel_sql()
