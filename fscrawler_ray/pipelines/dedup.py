@@ -679,6 +679,118 @@ def _candidate_pairs_compact(cand_ds) -> tuple[np.ndarray, np.ndarray]:
     return uniq[:, 0], uniq[:, 1]
 
 
+def _verify_jaccard_broadcast(
+    sf_dir: str, a: np.ndarray, b: np.ndarray, uniq: np.ndarray, threshold: float, ngram: int
+) -> pa.Table:
+    """Small-candidate-set exact-Jaccard verify: ONE streaming corpus scan
+    collects the candidate docs' unique-shingle sets (doc-count-sized),
+    ray.put's them, and the pair list is verified distributed against the
+    broadcast — identical math to the shuffle path (round(inter/union, 6),
+    both sides non-empty, ≥ threshold)."""
+    uniq_ref = ray.put(uniq)
+
+    def blobs_batch(batch: pa.Table) -> pa.Table:
+        u = ray.get(uniq_ref)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(u, did), len(u) - 1)
+        keep = u[pos] == did
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.binary())})
+        sub = batch.filter(pa.array(keep))
+        h, doc = shingle_hashes(sub.column("text"), ngram)
+        blobs: list[bytes] = [b""] * sub.num_rows
+        if len(h):
+            o = np.argsort(doc, kind="stable")
+            h, doc = h[o], doc[o]
+            starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+            bnd = np.append(starts, len(doc))
+            for k, row in enumerate(doc[starts]):
+                blobs[int(row)] = np.unique(h[bnd[k] : bnd[k + 1]]).tobytes()
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id").cast(pa.int64()),
+                "sh": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    parts = [
+        t
+        for t in _docs(sf_dir).map_batches(blobs_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    ids = np.empty(0, np.int64)
+    blob_list: list[np.ndarray] = []
+    if parts:
+        tbl = pa.concat_tables(parts)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = tbl.column("sh").to_pylist()
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        blob_list = [np.frombuffer(raw[int(i)], dtype=np.uint64) for i in o]
+    blob_ref = ray.put((ids, blob_list))
+
+    pairs_ds = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+    ).repartition(32)
+
+    def verify(pb: pa.Table) -> pa.Table:
+        pids, pblobs = ray.get(blob_ref)
+        da = pb.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = pb.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+        )
+        if not len(pids):
+            return empty
+        ia = np.minimum(np.searchsorted(pids, da), len(pids) - 1)
+        ib = np.minimum(np.searchsorted(pids, db), len(pids) - 1)
+        oa, ob, oj = [], [], []
+        for k in range(len(da)):
+            if pids[ia[k]] != da[k] or pids[ib[k]] != db[k]:
+                continue  # doc had no text row → empty set → no pair
+            sa, sb = pblobs[ia[k]], pblobs[ib[k]]
+            if not len(sa) or not len(sb):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                oa.append(int(da[k]))
+                ob.append(int(db[k]))
+                oj.append(round(j, 6))
+        if not oa:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, pa.int64()),
+                "doc_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        [
+            t
+            for t in pairs_ds.map_batches(verify, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+            if t.num_rows
+        ]
+        or [
+            pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+            )
+        ]
+    )
+    if not out.num_rows:
+        return out
+    o = np.lexsort(
+        (out.column("doc_b").to_numpy(zero_copy_only=False), out.column("doc_a").to_numpy(zero_copy_only=False))
+    )
+    return out.take(pa.array(o, pa.int64()))
+
+
 def verify_jaccard_distributed(sf_dir: str, cand_ds, threshold: float, ngram: int = 3) -> pa.Table:
     """Exact shingle-Jaccard verification as a repartition-by-pair join
     (VERDICT r01 #2): the deduped candidate pair list (candidate-sized) is
@@ -692,6 +804,14 @@ def verify_jaccard_distributed(sf_dir: str, cand_ds, threshold: float, ngram: in
     a, b = _candidate_pairs_compact(cand_ds)
     if len(a) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+    uniq_cand = np.unique(np.concatenate([a, b]))
+    if len(uniq_cand) <= 50_000:
+        # broadcast fast path: each candidate doc's shingle set crosses
+        # the wire ONCE (the shuffle path below copies a doc's blob onto
+        # every one of its pair rows — measured 52 copies/doc at sf0.1);
+        # gated on candidate-DOC count so the broadcast stays object-
+        # store-sized, the shuffle path remains the scale fallback
+        return _verify_jaccard_broadcast(sf_dir, a, b, uniq_cand, threshold, ngram)
     pid = (xxh64_u64(a.astype(np.uint64), seed=11) ^ xxh64_u64(b.astype(np.uint64), seed=13)).view(np.int64)
     # doc → segment of (pid, slot, doc_a, doc_b), sorted by doc
     docs_rep = np.concatenate([a, b])
