@@ -723,6 +723,24 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_host_bfs(sf_dir: str):
+        """SQL-CHECKED single-source BFS layers over the spooled host
+        graph: the engine's iterative broadcast-frontier expansion vs
+        DuckDB's recursive-CTE minimum-distance replay — the crawler's
+        own frontier primitive inside the oracle net."""
+        import shutil
+
+        import pyarrow as pa
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import bfs_layers
+
+        shutil.rmtree(HOST_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_EDGES_DIR)
+        t = bfs_layers(e, src_col="src_host", dst_col="dst_host")
+        return t.rename_columns(["host", "dist"])
+
     def crawl_curation_funnel(sf_dir: str):
         """Composed LAION-style curation funnel over the shared written
         run, SQL-CHECKED end-to-end: URL rules → quality ladder →
@@ -772,6 +790,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_quality": crawl_host_quality,
         "crawl_url_filter": crawl_url_filter,
         "crawl_curation_funnel": crawl_curation_funnel,
+        "crawl_host_bfs": crawl_host_bfs,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1529,6 +1548,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM pref GROUP BY prefix"
     )
     sql["host_pagerank_exact"] = _host_pagerank_oracle()
+    sql["crawl_host_bfs"] = (
+        "WITH RECURSIVE e AS (SELECT DISTINCT src_host AS s, dst_host AS d "
+        f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet')), "
+        "seed AS (SELECT min(s) AS h FROM e), "
+        # recursive UNION (distinct) — a cyclic host graph under UNION ALL
+        # would enumerate paths, not nodes; distinct (host, dist) rows are
+        # bounded by |hosts| × 32
+        "walk(host, dist) AS (SELECT h, 0 FROM seed WHERE h IS NOT NULL "
+        "UNION SELECT e.d, w.dist + 1 FROM walk w JOIN e ON e.s = w.host "
+        "WHERE w.dist < 32) "
+        "SELECT host, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY host"
+    )
     sql["crawl_host_degree_exact"] = (
         "WITH o AS (SELECT src_host AS host, count(*) AS outd "
         f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet') GROUP BY src_host), "

@@ -477,3 +477,60 @@ def triangles(edges_ds, a_col: str = "a", b_col: str = "b", chunk: int = 1024, a
         expand_and_close, batch_format="pyarrow", batch_size=4
     )
     return light.union(heavy)
+
+
+def bfs_layers(edges_ds, source=None, src_col: str = "src", dst_col: str = "dst", max_rounds: int = 32):
+    """Single-source BFS layers over a directed edge Dataset — the
+    frontier-expansion primitive at the heart of the crawler itself,
+    exposed as a graph query (layer = minimum hop distance).
+
+    Shape: the edge table is materialized once; each round is ONE
+    is_in-filtered streaming pass (the current frontier broadcast into
+    every task — frontier and visited set are node-table-sized driver
+    state, the same stance as kcore's peel and CC's label table).  Rounds
+    = graph eccentricity from the source, each touching only edges out
+    of the frontier.  Works for any node dtype (strings here).
+
+    Returns pa.Table(node, dist) for every node reachable from
+    ``source`` (default: the minimum src value, matching the SQL twin's
+    deterministic seed)."""
+    edges = edges_ds.materialize()
+    if source is None:
+        mins = [
+            b
+            for b in edges.map_batches(
+                lambda b: pa.table({"m": pa.array([pc.min(b.column(src_col)).as_py()])}),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        cands = [m for t in mins for m in t.column("m").to_pylist() if m is not None]
+        if not cands:
+            return pa.table({"node": pa.array([], pa.string()), "dist": pa.array([], pa.int64())})
+        source = min(cands)
+    visited = {source: 0}
+    frontier = [source]
+    for r in range(1, max_rounds + 1):
+        fr = pa.array(frontier)
+
+        def step(b: pa.Table, fr=fr) -> pa.Table:
+            hit = b.filter(pc.is_in(b.column(src_col), value_set=fr))
+            return pa.table({"d": pc.unique(hit.column(dst_col))})
+
+        nxt = set()
+        for t in edges.map_batches(step, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            nxt.update(t.column("d").to_pylist())
+        frontier = sorted(n for n in nxt if n not in visited)
+        if not frontier:
+            break
+        for n in frontier:
+            visited[n] = r
+    nodes = sorted(visited)
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "dist": pa.array([visited[n] for n in nodes], pa.int64()),
+        }
+    )

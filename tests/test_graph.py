@@ -227,3 +227,24 @@ def test_kcore_peels_pendant_chain_from_clique(ray_session):
     # empty core comes back typed, not null
     empty = kcore(ray.data.from_arrow(edges), k=5).to_pandas()
     assert len(empty) == 0 and empty["deg"].dtype == np.int64
+
+
+def test_bfs_layers_planted():
+    """BFS layers match hand-computed hop distances on a planted digraph;
+    unreachable nodes are absent; cycles terminate."""
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.pipelines.graph import bfs_layers
+
+    edges = pa.table(
+        {
+            "src": pa.array(["a", "a", "b", "c", "d", "z"]),
+            "dst": pa.array(["b", "c", "d", "d", "a", "q"]),  # cycle a-b-d-a
+        }
+    )
+    out = bfs_layers(ray.data.from_arrow(edges), source="a").to_pandas().set_index("node")["dist"]
+    assert out.to_dict() == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # default source = min src value ("a") gives the same layers
+    out2 = bfs_layers(ray.data.from_arrow(edges)).to_pandas().set_index("node")["dist"]
+    assert out2.to_dict() == out.to_dict()
