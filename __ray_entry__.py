@@ -1259,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_jsonl_roundtrip": formats.q_docs_jsonl_roundtrip,
             "docs_csv_roundtrip": formats.q_docs_csv_roundtrip,
             "docs_hive_roundtrip": formats.q_docs_hive_roundtrip,
+            "docs_jsonl_gz_roundtrip": formats.q_docs_jsonl_gz_roundtrip,
         }
     )
     out.update(

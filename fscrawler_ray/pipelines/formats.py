@@ -101,3 +101,69 @@ ORACLE_SQL = {
     "docs_csv_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
     "docs_hive_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
 }
+
+
+def q_docs_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzipped-JSONL round-trip — the de-facto web-corpus interchange
+    format (CommonCrawl/C4-style dumps ship as .json.gz): shards are
+    written TASK-side with stdlib gzip+json (one file per block — the
+    many-files resumable-output discipline), read back one task per
+    shard, and the TEXT column rides along so JSON escaping is certified
+    lossless (the metadata-only trips above don't exercise it)."""
+    import glob
+    import gzip
+    import json
+    import uuid
+
+    cols = _COLS + ["text"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    out = _scratch(sf_dir, "jsonlgz")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        path = os.path.join(out, f"part-{uuid.uuid4().hex}.jsonl.gz")
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            for row in b.to_pylist():
+                f.write(json.dumps(row) + "\n")
+        return pa.table({"path": pa.array([path]), "rows": pa.array([b.num_rows], pa.int64())})
+
+    for _ in ds.map_batches(write_block, batch_format="pyarrow").iter_batches():
+        pass  # consume = the export
+
+    files = sorted(glob.glob(os.path.join(out, "*.jsonl.gz")))
+    if not files:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    flist = ray.data.from_arrow(pa.table({"path": pa.array(files)})).repartition(len(files))
+
+    def load(b: pa.Table) -> pa.Table:
+        rows = []
+        for p in b.column("path").to_pylist():
+            with gzip.open(p, "rt", encoding="utf-8") as f:
+                rows.extend(json.loads(line) for line in f)
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "source": pa.array([r["source"] for r in rows], pa.string()),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+            }
+        )
+
+    back = flist.map_batches(load, batch_format="pyarrow", batch_size=1)
+    batches = list(back.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches)
+
+
+ORACLE_SQL["docs_jsonl_gz_roundtrip"] = (
+    "SELECT doc_id, lang, source, n_chars, text FROM documents"
+)
