@@ -1290,6 +1290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # the oracle replays candidate GENERATION (bands → buckets →
             # pairs), not just the exact-Jaccard verify
             "minhash_md5_neardup": lambda sf: dedup.minhash_md5_pairs(sf),
+            # sketch-accuracy eval: matching-component count vs exact J
+            # for every overlapping LSH candidate pair
+            "minhash_accuracy": lambda sf: dedup.minhash_md5_accuracy(sf),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "semantic_neardup": lambda sf: dedup.semantic_neardup_pairs(sf),

@@ -489,21 +489,9 @@ def minhash_md5_pairs(
                 "doc_id": pa.array([], pa.int64()),
             }
         )
-        hs, doc = md5_shingle3_hashes(b.column("text"))
-        if len(hs) == 0:
+        ids, sig = _md5_sig_matrix(b, num_perm)
+        if sig is None:
             return empty
-        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        x = hs % P
-        # doc is non-decreasing by construction → segmented min via reduceat
-        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
-        present = doc[starts]
-        sig = np.empty((len(present), num_perm), dtype=np.uint64)
-        for p in range(num_perm):
-            hp = mulmod61(int(a_c[p]), x) + b_c[p]  # < 2^62, exact in uint64
-            hp = (hp & P) + (hp >> np.uint64(61))
-            hp = np.where(hp >= P, hp - P, hp)
-            sig[:, p] = np.minimum.reduceat(hp, starts)
-        ids = did[present]
         rows = []
         for band in range(bands):
             pre = [
@@ -1165,11 +1153,119 @@ ORACLE_SQL = {
 }
 
 
-def _minhash_md5_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+def _md5_sig_matrix(b: pa.Table, num_perm: int):
+    """Per-doc md5 MinHash signature matrix for one batch: returns
+    (doc_ids int64[n], sig uint64[n, num_perm]) or (None, None) when the
+    batch yields no shingles — the shared kernel of the banded bucket
+    pass and the accuracy eval."""
+    from ..functions.text import MERSENNE61, md5_shingle3_hashes, mh_perm_consts, mulmod61
+
+    a_c, b_c = mh_perm_consts(num_perm)
+    P = np.uint64(MERSENNE61)
+    hs, doc = md5_shingle3_hashes(b.column("text"))
+    if len(hs) == 0:
+        return None, None
+    did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    x = hs % P
+    # doc is non-decreasing by construction → segmented min via reduceat
+    starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+    present = doc[starts]
+    sig = np.empty((len(present), num_perm), dtype=np.uint64)
+    for p in range(num_perm):
+        hp = mulmod61(int(a_c[p]), x) + b_c[p]  # < 2^62, exact in uint64
+        hp = (hp & P) + (hp >> np.uint64(61))
+        hp = np.where(hp >= P, hp - P, hp)
+        sig[:, p] = np.minimum.reduceat(hp, starts)
+    return did[present], sig
+
+
+def minhash_md5_accuracy(sf_dir: str, num_perm: int = 32, bands: int = 8, max_bucket: int = 4096):
+    """Sketch-accuracy EVAL — the measurement a pipeline runs to tune
+    (num_perm, bands) before a 100-TB dedup: for EVERY md5-LSH candidate
+    pair, the sketch's evidence (count of matching signature components,
+    whose /num_perm ratio is the MinHash estimate of J) next to the
+    exact shingle Jaccard.  Candidates ride the normal banded pipeline
+    (threshold ε keeps all overlapping candidates); signatures for the
+    candidate docs are recomputed in one filtered streaming pass and
+    broadcast (candidate-doc-bounded); the match count is a vectorized
+    pass over the pair table."""
+    pairs = minhash_md5_pairs(
+        sf_dir, num_perm=num_perm, bands=bands, jaccard_threshold=1e-9,
+        max_bucket=max_bucket, cache=False,
+    )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_matches": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+    a = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b_ = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.unique(np.concatenate([a, b_]))
+    uniq_ref = ray.put(uniq)
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        u = ray.get(uniq_ref)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(u, did), len(u) - 1)
+        keep = u[pos] == did
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.binary())})
+        sub = batch.filter(pa.array(keep))
+        ids, sig = _md5_sig_matrix(sub, num_perm)
+        if sig is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.binary())})
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sig": pa.array([row.tobytes() for row in sig], pa.binary()),
+            }
+        )
+
+    parts = [
+        t
+        for t in _docs(sf_dir).map_batches(sig_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    tbl = pa.concat_tables(parts)
+    sids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mats = np.stack(
+        [np.frombuffer(x, dtype=np.uint64) for x in tbl.column("sig").to_pylist()]
+    )
+    o = np.argsort(sids, kind="stable")
+    sids, mats = sids[o], mats[o]
+    ia = np.searchsorted(sids, a)
+    ib = np.searchsorted(sids, b_)
+    est = (mats[ia] == mats[ib]).sum(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "doc_a": pairs.column("doc_a"),
+            "doc_b": pairs.column("doc_b"),
+            "est_matches": pa.array(est),
+            "jaccard": pairs.column("jaccard"),
+        }
+    )
+
+
+def _minhash_md5_oracle(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.5, accuracy: bool = False
+) -> str:
     """DuckDB replay of minhash_md5_pairs — the permutation constants are
     inlined from the SAME mh_perm_consts the engine kernel uses, so both
     sides compute identical signatures, band buckets, candidate pairs and
-    verified Jaccard (see minhash_md5_pairs docstring)."""
+    verified Jaccard (see minhash_md5_pairs docstring).  ``accuracy``
+    emits the sketch-eval projection instead: every overlapping candidate
+    pair with its matching-signature-component count beside the exact
+    Jaccard (minhash_md5_accuracy's twin; the inter JOIN's ≥1-shared-
+    shingle implication mirrors the engine's ε threshold)."""
     from ..functions.text import MERSENNE61, mh_perm_consts
 
     a_c, b_c = mh_perm_consts(num_perm)
@@ -1199,13 +1295,30 @@ def _minhash_md5_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0
         "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ix FROM cand c "
         "JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s "
         "GROUP BY 1, 2) "
-        "SELECT i.doc_a, i.doc_b, round(CAST(ix AS DOUBLE) / (na.n + nb.n - ix), 6) AS jaccard "
-        "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b "
-        f"WHERE CAST(ix AS DOUBLE) / (na.n + nb.n - ix) >= {threshold}"
+        + (
+            (
+                ", est AS (SELECT c.doc_a, c.doc_b, "
+                "CAST(count(*) FILTER (ma.m = mb.m) AS BIGINT) AS est_matches "
+                "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
+                "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.p = ma.p GROUP BY 1, 2) "
+                "SELECT i.doc_a, i.doc_b, e.est_matches, "
+                "round(CAST(ix AS DOUBLE) / (na.n + nb.n - ix), 6) AS jaccard "
+                "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a "
+                "JOIN sizes nb ON nb.doc_id = i.doc_b "
+                "JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b"
+            )
+            if accuracy
+            else (
+                "SELECT i.doc_a, i.doc_b, round(CAST(ix AS DOUBLE) / (na.n + nb.n - ix), 6) AS jaccard "
+                "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b "
+                f"WHERE CAST(ix AS DOUBLE) / (na.n + nb.n - ix) >= {threshold}"
+            )
+        )
     )
 
 
 ORACLE_SQL["minhash_md5_neardup"] = _minhash_md5_oracle()
+ORACLE_SQL["minhash_accuracy"] = _minhash_md5_oracle(accuracy=True)
 
 
 def _neardup_components_oracle() -> str:
