@@ -946,6 +946,20 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return groups(ds, max_bucket=1_000_000)
 
+    def images_phash_banded_recall(sf_dir: str):
+        """SQL-CHECKED banded-phash recall eval over the spool: the band
+        scheme's measured recall vs the brute-force Hamming join (a
+        2+2+1+1 bit split defeats all 4 bands, so recall < 1 is expected
+        and now measured, not assumed)."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import phash_banded_recall
+
+        spool = _images_spool(sf_dir)
+        return phash_banded_recall(
+            lambda: _ray.data.read_parquet(spool, columns=["image_id", "phash"])
+        )
+
     def images_shard_roundtrip(sf_dir: str):
         """SQL-CHECKED shard sink/source roundtrip: the spool is exported
         through the resumable WebDataset-style blob writer, read back via
@@ -1192,6 +1206,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_dedup": images_caption_dedup,
         "images_neardup_groups_spool": images_neardup_groups_spool,
         "images_shard_roundtrip": images_shard_roundtrip,
+        "images_phash_banded_recall": images_phash_banded_recall,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -1293,6 +1308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # sketch-accuracy eval: matching-component count vs exact J
             # for every overlapping LSH candidate pair
             "minhash_accuracy": lambda sf: dedup.minhash_md5_accuracy(sf),
+            # LSH config eval: measured recall vs the exact-join truth
+            "lsh_recall": lambda sf: dedup.lsh_recall(sf),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "semantic_neardup": lambda sf: dedup.semantic_neardup_pairs(sf),
@@ -1929,6 +1946,24 @@ def oracle_sql() -> dict[str, str]:
         "reach(a, b) AS ((SELECT a, a FROM e UNION SELECT a, b FROM e) "
         "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
         "SELECT a AS image_id, min(b) AS canonical_id FROM reach GROUP BY a"
+    )
+    sql["images_phash_banded_recall"] = (
+        "WITH t AS (SELECT image_id, CAST(phash AS BIGINT) AS ph "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "tr AS (SELECT x.image_id AS a, y.image_id AS b FROM t x JOIN t y "
+        "ON x.image_id < y.image_id WHERE bit_count(xor(x.ph, y.ph)) <= 6), "
+        "bb AS (SELECT band, (ph >> (16 * band)) & 65535 AS bucket, image_id, ph "
+        "FROM t, (VALUES (0), (1), (2), (3)) v(band)), "
+        "bd AS (SELECT DISTINCT x.image_id AS a, y.image_id AS b "
+        "FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.image_id < y.image_id WHERE bit_count(xor(x.ph, y.ph)) <= 6), "
+        "e AS (SELECT count(*) AS n_true FROM tr), "
+        "l AS (SELECT count(*) AS n_banded FROM bd), "
+        "f AS (SELECT count(*) AS n_found FROM tr JOIN bd USING (a, b)) "
+        "SELECT CAST(e.n_true AS BIGINT) AS n_true, CAST(l.n_banded AS BIGINT) AS n_banded, "
+        "CAST(f.n_found AS BIGINT) AS n_found, "
+        "CAST(CASE WHEN e.n_true = 0 THEN 0 ELSE f.n_found * 1000000 // e.n_true END AS BIGINT) AS recall_micro "
+        "FROM e, l, f"
     )
     sql["images_dedup_keep_best_spool"] = (
         "WITH s AS (SELECT CAST(phash AS BIGINT) AS phash, image_id, "

@@ -1340,3 +1340,94 @@ def _neardup_components_oracle() -> str:
 
 
 ORACLE_SQL["neardup_components_exact"] = _neardup_components_oracle()
+
+
+def lsh_recall(sf_dir: str, threshold: float = 0.5):
+    """LSH configuration EVAL: measured recall of the banded MinHash
+    pipeline against the exact-join ground truth at the same threshold —
+    the number a team reads before trusting an LSH config on a 100-TB
+    dedup.  Both sides are the already-SQL-checked pipelines (md5 LSH
+    twin vs shared-shingle exact join); the set intersection runs on the
+    output-sized pair tables.  One row: (n_exact, n_lsh, n_found,
+    recall_micro)."""
+    ex = ngram_jaccard_exact(sf_dir, threshold=threshold)
+    ls = minhash_md5_pairs(sf_dir, jaccard_threshold=threshold)
+
+    def keys(t: pa.Table) -> set:
+        return set(
+            zip(
+                t.column("doc_a").to_pylist(),
+                t.column("doc_b").to_pylist(),
+            )
+        )
+
+    ek, lk = keys(ex), keys(ls)
+    found = len(ek & lk)
+    total = len(ek)
+    return pa.table(
+        {
+            "n_exact": pa.array([total], pa.int64()),
+            "n_lsh": pa.array([len(lk)], pa.int64()),
+            "n_found": pa.array([found], pa.int64()),
+            "recall_micro": pa.array([found * 1_000_000 // total if total else 0], pa.int64()),
+        }
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    return (
+        f"WITH ex AS ({ORACLE_SQL['ngram_jaccard_exact']}), "
+        f"lsh AS ({_minhash_md5_oracle()}), "
+        "f AS (SELECT count(*) AS n_found FROM ex JOIN lsh USING (doc_a, doc_b)), "
+        "e AS (SELECT count(*) AS n_exact FROM ex), "
+        "l AS (SELECT count(*) AS n_lsh FROM lsh) "
+        "SELECT CAST(e.n_exact AS BIGINT) AS n_exact, CAST(l.n_lsh AS BIGINT) AS n_lsh, "
+        "CAST(f.n_found AS BIGINT) AS n_found, "
+        "CAST(CASE WHEN e.n_exact = 0 THEN 0 "
+        "ELSE f.n_found * 1000000 // e.n_exact END AS BIGINT) AS recall_micro "
+        "FROM e, l, f"
+    )
+
+
+ORACLE_SQL["lsh_recall"] = _lsh_recall_oracle()
+
+
+def phash_banded_recall(spool_ds_factory, max_hamming: int = 6):
+    """Banded-phash EVAL: the 4×16-bit band scheme guarantees a shared
+    band only when some band carries ZERO differing bits — at Hamming ≤ 6
+    a 2+2+1+1 split defeats it, so recall is probabilistic.  This
+    measures it against the brute-force Hamming join on the same input.
+    One row: (n_true, n_banded, n_found, recall_micro)."""
+    banded = phash_neardup_pairs(spool_ds_factory(), max_hamming=max_hamming, max_bucket=1_000_000)
+    # brute force over the (spool-sized) phash table: driver-side numpy —
+    # the EVAL runs at check scale; the production path is the banded one
+    t = pa.concat_tables(
+        [
+            b
+            for b in spool_ds_factory().iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+    ph = t.column("phash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    o = np.argsort(ids, kind="stable")
+    ids, ph = ids[o], ph[o]
+    from ..functions.phash import hamming64
+
+    iu = np.triu_indices(len(ids), k=1)
+    d = hamming64(ph[iu[0]].view(np.int64), ph[iu[1]].view(np.int64))
+    hit = d <= max_hamming
+    true_pairs = set(zip(ids[iu[0][hit]], ids[iu[1][hit]]))
+    banded_pairs = set(
+        zip(banded.column("image_a").to_pylist(), banded.column("image_b").to_pylist())
+    )
+    found = len(true_pairs & banded_pairs)
+    total = len(true_pairs)
+    return pa.table(
+        {
+            "n_true": pa.array([total], pa.int64()),
+            "n_banded": pa.array([len(banded_pairs)], pa.int64()),
+            "n_found": pa.array([found], pa.int64()),
+            "recall_micro": pa.array([found * 1_000_000 // total if total else 0], pa.int64()),
+        }
+    )
