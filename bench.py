@@ -146,6 +146,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "crawl_url_filter",
         "crawl_curation_funnel",
         "images_neardup_groups_spool",
+        "corpus_funnel",
+        "crawl_host_bfs",
+        "minhash_accuracy",
+        "lsh_recall",
+        "docs_jsonl_gz_roundtrip",
+        "slow_orders_by_priority",
+        "supplier_diversity",
+        "idle_rich_customers",
     ]
     # time the PRODUCTION paths: the queries() registry widens knn_pq's
     # shortlist to the whole table so the SQL oracle can certify it at
