@@ -1483,3 +1483,82 @@ ORACLE_SQL["top_tokens_by_lang"] = (
     "r AS (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk FROM c) "
     "SELECT lang, tok, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3"
 )
+
+
+VOCAB_GROWTH_BUCKET = 32  # docs per growth bucket (sized to the report)
+
+
+def q_vocab_growth(sf_dir: str, bucket: int = VOCAB_GROWTH_BUCKET):
+    """Heaps'-law vocabulary-growth curve — the corpus statistic that
+    sizes tokenizer vocabularies and dedup sketch widths: per doc-id
+    bucket, how many NEVER-BEFORE-SEEN words appear, plus the running
+    vocabulary size.  First occurrence = min(doc_id) per word (one
+    vocab-bounded groupby after per-block partial minima); the bucket
+    rollup and cumulative sum are bucket-table-sized driver folds.  A
+    production run picks ``bucket`` to bound the report size."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(pc.ascii_lower(b.column("text")), "[^a-z]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+        flat = pc.list_flatten(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False).astype("int64"), lens
+        )[keep]
+        words = flat.to_pandas().to_numpy()[keep]
+        if not len(words):
+            return pa.table({"word": pa.array([], pa.string()), "first_doc": pa.array([], pa.int64())})
+        df = pd.DataFrame({"w": words, "d": did}).groupby("w", sort=False)["d"].min()
+        return pa.table(
+            {"word": pa.array(df.index.to_numpy(), pa.string()), "first_doc": pa.array(df.to_numpy(), pa.int64())}
+        )
+
+    firsts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("first_doc"))
+    )
+
+    def buckets(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b.column("min(first_doc)").to_numpy(zero_copy_only=False).astype("int64")
+        bk = d // bucket
+        u, c = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()), "nw": pa.array(c.astype("int64"))})
+
+    import numpy as np
+
+    agg: dict[int, int] = {}
+    for t in firsts.map_batches(buckets, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, v in zip(t.column("bucket").to_pylist(), t.column("nw").to_pylist()):
+            agg[k] = agg.get(k, 0) + v
+    ks = sorted(agg)
+    cum = np.cumsum([agg[k] for k in ks]).astype("int64")
+    return pa.table(
+        {
+            "bucket": pa.array(ks, pa.int64()),
+            "new_words": pa.array([agg[k] for k in ks], pa.int64()),
+            "cum_words": pa.array(cum),
+        }
+    )
+
+
+ORACLE_SQL["vocab_growth"] = (
+    "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+    "FROM documents), "
+    "f AS (SELECT word, min(doc_id) AS d FROM w WHERE word <> '' GROUP BY word), "
+    f"b AS (SELECT d // {VOCAB_GROWTH_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS new_words "
+    "FROM f GROUP BY 1) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, new_words, "
+    "CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT) AS cum_words FROM b"
+)
