@@ -997,6 +997,19 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return read_shards(out).map_batches(cert, batch_format="pyarrow")
 
+    def images_bucketed_shards(sf_dir: str):
+        """SQL-CHECKED aspect-bucketed shard plan over the spool: per
+        ladder bucket, the byte-budget two-level scan vs DuckDB's
+        bucket-partitioned window cumsum."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.image_corpus import bucketed_shard_manifest
+
+        ds = _ray.data.read_parquet(
+            _images_spool(sf_dir), columns=["image_id", "bytes", "w", "h"]
+        )
+        return bucketed_shard_manifest(ds)
+
     def images_caption_dedup(sf_dir: str):
         """SQL-CHECKED caption-level exact dedup over the spool — the
         text-side counterpart of phash dedup (duplicate captions across
@@ -1207,6 +1220,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_neardup_groups_spool": images_neardup_groups_spool,
         "images_shard_roundtrip": images_shard_roundtrip,
         "images_phash_banded_recall": images_phash_banded_recall,
+        "images_bucketed_shards": images_bucketed_shards,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -1974,6 +1988,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT s.phash, min(s.image_id) AS keeper_image_id, "
         "CAST(count(*) AS BIGINT) AS ties "
         "FROM s JOIN m USING (phash) WHERE s.px = m.best_px GROUP BY s.phash"
+    )
+    from fscrawler_ray.pipelines.image_corpus import SHARD_CAP_BYTES as _BCAP
+
+    sql["images_bucketed_shards"] = (
+        f"WITH im AS (SELECT image_id, w, h, octet_length(bytes) AS nb "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        f"lad AS (SELECT * FROM (VALUES {_lad_rows}) AS v(i, lbl, r)), "
+        "d AS (SELECT image_id, lbl, i, abs(ln(CAST(w AS DOUBLE) / h) - ln(r)) AS dist FROM im, lad), "
+        "pick AS (SELECT image_id, lbl FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY image_id ORDER BY dist, i) AS rn FROM d) WHERE rn = 1) "
+        "SELECT im.image_id, pick.lbl AS bucket, CAST(im.nb AS BIGINT) AS nbytes, "
+        "CAST(floor(coalesce(sum(im.nb) OVER (PARTITION BY pick.lbl ORDER BY im.image_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_BCAP}) AS BIGINT) AS shard "
+        "FROM im JOIN pick ON pick.image_id = im.image_id"
     )
     sql["images_caption_features"] = (
         "WITH c AS (SELECT image_id, caption, "

@@ -527,3 +527,74 @@ def read_shards(out_dir: str):
         return pa.concat_tables(outs)
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def bucketed_shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: int = 64):
+    """Aspect-BUCKETED WebDataset export plan — the diffusion-training
+    layout where every shard holds ONE crop geometry: images join their
+    nearest-log-ratio ladder bucket, then each bucket is packed into
+    cap-byte shards by the same two-level byte prefix scan as
+    shard_manifest (shard ids are per-bucket).
+
+    The ladder is FIXED (9 buckets), so the per-bucket packing is 9
+    filtered scans over the SLIM materialized (id, nbytes, bucket) table
+    — payload bytes never ride the scan, and each scan stays the
+    distributed two-level shape (no bucket ever funnels into one task).
+
+    Output: (image_id, bucket, nbytes, shard) — shard numbering local to
+    its bucket, matching the per-geometry shard directories a loader
+    expects."""
+    import numpy as np
+
+    from .textops import pack_by_budget
+
+    def slim(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id")
+        w = b.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = pc.utf8_slice_codeunits(ids, 4, 14).cast(pa.int64())
+        return pa.table(
+            {
+                "image_id": ids,
+                "bucket": pa.array(_bucket_labels(w, h), pa.string()),
+                "nbytes": pc.binary_length(b.column("bytes")).cast(pa.int64()),
+                "rng": pc.divide(num, range_width),
+            }
+        )
+
+    s = images_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    outs = []
+    for rw, rh in ASPECT_LADDER:
+        lbl = f"{rw}:{rh}"
+        sub = s.map_batches(
+            lambda b, lbl=lbl: b.filter(pc.equal(b.column("bucket"), lbl)),
+            batch_format="pyarrow",
+        ).materialize()
+        if not sub.count():
+            continue
+        # "bucket" rides order_cols (constant within the filtered sub, so
+        # the sort order is still image_id) purely to stay in the output
+        packed = pack_by_budget(sub, "nbytes", cap, ["image_id", "bucket"])
+        t = pa.concat_tables(
+            [x for x in packed.iter_batches(batch_format="pyarrow") if x.num_rows]
+        )
+        outs.append(
+            pa.table(
+                {
+                    "image_id": t.column("image_id"),
+                    "bucket": t.column("bucket"),
+                    "nbytes": t.column("nbytes").cast(pa.int64()),
+                    "shard": t.column("bin").cast(pa.int64()),
+                }
+            )
+        )
+    if not outs:
+        return pa.table(
+            {
+                "image_id": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.string()),
+                "nbytes": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(outs)
