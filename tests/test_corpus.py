@@ -169,3 +169,45 @@ def test_span_dedup_clean_partition_invariant():
     finally:
         ray.data.read_parquet = saved
     assert a.equals(b)
+
+
+def test_corpus_funnel_planted(tmp_path):
+    """Funnel stages drop exactly the planted violators: exact-dup and
+    junk at clean, short doc at gopher, benchmark-gram doc at decontam."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.corpus import corpus_funnel
+
+    good = ("the quick brown fox jumps over a lazy dog and that is fine with all of us here " * 4).strip()
+    short_but_clean = "the a quick brown fox is fine here with that one dog today"  # ≥40 chars, <50 words
+    junk = "zork blorp quux " * 20  # fails langid
+    docs = [
+        (0, good + " zero marker words here now"),  # doc 0 -> benchmark gram -> decontam drop
+        (1, good),                                  # survives everything
+        (2, good),                                  # exact dup of nothing (differs from 1? no -> dup!)
+        (3, short_but_clean),                       # clean passes, gopher word-count fails
+        (4, junk),                                  # langid drop at clean
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = corpus_funnel(str(tmp_path)).to_pandas().set_index("stage")["n"]
+    assert out["total"] == 5
+    # clean: drops junk (lang) and doc 2 (exact dup of doc 1) -> 3
+    assert out["clean"] == 3
+    # gopher: drops the <50-word doc -> 2 (docs 0 and 1)
+    assert out["gopher"] == 2
+    # decontam: doc 0 is a benchmark doc (0 % 97 == 0) whose own text
+    # contains its first 8-gram -> dropped; doc 1 begins with the same 8
+    # tokens (both start with `good`), so it carries the benchmark gram
+    # and is dropped too
+    assert out["decontam"] == 0
