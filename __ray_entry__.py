@@ -741,6 +741,53 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         t = bfs_layers(e, src_col="src_host", dst_col="dst_host")
         return t.rename_columns(["host", "dist"])
 
+    def crawl_host_url_quality(sf_dir: str):
+        """SQL-CHECKED per-host URL-rule pass rates — the url_filter
+        verdicts rolled up per host (the companion feedback signal to
+        crawl_host_quality's image ladder for tier budgets)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+        from ray.data.aggregate import Sum
+
+        from fscrawler_ray.pipelines.crawl_report import url_flag_batch
+
+        ds = _ray.data.read_parquet(_shared_written_run(sf_dir), columns=["url", "host"])
+
+        def partial(b):
+            up = url_flag_batch(b.column("url"), b.column("host")).column("url_pass")
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "host": b.column("host"),
+                        "n_urls": pa.array([1] * b.num_rows, pa.int64()),
+                        "n_pass": up,
+                    }
+                ),
+                ["host"],
+            ).aggregate([("n_urls", "sum"), ("n_pass", "sum")])
+            return g.rename_columns(["host", "n_urls", "n_pass"])
+
+        out = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("n_urls"), Sum("n_pass"))
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "n_urls": b.column("sum(n_urls)").cast(pa.int64()),
+                    "n_pass": b.column("sum(n_pass)").cast(pa.int64()),
+                    "pass_rate_micro": pc.divide(
+                        pc.multiply(b.column("sum(n_pass)").cast(pa.int64()), 1_000_000),
+                        b.column("sum(n_urls)").cast(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def crawl_curation_funnel(sf_dir: str):
         """Composed LAION-style curation funnel over the shared written
         run, SQL-CHECKED end-to-end: URL rules → quality ladder →
@@ -791,6 +838,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_filter": crawl_url_filter,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
+        "crawl_host_url_quality": crawl_host_url_quality,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1917,6 +1965,18 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'dedup', CAST(nk AS BIGINT) FROM tot "
         f"UNION ALL SELECT 'shards', CAST(CASE WHEN kb = 0 THEN 0 "
         f"ELSE (kb + {_CAP} - 1) // {_CAP} END AS BIGINT) FROM tot"
+    )
+    sql["crawl_host_url_quality"] = (
+        "WITH c AS (SELECT host, CAST(length(url) AS BIGINT) AS ln, "
+        "cast(len(regexp_extract_all(url, '[0-9]')) AS BIGINT) AS n_dig, "
+        "cast(len(regexp_extract_all(url, '/')) AS BIGINT) AS n_sl, url "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        f"f AS (SELECT host, CASE WHEN ln <= {URL_MAX_LEN} AND 4 * n_dig <= ln "
+        f"AND n_sl <= {URL_MAX_SLASHES} AND host NOT IN ({_blk}) "
+        f"AND NOT ({_tok}) THEN 1 ELSE 0 END AS p FROM c) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_urls, CAST(sum(p) AS BIGINT) AS n_pass, "
+        "CAST(sum(p) * 1000000 // count(*) AS BIGINT) AS pass_rate_micro "
+        "FROM f GROUP BY host"
     )
     sql["images_phash_dedup_spool"] = (
         "SELECT CAST(phash AS BIGINT) AS phash, min(image_id) AS keeper_image_id, "
