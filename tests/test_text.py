@@ -366,3 +366,47 @@ def test_gopher_flags_rules():
     # every flag column is int64 0/1
     for c in t.column_names:
         assert t.column(c).type == pa.int64()
+
+
+def test_gopher_flags_duckdb_parity_fuzz():
+    """RE2-parity fuzz: gopher_flag_batch's counts/flags equal DuckDB's
+    regexp replay on adversarial text (bullets, ellipses, unicode
+    ellipsis, newlines, '#', digit words, stopwords) — the same SQL the
+    oracle net runs, exercised on inputs the synthetic corpus never
+    produces."""
+    import duckdb
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from fscrawler_ray.pipelines.textops import ORACLE_SQL
+
+    sql = ORACLE_SQL["gopher_rules"]
+
+    frag = st.sampled_from(
+        ["the", "a", "word", "123", "#", "...", "…", "-", "•", "\n", " ", "x" * 12, "fox9", "of", "with"]
+    )
+    doc = st.lists(frag, min_size=0, max_size=120).map(" ".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        from fscrawler_ray.pipelines.textops import gopher_flag_batch
+
+        eng = gopher_flag_batch(pa.array(texts, pa.string())).to_pandas()
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "source": pa.array(["s"] * len(texts)),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+        )
+        want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+        for c in ["n_words", "r_word_count", "r_mean_len", "r_symbol", "r_bullet",
+                  "r_ellipsis", "r_alpha", "r_stop", "gopher_pass"]:
+            assert list(eng[c]) == list(want[c]), (c, texts)
+
+    run()
