@@ -113,3 +113,58 @@ def test_url_filter_rules(tmp_path):
     assert by["deep"]["r_depth"] == 0
     assert by["blocked"]["r_host"] == 0
     assert by["banned_tok"]["r_token"] == 0
+
+
+def test_url_flags_duckdb_parity_fuzz():
+    """RE2-parity fuzz for the FineWeb-style URL rules vs the oracle's
+    DuckDB replay, on adversarial URL shapes (deep paths, digit floods,
+    banned tokens, blocked hosts, long tails)."""
+    import duckdb
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from fscrawler_ray.pipelines.crawl_report import (
+        URL_BANNED_TOKENS,
+        URL_BLOCKED_HOSTS,
+        URL_MAX_LEN,
+        URL_MAX_SLASHES,
+        url_flag_batch,
+    )
+
+    _blk = ", ".join(f"'{h}'" for h in URL_BLOCKED_HOSTS)
+    _tok = " OR ".join(f"regexp_matches(url, '{t}')" for t in URL_BANNED_TOKENS)
+    sql = (
+        "WITH c AS (SELECT url, host, CAST(length(url) AS BIGINT) AS ln, "
+        "cast(len(regexp_extract_all(url, '[0-9]')) AS BIGINT) AS n_dig, "
+        "cast(len(regexp_extract_all(url, '/')) AS BIGINT) AS n_sl FROM t) "
+        "SELECT url, "
+        f"CAST(CASE WHEN ln <= {URL_MAX_LEN} THEN 1 ELSE 0 END AS BIGINT) AS r_len, "
+        "CAST(CASE WHEN 4 * n_dig <= ln THEN 1 ELSE 0 END AS BIGINT) AS r_digits, "
+        f"CAST(CASE WHEN n_sl <= {URL_MAX_SLASHES} THEN 1 ELSE 0 END AS BIGINT) AS r_depth, "
+        f"CAST(CASE WHEN host IN ({_blk}) THEN 0 ELSE 1 END AS BIGINT) AS r_host, "
+        f"CAST(CASE WHEN {_tok} THEN 0 ELSE 1 END AS BIGINT) AS r_token "
+        "FROM c"
+    )
+
+    host = st.sampled_from(
+        ["ok.example.com", "host03.example.com", "host13.example.com", "h9.example.com"]
+    )
+    seg = st.sampled_from(["g1", "123456", "img_9", "gallery7", "a", "x" * 40, "img_12345.jpg"])
+    path = st.lists(seg, min_size=0, max_size=6).map("/".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(host, path), min_size=1, max_size=5))
+    def run(rows):
+        urls = [f"http://{h}/{p}" for h, p in rows]
+        hosts = [h for h, _ in rows]
+        eng = url_flag_batch(
+            pa.array(urls, pa.string()), pa.array(hosts, pa.string())
+        ).to_pandas().drop(columns=["url_pass"])
+        con = duckdb.connect()
+        con.register("t", pa.table({"url": pa.array(urls), "host": pa.array(hosts)}))
+        want = con.sql(sql).df()
+        # align on row order (both preserve input order)
+        for c in ["r_len", "r_digits", "r_depth", "r_host", "r_token"]:
+            assert list(eng[c]) == list(want[c]), (c, urls)
+
+    run()
