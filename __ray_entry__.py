@@ -741,6 +741,66 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         t = bfs_layers(e, src_col="src_host", dst_col="dst_host")
         return t.rename_columns(["host", "dist"])
 
+    def crawl_round_profile(sf_dir: str):
+        """SQL-CHECKED per-round crawl throughput profile over the written
+        run: URLs landed, payload bytes, distinct hosts touched per round
+        — the wave-shape diagnostic behind politeness-budget tuning."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+        from ray.data.aggregate import Sum
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["round", "host", "size"])
+
+        def partial(b):
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "round": b.column("round").cast(pa.int64()),
+                        "host": b.column("host"),
+                        "n_urls": pa.array([1] * b.num_rows, pa.int64()),
+                        "bytes": pc.fill_null(b.column("size").cast(pa.int64()), 0),
+                    }
+                ),
+                ["round", "host"],
+            ).aggregate([("n_urls", "sum"), ("bytes", "sum")])
+            return g.rename_columns(["round", "host", "n_urls", "bytes"])
+
+        per_host = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["round", "host"])
+            .aggregate(Sum("n_urls"), Sum("bytes"))
+        )
+
+        def fin(b):
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "round": b.column("round"),
+                        "n_urls": b.column("sum(n_urls)").cast(pa.int64()),
+                        "bytes": b.column("sum(bytes)").cast(pa.int64()),
+                        "hosts": pa.array([1] * b.num_rows, pa.int64()),
+                    }
+                ),
+                ["round"],
+            ).aggregate([("n_urls", "sum"), ("bytes", "sum"), ("hosts", "sum")])
+            return g.rename_columns(["round", "n_urls", "total_bytes", "n_hosts"])
+
+        # per_host is (rounds × hosts)-bounded; the final rollup's groups
+        # land whole in one block after the keyed aggregate
+        agg = per_host.map_batches(fin, batch_format="pyarrow").groupby("round").aggregate(
+            Sum("n_urls"), Sum("total_bytes"), Sum("n_hosts")
+        )
+        agg = agg.map_batches(
+            lambda b: b.rename_columns(["round", "n_urls", "total_bytes", "n_hosts"]),
+            batch_format="pyarrow",
+        )
+        return _collect(
+            agg,
+            {"round": pa.int64(), "n_urls": pa.int64(), "total_bytes": pa.int64(), "n_hosts": pa.int64()},
+        )
+
     def crawl_host_url_quality(sf_dir: str):
         """SQL-CHECKED per-host URL-rule pass rates — the url_filter
         verdicts rolled up per host (the companion feedback signal to
@@ -839,6 +899,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
+        "crawl_round_profile": crawl_round_profile,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -1965,6 +2026,12 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'dedup', CAST(nk AS BIGINT) FROM tot "
         f"UNION ALL SELECT 'shards', CAST(CASE WHEN kb = 0 THEN 0 "
         f"ELSE (kb + {_CAP} - 1) // {_CAP} END AS BIGINT) FROM tot"
+    )
+    sql["crawl_round_profile"] = (
+        "SELECT CAST(round AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(COALESCE(size, 0)) AS BIGINT) AS total_bytes, "
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY round"
     )
     sql["crawl_host_url_quality"] = (
         "WITH c AS (SELECT host, CAST(length(url) AS BIGINT) AS ln, "
