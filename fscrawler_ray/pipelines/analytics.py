@@ -4109,3 +4109,93 @@ ORACLE_SQL["idle_rich_customers"] = (
     "FROM f GROUP BY c_mktsegment"
 )
 QUERIES["idle_rich_customers"] = q_idle_rich_customers
+
+
+ANOMALY_K = 3  # MAD multiplier
+
+
+def q_daily_anomalies(sf_dir: str, k: int = ANOMALY_K):
+    """Time-series anomaly detection on the event stream (the ops-review
+    shape: which DAYS were abnormal per event type): day totals in exact
+    integer cents → per-type median and MAD (median absolute deviation,
+    the robust spread) → flag days with |total − med| > k·MAD.
+
+    Scale shape: ONE keyed shuffle builds the (type × day)-bounded
+    day-total table (per-block partials first); the median/MAD/flag math
+    runs on that bounded table driver-side — output-sized state, the
+    union-find stance.  All arithmetic is integer (quantile_disc keeps
+    the median an actual data element), so DuckDB replays bit-for-bit."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "day": pc.floor_temporal(b.column("ts"), unit="day").cast(pa.timestamp("us")),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "day", "cents"])
+
+    days = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type", "day"], {"cents": "total_cents"}
+    )
+    t = pa.concat_tables(
+        [b for b in days.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    )
+    if not t.num_rows:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "day": pa.array([], pa.timestamp("us")),
+                "total_cents": pa.array([], pa.int64()),
+                "abs_dev": pa.array([], pa.int64()),
+                "is_outlier": pa.array([], pa.int64()),
+            }
+        )
+    df = t.to_pandas()
+
+    def q_disc(v: np.ndarray) -> int:
+        s = np.sort(v)
+        return int(s[int(np.floor((len(s) - 1) * 0.5))])  # quantile_disc(0.5)
+
+    med = df.groupby("event_type")["total_cents"].apply(lambda v: q_disc(v.to_numpy()))
+    df["med"] = df["event_type"].map(med)
+    df["abs_dev"] = (df["total_cents"] - df["med"]).abs()
+    mad = df.groupby("event_type")["abs_dev"].apply(lambda v: q_disc(v.to_numpy()))
+    df["mad"] = df["event_type"].map(mad)
+    df["is_outlier"] = (df["abs_dev"] > k * df["mad"]).astype("int64")
+    out = df.sort_values(["event_type", "day"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"].to_numpy(), pa.timestamp("us")),
+            "total_cents": pa.array(out["total_cents"].to_numpy(), pa.int64()),
+            "abs_dev": pa.array(out["abs_dev"].to_numpy(), pa.int64()),
+            "is_outlier": pa.array(out["is_outlier"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["daily_anomalies"] = (
+    "WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+    "FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, quantile_disc(total_cents, 0.5) AS med FROM d GROUP BY 1), "
+    "dd AS (SELECT d.*, abs(d.total_cents - m.med) AS abs_dev FROM d JOIN m USING (event_type)), "
+    "md AS (SELECT event_type, quantile_disc(abs_dev, 0.5) AS mad FROM dd GROUP BY 1) "
+    "SELECT dd.event_type, dd.day, dd.total_cents, CAST(dd.abs_dev AS BIGINT) AS abs_dev, "
+    f"CAST(CASE WHEN dd.abs_dev > {ANOMALY_K} * md.mad THEN 1 ELSE 0 END AS BIGINT) AS is_outlier "
+    "FROM dd JOIN md USING (event_type)"
+)
+QUERIES["daily_anomalies"] = q_daily_anomalies
