@@ -741,6 +741,39 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         t = bfs_layers(e, src_col="src_host", dst_col="dst_host")
         return t.rename_columns(["host", "dist"])
 
+    def crawl_exif_normalized(sf_dir: str):
+        """SQL-CHECKED EXIF-orientation-aware dimension normalization (the
+        ingest step every image pipeline runs before training): the REAL
+        byte parser reads orientation from each payload's EXIF segment;
+        orientations 5-8 are transposed encodings, so display dims swap.
+        The oracle re-derives orientation from the generator contract and
+        the swap from the metadata columns."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        from fscrawler_ray.stages.image_stages import exif_batch
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["image_id", "bytes", "w", "h"])
+
+        def f(b):
+            e = exif_batch(b)
+            o = e.column("exif_orientation").cast(pa.int64())
+            w = b.column("w").cast(pa.int64())
+            h = b.column("h").cast(pa.int64())
+            swap = pc.greater_equal(o, 5)
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "exif_orientation": o,
+                    "norm_w": pc.if_else(swap, h, w),
+                    "norm_h": pc.if_else(swap, w, h),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
     def crawl_round_profile(sf_dir: str):
         """SQL-CHECKED per-round crawl throughput profile over the written
         run: URLs landed, payload bytes, distinct hosts touched per round
@@ -900,6 +933,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
         "crawl_round_profile": crawl_round_profile,
+        "crawl_exif_normalized": crawl_exif_normalized,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -2026,6 +2060,15 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'dedup', CAST(nk AS BIGINT) FROM tot "
         f"UNION ALL SELECT 'shards', CAST(CASE WHEN kb = 0 THEN 0 "
         f"ELSE (kb + {_CAP} - 1) // {_CAP} END AS BIGINT) FROM tot"
+    )
+    sql["crawl_exif_normalized"] = (
+        "WITH ps AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, "
+        "CAST('0x' || substr(image_id, 5) AS UBIGINT) AS s "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "
+        "SELECT image_id, CAST(1 + s % 8 AS BIGINT) AS exif_orientation, "
+        "CAST(CASE WHEN 1 + s % 8 >= 5 THEN h ELSE w END AS BIGINT) AS norm_w, "
+        "CAST(CASE WHEN 1 + s % 8 >= 5 THEN w ELSE h END AS BIGINT) AS norm_h "
+        "FROM ps"
     )
     sql["crawl_round_profile"] = (
         "SELECT CAST(round AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_urls, "
