@@ -1153,6 +1153,49 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_shard_manifest(ds)
 
+    def images_codec_efficiency(sf_dir: str):
+        """SQL-CHECKED per-format compression diagnostic over the spool:
+        images, payload bytes, pixels, and integer micro bytes-per-pixel
+        — the codec-mix report that decides re-encode policy for a
+        100-TB image corpus."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+        from ray.data.aggregate import Sum
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["fmt", "bytes", "w", "h"])
+
+        def partial(b):
+            t = pa.table(
+                {
+                    "fmt": b.column("fmt"),
+                    "n": pa.array([1] * b.num_rows, pa.int64()),
+                    "nbytes": pc.binary_length(b.column("bytes")).cast(pa.int64()),
+                    "px": pc.multiply(b.column("w").cast(pa.int64()), b.column("h").cast(pa.int64())),
+                }
+            )
+            g = pa.TableGroupBy(t, ["fmt"]).aggregate([("n", "sum"), ("nbytes", "sum"), ("px", "sum")])
+            return g.rename_columns(["fmt", "n", "nbytes", "px"])
+
+        out = ds.map_batches(partial, batch_format="pyarrow").groupby("fmt").aggregate(
+            Sum("n"), Sum("nbytes"), Sum("px")
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "fmt": b.column("fmt"),
+                    "n_images": b.column("sum(n)").cast(pa.int64()),
+                    "total_bytes": b.column("sum(nbytes)").cast(pa.int64()),
+                    "total_px": b.column("sum(px)").cast(pa.int64()),
+                    "bytes_per_px_micro": pc.divide(
+                        pc.multiply(b.column("sum(nbytes)").cast(pa.int64()), 1_000_000),
+                        b.column("sum(px)").cast(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def images_caption_dedup(sf_dir: str):
         """SQL-CHECKED caption-level exact dedup over the spool — the
         text-side counterpart of phash dedup (duplicate captions across
@@ -1364,6 +1407,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_shard_roundtrip": images_shard_roundtrip,
         "images_phash_banded_recall": images_phash_banded_recall,
         "images_bucketed_shards": images_bucketed_shards,
+        "images_codec_efficiency": images_codec_efficiency,
         "images_neardup_groups": images_neardup_groups,
         "images_thumbnails": images_thumbnails,
         "images_phash_search": images_phash_search,
@@ -2098,6 +2142,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
         "md5(hex(bytes)) AS payload_md5 "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')"
+    )
+    sql["images_codec_efficiency"] = (
+        "SELECT fmt, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes, "
+        "CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_px, "
+        "CAST(sum(octet_length(bytes)) * 1000000 // sum(CAST(w AS BIGINT) * h) AS BIGINT) "
+        "AS bytes_per_px_micro "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') GROUP BY fmt"
     )
     sql["images_caption_dedup"] = (
         "SELECT caption, min(image_id) AS keeper_image_id, "
