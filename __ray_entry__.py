@@ -1495,6 +1495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
             # contrastive hard-negative mining: cosine rank window (10, 30]
             "hard_negatives": lambda sf: similarity.hard_negatives(sf),
+            # MMR diverse retrieval (relevance vs redundancy greedy)
+            "mmr_topk": lambda sf: similarity.mmr_topk(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -1923,6 +1925,45 @@ def oracle_sql() -> dict[str, str]:
     # (dots * qs[:,None]) * scales[None,:].  Integer dots + bit-matched
     # scales make ranking drift-proof except on same-(dot, scale) ties,
     # which vec_id breaks identically on both sides.
+    # MMR diverse retrieval: unrolled k-step greedy — each step anti-joins
+    # the selected set, penalizes by the max pairwise sim into it, and
+    # picks the (micro-integer) argmax with vec_id tie-break
+    from fscrawler_ray.pipelines.similarity import MMR_K, MMR_LAMBDA10, MMR_SHORTLIST
+
+    _mmr_parts = [
+        "WITH emb0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings), "
+        "q AS (SELECT vec_id FROM emb0 ORDER BY vec_id LIMIT 4), "
+        "cand AS MATERIALIZED (SELECT qq.vec_id AS query_id, e.vec_id, "
+        "CAST(round(1000000 * list_cosine_similarity(qq.embedding, e.embedding)) AS BIGINT) AS sq, "
+        "row_number() OVER (PARTITION BY qq.vec_id "
+        "ORDER BY list_cosine_similarity(qq.embedding, e.embedding) DESC, e.vec_id) AS rnk "
+        "FROM emb0 qq, emb0 e "
+        "WHERE qq.vec_id IN (SELECT vec_id FROM q) AND e.vec_id <> qq.vec_id "
+        f"QUALIFY rnk <= {MMR_SHORTLIST}), "
+        "pair AS MATERIALIZED (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb, "
+        "CAST(round(1000000 * list_cosine_similarity(ea.embedding, eb.embedding)) AS BIGINT) AS sp "
+        "FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id "
+        "JOIN emb0 ea ON ea.vec_id = a.vec_id "
+        "JOIN emb0 eb ON eb.vec_id = b.vec_id), "
+        "sel1 AS MATERIALIZED (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank FROM cand "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY {MMR_LAMBDA10} * sq DESC, vec_id) = 1)"
+    ]
+    for _i in range(2, MMR_K + 1):
+        _prev = f"sel{_i - 1}"
+        _mmr_parts.append(
+            f", pick{_i} AS MATERIALIZED (SELECT c.query_id, c.vec_id, CAST({_i} AS BIGINT) AS mmr_rank "
+            f"FROM cand c LEFT JOIN {_prev} dup "
+            "ON dup.query_id = c.query_id AND dup.vec_id = c.vec_id "
+            "LEFT JOIN (SELECT p.query_id, p.va, max(p.sp) AS mp FROM pair p "
+            f"JOIN {_prev} s ON s.query_id = p.query_id AND s.vec_id = p.vb "
+            "GROUP BY 1, 2) pen ON pen.query_id = c.query_id AND pen.va = c.vec_id "
+            "WHERE dup.vec_id IS NULL "
+            "QUALIFY row_number() OVER (PARTITION BY c.query_id "
+            f"ORDER BY {MMR_LAMBDA10} * c.sq - {10 - MMR_LAMBDA10} * COALESCE(pen.mp, 0) DESC, c.vec_id) = 1)"
+            f", sel{_i} AS MATERIALIZED (SELECT * FROM {_prev} UNION ALL SELECT * FROM pick{_i})"
+        )
+    _mmr_parts.append(f" SELECT query_id, vec_id, mmr_rank FROM sel{MMR_K}")
+    sql["mmr_topk"] = "".join(_mmr_parts)
     sql["knn_int8"] = (
         "WITH ed AS (SELECT vec_id, i, embedding[i] AS x "
         "FROM embeddings, unnest(generate_series(1, len(embedding))) s(i)), "

@@ -687,3 +687,61 @@ def phash_search(images_ds, n_queries: int = 8, radius: int = 10):
         )
 
     return slim.map_batches(probe, batch_format="pyarrow")
+
+
+MMR_K = 10
+MMR_SHORTLIST = 30
+MMR_LAMBDA10 = 7  # λ = 0.7 in tenths: score = 7·sim(q,d) − 3·max_sel sim(d,s)
+
+
+def mmr_topk(sf_dir: str, n_queries: int = 4, k: int = MMR_K, shortlist: int = MMR_SHORTLIST):
+    """Maximal Marginal Relevance diverse retrieval (Carbonell & Goldstein
+    1998): greedily pick k results trading query relevance against
+    redundancy with the already-picked set — the de-dup-at-serving-time
+    counterpart of corpus dedup.  Scores are micro-quantized integers
+    (round(1e6·cosine)) so the greedy argmax (ties → min vec_id) replays
+    bit-for-bit in DuckDB's unrolled k-step CTE.
+
+    Scale shape: the shortlist comes from the distributed partial-top-k
+    kNN machinery (per-block top-`shortlist`, driver sees candidates
+    only); the k-step greedy runs on the (queries × shortlist)-bounded
+    candidate set with vectors fetched via the pushdown read."""
+    qids, q = _load_queries(sf_dir, n_queries)
+    q_ref, qid_ref = ray.put(q), ray.put(qids)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = emb.map_batches(_BatchTopK(q_ref, qid_ref, shortlist), batch_format="pyarrow", batch_size=2048)
+    t = _final_topk(cand.to_pandas(), shortlist).to_pandas()
+    all_ids = np.unique(np.concatenate([t["vec_id"].to_numpy(), qids]))
+    idx, vv = fetch_vectors(sf_dir, all_ids)
+    out_q, out_v, out_r = [], [], []
+    for qid in qids:
+        sub = t[t["query_id"] == qid].sort_values("vec_id")
+        cids = sub["vec_id"].to_numpy()
+        if not len(cids):
+            continue
+        cv = vv[[idx[int(c)] for c in cids]]
+        qv = vv[idx[int(qid)]]
+        sq = np.round(cv @ qv * 1e6).astype(np.int64)
+        sp = np.round(cv @ cv.T * 1e6).astype(np.int64)
+        picked: list[int] = []
+        remaining = list(range(len(cids)))
+        for r in range(1, min(k, len(cids)) + 1):
+            best_j, best_key = None, None
+            for j in remaining:
+                pen = max((int(sp[j][s]) for s in picked), default=0)
+                score = MMR_LAMBDA10 * int(sq[j]) - (10 - MMR_LAMBDA10) * pen
+                key = (-score, int(cids[j]))
+                if best_key is None or key < best_key:
+                    best_j, best_key = j, key
+            picked.append(best_j)
+            remaining.remove(best_j)
+            out_q.append(int(qid))
+            out_v.append(int(cids[best_j]))
+            out_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "mmr_rank": pa.array(out_r, pa.int64()),
+        }
+    )

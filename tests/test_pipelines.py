@@ -527,3 +527,45 @@ def test_minhash_md5_twin_matches_lsh_semantics(tmp_path):
     sg = set(zip(got["doc_a"], got["doc_b"]))
     se = set(zip(exact["doc_a"], exact["doc_b"]))
     assert sg <= se
+
+
+def test_mmr_diversity(tmp_path):
+    """MMR demotes redundancy: with a tight cluster of near-identical
+    high-relevance vectors and one distinct moderately-relevant vector,
+    plain kNN fills the top with the cluster while MMR's second pick is
+    the distinct vector."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.similarity import mmr_topk
+
+    rng = np.random.default_rng(5)
+    d = 8
+    q = np.zeros(d); q[0] = 1.0
+    e2 = np.zeros(d); e2[1] = 1.0
+    e3 = np.zeros(d); e3[2] = 1.0
+    rows = [(0, q)]  # vec_id 0 is the query (first by vec_id order)
+    # tight cluster at sim≈0.9 to q, mutually ≈1.0 (pure redundancy)
+    for i in range(1, 6):
+        rows.append((i, 0.9 * q + 0.436 * e2 + 0.0005 * i * e3))
+    # distinct direction at sim≈0.88 to q but only ≈0.79 to the cluster:
+    # λ=0.7 MMR prefers it over a second clone
+    rows.append((6, 0.88 * q + 0.475 * e3))
+    # anti-relevant filler (sim to q ≈ −1): fills the shortlist without
+    # ever out-scoring the planted vectors
+    for i in range(7, 40):
+        rows.append((i, -q + 0.05 * rng.normal(size=d)))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([list(map(float, r[1])) for r in rows], pa.list_(pa.float64())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = mmr_topk(str(tmp_path), n_queries=1, k=4).to_pandas()
+    picks = out[out["query_id"] == 0].sort_values("mmr_rank")["vec_id"].tolist()
+    assert picks[0] in range(1, 6)  # most relevant: a cluster member
+    assert picks[1] == 6  # diversity: the distinct vector beats the clones
