@@ -741,6 +741,14 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         t = bfs_layers(e, src_col="src_host", dst_col="dst_host")
         return t.rename_columns(["host", "dist"])
 
+    def crawl_host_overlap(sf_dir: str):
+        """SQL-CHECKED exact host content-overlap (Jaccard) matrix over
+        the shared written run — the exact twin of crawl_mirrors_approx's
+        HLL inclusion-exclusion estimate."""
+        from fscrawler_ray.pipelines.crawl_report import host_overlap_exact
+
+        return host_overlap_exact(_shared_written_run(sf_dir))
+
     def crawl_exif_normalized(sf_dir: str):
         """SQL-CHECKED EXIF-orientation-aware dimension normalization (the
         ingest step every image pipeline runs before training): the REAL
@@ -934,6 +942,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_url_quality": crawl_host_url_quality,
         "crawl_round_profile": crawl_round_profile,
         "crawl_exif_normalized": crawl_exif_normalized,
+        "crawl_host_overlap": crawl_host_overlap,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
     }
@@ -2145,6 +2154,17 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'dedup', CAST(nk AS BIGINT) FROM tot "
         f"UNION ALL SELECT 'shards', CAST(CASE WHEN kb = 0 THEN 0 "
         f"ELSE (kb + {_CAP} - 1) // {_CAP} END AS BIGINT) FROM tot"
+    )
+    sql["crawl_host_overlap"] = (
+        "WITH d AS (SELECT DISTINCT host, image_id "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "hs AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY host), "
+        "p AS (SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared "
+        "FROM d a JOIN d b ON a.image_id = b.image_id AND a.host < b.host "
+        "GROUP BY 1, 2) "
+        "SELECT p.host_a, p.host_b, p.shared, "
+        "CAST(p.shared * 1000000 // (x.n + y.n - p.shared) AS BIGINT) AS jaccard_micro "
+        "FROM p JOIN hs x ON x.host = p.host_a JOIN hs y ON y.host = p.host_b"
     )
     sql["crawl_exif_normalized"] = (
         "WITH ps AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, "

@@ -558,3 +558,50 @@ def url_filter(out_dir: str):
         return url_flag_batch(b.column("url"), b.column("host"))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def host_overlap_exact(out_dir: str):
+    """EXACT host content-overlap matrix — the Jaccard twin of the HLL
+    host-overlap estimate (host_overlap_approx): per host pair sharing
+    content, (shared, jaccard_micro) with sizes from per-host distinct
+    content counts.  The pair table comes from the capped mirror
+    expansion (cap >> observed hosts-per-content at check scale; the cap
+    is the documented web-scale guard), sizes are host-bounded, and the
+    final decoration is a driver fold over the pair-bounded output."""
+    from .analytics import grouped_sum
+
+    pairs_ds = mirror_hosts(out_dir, drop_tally={})
+    ds = ray.data.read_parquet(out_dir, columns=["host", "image_id"])
+    distinct = grouped_sum(ds, ["host", "image_id"], {}, count_out="cnt")
+    hsize = distinct.groupby("host").count()
+    sizes: dict[str, int] = {}
+    for b in hsize.iter_batches(batch_format="pyarrow"):
+        for h, n in zip(b.column("host").to_pylist(), b.column("count()").to_pylist()):
+            sizes[h] = int(n)
+    parts = [
+        b for b in pairs_ds.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "host_a": pa.array([], pa.string()),
+                "host_b": pa.array([], pa.string()),
+                "shared": pa.array([], pa.int64()),
+                "jaccard_micro": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    ha = t.column("host_a").to_pylist()
+    hb = t.column("host_b").to_pylist()
+    sh = [int(x) for x in t.column("shared").to_pylist()]
+    jm = [
+        s * 1_000_000 // (sizes[a] + sizes[b] - s) for a, b, s in zip(ha, hb, sh)
+    ]
+    return pa.table(
+        {
+            "host_a": pa.array(ha, pa.string()),
+            "host_b": pa.array(hb, pa.string()),
+            "shared": pa.array(sh, pa.int64()),
+            "jaccard_micro": pa.array(jm, pa.int64()),
+        }
+    )
