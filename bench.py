@@ -154,6 +154,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "slow_orders_by_priority",
         "supplier_diversity",
         "idle_rich_customers",
+        "mmr_topk",
+        "daily_anomalies",
+        "crawl_host_overlap",
+        "vocab_growth",
+        "images_bucketed_shards",
     ]
     # time the PRODUCTION paths: the queries() registry widens knn_pq's
     # shortlist to the whole table so the SQL oracle can certify it at

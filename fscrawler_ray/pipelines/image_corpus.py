@@ -536,17 +536,17 @@ def bucketed_shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: 
     cap-byte shards by the same two-level byte prefix scan as
     shard_manifest (shard ids are per-bucket).
 
-    The ladder is FIXED (9 buckets), so the per-bucket packing is 9
-    filtered scans over the SLIM materialized (id, nbytes, bucket) table
-    — payload bytes never ride the scan, and each scan stays the
-    distributed two-level shape (no bucket ever funnels into one task).
+    ONE totals pass + ONE packing pass regardless of ladder size (the
+    keyed two-level scan, textops.pack_by_budget_keyed): per-(bucket,
+    range) offsets are broadcast from the driver and payload bytes never
+    ride the scan; no bucket ever funnels into one task.
 
     Output: (image_id, bucket, nbytes, shard) — shard numbering local to
     its bucket, matching the per-geometry shard directories a loader
     expects."""
     import numpy as np
 
-    from .textops import pack_by_budget
+    from .textops import pack_by_budget_keyed
 
     def slim(b: pa.Table) -> pa.Table:
         ids = b.column("image_id")
@@ -563,32 +563,9 @@ def bucketed_shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: 
         )
 
     s = images_ds.map_batches(slim, batch_format="pyarrow").materialize()
-    outs = []
-    for rw, rh in ASPECT_LADDER:
-        lbl = f"{rw}:{rh}"
-        sub = s.map_batches(
-            lambda b, lbl=lbl: b.filter(pc.equal(b.column("bucket"), lbl)),
-            batch_format="pyarrow",
-        ).materialize()
-        if not sub.count():
-            continue
-        # "bucket" rides order_cols (constant within the filtered sub, so
-        # the sort order is still image_id) purely to stay in the output
-        packed = pack_by_budget(sub, "nbytes", cap, ["image_id", "bucket"])
-        t = pa.concat_tables(
-            [x for x in packed.iter_batches(batch_format="pyarrow") if x.num_rows]
-        )
-        outs.append(
-            pa.table(
-                {
-                    "image_id": t.column("image_id"),
-                    "bucket": t.column("bucket"),
-                    "nbytes": t.column("nbytes").cast(pa.int64()),
-                    "shard": t.column("bin").cast(pa.int64()),
-                }
-            )
-        )
-    if not outs:
+    packed = pack_by_budget_keyed(s, "nbytes", cap, ["image_id"], key="bucket")
+    parts = [x for x in packed.iter_batches(batch_format="pyarrow") if x.num_rows]
+    if not parts:
         return pa.table(
             {
                 "image_id": pa.array([], pa.string()),
@@ -597,4 +574,12 @@ def bucketed_shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: 
                 "shard": pa.array([], pa.int64()),
             }
         )
-    return pa.concat_tables(outs)
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "image_id": t.column("image_id"),
+            "bucket": t.column("bucket"),
+            "nbytes": t.column("nbytes").cast(pa.int64()),
+            "shard": t.column("bin").cast(pa.int64()),
+        }
+    )

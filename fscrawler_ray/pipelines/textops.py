@@ -1281,6 +1281,45 @@ def pack_by_budget(slim, value_col: str, budget: int, order_cols: list[str]):
     return slim.groupby("rng").map_groups(pack, batch_format="pandas")
 
 
+def pack_by_budget_keyed(slim, value_col: str, budget: int, order_cols: list[str], key: str):
+    """``pack_by_budget`` with a PARTITION key: every ``key`` value gets
+    its own independent budget-packed bin sequence (the aspect-bucketed
+    shard layout), in the SAME two dataset executions — one
+    (key, rng)-grouped totals pass, one (key, rng)-grouped packing pass
+    with per-(key, rng) exclusive offsets broadcast from the driver (the
+    offset table is (keys × ranges)-bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    from .analytics import grouped_sum
+
+    totals = (
+        grouped_sum(slim, [key, "rng"], {value_col: "tot"})
+        .to_pandas()
+        .sort_values([key, "rng"])
+    )
+    offs: dict = {}
+    for k, g in totals.groupby(key, sort=False):
+        cums = np.concatenate([[0], g["tot"].cumsum().to_numpy()[:-1]])
+        for r, o in zip(g["rng"], cums):
+            offs[(k, r)] = int(o)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        n = g[value_col].to_numpy()
+        prefix = offs[(g[key].iloc[0], g["rng"].iloc[0])] + np.concatenate(
+            [[0], np.cumsum(n)[:-1]]
+        )
+        out = {c: g[c].to_numpy() for c in order_cols}
+        if key not in out:
+            out[key] = g[key].to_numpy()
+        out[value_col] = n
+        out["bin"] = (prefix // budget).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return slim.groupby([key, "rng"]).map_groups(pack, batch_format="pandas")
+
+
 def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 64):
     """Greedy sequential packing for LM training batches: documents in
     doc_id order go into token-budget bins via ``pack_by_budget``.  No
