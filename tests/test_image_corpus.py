@@ -264,3 +264,40 @@ def test_curation_funnel_stages(tmp_path):
     assert out["dedup"] == 2  # img_a loses to img_b (higher px)
     # keeper bytes = 4000 (img_b) + 2000 (img_c) = 6000 -> 2 shards at cap 5000
     assert out["shards"] == 2
+
+
+def test_bucketed_shard_manifest_per_bucket_reset(tmp_path):
+    """Each aspect bucket gets its own shard numbering starting at 0, and
+    byte budgets never mix across buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.image_corpus import bucketed_shard_manifest
+
+    rows = []
+    # 4 square images (1:1) of 3000 B each and 3 wide images (16:9)
+    for i in range(4):
+        rows.append((f"img_{i:05d}", b"x" * 3000, 100, 100))
+    for i in range(4, 7):
+        rows.append((f"img_{i:05d}", b"y" * 3000, 160, 90))
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([r[0] for r in rows]),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "w": pa.array([r[2] for r in rows], pa.int32()),
+                "h": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ),
+        tmp_path / "part-0.parquet",
+    )
+    import ray
+
+    ds = ray.data.read_parquet(str(tmp_path))
+    out = bucketed_shard_manifest(ds, cap=5000).to_pandas()
+    sq = out[out["bucket"] == "1:1"].sort_values("image_id")["shard"].tolist()
+    wd = out[out["bucket"] == "16:9"].sort_values("image_id")["shard"].tolist()
+    # 3000-byte items at cap 5000: cumsum 0,3000,6000,9000 -> shards 0,0,1,1
+    assert sq == [0, 0, 1, 1]
+    # the wide bucket restarts at shard 0: cumsum 0,3000,6000 -> 0,0,1
+    assert wd == [0, 0, 1]
