@@ -1588,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # rank within shard via a two-pass distributed rank (SQL-checked
             # against one ROW_NUMBER window)
             "epoch_shuffle": sampling.q_epoch_shuffle,
+            "curriculum_order": sampling.curriculum_order,
             # temperature-scaled multilingual rebalancing (alpha = 0.7)
             "temperature_mixture": sampling.q_temperature_mixture,
             "top_tokens_approx": lambda sf: textops.q_top_tokens_approx(sf),

@@ -405,3 +405,58 @@ ORACLE_SQL = {
         f"SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {WEIGHTED_K}"
     ),
 }
+
+
+def curriculum_order(sf_dir: str):
+    """Length-based training CURRICULUM (short-to-long, the classic
+    curriculum-learning schedule): every document's global training rank
+    under ORDER BY (n_chars, doc_id), computed distributed — per-length
+    counts (length-value-bounded groupby) → driver exclusive cumsum →
+    broadcast offsets → per-length in-group doc_id rank.  All integers,
+    so the oracle is one ROW_NUMBER window.
+
+    Skew note: one pathological length value funnels its docs into one
+    rank task; a production corpus sub-buckets hot lengths by doc-id
+    range exactly like epoch_shuffle's (shard, key-bucket) groups."""
+    import numpy as np
+    import pandas as pd
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    slim = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by the counts pass AND the rank groupby
+    counts = grouped_sum(slim, ["n_chars"], {}, count_out="cnt").to_pandas().sort_values("n_chars")
+    offs = dict(
+        zip(
+            counts["n_chars"],
+            np.concatenate([[0], counts["cnt"].cumsum().to_numpy()[:-1]]),
+        )
+    )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        base = int(offs[g["n_chars"].iloc[0]])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(),
+                "curriculum_rank": base + 1 + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return slim.groupby("n_chars").map_groups(rank, batch_format="pandas")
+
+
+ORACLE_SQL["curriculum_order"] = (
+    "SELECT doc_id, n_chars, "
+    "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS curriculum_rank "
+    "FROM documents"
+)
