@@ -566,42 +566,55 @@ def host_overlap_exact(out_dir: str):
     content, (shared, jaccard_micro) with sizes from per-host distinct
     content counts.  The pair table comes from the capped mirror
     expansion (cap >> observed hosts-per-content at check scale; the cap
-    is the documented web-scale guard), sizes are host-bounded, and the
-    final decoration is a driver fold over the pair-bounded output."""
+    is the documented web-scale guard).
+
+    The decoration joins the pair table against the per-host distinct
+    size table TWICE (on host_a, then host_b) through the size-aware
+    join front door — broadcast when the host table fits, co-partitioned
+    hash join when it doesn't — and computes jaccard_micro vectorized in
+    the stream.  No host-count-sized dict and no per-pair Python fold
+    ever touch the driver (VERDICT r04 #4)."""
+    import numpy as np
+
+    from ..stages.joins import join
     from .analytics import grouped_sum
 
     pairs_ds = mirror_hosts(out_dir, drop_tally={})
     ds = ray.data.read_parquet(out_dir, columns=["host", "image_id"])
     distinct = grouped_sum(ds, ["host", "image_id"], {}, count_out="cnt")
-    hsize = distinct.groupby("host").count()
-    sizes: dict[str, int] = {}
-    for b in hsize.iter_batches(batch_format="pyarrow"):
-        for h, n in zip(b.column("host").to_pylist(), b.column("count()").to_pylist()):
-            sizes[h] = int(n)
-    parts = [
-        b for b in pairs_ds.iter_batches(batch_format="pyarrow") if b.num_rows
-    ]
-    if not parts:
+    # host-bounded (one row per crawled host); materialize so the join
+    # planner can size it from metadata instead of conservatively
+    # shuffling, and so the two renamed probes share one execution
+    hsize = distinct.groupby("host").count().materialize()
+
+    def _renamed(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"host_{side}": b.column("host"),
+                    f"size_{side}": b.column("count()").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    size_a = hsize.map_batches(_renamed("a"), batch_format="pyarrow")
+    size_b = hsize.map_batches(_renamed("b"), batch_format="pyarrow")
+    j = join(pairs_ds, size_a, on="host_a")
+    j = join(j, size_b, on="host_b")
+
+    def decorate(b: pa.Table) -> pa.Table:
+        sh = b.column("shared").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = b.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = b.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        jm = sh * 1_000_000 // (sa + sb - sh)
         return pa.table(
             {
-                "host_a": pa.array([], pa.string()),
-                "host_b": pa.array([], pa.string()),
-                "shared": pa.array([], pa.int64()),
-                "jaccard_micro": pa.array([], pa.int64()),
+                "host_a": b.column("host_a"),
+                "host_b": b.column("host_b"),
+                "shared": pa.array(sh, pa.int64()),
+                "jaccard_micro": pa.array(jm, pa.int64()),
             }
         )
-    t = pa.concat_tables(parts)
-    ha = t.column("host_a").to_pylist()
-    hb = t.column("host_b").to_pylist()
-    sh = [int(x) for x in t.column("shared").to_pylist()]
-    jm = [
-        s * 1_000_000 // (sizes[a] + sizes[b] - s) for a, b, s in zip(ha, hb, sh)
-    ]
-    return pa.table(
-        {
-            "host_a": pa.array(ha, pa.string()),
-            "host_b": pa.array(hb, pa.string()),
-            "shared": pa.array(sh, pa.int64()),
-            "jaccard_micro": pa.array(jm, pa.int64()),
-        }
-    )
+
+    return j.map_batches(decorate, batch_format="pyarrow")

@@ -64,21 +64,24 @@ def gram_buckets(texts, B: int = DSIR_B, md5: bool = True) -> tuple[np.ndarray, 
     doc = doc[mask]
     if not mask.any():
         return np.empty(0, np.int64), np.empty(0, np.int64), n
-    if md5:
-        t = np.asarray(flat.filter(pa.array(mask)).to_pylist(), dtype=object)
-        uni_h = md5_u64_batch(pa.array(t, pa.string()))
-    else:
-        t_arr = flat.filter(pa.array(mask))
-        t = np.asarray(t_arr.to_pylist(), dtype=object)
-        uni_h = xxh64_batch(t_arr)
+    t_arr = flat.filter(pa.array(mask))
+    if isinstance(t_arr, pa.ChunkedArray):
+        t_arr = t_arr.combine_chunks()
+    hash_fn = md5_u64_batch if md5 else xxh64_batch
+    uni_h = hash_fn(t_arr)
     valid = np.roll(doc, -1) == doc
     if len(valid):
         valid[-1] = False
     if valid.any():
-        s1 = np.roll(t, -1)
-        bi = [a + " " + b for a, b in zip(t[valid], s1[valid])]
-        bi_pa = pa.array(bi, pa.string())
-        bi_h = md5_u64_batch(bi_pa) if md5 else xxh64_batch(bi_pa)
+        # bigram preimages stay in Arrow end-to-end: take the (i, i+1)
+        # token pairs and join with ' ' via binary_join_element_wise —
+        # byte-identical to DuckDB's t[i] || ' ' || t[i+1] rebuild, no
+        # per-token Python objects on either the md5 or the xxh64 path
+        idx = np.flatnonzero(valid)
+        left = t_arr.take(pa.array(idx))
+        right = t_arr.take(pa.array(idx + 1))
+        bi_pa = pc.binary_join_element_wise(left, right, " ")
+        bi_h = hash_fn(bi_pa)
         h = np.concatenate([uni_h, bi_h])
         d = np.concatenate([doc, doc[valid]])
     else:

@@ -227,6 +227,12 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner", suffix: str
     out_schema = pa.schema([(c, types[c]) for c in all_cols])
 
     def merge(g: pa.Table) -> pa.Table:
+        # zero-row upstream blocks (e.g. a map_groups that emitted empty
+        # pandas frames) can be schema-unified into null-typed columns
+        # during the shuffle; Acero rejects null-typed join fields, so pin
+        # every group back to the planned types (all-null columns cast
+        # losslessly; real data is already these types)
+        g = g.cast(pa.schema([(f.name, types.get(f.name, f.type)) for f in g.schema]))
         side = g.column("__side")
         lf = g.filter(pc.equal(side, 0)).select(left_cols)
         rf = g.filter(pc.equal(side, 1)).select([on] + [right_out[c] for c in right_cols])
