@@ -343,30 +343,22 @@ class _FetchExpand:
         sz = np.array([-1 if s is None else int(s) for s in sizes], dtype=np.int64)
         return hit & (sizes_sorted[pos] == sz)
 
-    def __call__(self, batch: pa.Table) -> tuple:
+    def expand_containers(self, batch: pa.Table) -> dict:
+        """Expand this batch's container rows: one vectorized children()
+        call for ALL containers (batched Source protocol, VERDICT r02 #6),
+        tally host→host link edges, then canonicalize + route + push the
+        children to their owning shards with a synchronous ack — the
+        caller's round barrier is safe once this returns.  Returns this
+        call's edge tally (also folded into ``self.host_edges``)."""
         urls = batch.column("url").to_pylist()
         seqs = batch.column("seq").to_pylist()
         depths = batch.column("depth").to_pylist()
         hosts = batch.column("host").to_pylist()
         is_dirs = batch.column("is_dir").to_pylist()
-        sizes = batch.column("size").to_pylist()
         root_ids = batch.column("root_id").to_pylist()
-        unchanged = self._unchanged_mask(urls, sizes)
-        skipped = 0
-        per_shard: dict[int, list] = {}
-        out = {
-            k: []
-            for k in (
-                "seq", "url", "host", "depth", "size", "root_id", "category", "min_age",
-                "target_table", "image_id", "bytes", "w", "h", "fmt", "caption",
-            )
-        }
-        grays: list = []
+        edges: dict[tuple[str, str], int] = {}
         child_batches: list[str] = []
         child_meta: list[tuple[int, int, int, int]] = []  # (parent_seq, child_idx, depth, root_id)
-        # one vectorized children() call for ALL containers in the batch
-        # (batched Source protocol, VERDICT r02 #6; falls back to a per-URL
-        # loop inside sources.base for scalar-only Sources)
         dir_rows = [i for i in range(len(urls)) if is_dirs[i]]
         kids_per_dir = children_batch(self.web, [urls[i] for i in dir_rows])
         for i, kids in zip(dir_rows, kids_per_dir):
@@ -376,7 +368,41 @@ class _FetchExpand:
                 child_meta.append((seqs[i], ci, depths[i] + 1, root_ids[i]))
                 dst_host = child.split("://", 1)[1].split("/", 1)[0].lower()
                 e = (src_host, dst_host)
-                self.host_edges[e] = self.host_edges.get(e, 0) + 1
+                edges[e] = edges.get(e, 0) + 1
+        if child_batches:
+            canon = canonicalize(child_batches).to_pylist()
+            n_shards = len(self.shards)
+            per_shard: dict[int, list] = {}
+            for (pseq, ci, cdepth, rid), curl in zip(child_meta, canon):
+                host = curl.split("://", 1)[1].split("/", 1)[0].lower()
+                rkey = route_key(curl, host, self.salt_hosts)
+                per_shard.setdefault(shard_of_host(rkey, n_shards), []).append((pseq, ci, curl, cdepth, rid))
+            # synchronous ack: the batch is not "done" until every child is
+            # buffered, so the round barrier is safe.
+            ray.get([self.shards[s].buffer_children.remote(items) for s, items in per_shard.items()])
+        for e, c in edges.items():
+            self.host_edges[e] = self.host_edges.get(e, 0) + c
+        return edges
+
+    def __call__(self, batch: pa.Table) -> tuple:
+        self.expand_containers(batch)
+        urls = batch.column("url").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        is_dirs = batch.column("is_dir").to_pylist()
+        sizes = batch.column("size").to_pylist()
+        root_ids = batch.column("root_id").to_pylist()
+        unchanged = self._unchanged_mask(urls, sizes)
+        skipped = 0
+        out = {
+            k: []
+            for k in (
+                "seq", "url", "host", "depth", "size", "root_id", "category", "min_age",
+                "target_table", "image_id", "bytes", "w", "h", "fmt", "caption",
+            )
+        }
+        grays: list = []
         for i, (url, seq, depth, host, is_dir, size, root_id) in enumerate(
             zip(urls, seqs, depths, hosts, is_dirs, sizes, root_ids)
         ):
@@ -408,16 +434,6 @@ class _FetchExpand:
         from ..functions.phash import phash_batch
 
         phashes = phash_batch(np.stack(grays)) if grays else np.empty(0, np.int64)
-        if child_batches:
-            canon = canonicalize(child_batches).to_pylist()
-            n_shards = len(self.shards)
-            for (pseq, ci, cdepth, rid), curl in zip(child_meta, canon):
-                host = curl.split("://", 1)[1].split("/", 1)[0].lower()
-                rkey = route_key(curl, host, self.salt_hosts)
-                per_shard.setdefault(shard_of_host(rkey, n_shards), []).append((pseq, ci, curl, cdepth, rid))
-            # synchronous ack: the batch is not "done" until every child is
-            # buffered, so the round barrier is safe.
-            ray.get([self.shards[s].buffer_children.remote(items) for s, items in per_shard.items()])
         t = pa.table(
             {
                 "seq": pa.array(out["seq"], pa.int64()),
@@ -441,6 +457,28 @@ class _FetchExpand:
             schema=RESULT_SCHEMA,
         )
         return t, skipped
+
+
+@ray.remote(num_cpus=0)
+class _ExpandActor:
+    """Persistent container-expansion worker: the frontier's round barrier
+    waits ONLY on container expansion (children listed + buffered on their
+    shards), which is cheap — children listing plus one buffer RPC wave, no
+    payload decode.  Running it on a small pool of zero-CPU actors keeps it
+    off the task queue entirely: it never waits for a CPU slot occupied by
+    the previous round's in-flight leaf-payload tasks (the round-overlap
+    lever, VERDICT r04 #2) and never pays per-task worker spawn; the Source
+    is constructed once and reused across rounds.  Calls only shard actors
+    (never other expanders), so the synchronous buffer ack cannot deadlock."""
+
+    def __init__(self, web_cfg: WebConfig, shards: list, salt_hosts: dict | None = None):
+        self._fe = _FetchExpand(web_cfg, shards, 0, salt_hosts=salt_hosts)
+
+    def expand(self, chunk: pa.Table, round_no: int) -> tuple:
+        edges = self._fe.expand_containers(chunk)
+        # same (rows, skipped, edges) shape as _fetch_task so the engine
+        # folds both uniformly; containers produce no result rows
+        return 0, 0, edges
 
 
 @dataclass
@@ -512,6 +550,11 @@ class CrawlEngine:
             )
             for i in range(cfg.n_shards)
         ]
+        # container-expansion pool: one per frontier shard (expansion
+        # volume scales with shard count; each is a tiny zero-CPU actor)
+        self.expanders = [
+            _ExpandActor.remote(cfg.web, self.shards, cfg.salt_hosts) for _ in range(cfg.n_shards)
+        ]
         self.seq_offset = 0
         self.round_no = 0
         self.result_rows = 0
@@ -531,6 +574,13 @@ class CrawlEngine:
         # suggest_priorities would call pipelines.graph.pagerank on them;
         # the formulation below is the same power iteration.
         self.host_edges: dict[tuple[str, str], int] = {}
+        # in-flight leaf-payload fetch tasks: (ObjectRef, round_no).  Leaf
+        # fetches never feed the frontier (only containers produce
+        # children), so they drain ACROSS round barriers (round-overlap,
+        # VERDICT r04 #2); bounded by _max_inflight, folded
+        # opportunistically each round and fully at checkpoint/stop/summary.
+        self._inflight: list[tuple] = []
+        self._hist_by_round: dict[int, dict] = {}
         # the trace streams to disk UNCONDITIONALLY (driver RAM stays flat
         # with rounds): a sibling of out_dir when set, else a /tmp spool
         if cfg.out_dir:
@@ -562,13 +612,18 @@ class CrawlEngine:
         engine is unusable afterwards."""
         if cleanup_spool:
             self.cleanup_trace_spool()
-        for a in list(self.shards) + list(getattr(self, "seen_shards", []) or []):
+        for a in (
+            list(self.shards)
+            + list(getattr(self, "seen_shards", []) or [])
+            + list(getattr(self, "expanders", []) or [])
+        ):
             try:
                 ray.kill(a)
             except Exception:
                 pass
         self.shards = []
         self.seen_shards = []
+        self.expanders = []
 
     def add_observer(self, fn) -> None:
         """Register a per-round observer: ``fn(event: RoundEvent)``; set
@@ -651,8 +706,9 @@ class CrawlEngine:
                 self.round_no += 1
                 metas = None
                 if ckpt_due or (stop and self.cfg.checkpoint_dir):
-                    self.checkpoint()
+                    self.checkpoint()  # drains in-flight payload tasks itself
                 if stop:
+                    self._drain_inflight(block=True)
                     self.stopped_early = True
                     break
                 t0 = _time.time()
@@ -669,6 +725,7 @@ class CrawlEngine:
                 self.round_no += 1
                 if emitted == 0 and pending == 0 and all(len(m["hosts"]) == 0 for m in metas):
                     break
+        self._drain_inflight(block=True)
         t0 = _time.time()
         out = self.summary()
         self._acc("summary", t0)
@@ -682,6 +739,11 @@ class CrawlEngine:
         honors it at the round barrier (clean, checkpointable stop)."""
         if not self.observers:
             return False
+        # observers are a consistency surface (per-round incremental
+        # processing, progress totals, cancellation): the event for round N
+        # promises round=N is fully materialized, so an observed crawl
+        # trades the round-overlap for synchronous rounds
+        self._drain_inflight(block=True)
         ev = RoundEvent(
             round=self.round_no,
             emitted=emitted,
@@ -740,38 +802,105 @@ class CrawlEngine:
             ]
         )
         t0 = self._acc("emit_chunks", t0)
-        refs = []
+
+        def spawn(cref, part_id):
+            return _fetch_task.remote(
+                cref,
+                self.cfg.web,
+                self.shards,
+                self.round_no,
+                out_path,
+                part_id,
+                self._index_ref,
+                self.cfg.fetch_payloads,
+                self.root_meta,
+                self.cfg.salt_hosts,
+            )
+
+        expand_refs = []
+        leaf_refs = []
         part_id = 0
-        for chunk_refs, _n_s in chunked:
-            for cref in chunk_refs:
-                refs.append(
-                    _fetch_task.remote(
-                        cref,
-                        self.cfg.web,
-                        self.shards,
-                        self.round_no,
-                        out_path,
-                        part_id,
-                        self._index_ref,
-                        self.cfg.fetch_payloads,
-                        self.root_meta,
-                        self.cfg.salt_hosts,
-                    )
-                )
+        # container expansion is the frontier's critical path (the round
+        # barrier waits on it) and is cheap (children listing + buffer RPC,
+        # no payload decode): it runs on the persistent zero-CPU expander
+        # actor pool, so it never queues behind in-flight leaf-payload
+        # tasks occupying the CPU slots and never pays worker spawn
+        for dir_refs, lrefs, _n_s in chunked:
+            for cref in dir_refs:
+                exp = self.expanders[part_id % len(self.expanders)]
+                expand_refs.append(exp.expand.remote(cref, self.round_no))
+                part_id += 1
+            for cref in lrefs:
+                leaf_refs.append(spawn(cref, part_id))
                 part_id += 1
         self._acc("spawn", t0)
+        hist = {"round": self.round_no, "emitted": n, "rows": 0, "fetch_sec": 0.0}
+        self.round_history.append(hist)
+        self._hist_by_round[self.round_no] = hist
+        self._inflight.extend((r, self.round_no) for r in leaf_refs)
+        # the round barrier waits ONLY for container expansion (children
+        # buffered on their shards — the frontier dependency); leaf payload
+        # fetches keep running while the next round transitions (overlap)
         t0 = _time.time()
-        results = ray.get(refs)
-        self._acc("fetch", t0)
-        self.result_rows += sum(r[0] for r in results)
-        self.skipped_unchanged += sum(r[1] for r in results)
+        results = ray.get(expand_refs)
+        hist["fetch_sec"] = round(_time.time() - t0, 3)
+        self._acc("expand", t0)
         for r in results:
+            self.result_rows += r[0]
+            self.skipped_unchanged += r[1]
+            hist["rows"] += r[0]
             for e, c in r[2].items():
                 self.host_edges[e] = self.host_edges.get(e, 0) + c
-        self.round_history.append(
-            {"round": self.round_no, "emitted": n, "rows": sum(r[0] for r in results), "fetch_sec": round(_time.time() - t0, 3)}
-        )
+        # fold whatever payload tasks already finished; enforce the
+        # in-flight cap so a long crawl can't queue unbounded task returns
+        over = len(self._inflight) - self._max_inflight()
+        self._drain_inflight(block=False, min_drain=max(0, over))
         return n
+
+    def _max_inflight(self) -> int:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        return max(64, 4 * cpus)
+
+    def _drain_inflight(self, block: bool = False, min_drain: int = 0) -> None:
+        """Fold finished leaf-payload tasks into the engine counters.
+
+        ``block=True`` waits for everything — the consistency barrier before
+        checkpoint/stop/summary (counters and written parts must be
+        complete).  Otherwise folds whatever is already done, plus enough
+        pending tasks to honor ``min_drain`` (the in-flight backpressure
+        cap)."""
+        if not self._inflight:
+            return
+        import time as _t
+
+        t0 = _t.time()
+        refs = [r for r, _ in self._inflight]
+        if block:
+            ready = set(refs)
+        else:
+            first = []
+            if min_drain > 0:
+                first, _ = ray.wait(refs, num_returns=min(min_drain, len(refs)))
+            rest = [r for r in refs if r not in set(first)]
+            more = ray.wait(rest, num_returns=len(rest), timeout=0)[0] if rest else []
+            ready = set(first) | set(more)
+        if not ready:
+            self._acc("drain", t0)
+            return
+        keep, done = [], []
+        for item in self._inflight:
+            (done if item[0] in ready else keep).append(item)
+        self._inflight = keep
+        for (r, rnd), res in zip(done, ray.get([r for r, _ in done])):
+            rows, skipped, edges = res
+            self.result_rows += rows
+            self.skipped_unchanged += skipped
+            for e, c in edges.items():
+                self.host_edges[e] = self.host_edges.get(e, 0) + c
+            h = self._hist_by_round.get(rnd)
+            if h is not None:
+                h["rows"] += rows
+        self._acc("drain", t0)
 
     # -- outputs ------------------------------------------------------------
 
@@ -923,6 +1052,9 @@ class CrawlEngine:
     def checkpoint(self) -> str:
         """Per-shard manifests with lineage + counters + frontier snapshot
         (the path_stage externalization; SURVEY.md §4 checkpoint row)."""
+        # consistency barrier: the snapshot's result_rows/skip counters and
+        # on-disk parts must reflect every spawned payload task
+        self._drain_inflight(block=True)
         d = self.cfg.checkpoint_dir
         assert d, "checkpoint_dir not configured"
         os.makedirs(d, exist_ok=True)

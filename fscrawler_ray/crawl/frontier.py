@@ -315,13 +315,19 @@ class FrontierShard:
         (offset-per-host + host_idx), write this shard's trace part straight
         to disk, stripe the table into fetch chunks and ``ray.put`` each —
         the driver receives only ObjectRefs. ``offsets`` aligns with the
-        hosts returned by :meth:`pop_round_meta`."""
+        hosts returned by :meth:`pop_round_meta`.
+
+        Returns ``(container_refs, leaf_refs, n)``: container rows are the
+        only ones that feed the frontier (children), so the engine's round
+        barrier waits on them alone; leaf rows carry the expensive payload
+        work (fetch + decode + phash) and drain asynchronously across round
+        boundaries (the round-overlap lever, VERDICT r04 #2)."""
         import ray as _ray
 
         t = self._pending_emit
         self._pending_emit = None
         if t is None or len(t) == 0:
-            return [], 0
+            return [], [], 0
         base = np.repeat(np.asarray(offsets, dtype=np.int64), self._pending_counts)
         seq = base + t.column("host_idx").to_numpy(zero_copy_only=False).astype(np.int64)
         t = t.append_column("seq", pa.array(seq))
@@ -336,9 +342,18 @@ class FrontierShard:
                 os.path.join(trace_dir, f"part-{round_no:05d}-shard{self.shard_id:04d}.parquet"),
             )
         n = len(t)
-        n_chunks = min(max(1, -(-n // max(1, rows_per_chunk))), n)
-        refs = [_ray.put(t.take(np.arange(i, n, n_chunks))) for i in range(n_chunks)]
-        return refs, n
+        is_dir = t.column("is_dir").to_numpy(zero_copy_only=False).astype(bool)
+        dir_idx = np.flatnonzero(is_dir)
+        leaf_idx = np.flatnonzero(~is_dir)
+
+        def stripe(idx: np.ndarray) -> list:
+            m = len(idx)
+            if m == 0:
+                return []
+            k = min(max(1, -(-m // max(1, rows_per_chunk))), m)
+            return [_ray.put(t.take(idx[i::k])) for i in range(k)]
+
+        return stripe(dir_idx), stripe(leaf_idx), n
 
     # -- pop path -----------------------------------------------------------
 
