@@ -1567,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # to a vocab-bounded word table, K merge rounds over it; the
             # oracle replays the rounds as unrolled CTEs (pipelines/bpe.py)
             "bpe_merges": _bpe.q_bpe_merges,
+            "bpe_merges_distributed": _bpe.q_bpe_merges_distributed,
             "bpe_vocab": _bpe.q_bpe_vocab,
             "bpe_encode_docs": _bpe.q_bpe_encode_docs,
             "bpe_fertility_by_lang": _bpe.q_bpe_fertility_by_lang,

@@ -286,6 +286,17 @@ def q_bpe_vocab(sf_dir: str):
     )
 
 
+def q_bpe_merges_distributed(sf_dir: str, k: int = 3):
+    """queries() surface for the DISTRIBUTED merge-round path (the
+    >driver_vocab_limit branch of :func:`train_bpe`, forced with limit 0):
+    each round counts pairs with per-block partials + a pair-keyed groupby
+    and picks the argmax via per-block candidates — the 100 TB path,
+    exercised at bench scale (VERDICT r04 #5).  Merge-for-merge identical
+    to the driver-side path (pytest parity) and replayed by the same
+    unrolled-CTE oracle at k=3."""
+    return train_bpe(sf_dir, k=k, driver_vocab_limit=0)[0]
+
+
 def _iter_sql(k: int) -> str:
     """Unrolled-CTE DuckDB replay of the k merge rounds (the PageRank-style
     fixed-iteration oracle device)."""
@@ -329,7 +340,11 @@ def bpe_vocab_sql(k: int = BPE_MERGES) -> str:
     )
 
 
-ORACLE_SQL = {"bpe_merges": bpe_merges_sql(), "bpe_vocab": bpe_vocab_sql()}
+ORACLE_SQL = {
+    "bpe_merges": bpe_merges_sql(),
+    "bpe_vocab": bpe_vocab_sql(),
+    "bpe_merges_distributed": bpe_merges_sql(k=3),
+}
 
 
 def q_bpe_encode_docs(sf_dir: str, k: int = BPE_MERGES):
