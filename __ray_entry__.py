@@ -22,6 +22,8 @@ IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
+RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
+RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
 PAGERANK_EXACT_ITERS = 20
 
 
@@ -685,6 +687,56 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_recrawl_cycle(sf_dir: str):
+        """SQL-CHECKED two-cycle tier-crawl freshness loop (VERDICT r04
+        #6): cycle-1 crawl → tier_plan → tier_priorities → prioritized
+        cycle-2 re-crawl of the same web, certified by ONE integer row —
+        coverage is priority-invariant (all three URL counts equal), the
+        plan's integer budget split conserves the cap, and the throttle
+        map actually fed to cycle 2 equals the plan's count(budget < max).
+        Reference semantics analog: the refetch-vs-skip freshness decision
+        of crawling_queue_consumer.py:110-115, composed fleet-wide."""
+        import shutil
+
+        from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+        from fscrawler_ray.pipelines.crawl_report import (
+            TIER_BUDGET,
+            recrawl_cycle_cert,
+            tier_plan,
+            tier_priorities,
+        )
+
+        cfg = _scale(sf_dir)
+        seeds = SynthWeb(cfg).seeds()
+        for out in (RECRAWL_C1_DIR, RECRAWL_C2_DIR):
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(out + "_trace", ignore_errors=True)
+            shutil.rmtree(out + "_deadletter", ignore_errors=True)
+        e1 = CrawlEngine(
+            CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40, out_dir=RECRAWL_C1_DIR)
+        )
+        e1.run(seeds)
+        e1.shutdown()
+        plan = tier_plan(RECRAWL_C1_DIR, budget=TIER_BUDGET).materialize()
+        prios = tier_priorities(plan)
+        # throttled hosts refill as slow as max(1, int(4*0.25)) = 1
+        # URL/round, so the re-crawl needs ~per-host-URL-count rounds
+        e2 = CrawlEngine(
+            CrawlConfig(
+                web=cfg,
+                n_shards=4,
+                politeness_budget=4,
+                max_rounds=256,
+                out_dir=RECRAWL_C2_DIR,
+                host_priorities=prios,
+            )
+        )
+        e2.run(seeds)
+        e2.shutdown()
+        return recrawl_cycle_cert(
+            RECRAWL_C1_DIR + "_trace", RECRAWL_C2_DIR + "_trace", plan, prios, TIER_BUDGET
+        )
+
     def crawl_host_quality(sf_dir: str):
         """Per-host image-quality ladder pass rates over the shared written
         run, SQL-CHECKED (integer metadata predicates only)."""
@@ -935,6 +987,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit": crawl_politeness_audit,
         "crawl_depth_funnel": crawl_depth_funnel,
         "crawl_tier_plan": crawl_tier_plan,
+        "crawl_recrawl_cycle": crawl_recrawl_cycle,
         "crawl_host_quality": crawl_host_quality,
         "crawl_url_filter": crawl_url_filter,
         "crawl_curation_funnel": crawl_curation_funnel,
@@ -1752,6 +1805,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT hw.host, hw.n_urls, hw.changes, CAST(hw.rate_micro AS BIGINT) AS rate_micro, "
         "hw.tier, CAST(tq.tier_quota * hw.n_urls // tq.tier_urls AS BIGINT) AS budget "
         "FROM hw JOIN tq USING (tier)"
+    )
+    # two-cycle tier-crawl cert: replay the plan over cycle 1's written
+    # snapshot, then check budget conservation + coverage over both traces
+    _recrawl_plan = (
+        f"c AS (SELECT host, {_ch} AS ch "
+        f"FROM read_parquet('{RECRAWL_C1_DIR}/round=*/table-*/*.parquet')), "
+        "h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(ch) AS BIGINT) AS changes FROM c GROUP BY host), "
+        f"hr AS (SELECT *, changes * 1000000 // (n_urls * {_k}) AS rate_micro FROM h), "
+        f"ht AS (SELECT *, {_tier_case} AS tier FROM hr), "
+        f"hw AS (SELECT *, {_w_case} AS w FROM ht), "
+        "tt AS (SELECT tier, SUM(n_urls) AS tier_urls, SUM(w * n_urls) AS tier_mass "
+        "FROM hw GROUP BY tier), "
+        f"tq AS (SELECT tier, tier_urls, {TIER_BUDGET} * tier_mass "
+        "// (SELECT SUM(tier_mass) FROM tt) AS tier_quota FROM tt), "
+        "hb AS (SELECT hw.host, CAST(tq.tier_quota * hw.n_urls // tq.tier_urls AS BIGINT) AS budget "
+        "FROM hw JOIN tq USING (tier)), "
+        f"t1 AS (SELECT DISTINCT url FROM read_parquet('{RECRAWL_C1_DIR}_trace/part-*.parquet')), "
+        f"t2 AS (SELECT DISTINCT url FROM read_parquet('{RECRAWL_C2_DIR}_trace/part-*.parquet'))"
+    )
+    sql["crawl_recrawl_cycle"] = (
+        "WITH " + _recrawl_plan + " "
+        "SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS urls_cycle1, "
+        "CAST((SELECT count(*) FROM t2) AS BIGINT) AS urls_cycle2, "
+        "CAST((SELECT count(*) FROM t1 JOIN t2 USING (url)) AS BIGINT) AS urls_shared, "
+        "CAST((SELECT sum(budget) FROM hb) AS BIGINT) AS total_alloc, "
+        f"CAST({TIER_BUDGET} AS BIGINT) AS budget_cap, "
+        f"CAST((SELECT sum(budget) FROM hb) <= {TIER_BUDGET} AS BIGINT) AS alloc_within_cap, "
+        "CAST((SELECT count(*) FROM hb) AS BIGINT) AS hosts_total, "
+        "CAST((SELECT count(*) FROM hb WHERE budget < (SELECT max(budget) FROM hb)) AS BIGINT) AS hosts_throttled"
     )
     sql["crawl_host_quality"] = (
         "WITH f AS (SELECT host, "

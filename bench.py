@@ -114,6 +114,7 @@ EXTRA_QUERIES = [
     # round-5 families
     "dsir_weights",
     "bpe_merges_distributed",
+    "crawl_recrawl_cycle",
 ]
 
 

@@ -399,6 +399,56 @@ def tier_plan(out_dir: str, budget: int = TIER_BUDGET):
     return hosts_ds.map_batches(allocate, batch_format="pyarrow")
 
 
+def recrawl_cycle_cert(trace1_dir: str, trace2_dir: str, plan, prios: dict, budget_cap: int):
+    """Certify a two-cycle tier-crawl run (crawl → tier_plan →
+    tier_priorities → prioritized re-crawl): ONE integer row asserting
+    budget conservation and coverage, replayable by a DuckDB oracle over
+    the two written traces + the plan replay (VERDICT r04 #6).
+
+      urls_cycle1/2   distinct URLs each cycle crawled (trace is
+                      seen-set-unique by construction; the oracle
+                      DISTINCTs anyway)
+      urls_shared     |trace1 ∩ trace2| — coverage is priority-INVARIANT,
+                      so all three counts must be equal
+      total_alloc     Σ per-host budget from the plan (≤ budget_cap:
+                      integer floor division conserves, never overspends)
+      alloc_within_cap  the conservation bit itself
+      hosts_total     plan rows
+      hosts_throttled len(prios) — the ACTUAL rate map fed to cycle 2,
+                      certified equal to the plan's count(budget < max)
+
+    Scale posture: two URL-keyed streaming passes (a count each) and one
+    url-hash groupby for the intersection; the plan side is host-bounded.
+    """
+    t1 = ray.data.read_parquet(trace1_dir, columns=["url"])
+    t2 = ray.data.read_parquet(trace2_dir, columns=["url"])
+    n1, n2 = t1.count(), t2.count()
+    shared = (
+        t1.union(t2)
+        .groupby("url")
+        .count()
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("count()"), 2)),
+            batch_format="pyarrow",
+        )
+        .count()
+    )
+    total_alloc = int(plan.aggregate(Sum("budget"))["sum(budget)"])
+    hosts_total = plan.count()
+    return pa.table(
+        {
+            "urls_cycle1": pa.array([n1], pa.int64()),
+            "urls_cycle2": pa.array([n2], pa.int64()),
+            "urls_shared": pa.array([shared], pa.int64()),
+            "total_alloc": pa.array([total_alloc], pa.int64()),
+            "budget_cap": pa.array([int(budget_cap)], pa.int64()),
+            "alloc_within_cap": pa.array([int(total_alloc <= budget_cap)], pa.int64()),
+            "hosts_total": pa.array([int(hosts_total)], pa.int64()),
+            "hosts_throttled": pa.array([len(prios)], pa.int64()),
+        }
+    )
+
+
 def tier_priorities(plan, floor: float = 0.25) -> dict:
     """Close the tier-crawl loop: convert a ``tier_plan`` result into the
     ``CrawlConfig.host_priorities`` rate map for the NEXT crawl cycle —
