@@ -24,6 +24,39 @@ VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
+
+# Why each rows-only query has no oracle_sql() entry (VERDICT r04 #7).
+# Every entry is either inherently non-SQL-replayable (floats/FFT/pixel
+# kernels, xxh64 — DuckDB has no xxh64) or depends on such a stage; where
+# a SQL-CHECKED twin certifies the same kernel end-to-end it is named.
+ROWS_ONLY_REASONS: dict[str, str] = {
+    "minhash_neardup": "xxh64 minhash (no DuckDB xxh64); twin: minhash_md5_neardup replays bands->buckets->pairs, minhash_accuracy/lsh_recall score it",
+    "ngram_jaccard_pairs": "xxh64 LSH candidate stage; twin: ngram_jaccard_exact (lossless prefix-filter join, identical verify kernel)",
+    "simhash_neardup": "xxh64 simhash bits; twin: simhash_md5_docs (same fold over md5) + images_phash_* banded family",
+    "simhash_docs": "xxh64 simhash bits; twin: simhash_md5_docs",
+    "fingerprint_docs": "xxh64 rolling hash; twin: fingerprint_md5_docs (+ fingerprint_canon)",
+    "top_tokens_approx": "Count-Min over xxh64 rows; twin: cms_token_estimates (md5 CMS, SQL-checked estimates)",
+    "embedding_neardup": "float32 cosine thresholds (banker's-rounding drift across engines); pytest: brute-force pair parity",
+    "embedding_clusters": "float k-means centroids (iterative float means); pytest: assignment = argmin distance",
+    "semantic_neardup": "float k-means bucketing stage; pytest: within-cluster pairs == brute force",
+    "neardup_components": "upstream pairs are xxh64-LSH-approximate; twin: neardup_components_exact (recursive-CTE closure over md5 pairs)",
+    "corpus_dedup": "consumes xxh64 LSH pairs; twin: corpus_clean_exact + neardup_components_exact",
+    "corpus_clean": "includes the LSH near-dup stage; twin: corpus_clean_exact (every rule deterministic, SQL-checked end-to-end)",
+    "corpus_prep": "packing consumes corpus_clean's LSH survivors; twins: corpus_clean_exact + pack_sequences (SQL-checked packer)",
+    "crawl_counters": "live engine/actor counter snapshot (includes scheduling-dependent chunk/task tallies); twin: crawl_counters_audit vs on-disk lineage",
+    "crawl_host_degree": "observed link tally lives in engine state; twin: crawl_host_degree_exact over the written edge parts",
+    "crawl_compact": "output file counts depend on writer parallelism (same rows, different part layout); rows+bytes conserved by pytest",
+    "host_pagerank": "float power iteration converged by tol (iteration count data-dependent); twin: host_pagerank_exact (fixed-iteration integer oracle)",
+    "images_enrich": "emits binary payload bytes + float decode features (brightness/entropy); metadata twins: images_attrs, images_thumbnails, images_shard_manifest",
+    "images_phash_dedup": "in-memory corpus variant; twin: images_phash_dedup_spool over the written spool",
+    "images_phash_neardup": "in-memory corpus variant; twin: images_phash_neardup_spool",
+    "images_dedup_keep_best": "keep-best scoring uses float quality features; twin: images_dedup_keep_best_spool (integer keeper over the spool)",
+    "images_neardup_groups": "in-memory corpus variant; twin: images_neardup_groups_spool (recursive-CTE transitive closure)",
+    "images_caption_extract": "float caption/token features from the decode stage; twin: images_caption_features (integer feature subset, SQL-checked)",
+    "images_quality_filter": "composite includes decode-stage pixel kernels (brightness bounds); metadata-prefix twin: crawl_host_quality + images_aspect_buckets",
+    "images_caption_consistency": "float cosine between caption and pixel features; pytest: planted consistent/inconsistent pairs",
+    "audio_features": "FFT/spectral float kernels (no SQL FFT); pytest: synthesized tones hit expected bins",
+}
 PAGERANK_EXACT_ITERS = 20
 
 

@@ -100,7 +100,9 @@ def main():
             failures += 1
             continue
         if name not in sqls:
-            print(f"{name:24s} rows-only: {len(got)} rows, {len(got.columns)} cols")
+            reason = getattr(entrymod, "ROWS_ONLY_REASONS", {}).get(name, "")
+            note = f" — {reason}" if reason else ""
+            print(f"{name:24s} rows-only: {len(got)} rows, {len(got.columns)} cols{note}")
             continue
         try:
             want = con.sql(sqls[name]).df()
