@@ -302,3 +302,88 @@ def test_augment_images_dataset_roundtrip():
     assert len(t) == 40
     assert t["aug_bytes"].notna().all()
     assert set(t["aug_op"]) <= {"flip_h", "rot90", "rot180", "rot270"}
+
+
+def test_kill_mid_round_concurrent_processor_resume_both(tmp_path):
+    """Chaos composition (VERDICT r04 #10): the engine dies mid-round
+    while the incremental processor is consuming the SAME spool — the
+    crash leaves (a) a checkpoint at round 2, (b) a PARTIALLY-written
+    round=2 partition from in-flight leaf tasks, already partially
+    consumed by the processor, and (c) a processor output part lost
+    before fsync.  Resuming BOTH must converge to exactly the
+    uninterrupted run's trace and store, and a final catch-up pass must
+    find nothing left to do.  Mirrors the reference's two-phase
+    DB-mediated restart (app/index_files.py:53-79)."""
+    import glob
+    import os
+    import shutil
+
+    from fscrawler_ray.pipelines.process_results import IncrementalProcessor, process_results
+
+    seeds = SynthWeb(CFG).seeds()
+
+    # ground truth: uninterrupted crawl + one-shot batch process
+    full_out = str(tmp_path / "full_out")
+    full = CrawlEngine(CrawlConfig(web=CFG, n_shards=2, politeness_budget=4, max_rounds=50, out_dir=full_out))
+    s_full = full.run(seeds)
+    full_trace = [(r["seq"], r["url"]) for r in full.trace_table().to_pylist()]
+    proc_full = str(tmp_path / "proc_full")
+    process_results(full_out, proc_full)
+
+    # interrupted run: checkpoint every round, processor consuming per round
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    proc = str(tmp_path / "proc")
+    cfg = CrawlConfig(
+        web=CFG, n_shards=2, politeness_budget=4, max_rounds=50,
+        out_dir=out, checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    eng = CrawlEngine(cfg)
+    eng.add_observer(IncrementalProcessor(out, proc))
+    eng.run(seeds, max_rounds=2)  # "dies" holding a checkpoint at round 2
+    del eng
+
+    # crash tail (a): round=2 partially written by in-flight leaf tasks —
+    # the web is deterministic, so the full run's round=2 parts ARE what a
+    # crashed round 2 would have spilled; copy half of them in
+    src = sorted(glob.glob(os.path.join(full_out, "round=2", "table-*", "part-*.parquet")))
+    assert src, "ground-truth run has no round=2 parts"
+    for f in src[: max(1, len(src) // 2)]:
+        rel = os.path.relpath(f, full_out)
+        dst = os.path.join(out, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(f, dst)
+    # crash tail (b): the processor consumed the partial round before the
+    # crash was noticed (a catch-up scan over the damaged spool)
+    process_results(out, proc)
+    # crash tail (c): the processor lost its most recent output part
+    lost = sorted(
+        glob.glob(os.path.join(proc, "**", "*.parquet"), recursive=True),
+        key=os.path.getmtime,
+    )[-1]
+    os.remove(lost)
+
+    # resume BOTH: engine restarts at round 2 (prunes the partial parts,
+    # rewrites them), the processor keeps consuming per round
+    eng2 = CrawlEngine.resume(cfg)
+    eng2.add_observer(IncrementalProcessor(out, proc))
+    s2 = eng2.run()
+
+    # the composed restart converges: trace parity with the uninterrupted run
+    got_trace = [(r["seq"], r["url"]) for r in eng2.trace_table().to_pylist()]
+    assert got_trace == full_trace
+
+    # a final catch-up re-processes ONLY what the lost part dropped (the
+    # per-round events may already have re-covered it when the lost rows
+    # belonged to a resumed round) and ends idempotent
+    r = process_results(out, proc)
+    r2 = process_results(out, proc)
+    assert r2["processed"] == 0
+    assert r2["previously_done"] == s_full["result_rows"]
+
+    # store parity with the one-shot batch store (stage label aside)
+    a = ray.data.read_parquet(proc).to_pandas().sort_values("image_id").reset_index(drop=True)
+    b = ray.data.read_parquet(proc_full).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(c for c in a.columns if c != "stage")
+    assert a[cols].equals(b[cols])
