@@ -726,10 +726,16 @@ class CrawlEngine:
                 if emitted == 0 and pending == 0 and all(len(m["hosts"]) == 0 for m in metas):
                     break
         self._drain_inflight(block=True)
+        self._flush_trace()
         t0 = _time.time()
         out = self.summary()
         self._acc("summary", t0)
         return out
+
+    def _flush_trace(self) -> None:
+        """Durability barrier for the shards' background trace writes."""
+        if self.shards:
+            ray.get([s.flush_trace.remote() for s in self.shards])
 
     def _notify_observers(self, emitted: int) -> bool:
         """Reference analog of the observer notify loop + should_stop token
@@ -906,6 +912,7 @@ class CrawlEngine:
 
     def trace_table(self) -> pa.Table:
         """Read the streamed trace parts back (global order = seq)."""
+        self._flush_trace()
         import glob
 
         import pyarrow.parquet as pq
@@ -1053,8 +1060,10 @@ class CrawlEngine:
         """Per-shard manifests with lineage + counters + frontier snapshot
         (the path_stage externalization; SURVEY.md §4 checkpoint row)."""
         # consistency barrier: the snapshot's result_rows/skip counters and
-        # on-disk parts must reflect every spawned payload task
+        # on-disk parts (including trace parts) must reflect every spawned
+        # payload task and background trace write
         self._drain_inflight(block=True)
+        self._flush_trace()
         d = self.cfg.checkpoint_dir
         assert d, "checkpoint_dir not configured"
         os.makedirs(d, exist_ok=True)

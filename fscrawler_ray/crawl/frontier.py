@@ -169,6 +169,7 @@ class FrontierShard:
         self._pending_emit: pa.Table | None = None  # popped, awaiting emit_round_chunks
         self._pending_hosts: list[str] = []
         self._pending_counts: np.ndarray = np.empty(0, np.int64)
+        self._trace_threads: list = []  # in-flight background trace writes
         self.round = 0
         self.counters = {
             "enqueued": 0,
@@ -333,14 +334,27 @@ class FrontierShard:
         t = t.append_column("seq", pa.array(seq))
         if trace_dir is not None:
             import os
+            import threading
 
             from .engine import _atomic_write
 
             os.makedirs(trace_dir, exist_ok=True)
-            _atomic_write(
-                t.select(["seq", "url", "host", "depth", "is_dir"]),
-                os.path.join(trace_dir, f"part-{round_no:05d}-shard{self.shard_id:04d}.parquet"),
+            # the trace part writes on a background thread: Arrow tables are
+            # immutable and the path is unique per (round, shard), so the
+            # disk I/O comes off the shard's serial round chain — callers
+            # that READ the trace (checkpoint, trace_table) must flush via
+            # :meth:`flush_trace` first
+            th = threading.Thread(
+                target=_atomic_write,
+                args=(
+                    t.select(["seq", "url", "host", "depth", "is_dir"]),
+                    os.path.join(trace_dir, f"part-{round_no:05d}-shard{self.shard_id:04d}.parquet"),
+                ),
+                daemon=True,
             )
+            th.start()
+            self._trace_threads = [x for x in self._trace_threads if x.is_alive()]
+            self._trace_threads.append(th)
         n = len(t)
         is_dir = t.column("is_dir").to_numpy(zero_copy_only=False).astype(bool)
         dir_idx = np.flatnonzero(is_dir)
@@ -354,6 +368,14 @@ class FrontierShard:
             return [_ray.put(t.take(idx[i::k])) for i in range(k)]
 
         return stripe(dir_idx), stripe(leaf_idx), n
+
+    def flush_trace(self) -> bool:
+        """Join in-flight background trace writes — the durability barrier
+        before anything reads the trace spool (checkpoint, trace_table)."""
+        for th in self._trace_threads:
+            th.join()
+        self._trace_threads = []
+        return True
 
     # -- pop path -----------------------------------------------------------
 
