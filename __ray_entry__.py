@@ -18,6 +18,7 @@ from typing import Any
 CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
 CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
 CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
+ROBOTS_RULES_DIR = "/tmp/fscrawler_oracle_robots_rules"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
@@ -808,6 +809,57 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_robots_eval(sf_dir: str):
+        """RFC 9309 robots re-audit over the shared written run,
+        SQL-CHECKED: the engine's vectorized longest-match allow/deny
+        evaluator (wildcards + $ anchor, crawl/robots.rfc_eval_paths) vs
+        DuckDB independently translating each pattern to RE2 and replaying
+        precedence with a join + grouped MAX.  The ruleset table is spooled
+        to parquet so the oracle consumes the same input data, but the
+        matching, translation and precedence logic are computed twice."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import robots_eval, robots_ruleset
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(ROBOTS_RULES_DIR, ignore_errors=True)
+        robots_ruleset(out).write_parquet(ROBOTS_RULES_DIR)
+        return _collect(
+            robots_eval(out),
+            {
+                "url": pa.string(),
+                "host": pa.string(),
+                "allow_len": pa.int64(),
+                "deny_len": pa.int64(),
+                "allowed": pa.int64(),
+            },
+        )
+
+    def crawl_robots_audit(sf_dir: str):
+        """Per-host robots re-audit rollup (denied-on-recrawl counts +
+        allow-override wins), SQL-CHECKED against the same double-computed
+        RFC evaluation as crawl_robots_eval."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import robots_audit, robots_ruleset
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(ROBOTS_RULES_DIR, ignore_errors=True)
+        robots_ruleset(out).write_parquet(ROBOTS_RULES_DIR)
+        return _collect(
+            robots_audit(out),
+            {
+                "host": pa.string(),
+                "n_denied": pa.int64(),
+                "n_override": pa.int64(),
+                "n_urls": pa.int64(),
+            },
+        )
+
     def crawl_host_bfs(sf_dir: str):
         """SQL-CHECKED single-source BFS layers over the spooled host
         graph: the engine's iterative broadcast-frontier expansion vs
@@ -1023,6 +1075,8 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_cycle": crawl_recrawl_cycle,
         "crawl_host_quality": crawl_host_quality,
         "crawl_url_filter": crawl_url_filter,
+        "crawl_robots_eval": crawl_robots_eval,
+        "crawl_robots_audit": crawl_robots_audit,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
@@ -2243,6 +2297,37 @@ def oracle_sql() -> dict[str, str]:
         f"AND n_sl <= {URL_MAX_SLASHES} AND host NOT IN ({_blk}) "
         f"AND NOT ({_tok}) THEN 1 ELSE 0 END AS BIGINT) AS url_pass "
         "FROM c"
+    )
+    # RFC 9309 robots re-audit: the oracle translates each robots pattern
+    # to RE2 ITSELF ('*' -> '.*', trailing '$' -> anchor, '.' escaped) and
+    # replays longest-match precedence (allow wins ties, no match = allow)
+    # with a join + grouped MAX — only the spooled (host, pattern, allow)
+    # ruleset is shared with the engine
+    _robots_uv = (
+        "u AS (SELECT url, host, CASE WHEN regexp_replace(url, '^[a-z+.-]+://[^/]*', '') = '' "
+        "THEN '/' ELSE regexp_replace(url, '^[a-z+.-]+://[^/]*', '') END AS path "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "r AS (SELECT host, allow, CAST(length(pattern) AS BIGINT) AS plen, "
+        "'^' || replace(replace(CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1) "
+        "ELSE pattern END, '.', '\\.'), '*', '.*') "
+        "|| CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx "
+        f"FROM read_parquet('{ROBOTS_RULES_DIR}/*.parquet')), "
+        "m AS (SELECT u.url, u.host, r.plen, r.allow FROM u "
+        "LEFT JOIN r ON u.host = r.host AND regexp_matches(u.path, r.rx)), "
+        "v AS (SELECT url, host, "
+        "COALESCE(MAX(CASE WHEN allow THEN plen END), 0) AS allow_len, "
+        "COALESCE(MAX(CASE WHEN NOT allow THEN plen END), -1) AS deny_len "
+        "FROM m GROUP BY url, host) "
+    )
+    sql["crawl_robots_eval"] = (
+        "WITH " + _robots_uv + "SELECT url, host, allow_len, deny_len, "
+        "CAST(allow_len >= deny_len AS BIGINT) AS allowed FROM v"
+    )
+    sql["crawl_robots_audit"] = (
+        "WITH " + _robots_uv + "SELECT host, "
+        "CAST(SUM(CASE WHEN allow_len < deny_len THEN 1 ELSE 0 END) AS BIGINT) AS n_denied, "
+        "CAST(SUM(CASE WHEN allow_len >= deny_len AND deny_len >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_override, "
+        "CAST(COUNT(*) AS BIGINT) AS n_urls FROM v GROUP BY host"
     )
     from fscrawler_ray.pipelines.image_corpus import SHARD_CAP_BYTES as _CAP
 

@@ -591,6 +591,107 @@ def url_flag_batch(url, host) -> pa.Table:
     )
 
 
+def robots_ruleset(out_dir: str, seed: int = 42):
+    """The RFC 9309 ruleset table (host, pattern, allow) for every host in
+    a crawl snapshot — distributed: distinct hosts come from one partial-
+    aggregated groupby and each batch expands its hosts' (bounded) rules
+    with no host-count-sized driver state."""
+    from ..crawl.robots import rfc_ruleset_for_host
+    from .analytics import grouped_sum
+
+    hosts = grouped_sum(
+        ray.data.read_parquet(out_dir, columns=["host"]), ["host"], {}, count_out="cnt"
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        hs, pats, allows = [], [], []
+        for h in b.column("host").to_pylist():
+            for pattern, allow in rfc_ruleset_for_host(h, seed):
+                hs.append(h)
+                pats.append(pattern)
+                allows.append(allow)
+        return pa.table(
+            {
+                "host": pa.array(hs, pa.string()),
+                "pattern": pa.array(pats, pa.string()),
+                "allow": pa.array(allows, pa.bool_()),
+            }
+        )
+
+    return hosts.map_batches(expand, batch_format="pyarrow")
+
+
+def robots_eval(out_dir: str, seed: int = 42):
+    """Per-URL RFC 9309 robots verdict over a crawl snapshot — one
+    zero-shuffle streaming pass: for each URL, the longest matching
+    allow/deny pattern lengths (allow wins ties, no match = implicit
+    allow).  The re-audit analog of url_filter for robots semantics: a
+    recrawl governor runs this over yesterday's snapshot when a host's
+    robots.txt changes, without re-fetching anything."""
+    from ..crawl.robots import rfc_eval_paths, rfc_ruleset_for_host
+
+    ds = ray.data.read_parquet(out_dir, columns=["url", "host"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        path = pc.replace_substring_regex(url, r"^[a-z+.-]+://[^/]*", "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        host_np = b.column("host").to_numpy(zero_copy_only=False)
+        allow_len = np.zeros(len(url), dtype=np.int64)
+        deny_len = np.full(len(url), -1, dtype=np.int64)
+        # one evaluator pass per DISTINCT host in the batch (rules are
+        # per-host); hosts per batch are bounded, paths are not
+        for h in np.unique(host_np):
+            idx = np.flatnonzero(host_np == h)
+            a, d = rfc_eval_paths(path.take(pa.array(idx)), rfc_ruleset_for_host(str(h), seed))
+            allow_len[idx] = a
+            deny_len[idx] = d
+        return pa.table(
+            {
+                "url": url,
+                "host": b.column("host"),
+                "allow_len": pa.array(allow_len),
+                "deny_len": pa.array(deny_len),
+                "allowed": pa.array((allow_len >= deny_len).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def robots_audit(out_dir: str, seed: int = 42):
+    """Per-host robots re-audit rollup: URLs in the snapshot that the RFC
+    ruleset now denies (would be dropped on recrawl) and allow-override
+    wins (a deny pattern matched but a longer allow pattern beat it)."""
+    from .analytics import grouped_sum
+
+    ev = robots_eval(out_dir, seed)
+
+    def flags(b: pa.Table) -> pa.Table:
+        denied = pc.equal(b.column("allowed"), 0)
+        override = pc.and_(
+            pc.equal(b.column("allowed"), 1), pc.greater_equal(b.column("deny_len"), 0)
+        )
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_denied": denied.cast(pa.int64()),
+                "n_override": override.cast(pa.int64()),
+            }
+        )
+
+    return grouped_sum(
+        ev.map_batches(flags, batch_format="pyarrow"),
+        ["host"],
+        {"n_denied": "n_denied", "n_override": "n_override"},
+        count_out="n_urls",
+    )
+
+
 def url_filter(out_dir: str):
     """Per-URL FineWeb-style filter verdicts over a crawl snapshot — one
     zero-shuffle streaming pass.  Rules (each an exact integer predicate):

@@ -109,6 +109,10 @@ class WebConfig:
     missing_meta_rate: float = 0.04
     cross_link_rate: float = 0.08
     hot_host: str = "host00.example.com"
+    # opt-in RFC 9309 robots semantics: longest-match allow/deny with
+    # * / $ wildcards (crawl/robots.rfc_ruleset_for_host). Default stays
+    # the legacy prefix-disallow rules so existing traces are unchanged.
+    rfc_robots: bool = False
 
 
 class SynthWeb:
@@ -122,7 +126,9 @@ class SynthWeb:
         if self._robots is None:
             from ..crawl.robots import RobotsCache
 
-            self._robots = RobotsCache(seed=self.cfg.seed)
+            self._robots = RobotsCache(
+                seed=self.cfg.seed, rfc=getattr(self.cfg, "rfc_robots", False)
+            )
         return self._robots.allowed(host, url)
 
     # -- batched protocol (vectorized; see sources/base.py) ------------------
@@ -139,13 +145,18 @@ class SynthWeb:
         return pc.if_else(pc.equal(path, ""), "/", path)
 
     def robots_batch(self, host: str, urls: list[str]) -> np.ndarray:
-        """One prefix test per RULE (≤3 per host), not per URL."""
+        """One prefix/regex test per RULE (bounded per host), not per URL."""
         import pyarrow.compute as pc
 
-        from ..crawl.robots import rules_for_host
+        from ..crawl.robots import rfc_eval_paths, rfc_ruleset_for_host, rules_for_host
 
-        rules = rules_for_host(host, self.cfg.seed)
         path = self._paths(urls)
+        if getattr(self.cfg, "rfc_robots", False):
+            allow_len, deny_len = rfc_eval_paths(
+                path, rfc_ruleset_for_host(host, self.cfg.seed)
+            )
+            return allow_len >= deny_len
+        rules = rules_for_host(host, self.cfg.seed)
         blocked = np.zeros(len(urls), dtype=bool)
         for r in rules:
             blocked |= pc.starts_with(path, r).to_numpy(zero_copy_only=False)
