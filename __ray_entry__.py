@@ -19,6 +19,7 @@ CRAWL_ROLLUP_DIR = "/tmp/fscrawler_oracle_crawl_out"
 CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
 CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
 ROBOTS_RULES_DIR = "/tmp/fscrawler_oracle_robots_rules"
+WDS_TAR_DIR = "/tmp/fscrawler_oracle_wds_tars"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
@@ -1289,6 +1290,84 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return read_shards(out).map_batches(cert, batch_format="pyarrow")
 
+    def images_wds_export(sf_dir: str):
+        """SQL-CHECKED WebDataset tar export: the spool is packed into
+        POSIX ustar training shards (payload + caption member per sample,
+        every header field pinned) and the summary reports the REAL
+        on-disk archive sizes — which the oracle predicts purely from
+        512-block tar arithmetic over the same prefix-sum shard
+        assignment.  A one-byte drift in the writer breaks the hash."""
+        import shutil
+
+        import pyarrow as pa
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.image_corpus import write_tar_shards
+
+        spool = _images_spool(sf_dir)
+        shutil.rmtree(WDS_TAR_DIR, ignore_errors=True)
+        src = _ray.data.read_parquet(spool, columns=["image_id", "bytes", "fmt", "caption"])
+        summary = write_tar_shards(src, WDS_TAR_DIR).map_batches(
+            lambda b: b.select(["shard", "n_samples", "img_bytes", "cap_bytes", "tar_bytes"]),
+            batch_format="pyarrow",
+        )
+        return _collect(
+            summary,
+            {
+                "shard": pa.int64(),
+                "n_samples": pa.int64(),
+                "img_bytes": pa.int64(),
+                "cap_bytes": pa.int64(),
+                "tar_bytes": pa.int64(),
+            },
+        )
+
+    def images_wds_roundtrip(sf_dir: str):
+        """SQL-CHECKED tar loader roundtrip: the archives written by
+        images_wds_export are read back member-by-member and every
+        payload AND caption is certified byte-exact against the original
+        spool (md5-of-hex, which DuckDB recomputes from the spooled
+        table)."""
+        import hashlib
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.image_corpus import read_tar_shards, write_tar_shards
+
+        spool = _images_spool(sf_dir)
+        if not os.path.isdir(WDS_TAR_DIR) or not os.listdir(WDS_TAR_DIR):
+            shutil.rmtree(WDS_TAR_DIR, ignore_errors=True)
+            src = _ray.data.read_parquet(spool, columns=["image_id", "bytes", "fmt", "caption"])
+            for _ in write_tar_shards(src, WDS_TAR_DIR).iter_batches(batch_format="pyarrow"):
+                pass
+
+        def cert(b: pa.Table) -> pa.Table:
+            payloads = b.column("bytes").to_pylist()
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
+                    "payload_md5": pa.array(
+                        [hashlib.md5(p.hex().upper().encode()).hexdigest() for p in payloads],
+                        pa.string(),
+                    ),
+                    "caption": b.column("caption"),
+                }
+            )
+
+        return _collect(
+            read_tar_shards(WDS_TAR_DIR).map_batches(cert, batch_format="pyarrow"),
+            {
+                "image_id": pa.string(),
+                "nbytes": pa.int64(),
+                "payload_md5": pa.string(),
+                "caption": pa.string(),
+            },
+        )
+
     def images_bucketed_shards(sf_dir: str):
         """SQL-CHECKED aspect-bucketed shard plan over the spool: per
         ladder bucket, the byte-budget two-level scan vs DuckDB's
@@ -1554,6 +1633,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_dedup": images_caption_dedup,
         "images_neardup_groups_spool": images_neardup_groups_spool,
         "images_shard_roundtrip": images_shard_roundtrip,
+        "images_wds_export": images_wds_export,
+        "images_wds_roundtrip": images_wds_roundtrip,
         "images_phash_banded_recall": images_phash_banded_recall,
         "images_bucketed_shards": images_bucketed_shards,
         "images_codec_efficiency": images_codec_efficiency,
@@ -2405,6 +2486,31 @@ def oracle_sql() -> dict[str, str]:
     sql["images_shard_roundtrip"] = (
         "SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
         "md5(hex(bytes)) AS payload_md5 "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')"
+    )
+    # WebDataset tar export: the oracle PREDICTS each archive's on-disk
+    # size from pure ustar 512-block arithmetic (one header block per
+    # member + data rounded up to 512, archive = data + two zero blocks
+    # rounded up to the 10240 record), over the same prefix-sum shard
+    # assignment the parquet-blob manifest replays — while the engine
+    # reports os.path.getsize of the real tar files it wrote
+    sql["images_wds_export"] = (
+        "WITH t AS (SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nb, "
+        "CAST(octet_length(encode(caption)) AS BIGINT) AS cb, "
+        "CAST(floor(coalesce(sum(octet_length(bytes)) OVER "
+        "(ORDER BY image_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"/ {SHARD_CAP_BYTES}) AS BIGINT) AS shard "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_samples, "
+        "CAST(sum(nb) AS BIGINT) AS img_bytes, CAST(sum(cb) AS BIGINT) AS cap_bytes, "
+        "sum(1024 + 512 * ((nb + 511) // 512) + 512 * ((cb + 511) // 512)) AS data_bytes "
+        "FROM t GROUP BY shard) "
+        "SELECT shard, n_samples, img_bytes, cap_bytes, "
+        "CAST(((data_bytes + 1024 + 10239) // 10240) * 10240 AS BIGINT) AS tar_bytes FROM s"
+    )
+    sql["images_wds_roundtrip"] = (
+        "SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
+        "md5(hex(bytes)) AS payload_md5, caption "
         f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')"
     )
     sql["images_codec_efficiency"] = (

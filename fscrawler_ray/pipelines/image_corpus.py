@@ -529,6 +529,159 @@ def read_shards(out_dir: str):
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
+_TAR_BLK = 512  # ustar block size
+_TAR_REC = 10240  # ustar record (blocking factor 20): archives pad to this
+
+
+def _tar_info(name: str, size: int):
+    """Fully pinned ustar member header — every field fixed so the same
+    sample set always produces byte-identical archives (resumability +
+    the size-arithmetic oracle both depend on determinism)."""
+    import tarfile
+
+    ti = tarfile.TarInfo(name)
+    ti.size = size
+    ti.mtime = 0
+    ti.mode = 0o644
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    return ti
+
+
+def write_tar_shards(images_ds, out_dir: str, cap: int = SHARD_CAP_BYTES, range_width: int = 64):
+    """WebDataset tar export: the interop format image-training loaders
+    consume directly.  Same deterministic prefix-sum shard assignment as
+    ``write_shards`` (shard = floor(exclusive-byte-prefix / cap), so any
+    shard re-cuts independently), but each shard is a POSIX ustar archive
+    holding two members per sample — ``{image_id}.{fmt}`` (payload) and
+    ``{image_id}.txt`` (caption) — with every header field pinned
+    (mtime 0, uid/gid 0) so re-exports are byte-identical.
+
+    Resumable like write_shards: an existing ``.tar`` whose trailing
+    ``.done`` marker exists is skipped (tar has no atomic index file, so
+    the marker is the commit point; a crash mid-archive leaves no marker
+    and the shard is rewritten from its pure-function membership).
+
+    Returns per-shard (shard, n_samples, img_bytes, cap_bytes, tar_bytes,
+    skipped) where tar_bytes is the REAL on-disk archive size — the SQL
+    oracle predicts it from pure 512-block arithmetic, certifying the
+    writer end-to-end."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    assign = shard_manifest(images_ds, cap=cap, range_width=range_width)
+    from ..stages.joins import join as _join
+
+    rows = _join(
+        images_ds.map_batches(
+            lambda b: b.select(["image_id", "bytes", "fmt", "caption"]),
+            batch_format="pyarrow",
+        ),
+        assign,
+        on="image_id",
+        how="inner",
+    )
+
+    def write_one(g):
+        import tarfile
+
+        import pandas as pd
+
+        g = g.sort_values("image_id")
+        shard = int(g["shard"].iloc[0])
+        tar_path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        done_path = tar_path + ".done"
+        caps = [c.encode() for c in g["caption"].tolist()]
+        img_bytes = int(g["nbytes"].sum())
+        cap_bytes = int(sum(len(c) for c in caps))
+        if os.path.exists(done_path) and os.path.exists(tar_path):
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_samples": [len(g)],
+                    "img_bytes": [img_bytes],
+                    "cap_bytes": [cap_bytes],
+                    "tar_bytes": [int(os.path.getsize(tar_path))],
+                    "skipped": [True],
+                }
+            )
+        import io
+
+        with tarfile.open(tar_path, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for iid, payload, fmt, c in zip(
+                g["image_id"].tolist(), g["bytes"].tolist(), g["fmt"].tolist(), caps
+            ):
+                tf.addfile(_tar_info(f"{iid}.{fmt}", len(payload)), io.BytesIO(payload))
+                tf.addfile(_tar_info(f"{iid}.txt", len(c)), io.BytesIO(c))
+        with open(done_path, "w") as f:
+            f.write("ok\n")  # commit marker (written last)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_samples": [len(g)],
+                "img_bytes": [img_bytes],
+                "cap_bytes": [cap_bytes],
+                "tar_bytes": [int(os.path.getsize(tar_path))],
+                "skipped": [False],
+            }
+        )
+
+    return rows.groupby("shard").map_groups(write_one, batch_format="pandas")
+
+
+def read_tar_shards(out_dir: str):
+    """Loader side of ``write_tar_shards``: one task per shard archive,
+    re-pairing each sample's payload + caption members into rows of
+    (image_id, bytes, caption, shard). Shard list is shard-count-bounded
+    on the driver; archive bytes are read inside the tasks."""
+    import glob
+    import os
+    import re
+
+    import ray
+
+    tars = sorted(glob.glob(os.path.join(out_dir, "shard-*.tar")))
+    shards = [int(re.search(r"shard-(\d+)", os.path.basename(p)).group(1)) for p in tars]
+    t = pa.table(
+        {
+            "shard": pa.array(shards, pa.int64()),
+            "tar_path": pa.array(tars, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(max(1, len(tars)))
+
+    def load(b: pa.Table) -> pa.Table:
+        import tarfile
+
+        ids, payloads, caps, shs = [], [], [], []
+        for shard, tp in zip(b.column("shard").to_pylist(), b.column("tar_path").to_pylist()):
+            samples: dict[str, dict] = {}
+            with tarfile.open(tp, "r") as tf:
+                for m in tf:
+                    stem, ext = m.name.rsplit(".", 1)
+                    d = samples.setdefault(stem, {})
+                    data = tf.extractfile(m).read()
+                    if ext == "txt":
+                        d["caption"] = data.decode()
+                    else:
+                        d["bytes"] = data
+            for stem in sorted(samples):
+                ids.append(stem)
+                payloads.append(samples[stem]["bytes"])
+                caps.append(samples[stem]["caption"])
+                shs.append(shard)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+                "caption": pa.array(caps, pa.string()),
+                "shard": pa.array(shs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
 def bucketed_shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: int = 64):
     """Aspect-BUCKETED WebDataset export plan — the diffusion-training
     layout where every shard holds ONE crop geometry: images join their

@@ -301,3 +301,64 @@ def test_bucketed_shard_manifest_per_bucket_reset(tmp_path):
     assert sq == [0, 0, 1, 1]
     # the wide bucket restarts at shard 0: cumsum 0,3000,6000 -> 0,0,1
     assert wd == [0, 0, 1]
+
+
+def test_write_tar_shards_roundtrip_resume_deterministic(tmp_path, ray_session):
+    """WebDataset tar export: archives reconstruct every payload + caption
+    byte-for-byte through read_tar_shards; a re-run skips completed shards
+    (.done = commit marker); a re-export after deleting one shard rebuilds
+    a byte-identical archive (pinned ustar headers)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fscrawler_ray.pipelines.image_corpus import read_tar_shards, write_tar_shards
+
+    rng = np.random.default_rng(7)
+    n = 60
+    payloads = [rng.bytes(int(s)) for s in rng.integers(500, 9_000, size=n)]
+    t = pa.table(
+        {
+            "image_id": pa.array([f"img_{i:010d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "fmt": pa.array(["png" if i % 2 else "jpeg" for i in range(n)], pa.string()),
+            "caption": pa.array([f"caption number {i}" for i in range(n)], pa.string()),
+        }
+    )
+    out = str(tmp_path / "wds")
+    cap = 25_000
+    summary = (
+        write_tar_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9)
+        .to_pandas()
+        .sort_values("shard")
+    )
+    assert not summary["skipped"].any()
+    assert summary["n_samples"].sum() == n
+    # real on-disk sizes match the summary and the 512-block arithmetic
+    for _, r in summary.iterrows():
+        p = os.path.join(out, f"shard-{int(r['shard']):06d}.tar")
+        assert os.path.getsize(p) == int(r["tar_bytes"])
+        assert int(r["tar_bytes"]) % 10240 == 0
+
+    back = read_tar_shards(out).to_pandas().sort_values("image_id")
+    assert len(back) == n
+    for i, (_, r) in enumerate(back.iterrows()):
+        assert r["bytes"] == payloads[i]
+        assert r["caption"] == f"caption number {i}"
+
+    # resume: second run skips everything
+    again = write_tar_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9).to_pandas()
+    assert again["skipped"].all()
+
+    # determinism: delete one shard (+ marker), re-export, byte-identical
+    victim = int(summary["shard"].iloc[0])
+    vp = os.path.join(out, f"shard-{victim:06d}.tar")
+    before = hashlib.md5(open(vp, "rb").read()).hexdigest()
+    os.remove(vp)
+    os.remove(vp + ".done")
+    third = write_tar_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9).to_pandas()
+    assert not third[third["shard"] == victim]["skipped"].any()
+    assert hashlib.md5(open(vp, "rb").read()).hexdigest() == before
