@@ -1810,6 +1810,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # rank within shard via a two-pass distributed rank (SQL-checked
             # against one ROW_NUMBER window)
             "epoch_shuffle": sampling.q_epoch_shuffle,
+            # deterministic salted train/val split + the pre-release
+            # cross-split near-dup leakage audit (exact-Jaccard pairs
+            # straddling the split boundary)
+            "split_assign": sampling.q_split_assign,
+            "split_leakage_audit": sampling.q_split_leakage_audit,
             "curriculum_order": sampling.curriculum_order,
             # temperature-scaled multilingual rebalancing (alpha = 0.7)
             "temperature_mixture": sampling.q_temperature_mixture,
@@ -1921,6 +1926,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT label, count(*) AS sz FROM ("
         + sql["neardup_components_exact"]
         + ") comp GROUP BY label) GROUP BY sz"
+    )
+    from fscrawler_ray.pipelines.sampling import SPLIT_CASE_SQL as _SPLIT_CASE
+
+    sql["split_leakage_audit"] = (
+        "WITH p AS ("
+        + sql["ngram_jaccard_exact"]
+        + f"), s AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents) "
+        "SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard "
+        "FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b "
+        "WHERE sa.split <> sb.split"
     )
     sql["crawl_scan"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "

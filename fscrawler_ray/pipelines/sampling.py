@@ -360,13 +360,76 @@ def q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(ds)
 
 
+# --- deterministic train/val split + near-dup leakage audit -----------------
+
+SPLIT_SALT = "split-v1"
+VAL_PERMILLE = 100  # 10% validation
+
+
+def split_of_ids(ids) -> "pa.Array":
+    """Deterministic salted-hash split assignment: stable across runs,
+    partitionings and cluster sizes (pure function of doc_id, no RNG),
+    and md5-replayable so the SQL oracle can recompute it.  Changing the
+    salt re-rolls the whole split — the versioning mechanism."""
+    import pyarrow.compute as pc
+
+    from ..functions.sketches import md5_u64_batch
+
+    keyed = pc.binary_join_element_wise(
+        pa.scalar(SPLIT_SALT + ":"), pc.cast(ids, pa.string()), ""
+    )
+    hv = md5_u64_batch(keyed)
+    return pa.array(np.where(hv % 1000 < VAL_PERMILLE, "val", "train"))
+
+
+def q_split_assign(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "split": split_of_ids(b.column("doc_id"))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_split_leakage_audit(sf_dir: str):
+    """Cross-split near-duplicate LEAKAGE: exact n-gram Jaccard pairs
+    (recall 1.0 by construction — dedup.ngram_jaccard_exact) whose two
+    docs land in different splits.  The pre-release check a training-data
+    team runs: every row is a validation doc whose near-copy sits in
+    train, silently inflating eval scores.  Pairs are output-sized, so
+    the split decoration is a vectorized local pass."""
+    from .dedup import ngram_jaccard_exact
+
+    pairs = ngram_jaccard_exact(sf_dir)  # pa.Table (doc_a, doc_b, jaccard)
+    sa = split_of_ids(pairs.column("doc_a"))
+    sb = split_of_ids(pairs.column("doc_b"))
+    import pyarrow.compute as pc
+
+    t = pa.table(
+        {
+            "doc_a": pairs.column("doc_a"),
+            "doc_b": pairs.column("doc_b"),
+            "split_a": sa,
+            "split_b": sb,
+            "jaccard": pairs.column("jaccard"),
+        }
+    )
+    return t.filter(pc.invert(pc.equal(t.column("split_a"), t.column("split_b"))))
+
+
 def _mixture_case_sql() -> str:
     thr = mixture_thresholds(MIXTURE_RATES)
     whens = " ".join(f"WHEN '{kk}' THEN {v}" for kk, v in thr.items() if kk is not None)
     return f"CASE lang {whens} ELSE {thr[None]} END"
 
 
+SPLIT_CASE_SQL = (
+    f"CASE WHEN CAST(md5_number_upper('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)) AS HUGEINT) "
+    f"% 1000 < {VAL_PERMILLE} THEN 'val' ELSE 'train' END"
+)
+
 ORACLE_SQL = {
+    "split_assign": f"SELECT doc_id, {SPLIT_CASE_SQL} AS split FROM documents",
     "temperature_mixture": (
         "WITH c AS (SELECT lang, count(*) AS cl FROM documents GROUP BY lang), "
         "n AS (SELECT sum(cl) AS nn FROM c), "

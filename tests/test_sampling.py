@@ -198,3 +198,38 @@ def test_temperature_mixture_rebalances_toward_rare(ray_session):
     rare, common = n_in.idxmin(), n_in.idxmax()
     assert rates[rare] > 0.9  # rarest kept near rate 1
     assert rates[common] < rates[rare]  # most common downsampled hardest
+
+
+def test_split_assign_deterministic_and_ratio(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from fscrawler_ray.pipelines.sampling import VAL_PERMILLE, split_of_ids
+
+    ids = pa.array(np.arange(20_000, dtype=np.int64))
+    s1 = split_of_ids(ids).to_pylist()
+    s2 = split_of_ids(ids).to_pylist()
+    assert s1 == s2  # pure function of the id
+    frac = s1.count("val") / len(s1)
+    assert abs(frac - VAL_PERMILLE / 1000) < 0.02  # salted hash is uniform
+
+
+def test_split_leakage_is_cross_split_subset_of_pairs(ray_session):
+    from fscrawler_ray.pipelines.dedup import ngram_jaccard_exact
+    from fscrawler_ray.pipelines.sampling import q_split_leakage_audit, split_of_ids
+
+    sf = "/root/testdata/sf0.001"
+    leak = q_split_leakage_audit(sf)
+    allp = ngram_jaccard_exact(sf)
+    pairs = set(zip(allp.column("doc_a").to_pylist(), allp.column("doc_b").to_pylist()))
+    for a, b, sa, sb in zip(
+        leak.column("doc_a").to_pylist(),
+        leak.column("doc_b").to_pylist(),
+        leak.column("split_a").to_pylist(),
+        leak.column("split_b").to_pylist(),
+    ):
+        assert (a, b) in pairs
+        assert sa != sb
+        import pyarrow as pa
+
+        assert split_of_ids(pa.array([a]))[0].as_py() == sa
