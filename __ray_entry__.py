@@ -861,6 +861,34 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_split_leakage(sf_dir: str):
+        """SQL-CHECKED host-GROUPED split + mirror leakage: assigning
+        whole hosts to train/val prevents all intra-host leakage by
+        construction, so the only remaining channel is cross-host content
+        mirrors — exactly the pairs this query surfaces (mirror pairs
+        whose two hosts straddle the split, with shared-content counts)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fscrawler_ray.pipelines.crawl_report import mirror_hosts
+        from fscrawler_ray.pipelines.sampling import split_of_ids
+
+        out = _shared_written_run(sf_dir)
+        pairs = _collect(
+            mirror_hosts(out),
+            {"host_a": pa.string(), "host_b": pa.string(), "shared": pa.int64()},
+        )
+        t = pa.table(
+            {
+                "host_a": pairs.column("host_a"),
+                "host_b": pairs.column("host_b"),
+                "split_a": split_of_ids(pairs.column("host_a")),
+                "split_b": split_of_ids(pairs.column("host_b")),
+                "shared": pairs.column("shared"),
+            }
+        )
+        return t.filter(pc.invert(pc.equal(t.column("split_a"), t.column("split_b"))))
+
     def crawl_host_bfs(sf_dir: str):
         """SQL-CHECKED single-source BFS layers over the spooled host
         graph: the engine's iterative broadcast-frontier expansion vs
@@ -1078,6 +1106,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_filter": crawl_url_filter,
         "crawl_robots_eval": crawl_robots_eval,
         "crawl_robots_audit": crawl_robots_audit,
+        "crawl_split_leakage": crawl_split_leakage,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
@@ -1238,6 +1267,32 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return groups(ds, max_bucket=1_000_000)
+
+    def images_split_leakage(sf_dir: str):
+        """SQL-CHECKED image-corpus split-leakage audit: phash near-dup
+        pairs (banded + Hamming-verified) whose two images land in
+        different salted-hash train/val splits — the diffusion-training
+        analog of the text corpus's split_leakage_audit (a val image
+        whose near-copy sits in train inflates FID/eval)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import phash_neardup_pairs
+        from fscrawler_ray.pipelines.sampling import split_of_ids
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
+        pairs = phash_neardup_pairs(ds, max_bucket=1_000_000)
+        t = pa.table(
+            {
+                "image_a": pairs.column("image_a"),
+                "image_b": pairs.column("image_b"),
+                "split_a": split_of_ids(pairs.column("image_a")),
+                "split_b": split_of_ids(pairs.column("image_b")),
+                "hamming": pairs.column("hamming"),
+            }
+        )
+        return t.filter(pc.invert(pc.equal(t.column("split_a"), t.column("split_b"))))
 
     def images_phash_banded_recall(sf_dir: str):
         """SQL-CHECKED banded-phash recall eval over the spool: the band
@@ -1630,6 +1685,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_dedup_keep_best_spool": images_dedup_keep_best_spool,
         "images_phash_neardup": images_phash_neardup,
         "images_phash_neardup_spool": images_phash_neardup_spool,
+        "images_split_leakage": images_split_leakage,
         "images_caption_dedup": images_caption_dedup,
         "images_neardup_groups_spool": images_neardup_groups_spool,
         "images_shard_roundtrip": images_shard_roundtrip,
@@ -1928,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         + ") comp GROUP BY label) GROUP BY sz"
     )
     from fscrawler_ray.pipelines.sampling import SPLIT_CASE_SQL as _SPLIT_CASE
+    from fscrawler_ray.pipelines.sampling import split_case_sql as _split_case
 
     sql["split_leakage_audit"] = (
         "WITH p AS ("
@@ -2132,6 +2189,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared "
         "FROM d a JOIN d b ON a.image_id = b.image_id AND a.host < b.host "
         "GROUP BY a.host, b.host"
+    )
+    sql["crawl_split_leakage"] = (
+        "WITH p AS ("
+        + sql["crawl_mirrors"]
+        + "), s AS (SELECT DISTINCT host, "
+        + _split_case("host")
+        + f" AS split FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')) "
+        "SELECT p.host_a, p.host_b, sa.split AS split_a, sb.split AS split_b, p.shared "
+        "FROM p JOIN s sa ON sa.host = p.host_a JOIN s sb ON sb.host = p.host_b "
+        "WHERE sa.split <> sb.split"
     )
     # pairwise HLL intersection replay (p=6: idx = hv >> 58, cap 59,
     # 2^58 = 288230376151711744, 2^59 = 576460752303423488, 2.5·m = 160)
@@ -2554,6 +2621,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket "
         "AND x.image_id < y.image_id "
         "WHERE bit_count(xor(x.ph, y.ph)) <= 6"
+    )
+    sql["images_split_leakage"] = (
+        "WITH p AS ("
+        + sql["images_phash_neardup_spool"]
+        + "), s AS (SELECT image_id, "
+        + _split_case("image_id")
+        + f" AS split FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')) "
+        "SELECT p.image_a, p.image_b, sa.split AS split_a, sb.split AS split_b, p.hamming "
+        "FROM p JOIN s sa ON sa.image_id = p.image_a JOIN s sb ON sb.image_id = p.image_b "
+        "WHERE sa.split <> sb.split"
     )
     sql["images_neardup_groups_spool"] = (
         "WITH RECURSIVE t AS (SELECT image_id, CAST(phash AS BIGINT) AS ph "

@@ -423,10 +423,15 @@ def _mixture_case_sql() -> str:
     return f"CASE lang {whens} ELSE {thr[None]} END"
 
 
-SPLIT_CASE_SQL = (
-    f"CASE WHEN CAST(md5_number_upper('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)) AS HUGEINT) "
-    f"% 1000 < {VAL_PERMILLE} THEN 'val' ELSE 'train' END"
-)
+def split_case_sql(col: str) -> str:
+    """The SQL replay of split_of_ids for an arbitrary id column."""
+    return (
+        f"CASE WHEN CAST(md5_number_upper('{SPLIT_SALT}:' || CAST({col} AS VARCHAR)) AS HUGEINT) "
+        f"% 1000 < {VAL_PERMILLE} THEN 'val' ELSE 'train' END"
+    )
+
+
+SPLIT_CASE_SQL = split_case_sql("doc_id")
 
 ORACLE_SQL = {
     "split_assign": f"SELECT doc_id, {SPLIT_CASE_SQL} AS split FROM documents",
