@@ -1871,6 +1871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # straddling the split boundary)
             "split_assign": sampling.q_split_assign,
             "split_leakage_audit": sampling.q_split_leakage_audit,
+            "split_repair": sampling.q_split_repair,
+            "mixture_token_budget": sampling.q_mixture_token_budget,
             "curriculum_order": sampling.curriculum_order,
             # temperature-scaled multilingual rebalancing (alpha = 0.7)
             "temperature_mixture": sampling.q_temperature_mixture,
@@ -1993,6 +1995,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard "
         "FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b "
         "WHERE sa.split <> sb.split"
+    )
+    sql["split_repair"] = (
+        "WITH p AS ("
+        + sql["ngram_jaccard_exact"]
+        + f"), s AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents), "
+        "leakv AS (SELECT sa.doc_id FROM p JOIN s sa ON sa.doc_id = p.doc_a "
+        "JOIN s sb ON sb.doc_id = p.doc_b WHERE sa.split = 'val' AND sb.split = 'train' "
+        "UNION SELECT sb.doc_id FROM p JOIN s sa ON sa.doc_id = p.doc_a "
+        "JOIN s sb ON sb.doc_id = p.doc_b WHERE sb.split = 'val' AND sa.split = 'train') "
+        "SELECT s.doc_id, CASE WHEN s.doc_id IN (SELECT doc_id FROM leakv) THEN 'train' "
+        "ELSE s.split END AS split, "
+        "CAST(CASE WHEN s.doc_id IN (SELECT doc_id FROM leakv) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS moved FROM s"
     )
     sql["crawl_scan"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "

@@ -423,6 +423,88 @@ def _mixture_case_sql() -> str:
     return f"CASE lang {whens} ELSE {thr[None]} END"
 
 
+def q_split_repair(sf_dir: str):
+    """Leakage REPAIR: every val doc participating in a cross-split
+    near-dup pair is deterministically moved to train (flipping toward
+    train can never create new leakage — train/train pairs are benign).
+    Output is the full repaired assignment plus a moved flag; the shape a
+    release pipeline applies after split_leakage_audit flags pairs."""
+    import pyarrow.compute as pc
+
+    leak = q_split_leakage_audit(sf_dir)
+    moved = sorted(
+        {
+            d
+            for d, s in zip(leak.column("doc_a").to_pylist(), leak.column("split_a").to_pylist())
+            if s == "val"
+        }
+        | {
+            d
+            for d, s in zip(leak.column("doc_b").to_pylist(), leak.column("split_b").to_pylist())
+            if s == "val"
+        }
+    )
+    moved_arr = pa.array(moved, pa.int64())  # leak-pair-sized, broadcast
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(b: pa.Table) -> pa.Table:
+        base = split_of_ids(b.column("doc_id"))
+        flip = pc.is_in(b.column("doc_id"), value_set=moved_arr)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "split": pc.if_else(flip, pa.scalar("train"), base),
+                "moved": flip.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+TOKEN_BUDGET = 500_000  # planner target (tokens) at check scale
+
+
+def q_mixture_token_budget(sf_dir: str):
+    """Token-budget mixture PLANNER: given per-lang available whitespace
+    tokens and the mixture weights, the integer token target and sampling
+    rate per language for a fixed total budget — the sheet a data-mixing
+    run is provisioned from.  One distributed grouped sum; the final
+    arithmetic is lang-bounded."""
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n": pc.count_substring_regex(b.column("text"), r"\S+").cast(pa.int64()),
+            }
+        )
+
+    avail = grouped_sum(
+        ds.map_batches(part, batch_format="pyarrow"), ["lang"], {"n": "avail_tokens"}
+    ).to_pandas()  # lang-bounded
+    wm = {k: int(v * 1_000_000) for k, v in MIXTURE_RATES.items()}
+    langs = avail["lang"].tolist()
+    av = [int(x) for x in avail["avail_tokens"].tolist()]
+    w = [wm.get(l, 100_000) for l in langs]
+    tw = sum(w)
+    target = [min(a, TOKEN_BUDGET * x // tw) for a, x in zip(av, w)]
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "avail_tokens": pa.array(av, pa.int64()),
+            "target_tokens": pa.array(target, pa.int64()),
+            "rate_micro": pa.array(
+                [t * 1_000_000 // a if a else 0 for t, a in zip(target, av)], pa.int64()
+            ),
+        }
+    )
+
+
 def split_case_sql(col: str) -> str:
     """The SQL replay of split_of_ids for an arbitrary id column."""
     return (
@@ -433,8 +515,24 @@ def split_case_sql(col: str) -> str:
 
 SPLIT_CASE_SQL = split_case_sql("doc_id")
 
+_WM_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in MIXTURE_RATES.items())
+    + " ELSE 100000 END"
+)
+
 ORACLE_SQL = {
     "split_assign": f"SELECT doc_id, {SPLIT_CASE_SQL} AS split FROM documents",
+    "mixture_token_budget": (
+        "WITH c AS (SELECT lang, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) "
+        "AS avail FROM documents GROUP BY lang), "
+        f"w AS (SELECT lang, avail, CAST({_WM_CASE} AS BIGINT) AS wm FROM c), "
+        "t AS (SELECT lang, avail, wm, (SELECT CAST(sum(wm) AS BIGINT) FROM w) AS tw FROM w) "
+        f"SELECT lang, avail AS avail_tokens, "
+        f"CAST(least(avail, {TOKEN_BUDGET} * wm // tw) AS BIGINT) AS target_tokens, "
+        f"CAST(CASE WHEN avail = 0 THEN 0 ELSE least(avail, {TOKEN_BUDGET} * wm // tw) "
+        "* 1000000 // avail END AS BIGINT) AS rate_micro FROM t"
+    ),
     "temperature_mixture": (
         "WITH c AS (SELECT lang, count(*) AS cl FROM documents GROUP BY lang), "
         "n AS (SELECT sum(cl) AS nn FROM c), "

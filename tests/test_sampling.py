@@ -233,3 +233,26 @@ def test_split_leakage_is_cross_split_subset_of_pairs(ray_session):
         import pyarrow as pa
 
         assert split_of_ids(pa.array([a]))[0].as_py() == sa
+
+
+def test_split_repair_eliminates_leakage(ray_session):
+    """After repair, re-auditing with the repaired assignment finds zero
+    cross-split near-dup pairs (flipping val->train cannot create new
+    leakage)."""
+    from fscrawler_ray.pipelines.dedup import ngram_jaccard_exact
+    from fscrawler_ray.pipelines.sampling import q_split_repair
+
+    sf = "/root/testdata/sf0.001"
+    rep = q_split_repair(sf).to_pandas().set_index("doc_id")["split"]
+    pairs = ngram_jaccard_exact(sf)
+    for a, b in zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()):
+        assert rep[a] == rep[b] or "val" not in (rep[a], rep[b])
+
+
+def test_mixture_token_budget_conserves_budget(ray_session):
+    from fscrawler_ray.pipelines.sampling import TOKEN_BUDGET, q_mixture_token_budget
+
+    t = q_mixture_token_budget("/root/testdata/sf0.001").to_pandas()
+    assert (t["target_tokens"] <= t["avail_tokens"]).all()
+    assert t["target_tokens"].sum() <= TOKEN_BUDGET
+    assert (t["rate_micro"] <= 1_000_000).all()
