@@ -1820,6 +1820,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 graph.connected_components(_ray_data_from(dedup.minhash_md5_pairs(sf)))
             ),
             "term_df": index_sink.q_term_df,
+            # incremental index maintenance: delete + re-insert a
+            # deterministic delta through the on-disk postings, df read
+            # back from the updated index vs the edited-corpus oracle
+            "index_incremental_df": lambda sf: index_sink.q_index_incremental_df(
+                sf, "/tmp/fscrawler_oracle_incr_index"
+            ),
             "phrase_hits": index_sink.q_phrase_hits,
             "tfidf_topk": lambda sf: index_sink.q_tfidf_topk(sf),
             "bm25_scores": lambda sf: index_sink.q_bm25_scores(sf),

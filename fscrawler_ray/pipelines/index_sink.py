@@ -39,8 +39,14 @@ def tokenize(text_col) -> tuple[pa.Array, np.ndarray]:
 
 def build_inverted_index(sf_dir: str, index_dir: str, n_partitions: int = 16) -> int:
     """Distributed index build; returns the number of posting rows."""
-    os.makedirs(index_dir, exist_ok=True)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return index_docs(docs, index_dir, n_partitions)
+
+
+def index_docs(docs, index_dir: str, n_partitions: int = 16) -> int:
+    """Write postings for a (doc_id, text) Dataset into ``index_dir`` —
+    the shared insert path of the full build and incremental updates."""
+    os.makedirs(index_dir, exist_ok=True)
 
     def write_postings(b: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -113,6 +119,63 @@ def compact_index(index_dir: str) -> int:
 
     done = ray.get([_compact.remote(os.path.join(index_dir, d)) for d in parts])
     return sum(done)
+
+
+def update_index(index_dir: str, changed_docs, deleted_ids) -> int:
+    """Incremental index maintenance — the delete+reinsert cycle a search
+    sink runs when a re-crawl changes or removes documents (the realized
+    W5 Elasticsearch-analog update path; reference sketch
+    app/elastic_search_client.py:1-37 only ever inserted).
+
+    Phase 1 drops every posting of changed-or-deleted doc_ids: one task
+    per partition filters its part files against the broadcast id set
+    (ids are delta-sized, postings are corpus-sized — the set rides
+    ``ray.put``, the postings never leave their partition). Phase 2
+    re-inserts the changed docs through the shared ``index_docs`` path.
+    Returns the number of posting rows inserted."""
+    import numpy as np
+
+    changed_tbl = changed_docs.select_columns(["doc_id"]).to_pandas()  # delta-sized
+    drop = np.unique(
+        np.concatenate(
+            [
+                changed_tbl["doc_id"].to_numpy().astype(np.int64),
+                np.asarray(sorted(deleted_ids), dtype=np.int64),
+            ]
+        )
+    )
+    drop_ref = ray.put(drop)
+    parts = sorted(
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith("term_bucket=") and os.path.isdir(os.path.join(index_dir, d))
+    )
+
+    @ray.remote
+    def _drop(pdir: str) -> int:
+        import pyarrow.parquet as pq
+
+        ids = ray.get(drop_ref)
+        removed = 0
+        for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+            t = pq.read_table(f)
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, doc)
+            pos[pos == len(ids)] = 0
+            hit = ids[pos] == doc
+            if not hit.any():
+                continue
+            removed += int(hit.sum())
+            kept = t.filter(pa.array(~hit))
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(kept, tmp)
+            os.replace(tmp, f)
+        return removed
+
+    ray.get([_drop.remote(os.path.join(index_dir, d)) for d in parts])
+    with open(os.path.join(index_dir, "_meta")) as f:
+        n_partitions = int(f.read().strip())
+    return index_docs(changed_docs, index_dir, n_partitions)
 
 
 def _partition_of(index_dir: str, term: str) -> str:
@@ -210,6 +273,68 @@ def q_term_df(sf_dir: str, min_df: int = 50):
 
     pairs_ds = docs.map_batches(pairs, batch_format="pyarrow")
     distinct = pairs_ds.groupby(["token", "doc_id"]).count()
+    df = distinct.groupby("token").count()
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["token", "df"])
+        return b.filter(pc.greater_equal(b.column("df"), min_df))
+
+    return df.map_batches(finish, batch_format="pyarrow")
+
+
+# incremental-update edit spec (deterministic, SQL-replayable):
+# doc_id % 23 == 0 deleted; doc_id % 17 == 0 (not deleted) re-crawled with
+# text 'updated <lang> <doc_id % 7>'
+INCR_DEL_MOD = 23
+INCR_CHG_MOD = 17
+
+
+def q_index_incremental_df(sf_dir: str, index_dir: str, min_df: int = 50):
+    """Incremental-index certification: full build → delete + re-insert a
+    deterministic delta through ``update_index`` → compact → document
+    frequencies read back FROM THE ON-DISK POSTINGS.  The oracle computes
+    df directly from the edited corpus, so a posting leaked from a deleted
+    doc, a stale posting of a changed doc, or a missed re-insert all
+    break the hash."""
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_inverted_index(sf_dir, index_dir)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def deleted_part(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[ids % INCR_DEL_MOD == 0], pa.int64())})
+
+    deleted = [
+        i
+        for b in docs.map_batches(deleted_part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for i in b.column("doc_id").to_pylist()
+    ]  # delta-sized (a mass delete would rebuild instead)
+
+    def changed_part(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % INCR_CHG_MOD == 0) & (ids % INCR_DEL_MOD != 0)
+        t = b.filter(pa.array(keep))
+        rem = t.column("doc_id").to_numpy(zero_copy_only=False) % 7
+        text = pc.binary_join_element_wise(
+            pa.scalar("updated"),
+            t.column("lang"),
+            pa.array(rem.astype("U"), pa.string()),
+            " ",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    changed = docs.map_batches(changed_part, batch_format="pyarrow")
+    update_index(index_dir, changed, deleted)
+    compact_index(index_dir)
+    files = sorted(glob.glob(os.path.join(index_dir, "term_bucket=*", "*.parquet")))
+    postings = ray.data.read_parquet(files, columns=["token", "doc_id"])
+    distinct = postings.groupby(["token", "doc_id"]).count()
     df = distinct.groupby("token").count()
 
     def finish(b: pa.Table) -> pa.Table:
@@ -569,6 +694,14 @@ ORACLE_SQL = {
     "term_df": (
         "SELECT token, cast(count(DISTINCT doc_id) AS BIGINT) AS df FROM ("
         "SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token FROM documents"
+        ") WHERE token <> '' GROUP BY token HAVING count(DISTINCT doc_id) >= 50"
+    ),
+    "index_incremental_df": (
+        "WITH edited AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN "
+        "'updated ' || lang || ' ' || CAST(doc_id % 7 AS VARCHAR) ELSE text END AS text "
+        "FROM documents WHERE doc_id % 23 <> 0) "
+        "SELECT token, cast(count(DISTINCT doc_id) AS BIGINT) AS df FROM ("
+        "SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token FROM edited"
         ") WHERE token <> '' GROUP BY token HAVING count(DISTINCT doc_id) >= 50"
     ),
 }

@@ -188,3 +188,54 @@ def test_doc_keywords_prefers_rare_terms(ray_session, tmp_path):
     for _, g in out.groupby("doc_id"):
         assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
         assert g["token"].is_unique
+
+
+def test_update_index_equals_full_rebuild(tmp_path, ray_session):
+    """Incremental delete+reinsert produces postings identical (token,
+    doc_id, pos — position-for-position) to indexing the edited corpus
+    from scratch."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from fscrawler_ray.pipelines.index_sink import compact_index, index_docs, update_index
+
+    def corpus(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    base = [
+        (1, "alpha beta gamma"),
+        (2, "beta beta delta"),
+        (3, "gamma delta epsilon"),
+        (4, "alpha epsilon"),
+        (5, "zeta eta theta"),
+    ]
+    changed = [(2, "omega beta"), (4, "omega omega alpha")]
+    deleted = [5]
+    edited = [r for r in base if r[0] not in {2, 4, 5}] + changed
+
+    inc_dir = str(tmp_path / "inc")
+    index_docs(corpus(base), inc_dir, n_partitions=4)
+    update_index(inc_dir, corpus(changed), deleted)
+    compact_index(inc_dir)
+
+    full_dir = str(tmp_path / "full")
+    index_docs(corpus(edited), full_dir, n_partitions=4)
+    compact_index(full_dir)
+
+    def postings(d):
+        files = sorted(glob.glob(os.path.join(d, "term_bucket=*", "*.parquet")))
+        t = pa.concat_tables([pq.read_table(f, columns=["token", "doc_id", "pos"]) for f in files])
+        return sorted(zip(*[t.column(c).to_pylist() for c in ["token", "doc_id", "pos"]]))
+
+    assert postings(inc_dir) == postings(full_dir)
