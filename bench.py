@@ -115,6 +115,11 @@ EXTRA_QUERIES = [
     "dsir_weights",
     "bpe_merges_distributed",
     "crawl_recrawl_cycle",
+    # round-5 new operator families
+    "crawl_robots_eval",
+    "images_wds_export",
+    "split_leakage_audit",
+    "index_incremental_df",
 ]
 
 
