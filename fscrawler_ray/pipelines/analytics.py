@@ -4199,3 +4199,97 @@ ORACLE_SQL["daily_anomalies"] = (
     "FROM dd JOIN md USING (event_type)"
 )
 QUERIES["daily_anomalies"] = q_daily_anomalies
+
+
+PSI_BINS = 10  # fixed-width value deciles for the drift report
+
+
+def q_psi_drift(sf_dir: str, bins: int = PSI_BINS):
+    """Population-Stability-Index drift report over the event stream: the
+    value distribution of the stream's first half (by time midpoint) vs
+    its second half, binned into fixed-width micro-value bins, with the
+    per-bin PSI contribution in micro-nats (+1 smoothing so empty bins
+    are defined).  The monitoring primitive that catches a silent
+    upstream distribution change between two crawl/ingest windows —
+    PSI > 0.2 is the classic retrain/alarm threshold.
+
+    Two streaming passes: per-block (min, max) partials for the time
+    midpoint + value range, then a grouped count by (window, bin); the
+    PSI arithmetic runs on the bins-bounded table."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def ranges(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vm = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "t0": pa.array([int(ts.min())], pa.int64()),
+                "t1": pa.array([int(ts.max())], pa.int64()),
+                "v0": pa.array([int(vm.min())], pa.int64()),
+                "v1": pa.array([int(vm.max())], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(ranges, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    t0 = int(pc.min(parts.column("t0")).as_py())
+    t1 = int(pc.max(parts.column("t1")).as_py())
+    v0 = int(pc.min(parts.column("v0")).as_py())
+    v1 = int(pc.max(parts.column("v1")).as_py())
+    mid = (t0 + t1) // 2
+    width = v1 - v0 + 1
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vm = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "late": pa.array((ts >= mid).astype(np.int64)),
+                "bin": pa.array(np.minimum(bins - 1, (vm - v0) * bins // width)),
+            }
+        )
+
+    g = (
+        grouped_sum(ds.map_batches(assign, batch_format="pyarrow"), ["late", "bin"], {}, count_out="n")
+        .to_pandas()
+    )  # ≤ 2 × bins rows
+    grid = np.zeros((2, bins), dtype=np.int64)
+    for _, r in g.iterrows():
+        grid[int(r["late"]), int(r["bin"])] = int(r["n"])
+    na, nb = int(grid[0].sum()), int(grid[1].sum())
+    pa_ = (grid[0] + 1.0) / (na + float(bins))
+    pb_ = (grid[1] + 1.0) / (nb + float(bins))
+    psi = np.floor((pa_ - pb_) * np.log(pa_ / pb_) * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(bins, dtype=np.int64)),
+            "n_early": pa.array(grid[0]),
+            "n_late": pa.array(grid[1]),
+            "psi_micro": pa.array(psi),
+        }
+    )
+
+
+ORACLE_SQL["psi_drift"] = (
+    "WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu, "
+    "CAST(round(value * 1000000) AS BIGINT) AS vm FROM events), "
+    "r AS (SELECT min(tsu) AS t0, max(tsu) AS t1, min(vm) AS v0, max(vm) AS v1 FROM e), "
+    "a AS (SELECT CASE WHEN tsu >= (t0 + t1) // 2 THEN 1 ELSE 0 END AS late, "
+    f"least({PSI_BINS - 1}, (vm - v0) * {PSI_BINS} // (v1 - v0 + 1)) AS bin FROM e, r), "
+    "g AS (SELECT bin, CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early, "
+    "CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late FROM a GROUP BY bin), "
+    f"bgrid AS (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin), "
+    "filled AS (SELECT CAST(bgrid.bin AS BIGINT) AS bin, coalesce(n_early, 0) AS n_early, "
+    "coalesce(n_late, 0) AS n_late FROM bgrid LEFT JOIN g ON g.bin = bgrid.bin), "
+    "tot AS (SELECT sum(n_early) AS na, sum(n_late) AS nb FROM filled) "
+    "SELECT bin, n_early, n_late, "
+    f"CAST(floor(((n_early + 1.0) / (na + {float(PSI_BINS)}) - (n_late + 1.0) / (nb + {float(PSI_BINS)})) "
+    f"* ln(((n_early + 1.0) / (na + {float(PSI_BINS)})) / ((n_late + 1.0) / (nb + {float(PSI_BINS)}))) "
+    "* 1000000 + 0.5) AS BIGINT) AS psi_micro FROM filled, tot"
+)
+QUERIES["psi_drift"] = q_psi_drift
