@@ -861,6 +861,34 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_deadletters(sf_dir: str):
+        """SQL-CHECKED dead-letter ledger audit: the engine's per-row
+        fetch-failure records (written as a sibling table of the output,
+        the reference's errored-path log analog) vs DuckDB deriving the
+        expected failure set INDEPENDENTLY from the trace — a leaf is
+        dead-lettered iff its URL extension is not an image format, so a
+        dropped record, a duplicated record, or a mis-attributed reason
+        all break the hash."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import read_dead_letters
+
+        out = _shared_written_run(sf_dir)
+
+        def slim(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": b.column("url"),
+                    "seq": b.column("seq").cast(pa.int64()),
+                    "reason": b.column("reason"),
+                }
+            )
+
+        return _collect(
+            read_dead_letters(out).map_batches(slim, batch_format="pyarrow"),
+            {"url": pa.string(), "seq": pa.int64(), "reason": pa.string()},
+        )
+
     def crawl_split_leakage(sf_dir: str):
         """SQL-CHECKED host-GROUPED split + mirror leakage: assigning
         whole hosts to train/val prevents all intra-host leakage by
@@ -1107,6 +1135,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots_eval": crawl_robots_eval,
         "crawl_robots_audit": crawl_robots_audit,
         "crawl_split_leakage": crawl_split_leakage,
+        "crawl_deadletters": crawl_deadletters,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
@@ -2210,6 +2239,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared "
         "FROM d a JOIN d b ON a.image_id = b.image_id AND a.host < b.host "
         "GROUP BY a.host, b.host"
+    )
+    sql["crawl_deadletters"] = (
+        "SELECT url, CAST(seq AS BIGINT) AS seq, 'non_image_payload' AS reason "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}_trace/part-*.parquet') "
+        "WHERE is_dir = 0 AND CASE WHEN url LIKE '%.%' THEN "
+        "lower(regexp_extract(url, '\\.([^./]+)$', 1)) ELSE '' END "
+        "NOT IN ('jpg', 'jpeg', 'png', 'webp')"
     )
     sql["crawl_split_leakage"] = (
         "WITH p AS ("
