@@ -861,6 +861,39 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_tier_plan_robots(sf_dir: str):
+        """SQL-CHECKED robots-aware recrawl tiering: the freshness tier
+        plan composed with the RFC robots re-audit — hosts whose ruleset
+        now denies ≥7.5% of their emitted URLs (trace-audited, so the
+        wildcard denies over dead-lettered leaves count) are demoted to the
+        tier before the budget split (crawl slots stop flowing to hosts
+        that mostly refuse them).  The oracle replays freshness banding,
+        robots evaluation, the demotion AND the integer quota arithmetic
+        end-to-end in one statement."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import robots_ruleset, tier_plan_robots
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(ROBOTS_RULES_DIR, ignore_errors=True)
+        # ruleset over the TRACE's host set (superset of output hosts) —
+        # the audit side of the composition runs over the trace
+        robots_ruleset(out.rstrip("/") + "_trace").write_parquet(ROBOTS_RULES_DIR)
+        return _collect(
+            tier_plan_robots(out),
+            {
+                "host": pa.string(),
+                "n_urls": pa.int64(),
+                "changes": pa.int64(),
+                "rate_micro": pa.int64(),
+                "denied_permille": pa.int64(),
+                "tier": pa.string(),
+                "budget": pa.int64(),
+            },
+        )
+
     def crawl_deadletters(sf_dir: str):
         """SQL-CHECKED dead-letter ledger audit: the engine's per-row
         fetch-failure records (written as a sibling table of the output,
@@ -1136,6 +1169,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots_audit": crawl_robots_audit,
         "crawl_split_leakage": crawl_split_leakage,
         "crawl_deadletters": crawl_deadletters,
+        "crawl_tier_plan_robots": crawl_tier_plan_robots,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
@@ -2523,22 +2557,28 @@ def oracle_sql() -> dict[str, str]:
     # replays longest-match precedence (allow wins ties, no match = allow)
     # with a join + grouped MAX — only the spooled (host, pattern, allow)
     # ruleset is shared with the engine
-    _robots_uv = (
-        "u AS (SELECT url, host, CASE WHEN regexp_replace(url, '^[a-z+.-]+://[^/]*', '') = '' "
-        "THEN '/' ELSE regexp_replace(url, '^[a-z+.-]+://[^/]*', '') END AS path "
-        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
-        "r AS (SELECT host, allow, CAST(length(pattern) AS BIGINT) AS plen, "
-        "'^' || replace(replace(CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1) "
-        "ELSE pattern END, '.', '\\.'), '*', '.*') "
-        "|| CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx "
-        f"FROM read_parquet('{ROBOTS_RULES_DIR}/*.parquet')), "
-        "m AS (SELECT u.url, u.host, r.plen, r.allow FROM u "
-        "LEFT JOIN r ON u.host = r.host AND regexp_matches(u.path, r.rx)), "
-        "v AS (SELECT url, host, "
-        "COALESCE(MAX(CASE WHEN allow THEN plen END), 0) AS allow_len, "
-        "COALESCE(MAX(CASE WHEN NOT allow THEN plen END), -1) AS deny_len "
-        "FROM m GROUP BY url, host) "
-    )
+    def _robots_cte(src_glob: str) -> str:
+        """u/r/m/v CTE chain evaluating the RFC ruleset over the URL table
+        at ``src_glob`` (the output spool for the re-audit queries, the
+        trace for the tier composition)."""
+        return (
+            "u AS (SELECT url, host, CASE WHEN regexp_replace(url, '^[a-z+.-]+://[^/]*', '') = '' "
+            "THEN '/' ELSE regexp_replace(url, '^[a-z+.-]+://[^/]*', '') END AS path "
+            f"FROM read_parquet('{src_glob}')), "
+            "r AS (SELECT host, allow, CAST(length(pattern) AS BIGINT) AS plen, "
+            "'^' || replace(replace(CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1) "
+            "ELSE pattern END, '.', '\\.'), '*', '.*') "
+            "|| CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx "
+            f"FROM read_parquet('{ROBOTS_RULES_DIR}/*.parquet')), "
+            "m AS (SELECT u.url, u.host, r.plen, r.allow FROM u "
+            "LEFT JOIN r ON u.host = r.host AND regexp_matches(u.path, r.rx)), "
+            "v AS (SELECT url, host, "
+            "COALESCE(MAX(CASE WHEN allow THEN plen END), 0) AS allow_len, "
+            "COALESCE(MAX(CASE WHEN NOT allow THEN plen END), -1) AS deny_len "
+            "FROM m GROUP BY url, host) "
+        )
+
+    _robots_uv = _robots_cte(f"{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet")
     sql["crawl_robots_eval"] = (
         "WITH " + _robots_uv + "SELECT url, host, allow_len, deny_len, "
         "CAST(allow_len >= deny_len AS BIGINT) AS allowed FROM v"
@@ -2548,6 +2588,36 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM(CASE WHEN allow_len < deny_len THEN 1 ELSE 0 END) AS BIGINT) AS n_denied, "
         "CAST(SUM(CASE WHEN allow_len >= deny_len AND deny_len >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_override, "
         "CAST(COUNT(*) AS BIGINT) AS n_urls FROM v GROUP BY host"
+    )
+    from fscrawler_ray.pipelines.crawl_report import ROBOTS_DEMOTE_PERMILLE as _DEMOTE
+
+    _w2_case = (
+        "CASE tier2 "
+        + " ".join(f"WHEN '{nm}' THEN {w}" for nm, _, w in TIER_BANDS)
+        + f" ELSE {TIER_FLOOR[1]} END"
+    )
+    sql["crawl_tier_plan_robots"] = (
+        "WITH "
+        + _robots_cte(f"{CRAWL_ROLLUP_DIR}_trace/part-*.parquet")
+        + ", aud AS (SELECT host, CAST(SUM(CASE WHEN allow_len < deny_len THEN 1 ELSE 0 END) "
+        "* 1000 // COUNT(*) AS BIGINT) AS denied_permille FROM v GROUP BY host), "
+        f"c AS (SELECT host, {_ch} AS ch "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(ch) AS BIGINT) AS changes FROM c GROUP BY host), "
+        f"hr AS (SELECT *, changes * 1000000 // (n_urls * {_k}) AS rate_micro FROM h), "
+        f"ht AS (SELECT *, {_tier_case} AS tier FROM hr), "
+        f"hd AS (SELECT ht.*, aud.denied_permille, CASE WHEN aud.denied_permille >= {_DEMOTE} "
+        f"THEN '{TIER_FLOOR[0]}' ELSE ht.tier END AS tier2 FROM ht JOIN aud USING (host)), "
+        f"hw AS (SELECT *, {_w2_case} AS w FROM hd), "
+        "tt AS (SELECT tier2, SUM(n_urls) AS tier_urls, SUM(w * n_urls) AS tier_mass "
+        "FROM hw GROUP BY tier2), "
+        f"tq AS (SELECT tier2, tier_urls, {TIER_BUDGET} * tier_mass "
+        "// (SELECT SUM(tier_mass) FROM tt) AS tier_quota FROM tt) "
+        "SELECT hw.host, hw.n_urls, hw.changes, CAST(hw.rate_micro AS BIGINT) AS rate_micro, "
+        "CAST(hw.denied_permille AS BIGINT) AS denied_permille, hw.tier2 AS tier, "
+        "CAST(tq.tier_quota * hw.n_urls // tq.tier_urls AS BIGINT) AS budget "
+        "FROM hw JOIN tq USING (tier2)"
     )
     from fscrawler_ray.pipelines.image_corpus import SHARD_CAP_BYTES as _CAP
 

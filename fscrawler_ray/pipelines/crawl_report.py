@@ -378,8 +378,15 @@ def tier_plan(out_dir: str, budget: int = TIER_BUDGET):
         )
 
     hosts_ds = agg.map_batches(band, batch_format="pyarrow").materialize()
+    return _tier_allocate(hosts_ds, budget)
 
-    # tier totals: 4 rows by construction — a broadcast-sized driver table
+
+def _tier_allocate(hosts_ds, budget: int):
+    """Quota split shared by tier_plan and tier_plan_robots: tier totals
+    (4 rows by construction — a broadcast-sized driver table), then the
+    integer per-host allocation pass."""
+    import numpy as np
+
     tt = hosts_ds.groupby("tier").aggregate(Sum("n_urls"), Sum("mass")).to_pandas()
     total_mass = int(tt["sum(mass)"].sum())
     quota = {}
@@ -397,6 +404,79 @@ def tier_plan(out_dir: str, budget: int = TIER_BUDGET):
         return b.drop_columns(["mass"]).append_column("budget", pa.array(bud))
 
     return hosts_ds.map_batches(allocate, batch_format="pyarrow")
+
+
+ROBOTS_DEMOTE_PERMILLE = 75  # denied share (7.5%) that sends a host to the floor tier
+
+
+def tier_plan_robots(out_dir: str, budget: int = TIER_BUDGET, demote_permille: int = ROBOTS_DEMOTE_PERMILLE):
+    """Robots-aware recrawl tiering: the tier_plan composition a crawl
+    governor actually runs — hosts whose RFC 9309 ruleset now denies more
+    than ``demote_permille``/1000 of their crawled URLs are demoted to the
+    floor (archive) tier before the budget split, so crawl slots stop
+    flowing to hosts that mostly refuse them.  The freshness signal and
+    the politeness signal meet in one integer plan.
+
+    Both sides are host-bounded after their first streaming pass; the
+    decoration is one host-keyed join through the size-aware front door
+    (never a URL-sized shuffle)."""
+    import numpy as np
+
+    from ..stages.joins import join as _join
+
+    # rebuild the freshness host table via tier_plan's own machinery,
+    # stopping before allocation: tier_plan(out_dir) without its final
+    # pass is hosts_ds; re-deriving here keeps ONE shared banding kernel
+    full = tier_plan(out_dir, budget=budget)  # host,n_urls,changes,rate_micro,tier,budget
+
+    hosts_ds = full.map_batches(
+        lambda b: b.drop_columns(["budget"]), batch_format="pyarrow"
+    )
+
+    def denied(b: pa.Table) -> pa.Table:
+        nd = b.column("n_denied").to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = b.column("n_urls").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "denied_permille": pa.array(nd * 1000 // nu),
+            }
+        )
+
+    # audit the TRACE, not the written output: the output holds only
+    # fetched image payloads (already robots-allowed), while the trace
+    # carries every emitted URL including dead-lettered .tmp/.log leaves —
+    # exactly the URLs the wildcard deny rules bite, so the demotion
+    # branch sees a real signal
+    aud = robots_audit(out_dir.rstrip("/") + "_trace").map_batches(
+        denied, batch_format="pyarrow"
+    )
+    j = _join(hosts_ds, aud, on="host")
+
+    def demote(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dp = b.column("denied_permille").to_numpy(zero_copy_only=False)
+        m = dp >= demote_permille
+        tier = np.asarray(b.column("tier").to_pylist(), dtype=object)
+        tier[m] = TIER_FLOOR[0]
+        n = b.column("n_urls").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = {nm: wt for nm, _, wt in TIER_BANDS}
+        w[TIER_FLOOR[0]] = TIER_FLOOR[1]
+        mass = np.array([w[x] for x in tier], np.int64) * n
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_urls": b.column("n_urls"),
+                "changes": b.column("changes"),
+                "rate_micro": b.column("rate_micro"),
+                "denied_permille": b.column("denied_permille"),
+                "tier": pa.array(tier.tolist(), pa.string()),
+                "mass": pa.array(mass),
+            }
+        )
+
+    return _tier_allocate(j.map_batches(demote, batch_format="pyarrow").materialize(), budget)
 
 
 def recrawl_cycle_cert(trace1_dir: str, trace2_dir: str, plan, prios: dict, budget_cap: int):
