@@ -1846,6 +1846,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hard_negatives": lambda sf: similarity.hard_negatives(sf),
             # MMR diverse retrieval (relevance vs redundancy greedy)
             "mmr_topk": lambda sf: similarity.mmr_topk(sf),
+            # random-hyperplane LSH ANN: unlike knn_ivf's exhaustive-probe
+            # certification this answer DEPENDS on the buckets — signatures
+            # are integer-exact (floor(v·1e6) × ±1 mask signs) so the
+            # oracle replays bucket assignment bit-for-bit
+            "knn_lsh": lambda sf: similarity.knn_lsh(sf),
+            # recall of the LSH path vs brute-force ground truth, per query
+            "lsh_ann_recall": lambda sf: similarity.lsh_ann_recall(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2342,6 +2349,53 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_ivf"] = sql["knn_bruteforce"]
     # exhaustive-shortlist PQ ≡ brute force (see the queries() entry)
     sql["knn_pq"] = sql["knn_bruteforce"]
+    # random-hyperplane LSH: replay mask unpacking → micro-quantized sign
+    # projection (exact int64 — floor(CAST(e AS DOUBLE)*1e6) matches the
+    # engine's floor(f64(v)·1e6) bit-for-bit) → per-table signatures →
+    # bucket-match candidates → exact-cosine re-rank.  Only the L×b sign
+    # masks are shared with the engine.
+    from fscrawler_ray.pipelines.similarity import LSH_BITS, LSH_TABLES, lsh_masks
+
+    _lsh_m = lsh_masks()
+    _lsh_vals = ", ".join(
+        f"({t}, {b}, {int(_lsh_m[t, b])}::UBIGINT)"
+        for t in range(LSH_TABLES)
+        for b in range(LSH_BITS)
+    )
+    _lsh_cte = (
+        f"m(tbl, bit, mask) AS (VALUES {_lsh_vals}), "
+        "comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micro "
+        "FROM embeddings), "
+        "proj AS (SELECT c.vec_id, m.tbl, m.bit, "
+        "SUM(CASE WHEN (m.mask >> (c.dim - 1)) & 1 = 1 THEN c.micro ELSE -c.micro END) AS p "
+        "FROM comp c CROSS JOIN m GROUP BY c.vec_id, m.tbl, m.bit), "
+        "sig AS (SELECT vec_id, tbl, SUM(CASE WHEN p >= 0 THEN 1 << bit ELSE 0 END) AS sg "
+        "FROM proj GROUP BY vec_id, tbl), "
+        "qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4), "
+        "cand AS (SELECT DISTINCT a.vec_id AS query_id, d.vec_id FROM sig a "
+        "JOIN sig d ON a.tbl = d.tbl AND a.sg = d.sg "
+        "WHERE a.vec_id IN (SELECT vec_id FROM qs) AND d.vec_id <> a.vec_id), "
+        "lshtop AS (SELECT c.query_id, c.vec_id, row_number() OVER (PARTITION BY c.query_id "
+        "ORDER BY list_cosine_similarity(eq.embedding, ed.embedding) DESC, c.vec_id) AS rnk "
+        "FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id "
+        "JOIN embeddings ed ON ed.vec_id = c.vec_id QUALIFY rnk <= 10)"
+    )
+    sql["knn_lsh"] = "WITH " + _lsh_cte + " SELECT query_id, vec_id, rnk FROM lshtop"
+    sql["lsh_ann_recall"] = (
+        "WITH " + _lsh_cte + ", "
+        "bt AS (SELECT q.vec_id AS query_id, e.vec_id FROM embeddings q, embeddings e "
+        "WHERE q.vec_id IN (SELECT vec_id FROM qs) AND e.vec_id <> q.vec_id "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 10), "
+        "st AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true, "
+        "CAST(COUNT(l.vec_id) AS BIGINT) AS hits "
+        "FROM bt b LEFT JOIN lshtop l USING (query_id, vec_id) GROUP BY b.query_id), "
+        "lc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lshtop GROUP BY query_id) "
+        "SELECT q.vec_id AS query_id, st.n_true, COALESCE(lc.n_lsh, 0) AS n_lsh, st.hits, "
+        "CAST(st.hits * 1000000 // greatest(st.n_true, 1) AS BIGINT) AS recall_micro "
+        "FROM qs q JOIN st ON st.query_id = q.vec_id LEFT JOIN lc ON lc.query_id = q.vec_id"
+    )
     # hard negatives = the same ranking, window (10, 30]
     sql["hard_negatives"] = (
         "SELECT q.vec_id AS query_id, e.vec_id, "

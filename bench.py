@@ -120,6 +120,8 @@ EXTRA_QUERIES = [
     "images_wds_export",
     "split_leakage_audit",
     "index_incremental_df",
+    "knn_lsh",
+    "lsh_ann_recall",
 ]
 
 

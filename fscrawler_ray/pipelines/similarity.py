@@ -42,11 +42,14 @@ def _vecs(col) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
-def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+def _load_queries(sf_dir: str, n_queries: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Query vectors via predicate-pushdown: a column-pruned scan of ONLY
     the 8-byte vec_id column picks the query ids; the vectors themselves
     come from a filtered read that prunes row groups by vec_id statistics —
-    never a full-table embedding read on the driver (VERDICT r02 #2)."""
+    never a full-table embedding read on the driver (VERDICT r02 #2).
+    ``normalize=False`` returns the raw stored components (the LSH
+    signature is computed on raw micro-quantized values so DuckDB can
+    replay it exactly)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
@@ -60,7 +63,8 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     got = t.column("vec_id").to_numpy()
     q = _vecs(t.column("embedding")).astype(np.float64)
     order = np.argsort(got)
-    return got[order], _norm(q[order])
+    q = q[order]
+    return got[order], (_norm(q) if normalize else q)
 
 
 class _BatchTopK:
@@ -744,4 +748,154 @@ def mmr_topk(sf_dir: str, n_queries: int = 4, k: int = MMR_K, shortlist: int = M
             "vec_id": pa.array(out_v, pa.int64()),
             "mmr_rank": pa.array(out_r, pa.int64()),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (cosine) LSH ANN — the hash-bucketed scale path beside
+# IVF: signatures are integer-exact (micro-quantized components × ±1
+# hyperplanes packed as 64-bit sign masks) so bucket assignment replays
+# bit-for-bit in the SQL oracle with only L×b inlined mask literals.
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 8  # bits per table (2^8 buckets/table)
+LSH_TABLES = 4  # independent tables OR'd for candidate generation
+LSH_SEED = 714
+
+
+def lsh_masks(n_tables: int = LSH_TABLES, n_bits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
+    """(L, b) uint64 hyperplane sign masks: bit i of mask (t, j) is the
+    sign (+1 if set, −1 if clear) applied to embedding dim i for bit j of
+    table t's signature.  Deterministic in ``seed`` — both the engine and
+    the DuckDB oracle consume exactly these masks."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, np.iinfo(np.uint64).max, size=(n_tables, n_bits), dtype=np.uint64, endpoint=True)
+
+
+def _lsh_signs(masks: np.ndarray, dim: int = 64) -> np.ndarray:
+    """(L·b, dim) ±1 int64 sign rows unpacked from the masks."""
+    flat = masks.reshape(-1)
+    bits = ((flat[:, None] >> np.arange(dim, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    return bits * 2 - 1
+
+
+def lsh_signatures(vecs: np.ndarray, signs: np.ndarray, n_tables: int, n_bits: int) -> np.ndarray:
+    """(n, L) int64 signatures.  Components are micro-quantized with
+    floor(v·1e6) — float32 widens to float64 exactly, the product and
+    floor are IEEE-identical to DuckDB's CAST(e AS DOUBLE)*1000000 —
+    then dotted with ±1 signs in exact int64 arithmetic: no float
+    accumulation-order hazard can flip a sign bit between the engine
+    and the oracle."""
+    micro = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    proj = micro @ signs.T  # (n, L*b) exact int64
+    bits = (proj >= 0).astype(np.int64).reshape(len(vecs), n_tables, n_bits)
+    weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+    return (bits * weights).sum(axis=2)
+
+
+class _LSHTopK:
+    """Streaming candidate-probe + partial re-rank: per batch, compute
+    doc signatures, keep rows whose signature matches the broadcast
+    query signature in ANY table, and emit a per-query partial top-k of
+    exact cosines over those candidates only.  At 10^10 vectors this is
+    one zero-shuffle pass — candidates never leave the task except as
+    (k+1)·n_queries rows per batch."""
+
+    def __init__(self, bundle_ref, k: int, n_tables: int, n_bits: int):
+        self.bundle_ref = bundle_ref
+        self.k = k
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+        self._state = None
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self._state is None:
+            self._state = ray.get(self.bundle_ref)
+        qids, q, qsigs, signs = self._state
+        v = _vecs(b.column("embedding"))
+        ids = b.column("vec_id").to_numpy()
+        sigs = lsh_signatures(v, signs, self.n_tables, self.n_bits)  # (n, L)
+        vn = _norm(v.astype(np.float64))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = (sigs == qsigs[qi][None, :]).any(axis=1)
+            idx = np.nonzero(mask)[0]
+            if not len(idx):
+                continue
+            sims = vn[idx] @ q[qi]
+            kk = min(self.k + 1, len(idx))
+            sel = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+            out_v.append(ids[idx][sel])
+            out_s.append(sims[sel])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def knn_lsh(sf_dir: str, n_queries: int = 4, k: int = 10, n_bits: int = LSH_BITS, n_tables: int = LSH_TABLES):
+    """ANN top-k via random-hyperplane LSH: (query_id, vec_id, rnk) where
+    candidates share a bucket with the query in ≥1 of L tables and rnk
+    is the exact-cosine re-rank among candidates (ties → min vec_id).
+    Unlike knn_ivf's exhaustive-probe certification, THIS query's
+    answer depends on the buckets themselves — the oracle replays mask
+    unpacking, micro-quantized sign projection, bucket match and the
+    re-rank end-to-end, so a single flipped signature bit anywhere in
+    the stream fails the hash check."""
+    qids, q = _load_queries(sf_dir, n_queries)
+    _, qraw = _load_queries(sf_dir, n_queries, normalize=False)
+    masks = lsh_masks(n_tables, n_bits)
+    signs = _lsh_signs(masks)
+    qsigs = lsh_signatures(qraw, signs, n_tables, n_bits)
+    bundle = ray.put((qids, q, qsigs, signs))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = emb.map_batches(
+        _LSHTopK(bundle, k, n_tables, n_bits), batch_format="pyarrow", batch_size=2048
+    )
+    return _final_topk(cand.to_pandas(), k)
+
+
+def lsh_ann_recall(sf_dir: str, n_queries: int = 4, k: int = 10):
+    """Recall eval of the LSH path against the brute-force ground truth:
+    one integer row per query (n_true, n_lsh, hits, recall_micro).  Both
+    sides are the already-oracled pipelines, so the eval itself is
+    SQL-replayable by nesting their CTEs."""
+    bt = knn_bruteforce(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    lt = knn_lsh(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    rows = []
+    for qid in np.sort(bt["query_id"].unique()):
+        tv = set(bt.loc[bt["query_id"] == qid, "vec_id"])
+        lv = set(lt.loc[lt["query_id"] == qid, "vec_id"])
+        hits = len(tv & lv)
+        rows.append(
+            {
+                "query_id": int(qid),
+                "n_true": len(tv),
+                "n_lsh": len(lv),
+                "hits": hits,
+                "recall_micro": hits * 1_000_000 // max(len(tv), 1),
+            }
+        )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("n_true", pa.int64()),
+                ("n_lsh", pa.int64()),
+                ("hits", pa.int64()),
+                ("recall_micro", pa.int64()),
+            ]
+        )
     )
