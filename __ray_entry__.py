@@ -1851,6 +1851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # are integer-exact (floor(v·1e6) × ±1 mask signs) so the
             # oracle replays bucket assignment bit-for-bit
             "knn_lsh": lambda sf: similarity.knn_lsh(sf),
+            # multiprobe variant: probe Hamming-1 neighbor buckets too
+            "knn_lsh_probe": lambda sf: similarity.knn_lsh_probe(sf),
             # recall of the LSH path vs brute-force ground truth, per query
             "lsh_ann_recall": lambda sf: similarity.lsh_ann_recall(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -2382,6 +2384,23 @@ def oracle_sql() -> dict[str, str]:
         "JOIN embeddings ed ON ed.vec_id = c.vec_id QUALIFY rnk <= 10)"
     )
     sql["knn_lsh"] = "WITH " + _lsh_cte + " SELECT query_id, vec_id, rnk FROM lshtop"
+    # multiprobe: the query's signature plus its b single-bit XOR variants
+    # per table — candidates are a strict superset of knn_lsh's
+    sql["knn_lsh_probe"] = (
+        "WITH " + _lsh_cte + ", "
+        "qv AS (SELECT s.vec_id, s.tbl, CAST(s.sg AS BIGINT) AS sg FROM sig s "
+        "WHERE s.vec_id IN (SELECT vec_id FROM qs) "
+        "UNION ALL SELECT s.vec_id, s.tbl, xor(CAST(s.sg AS BIGINT), CAST(1 << g.b AS BIGINT)) "
+        f"FROM sig s, generate_series(0, {LSH_BITS - 1}) AS g(b) "
+        "WHERE s.vec_id IN (SELECT vec_id FROM qs)), "
+        "cand2 AS (SELECT DISTINCT q.vec_id AS query_id, d.vec_id FROM qv q "
+        "JOIN sig d ON d.tbl = q.tbl AND CAST(d.sg AS BIGINT) = q.sg "
+        "WHERE d.vec_id <> q.vec_id) "
+        "SELECT c.query_id, c.vec_id, row_number() OVER (PARTITION BY c.query_id "
+        "ORDER BY list_cosine_similarity(eq.embedding, ed.embedding) DESC, c.vec_id) AS rnk "
+        "FROM cand2 c JOIN embeddings eq ON eq.vec_id = c.query_id "
+        "JOIN embeddings ed ON ed.vec_id = c.vec_id QUALIFY rnk <= 10"
+    )
     sql["lsh_ann_recall"] = (
         "WITH " + _lsh_cte + ", "
         "bt AS (SELECT q.vec_id AS query_id, e.vec_id FROM embeddings q, embeddings e "

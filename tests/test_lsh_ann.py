@@ -80,3 +80,17 @@ def test_lsh_recall_consistency(ray_session):
     # it does return must also be a true top-k member by construction of
     # the recall join; and on this fixture the buckets are non-degenerate
     assert df["n_lsh"].sum() > 0
+
+
+def test_multiprobe_hits_superset(ray_session):
+    # candidates(probe) ⊇ candidates(exact) ⇒ per-query true-top-k hits
+    # can only grow: a probe-found candidate that displaces an exact-bucket
+    # hit from the top-k must itself rank higher, hence also be true
+    bt = sim.knn_bruteforce(SF).to_pandas()
+    ex = sim.knn_lsh(SF).to_pandas()
+    pr = sim.knn_lsh_probe(SF).to_pandas()
+    for qid in bt["query_id"].unique():
+        tv = set(bt.loc[bt["query_id"] == qid, "vec_id"])
+        he = len(tv & set(ex.loc[ex["query_id"] == qid, "vec_id"]))
+        hp = len(tv & set(pr.loc[pr["query_id"] == qid, "vec_id"]))
+        assert hp >= he, (qid, he, hp)
