@@ -1855,6 +1855,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_lsh_probe": lambda sf: similarity.knn_lsh_probe(sf),
             # recall of the LSH path vs brute-force ground truth, per query
             "lsh_ann_recall": lambda sf: similarity.lsh_ann_recall(sf),
+            # embedding-cosine near-dup over the LSH buckets — the
+            # SQL-checked twin of SemDeDup's pytest-only k-means variant;
+            # the τ verify is exact integer math on micro vectors
+            "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2364,7 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         for t in range(LSH_TABLES)
         for b in range(LSH_BITS)
     )
-    _lsh_cte = (
+    _lsh_sig_cte = (
         f"m(tbl, bit, mask) AS (VALUES {_lsh_vals}), "
         "comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
         "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micro "
@@ -2373,7 +2377,10 @@ def oracle_sql() -> dict[str, str]:
         "SUM(CASE WHEN (m.mask >> (c.dim - 1)) & 1 = 1 THEN c.micro ELSE -c.micro END) AS p "
         "FROM comp c CROSS JOIN m GROUP BY c.vec_id, m.tbl, m.bit), "
         "sig AS (SELECT vec_id, tbl, SUM(CASE WHEN p >= 0 THEN 1 << bit ELSE 0 END) AS sg "
-        "FROM proj GROUP BY vec_id, tbl), "
+        "FROM proj GROUP BY vec_id, tbl)"
+    )
+    _lsh_cte = (
+        _lsh_sig_cte + ", "
         "qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4), "
         "cand AS (SELECT DISTINCT a.vec_id AS query_id, d.vec_id FROM sig a "
         "JOIN sig d ON a.tbl = d.tbl AND a.sg = d.sg "
@@ -2384,6 +2391,24 @@ def oracle_sql() -> dict[str, str]:
         "JOIN embeddings ed ON ed.vec_id = c.vec_id QUALIFY rnk <= 10)"
     )
     sql["knn_lsh"] = "WITH " + _lsh_cte + " SELECT query_id, vec_id, rnk FROM lshtop"
+    # embedding-cosine near-dup over the same buckets: candidates share a
+    # bucket in ≥1 table; the τ-threshold verify is exact integer math —
+    # dot ≥ 0 ∧ dot²·10⁶ ≥ τ_permille²·‖a‖²·‖b‖² in HUGEINT, mirroring the
+    # engine's Python-bigint check bit-for-bit
+    from fscrawler_ray.pipelines.similarity import EMB_NEARDUP_TAU_PERMILLE as _TAU
+
+    sql["embedding_neardup_lsh"] = (
+        "WITH " + _lsh_sig_cte + ", "
+        "n2 AS (SELECT vec_id, SUM(CAST(micro AS HUGEINT) * micro) AS n2 FROM comp GROUP BY vec_id), "
+        "cp AS (SELECT DISTINCT a.vec_id AS va, d.vec_id AS vb FROM sig a "
+        "JOIN sig d ON a.tbl = d.tbl AND a.sg = d.sg AND a.vec_id < d.vec_id), "
+        "dt AS (SELECT cp.va, cp.vb, SUM(CAST(ca.micro AS HUGEINT) * cb.micro) AS dot FROM cp "
+        "JOIN comp ca ON ca.vec_id = cp.va "
+        "JOIN comp cb ON cb.vec_id = cp.vb AND cb.dim = ca.dim GROUP BY cp.va, cp.vb) "
+        "SELECT dt.va AS vec_id_a, dt.vb AS vec_id_b, CAST(dt.dot AS BIGINT) AS dot "
+        "FROM dt JOIN n2 na ON na.vec_id = dt.va JOIN n2 nb ON nb.vec_id = dt.vb "
+        f"WHERE dt.dot >= 0 AND dt.dot * dt.dot * 1000000 >= {_TAU * _TAU} * na.n2 * nb.n2"
+    )
     # multiprobe: the query's signature plus its b single-bit XOR variants
     # per table — candidates are a strict superset of knn_lsh's
     sql["knn_lsh_probe"] = (

@@ -928,3 +928,84 @@ def lsh_ann_recall(sf_dir: str, n_queries: int = 4, k: int = 10):
             ]
         )
     )
+
+
+EMB_NEARDUP_TAU_PERMILLE = 350  # cosine τ = 0.35 (the synthetic table's max pairwise cosine is ~0.5)
+
+
+def embedding_neardup_lsh(sf_dir: str, tau_permille: int = EMB_NEARDUP_TAU_PERMILLE, n_bits: int = LSH_BITS, n_tables: int = LSH_TABLES):
+    """SQL-checkable embedding-cosine near-dup: candidate pairs share an
+    LSH bucket in ≥1 table; verification is EXACT integer arithmetic on
+    the micro-quantized vectors — cos(a,b) ≥ τ ⟺ dot ≥ 0 ∧
+    dot²·10⁶ ≥ τ_permille²·‖a‖²·‖b‖² — so a borderline pair is decided
+    identically by the engine (Python bigint) and DuckDB (HUGEINT), with
+    no float-threshold flip possible.  The SQL twin of SemDeDup's
+    pytest-only k-means bucketing.
+
+    Scale shape: one streaming signature pass (rows explode ×L tables,
+    the same factor as MinHash banding), one (bucket)-keyed shuffle,
+    in-group verify rides the bucket rows (bucket-bounded all-pairs, the
+    banded-near-dup contract), then a pair-keyed dedup groupby across
+    tables.  Output is pair-sized; no corpus-sized driver state."""
+    masks = lsh_masks(n_tables, n_bits)
+    signs = _lsh_signs(masks)
+    tau2 = tau_permille * tau_permille
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = _vecs(b.column("embedding"))
+        sigs = lsh_signatures(v, signs, n_tables, n_bits)
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(t * (1 << n_bits) + sigs[:, t]),
+                        "vec_id": b.column("vec_id"),
+                        "embedding": b.column("embedding"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series([], dtype=np.int64),
+                "vec_id_b": pd.Series([], dtype=np.int64),
+                "dot": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates(subset=["vec_id"])
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        v = np.vstack(g["embedding"].to_numpy())
+        micro = np.floor(v.astype(np.float64) * 1e6).astype(np.int64)
+        d = micro @ micro.T  # exact int64 (|micro|·dim ≪ 2^63)
+        n2 = np.diag(d).astype(object)  # Python bigints: squares exceed int64
+        ia, ib = np.triu_indices(len(ids), 1)
+        dv = d[ia, ib]
+        ok = (dv >= 0) & ((dv.astype(object) ** 2) * 1_000_000 >= tau2 * n2[ia] * n2[ib])
+        if not ok.any():
+            return empty
+        a, b2 = ids[ia[ok]], ids[ib[ok]]
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(a, b2),
+                "vec_id_b": np.maximum(a, b2),
+                "dot": dv[ok].astype(np.int64),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = (
+        emb.map_batches(bucket, batch_format="pyarrow", batch_size=2048)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+    # the same pair fires in up to L tables: pair-keyed dedup groupby
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

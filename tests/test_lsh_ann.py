@@ -94,3 +94,41 @@ def test_multiprobe_hits_superset(ray_session):
         he = len(tv & set(ex.loc[ex["query_id"] == qid, "vec_id"]))
         hp = len(tv & set(pr.loc[pr["query_id"] == qid, "vec_id"]))
         assert hp >= he, (qid, he, hp)
+
+
+def test_embedding_neardup_lsh_planted_and_exact(ray_session, tmp_path):
+    # a planted exact duplicate shares every bucket and has cosine 1 ≥ τ —
+    # it MUST appear as a pair; and the full pair set must equal a local
+    # brute-force replay of bucket candidates + exact integer verify
+    rng = np.random.default_rng(23)
+    n = 60
+    vecs = rng.normal(size=(n, 64)).astype(np.float32)
+    ids = list(range(n)) + [500]
+    vecs = np.vstack([vecs, vecs[7:8]])  # 500 duplicates 7
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = sim.embedding_neardup_lsh(str(tmp_path)).to_pandas()
+    assert ((got["vec_id_a"] == 7) & (got["vec_id_b"] == 500)).any()
+
+    # local replay: same buckets, same integer verify
+    signs = sim._lsh_signs(sim.lsh_masks())
+    sigs = sim.lsh_signatures(vecs, signs, sim.LSH_TABLES, sim.LSH_BITS)
+    micro = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    tau2 = sim.EMB_NEARDUP_TAU_PERMILLE**2
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if not (sigs[i] == sigs[j]).any():
+                continue
+            dot = int(micro[i] @ micro[j])
+            na2 = int(micro[i] @ micro[i])
+            nb2 = int(micro[j] @ micro[j])
+            if dot >= 0 and dot * dot * 1_000_000 >= tau2 * na2 * nb2:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert set(zip(got["vec_id_a"], got["vec_id_b"])) == want
