@@ -1859,6 +1859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # SQL-checked twin of SemDeDup's pytest-only k-means variant;
             # the τ verify is exact integer math on micro vectors
             "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(sf),
+            # transitive closure of those pairs via pointer-jumping CC
+            "embedding_neardup_groups": lambda sf: similarity.embedding_neardup_groups(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2408,6 +2410,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT dt.va AS vec_id_a, dt.vb AS vec_id_b, CAST(dt.dot AS BIGINT) AS dot "
         "FROM dt JOIN n2 na ON na.vec_id = dt.va JOIN n2 nb ON nb.vec_id = dt.vb "
         f"WHERE dt.dot >= 0 AND dt.dot * dt.dot * 1000000 >= {_TAU * _TAU} * na.n2 * nb.n2"
+    )
+    # transitive closure of the embedding near-dup pairs (same recursive-
+    # CTE shape as images_neardup_groups_spool, pairs nested inline)
+    sql["embedding_neardup_groups"] = (
+        "WITH RECURSIVE " + _lsh_sig_cte + ", "
+        "n2 AS (SELECT vec_id, SUM(CAST(micro AS HUGEINT) * micro) AS n2 FROM comp GROUP BY vec_id), "
+        "cp AS (SELECT DISTINCT a.vec_id AS va, d.vec_id AS vb FROM sig a "
+        "JOIN sig d ON a.tbl = d.tbl AND a.sg = d.sg AND a.vec_id < d.vec_id), "
+        "dt AS (SELECT cp.va, cp.vb, SUM(CAST(ca.micro AS HUGEINT) * cb.micro) AS dot FROM cp "
+        "JOIN comp ca ON ca.vec_id = cp.va "
+        "JOIN comp cb ON cb.vec_id = cp.vb AND cb.dim = ca.dim GROUP BY cp.va, cp.vb), "
+        "pr AS (SELECT dt.va, dt.vb FROM dt "
+        "JOIN n2 na ON na.vec_id = dt.va JOIN n2 nb ON nb.vec_id = dt.vb "
+        f"WHERE dt.dot >= 0 AND dt.dot * dt.dot * 1000000 >= {_TAU * _TAU} * na.n2 * nb.n2), "
+        "e AS (SELECT va AS a, vb AS b FROM pr UNION SELECT vb, va FROM pr), "
+        "reach(a, b) AS ((SELECT a, a FROM e UNION SELECT a, b FROM e) "
+        "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
+        "SELECT a AS vec_id, min(b) AS canonical_id FROM reach GROUP BY a"
     )
     # multiprobe: the query's signature plus its b single-bit XOR variants
     # per table — candidates are a strict superset of knn_lsh's

@@ -1009,3 +1009,17 @@ def embedding_neardup_lsh(sf_dir: str, tau_permille: int = EMB_NEARDUP_TAU_PERMI
     return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def embedding_neardup_groups(sf_dir: str, tau_permille: int = EMB_NEARDUP_TAU_PERMILLE):
+    """Transitive closure of :func:`embedding_neardup_lsh` pairs →
+    (vec_id, canonical_id) with canonical = min vec_id of the component
+    (isolated vectors absent, matching the recursive-CTE oracle's
+    domain).  Components via the distributed pointer-jumping CC — the
+    union-find scale path, O(log diameter) edge joins on an
+    output-sized pair table."""
+    from .graph import connected_components
+
+    pairs = embedding_neardup_lsh(sf_dir, tau_permille=tau_permille)
+    cc = connected_components(pairs, a_col="vec_id_a", b_col="vec_id_b")
+    return pa.table({"vec_id": cc.column("node"), "canonical_id": cc.column("label")})

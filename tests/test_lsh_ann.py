@@ -132,3 +132,23 @@ def test_embedding_neardup_lsh_planted_and_exact(ray_session, tmp_path):
             if dot >= 0 and dot * dot * 1_000_000 >= tau2 * na2 * nb2:
                 want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     assert set(zip(got["vec_id_a"], got["vec_id_b"])) == want
+
+
+def test_embedding_neardup_groups_closure(ray_session, tmp_path):
+    # chain 0≈1≈2 (via planted duplicates) must collapse to one component
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(30, 64)).astype(np.float32)
+    # vec 100 == vec 0, vec 101 == vec 100 (transitively 0-100-101)
+    vecs = np.vstack([base, base[0:1], base[0:1]])
+    ids = list(range(30)) + [100, 101]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = sim.embedding_neardup_groups(str(tmp_path))
+    df = got.to_pandas().set_index("vec_id")["canonical_id"]
+    assert df.loc[0] == 0 and df.loc[100] == 0 and df.loc[101] == 0
