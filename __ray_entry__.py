@@ -1861,6 +1861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(sf),
             # transitive closure of those pairs via pointer-jumping CC
             "embedding_neardup_groups": lambda sf: similarity.embedding_neardup_groups(sf),
+            # SemDeDup-style pruning: keep min vec_id per component, stream the rest
+            "embedding_dedup_clean": lambda sf: similarity.embedding_dedup_clean(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2428,6 +2430,15 @@ def oracle_sql() -> dict[str, str]:
         "reach(a, b) AS ((SELECT a, a FROM e UNION SELECT a, b FROM e) "
         "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
         "SELECT a AS vec_id, min(b) AS canonical_id FROM reach GROUP BY a"
+    )
+    # removal: drop every non-canonical component member, stream the rest
+    _emb_groups_body = sql["embedding_neardup_groups"][len("WITH RECURSIVE ") :]
+    sql["embedding_dedup_clean"] = (
+        "WITH RECURSIVE "
+        + _emb_groups_body[: _emb_groups_body.rindex("SELECT a AS vec_id")]
+        + ", grp AS (SELECT a AS vec_id, min(b) AS canonical_id FROM reach GROUP BY a) "
+        "SELECT emb.vec_id, emb.label FROM embeddings emb "
+        "WHERE emb.vec_id NOT IN (SELECT vec_id FROM grp WHERE vec_id <> canonical_id)"
     )
     # multiprobe: the query's signature plus its b single-bit XOR variants
     # per table — candidates are a strict superset of knn_lsh's

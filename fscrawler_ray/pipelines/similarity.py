@@ -1023,3 +1023,25 @@ def embedding_neardup_groups(sf_dir: str, tau_permille: int = EMB_NEARDUP_TAU_PE
     pairs = embedding_neardup_lsh(sf_dir, tau_permille=tau_permille)
     cc = connected_components(pairs, a_col="vec_id_a", b_col="vec_id_b")
     return pa.table({"vec_id": cc.column("node"), "canonical_id": cc.column("label")})
+
+
+def embedding_dedup_clean(sf_dir: str, tau_permille: int = EMB_NEARDUP_TAU_PERMILLE):
+    """Near-dup REMOVAL over the embeddings table: keep one canonical
+    vector per component (the min vec_id), stream everything else
+    through — the SemDeDup pruning step with the LSH pair generator.
+    Only the drop-set (output-proportional) is broadcast; the table
+    itself streams."""
+    from ..sources.store import sorted_key_mask
+
+    groups = embedding_neardup_groups(sf_dir, tau_permille=tau_permille)
+    node = groups.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lbl = groups.column("canonical_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    drop_ref = ray.put(np.sort(node[node != lbl]).astype(np.uint64))
+
+    def keep(b: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        return b.filter(pa.array(~sorted_key_mask(drop, vid)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    return ds.map_batches(keep, batch_format="pyarrow")

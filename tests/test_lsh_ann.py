@@ -152,3 +152,27 @@ def test_embedding_neardup_groups_closure(ray_session, tmp_path):
     got = sim.embedding_neardup_groups(str(tmp_path))
     df = got.to_pandas().set_index("vec_id")["canonical_id"]
     assert df.loc[0] == 0 and df.loc[100] == 0 and df.loc[101] == 0
+
+
+def test_embedding_dedup_clean_keeps_canonicals(ray_session, tmp_path):
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(30, 64)).astype(np.float32)
+    vecs = np.vstack([base, base[0:1], base[3:4]])
+    ids = list(range(30)) + [100, 101]  # 100≈0, 101≈3
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    kept = set(sim.embedding_dedup_clean(str(tmp_path)).to_pandas()["vec_id"])
+    assert 0 in kept and 3 in kept
+    assert 100 not in kept and 101 not in kept
+    # non-duplicated vectors all survive (modulo incidental same-bucket
+    # near-dups among random vectors, which τ=0.35 may legitimately pair:
+    # recompute the expected drop set from the groups themselves)
+    grp = sim.embedding_neardup_groups(str(tmp_path)).to_pandas()
+    drops = set(grp.loc[grp["vec_id"] != grp["canonical_id"], "vec_id"])
+    assert kept == set(ids) - drops
