@@ -1863,6 +1863,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_neardup_groups": lambda sf: similarity.embedding_neardup_groups(sf),
             # SemDeDup-style pruning: keep min vec_id per component, stream the rest
             "embedding_dedup_clean": lambda sf: similarity.embedding_dedup_clean(sf),
+            # incremental IVF maintenance: delete + insert against the
+            # persisted coarse quantizer, then exhaustive-probe kNN read
+            # back FROM THE ON-DISK PARTITIONS ≡ brute force over the
+            # edited corpus (oracle reconstructs the edit in SQL)
+            "knn_ivf_incremental": lambda sf: similarity.knn_ivf_incremental(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2412,6 +2417,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT dt.va AS vec_id_a, dt.vb AS vec_id_b, CAST(dt.dot AS BIGINT) AS dot "
         "FROM dt JOIN n2 na ON na.vec_id = dt.va JOIN n2 nb ON nb.vec_id = dt.vb "
         f"WHERE dt.dot >= 0 AND dt.dot * dt.dot * 1000000 >= {_TAU * _TAU} * na.n2 * nb.n2"
+    )
+    # incremental IVF: brute force over the edited corpus, reconstructed
+    # in SQL (deletes by modulus, inserted twins by id offset +
+    # list_reverse — a pure permutation, float-exact on both sides)
+    from fscrawler_ray.pipelines.similarity import (
+        IVF_DEL_MOD as _IDEL,
+        IVF_INS_MOD as _IINS,
+        IVF_INS_OFFSET as _IOFF,
+    )
+
+    sql["knn_ivf_incremental"] = (
+        f"WITH ed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_IDEL} != 0 "
+        f"UNION ALL SELECT vec_id + {_IOFF}, list_reverse(embedding) FROM embeddings "
+        f"WHERE vec_id % {_IDEL} != 0 AND vec_id % {_IINS} = 0) "
+        "SELECT q.vec_id AS query_id, e.vec_id, row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "
+        "FROM ed q, ed e "
+        "WHERE q.vec_id IN (SELECT vec_id FROM ed ORDER BY vec_id LIMIT 4) "
+        "AND e.vec_id <> q.vec_id QUALIFY rnk <= 10"
     )
     # transitive closure of the embedding near-dup pairs (same recursive-
     # CTE shape as images_neardup_groups_spool, pairs nested inline)

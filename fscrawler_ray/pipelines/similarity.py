@@ -1045,3 +1045,165 @@ def embedding_dedup_clean(sf_dir: str, tau_permille: int = EMB_NEARDUP_TAU_PERMI
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance: delete + insert against a FIXED coarse
+# quantizer, certified by exhaustive-probe kNN ≡ brute force over the edited
+# corpus (the vector twin of index_sink's incremental posting maintenance).
+# ---------------------------------------------------------------------------
+
+IVF_DEL_MOD = 9  # vec_id % 9 == 0 → deleted (delta-sized; a mass delete would rebuild)
+IVF_INS_MOD = 7  # surviving vec_id % 7 == 0 → spawns an inserted twin…
+IVF_INS_OFFSET = 10_000_000  # …with this id offset and a REVERSED embedding
+# (reversal is a pure permutation — exactly replayable by DuckDB list_reverse,
+# and it lands the twin in a genuinely different region of the space)
+
+
+def _assign_append(index_dir: str, cent_ref, prefix: str):
+    """map_batches callable assigning each vector to its nearest (FIXED)
+    centroid and appending a content-hash-named part file per partition —
+    idempotent under Ray task retry (a retry rewrites the same file)."""
+
+    class AssignAppend:
+        def __init__(self):
+            self.c = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            from ..functions.hashing import xxh64_u64
+
+            v = _norm(_vecs(b.column("embedding")).astype(np.float64))
+            assign = (v @ self.c.T).argmax(axis=1).astype(np.int32)
+            b = b.append_column("centroid", pa.array(assign))
+            ids_u64 = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            tag = int(xxh64_u64(ids_u64, seed=5).sum() & 0xFFFFFFFFFFFFFFFF)
+            for cid in np.unique(assign):
+                sub = b.filter(pc.equal(b.column("centroid"), int(cid)))
+                pdir = os.path.join(index_dir, f"centroid={int(cid)}")
+                os.makedirs(pdir, exist_ok=True)
+                tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(pdir, f"{prefix}-{tag:016x}.parquet"))
+            return pa.table({"rows": pa.array([b.num_rows], pa.int64())})
+
+    return AssignAppend
+
+
+def update_ivf_index(index_dir: str, inserts_ds, deleted_ids) -> int:
+    """Incremental IVF maintenance without a rebuild: deletes are applied
+    by one per-part-file purge task (the delete set is delta-sized and
+    rides ``ray.put``; partition rows never leave their task — per-file
+    rewrite is idempotent under retry), inserts are assigned against the
+    index's PERSISTED centroids (the fixed-coarse-quantizer contract of
+    every real IVF system) and appended as new part files.  Returns the
+    number of purged rows."""
+    import glob as _glob
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    dels = np.sort(np.asarray(sorted(int(i) for i in deleted_ids), dtype=np.int64))
+    del_ref = ray.put(dels)
+
+    @ray.remote
+    def _purge(pfile: str) -> int:
+        import pyarrow.parquet as pq
+
+        d = ray.get(del_ref)
+        t = pq.read_table(pfile)
+        mask = np.isin(t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), d)
+        if not mask.any():
+            return 0
+        tmp = pfile + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(t.filter(pa.array(~mask)), tmp)
+        os.replace(tmp, pfile)
+        return int(mask.sum())
+
+    files = sorted(_glob.glob(os.path.join(index_dir, "centroid=*", "*.parquet")))
+    removed = sum(ray.get([_purge.remote(f) for f in files]))
+    inserts_ds.map_batches(
+        _assign_append(index_dir, ray.put(cent), "ins"),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    ).count()
+    return removed
+
+
+def _edited_inserts(src_ds):
+    """The deterministic insert delta: surviving vec_id % IVF_INS_MOD == 0
+    rows re-enter with id+IVF_INS_OFFSET and a reversed embedding (a pure
+    permutation — float-exact on both sides)."""
+
+    def make(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids % IVF_DEL_MOD != 0) & (ids % IVF_INS_MOD == 0)
+        t = b.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        v = _vecs(t.column("embedding"))  # float32 (n, d)
+        flat = np.ascontiguousarray(v[:, ::-1]).reshape(-1)
+        offs = np.arange(0, (len(v) + 1) * v.shape[1], v.shape[1], dtype=np.int32)
+        emb = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                    + IVF_INS_OFFSET
+                ),
+                "embedding": emb,
+            }
+        )
+
+    return src_ds.map_batches(make, batch_format="pyarrow")
+
+
+def knn_ivf_incremental(sf_dir: str, index_dir: str | None = None, n_queries: int = 4, k: int = 10, n_centroids: int = 16):
+    """Incremental-IVF certification: full build → delete vec_id %
+    IVF_DEL_MOD == 0 → insert reversed twins for surviving vec_id %
+    IVF_INS_MOD == 0 → exhaustive-probe kNN read back FROM THE ON-DISK
+    PARTITIONS.  The oracle brute-forces the edited corpus reconstructed
+    in SQL (list_reverse + id offset), so a vector leaked from a deleted
+    id, a lost insert, or a double-written partition all break the
+    hash."""
+    import glob as _glob
+    import shutil
+
+    if index_dir is None:
+        tag = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+        index_dir = os.path.join(tempfile.gettempdir(), "fscrawler_ray_ivf_incr", tag)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_ivf_index(sf_dir, index_dir, n_centroids)
+
+    src = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def deleted_part(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids[ids % IVF_DEL_MOD == 0])})
+
+    deleted = [
+        i
+        for b in src.map_batches(deleted_part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for i in b.column("vec_id").to_pylist()
+    ]
+    update_ivf_index(index_dir, _edited_inserts(src), deleted)
+
+    # queries: the first n surviving ORIGINAL ids (inserted twins sit at
+    # +10M and can never rank in the first 4); vectors via pushdown
+    qids_all, q_all = _load_queries(sf_dir, n_queries + len(deleted))
+    surv = qids_all % IVF_DEL_MOD != 0
+    qids, q = qids_all[surv][:n_queries], q_all[surv][:n_queries]
+    q_ref, qid_ref = ray.put(q), ray.put(qids)
+
+    files = sorted(_glob.glob(os.path.join(index_dir, "centroid=*", "*.parquet")))
+    emb = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    cand = emb.map_batches(_BatchTopK(q_ref, qid_ref, k), batch_format="pyarrow", batch_size=2048)
+    return _final_topk(cand.to_pandas(), k)

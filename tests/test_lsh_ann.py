@@ -176,3 +176,45 @@ def test_embedding_dedup_clean_keeps_canonicals(ray_session, tmp_path):
     grp = sim.embedding_neardup_groups(str(tmp_path)).to_pandas()
     drops = set(grp.loc[grp["vec_id"] != grp["canonical_id"], "vec_id"])
     assert kept == set(ids) - drops
+
+
+def _ivf_index_ids(index_dir):
+    import glob as g
+
+    import pyarrow.parquet as pqt
+
+    files = sorted(g.glob(f"{index_dir}/centroid=*/*.parquet"))
+    out = []
+    for f in files:
+        out.extend(pqt.read_table(f, columns=["vec_id"]).column("vec_id").to_pylist())
+    return out
+
+
+def test_ivf_incremental_maintenance(ray_session, tmp_path):
+    import ray as _ray
+
+    idx = str(tmp_path / "ivf")
+    got = sim.knn_ivf_incremental(SF, index_dir=idx).to_pandas()
+    ids = _ivf_index_ids(idx)
+    # no deleted id survives; every id unique (no double-written partition)
+    assert all(i % sim.IVF_DEL_MOD != 0 for i in ids if i < sim.IVF_INS_OFFSET)
+    assert len(ids) == len(set(ids))
+    # every expected inserted twin is present
+    import pyarrow.parquet as pqt
+
+    src = pqt.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]).column("vec_id").to_pylist()
+    want_ins = {
+        i + sim.IVF_INS_OFFSET
+        for i in src
+        if i % sim.IVF_DEL_MOD != 0 and i % sim.IVF_INS_MOD == 0
+    }
+    assert want_ins <= set(ids)
+    # re-running the SAME maintenance is idempotent (crash-recovery story:
+    # purge is a no-op, inserts rewrite their content-hash-named parts)
+    srcds = _ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    deleted = [i for i in src if i % sim.IVF_DEL_MOD == 0]
+    sim.update_ivf_index(idx, sim._edited_inserts(srcds), deleted)
+    assert sorted(_ivf_index_ids(idx)) == sorted(ids)
+    # and the kNN over the on-disk index is deterministic
+    got2 = sim.knn_ivf_incremental(SF, index_dir=str(tmp_path / "ivf2")).to_pandas()
+    assert got.equals(got2)
