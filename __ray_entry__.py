@@ -38,9 +38,9 @@ ROWS_ONLY_REASONS: dict[str, str] = {
     "simhash_docs": "xxh64 simhash bits; twin: simhash_md5_docs",
     "fingerprint_docs": "xxh64 rolling hash; twin: fingerprint_md5_docs (+ fingerprint_canon)",
     "top_tokens_approx": "Count-Min over xxh64 rows; twin: cms_token_estimates (md5 CMS, SQL-checked estimates)",
-    "embedding_neardup": "float32 cosine thresholds (banker's-rounding drift across engines); pytest: brute-force pair parity",
+    "embedding_neardup": "float32 cosine thresholds (banker's-rounding drift across engines); twin: embedding_neardup_lsh (integer-exact verify, SQL-checked) + pytest brute-force pair parity",
     "embedding_clusters": "float k-means centroids (iterative float means); pytest: assignment = argmin distance",
-    "semantic_neardup": "float k-means bucketing stage; pytest: within-cluster pairs == brute force",
+    "semantic_neardup": "float k-means bucketing stage; twins: embedding_neardup_lsh/_groups/_dedup_clean (SQL-checked LSH bucketing, exact integer verify, CC closure, pruning) + pytest within-cluster == brute force",
     "neardup_components": "upstream pairs are xxh64-LSH-approximate; twin: neardup_components_exact (recursive-CTE closure over md5 pairs)",
     "corpus_dedup": "consumes xxh64 LSH pairs; twin: corpus_clean_exact + neardup_components_exact",
     "corpus_clean": "includes the LSH near-dup stage; twin: corpus_clean_exact (every rule deterministic, SQL-checked end-to-end)",
@@ -1738,10 +1738,23 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(shape, batch_format="pyarrow")
 
+    def images_caption_selfrank(sf_dir: str):
+        """SQL-CHECKED cross-modal retrieval self-eval: rank of each query
+        image under distinct-token caption overlap (pure integer scores,
+        id tie-break) — text→image retrieval recall's oracle-replayable
+        core."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.image_corpus import caption_selfrank
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "caption"])
+        return caption_selfrank(ds)
+
     return {
         "images_enrich": images_enrich,
         "images_attrs": images_attrs,
         "images_caption_features": images_caption_features,
+        "images_caption_selfrank": images_caption_selfrank,
         "images_phash_dedup": images_phash_dedup,
         "images_phash_dedup_spool": images_phash_dedup_spool,
         "images_dedup_keep_best": images_dedup_keep_best,
@@ -2966,6 +2979,25 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(coalesce(sum(im.nb) OVER (PARTITION BY pick.lbl ORDER BY im.image_id "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_BCAP}) AS BIGINT) AS shard "
         "FROM im JOIN pick ON pick.image_id = im.image_id"
+    )
+    # caption self-retrieval: identical \W+ tokenization, distinct-token
+    # overlap join, better-than-self count with (score, image_id) tie-break
+    sql["images_caption_selfrank"] = (
+        f"WITH cap AS (SELECT image_id, caption FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "q AS (SELECT image_id AS qid, caption FROM cap ORDER BY image_id LIMIT 8), "
+        "qt AS (SELECT DISTINCT qid, tok FROM (SELECT qid, "
+        "unnest(string_split_regex(lower(caption), '\\W+')) AS tok FROM q) WHERE tok <> ''), "
+        "ct AS (SELECT DISTINCT image_id, tok FROM (SELECT image_id, "
+        "unnest(string_split_regex(lower(caption), '\\W+')) AS tok FROM cap) WHERE tok <> ''), "
+        "qs AS (SELECT qid, count(*) AS selfscore FROM qt GROUP BY qid), "
+        "sc AS (SELECT qt.qid, ct.image_id, count(*) AS s FROM qt "
+        "JOIN ct ON ct.tok = qt.tok GROUP BY qt.qid, ct.image_id), "
+        "bt AS (SELECT qs.qid, count(*) AS n_better FROM qs JOIN sc ON sc.qid = qs.qid "
+        "WHERE sc.s > qs.selfscore OR (sc.s = qs.selfscore AND sc.image_id < qs.qid) "
+        "GROUP BY qs.qid) "
+        "SELECT qs.qid AS image_id, CAST(qs.selfscore AS BIGINT) AS self_overlap, "
+        "CAST(1 + COALESCE(bt.n_better, 0) AS BIGINT) AS self_rank "
+        "FROM qs LEFT JOIN bt USING (qid)"
     )
     sql["images_caption_features"] = (
         "WITH c AS (SELECT image_id, caption, "

@@ -736,3 +736,85 @@ def bucketed_shard_manifest(images_ds, cap: int = SHARD_CAP_BYTES, range_width: 
             "shard": t.column("bin").cast(pa.int64()),
         }
     )
+
+
+def caption_selfrank(images_ds, n_queries: int = 8):
+    """Cross-modal retrieval self-eval: for the first ``n_queries``
+    image_ids, score EVERY image by distinct-token overlap between its
+    caption and the query caption (pure integers), and report the rank
+    the query's own image lands at (ties → lexically smaller image_id
+    wins).  The caption-side analog of text→image retrieval recall —
+    rank 1 everywhere means captions identify their images uniquely;
+    higher self-ranks expose duplicate or near-template captions.
+
+    Scale shape: query token sets broadcast (n_queries-sized); ONE
+    streaming pass over the corpus accumulates per-query
+    better-than-self counts as integer partials (rank = 1 + Σ betters);
+    nothing corpus-sized lands anywhere.  Queries with an empty token
+    set are skipped (mirrors the oracle's domain)."""
+    import pandas as pd
+
+    import ray
+
+    from .index_sink import tokenize
+
+    slim = images_ds.map_batches(
+        lambda b: b.select(["image_id", "caption"]), batch_format="pyarrow"
+    )
+
+    def bottomk(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pandas().to_numpy()
+        sel = np.argsort(ids, kind="stable")[:n_queries]
+        return b.take(pa.array(np.sort(sel)))
+
+    cands = [
+        b
+        for b in slim.map_batches(bottomk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    qdf = pa.concat_tables(cands).to_pandas().sort_values("image_id").head(n_queries)
+
+    queries = []
+    for qid, cap in zip(qdf["image_id"], qdf["caption"]):
+        flat, _, keep = tokenize(pa.array([cap or ""], pa.string()))
+        toks = set(flat.filter(keep).to_pylist())
+        if toks:  # empty-caption queries fall outside the oracle's domain
+            queries.append((str(qid), toks, len(toks)))
+    q_ref = ray.put(queries)
+
+    def betters(b: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        flat, lens, keep = tokenize(b.column("caption"))
+        rows = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        km = keep.to_numpy(zero_copy_only=False)
+        toks = flat.filter(keep).to_pandas().to_numpy()
+        pairs = pd.DataFrame({"r": rows[km], "t": toks}).drop_duplicates()
+        ids = b.column("image_id").to_pandas().to_numpy()
+        counts = np.zeros(len(qs), np.int64)
+        for qi, (qid, qset, ss) in enumerate(qs):
+            m = pairs["t"].isin(qset).to_numpy()
+            sc = np.bincount(pairs["r"].to_numpy()[m], minlength=b.num_rows)
+            beat = (sc > ss) | ((sc == ss) & (ids < qid))
+            counts[qi] = int(beat.sum())
+        return pa.table(
+            {"qi": pa.array(np.arange(len(qs), dtype=np.int64)), "n_better": pa.array(counts)}
+        )
+
+    agg = (
+        slim.map_batches(betters, batch_format="pyarrow")
+        .groupby("qi")
+        .sum("n_better")
+        .to_pandas()
+    )
+    total = dict(zip(agg["qi"], agg["sum(n_better)"])) if len(agg) else {}
+    return pa.table(
+        {
+            "image_id": pa.array([q[0] for q in queries], pa.string()),
+            "self_overlap": pa.array([q[2] for q in queries], pa.int64()),
+            "self_rank": pa.array(
+                [1 + int(total.get(qi, 0)) for qi in range(len(queries))], pa.int64()
+            ),
+        }
+    )

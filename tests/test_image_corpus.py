@@ -362,3 +362,30 @@ def test_write_tar_shards_roundtrip_resume_deterministic(tmp_path, ray_session):
     third = write_tar_shards(ray.data.from_arrow(t), out, cap=cap, range_width=9).to_pandas()
     assert not third[third["shard"] == victim]["skipped"].any()
     assert hashlib.md5(open(vp, "rb").read()).hexdigest() == before
+
+
+def test_caption_selfrank_planted(ray_session):
+    # unique captions self-rank 1; a duplicated caption ties and the
+    # lexically smaller id wins rank 1 while the larger id ranks 2
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from fscrawler_ray.pipelines.image_corpus import caption_selfrank
+
+    rows = {
+        "image_id": ["a01", "a02", "a03", "z99"],
+        "caption": [
+            "red fox jumps",
+            "red fox jumps",  # exact dup of a01's caption
+            "blue whale swims deep",
+            "quiet green meadow",
+        ],
+    }
+    ds = _ray.data.from_arrow(pa.table(rows))
+    got = caption_selfrank(ds, n_queries=4).to_pandas().set_index("image_id")
+    assert got.loc["a01", "self_rank"] == 1
+    assert got.loc["a02", "self_rank"] == 2  # loses the tie to a01
+    assert got.loc["a03", "self_rank"] == 1
+    assert got.loc["z99", "self_rank"] == 1
+    assert got.loc["a03", "self_overlap"] == 4
