@@ -1286,6 +1286,33 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash"])
         return phash_dedup(ds)
 
+    def images_caption_conflict(sf_dir: str):
+        """SQL-CHECKED label-noise audit over pixel-duplicate groups (same
+        phash, ≥2 members): distinct-caption count per group plus a
+        conflict flag — the LAION-style 'same image, conflicting text'
+        check that near-dup removal must resolve before captions become
+        training targets (the synthetic spool's dup groups agree, so the
+        flag certifies agreement here; the conflict branch is covered by
+        a planted pytest).  One phash-keyed groupby; output is
+        dup-group-sized."""
+        import pyarrow as pa
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.dedup import caption_conflict
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["image_id", "phash", "caption"])
+        out = caption_conflict(ds)
+        return _collect(
+            out,
+            {
+                "phash": pa.int64(),
+                "n_images": pa.int64(),
+                "n_captions": pa.int64(),
+                "has_conflict": pa.int64(),
+                "keeper_image_id": pa.string(),
+            },
+        )
+
     def images_dedup_keep_best_spool(sf_dir: str):
         """SQL-CHECKED twin of images_dedup_keep_best: the argmax-join
         keep-best-resolution keeper policy over the spooled metadata vs
@@ -1757,6 +1784,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_selfrank": images_caption_selfrank,
         "images_phash_dedup": images_phash_dedup,
         "images_phash_dedup_spool": images_phash_dedup_spool,
+        "images_caption_conflict": images_caption_conflict,
         "images_dedup_keep_best": images_dedup_keep_best,
         "images_dedup_keep_best_spool": images_dedup_keep_best_spool,
         "images_phash_neardup": images_phash_neardup,
@@ -2979,6 +3007,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(coalesce(sum(im.nb) OVER (PARTITION BY pick.lbl ORDER BY im.image_id "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_BCAP}) AS BIGINT) AS shard "
         "FROM im JOIN pick ON pick.image_id = im.image_id"
+    )
+    sql["images_caption_conflict"] = (
+        "SELECT CAST(phash AS BIGINT) AS phash, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(count(DISTINCT caption) AS BIGINT) AS n_captions, "
+        "CAST(count(DISTINCT caption) >= 2 AS BIGINT) AS has_conflict, "
+        "min(image_id) AS keeper_image_id "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet') "
+        "GROUP BY phash HAVING count(*) >= 2"
     )
     # caption self-retrieval: identical \W+ tokenization, distinct-token
     # overlap join, better-than-self count with (score, image_id) tie-break

@@ -1431,3 +1431,35 @@ def phash_banded_recall(spool_ds_factory, max_hamming: int = 6):
             "recall_micro": pa.array([found * 1_000_000 // total if total else 0], pa.int64()),
         }
     )
+
+
+def caption_conflict(images_ds):
+    """Label-noise audit over pixel-duplicate groups (same phash, ≥2
+    members): distinct-caption count + conflict flag + keeper — the
+    LAION-style 'same image, conflicting text' check.  One phash-keyed
+    groupby; output is dup-group-sized."""
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "phash": pd.Series([], dtype="int64"),
+                    "n_images": pd.Series([], dtype="int64"),
+                    "n_captions": pd.Series([], dtype="int64"),
+                    "has_conflict": pd.Series([], dtype="int64"),
+                    "keeper_image_id": pd.Series([], dtype=object),
+                }
+            )
+        n_cap = g["caption"].nunique()
+        return pd.DataFrame(
+            {
+                "phash": [g["phash"].iloc[0]],
+                "n_images": [len(g)],
+                "n_captions": [n_cap],
+                "has_conflict": [int(n_cap >= 2)],
+                "keeper_image_id": [g["image_id"].min()],
+            }
+        )
+
+    return images_ds.groupby("phash").map_groups(agg, batch_format="pandas")

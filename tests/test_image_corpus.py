@@ -389,3 +389,25 @@ def test_caption_selfrank_planted(ray_session):
     assert got.loc["a03", "self_rank"] == 1
     assert got.loc["z99", "self_rank"] == 1
     assert got.loc["a03", "self_overlap"] == 4
+
+
+def test_caption_conflict_planted(ray_session):
+    # two images with identical pixels (same phash) but different captions
+    # must surface as a conflict group; agreeing dups must not; singletons absent
+    import pyarrow as pa
+    import ray as _ray
+
+    from fscrawler_ray.pipelines.dedup import caption_conflict
+
+    t = pa.table(
+        {
+            "image_id": ["a", "b", "c", "d", "e"],
+            "phash": pa.array([11, 11, 22, 22, 33], pa.int64()),
+            "caption": ["cat", "dog", "tree", "tree", "solo"],
+        }
+    )
+    got = caption_conflict(_ray.data.from_arrow(t)).to_pandas().set_index("phash")
+    assert got.loc[11, "has_conflict"] == 1 and got.loc[11, "n_captions"] == 2
+    assert got.loc[11, "keeper_image_id"] == "a"
+    assert got.loc[22, "has_conflict"] == 0
+    assert 33 not in got.index
