@@ -894,6 +894,18 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def crawl_fairness_gini(sf_dir: str):
+        """SQL-CHECKED crawl-budget fairness: exact-integer Gini of
+        crawled-URL counts across hosts via the two-level distributed
+        rank (no host-sized driver state); oracle replays the ranked
+        cumulative formula with one ROW_NUMBER window."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import fairness_gini
+
+        out = _shared_written_run(sf_dir)
+        return fairness_gini(out)
+
     def crawl_deadletters(sf_dir: str):
         """SQL-CHECKED dead-letter ledger audit: the engine's per-row
         fetch-failure records (written as a sibling table of the output,
@@ -1170,6 +1182,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_split_leakage": crawl_split_leakage,
         "crawl_deadletters": crawl_deadletters,
         "crawl_tier_plan_robots": crawl_tier_plan_robots,
+        "crawl_fairness_gini": crawl_fairness_gini,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
@@ -2385,6 +2398,17 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(((ea.est + eb.est) - u.est) * 1000.0 + 0.5) AS BIGINT) AS inter_milli "
         "FROM pairs p JOIN hest ea ON ea.host = p.ha JOIN hest eb ON eb.host = p.hb "
         "JOIN uest u ON u.ha = p.ha AND u.hb = p.hb"
+    )
+    # exact-integer Gini over per-host URL counts: ranked-cumulative form,
+    # HUGEINT intermediates mirror the engine's Python-int arithmetic
+    sql["crawl_fairness_gini"] = (
+        "WITH h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host), "
+        "r AS (SELECT n_urls, row_number() OVER (ORDER BY n_urls, host) AS rk FROM h), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(CAST(n_urls AS HUGEINT)) AS s0, "
+        "SUM(CAST(rk AS HUGEINT) * n_urls) AS s1 FROM r) "
+        "SELECT CAST(n AS BIGINT) AS n_hosts, CAST(s0 AS BIGINT) AS total_urls, "
+        "CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT) AS gini_micro FROM s"
     )
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "

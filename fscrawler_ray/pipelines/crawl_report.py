@@ -849,3 +849,70 @@ def host_overlap_exact(out_dir: str):
         )
 
     return j.map_batches(decorate, batch_format="pyarrow")
+
+
+def fairness_gini(out_dir: str):
+    """Crawl-budget FAIRNESS: the Gini coefficient of crawled-URL counts
+    across hosts — 0 = every host got the same share, →1 = one host ate
+    the crawl.  A governor watches this beside tier_plan: politeness caps
+    should keep Gini bounded even under heavy-tailed host sizes.
+
+    Exact integer arithmetic end-to-end: with hosts ranked ascending by
+    (n_urls, host), G_micro = (2·Σ rank·x − (n+1)·Σ x) · 10⁶ // (n·Σ x).
+    Distributed shape: host groupby (first streaming pass) → per-count
+    totals (count-value-bounded groupby) → driver exclusive cumsum →
+    broadcast offsets → in-group rank (the curriculum_order two-level
+    rank — NO host-sized driver state) → streaming integer sum partials.
+    One wide row out."""
+    import numpy as np
+    import pandas as pd
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(out_dir, columns=["host"])
+    hosts = ds.groupby("host").count()  # host-bounded
+
+    def slim(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["host", "n_urls"])
+        return pa.table(
+            {"host": b.column("host"), "n_urls": b.column("n_urls").cast(pa.int64())}
+        )
+
+    hosts = hosts.map_batches(slim, batch_format="pyarrow").materialize()
+    counts = (
+        grouped_sum(hosts, ["n_urls"], {}, count_out="cnt").to_pandas().sort_values("n_urls")
+    )
+    offs = dict(
+        zip(
+            counts["n_urls"],
+            np.concatenate([[0], counts["cnt"].cumsum().to_numpy()[:-1]]),
+        )
+    )
+
+    def rank_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("host")
+        base = int(offs[g["n_urls"].iloc[0]])
+        rk = base + 1 + np.arange(len(g), dtype=np.int64)
+        x = g["n_urls"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"n": [len(g)], "s0": [int(x.sum())], "s1": [int((rk * x).sum())]}
+        )
+
+    parts = hosts.groupby("n_urls").map_groups(rank_partials, batch_format="pandas").to_pandas()
+    n, s0, s1 = int(parts["n"].sum()), int(parts["s0"].sum()), int(parts["s1"].sum())
+    if n == 0 or s0 == 0:
+        return pa.table(
+            {
+                "n_hosts": pa.array([], pa.int64()),
+                "total_urls": pa.array([], pa.int64()),
+                "gini_micro": pa.array([], pa.int64()),
+            }
+        )
+    g = (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "total_urls": pa.array([s0], pa.int64()),
+            "gini_micro": pa.array([g], pa.int64()),
+        }
+    )

@@ -64,3 +64,31 @@ def test_dead_letter_accounting():
         dl = pa.concat_tables([pq.read_table(f) for f in dl_files])
         assert set(dl.column("reason").to_pylist()) == {"non_image_payload"}
         assert s["counters"]["leaves"] == s["result_rows"] + dl.num_rows
+
+
+def test_fairness_gini_known_values(ray_session, tmp_path):
+    # equal shares → gini 0; one-host-takes-all → (n-1)/n scaled
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from fscrawler_ray.pipelines.crawl_report import fairness_gini
+
+    eq = tmp_path / "eq"
+    eq.mkdir()
+    pqt.write_table(
+        pa.table({"host": ["a"] * 5 + ["b"] * 5 + ["c"] * 5 + ["d"] * 5}), eq / "p.parquet"
+    )
+    g = fairness_gini(str(eq)).to_pandas()
+    assert g["gini_micro"].iloc[0] == 0 and g["n_hosts"].iloc[0] == 4
+
+    skew = tmp_path / "skew"
+    skew.mkdir()
+    # hosts with counts 1,1,1,97: exact ranked-cumulative formula
+    pqt.write_table(
+        pa.table({"host": ["a"] + ["b"] + ["c"] + ["z"] * 97}), skew / "p.parquet"
+    )
+    g2 = fairness_gini(str(skew)).to_pandas()
+    n, s0 = 4, 100
+    s1 = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
+    want = (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+    assert g2["gini_micro"].iloc[0] == want > 600_000
