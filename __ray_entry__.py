@@ -906,6 +906,16 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         out = _shared_written_run(sf_dir)
         return fairness_gini(out)
 
+    def crawl_lorenz_deciles(sf_dir: str):
+        """SQL-CHECKED Lorenz-decile concentration: hosts ranked ascending
+        by (n_urls, host), cut into rank deciles, per-decile URL share in
+        integer micros — the governor's 'top 10% of hosts hold X%'
+        headline."""
+        from fscrawler_ray.pipelines.crawl_report import lorenz_deciles
+
+        out = _shared_written_run(sf_dir)
+        return lorenz_deciles(out)
+
     def crawl_deadletters(sf_dir: str):
         """SQL-CHECKED dead-letter ledger audit: the engine's per-row
         fetch-failure records (written as a sibling table of the output,
@@ -1183,6 +1193,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_deadletters": crawl_deadletters,
         "crawl_tier_plan_robots": crawl_tier_plan_robots,
         "crawl_fairness_gini": crawl_fairness_gini,
+        "crawl_lorenz_deciles": crawl_lorenz_deciles,
         "crawl_curation_funnel": crawl_curation_funnel,
         "crawl_host_bfs": crawl_host_bfs,
         "crawl_host_url_quality": crawl_host_url_quality,
@@ -2409,6 +2420,17 @@ def oracle_sql() -> dict[str, str]:
         "SUM(CAST(rk AS HUGEINT) * n_urls) AS s1 FROM r) "
         "SELECT CAST(n AS BIGINT) AS n_hosts, CAST(s0 AS BIGINT) AS total_urls, "
         "CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT) AS gini_micro FROM s"
+    )
+    sql["crawl_lorenz_deciles"] = (
+        "WITH h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host), "
+        "r AS (SELECT n_urls, row_number() OVER (ORDER BY n_urls, host) AS rk FROM h), "
+        "n AS (SELECT count(*) AS n, SUM(n_urls) AS s0 FROM h), "
+        "d AS (SELECT (rk - 1) * 10 // n.n AS decile, n_urls FROM r, n), "
+        "g AS (SELECT decile, count(*) AS n_hosts, SUM(n_urls) AS urls FROM d GROUP BY decile) "
+        "SELECT CAST(decile AS BIGINT) AS decile, CAST(n_hosts AS BIGINT) AS n_hosts, "
+        "CAST(urls AS BIGINT) AS urls, "
+        "CAST(urls * 1000000 // n.s0 AS BIGINT) AS share_micro FROM g, n"
     )
     sql["crawl_rollup"] = (
         "SELECT host, fmt, CAST(count(*) AS BIGINT) AS n_images, "

@@ -916,3 +916,78 @@ def fairness_gini(out_dir: str):
             "gini_micro": pa.array([g], pa.int64()),
         }
     )
+
+
+def lorenz_deciles(out_dir: str):
+    """The Lorenz-curve companion of :func:`fairness_gini`: hosts ranked
+    ascending by (n_urls, host) are cut into ten rank deciles; each row
+    reports the decile's host count, URL total and integer-micro share of
+    the crawl.  A governor reads the top decile's share as the
+    concentration headline ('the biggest 10% of hosts hold X% of the
+    crawl').  Same two-level distributed rank, same exact-integer
+    arithmetic; output is ≤10 rows."""
+    import numpy as np
+    import pandas as pd
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(out_dir, columns=["host"])
+    hosts = ds.groupby("host").count()
+
+    def slim(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["host", "n_urls"])
+        return pa.table(
+            {"host": b.column("host"), "n_urls": b.column("n_urls").cast(pa.int64())}
+        )
+
+    hosts = hosts.map_batches(slim, batch_format="pyarrow").materialize()
+    counts = (
+        grouped_sum(hosts, ["n_urls"], {}, count_out="cnt").to_pandas().sort_values("n_urls")
+    )
+    n_total = int(counts["cnt"].sum())
+    if n_total == 0:
+        return pa.table(
+            {
+                "decile": pa.array([], pa.int64()),
+                "n_hosts": pa.array([], pa.int64()),
+                "urls": pa.array([], pa.int64()),
+                "share_micro": pa.array([], pa.int64()),
+            }
+        )
+    offs = dict(
+        zip(
+            counts["n_urls"],
+            np.concatenate([[0], counts["cnt"].cumsum().to_numpy()[:-1]]),
+        )
+    )
+
+    def decile_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("host")
+        base = int(offs[g["n_urls"].iloc[0]])
+        rk = base + 1 + np.arange(len(g), dtype=np.int64)
+        dec = (rk - 1) * 10 // n_total
+        x = g["n_urls"].to_numpy().astype(np.int64)
+        agg = pd.DataFrame({"decile": dec, "n_hosts": 1, "urls": x}).groupby(
+            "decile", as_index=False
+        ).sum()
+        return agg
+
+    parts = (
+        hosts.groupby("n_urls")
+        .map_groups(decile_partials, batch_format="pandas")
+        .groupby("decile")
+        .sum(["n_hosts", "urls"])
+        .to_pandas()
+        .sort_values("decile")
+    )
+    s0 = int(parts["sum(urls)"].sum())
+    return pa.table(
+        {
+            "decile": pa.array(parts["decile"].astype(np.int64)),
+            "n_hosts": pa.array(parts["sum(n_hosts)"].astype(np.int64)),
+            "urls": pa.array(parts["sum(urls)"].astype(np.int64)),
+            "share_micro": pa.array(
+                [int(u) * 1_000_000 // s0 for u in parts["sum(urls)"]], pa.int64()
+            ),
+        }
+    )

@@ -92,3 +92,25 @@ def test_fairness_gini_known_values(ray_session, tmp_path):
     s1 = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
     want = (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
     assert g2["gini_micro"].iloc[0] == want > 600_000
+
+
+def test_lorenz_deciles_conservation(ray_session, tmp_path):
+    # deciles partition hosts; urls and hosts conserve; shares sum ≈ 1e6
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from fscrawler_ray.pipelines.crawl_report import fairness_gini, lorenz_deciles
+
+    rows = []
+    for i, c in enumerate([1, 2, 3, 4, 5, 10, 10, 20, 45, 100]):
+        rows += [f"h{i:02d}"] * c
+    p = tmp_path / "sp"
+    p.mkdir()
+    pqt.write_table(pa.table({"host": rows}), p / "p.parquet")
+    d = lorenz_deciles(str(p)).to_pandas()
+    assert d["n_hosts"].sum() == 10 and d["urls"].sum() == 200
+    assert 999_990 <= d["share_micro"].sum() <= 1_000_000  # floor rounding
+    # ascending rank: the last decile holds the 100-URL host
+    assert d.sort_values("decile")["urls"].iloc[-1] == 100
+    g = fairness_gini(str(p)).to_pandas()
+    assert g["total_urls"].iloc[0] == 200
