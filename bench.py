@@ -122,6 +122,10 @@ EXTRA_QUERIES = [
     "index_incremental_df",
     "knn_lsh",
     "lsh_ann_recall",
+    "embedding_neardup_lsh",
+    "knn_ivf_incremental",
+    "crawl_fairness_gini",
+    "images_caption_selfrank",
 ]
 
 
