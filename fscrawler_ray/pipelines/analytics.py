@@ -4293,3 +4293,201 @@ ORACLE_SQL["psi_drift"] = (
     "* 1000000 + 0.5) AS BIGINT) AS psi_micro FROM filled, tot"
 )
 QUERIES["psi_drift"] = q_psi_drift
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 / Q11 / Q20 shapes (adapted: this corpus has no partsupp table,
+# so supply-cost terms are dropped / availability terms become shipped-share
+# predicates — the JOIN/aggregate/subquery-threshold shapes are intact).
+# Completes the 22-of-22 TPC-H shape sweep.
+# ---------------------------------------------------------------------------
+
+
+def q_profit_by_nation_year(sf_dir: str, name_token: str = "blue"):
+    """Q9 shape (product-type profit): lineitem filtered through a
+    part-name semi-join (broadcast is_in — parts with ``name_token``),
+    joined to orders for the year and supplier→nation for the group key;
+    profit = Σ extendedprice·(1−discount) in exact integer cents.  Three
+    joins through the size-aware front door; one (nation, year)
+    groupby."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.match_substring(b.column("p_name"), name_token)
+        return pa.table({"l_partkey": b.column("p_partkey").filter(m).cast(pa.int64())})
+
+    keys = [
+        i
+        for b in part.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for i in b.column("l_partkey").to_pylist()
+    ]  # part-table-bounded (dimension), broadcast as an is_in set
+    key_set = pa.array(sorted(keys), pa.int64())
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("l_partkey").cast(pa.int64()), value_set=key_set))
+        disc = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+                ),
+                pa.scalar(100.0),
+            ),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "profit_cents": disc,
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def oyear(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey"),
+                "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+            }
+        )
+
+    j1 = join(li, orders.map_batches(oyear, batch_format="pyarrow"), on="l_orderkey", how="inner")
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    snat = join(
+        _rename(sup, {"s_suppkey": "l_suppkey"}),
+        _rename(nat, {"n_nationkey": "s_nationkey"}),
+        on="s_nationkey",
+        how="inner",
+    )
+    j2 = join(j1, _select(snat, ["l_suppkey", "n_name"]), on="l_suppkey", how="inner")
+    agg = grouped_sum(j2, ["n_name", "o_year"], {"profit_cents": "profit_cents"}, count_out="items")
+    return _select(agg, ["n_name", "o_year", "items", "profit_cents"])
+
+
+IMPORTANT_PAIR_MULTIPLE = 3  # pairs worth more than 3x the mean pair value
+
+
+def q_important_part_suppliers(sf_dir: str, multiple: int = IMPORTANT_PAIR_MULTIPLE):
+    """Q11 shape (important stock): revenue per (partkey, suppkey) pair,
+    kept only when the pair exceeds a GLOBAL scalar threshold — the
+    scalar-subquery shape.  The cut is scale-free (``multiple``× the
+    mean pair value, so it bites at every sf) and exact-integer: the
+    predicate is pair_cents·n_pairs > total_cents·multiple (no float
+    share)."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: _cents(b, "l_extendedprice", "pc_").drop_columns(["l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    pairs = grouped_sum(li, ["l_partkey", "l_suppkey"], {"pc_": "pair_cents"}).materialize()
+    total = n_pairs = 0
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b.column("pair_cents")).as_py() or 0)
+        n_pairs += b.num_rows
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b.column("pair_cents").to_numpy(zero_copy_only=False).astype(object)
+        m = pa.array([int(x) * n_pairs > total * multiple for x in v], pa.bool_())
+        return b.filter(m)
+
+    return pairs.map_batches(keep, batch_format="pyarrow")
+
+
+DOMINANT_FAIR_MULTIPLE = 2  # supplier ships > 2x its fair (1/n-supplier) share
+
+
+def q_dominant_suppliers(sf_dir: str, name_token: str = "cold", multiple: int = DOMINANT_FAIR_MULTIPLE):
+    """Q20 shape (excess availability → semi-join on a quantity
+    threshold): for parts whose name carries ``name_token``, suppliers
+    whose shipped quantity exceeds ``multiple``× their FAIR share of the
+    part's total (total/n_suppliers — scale-free, so the cut bites at
+    every sf) — then the supplier dimension decorates the surviving
+    keys.  Quantities are exact integer cents; the share predicate is
+    pure integer cross-multiplication: pair·n_suppliers > total·m."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.match_substring(b.column("p_name"), name_token)
+        return pa.table({"l_partkey": b.column("p_partkey").filter(m).cast(pa.int64())})
+
+    keys = [
+        i
+        for b in part.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for i in b.column("l_partkey").to_pylist()
+    ]
+    key_set = pa.array(sorted(keys), pa.int64())
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("l_partkey").cast(pa.int64()), value_set=key_set))
+        return _cents(b, "l_quantity", "qty_cents").select(["l_partkey", "l_suppkey", "qty_cents"])
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    pair = grouped_sum(li, ["l_partkey", "l_suppkey"], {"qty_cents": "pair_qty"}).materialize()
+    tot = grouped_sum(pair, ["l_partkey"], {"pair_qty": "part_qty"}, count_out="n_sup")
+    j = join(pair, tot, on="l_partkey", how="inner")
+
+    def keep(b: pa.Table) -> pa.Table:
+        pq_ = b.column("pair_qty").to_numpy(zero_copy_only=False).astype(np.int64)
+        tq = b.column("part_qty").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = b.column("n_sup").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pq_ * ns > tq * multiple
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey").filter(pa.array(m)),
+                "l_suppkey": b.column("l_suppkey").filter(pa.array(m)),
+                "pair_qty": pa.array(pq_[m]),
+                "part_qty": pa.array(tq[m]),
+            }
+        )
+
+    surv = j.map_batches(keep, batch_format="pyarrow")
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = join(surv, _rename(sup, {"s_suppkey": "l_suppkey"}), on="l_suppkey", how="inner")
+    return _select(out, ["l_partkey", "l_suppkey", "s_name", "pair_qty", "part_qty"])
+
+
+QUERIES["profit_by_nation_year"] = q_profit_by_nation_year
+QUERIES["important_part_suppliers"] = q_important_part_suppliers
+QUERIES["dominant_suppliers"] = q_dominant_suppliers
+
+ORACLE_SQL["profit_by_nation_year"] = (
+    "SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(count(*) AS BIGINT) AS items, "
+    "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_cents "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "WHERE p.p_name LIKE '%blue%' "
+    "GROUP BY n.n_name, year(o.o_orderdate)"
+)
+ORACLE_SQL["important_part_suppliers"] = (
+    "WITH pr AS (SELECT l_partkey, l_suppkey, "
+    "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pair_cents "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey), "
+    "t AS (SELECT SUM(pair_cents) AS total, COUNT(*) AS n FROM pr) "
+    "SELECT l_partkey, l_suppkey, CAST(pair_cents AS BIGINT) AS pair_cents FROM pr, t "
+    f"WHERE CAST(pair_cents AS HUGEINT) * t.n > t.total * {IMPORTANT_PAIR_MULTIPLE}"
+)
+ORACLE_SQL["dominant_suppliers"] = (
+    "WITH li AS (SELECT l_partkey, l_suppkey, "
+    "CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem "
+    "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%cold%')), "
+    "pr AS (SELECT l_partkey, l_suppkey, SUM(qc) AS pair_qty FROM li GROUP BY l_partkey, l_suppkey), "
+    "t AS (SELECT l_partkey, SUM(pair_qty) AS part_qty, COUNT(*) AS n_sup FROM pr GROUP BY l_partkey) "
+    "SELECT pr.l_partkey, pr.l_suppkey, s.s_name, "
+    "CAST(pr.pair_qty AS BIGINT) AS pair_qty, CAST(t.part_qty AS BIGINT) AS part_qty "
+    "FROM pr JOIN t USING (l_partkey) JOIN supplier s ON s.s_suppkey = pr.l_suppkey "
+    f"WHERE CAST(pr.pair_qty AS HUGEINT) * t.n_sup > CAST(t.part_qty AS HUGEINT) * {DOMINANT_FAIR_MULTIPLE}"
+)
