@@ -1933,6 +1933,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # back FROM THE ON-DISK PARTITIONS ≡ brute force over the
             # edited corpus (oracle reconstructs the edit in SQL)
             "knn_ivf_incremental": lambda sf: similarity.knn_ivf_incremental(sf),
+            # integer-exact distributed k-means: micro-quantized components,
+            # exact int argmin assignment, trunc-div centroid updates — the
+            # SQL-checked twin of embedding_clusters (whose float means
+            # drift across engines); the oracle unrolls both iterations
+            "kmeans_exact": lambda sf: similarity.kmeans_exact(sf),
+            # per-dimension moment pass (n, sum, sumsq, min, max in micros):
+            # normalization/whitening prep, one streaming pass
+            "embedding_moments": lambda sf: similarity.embedding_moments(sf),
+            # distributed Gram (second-moment) matrix — PCA prep; per-block
+            # m^T m partials, driver folds dim×dim ints
+            "embedding_gram": lambda sf: similarity.embedding_gram(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2658,6 +2669,63 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, vec_id, "
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
         "FROM sims QUALIFY rnk <= 10"
+    )
+    # integer-exact k-means replayed end-to-end: micro-quantize, seed from
+    # the K smallest vec_ids (cluster index = vec_id rank), then unroll
+    # every iteration — exact int argmin assignment (ties → min cluster),
+    # truncate-toward-zero centroid division (CASE-signed abs-// so the
+    # semantics are explicit), empty clusters keep their previous centroid
+    from fscrawler_ray.pipelines.similarity import KMEANS_ITERS as _KMI
+    from fscrawler_ray.pipelines.similarity import KMEANS_K as _KMK
+
+    _km_parts = [
+        "WITH comp AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micro "
+        "FROM embeddings), "
+        "seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMK})), "
+        "c0 AS MATERIALIZED (SELECT s.cluster, c.dim, c.micro AS cent "
+        "FROM seeds s JOIN comp c USING (vec_id))"
+    ]
+    for _it in range(1, _KMI + 1):
+        _km_parts.append(
+            f", d{_it} AS (SELECT c.vec_id, k.cluster, "
+            "SUM((c.micro - k.cent) * (c.micro - k.cent)) AS d2 "
+            f"FROM comp c JOIN c{_it - 1} k ON k.dim = c.dim GROUP BY 1, 2)"
+            f", a{_it} AS MATERIALIZED (SELECT vec_id, cluster FROM d{_it} "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1)"
+            f", u{_it} AS (SELECT a.cluster, c.dim, SUM(c.micro) AS s, COUNT(*) AS n "
+            f"FROM a{_it} a JOIN comp c USING (vec_id) GROUP BY 1, 2)"
+            f", c{_it} AS MATERIALIZED (SELECT k.cluster, k.dim, "
+            "CAST(COALESCE(CASE WHEN u.s < 0 THEN -((-u.s) // u.n) ELSE u.s // u.n END, "
+            "k.cent) AS BIGINT) AS cent "
+            f"FROM c{_it - 1} k LEFT JOIN u{_it} u ON u.cluster = k.cluster AND u.dim = k.dim)"
+        )
+    _km_parts.append(
+        ", dfin AS (SELECT c.vec_id, k.cluster, "
+        "SUM((c.micro - k.cent) * (c.micro - k.cent)) AS d2 "
+        f"FROM comp c JOIN c{_KMI} k ON k.dim = c.dim GROUP BY 1, 2) "
+        "SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist_sq FROM dfin "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1"
+    )
+    sql["kmeans_exact"] = "".join(_km_parts)
+    _comp_cte = (
+        "WITH comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micro "
+        "FROM embeddings) "
+    )
+    sql["embedding_moments"] = _comp_cte + (
+        "SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(micro) AS BIGINT) AS sum_micro, "
+        "CAST(SUM(micro * micro) AS BIGINT) AS sumsq_micro, "
+        "CAST(MIN(micro) AS BIGINT) AS min_micro, CAST(MAX(micro) AS BIGINT) AS max_micro "
+        "FROM comp GROUP BY dim"
+    )
+    sql["embedding_gram"] = _comp_cte + (
+        "SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j, "
+        "CAST(SUM(CAST(a.micro AS HUGEINT) * b.micro) AS BIGINT) AS sum_prod "
+        "FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
+        "GROUP BY 1, 2"
     )
     sql["crawl_trace"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "

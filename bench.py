@@ -126,6 +126,10 @@ EXTRA_QUERIES = [
     "knn_ivf_incremental",
     "crawl_fairness_gini",
     "images_caption_selfrank",
+    # round-5 closing families: integer-exact k-means + moment/Gram passes
+    "kmeans_exact",
+    "embedding_moments",
+    "embedding_gram",
 ]
 
 

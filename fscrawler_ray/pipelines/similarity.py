@@ -1207,3 +1207,175 @@ def knn_ivf_incremental(sf_dir: str, index_dir: str | None = None, n_queries: in
     emb = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
     cand = emb.map_batches(_BatchTopK(q_ref, qid_ref, k), batch_format="pyarrow", batch_size=2048)
     return _final_topk(cand.to_pandas(), k)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact distributed k-means + embedding moment/Gram passes
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _micro_vecs(col) -> np.ndarray:
+    """list<float> column → (n, dim) int64 micro matrix using the repo's
+    quantization convention (floor(f64(v)·1e6) — float32 widens to float64
+    exactly, so DuckDB's floor(CAST(e AS DOUBLE)*1000000) matches
+    bit-for-bit)."""
+    return np.floor(_vecs(col).astype(np.float64) * 1e6).astype(np.int64)
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Truncate-toward-zero integer division (DuckDB's `//` semantics —
+    Python/numpy `//` floors, which disagrees on negative sums)."""
+    return np.sign(s) * (np.abs(s) // n)
+
+
+def _kmeans_partials(sf_dir: str, cent: np.ndarray, k: int):
+    """One streaming assignment pass: each block emits K-bounded partial
+    (cluster, count, per-dim sums) rows; nothing corpus-sized leaves the
+    workers.  Returns (counts[k], sums[k, dim]) folded on the driver —
+    K×dim ints of driver state, independent of corpus size."""
+    cent_ref = ray.put(cent)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _micro_vecs(b.column("embedding"))
+        # (n, K) squared L2 distances in exact int64; argmin ties → min k
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        onehot = np.zeros((len(m), len(c)), np.int64)
+        onehot[np.arange(len(m)), a] = 1
+        sums = onehot.T @ m  # (K, dim)
+        cnts = onehot.sum(axis=0)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "cnt": pa.array(cnts),
+                "sums": pa.array(sums.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    counts = np.zeros(k, np.int64)
+    sums = np.zeros_like(cent)
+    for b in emb.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # a batch may concatenate several blocks' K-row partials — fold by
+        # the cluster column, not by position
+        cl = b.column("cluster").to_numpy(zero_copy_only=False)
+        np.add.at(counts, cl, b.column("cnt").to_numpy(zero_copy_only=False))
+        np.add.at(sums, cl, np.asarray(b.column("sums").to_pylist(), np.int64))
+    return counts, sums
+
+
+def kmeans_exact(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Integer-exact distributed k-means — the SQL-checked twin of
+    :func:`embedding_clusters` (whose float centroid means drift across
+    engines).  Components quantize to int64 micros, seeds are the K
+    smallest vec_ids' vectors, assignment is exact integer argmin of
+    squared L2 (ties → min cluster), and the centroid update is
+    truncate-toward-zero division of integer sums (≡ DuckDB `//`), so a
+    DuckDB oracle replays every iteration bit-for-bit.  Empty clusters
+    keep their previous centroid.  Scale: each iteration is one streaming
+    map_batches pass emitting K-bounded partials; driver state is K×dim
+    ints; the final labelled output streams.  Returns a Dataset of
+    (vec_id, cluster, dist_sq).
+
+    Reference parity anchor: the reference has no clustering; this is the
+    LLM-curation SemDeDup/coarse-quantizer building block
+    (`SURVEY.md §2` training-data extensions)."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    ids = dset.to_table(columns=["vec_id"]).column("vec_id").to_numpy()
+    seed_ids = np.sort(ids)[:k]
+    t = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("vec_id").isin(pa.array(seed_ids)),
+    )
+    order = np.argsort(t.column("vec_id").to_numpy())
+    cent = _micro_vecs(t.column("embedding"))[order]
+
+    for _ in range(iters):
+        counts, sums = _kmeans_partials(sf_dir, cent, k)
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = _trunc_div(sums[nz], counts[nz, None])
+
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _micro_vecs(b.column("embedding"))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist_sq": pa.array(d2[np.arange(len(a)), a]),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_moments(sf_dir: str):
+    """Per-dimension integer moment pass over the embedding table —
+    normalization / whitening prep stats (n, sum, sum-of-squares, min,
+    max per dimension) in one streaming map_batches pass with dim-bounded
+    partials.  All micro-quantized int64, so DuckDB replays it exactly."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = _micro_vecs(b.column("embedding"))
+        dim = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+                "n": pa.array(np.full(dim, len(m), dtype=np.int64)),
+                "sum_micro": pa.array(m.sum(axis=0, dtype=np.int64)),
+                "sumsq_micro": pa.array((m * m).sum(axis=0, dtype=np.int64)),
+                "min_micro": pa.array(m.min(axis=0)),
+                "max_micro": pa.array(m.max(axis=0)),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    parts = emb.map_batches(partial, batch_format="pyarrow")
+    df = parts.to_pandas()  # dim-bounded × n_blocks rows — tiny
+    g = df.groupby("dim", as_index=False).agg(
+        n=("n", "sum"),
+        sum_micro=("sum_micro", "sum"),
+        sumsq_micro=("sumsq_micro", "sum"),
+        min_micro=("min_micro", "min"),
+        max_micro=("max_micro", "max"),
+    )
+    return g.sort_values("dim").reset_index(drop=True)
+
+
+def embedding_gram(sf_dir: str):
+    """Distributed Gram (second-moment) matrix over micro-quantized
+    embeddings — the PCA/whitening prep pass: each block computes its
+    mᵀm partial (one BLAS matmul, exact in int64 at these magnitudes);
+    the driver folds dim×dim ints — state independent of corpus size.
+    Returns the upper triangle as rows (i, j, sum_prod), i ≤ j, 1-based
+    dims matching DuckDB's generate_subscripts."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = _micro_vecs(b.column("embedding"))
+        g = m.T @ m  # (dim, dim) int64
+        iu = np.triu_indices(m.shape[1])
+        return pa.table(
+            {
+                "i": pa.array((iu[0] + 1).astype(np.int64)),
+                "j": pa.array((iu[1] + 1).astype(np.int64)),
+                "sum_prod": pa.array(g[iu]),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = df.groupby(["i", "j"], as_index=False, sort=True).agg(sum_prod=("sum_prod", "sum"))
+    return g.reset_index(drop=True)
