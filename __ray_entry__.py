@@ -1944,6 +1944,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # distributed Gram (second-moment) matrix — PCA prep; per-block
             # m^T m partials, driver folds dim×dim ints
             "embedding_gram": lambda sf: similarity.embedding_gram(sf),
+            # power-iteration top principal direction in exact bigint math
+            # (rescaled trunc-div each step) — the oracle unrolls the steps
+            "pca_component": lambda sf: similarity.pca_power_component(sf),
+            # projection of every embedding onto that direction (int64
+            # matvec against the broadcast component)
+            "pca_scores": lambda sf: similarity.pca_scores(sf),
+            # per-cluster farthest members of the integer k-means — the
+            # mislabeled/junk-embedding review queue
+            "kmeans_outliers": lambda sf: similarity.kmeans_outliers(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2726,6 +2735,43 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM(CAST(a.micro AS HUGEINT) * b.micro) AS BIGINT) AS sum_prod "
         "FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
         "GROUP BY 1, 2"
+    )
+    # power iteration unrolled: full Gram in HUGEINT, v0 = all-ones, each
+    # step a matvec + rescale to max|v|=SCALE with trunc-div (CASE-signed)
+    from fscrawler_ray.pipelines.similarity import POWER_ITERS as _PIT
+    from fscrawler_ray.pipelines.similarity import POWER_SCALE as _PSC
+
+    _pw_parts = [
+        _comp_cte.replace("WITH comp AS ", "WITH comp AS MATERIALIZED ").rstrip() + ", "
+        "gm AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, "
+        "SUM(CAST(a.micro AS HUGEINT) * b.micro) AS g "
+        "FROM comp a JOIN comp b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+        "v0 AS (SELECT DISTINCT dim, CAST(1 AS HUGEINT) AS val FROM comp)"
+    ]
+    for _it in range(1, _PIT + 1):
+        _pw_parts.append(
+            f", w{_it} AS (SELECT g.i AS dim, SUM(g.g * v.val) AS w "
+            f"FROM gm g JOIN v{_it - 1} v ON v.dim = g.j GROUP BY 1)"
+            f", m{_it} AS (SELECT greatest(MAX(ABS(w)), 1) AS mx FROM w{_it})"
+            f", v{_it} AS (SELECT w.dim, CASE WHEN w.w < 0 "
+            f"THEN -((-w.w * {_PSC}) // m.mx) ELSE (w.w * {_PSC}) // m.mx END AS val "
+            f"FROM w{_it} w, m{_it} m)"
+        )
+    _pw_cte = "".join(_pw_parts)
+    sql["pca_component"] = _pw_cte + (
+        f" SELECT CAST(dim AS BIGINT) AS dim, CAST(val AS BIGINT) AS v FROM v{_PIT}"
+    )
+    sql["pca_scores"] = _pw_cte + (
+        " SELECT c.vec_id, CAST(SUM(c.micro * v.val) AS BIGINT) AS score "
+        f"FROM comp c JOIN v{_PIT} v USING (dim) GROUP BY 1"
+    )
+    from fscrawler_ray.pipelines.similarity import KMEANS_OUTLIER_TOPK as _KOT
+
+    sql["kmeans_outliers"] = (
+        "SELECT cluster, vec_id, dist_sq, "
+        "CAST(row_number() OVER (PARTITION BY cluster ORDER BY dist_sq DESC, vec_id) "
+        "AS BIGINT) AS rnk "
+        f"FROM ({sql['kmeans_exact']}) base QUALIFY rnk <= {_KOT}"
     )
     sql["crawl_trace"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "

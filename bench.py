@@ -130,6 +130,8 @@ EXTRA_QUERIES = [
     "kmeans_exact",
     "embedding_moments",
     "embedding_gram",
+    "pca_scores",
+    "kmeans_outliers",
 ]
 
 

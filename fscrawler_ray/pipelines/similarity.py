@@ -1379,3 +1379,99 @@ def embedding_gram(sf_dir: str):
     df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
     g = df.groupby(["i", "j"], as_index=False, sort=True).agg(sum_prod=("sum_prod", "sum"))
     return g.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact power-iteration PCA + k-means outlier mining
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 3
+POWER_SCALE = 1000
+KMEANS_OUTLIER_TOPK = 5
+
+
+def _power_vec(G: list[list[int]], iters: int = POWER_ITERS, scale: int = POWER_SCALE) -> list[int]:
+    """Power iteration on an integer Gram matrix in arbitrary-precision
+    Python ints (dim×dim driver state — G entries can exceed int64 products
+    mid-matvec, so numpy is deliberately avoided here).  Each step rescales
+    the iterate to max|v| = `scale` with truncate-toward-zero division, so
+    a DuckDB oracle replays every step exactly."""
+    dim = len(G)
+    v = [1] * dim
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w) or 1
+        v = [(1 if x >= 0 else -1) * ((abs(x) * scale) // mx) for x in w]
+    return v
+
+
+def pca_power_component(sf_dir: str, iters: int = POWER_ITERS):
+    """Top principal direction (unnormalized, integer) of the micro-quantized
+    embedding second-moment matrix via power iteration — the whitening /
+    outlier-direction prep pass for embedding curation.  Scale: one
+    streaming Gram pass (dim²-bounded partials, driver folds Python ints),
+    then a driver-side dim×dim iteration — no corpus-sized state anywhere.
+    Returns a pandas DataFrame (dim, v), 1-based dims.
+
+    Reference parity anchor: the reference has no linear algebra; this is
+    the brief's embedding-curation extension (`SURVEY.md §2`)."""
+    import pandas as pd
+
+    tri = embedding_gram(sf_dir)  # upper triangle, exact int64 sums
+    dim = int(tri["j"].max())
+    G = [[0] * dim for _ in range(dim)]
+    for r in tri.itertuples():
+        G[r.i - 1][r.j - 1] = int(r.sum_prod)
+        G[r.j - 1][r.i - 1] = int(r.sum_prod)
+    v = _power_vec(G, iters=iters)
+    return pd.DataFrame(
+        {"dim": np.arange(1, dim + 1, dtype=np.int64), "v": np.asarray(v, np.int64)}
+    )
+
+
+def pca_scores(sf_dir: str, iters: int = POWER_ITERS):
+    """Project every embedding onto the power-iteration principal direction:
+    score = Σ_d micro_d · v_d, exact int64 (|micro| ≤ ~2·10⁶, |v| ≤ 10³,
+    dim ≤ a few hundred → ≪ 2⁶³).  The component is broadcast once via
+    ray.put; scoring is one vectorized matvec per batch.  Returns a Dataset
+    of (vec_id, score) — the 1-D embedding ordering used for outlier
+    trimming and curriculum bucketing."""
+    comp = pca_power_component(sf_dir, iters=iters)
+    v_ref = ray.put(comp["v"].to_numpy().astype(np.int64))
+
+    def score(b: pa.Table) -> pa.Table:
+        v = ray.get(v_ref)
+        m = _micro_vecs(b.column("embedding"))
+        return pa.table(
+            {"vec_id": b.column("vec_id"), "score": pa.array(m @ v)}
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb.map_batches(score, batch_format="pyarrow")
+
+
+def kmeans_outliers(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                    topk: int = KMEANS_OUTLIER_TOPK):
+    """Per-cluster outlier mining over the integer-exact k-means assignment:
+    the `topk` farthest members of each cluster (dist_sq desc, vec_id
+    tie-break) — the curation pass that surfaces mislabeled / junk
+    embeddings for review.  Scale: rides kmeans_exact's streaming
+    assignment; each block keeps only its local top-k per cluster, the
+    driver folds K·topk·n_blocks rows.  Returns (cluster, vec_id, dist_sq,
+    rnk)."""
+    import pandas as pd
+
+    assigned = kmeans_exact(sf_dir, k=k, iters=iters)
+
+    def local_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["cluster", "dist_sq", "vec_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("cluster", sort=False).head(topk), preserve_index=False)
+
+    parts = assigned.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cluster", "dist_sq", "vec_id"], ascending=[True, False, True])
+    out = parts.groupby("cluster", sort=True).head(topk).reset_index(drop=True)
+    out["rnk"] = out.groupby("cluster").cumcount() + 1
+    return out[["cluster", "vec_id", "dist_sq", "rnk"]].astype(
+        {"cluster": "int64", "vec_id": "int64", "dist_sq": "int64", "rnk": "int64"}
+    )

@@ -93,3 +93,46 @@ def test_embedding_moments_and_gram_match_numpy(ray_session):
     got = {(r.i, r.j): r.sum_prod for r in g.itertuples()}
     for i, j in zip(*iu):
         assert got[(i + 1, j + 1)] == full[i, j]
+
+
+def test_power_vec_aligns_with_float_eigenvector():
+    """The integer power iterate should point (anti)parallel to the true
+    dominant eigenvector of the Gram matrix within quantization error."""
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    # planted rank-1 spike so the top eigenvalue is well separated — iid
+    # gaussian data alone has a near-degenerate spectrum that no fixed
+    # iteration count can resolve
+    m = (rng.normal(size=(200, 16)) * 1e6 + np.outer(rng.choice([-1.0, 1.0], 200), u) * 4e6).astype(np.int64)
+    G = (m.T @ m).tolist()
+    v = np.asarray(sim._power_vec([[int(x) for x in row] for row in G], iters=8), np.float64)
+    w, vec = np.linalg.eigh(np.asarray(G, np.float64))
+    top = vec[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+
+
+def test_pca_scores_match_driver_matvec(ray_session):
+    ids, m = _micro_all()
+    comp = sim.pca_power_component(SF)
+    v = comp["v"].to_numpy()
+    want = dict(zip(ids.tolist(), (m @ v).tolist()))
+    got = sim.pca_scores(SF).to_pandas()
+    assert len(got) == len(ids)
+    for r in got.itertuples():
+        assert want[r.vec_id] == r.score
+
+
+def test_kmeans_outliers_are_cluster_maxima(ray_session):
+    ids, m = _micro_all()
+    a, d = _slow_kmeans(ids, m, sim.KMEANS_K, sim.KMEANS_ITERS)
+    out = sim.kmeans_outliers(SF)
+    for c in range(sim.KMEANS_K):
+        members = sorted(
+            zip(-d[a == c], ids[a == c])
+        )[: sim.KMEANS_OUTLIER_TOPK]
+        want = [(int(i), int(-nd)) for nd, i in members]
+        sub = out[out["cluster"] == c].sort_values("rnk")
+        assert list(zip(sub["vec_id"], sub["dist_sq"])) == want
+        assert sub["rnk"].tolist() == list(range(1, len(want) + 1))
