@@ -1953,6 +1953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # per-cluster farthest members of the integer k-means — the
             # mislabeled/junk-embedding review queue
             "kmeans_outliers": lambda sf: similarity.kmeans_outliers(sf),
+            # diversity-preserving subsample: smallest hash(vec_id) per
+            # cluster — RNG-free, partition-invariant
+            "cluster_balanced_sample": lambda sf: similarity.cluster_balanced_sample(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
@@ -2772,6 +2775,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(row_number() OVER (PARTITION BY cluster ORDER BY dist_sq DESC, vec_id) "
         "AS BIGINT) AS rnk "
         f"FROM ({sql['kmeans_exact']}) base QUALIFY rnk <= {_KOT}"
+    )
+    from fscrawler_ray.pipelines.sampling import KNUTH32 as _KN32
+    from fscrawler_ray.pipelines.similarity import CLUSTER_SAMPLE_K as _CSK
+
+    sql["cluster_balanced_sample"] = (
+        "SELECT cluster, vec_id, "
+        "CAST(row_number() OVER (PARTITION BY cluster "
+        f"ORDER BY (vec_id * {_KN32}) % 4294967296, vec_id) AS BIGINT) AS rnk "
+        f"FROM ({sql['kmeans_exact']}) base QUALIFY rnk <= {_CSK}"
     )
     sql["crawl_trace"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, host, depth, is_dir "

@@ -132,6 +132,7 @@ EXTRA_QUERIES = [
     "embedding_gram",
     "pca_scores",
     "kmeans_outliers",
+    "cluster_balanced_sample",
 ]
 
 

@@ -1475,3 +1475,41 @@ def kmeans_outliers(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     return out[["cluster", "vec_id", "dist_sq", "rnk"]].astype(
         {"cluster": "int64", "vec_id": "int64", "dist_sq": "int64", "rnk": "int64"}
     )
+
+
+CLUSTER_SAMPLE_K = 8
+
+
+def cluster_balanced_sample(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                            per_cluster: int = CLUSTER_SAMPLE_K):
+    """Diversity-preserving deterministic subsample: the `per_cluster`
+    rows with the smallest KNUTH32 hash(vec_id) in each integer-k-means
+    cluster — the curation pass that downsamples a corpus while keeping
+    every embedding mode represented (cluster-balanced, RNG-free,
+    reproducible across runs / partitionings / cluster sizes).
+
+    Scale: rides kmeans_exact's streaming assignment; a per-block
+    partial top-k combiner prunes each block to ≤ K·per_cluster rows
+    before anything leaves the task, so the driver folds
+    K·per_cluster·blocks rows, never the corpus.  Returns
+    (cluster, vec_id, rnk)."""
+    from .sampling import _mix32, block_group_topk
+
+    assigned = kmeans_exact(sf_dir, k=k, iters=iters)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(["cluster", "vec_id"])
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = b.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = block_group_topk(codes, (ids, _mix32(ids)), per_cluster)
+        return b.select(["cluster", "vec_id"]).take(pa.array(keep))
+
+    parts = assigned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts["_h"] = _mix32(parts["vec_id"].to_numpy().astype(np.int64))
+    parts = parts.sort_values(["cluster", "_h", "vec_id"])
+    out = parts.groupby("cluster", sort=True).head(per_cluster).reset_index(drop=True)
+    out["rnk"] = out.groupby("cluster").cumcount() + 1
+    return out[["cluster", "vec_id", "rnk"]].astype(
+        {"cluster": "int64", "vec_id": "int64", "rnk": "int64"}
+    )

@@ -136,3 +136,18 @@ def test_kmeans_outliers_are_cluster_maxima(ray_session):
         sub = out[out["cluster"] == c].sort_values("rnk")
         assert list(zip(sub["vec_id"], sub["dist_sq"])) == want
         assert sub["rnk"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_cluster_balanced_sample_matches_bruteforce(ray_session):
+    from fscrawler_ray.pipelines.sampling import _mix32
+
+    ids, m = _micro_all()
+    a, _ = _slow_kmeans(ids, m, sim.KMEANS_K, sim.KMEANS_ITERS)
+    out = sim.cluster_balanced_sample(SF)
+    h = _mix32(ids.astype(np.int64))
+    for c in range(sim.KMEANS_K):
+        mem = sorted(zip(h[a == c], ids[a == c]))[: sim.CLUSTER_SAMPLE_K]
+        want = [int(i) for _, i in mem]
+        sub = out[out["cluster"] == c].sort_values("rnk")
+        assert sub["vec_id"].tolist() == want
+        assert sub["rnk"].tolist() == list(range(1, len(want) + 1))
