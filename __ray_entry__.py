@@ -24,6 +24,7 @@ IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
+HOST_HITS_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_hits"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
 
@@ -60,6 +61,7 @@ ROWS_ONLY_REASONS: dict[str, str] = {
     "audio_features": "FFT/spectral float kernels (no SQL FFT); pytest: synthesized tones hit expected bins",
 }
 PAGERANK_EXACT_ITERS = 20
+HITS_EXACT_ITERS = 8
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -1148,6 +1150,28 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return curation_funnel(_shared_written_run(sf_dir))
 
+    def host_hits(sf_dir: str):
+        """SQL-CHECKED HITS hubs/authorities (Kleinberg 1999) over the
+        spooled host-edge table: HITS_EXACT_ITERS integer mutual-
+        reinforcement rounds with trunc-div max normalization — every
+        half-step exact int64, replayed by DuckDB in HUGEINT from the
+        same spooled edges (no floats, no rtol)."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import hits
+
+        shutil.rmtree(HOST_HITS_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_HITS_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_HITS_EDGES_DIR)
+        t = hits(e, src_col="src_host", dst_col="dst_host", iters=HITS_EXACT_ITERS)
+        return pa.table(
+            {"host": t.column("node"), "hub": t.column("hub"), "authority": t.column("authority")}
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -1202,6 +1226,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_overlap": crawl_host_overlap,
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
+        "host_hits": host_hits,
     }
 
 
@@ -2132,6 +2157,38 @@ def _host_pagerank_oracle(iters: int = PAGERANK_EXACT_ITERS) -> str:
     return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
+def _host_hits_oracle(iters: int = HITS_EXACT_ITERS) -> str:
+    """DuckDB replay of host_hits: ``iters`` integer HITS rounds unrolled
+    as MATERIALIZED CTEs over the spooled host-edge parquet — each half
+    step is the same join + grouped HUGEINT sum + trunc-div max
+    normalization the engine runs (bit-exact, no rtol)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src_host AS s, dst_host AS t FROM read_parquet('{HOST_HITS_EDGES_DIR}/*.parquet')), "
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT t FROM e), "
+        "h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes), "
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.t AS node, sum(p.h) AS raw "
+            f"FROM e JOIN h{k - 1} p ON p.node = e.s GROUP BY e.t), "
+            f"am{k} AS (SELECT max(raw) AS m FROM ar{k}), "
+            f"a{k} AS MATERIALIZED (SELECT nd.node, "
+            f"CAST(coalesce(r.raw, 0) * 1000000 // am.m AS HUGEINT) AS a "
+            f"FROM nodes nd CROSS JOIN am{k} am LEFT JOIN ar{k} r ON r.node = nd.node), "
+            f"hr{k} AS MATERIALIZED (SELECT e.s AS node, sum(p.a) AS raw "
+            f"FROM e JOIN a{k} p ON p.node = e.t GROUP BY e.s), "
+            f"hm{k} AS (SELECT max(raw) AS m FROM hr{k}), "
+            f"h{k} AS MATERIALIZED (SELECT nd.node, "
+            f"CAST(coalesce(r.raw, 0) * 1000000 // hm.m AS HUGEINT) AS h "
+            f"FROM nodes nd CROSS JOIN hm{k} hm LEFT JOIN hr{k} r ON r.node = nd.node), "
+        )
+    parts.append(
+        f"SELECT h.node AS host, CAST(h.h AS BIGINT) AS hub, CAST(a.a AS BIGINT) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )
+    return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
+
+
 def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
@@ -2301,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM pref GROUP BY prefix"
     )
     sql["host_pagerank_exact"] = _host_pagerank_oracle()
+    sql["host_hits"] = _host_hits_oracle()
     sql["crawl_host_bfs"] = (
         "WITH RECURSIVE e AS (SELECT DISTINCT src_host AS s, dst_host AS d "
         f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet')), "

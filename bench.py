@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "pca_scores",
     "kmeans_outliers",
     "cluster_balanced_sample",
+    "host_hits",
 ]
 
 

@@ -197,6 +197,119 @@ def pagerank(
     return pa.table({"node": pa.array(nodes), "rank": pa.array(rank, pa.float64())})
 
 
+def hits(edges_ds, src_col: str = "src", dst_col: str = "dst", iters: int = 8, scale: int = 1_000_000):
+    """Integer-exact HITS (Kleinberg 1999) hubs & authorities over a
+    directed edge Dataset → pa.Table(node, hub, authority) with int64
+    scores in [0, scale].
+
+    Link analysis beside :func:`pagerank` — the hub/authority split is
+    the crawl-seed-quality signal (good hub pages point at many good
+    content pages; reference analog: the frontier-ordering priority in
+    SURVEY §2.1 S1).  Fixed ``iters`` mutual-reinforcement rounds with
+    trunc-div max-normalization after each half step::
+
+        a_k = floor(Σ_in  h_{k-1} · scale / max)   (authorities)
+        h_k = floor(Σ_out a_k     · scale / max)   (hubs)
+
+    so every intermediate is an exact integer a SQL engine replays
+    bit-for-bit in HUGEINT (the host_pagerank_exact unrolled-CTE
+    pattern, but with no floats anywhere — no rtol needed).
+
+    Scale posture mirrors pagerank: the edge stream is materialized once
+    in the object store and never reaches the driver; each half-step is
+    ONE join of the edge stream against the node→score table (broadcast
+    while small, co-partitioned above — the stages/joins auto planner)
+    plus ONE per-endpoint grouped int sum.  Driver state is exactly the
+    node→score table; its rescale uses Python bigints so the
+    normalization can never overflow regardless of in-degree skew (the
+    grouped sums themselves stay int64: scale·deg ≤ 2^63 up to ~9·10^12
+    in-links per node).  Works over any node dtype (string hosts).
+
+    Parallel edges count twice (weight-2 links), matching pagerank's
+    no-implicit-dedup contract and the SQL twin's plain joins.
+    """
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src_col), "dst": b.column(dst_col)})
+
+    e = edges_ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    # node universe: distinct endpoints via two grouped counts (never the
+    # raw edge stream on the driver)
+    universe: set = set()
+    for col in ("src", "dst"):
+        for b in e.groupby(col).count().iter_batches(batch_format="pyarrow"):
+            universe.update(b.column(col).to_pylist())
+    universe.discard(None)
+    if not universe:
+        empty = pa.array([], pa.int64())
+        return pa.table({"node": pa.array([], pa.string()), "hub": empty, "authority": empty})
+    nodes = sorted(universe)
+    idx = {n: i for i, n in enumerate(nodes)}
+    node_arr = pa.array(nodes)
+    ntype = node_arr.type
+
+    def half_step(score: list[int], probe_col: str, out_col: str) -> list[int]:
+        """raw[out] = Σ over edges (probe→out) of score[probe], then
+        trunc-div max-normalize — one join + one grouped sum."""
+        nz = [i for i, s in enumerate(score) if s > 0]
+        contrib = pa.table(
+            {
+                probe_col: pc.take(node_arr, pa.array(nz, pa.int64())),
+                "w": pa.array([score[i] for i in nz], pa.int64()),
+            }
+        )
+        summed = join(e, contrib, on=probe_col, how="inner").groupby(out_col).sum("w")
+        raw = [0] * len(nodes)
+        for b in summed.iter_batches(batch_format="pyarrow"):
+            for n, s in zip(b.column(out_col).to_pylist(), b.column("sum(w)").to_pylist()):
+                raw[idx[n]] = int(s)
+        m = max(raw)
+        if m == 0:
+            return raw
+        return [r * scale // m for r in raw]
+
+    hub = [scale] * len(nodes)
+    auth = [0] * len(nodes)
+    for _ in range(iters):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+    return pa.table(
+        {
+            "node": node_arr,
+            "hub": pa.array(hub, pa.int64()),
+            "authority": pa.array(auth, pa.int64()),
+        }
+    )
+
+
+def hits_reference(edges: pa.Table, src_col: str = "src", dst_col: str = "dst", iters: int = 8, scale: int = 1_000_000) -> dict:
+    """Driver-side adjacency-loop truth for tests: node → (hub, auth)
+    with the exact same integer update rule."""
+    src = edges.column(src_col).to_pylist()
+    dst = edges.column(dst_col).to_pylist()
+    nodes = sorted(set(src) | set(dst))
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(raw: dict) -> dict:
+        m = max(raw.values()) if raw else 0
+        if m == 0:
+            return {n: 0 for n in nodes}
+        return {n: raw.get(n, 0) * scale // m for n in nodes}
+
+    for _ in range(iters):
+        raw_a: dict = {}
+        for s, t in zip(src, dst):
+            raw_a[t] = raw_a.get(t, 0) + hub[s]
+        auth = norm(raw_a)
+        raw_h: dict = {}
+        for s, t in zip(src, dst):
+            raw_h[s] = raw_h.get(s, 0) + auth[t]
+        hub = norm(raw_h)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
 def kcore(edges_ds, k: int = 3, a_col: str = "src", b_col: str = "dst", rounds: int | None = None, max_rounds: int = 64):
     """k-core decomposition by iterative peeling: repeatedly delete every
     node whose degree in the surviving induced subgraph is < k; the

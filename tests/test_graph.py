@@ -248,3 +248,51 @@ def test_bfs_layers_planted():
     # default source = min src value ("a") gives the same layers
     out2 = bfs_layers(ray.data.from_arrow(edges)).to_pandas().set_index("node")["dist"]
     assert out2.to_dict() == out.to_dict()
+
+
+def test_hits_bipartite_hubs_vs_authorities():
+    """Planted hub/authority structure: pure hubs (only out-links) must
+    end with authority 0; pure authorities (only in-links) with hub 0;
+    the best-connected node of each side holds the max score (scale)."""
+    from fscrawler_ray.pipelines.graph import hits, hits_reference
+
+    # hubs h1..h3 point at authorities a1..a2; h1 points at both (best
+    # hub), a1 is cited by all three (best authority)
+    pairs = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h3", "a1")]
+    edges = pa.table(
+        {
+            "src": pa.array([p[0] for p in pairs]),
+            "dst": pa.array([p[1] for p in pairs]),
+        }
+    )
+    out = hits(ray.data.from_arrow(edges)).to_pandas()
+    got = {r["node"]: (r["hub"], r["authority"]) for _, r in out.iterrows()}
+    assert got == hits_reference(edges)
+    assert got["h1"][0] == 1_000_000 and got["h1"][1] == 0
+    assert got["a1"][1] == 1_000_000 and got["a1"][0] == 0
+    assert got["h2"][0] < got["h1"][0]
+    assert got["a2"][1] < got["a1"][1]
+
+
+def test_hits_random_digraph_matches_reference_and_block_split():
+    """Random digraphs: distributed == adjacency-loop reference with the
+    same integer rule, and invariant to how edge blocks are split."""
+    from fscrawler_ray.pipelines.graph import hits, hits_reference
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 25, 160)
+    dst = rng.integers(0, 25, 160)
+    edges = pa.table(
+        {
+            "src": pa.array([f"n{int(s)}" for s in src]),
+            "dst": pa.array([f"n{int(d)}" for d in dst]),
+        }
+    )
+    ref = hits_reference(edges)
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(edges)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        out = hits(ds).to_pandas()
+        got = {r["node"]: (r["hub"], r["authority"]) for _, r in out.iterrows()}
+        assert got == ref
