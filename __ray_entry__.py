@@ -1150,6 +1150,14 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return curation_funnel(_shared_written_run(sf_dir))
 
+    def crawl_adaptive_budget(sf_dir: str):
+        """SQL-CHECKED cost-adaptive politeness budgets over the written
+        run: per-host exact p87.5 payload size (dyadic quantile — float-
+        exact in both engines) → clamped integer budget."""
+        from fscrawler_ray.pipelines.crawl_report import adaptive_budget
+
+        return adaptive_budget(_shared_written_run(sf_dir))
+
     def host_hits(sf_dir: str):
         """SQL-CHECKED HITS hubs/authorities (Kleinberg 1999) over the
         spooled host-edge table: HITS_EXACT_ITERS integer mutual-
@@ -1227,6 +1235,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
         "host_hits": host_hits,
+        "crawl_adaptive_budget": crawl_adaptive_budget,
     }
 
 
@@ -2252,6 +2261,20 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_report"] = (
         "SELECT host, CAST(count(*) AS BIGINT) AS files, CAST(sum(size) AS BIGINT) AS total_bytes, "
         "CAST(max(depth) AS BIGINT) AS max_depth "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host"
+    )
+    from fscrawler_ray.pipelines.crawl_report import (
+        ADAPT_MAX_BUDGET,
+        ADAPT_MIN_BUDGET,
+        ADAPT_TARGET_BYTES,
+    )
+
+    sql["crawl_adaptive_budget"] = (
+        "SELECT host, CAST(count(size) AS BIGINT) AS n_urls, "
+        "CAST(quantile_disc(size, 0.875) AS BIGINT) AS p87_size, "
+        f"CAST(LEAST(GREATEST({ADAPT_TARGET_BYTES} // "
+        "GREATEST(CAST(quantile_disc(size, 0.875) AS BIGINT), 1), "
+        f"{ADAPT_MIN_BUDGET}), {ADAPT_MAX_BUDGET}) AS BIGINT) AS budget "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host"
     )
     sql["crawl_depth_funnel"] = (

@@ -134,6 +134,7 @@ EXTRA_QUERIES = [
     "kmeans_outliers",
     "cluster_balanced_sample",
     "host_hits",
+    "crawl_adaptive_budget",
 ]
 
 

@@ -29,6 +29,55 @@ def host_rollup(out_dir: str):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+ADAPT_TARGET_BYTES = 4_000_000  # per-host round-slice byte budget
+ADAPT_MIN_BUDGET = 4
+ADAPT_MAX_BUDGET = 256
+
+
+def adaptive_budget(
+    out_dir: str,
+    target_bytes: int = ADAPT_TARGET_BYTES,
+    lo: int = ADAPT_MIN_BUDGET,
+    hi: int = ADAPT_MAX_BUDGET,
+):
+    """Cost-adaptive per-host politeness budget from observed fetch
+    costs: budget = clamp(target_bytes // p87_size, lo, hi) — a host's
+    round slice shrinks as its typical-worst-case (87.5th-pct) payload
+    grows, so every host's per-round byte draw stays near ``target_bytes``.
+    The adaptive evolution of the engine's flat ``politeness_budget``
+    (reference analog: the fixed 2-concurrent-per-host cap in
+    crawling_queue_consumer.py — here the cap is learned from the crawl
+    itself).  Payload size is the deterministic fetch-cost proxy (trace
+    clocks are logical; at production scale the fetch stage records ms
+    and this same plan runs over that column).
+
+    q = 7/8 on purpose: a dyadic rational is exact in float64, so
+    DuckDB's float quantile rank ceil(0.875·n) equals the engine's
+    exact-rational ceil(7n/8) with no edge risk (0.95 would round up
+    through float error at n ≡ 0 mod 20).
+
+    Shape: ONE grouped exact-quantile pass (histogram narrowing — never
+    materializes a group) + vectorized clamp arithmetic over the
+    host-table-sized result.
+    """
+    import numpy as np
+
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = ray.data.read_parquet(out_dir, columns=["host", "size"])
+    t = grouped_quantile_disc(ds, "host", "size", 7, 8, out="p87_size", with_n=True)
+    p = t.column("p87_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    budget = np.clip(target_bytes // np.maximum(p, 1), lo, hi)
+    return pa.table(
+        {
+            "host": t.column("host"),
+            "n_urls": t.column("n"),
+            "p87_size": pa.array(p, pa.int64()),
+            "budget": pa.array(budget, pa.int64()),
+        }
+    )
+
+
 def top_hosts_by_bytes(out_dir: str, k: int = 10):
     return host_rollup(out_dir).sort(["total_bytes", "host"], descending=[True, False]).limit(k)
 

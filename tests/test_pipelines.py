@@ -586,3 +586,32 @@ def test_rows_only_reasons_complete():
         f"undocumented rows-only: {sorted(rows_only - documented)}; "
         f"stale reasons: {sorted(documented - rows_only)}"
     )
+
+
+def test_adaptive_budget_planted(tmp_path, ray_session):
+    """Clamp + quantile arithmetic on planted per-host size profiles:
+    tiny payloads hit the max-budget clamp, huge ones the min clamp, and
+    a mid host gets exactly target // p87."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import adaptive_budget
+
+    rows = []
+    rows += [("tiny.example", 10)] * 8            # p87 = 10 -> clamped to 256
+    rows += [("huge.example", 10_000_000)] * 8    # budget floor 4
+    rows += [("mid.example", 100_000)] * 7 + [("mid.example", 200_000)]
+    # ceil(7*8/8) = 7 -> rank 7 of sorted sizes = 100_000 -> 4_000_000 // 100_000 = 40
+    t = pa.table(
+        {
+            "host": pa.array([h for h, _ in rows]),
+            "size": pa.array([s for _, s in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "part-0.parquet")
+    out = adaptive_budget(str(tmp_path)).to_pandas().set_index("host")
+    assert out.loc["tiny.example", "budget"] == 256
+    assert out.loc["huge.example", "budget"] == 4
+    assert out.loc["mid.example", "p87_size"] == 100_000
+    assert out.loc["mid.example", "budget"] == 40
+    assert (out["n_urls"] == 8).all()
