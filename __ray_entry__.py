@@ -2068,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gopher_rules": textops.q_gopher_rules,
             "gopher_pass_by_source": textops.q_gopher_pass_by_source,
             "vocab_growth": textops.q_vocab_growth,
+            "corpus_datacard": textops.q_corpus_datacard,
             "fingerprint_canon": textops.q_fingerprint_canon,
             "simhash_docs": textops.q_simhash_docs,
             "fingerprint_docs": textops.q_fingerprint_docs,

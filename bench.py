@@ -135,6 +135,7 @@ EXTRA_QUERIES = [
     "cluster_balanced_sample",
     "host_hits",
     "crawl_adaptive_budget",
+    "corpus_datacard",
 ]
 
 

@@ -1601,3 +1601,103 @@ ORACLE_SQL["vocab_growth"] = (
     "SELECT CAST(bucket AS BIGINT) AS bucket, new_words, "
     "CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT) AS cum_words FROM b"
 )
+
+
+def q_corpus_datacard(sf_dir: str):
+    """Per-language corpus data card — the one-table release summary a
+    dataset ships with (doc counts, char/token totals, exact-dup tallies,
+    median length).  Composes the engine's scale primitives into a single
+    SQL-CHECKED report:
+
+    - counts/sums: ONE streaming pass of per-block (lang) partials
+      (pyarrow hash aggregation) folded by a lang-keyed grouped sum;
+      token totals ride the same pass via a vectorized \\S+ match count
+      (the regexp_extract_all twin — no flatten, no Python loop);
+    - distinct texts: per-block (lang, md5-u64) dedup, one hash-keyed
+      groupby, then a lang-keyed grouped count — count(distinct) without
+      ever shuffling raw text (md5_number_upper replayable in DuckDB);
+    - median chars: the exact grouped-quantile histogram pass (q = 1/2,
+      dyadic → float-exact in both engines).
+
+    Driver state is lang-bounded (a few rows per table); the corpus
+    never leaves the cluster.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.quantiles import grouped_quantile_disc
+    from ..functions.sketches import md5_u64_batch
+
+    ds = _docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(b.column("text"), r"\S+").cast(pa.int64())
+        t = pa.table({"lang": b.column("lang"), "nc": b.column("n_chars"), "tk": toks})
+        g = pa.TableGroupBy(t, ["lang"]).aggregate([("nc", "sum"), ("tk", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "nc_p": g.column("nc_sum"),
+                "tk_p": g.column("tk_sum"),
+                "n_p": g.column("count_all"),
+            }
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("nc_p"), Sum("tk_p"), Sum("n_p"))
+        .to_pandas()
+    )
+
+    def hkey(b: pa.Table) -> pa.Table:
+        h = md5_u64_batch(b.column("text"))
+        t = pa.table({"lang": b.column("lang"), "h": pa.array(h)})
+        return pa.TableGroupBy(t, ["lang", "h"]).aggregate([])  # block-local distinct
+
+    def cpart(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["lang"]), ["lang"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"), "c_p": g.column("count_all")})
+
+    dist = (
+        ds.map_batches(hkey, batch_format="pyarrow")
+        .groupby(["lang", "h"])
+        .count()
+        .map_batches(cpart, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("c_p"))
+        .to_pandas()
+    )
+
+    p50 = grouped_quantile_disc(ds, "lang", "n_chars", 1, 2, out="p50").to_pandas()
+
+    m = sums.merge(dist, on="lang").merge(p50, on="lang").sort_values("lang")
+    n = m["sum(n_p)"].to_numpy().astype(np.int64)
+    chars = m["sum(nc_p)"].to_numpy().astype(np.int64)
+    distinct = m["sum(c_p)"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(m["lang"]),
+            "n_docs": pa.array(n, pa.int64()),
+            "total_chars": pa.array(chars, pa.int64()),
+            "mean_chars": pa.array(chars // n, pa.int64()),
+            "total_tokens": pa.array(m["sum(tk_p)"].to_numpy().astype(np.int64), pa.int64()),
+            "distinct_texts": pa.array(distinct, pa.int64()),
+            "dup_docs": pa.array(n - distinct, pa.int64()),
+            "p50_chars": pa.array(m["p50"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["corpus_datacard"] = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars, "
+    "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens, "
+    "CAST(count(DISTINCT md5_number_upper(text)) AS BIGINT) AS distinct_texts, "
+    "CAST(count(*) - count(DISTINCT md5_number_upper(text)) AS BIGINT) AS dup_docs, "
+    "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars "
+    "FROM documents GROUP BY lang"
+)

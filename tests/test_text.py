@@ -410,3 +410,34 @@ def test_gopher_flags_duckdb_parity_fuzz():
             assert list(eng[c]) == list(want[c]), (c, texts)
 
     run()
+
+
+def test_corpus_datacard_planted(tmp_path, ray_session):
+    """Planted corpus: dup tallies, token totals and median reflect the
+    exact construction (2 dup copies, known token counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.textops import q_corpus_datacard
+
+    texts = ["a b c", "a b c", "one two", "x", "x y z w"]
+    langs = ["en", "en", "en", "fr", "fr"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_corpus_datacard(str(tmp_path)).to_pandas().set_index("lang")
+    assert out.loc["en", "n_docs"] == 3
+    assert out.loc["en", "distinct_texts"] == 2
+    assert out.loc["en", "dup_docs"] == 1
+    assert out.loc["en", "total_tokens"] == 8
+    assert out.loc["fr", "dup_docs"] == 0
+    assert out.loc["fr", "total_tokens"] == 5
+    assert out.loc["fr", "p50_chars"] == 1  # rank ceil(0.5*2)=1 -> size 1
+    assert out.loc["en", "mean_chars"] == (5 + 5 + 7) // 3
