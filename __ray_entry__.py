@@ -20,6 +20,7 @@ CRAWL_SCAN_DIR = "/tmp/fscrawler_oracle_crawl_scan"
 CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
 ROBOTS_RULES_DIR = "/tmp/fscrawler_oracle_robots_rules"
 WDS_TAR_DIR = "/tmp/fscrawler_oracle_wds_tars"
+WARC_DIR = "/tmp/fscrawler_oracle_warc"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
@@ -1158,6 +1159,79 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_warc_export(sf_dir: str):
+        """SQL-CHECKED WARC/1.0 export (ISO 28500) of the written crawl:
+        payload rows pack seq-ordered into cap-byte archives via the same
+        two-level distributed prefix scan as the tar export, and the
+        summary reports the REAL on-disk archive sizes — which the oracle
+        predicts purely from header-length arithmetic over the same
+        prefix-sum shard assignment (a one-byte writer drift breaks the
+        hash).  Reference analog: persisting crawl results for replay
+        (app/index_files.py); web-scale crawlers ship WARC."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.sinks import write_warc_shards
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(WARC_DIR, ignore_errors=True)
+        summary = write_warc_shards(out, WARC_DIR).map_batches(
+            lambda b: b.select(["shard", "n_records", "payload_bytes", "warc_bytes"]),
+            batch_format="pyarrow",
+        )
+        return _collect(
+            summary,
+            {
+                "shard": pa.int64(),
+                "n_records": pa.int64(),
+                "payload_bytes": pa.int64(),
+                "warc_bytes": pa.int64(),
+            },
+        )
+
+    def crawl_warc_roundtrip(sf_dir: str):
+        """SQL-CHECKED WARC loader roundtrip: the archives written by
+        crawl_warc_export are parsed back record-by-record (one task per
+        archive) and every payload + URL is certified byte-exact against
+        the written crawl spool (md5-of-hex, which DuckDB recomputes from
+        the spooled bytes)."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.sinks import read_warc_shards, write_warc_shards
+
+        out = _shared_written_run(sf_dir)
+        if not os.path.isdir(WARC_DIR) or not os.listdir(WARC_DIR):
+            for _ in write_warc_shards(out, WARC_DIR).iter_batches(batch_format="pyarrow"):
+                pass
+
+        def cert(b: pa.Table) -> pa.Table:
+            payloads = b.column("bytes").to_pylist()
+            return pa.table(
+                {
+                    "seq": b.column("seq"),
+                    "url": b.column("url"),
+                    "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
+                    "payload_md5": pa.array(
+                        [hashlib.md5(p.hex().upper().encode()).hexdigest() for p in payloads],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return _collect(
+            read_warc_shards(WARC_DIR).map_batches(cert, batch_format="pyarrow"),
+            {
+                "seq": pa.int64(),
+                "url": pa.string(),
+                "nbytes": pa.int64(),
+                "payload_md5": pa.string(),
+            },
+        )
+
     def host_hits(sf_dir: str):
         """SQL-CHECKED HITS hubs/authorities (Kleinberg 1999) over the
         spooled host-edge table: HITS_EXACT_ITERS integer mutual-
@@ -1236,6 +1310,8 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_exact": host_pagerank_exact,
         "host_hits": host_hits,
         "crawl_adaptive_budget": crawl_adaptive_budget,
+        "crawl_warc_export": crawl_warc_export,
+        "crawl_warc_roundtrip": crawl_warc_roundtrip,
     }
 
 
@@ -2277,6 +2353,41 @@ def oracle_sql() -> dict[str, str]:
         "GREATEST(CAST(quantile_disc(size, 0.875) AS BIGINT), 1), "
         f"{ADAPT_MIN_BUDGET}), {ADAPT_MAX_BUDGET}) AS BIGINT) AS budget "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host"
+    )
+    # WARC export: the oracle PREDICTS each archive's on-disk size from
+    # pure header-length arithmetic (fixed WARC/1.0 response skeleton +
+    # the three variable fields rendered as decimal/UTF-8 strings +
+    # payload + record terminator) over the same seq-ordered prefix-sum
+    # shard assignment — while the engine reports os.path.getsize of the
+    # real .warc files it wrote.  A one-byte writer drift breaks the hash.
+    from fscrawler_ray.pipelines.sinks import WARC_CAP_BYTES, WARC_FIXED_BYTES
+
+    _warc_rec = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, "
+        "CAST(octet_length(bytes) AS BIGINT) AS nb, "
+        "CAST(octet_length(encode(url)) AS BIGINT) AS ul "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE bytes IS NOT NULL), "
+        "r AS (SELECT seq, nb, "
+        "CAST(length(CAST(seq AS VARCHAR)) + ul + length(CAST(nb AS VARCHAR)) "
+        f"+ nb + {WARC_FIXED_BYTES} AS BIGINT) AS rec FROM t), "
+        "s AS (SELECT seq, nb, rec, "
+        "CAST(COALESCE(sum(rec) OVER (ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"// {WARC_CAP_BYTES} AS BIGINT) AS shard FROM r) "
+    )
+    sql["crawl_warc_export"] = (
+        _warc_rec
+        + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
+        "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
+        "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    sql["crawl_warc_roundtrip"] = (
+        "SELECT CAST(seq AS BIGINT) AS seq, url, "
+        "CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
+        "md5(hex(bytes)) AS payload_md5 "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE bytes IS NOT NULL"
     )
     sql["crawl_depth_funnel"] = (
         "SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS files, "

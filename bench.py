@@ -136,6 +136,8 @@ EXTRA_QUERIES = [
     "host_hits",
     "crawl_adaptive_budget",
     "corpus_datacard",
+    "crawl_warc_export",
+    "crawl_warc_roundtrip",
 ]
 
 

@@ -140,3 +140,166 @@ def compact_results(out_dir: str, dest_dir: str, rows_per_file: int = 100_000) -
     ds.write_parquet(dest_dir, min_rows_per_file=rows_per_file)
     files_after = len(glob.glob(os.path.join(dest_dir, "**", "*.parquet"), recursive=True))
     return {"rows": n, "files_before": files_before, "files_after": files_after}
+
+
+# ---------------------------------------------------------------------------
+# WARC export — the standard web-archive interchange format (ISO 28500);
+# the crawl-side sibling of image_corpus.write_tar_shards.  Reference
+# analog: the reference persists crawl results to its own DB tables
+# (app/index_files.py); a web-scale crawler ships WARC.
+# ---------------------------------------------------------------------------
+
+WARC_CAP_BYTES = 1 << 20  # per-archive byte budget (check scale)
+
+
+def _warc_header(seq_s: str, url: str, n_s: str) -> bytes:
+    """WARC/1.0 response header with every volatile field pinned
+    (date epoch, deterministic record id) so re-exports are
+    byte-identical and sizes are pure arithmetic."""
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:fscrawler:{seq_s}>\r\n"
+        "WARC-Date: 1970-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/octet-stream\r\n"
+        f"Content-Length: {n_s}\r\n"
+        "\r\n"
+    ).encode()
+
+
+# fixed per-record byte cost: empty-field header + the \r\n\r\n terminator
+WARC_FIXED_BYTES = len(_warc_header("", "", "")) + 4
+
+
+def write_warc_shards(spool_dir: str, warc_dir: str, cap: int = WARC_CAP_BYTES, range_width: int = 64):
+    """Pack the crawled payload rows (seq order) into ``cap``-byte
+    WARC/1.0 archives: shard = floor(exclusive-record-byte-prefix / cap),
+    via textops.pack_by_budget's two-level distributed prefix scan — the
+    same deterministic, independently re-cuttable layout as the tar
+    export, so a 100-TB crawl never sorts globally and payload bytes
+    never ride the scan (only (seq, rec_bytes) does).
+
+    Resumable: a shard whose trailing ``.done`` marker exists is skipped;
+    membership is a pure prefix-sum function so re-cuts are identical.
+
+    Returns per-shard (shard, n_records, payload_bytes, warc_bytes,
+    skipped) where warc_bytes is the REAL on-disk size — the SQL oracle
+    predicts it from header-length arithmetic, certifying the writer
+    end-to-end (a one-byte drift breaks the check)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import join as _join
+    from .textops import pack_by_budget
+
+    os.makedirs(warc_dir, exist_ok=True)
+    src = ray.data.read_parquet(spool_dir, columns=["seq", "url", "bytes"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("bytes")))
+
+    src = src.map_batches(keep, batch_format="pyarrow")
+
+    def slim(b: pa.Table) -> pa.Table:
+        n = pc.binary_length(b.column("bytes")).cast(pa.int64())
+        seq = b.column("seq").cast(pa.int64())
+        rec = pc.add(
+            pc.add(
+                pc.add(
+                    pc.utf8_length(pc.cast(seq, pa.string())).cast(pa.int64()),
+                    pc.binary_length(b.column("url").cast(pa.binary())).cast(pa.int64()),
+                ),
+                pc.add(pc.utf8_length(pc.cast(n, pa.string())).cast(pa.int64()), n),
+            ),
+            pa.scalar(WARC_FIXED_BYTES, pa.int64()),
+        )
+        return pa.table(
+            {"seq": seq, "rec_bytes": rec, "rng": pc.divide(seq, range_width)}
+        )
+
+    s = src.map_batches(slim, batch_format="pyarrow").materialize()
+    packed = pack_by_budget(s, "rec_bytes", cap, ["seq"])
+    rows = _join(src, packed, on="seq", how="inner")
+
+    def write_one(g):
+        import pandas as pd
+
+        g = g.sort_values("seq")
+        shard = int(g["bin"].iloc[0])
+        path = os.path.join(warc_dir, f"shard-{shard:06d}.warc")
+        done = path + ".done"
+        payload_bytes = int(sum(len(p) for p in g["bytes"]))
+        if os.path.exists(done) and os.path.exists(path):
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_records": [len(g)],
+                    "payload_bytes": [payload_bytes],
+                    "warc_bytes": [int(os.path.getsize(path))],
+                    "skipped": [True],
+                }
+            )
+        with open(path, "wb") as f:
+            for seq, url, payload in zip(g["seq"], g["url"], g["bytes"]):
+                f.write(_warc_header(str(int(seq)), url, str(len(payload))))
+                f.write(payload)
+                f.write(b"\r\n\r\n")
+        with open(done, "w") as f:
+            f.write("ok\n")  # commit marker (written last)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_records": [len(g)],
+                "payload_bytes": [payload_bytes],
+                "warc_bytes": [int(os.path.getsize(path))],
+                "skipped": [False],
+            }
+        )
+
+    return rows.groupby("bin").map_groups(write_one, batch_format="pandas")
+
+
+def read_warc_shards(warc_dir: str):
+    """Loader side of :func:`write_warc_shards`: one task per archive,
+    parsing records back into (seq, url, bytes, shard) rows.  The shard
+    list is shard-count-bounded on the driver; archive bytes are read
+    inside the tasks."""
+    import glob
+    import re
+
+    tars = sorted(glob.glob(os.path.join(warc_dir, "shard-*.warc")))
+    shards = [int(re.search(r"shard-(\d+)", os.path.basename(p)).group(1)) for p in tars]
+    t = pa.table(
+        {"shard": pa.array(shards, pa.int64()), "path": pa.array(tars, pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(max(1, len(tars)))
+
+    def load(b: pa.Table) -> pa.Table:
+        seqs, urls, payloads, shs = [], [], [], []
+        for shard, path in zip(b.column("shard").to_pylist(), b.column("path").to_pylist()):
+            with open(path, "rb") as f:
+                blob = f.read()
+            pos = 0
+            while pos < len(blob):
+                hdr_end = blob.index(b"\r\n\r\n", pos)
+                hdr = blob[pos:hdr_end].decode()
+                fields = dict(
+                    line.split(": ", 1) for line in hdr.split("\r\n")[1:] if ": " in line
+                )
+                n = int(fields["Content-Length"])
+                body_start = hdr_end + 4
+                seqs.append(int(fields["WARC-Record-ID"].split(":")[-1].rstrip(">")))
+                urls.append(fields["WARC-Target-URI"])
+                payloads.append(blob[body_start : body_start + n])
+                shs.append(shard)
+                pos = body_start + n + 4  # skip record terminator
+        return pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+                "shard": pa.array(shs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(load, batch_format="pyarrow")
