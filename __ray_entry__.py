@@ -1159,6 +1159,18 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_url_canonical(sf_dir: str):
+        """SQL-CHECKED URL canonicalization (the seen-set key kernel):
+        every trace URL is deterministically dirtied (seq-keyed variant:
+        upper-case scheme+host, :80 port, fragment, duplicate slashes,
+        /./ and /x/../ dot segments, preserved query string) and
+        canonicalized by functions.urls.canonicalize; the oracle rebuilds
+        the same dirty string and replays the full pipeline in DuckDB."""
+        from fscrawler_ray.pipelines.crawl_report import url_canonical_map
+
+        out = _shared_written_run(sf_dir)
+        return url_canonical_map(out.rstrip("/") + "_trace")
+
     def crawl_warc_export(sf_dir: str):
         """SQL-CHECKED WARC/1.0 export (ISO 28500) of the written crawl:
         payload rows pack seq-ordered into cap-byte archives via the same
@@ -1312,6 +1324,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
+        "crawl_url_canonical": crawl_url_canonical,
     }
 
 
@@ -2381,6 +2394,46 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    # URL canonicalization: the oracle rebuilds the SAME seq-keyed dirty
+    # variant the engine builds, then replays the entire canonicalization
+    # pipeline (lowercase scheme+host, scheme-aware :80 strip, fragment
+    # drop, path/query split, //+ collapse, dot-segment resolution,
+    # trailing-slash strip) with DuckDB string/RE2 kernels.  The injected
+    # dirt is bounded (one dot segment per row), so one unrolled pass per
+    # rule reaches the engine loop's fixpoint.
+    _head_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+    sql["crawl_url_canonical"] = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, url, "
+        f"regexp_extract(url, '{_head_re[1:]}', 1) AS head, "
+        f"regexp_extract(url, '{_head_re[1:]}([^#]*)', 2) AS rest "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}_trace/part-*.parquet')), "
+        "d AS (SELECT seq, CASE CAST(seq % 7 AS INT) "
+        "WHEN 0 THEN url "
+        "WHEN 1 THEN upper(head) || rest "
+        "WHEN 2 THEN url || '#sec' || CAST(seq AS VARCHAR) "
+        "WHEN 3 THEN head || ':80' || rest "
+        "WHEN 4 THEN head || '//./' || ltrim(rest, '/') "
+        "WHEN 5 THEN head || '/zz/..' || CASE WHEN rest = '' THEN '/' ELSE rest END "
+        "ELSE url || '?b=2&a=1' END AS dirty FROM t), "
+        "c AS (SELECT seq, dirty, "
+        f"lower(regexp_extract(dirty, '{_head_re[1:]}', 1)) AS h0, "
+        f"regexp_extract(dirty, '{_head_re[1:]}([^#]*)', 2) AS r0 FROM d), "
+        "c1 AS (SELECT seq, dirty, "
+        r"regexp_replace(regexp_replace(h0, '^(http://.*):80$', '\1'), "
+        r"'^(https://.*):443$', '\1') AS h1, "
+        r"regexp_extract(r0, '^([^?]*)', 1) AS path0, "
+        r"regexp_extract(r0, '(\?.*)$', 1) AS q0 FROM c), "
+        "c2 AS (SELECT seq, dirty, h1, q0, "
+        r"regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END, '//+', '/', 'g') "
+        "AS p2 FROM c1), "
+        "c3 AS (SELECT seq, dirty, h1, q0, "
+        r"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        r"regexp_replace(regexp_replace("
+        r"p2, '/\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g'), '^/\.\./', '/'), "
+        r"'^/\.\.$', '/'), '/\.$', '/'), '/[^/]+/\.\.$', '/'), '(.)/$', '\1') AS p9 "
+        "FROM c2) "
+        "SELECT seq, dirty AS url_dirty, h1 || p9 || q0 AS url_canonical FROM c3"
     )
     sql["crawl_warc_roundtrip"] = (
         "SELECT CAST(seq AS BIGINT) AS seq, url, "

@@ -1040,3 +1040,60 @@ def lorenz_deciles(out_dir: str):
             ),
         }
     )
+
+
+def url_canonical_map(trace_dir: str):
+    """SQL-checked exerciser for :func:`functions.urls.canonicalize` —
+    the kernel the frontier applies before the xxh64-keyed seen-set
+    (reference analog: Path normalization before the processed-paths
+    lookup, app/crawler/file_system_crawler.py:404-505).
+
+    The synthetic trace's URLs are already canonical, so each row is
+    first "dirtied" by a DETERMINISTIC seq-keyed variant (uppercase
+    scheme+host, explicit default port, fragment, duplicate slashes,
+    ``/./`` and ``/x/../`` dot segments, a preserved query string) and
+    then canonicalized — one zero-shuffle streaming pass, every string
+    op a pyarrow.compute kernel.  The oracle rebuilds the SAME dirty
+    string and replays the full canonicalization pipeline in DuckDB
+    (lower/ltrim/regexp_replace), certifying scheme+host lowercasing,
+    scheme-aware port stripping, fragment removal, slash collapse,
+    dot-segment resolution, trailing-slash strip, and query-string
+    preservation end-to-end."""
+    import numpy as np
+
+    from ..functions.urls import canonicalize
+
+    ds = ray.data.read_parquet(trace_dir, columns=["seq", "url"])
+
+    def kern(b: pa.Table) -> pa.Table:
+        seq = b.column("seq").cast(pa.int64())
+        url = b.column("url")
+        parts = pc.extract_regex(url, r"^(?P<head>https?://[^/?#]*)(?P<rest>[^#]*)$")
+        head = pc.struct_field(parts, "head")
+        rest = pc.struct_field(parts, "rest")
+        seq_s = pc.cast(seq, pa.string())
+        variants = [
+            url,
+            pc.binary_join_element_wise(pc.utf8_upper(head), rest, ""),
+            pc.binary_join_element_wise(url, pa.scalar("#sec"), seq_s, ""),
+            pc.binary_join_element_wise(head, pa.scalar(":80"), rest, ""),
+            pc.binary_join_element_wise(
+                head, pa.scalar("//./"), pc.utf8_ltrim(rest, characters="/"), ""
+            ),
+            pc.binary_join_element_wise(
+                head,
+                pa.scalar("/zz/.."),
+                pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest),
+                "",
+            ),
+            pc.binary_join_element_wise(url, pa.scalar("?b=2&a=1"), ""),
+        ]
+        v = seq.to_numpy(zero_copy_only=False) % 7
+        dirty = variants[6]
+        for k in range(5, -1, -1):
+            dirty = pc.if_else(pa.array(v == k), variants[k], dirty)
+        return pa.table(
+            {"seq": seq, "url_dirty": dirty, "url_canonical": canonicalize(dirty)}
+        )
+
+    return ds.map_batches(kern, batch_format="pyarrow")
