@@ -1159,6 +1159,20 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_cdx_index(sf_dir: str):
+        """SQL-CHECKED CDX-style archive index: every crawled URL maps to
+        (shard, byte offset, record length) in the WARC export, computed
+        WITHOUT touching archive bytes — offsets fall out of the same
+        two-level distributed prefix scan the writer uses, so a record is
+        retrievable with one ranged read.  The oracle replays the entire
+        layout arithmetic (record size → running prefix → shard floor →
+        within-shard offset) in DuckDB window functions; the pytest
+        additionally seeks into the real archive at (shard, off) and
+        parses the record back byte-exact."""
+        from fscrawler_ray.pipelines.sinks import cdx_index
+
+        return cdx_index(_shared_written_run(sf_dir))
+
     def crawl_url_canonical(sf_dir: str):
         """SQL-CHECKED URL canonicalization (the seen-set key kernel):
         every trace URL is deterministically dirtied (seq-keyed variant:
@@ -1325,6 +1339,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_export": crawl_warc_export,
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
         "crawl_url_canonical": crawl_url_canonical,
+        "crawl_cdx_index": crawl_cdx_index,
     }
 
 
@@ -2394,6 +2409,27 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    # CDX index: replay the full archive-layout arithmetic — exact record
+    # size, global running byte prefix, shard = floor(prefix/cap), offset
+    # = prefix − the shard's first prefix — in DuckDB window functions.
+    sql["crawl_cdx_index"] = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, url, "
+        "CAST(octet_length(bytes) AS BIGINT) AS nb, "
+        "CAST(octet_length(encode(url)) AS BIGINT) AS ul "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE bytes IS NOT NULL), "
+        "r AS (SELECT seq, url, "
+        "CAST(length(CAST(seq AS VARCHAR)) + ul + length(CAST(nb AS VARCHAR)) "
+        f"+ nb + {WARC_FIXED_BYTES} AS BIGINT) AS rec FROM t), "
+        "s AS (SELECT seq, url, rec, "
+        "CAST(COALESCE(sum(rec) OVER (ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx FROM r) "
+        "SELECT seq, url, "
+        f"CAST(pfx // {WARC_CAP_BYTES} AS BIGINT) AS shard, "
+        "CAST(pfx - min(pfx) OVER "
+        f"(PARTITION BY pfx // {WARC_CAP_BYTES}) AS BIGINT) AS off, "
+        "rec AS rlen FROM s"
     )
     # URL canonicalization: the oracle rebuilds the SAME seq-keyed dirty
     # variant the engine builds, then replays the entire canonicalization

@@ -172,6 +172,34 @@ def _warc_header(seq_s: str, url: str, n_s: str) -> bytes:
 WARC_FIXED_BYTES = len(_warc_header("", "", "")) + 4
 
 
+def _warc_slim(range_width: int):
+    """(seq, rec_bytes, rng) kernel shared by the WARC writer and the CDX
+    indexer — rec_bytes is the EXACT on-disk record size (header whose
+    variable fields are the decimal seq, the URL, and the decimal
+    content-length, plus payload plus terminator), so both derive the
+    identical shard/offset layout from the same arithmetic."""
+    import pyarrow.compute as pc
+
+    def slim(b: pa.Table) -> pa.Table:
+        n = pc.binary_length(b.column("bytes")).cast(pa.int64())
+        seq = b.column("seq").cast(pa.int64())
+        rec = pc.add(
+            pc.add(
+                pc.add(
+                    pc.utf8_length(pc.cast(seq, pa.string())).cast(pa.int64()),
+                    pc.binary_length(b.column("url").cast(pa.binary())).cast(pa.int64()),
+                ),
+                pc.add(pc.utf8_length(pc.cast(n, pa.string())).cast(pa.int64()), n),
+            ),
+            pa.scalar(WARC_FIXED_BYTES, pa.int64()),
+        )
+        return pa.table(
+            {"seq": seq, "rec_bytes": rec, "rng": pc.divide(seq, range_width)}
+        )
+
+    return slim
+
+
 def write_warc_shards(spool_dir: str, warc_dir: str, cap: int = WARC_CAP_BYTES, range_width: int = 64):
     """Pack the crawled payload rows (seq order) into ``cap``-byte
     WARC/1.0 archives: shard = floor(exclusive-record-byte-prefix / cap),
@@ -199,25 +227,7 @@ def write_warc_shards(spool_dir: str, warc_dir: str, cap: int = WARC_CAP_BYTES, 
         return b.filter(pc.is_valid(b.column("bytes")))
 
     src = src.map_batches(keep, batch_format="pyarrow")
-
-    def slim(b: pa.Table) -> pa.Table:
-        n = pc.binary_length(b.column("bytes")).cast(pa.int64())
-        seq = b.column("seq").cast(pa.int64())
-        rec = pc.add(
-            pc.add(
-                pc.add(
-                    pc.utf8_length(pc.cast(seq, pa.string())).cast(pa.int64()),
-                    pc.binary_length(b.column("url").cast(pa.binary())).cast(pa.int64()),
-                ),
-                pc.add(pc.utf8_length(pc.cast(n, pa.string())).cast(pa.int64()), n),
-            ),
-            pa.scalar(WARC_FIXED_BYTES, pa.int64()),
-        )
-        return pa.table(
-            {"seq": seq, "rec_bytes": rec, "rng": pc.divide(seq, range_width)}
-        )
-
-    s = src.map_batches(slim, batch_format="pyarrow").materialize()
+    s = src.map_batches(_warc_slim(range_width), batch_format="pyarrow").materialize()
     packed = pack_by_budget(s, "rec_bytes", cap, ["seq"])
     rows = _join(src, packed, on="seq", how="inner")
 
@@ -303,3 +313,64 @@ def read_warc_shards(warc_dir: str):
         )
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+def cdx_index(spool_dir: str, cap: int = WARC_CAP_BYTES, range_width: int = 64):
+    """CDX-style lookup index for :func:`write_warc_shards` — the standard
+    web-archive companion file mapping every URL to (archive shard, byte
+    offset, record length) so a single record is retrievable with one
+    ranged read, no archive scan.  Reference analog: the reference's DB
+    path→row lookup (app/index_files.py); web archives ship CDX.
+
+    Offsets are a pure function of the SAME two-level distributed prefix
+    scan the writer uses (offset within shard = global exclusive prefix −
+    the shard's first prefix, shard = floor(prefix / cap)), so the index
+    is computed WITHOUT touching archive bytes: payload bytes never ride
+    the scan, the per-shard base table is shard-count-bounded, and the
+    URL decoration is a size-aware join on seq.  Certified two ways: the
+    SQL oracle replays the arithmetic end-to-end, and the pytest seeks
+    into the real archive at (shard, off) and parses the record back."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.joins import join as _join
+    from .textops import pack_by_budget
+
+    src = ray.data.read_parquet(spool_dir, columns=["seq", "url", "bytes"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("bytes")))
+
+    src = src.map_batches(keep, batch_format="pyarrow")
+    s = src.map_batches(_warc_slim(range_width), batch_format="pyarrow").materialize()
+    packed = pack_by_budget(s, "rec_bytes", cap, ["seq"], emit_prefix=True).materialize()
+
+    # per-shard first prefix: shard-count-bounded grouped min, broadcast
+    bases_pd = packed.groupby("bin").min("prefix").to_pandas()
+    base_of = dict(zip(bases_pd["bin"].astype(int), bases_pd["min(prefix)"].astype(int)))
+
+    def offs(b: pa.Table) -> pa.Table:
+        bins = b.column("bin").to_numpy(zero_copy_only=False)
+        prefix = b.column("prefix").to_numpy(zero_copy_only=False)
+        # few distinct shards per batch: vectorized base lookup via searchsorted
+        uniq = np.unique(bins)
+        base = np.array([base_of[int(u)] for u in uniq], dtype=np.int64)
+        off = prefix - base[np.searchsorted(uniq, bins)]
+        return pa.table(
+            {
+                "seq": b.column("seq").cast(pa.int64()),
+                "shard": b.column("bin").cast(pa.int64()),
+                "off": pa.array(off, pa.int64()),
+                "rlen": b.column("rec_bytes").cast(pa.int64()),
+            }
+        )
+
+    idx = packed.map_batches(offs, batch_format="pyarrow")
+    urls = ray.data.read_parquet(spool_dir, columns=["seq", "url"])
+
+    def slim_u(b: pa.Table) -> pa.Table:
+        return pa.table({"seq": b.column("seq").cast(pa.int64()), "url": b.column("url")})
+
+    urls = urls.map_batches(slim_u, batch_format="pyarrow")
+    out = _join(idx, urls, on="seq", how="inner")
+    return out.select_columns(["seq", "url", "shard", "off", "rlen"])

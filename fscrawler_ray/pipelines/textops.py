@@ -1250,7 +1250,7 @@ ORACLE_SQL["vocab_coverage"] = (
 # ---------------------------------------------------------------------------
 
 
-def pack_by_budget(slim, value_col: str, budget: int, order_cols: list[str]):
+def pack_by_budget(slim, value_col: str, budget: int, order_cols: list[str], emit_prefix: bool = False):
     """Greedy sequential packing: rows in global ``order_cols`` order go
     into ``budget``-sized bins, bin = floor(exclusive-prefix / budget).
     The global prefix sum is the classic two-level scan: per-``rng``
@@ -1258,7 +1258,9 @@ def pack_by_budget(slim, value_col: str, budget: int, order_cols: list[str]):
     cumsum over ranges → broadcast offsets → per-range in-group cumsum.
     ``slim`` must carry order_cols + value_col + an ``rng`` column whose
     ordering matches order_cols' leading key; callers materialize slim
-    (it is consumed by BOTH the totals pass and the packing groupby)."""
+    (it is consumed by BOTH the totals pass and the packing groupby).
+    ``emit_prefix=True`` additionally outputs the exclusive global byte
+    prefix per row (the CDX offset primitive)."""
     import numpy as np
     import pandas as pd
 
@@ -1276,6 +1278,8 @@ def pack_by_budget(slim, value_col: str, budget: int, order_cols: list[str]):
         out = {c: g[c].to_numpy() for c in order_cols}
         out[value_col] = n
         out["bin"] = (prefix // budget).astype(np.int64)
+        if emit_prefix:
+            out["prefix"] = prefix.astype(np.int64)
         return pd.DataFrame(out)
 
     return slim.groupby("rng").map_groups(pack, batch_format="pandas")

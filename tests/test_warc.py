@@ -89,3 +89,40 @@ def test_warc_shard_assignment_is_range_width_invariant(tmp_path, ray_session):
     assert a[["shard", "n_records", "payload_bytes", "warc_bytes"]].equals(
         b[["shard", "n_records", "payload_bytes", "warc_bytes"]]
     )
+
+
+def test_cdx_index_seeks_to_real_records(tmp_path, ray_session):
+    """The CDX index is computed WITHOUT reading archive bytes — certify
+    it against reality: seek into the written archive at every (shard,
+    off), read rlen bytes, and the slice must be a complete WARC record
+    whose URL and payload match the spool row."""
+    from fscrawler_ray.pipelines.sinks import cdx_index, write_warc_shards
+
+    spool, payloads = _spool(tmp_path, n=50, seed=7)
+    out = str(tmp_path / "warc")
+    cap = 18_000
+    write_warc_shards(spool, out, cap=cap, range_width=9).to_pandas()
+    idx = cdx_index(spool, cap=cap, range_width=9).to_pandas().sort_values("seq")
+
+    assert list(idx["seq"]) == [i for i, p in enumerate(payloads) if p is not None]
+    blobs = {}
+    for _, r in idx.iterrows():
+        shard = int(r["shard"])
+        if shard not in blobs:
+            with open(os.path.join(out, f"shard-{shard:06d}.warc"), "rb") as f:
+                blobs[shard] = f.read()
+        rec = blobs[shard][int(r["off"]) : int(r["off"]) + int(r["rlen"])]
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert rec.endswith(b"\r\n\r\n")
+        hdr, _, rest = rec.partition(b"\r\n\r\n")
+        fields = dict(
+            line.split(": ", 1) for line in hdr.decode().split("\r\n")[1:] if ": " in line
+        )
+        assert fields["WARC-Target-URI"] == r["url"]
+        assert rest[:-4] == payloads[int(r["seq"])]
+    # offsets tile each archive exactly: per shard, sorted offs are the
+    # exclusive cumsum of rlens and end at the file size
+    for shard, g in idx.groupby("shard"):
+        g = g.sort_values("off")
+        assert list(g["off"]) == [0] + list(g["rlen"].cumsum())[:-1]
+        assert g["rlen"].sum() == len(blobs[int(shard)])
