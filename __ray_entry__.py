@@ -21,6 +21,7 @@ CRAWL_SHARED_DIR = "/tmp/fscrawler_oracle_crawl_shared"
 ROBOTS_RULES_DIR = "/tmp/fscrawler_oracle_robots_rules"
 WDS_TAR_DIR = "/tmp/fscrawler_oracle_wds_tars"
 WARC_DIR = "/tmp/fscrawler_oracle_warc"
+SITEMAP_DIR = "/tmp/fscrawler_oracle_sitemaps"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
@@ -1159,6 +1160,51 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_sitemap_export(sf_dir: str):
+        """SQL-CHECKED sitemaps.org XML export: every crawled URL lands
+        in a per-host urlset file (file index = per-host seq-order rank
+        // max_urls via the keyed two-level scan — the protocol's 50k-URL
+        cap semantics at check scale), and the summary reports the REAL
+        on-disk XML sizes, which the oracle predicts purely from
+        escaped-URL length arithmetic + ROW_NUMBER file assignment."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.sinks import write_sitemaps
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(SITEMAP_DIR, ignore_errors=True)
+        summary = write_sitemaps(out, SITEMAP_DIR).map_batches(
+            lambda b: b.select(["host", "file_idx", "n_urls", "xml_bytes"]),
+            batch_format="pyarrow",
+        )
+        return _collect(
+            summary,
+            {
+                "host": pa.string(),
+                "file_idx": pa.int64(),
+                "n_urls": pa.int64(),
+                "xml_bytes": pa.int64(),
+            },
+        )
+
+    def crawl_sitemap_roundtrip(sf_dir: str):
+        """SQL-CHECKED sitemap loader: the XML files written by
+        crawl_sitemap_export are parsed back (<loc> entries, escapes
+        reversed, one task per file) and every (host, file_idx, url) row
+        is certified against the oracle's independent re-derivation of
+        the per-host rank assignment from the crawl spool."""
+        import os
+
+        from fscrawler_ray.pipelines.sinks import read_sitemaps, write_sitemaps
+
+        out = _shared_written_run(sf_dir)
+        if not os.path.isdir(SITEMAP_DIR) or not os.listdir(SITEMAP_DIR):
+            for _ in write_sitemaps(out, SITEMAP_DIR).iter_batches(batch_format="pyarrow"):
+                pass
+        return read_sitemaps(SITEMAP_DIR)
+
     def crawl_cdx_index(sf_dir: str):
         """SQL-CHECKED CDX-style archive index: every crawled URL maps to
         (shard, byte offset, record length) in the WARC export, computed
@@ -1340,6 +1386,8 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
         "crawl_url_canonical": crawl_url_canonical,
         "crawl_cdx_index": crawl_cdx_index,
+        "crawl_sitemap_export": crawl_sitemap_export,
+        "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
 
 
@@ -2410,6 +2458,33 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
     )
+    # Sitemap export: predict the REAL on-disk XML sizes from escaped-URL
+    # byte-length arithmetic and replay the per-host rank→file assignment
+    # with ROW_NUMBER; the roundtrip certifies the parsed-back rows
+    # against the same independent assignment.
+    from fscrawler_ray.pipelines.sinks import (
+        SITEMAP_FOOTER,
+        SITEMAP_HEADER,
+        SITEMAP_ROW_FIXED,
+    )
+
+    _sm_fixed = len(SITEMAP_HEADER) + len(SITEMAP_FOOTER)
+    _sm_esc = "replace(replace(replace(url,'&','&amp;'),'<','&lt;'),'>','&gt;')"
+    _sm_src = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, host, url "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "r AS (SELECT host, seq, url, "
+        f"CAST(octet_length(encode({_sm_esc})) + {SITEMAP_ROW_FIXED} AS BIGINT) AS row_bytes, "
+        "CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY seq) - 1) "
+        "// 100 AS BIGINT) AS f FROM t) "
+    )
+    sql["crawl_sitemap_export"] = (
+        _sm_src
+        + "SELECT host, f AS file_idx, CAST(count(*) AS BIGINT) AS n_urls, "
+        f"CAST(sum(row_bytes) + {_sm_fixed} AS BIGINT) AS xml_bytes "
+        "FROM r GROUP BY host, f"
+    )
+    sql["crawl_sitemap_roundtrip"] = _sm_src + "SELECT host, f AS file_idx, url FROM r"
     # CDX index: replay the full archive-layout arithmetic — exact record
     # size, global running byte prefix, shard = floor(prefix/cap), offset
     # = prefix − the shard's first prefix — in DuckDB window functions.

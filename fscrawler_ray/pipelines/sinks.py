@@ -374,3 +374,162 @@ def cdx_index(spool_dir: str, cap: int = WARC_CAP_BYTES, range_width: int = 64):
     urls = urls.map_batches(slim_u, batch_format="pyarrow")
     out = _join(idx, urls, on="seq", how="inner")
     return out.select_columns(["seq", "url", "shard", "off", "rlen"])
+
+
+# ---------------------------------------------------------------------------
+# Sitemap export — sitemaps.org XML urlsets, one file sequence per host
+# (the protocol caps a sitemap at 50k URLs / 50MB; the writer packs
+# per-host in seq order with the same keyed budget scan as the
+# aspect-bucketed tar shards).  Reference analog: the playlist XML export
+# (app/processors/playlist_generator.py:7-51), lifted to the crawl's
+# per-host output layout.
+# ---------------------------------------------------------------------------
+
+SITEMAP_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+SITEMAP_FOOTER = "</urlset>\n"
+SITEMAP_ROW_FIXED = len("  <url><loc></loc></url>\n")
+
+
+def _xml_escape_loc(urls: pa.Array) -> pa.Array:
+    """Vectorized &/</> escaping (& first — the oracle replays the same
+    replace order)."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring(urls, pattern="&", replacement="&amp;")
+    out = pc.replace_substring(out, pattern="<", replacement="&lt;")
+    return pc.replace_substring(out, pattern=">", replacement="&gt;")
+
+
+def write_sitemaps(spool_dir: str, dest_dir: str, max_urls: int = 100, range_width: int = 64):
+    """Export every crawled URL as per-host sitemaps.org XML urlsets:
+    file index = floor(per-host seq-order rank / max_urls) via
+    pack_by_budget_keyed's keyed two-level scan (unit weights ⇒ rank), so
+    a 10^10-URL crawl never sorts globally and the layout is a pure
+    per-host counting function — independently re-cuttable, `.done`
+    commit markers make re-runs skip finished files.
+
+    Returns per-file (host, file_idx, n_urls, xml_bytes, skipped) where
+    xml_bytes is the REAL on-disk size; the SQL oracle predicts it from
+    escaped-URL length arithmetic (a one-byte writer drift breaks it)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import join as _join
+    from .textops import pack_by_budget_keyed
+
+    os.makedirs(dest_dir, exist_ok=True)
+    src = ray.data.read_parquet(spool_dir, columns=["seq", "url", "host"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        seq = b.column("seq").cast(pa.int64())
+        return pa.table(
+            {
+                "seq": seq,
+                "host": b.column("host"),
+                "one": pa.array(np.ones(len(seq), dtype=np.int64)),
+                "rng": pc.divide(seq, range_width),
+            }
+        )
+
+    s = src.map_batches(slim, batch_format="pyarrow").materialize()
+    packed = pack_by_budget_keyed(s, "one", max_urls, ["seq"], key="host")
+
+    def arrow_norm(b: pa.Table) -> pa.Table:
+        # pandas map_groups emits object-dtype strings; pin arrow types
+        # before the size-aware join's schema inference
+        return pa.table(
+            {
+                "seq": b.column("seq").cast(pa.int64()),
+                "host": b.column("host").cast(pa.string()),
+                "bin": b.column("bin").cast(pa.int64()),
+            }
+        )
+
+    packed = packed.map_batches(arrow_norm, batch_format="pyarrow")
+
+    def slim_u(b: pa.Table) -> pa.Table:
+        return pa.table({"seq": b.column("seq").cast(pa.int64()), "url": b.column("url")})
+
+    rows = _join(src.map_batches(slim_u, batch_format="pyarrow"), packed, on="seq", how="inner")
+
+    def write_one(g):
+        import pandas as pd
+
+        g = g.sort_values("seq")
+        host, k = str(g["host"].iloc[0]), int(g["bin"].iloc[0])
+        path = os.path.join(dest_dir, f"sitemap-{host}-{k:05d}.xml")
+        done = path + ".done"
+        if os.path.exists(done) and os.path.exists(path):
+            return pd.DataFrame(
+                {
+                    "host": [host],
+                    "file_idx": [k],
+                    "n_urls": [len(g)],
+                    "xml_bytes": [int(os.path.getsize(path))],
+                    "skipped": [True],
+                }
+            )
+        esc = _xml_escape_loc(pa.array(g["url"], pa.string())).to_pylist()
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(SITEMAP_HEADER)
+            for u in esc:
+                f.write(f"  <url><loc>{u}</loc></url>\n")
+            f.write(SITEMAP_FOOTER)
+        with open(done, "w") as f:
+            f.write("ok\n")
+        return pd.DataFrame(
+            {
+                "host": [host],
+                "file_idx": [k],
+                "n_urls": [len(g)],
+                "xml_bytes": [int(os.path.getsize(path))],
+                "skipped": [False],
+            }
+        )
+
+    return rows.groupby(["host", "bin"]).map_groups(write_one, batch_format="pandas")
+
+
+def read_sitemaps(dest_dir: str):
+    """Loader side of :func:`write_sitemaps`: one task per XML file,
+    parsing <loc> entries back into (host, file_idx, url) rows with the
+    escape order reversed."""
+    import glob
+    import re
+
+    files = sorted(glob.glob(os.path.join(dest_dir, "sitemap-*.xml")))
+    meta = [re.match(r"sitemap-(.+)-(\d+)\.xml$", os.path.basename(p)) for p in files]
+    t = pa.table(
+        {
+            "host": pa.array([m.group(1) for m in meta], pa.string()),
+            "file_idx": pa.array([int(m.group(2)) for m in meta], pa.int64()),
+            "path": pa.array(files, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(max(1, len(files)))
+
+    def load(b: pa.Table) -> pa.Table:
+        hosts, idxs, urls = [], [], []
+        for host, k, path in zip(
+            b.column("host").to_pylist(),
+            b.column("file_idx").to_pylist(),
+            b.column("path").to_pylist(),
+        ):
+            with open(path, encoding="utf-8") as f:
+                body = f.read()
+            for loc in re.findall(r"<loc>(.*?)</loc>", body):
+                u = loc.replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+                hosts.append(host)
+                idxs.append(k)
+                urls.append(u)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "file_idx": pa.array(idxs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return ds.map_batches(load, batch_format="pyarrow")

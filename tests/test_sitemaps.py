@@ -1,0 +1,62 @@
+"""Sitemap XML export: per-host urlset packing, real-size summary,
+resume-skip markers, parse-back roundtrip.
+
+Reference analog: the XML playlist export
+(app/processors/playlist_generator.py:7-51) lifted to the crawl's
+per-host layout with the sitemaps.org 50k-URL cap semantics."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _spool(tmp_path, n=90):
+    # URLs include &/< to exercise the escape path end-to-end
+    urls = [
+        f"http://h{i % 4}.test/p/{i}?a=1&b=<{i}>" if i % 5 == 0 else f"http://h{i % 4}.test/p/{i}"
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array([f"h{i % 4}.test" for i in range(n)], pa.string()),
+        }
+    )
+    d = str(tmp_path / "spool")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    return d, urls
+
+
+def test_sitemap_export_roundtrip_resume(tmp_path, ray_session):
+    from fscrawler_ray.pipelines.sinks import read_sitemaps, write_sitemaps
+
+    spool, urls = _spool(tmp_path)
+    out = str(tmp_path / "maps")
+    summary = write_sitemaps(spool, out, max_urls=10, range_width=7).to_pandas()
+    assert not summary["skipped"].any()
+    # 4 hosts x ~23 urls, cap 10 => 3 files per host
+    assert summary["n_urls"].sum() == len(urls)
+    assert (summary.groupby("host")["file_idx"].max() >= 2).all()
+    for _, r in summary.iterrows():
+        p = os.path.join(out, f"sitemap-{r['host']}-{int(r['file_idx']):05d}.xml")
+        assert os.path.getsize(p) == int(r["xml_bytes"])
+        body = open(p, encoding="utf-8").read()
+        assert body.startswith('<?xml version="1.0"')
+        assert body.rstrip().endswith("</urlset>")
+        assert "&" not in body.replace("&amp;", "").replace("&lt;", "").replace("&gt;", "")
+
+    back = read_sitemaps(out).to_pandas()
+    assert sorted(back["url"]) == sorted(urls)  # escapes reversed exactly
+    # per-host file assignment is the seq-order rank // cap
+    for host, g in back.groupby("host"):
+        idx = [int(u.rsplit("/", 1)[1].split("?")[0]) for u in g["url"]]
+        order = sorted(range(len(idx)), key=lambda j: idx[j])
+        ranks = {j: r for r, j in enumerate(order)}
+        for j, (_, row) in enumerate(g.iterrows()):
+            assert row["file_idx"] == ranks[j] // 10
+
+    again = write_sitemaps(spool, out, max_urls=10, range_width=7).to_pandas()
+    assert again["skipped"].all()
