@@ -1160,6 +1160,17 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_url_templates(sf_dir: str):
+        """SQL-CHECKED per-host URL template mining: digit runs in the
+        URL path collapse to N and URLs are counted per (host, template)
+        with depth sum/sq-sum moments — the crawler-trap / URL-space
+        diagnostic (discovers the patterns the reference's PatternFilter
+        takes as config).  One streaming RE2 pass into a template-bounded
+        grouped sum."""
+        from fscrawler_ray.pipelines.crawl_report import url_templates
+
+        return url_templates(_shared_written_run(sf_dir))
+
     def crawl_sitemap_export(sf_dir: str):
         """SQL-CHECKED sitemaps.org XML export: every crawled URL lands
         in a per-host urlset file (file index = per-host seq-order rank
@@ -1386,6 +1397,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
         "crawl_url_canonical": crawl_url_canonical,
         "crawl_cdx_index": crawl_cdx_index,
+        "crawl_url_templates": crawl_url_templates,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -2457,6 +2469,19 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    # URL template mining: replay path extraction + digit-run collapse +
+    # grouped moments in DuckDB RE2.
+    sql["crawl_url_templates"] = (
+        "WITH t AS (SELECT host, CAST(depth AS BIGINT) AS depth, "
+        r"regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS p0 "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "r AS (SELECT host, depth, regexp_replace("
+        "CASE WHEN p0 = '' THEN '/' ELSE p0 END, '[0-9]+', 'N', 'g') AS template FROM t) "
+        "SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(depth) AS BIGINT) AS depth_sum, "
+        "CAST(sum(depth * depth) AS BIGINT) AS depth_sq_sum "
+        "FROM r GROUP BY host, template HAVING count(*) >= 3"
     )
     # Sitemap export: predict the REAL on-disk XML sizes from escaped-URL
     # byte-length arithmetic and replay the per-host rank→file assignment

@@ -1097,3 +1097,62 @@ def url_canonical_map(trace_dir: str):
         )
 
     return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def url_templates(out_dir: str, min_count: int = 3):
+    """Per-host URL template mining: collapse every digit run in the URL
+    path to ``N`` and count URLs per (host, template) — the standard
+    crawler diagnostic for parameter-space traps (calendar pages,
+    session-id pagination) and for prioritizing which URL patterns carry
+    unique content.  Reference analog: the reference's path-pattern
+    filters match literal patterns (app/filters/path/pattern_filter.py);
+    template mining DISCOVERS the patterns from the crawl itself.
+
+    One streaming pass (extract path → collapse digits, all RE2 kernels)
+    into a (host, template)-keyed grouped count — output is bounded by
+    the distinct-template count, never the URL count.  Emits templates
+    with ≥ min_count URLs plus per-template distinct-depth spread."""
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(out_dir, columns=["url", "host", "depth"])
+
+    def kern(b: pa.Table) -> pa.Table:
+        path = pc.struct_field(
+            pc.extract_regex(b.column("url"), r"^[a-z]+://[^/?#]*(?P<p>[^?#]*)"), "p"
+        )
+        path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+        tpl = pc.replace_substring_regex(path, pattern="[0-9]+", replacement="N")
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "template": tpl,
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+                "depth": b.column("depth").cast(pa.int64()),
+                "depth2": pc.multiply(
+                    b.column("depth").cast(pa.int64()), b.column("depth").cast(pa.int64())
+                ),
+            }
+        )
+
+    g = grouped_sum(
+        ds.map_batches(kern, batch_format="pyarrow"),
+        ["host", "template"],
+        {"one": "n_urls", "depth": "depth_sum", "depth2": "depth_sq_sum"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("n_urls"), min_count)
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "template": b.column("template"),
+                "n_urls": b.column("n_urls").cast(pa.int64()),
+                "depth_sum": b.column("depth_sum").cast(pa.int64()),
+                "depth_sq_sum": b.column("depth_sq_sum").cast(pa.int64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
