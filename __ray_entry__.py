@@ -27,6 +27,7 @@ AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
 HOST_HITS_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_hits"
+HOST_PPR_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_ppr"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
 
@@ -64,6 +65,7 @@ ROWS_ONLY_REASONS: dict[str, str] = {
 }
 PAGERANK_EXACT_ITERS = 20
 HITS_EXACT_ITERS = 8
+PPR_EXACT_ITERS = 6
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -1337,6 +1339,36 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             {"host": t.column("node"), "hub": t.column("hub"), "authority": t.column("authority")}
         )
 
+    def host_ppr(sf_dir: str):
+        """SQL-CHECKED personalized PageRank (Haveliwala 2002) over the
+        spooled host-edge table: restart mass concentrates on the top-4
+        out-degree hosts (the trusted-hub seed rule), PPR_EXACT_ITERS
+        integer rounds with trunc-div damping — every intermediate an
+        exact int64 DuckDB replays in HUGEINT from the same spooled
+        edges (no floats, no rtol).  The focused-crawl priority signal
+        beside host_hits."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import personalized_pagerank
+
+        shutil.rmtree(HOST_PPR_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_PPR_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_PPR_EDGES_DIR)
+        t = personalized_pagerank(
+            e, src_col="src_host", dst_col="dst_host", iters=PPR_EXACT_ITERS
+        )
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "score": t.column("score"),
+                "is_seed": t.column("is_seed"),
+            }
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -1392,6 +1424,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": host_pagerank,
         "host_pagerank_exact": host_pagerank_exact,
         "host_hits": host_hits,
+        "host_ppr": host_ppr,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
@@ -2363,6 +2396,41 @@ def _host_hits_oracle(iters: int = HITS_EXACT_ITERS) -> str:
     return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
+def _host_ppr_oracle(iters: int = PPR_EXACT_ITERS, n_seeds: int = 4) -> str:
+    """DuckDB replay of host_ppr: seeds = top-n by (outdeg DESC, node),
+    bonus = 15·scale // (100·n_seeds), then ``iters`` unrolled rounds of
+    w[u] = r[u]·85 // (100·outdeg[u]) → grouped HUGEINT in-sum →
+    r' = bonus·is_seed + raw.  Bit-exact, no rtol."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src_host AS s, dst_host AS t "
+        f"FROM read_parquet('{HOST_PPR_EDGES_DIR}/*.parquet')), "
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT t FROM e), "
+        "deg AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS HUGEINT) AS od "
+        "FROM e GROUP BY s), "
+        f"seeds AS MATERIALIZED (SELECT node FROM deg ORDER BY od DESC, node LIMIT {n_seeds}), "
+        "b AS MATERIALIZED (SELECT nd.node, "
+        f"CAST(CASE WHEN sd.node IS NULL THEN 0 ELSE 15 * 1000000 // (100 * {n_seeds}) END "
+        "AS HUGEINT) AS bonus FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node), "
+        "r0 AS MATERIALIZED (SELECT node, bonus AS r FROM b), ",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT d.node, CAST(p.r * 85 // (100 * d.od) AS HUGEINT) "
+            f"AS w FROM deg d JOIN r{k - 1} p ON p.node = d.node WHERE p.r > 0), "
+            f"raw{k} AS MATERIALIZED (SELECT e.t AS node, sum(w.w) AS raw "
+            f"FROM e JOIN w{k} w ON w.node = e.s GROUP BY e.t), "
+            f"r{k} AS MATERIALIZED (SELECT b.node, "
+            f"CAST(b.bonus + coalesce(r.raw, 0) AS HUGEINT) AS r "
+            f"FROM b LEFT JOIN raw{k} r ON r.node = b.node), "
+        )
+    parts.append(
+        f"SELECT b.node AS host, CAST(r{iters}.r AS BIGINT) AS score, "
+        "CAST(CASE WHEN b.bonus > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed "
+        f"FROM b JOIN r{iters} ON r{iters}.node = b.node"
+    )
+    return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
+
+
 def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
@@ -2683,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["host_pagerank_exact"] = _host_pagerank_oracle()
     sql["host_hits"] = _host_hits_oracle()
+    sql["host_ppr"] = _host_ppr_oracle()
     sql["crawl_host_bfs"] = (
         "WITH RECURSIVE e AS (SELECT DISTINCT src_host AS s, dst_host AS d "
         f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet')), "

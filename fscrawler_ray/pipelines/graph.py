@@ -647,3 +647,97 @@ def bfs_layers(edges_ds, source=None, src_col: str = "src", dst_col: str = "dst"
             "dist": pa.array([visited[n] for n in nodes], pa.int64()),
         }
     )
+
+
+def personalized_pagerank(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 6,
+    scale: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+    n_seeds: int = 4,
+):
+    """Integer-exact personalized PageRank (topic-sensitive PageRank,
+    Haveliwala 2002) over a directed edge Dataset → pa.Table(node,
+    score, is_seed).  The restart vector concentrates on ``n_seeds``
+    trusted seed nodes — deterministically the top-``n_seeds`` by
+    (out-degree DESC, node ASC), the "good hub" seed rule — making this
+    the focused-crawl priority signal (reference analog: the frontier
+    ordering gestured at in SURVEY §2.1 S1, but importance-directed).
+
+    Update rule, every intermediate an exact integer (trunc division)
+    so a SQL engine replays it bit-for-bit in HUGEINT::
+
+        w_k[u]   = r_k[u] * d_num // (d_den * outdeg[u])
+        raw[v]   = Σ_in w_k[u]
+        r_{k+1}[v] = bonus[v] + raw[v]
+        bonus[v] = (d_den - d_num) * scale // (d_den * n_seeds)  (seeds)
+        r_0 = bonus
+
+    Dangling mass is dropped, not redistributed (documented contract:
+    scores are a lower bound that preserves ranking among reachable
+    nodes; redistribution would make every step data-dependent float
+    division).
+
+    Scale posture mirrors :func:`hits`: the edge stream materializes
+    once in the object store and never reaches the driver; each
+    iteration is ONE join of the edge stream against the node→share
+    table plus ONE per-destination grouped int sum; driver state is the
+    node-table only.
+    """
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src_col), "dst": b.column(dst_col)})
+
+    e = edges_ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    deg: dict = {}
+    universe: set = set()
+    for b in e.groupby("src").count().iter_batches(batch_format="pyarrow"):
+        for n, c in zip(b.column("src").to_pylist(), b.column("count()").to_pylist()):
+            deg[n] = int(c)
+            universe.add(n)
+    for b in e.groupby("dst").count().iter_batches(batch_format="pyarrow"):
+        universe.update(b.column("dst").to_pylist())
+    universe.discard(None)
+    if not universe:
+        empty = pa.array([], pa.int64())
+        return pa.table({"node": pa.array([], pa.string()), "score": empty, "is_seed": empty})
+    nodes = sorted(universe)
+    idx = {n: i for i, n in enumerate(nodes)}
+    node_arr = pa.array(nodes)
+
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[:n_seeds]
+    bonus = (d_den - d_num) * scale // (d_den * len(seeds))
+    is_seed = [1 if n in set(seeds) else 0 for n in nodes]
+    r = [bonus * s for s in is_seed]
+
+    for _ in range(iters):
+        nz = [i for i in range(len(nodes)) if r[i] > 0 and deg.get(nodes[i], 0) > 0]
+        if nz:
+            contrib = pa.table(
+                {
+                    "src": pc.take(node_arr, pa.array(nz, pa.int64())),
+                    "w": pa.array(
+                        [r[i] * d_num // (d_den * deg[nodes[i]]) for i in nz], pa.int64()
+                    ),
+                }
+            )
+            summed = join(e, contrib, on="src", how="inner").groupby("dst").sum("w")
+            raw = [0] * len(nodes)
+            for b in summed.iter_batches(batch_format="pyarrow"):
+                for n, s in zip(b.column("dst").to_pylist(), b.column("sum(w)").to_pylist()):
+                    raw[idx[n]] = int(s)
+        else:
+            raw = [0] * len(nodes)
+        r = [bonus * s + w for s, w in zip(is_seed, raw)]
+
+    return pa.table(
+        {
+            "node": node_arr,
+            "score": pa.array(r, pa.int64()),
+            "is_seed": pa.array(is_seed, pa.int64()),
+        }
+    )

@@ -296,3 +296,54 @@ def test_hits_random_digraph_matches_reference_and_block_split():
         out = hits(ds).to_pandas()
         got = {r["node"]: (r["hub"], r["authority"]) for _, r in out.iterrows()}
         assert got == ref
+
+
+def test_personalized_pagerank_integer_exact_and_seed_locality():
+    """PPR: (1) the distributed run matches a driver-side replay of the
+    exact integer recurrence; (2) restart mass keeps nodes near the seed
+    ranked above structurally similar nodes far from it."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.graph import personalized_pagerank
+
+    # a 4-cycle (a0..a3) bridged into a second 4-cycle (b0..b3) from a3 —
+    # three hops downstream of the seed; the seed rule (top out-degree,
+    # name asc) lands on a0 (outdeg 2, ties with a3 broken by name)
+    edges = [
+        ("a0", "a1"), ("a0", "a2"), ("a1", "a2"), ("a2", "a3"), ("a3", "a0"),
+        ("a3", "b0"),
+        ("b0", "b1"), ("b1", "b2"), ("b2", "b3"), ("b3", "b0"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    out = personalized_pagerank(
+        ray.data.from_arrow(t), iters=6, n_seeds=1
+    ).to_pandas().set_index("node")
+
+    assert out.loc["a0", "is_seed"] == 1 and out["is_seed"].sum() == 1
+
+    # driver replay of the same integer recurrence
+    nodes = sorted(set(s for s, _ in edges) | set(d for _, d in edges))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    bonus = 15 * 1_000_000 // 100
+    r = {n: bonus if n == "a0" else 0 for n in nodes}
+    for _ in range(6):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            if r[s] > 0:
+                raw[d] += r[s] * 85 // (100 * deg[s])
+        r = {n: (bonus if n == "a0" else 0) + raw[n] for n in nodes}
+    for n in nodes:
+        assert int(out.loc[n, "score"]) == r[n], n
+
+    # locality: the a-cycle (seed side) outranks the b-cycle mirror nodes
+    assert out.loc["a1", "score"] > out.loc["b1", "score"]
+    assert out.loc["a0", "score"] > out.loc["b0", "score"]
