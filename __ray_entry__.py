@@ -2327,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "collocations": lambda sf: textops.q_collocations(sf),
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
+            "pii_scrub": decontam.q_pii_scrub,
             "dup_spans_docs": decontam.q_dup_spans_docs,
             "boilerplate_docs": decontam.q_boilerplate_docs,
         }

@@ -316,6 +316,91 @@ def q_repetition_docs(sf_dir: str):
     return repetition_stats(_docs(sf_dir), w=2)
 
 
+# PII scrubbing patterns — RE2-compatible so pyarrow.compute and DuckDB
+# execute the IDENTICAL automaton (the FineWeb/Pile anonymization step:
+# emails, US-style phone numbers, IPv4 addresses → typed placeholders).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(ds):
+    """Scrub PII from a (doc_id, text) Dataset: replace emails → <EMAIL>,
+    phone numbers → <PHONE>, IPv4 → <IP> (in that fixed order — emails
+    first so their dotted domains can't be half-eaten by the IP rule)
+    and count each category per doc.  One zero-shuffle streaming pass;
+    every kernel is a compiled RE2 via pyarrow.compute (count, then
+    global replace)."""
+
+    def kern(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_em = pc.count_substring_regex(text, PII_EMAIL_RE).cast(pa.int64())
+        clean = pc.replace_substring_regex(text, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+        n_ph = pc.count_substring_regex(clean, PII_PHONE_RE).cast(pa.int64())
+        clean = pc.replace_substring_regex(clean, pattern=PII_PHONE_RE, replacement="<PHONE>")
+        n_ip = pc.count_substring_regex(clean, PII_IP_RE).cast(pa.int64())
+        clean = pc.replace_substring_regex(clean, pattern=PII_IP_RE, replacement="<IP>")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_emails": n_em,
+                "n_phones": n_ph,
+                "n_ips": n_ip,
+                "text_clean": clean,
+            }
+        )
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def q_pii_scrub(sf_dir: str):
+    """SQL-CHECKED PII scrub: the synthetic corpus carries no PII, so
+    each doc is first dirtied by a DETERMINISTIC doc_id-keyed injection
+    (doc_id % 4 ∈ {nothing, email, email+phone, all three} appended with
+    id-derived addresses) and then scrubbed; the oracle rebuilds the
+    SAME dirty text and replays the full count+replace chain in DuckDB
+    RE2, certifying the scrub kernels end-to-end (the crawl_url_canonical
+    exerciser pattern)."""
+
+    def dirty(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").cast(pa.int64())
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        id_s = pc.cast(d, pa.string())
+        email = pc.binary_join_element_wise(
+            pa.scalar(" Contact user"), id_s, pa.scalar("@example.org now."), ""
+        )
+        phone = pc.binary_join_element_wise(
+            pa.scalar(" Call 555-"),
+            pc.utf8_lpad(pc.cast(pa.array(dn % 10000, pa.int64()), pa.string()), 4, "0"),
+            pa.scalar(" today."),
+            "",
+        )
+        ip = pc.binary_join_element_wise(
+            pa.scalar(" Logged from 10."),
+            pc.cast(pa.array(dn % 256, pa.int64()), pa.string()),
+            pa.scalar("."),
+            pc.cast(pa.array((dn // 256) % 256, pa.int64()), pa.string()),
+            pa.scalar("."),
+            pc.cast(pa.array((dn // 65536) % 256, pa.int64()), pa.string()),
+            pa.scalar(" tonight."),
+            "",
+        )
+        v = dn % 4
+        empty = pa.scalar("")
+        add_email = pc.if_else(pa.array(v >= 1), email, empty)
+        add_phone = pc.if_else(pa.array(v >= 2), phone, empty)
+        add_ip = pc.if_else(pa.array(v == 3), ip, empty)
+        out = pc.binary_join_element_wise(text, add_email, add_phone, add_ip, "")
+        return pa.table({"doc_id": d, "text": out})
+
+    return pii_scrub(_docs(sf_dir).map_batches(dirty, batch_format="pyarrow"))
+
+
 ORACLE_SQL = {
     "decontam_hits": (
         "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "
@@ -340,6 +425,28 @@ ORACLE_SQL = {
         "s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i*16 AS BIGINT) AS pos, "
         "substr(text, CAST(i*16+1 AS BIGINT), 32) AS sh FROM idx) "
         "SELECT doc_id, pos FROM s WHERE sh IN (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2)"
+    ),
+    "pii_scrub": (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text, "
+        "' Contact user' || CAST(doc_id AS VARCHAR) || '@example.org now.' AS em, "
+        "' Call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.' AS ph, "
+        "' Logged from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id // 256) % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id // 65536) % 256 AS VARCHAR) || ' tonight.' AS ip FROM documents), "
+        "t AS (SELECT id AS doc_id, text || "
+        "CASE WHEN id % 4 >= 1 THEN em ELSE '' END || "
+        "CASE WHEN id % 4 >= 2 THEN ph ELSE '' END || "
+        "CASE WHEN id % 4 = 3 THEN ip ELSE '' END AS dirty FROM d), "
+        "s1 AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+        "regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS c1 FROM t), "
+        "s2 AS (SELECT doc_id, n_emails, "
+        "CAST(len(regexp_extract_all(c1, '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phones, "
+        "regexp_replace(c1, '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS c2 FROM s1) "
+        "SELECT doc_id, n_emails, n_phones, "
+        "CAST(len(regexp_extract_all(c2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips, "
+        "regexp_replace(c2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS text_clean "
+        "FROM s2"
     ),
     "repetition_docs": (
         "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "

@@ -215,3 +215,32 @@ def test_dup_spans_codepoint_alignment(tmp_path, ray_session):
     )
     df = q_dup_spans_docs(str(tmp_path)).to_pandas()
     assert sorted(zip(df["doc_id"], df["pos"])) == [(1, 0), (2, 16)]
+
+
+def test_pii_scrub_kernel(ray_session):
+    """Hand-built PII shapes (not the injected exerciser): emails with
+    dots/plus tags, phones, IPv4s — scrubbed in the fixed order with
+    exact per-category counts."""
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.decontam import pii_scrub
+
+    rows = [
+        "write to jane.doe+spam@mail.example.co.uk or bob@x.io thanks",
+        "call 555-0199 or 555-12345 from 192.168.0.1",
+        "plain text with no pii at all",
+        "server 10.0.0.255 and 256.1.1.1 still match the naive rule",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()), "text": pa.array(rows)})
+    out = pii_scrub(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+
+    assert list(out["n_emails"]) == [2, 0, 0, 0]
+    assert out["text_clean"].iloc[0] == "write to <EMAIL> or <EMAIL> thanks"
+    # 555-12345 must NOT match (trailing digit kills the word boundary)
+    assert list(out["n_phones"]) == [0, 1, 0, 0]
+    assert "555-12345" in out["text_clean"].iloc[1]
+    assert "<PHONE>" in out["text_clean"].iloc[1]
+    # naive IPv4 rule: both dotted quads match (documented: no 0-255 range check)
+    assert list(out["n_ips"]) == [0, 1, 0, 2]
+    assert out["text_clean"].iloc[3] == "server <IP> and <IP> still match the naive rule"
