@@ -2188,6 +2188,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # cluster — RNG-free, partition-invariant
             "cluster_balanced_sample": lambda sf: similarity.cluster_balanced_sample(sf),
             "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
+            # winnowing (MOSS) fingerprints: sliding-window min over char
+            # k-gram hashes, rightmost ties — the (w+k-1)-guarantee
+            # substring fingerprint beside dup_spans' fixed stride
+            "winnow_fingerprints": lambda sf: dedup.q_winnow_fingerprints(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),

@@ -1463,3 +1463,104 @@ def caption_conflict(images_ds):
         )
 
     return images_ds.groupby("phash").map_groups(agg, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): per document, hash every char k-gram, slide a w-window over
+# the hash sequence, keep the window minimum (rightmost on ties), dedupe
+# picks by position.  Guarantee: any substring match of length ≥ w+k-1
+# shares at least one fingerprint — the robust alternative to the fixed-
+# stride tiles of dup_spans.  Reference analog: content-hash dedup
+# (app/crawler/file_system_crawler.py content hashing), at substring
+# granularity.
+# ---------------------------------------------------------------------------
+
+WINNOW_MOD = 2305843009213693951  # 2^61 - 1: fp fits int64 on both sides
+
+
+def winnow_fingerprints(ds, k: int = 12, w: int = 5):
+    """(doc_id, pos, fp) winnowing fingerprints.  The k-gram hash is the
+    md5 oracle twin (md5_u64_batch ≡ DuckDB md5_number_upper, reduced
+    mod 2^61-1) so the SQL oracle replays selection bit-for-bit; a scale
+    deployment would swap in the rolling xxh64 with identical selection
+    logic.  Per-batch: one unique-amortized md5 pass over the flattened
+    gram list, then a fully vectorized sliding-window min per doc
+    (numpy stride tricks; rightmost ties via reversed argmin).  Docs
+    shorter than k+w-1 chars emit nothing (no full window exists)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.sketches import md5_u64_batch
+
+    def kern(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").cast(pa.int64()).to_pylist()
+        texts = b.column("text").to_pylist()
+        grams, bounds, docs_kept = [], [0], []
+        for did, t in zip(doc, texts):
+            if t is None or len(t) < k + w - 1:
+                continue
+            n = len(t) - k + 1
+            grams.extend(t[i : i + k] for i in range(n))
+            bounds.append(bounds[-1] + n)
+            docs_kept.append(did)
+        if not grams:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                }
+            )
+        h = (md5_u64_batch(pa.array(grams, pa.string())) % np.uint64(WINNOW_MOD)).astype(
+            np.int64
+        )
+        out_doc, out_pos, out_fp = [], [], []
+        for di, did in enumerate(docs_kept):
+            seg = h[bounds[di] : bounds[di + 1]]
+            sw = sliding_window_view(seg, w)
+            # rightmost min per window: argmin over the reversed window
+            rel = w - 1 - np.argmin(sw[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(sw)) + rel)
+            out_doc.append(np.full(len(sel), did, dtype=np.int64))
+            out_pos.append(sel + 1)  # 1-based, matching SQL substr
+            out_fp.append(seg[sel])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "pos": pa.array(np.concatenate(out_pos)),
+                "fp": pa.array(np.concatenate(out_fp)),
+            }
+        )
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def q_winnow_fingerprints(sf_dir: str, k: int = 12, w: int = 5):
+    """SQL-CHECKED winnowing over a deterministic 1/8 doc sample (the
+    md5 twin hashes every k-gram at stride 1 — sampled to keep the
+    exerciser cheap; selection logic is scale-independent)."""
+
+    def sample(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").cast(pa.int64())
+        return b.filter(pc.equal(pa.array(d.to_numpy(zero_copy_only=False) % 8), 0))
+
+    return winnow_fingerprints(_docs(sf_dir).map_batches(sample, batch_format="pyarrow"), k=k, w=w)
+
+
+ORACLE_SQL["winnow_fingerprints"] = (
+    "WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+    "WHERE doc_id % 8 = 0 AND length(text) >= 16), "
+    "p AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 11)) AS i FROM t), "
+    "h AS (SELECT doc_id, CAST(i AS BIGINT) AS i, "
+    "CAST(md5_number_upper(substr(text, CAST(i AS BIGINT), 12)) % 2305843009213693951 "
+    "AS BIGINT) AS hv FROM p), "
+    "n AS (SELECT doc_id, max(i) AS n FROM h GROUP BY doc_id), "
+    "win AS (SELECT doc_id, i AS j, min(hv) OVER (PARTITION BY doc_id ORDER BY i "
+    "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mn FROM h), "
+    "wv AS (SELECT win.doc_id, j, mn FROM win JOIN n ON n.doc_id = win.doc_id "
+    "WHERE j <= n.n - 4), "
+    "sel AS (SELECT wv.doc_id, wv.j, max(b.i) AS pos, wv.mn FROM wv "
+    "JOIN h b ON b.doc_id = wv.doc_id AND b.i BETWEEN wv.j AND wv.j + 4 AND b.hv = wv.mn "
+    "GROUP BY wv.doc_id, wv.j, wv.mn) "
+    "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(mn AS BIGINT) AS fp FROM sel"
+)

@@ -211,3 +211,39 @@ def test_corpus_funnel_planted(tmp_path):
     # tokens (both start with `good`), so it carries the benchmark gram
     # and is dropped too
     assert out["decontam"] == 0
+
+
+def test_winnow_fingerprints_guarantee_and_dedup(ray_session):
+    """Winnowing (k=12, w=5): (1) two docs sharing a substring of length
+    >= w+k-1 = 16 share at least one fingerprint VALUE; (2) selected
+    positions are unique per doc and 1-based within bounds; (3) a doc
+    shorter than k+w-1 emits nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"  # 33 chars >> 16
+    rng = np.random.default_rng(3)
+    junk = lambda n: "".join(rng.choice(list("abcdefgh ")) for _ in range(n))
+    docs = [
+        junk(40) + shared + junk(40),
+        junk(55) + shared + junk(25),
+        junk(90),        # no shared substring
+        "tiny",          # < k+w-1: no full window
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(docs)})
+    out = winnow_fingerprints(ray.data.from_arrow(t), k=12, w=5).to_pandas()
+
+    assert not (out["doc_id"] == 3).any()
+    fp0 = set(out.loc[out["doc_id"] == 0, "fp"])
+    fp1 = set(out.loc[out["doc_id"] == 1, "fp"])
+    assert fp0 & fp1, "guarantee: >=16-char shared substring must share a fingerprint"
+    for did, g in out.groupby("doc_id"):
+        assert g["pos"].is_unique
+        assert (g["pos"] >= 1).all()
+        assert (g["pos"] <= len(docs[did]) - 12 + 1).all()
+    # density sanity: winnowing picks roughly 2/(w+1) of positions
+    n0 = len(docs[0]) - 12 + 1
+    assert len(fp0) <= n0 and len(out[out["doc_id"] == 0]) >= n0 // 6
