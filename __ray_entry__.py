@@ -2192,6 +2192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # k-gram hashes, rightmost ties — the (w+k-1)-guarantee
             # substring fingerprint beside dup_spans' fixed stride
             "winnow_fingerprints": lambda sf: dedup.q_winnow_fingerprints(sf),
+            # MOSS match step: pairs sharing >= 2 winnow fingerprints,
+            # hot-fp buckets killed at 32 (mirrored in the oracle)
+            "winnow_match_pairs": lambda sf: dedup.winnow_match_pairs(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),

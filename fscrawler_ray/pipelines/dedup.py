@@ -1564,3 +1564,62 @@ ORACLE_SQL["winnow_fingerprints"] = (
     "GROUP BY wv.doc_id, wv.j, wv.mn) "
     "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(mn AS BIGINT) AS fp FROM sel"
 )
+
+
+def winnow_match_pairs(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 32, min_shared: int = 2):
+    """Cross-document match pairs from winnowing fingerprints (the MOSS
+    match step): docs sharing ≥ min_shared selected fingerprints, with
+    the shared count.  fp-keyed buckets above max_bucket docs are
+    dropped (hot boilerplate grams — the standard LSH hot-bucket kill,
+    mirrored in the oracle's HAVING), so the pair expansion is provably
+    bounded by max_bucket² per fingerprint.  Shuffles: one fp groupby +
+    one (doc_a, doc_b) grouped count, both output-sized."""
+    import pandas as pd
+
+    from .analytics import grouped_sum
+
+    fps = q_winnow_fingerprints(sf_dir, k=k, w=w)
+
+    def drop_pos(b: pa.Table) -> pa.Table:
+        return pa.table({"fp": b.column("fp"), "doc_id": b.column("doc_id")})
+
+    distinct = (
+        fps.map_batches(drop_pos, batch_format="pyarrow").groupby(["fp", "doc_id"]).count()
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "one": []})
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "one": np.ones(len(ia), dtype=np.int64)}
+        )
+
+    p = distinct.groupby("fp").map_groups(pairs, batch_format="pandas")
+    g = grouped_sum(p, ["doc_a", "doc_b"], {"one": "shared_fps"})
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("shared_fps"), min_shared))
+        return pa.table(
+            {
+                "doc_a": b.column("doc_a").cast(pa.int64()),
+                "doc_b": b.column("doc_b").cast(pa.int64()),
+                "shared_fps": b.column("shared_fps").cast(pa.int64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["winnow_match_pairs"] = (
+    "WITH fpt AS ("
+    + ORACLE_SQL["winnow_fingerprints"]
+    + "), d AS (SELECT DISTINCT doc_id, fp FROM fpt), "
+    "hot AS (SELECT fp FROM d GROUP BY fp HAVING count(*) BETWEEN 2 AND 32), "
+    "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a "
+    "JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "WHERE a.fp IN (SELECT fp FROM hot)) "
+    "SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_fps "
+    "FROM pr GROUP BY doc_a, doc_b HAVING count(*) >= 2"
+)
