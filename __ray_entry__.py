@@ -2231,6 +2231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 graph.connected_components(_ray_data_from(dedup.minhash_md5_pairs(sf)))
             ),
             "term_df": index_sink.q_term_df,
+            # delta+varint postings sizing (Lucene storage model); the
+            # per-term gap scan is two-level bucketed, never df-sized
+            "postings_varint": index_sink.q_postings_varint,
             # incremental index maintenance: delete + re-insert a
             # deterministic delta through the on-disk postings, df read
             # back from the updated index vs the edited-corpus oracle

@@ -775,3 +775,109 @@ def q_hybrid_search(sf_dir: str, terms: tuple = RANK_TERMS, k: int = 10, oversam
 
 
 ORACLE_SQL["hybrid_search"] = _hybrid_sql()
+
+
+def q_postings_varint(sf_dir: str, range_width: int = 512):
+    """Delta + varint postings compression sizing (the Lucene/ES
+    storage model for the W5-analog index): per term, the d-gap list of
+    its sorted doc_ids is costed at vbyte rates (1 byte per 7 payload
+    bits) and compared against the raw 8-byte encoding.
+
+    Scale posture: the per-term gap scan never forms one df-sized group
+    — postings are bucketed by (term, doc_id // range_width) and each
+    bucket computes its local gap cost + (min, max, count) partials; a
+    second pass groups the bucket PARTIALS per term (bounded by the
+    doc-id range / range_width, not by df), adding the boundary gaps
+    between consecutive buckets and the leading gap (= first doc_id).
+    A 10^9-doc stopword posting therefore costs 10^9/range_width partial
+    rows, never a single group.  SQL oracle: one lag() window replay."""
+    import pandas as pd
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        doc_ids = np.repeat(
+            b.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False), lens
+        )
+        return pa.table({"term": flat, "doc_id": pa.array(doc_ids)}).filter(keep)
+
+    distinct = (
+        docs.map_batches(pairs, batch_format="pyarrow").groupby(["term", "doc_id"]).count()
+    )
+
+    def add_rng(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").cast(pa.int64())
+        return pa.table(
+            {"term": b.column("term"), "doc_id": d, "rng": pc.divide(d, range_width)}
+        )
+
+    bucketed = distinct.map_batches(add_rng, batch_format="pyarrow")
+
+    def _vbytes(g: np.ndarray) -> np.ndarray:
+        return np.select(
+            [g < 128, g < 16384, g < 2097152, g < 268435456], [1, 2, 3, 4], 5
+        ).astype(np.int64)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy())
+        inner = int(_vbytes(np.diff(d)).sum()) if len(d) > 1 else 0
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "rng": [int(g["rng"].iloc[0])],
+                "n": [len(d)],
+                "inner_bytes": [inner],
+                "min_doc": [int(d[0])],
+                "max_doc": [int(d[-1])],
+            }
+        )
+
+    parts = bucketed.groupby(["term", "rng"]).map_groups(partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rng")
+        mins = g["min_doc"].to_numpy()
+        maxs = g["max_doc"].to_numpy()
+        # leading gap = first doc_id; boundary gaps between buckets
+        vb = int(_vbytes(np.array([mins[0]])).sum())
+        if len(g) > 1:
+            vb += int(_vbytes(mins[1:] - maxs[:-1]).sum())
+        vb += int(g["inner_bytes"].sum())
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "df": [n],
+                "varint_bytes": [vb],
+                "raw_bytes": [n * 8],
+            }
+        )
+
+    out = parts.groupby("term").map_groups(finish, batch_format="pandas")
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": b.column("term").cast(pa.string()),
+                "df": b.column("df").cast(pa.int64()),
+                "varint_bytes": b.column("varint_bytes").cast(pa.int64()),
+                "raw_bytes": b.column("raw_bytes").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+ORACLE_SQL["postings_varint"] = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term "
+    "FROM documents), "
+    "d AS (SELECT DISTINCT term, CAST(doc_id AS BIGINT) AS doc_id FROM toks), "
+    "g AS (SELECT term, doc_id, doc_id - lag(doc_id) OVER "
+    "(PARTITION BY term ORDER BY doc_id) AS gap FROM d), "
+    "v AS (SELECT term, CASE WHEN gap IS NULL THEN doc_id ELSE gap END AS gp FROM g), "
+    "b AS (SELECT term, CASE WHEN gp < 128 THEN 1 WHEN gp < 16384 THEN 2 "
+    "WHEN gp < 2097152 THEN 3 WHEN gp < 268435456 THEN 4 ELSE 5 END AS nb FROM v) "
+    "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(nb) AS BIGINT) AS varint_bytes, "
+    "CAST(count(*) * 8 AS BIGINT) AS raw_bytes FROM b GROUP BY term"
+)
