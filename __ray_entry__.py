@@ -1462,6 +1462,90 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
             _spool_cache[sf_dir] = out
         return _spool_cache[sf_dir]
 
+    def images_datacard(sf_dir: str):
+        """SQL-CHECKED per-format image-corpus data card (the image-side
+        sibling of corpus_datacard): counts, payload bytes, total pixels,
+        distinct phash tally (exact-dup signal) and caption token totals
+        — one streaming pass of per-block fmt partials folded by a
+        fmt-keyed grouped sum, plus a (fmt, phash)-dedup pass for the
+        distinct count; driver state is fmt-bounded."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray as _ray
+        from ray.data.aggregate import Sum
+
+        ds = _ray.data.read_parquet(
+            _images_spool(sf_dir), columns=["fmt", "bytes", "w", "h", "phash", "caption"]
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "fmt": b.column("fmt"),
+                    "nb": pc.binary_length(b.column("bytes")).cast(pa.int64()),
+                    "px": pc.multiply(
+                        b.column("w").cast(pa.int64()), b.column("h").cast(pa.int64())
+                    ),
+                    "tk": pc.count_substring_regex(b.column("caption"), r"\S+").cast(
+                        pa.int64()
+                    ),
+                }
+            )
+            g = pa.TableGroupBy(t, ["fmt"]).aggregate(
+                [("nb", "sum"), ("px", "sum"), ("tk", "sum"), ([], "count_all")]
+            )
+            return pa.table(
+                {
+                    "fmt": g.column("fmt"),
+                    "nb_p": g.column("nb_sum"),
+                    "px_p": g.column("px_sum"),
+                    "tk_p": g.column("tk_sum"),
+                    "n_p": g.column("count_all"),
+                }
+            )
+
+        sums = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("fmt")
+            .aggregate(Sum("nb_p"), Sum("px_p"), Sum("tk_p"), Sum("n_p"))
+            .to_pandas()
+            .set_index("fmt")
+        )
+
+        def ph(b: pa.Table) -> pa.Table:
+            return pa.table({"fmt": b.column("fmt"), "phash": b.column("phash")})
+
+        dist = (
+            ds.map_batches(ph, batch_format="pyarrow")
+            .groupby(["fmt", "phash"])
+            .count()
+            .groupby("fmt")
+            .count()
+            .to_pandas()
+            .set_index("fmt")
+        )
+
+        fmts = sorted(sums.index)
+        return pa.table(
+            {
+                "fmt": pa.array(fmts, pa.string()),
+                "n_images": pa.array([int(sums.loc[f, "sum(n_p)"]) for f in fmts], pa.int64()),
+                "total_bytes": pa.array(
+                    [int(sums.loc[f, "sum(nb_p)"]) for f in fmts], pa.int64()
+                ),
+                "total_pixels": pa.array(
+                    [int(sums.loc[f, "sum(px_p)"]) for f in fmts], pa.int64()
+                ),
+                "distinct_phash": pa.array(
+                    [int(dist.loc[f, "count()"]) for f in fmts], pa.int64()
+                ),
+                "caption_tokens": pa.array(
+                    [int(sums.loc[f, "sum(tk_p)"]) for f in fmts], pa.int64()
+                ),
+            }
+        )
+
     def images_attrs(sf_dir: str):
         """SQL-CHECKED magic-byte sniff + size + family ladder: attrs_batch
         over the spooled bytes vs DuckDB's independent hex-prefix CASE."""
@@ -2035,6 +2119,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "images_enrich": images_enrich,
         "images_attrs": images_attrs,
+        "images_datacard": images_datacard,
         "images_caption_features": images_caption_features,
         "images_caption_selfrank": images_caption_selfrank,
         "images_phash_dedup": images_phash_dedup,
@@ -3275,6 +3360,17 @@ def oracle_sql() -> dict[str, str]:
         "q AS (SELECT image_id AS query_id, ph AS qph FROM t ORDER BY image_id LIMIT 8) "
         "SELECT q.query_id, t.image_id, CAST(bit_count(xor(q.qph, t.ph)) AS BIGINT) AS dist "
         "FROM q CROSS JOIN t WHERE bit_count(xor(q.qph, t.ph)) <= 10"
+    )
+    sql["images_datacard"] = (
+        "WITH s AS (SELECT fmt, octet_length(bytes) AS nb, "
+        "CAST(w AS BIGINT) * h AS px, phash, "
+        "len(regexp_extract_all(caption, '\\S+')) AS tk "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')) "
+        "SELECT fmt, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(sum(nb) AS BIGINT) AS total_bytes, "
+        "CAST(sum(px) AS BIGINT) AS total_pixels, "
+        "CAST(count(DISTINCT phash) AS BIGINT) AS distinct_phash, "
+        "CAST(sum(tk) AS BIGINT) AS caption_tokens FROM s GROUP BY fmt"
     )
     sql["images_attrs"] = (
         "WITH b AS (SELECT image_id, octet_length(bytes) AS size, hex(bytes) AS h "
