@@ -1162,6 +1162,17 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_rendezvous(sf_dir: str):
+        """SQL-CHECKED rendezvous (HRW) frontier shard assignment per
+        host at 8 shards plus the 10-shard grow audit (moved flag) — the
+        elastic version of the SeenService's key sharding: adding
+        workers relocates only an expected 2/10 of hosts, no global
+        re-shuffle.  Weights are the md5 twin so DuckDB replays the
+        argmax bit-for-bit."""
+        from fscrawler_ray.pipelines.crawl_report import rendezvous_shards
+
+        return rendezvous_shards(_shared_written_run(sf_dir))
+
     def crawl_url_templates(sf_dir: str):
         """SQL-CHECKED per-host URL template mining: digit runs in the
         URL path collapse to N and URLs are counted per (host, template)
@@ -1431,6 +1442,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_canonical": crawl_url_canonical,
         "crawl_cdx_index": crawl_cdx_index,
         "crawl_url_templates": crawl_url_templates,
+        "crawl_rendezvous": crawl_rendezvous,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -2633,6 +2645,21 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    # Rendezvous sharding: replay the HRW argmax (md5 weights, ties →
+    # smallest shard) at 8 and 10 shards with row_number windows.
+    sql["crawl_rendezvous"] = (
+        "WITH h AS (SELECT DISTINCT host "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "e AS (SELECT host, s, md5_number_upper(host || '|' || CAST(s AS VARCHAR)) AS w "
+        "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS s)), "
+        "r8 AS (SELECT host, s, row_number() OVER (PARTITION BY host "
+        "ORDER BY w DESC, s) AS rk FROM e WHERE s < 8), "
+        "r10 AS (SELECT host, s, row_number() OVER (PARTITION BY host "
+        "ORDER BY w DESC, s) AS rk FROM e) "
+        "SELECT a.host, CAST(a.s AS BIGINT) AS shard, CAST(b.s AS BIGINT) AS shard_grown, "
+        "CAST(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END AS BIGINT) AS moved "
+        "FROM r8 a JOIN r10 b ON b.host = a.host AND b.rk = 1 WHERE a.rk = 1"
     )
     # URL template mining: replay path extraction + digit-run collapse +
     # grouped moments in DuckDB RE2.

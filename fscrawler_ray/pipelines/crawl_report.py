@@ -1156,3 +1156,51 @@ def url_templates(out_dir: str, min_count: int = 3):
         )
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def rendezvous_shards(out_dir: str, n_shards: int = 8, n_grown: int = 10):
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    frontier shard assignment per host, with the grow-audit: shard =
+    argmax over s of md5(host || '|' || s) (ties → smallest s), computed
+    at ``n_shards`` and again at ``n_grown`` shards.  HRW's guarantee —
+    growing the pool only moves hosts whose new-shard weight wins, an
+    expected (n_grown - n_shards)/n_grown fraction — is exactly what a
+    live 10^10-URL frontier needs to add workers without a global
+    re-shuffle (the SeenService key-sharding story, made elastic).
+
+    One streaming pass over the distinct-host table (host-bounded, never
+    URL-bounded); the md5 twin makes DuckDB replay every weight.
+    Reference analog: the reference pins one process per root
+    (app/crawler/crawling_processes.py); HRW is the multi-node version."""
+    from ..functions.sketches import md5_u64_batch
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(out_dir, columns=["host"])
+    hosts = ds.groupby("host").count()
+
+    def kern(b: pa.Table) -> pa.Table:
+        h = b.column("host")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        w = np.stack(
+            [
+                md5_u64_batch(
+                    pc.binary_join_element_wise(h, pa.scalar(f"|{s}"), "")
+                )
+                for s in range(n_grown)
+            ],
+            axis=1,
+        )
+        shard_a = np.argmax(w[:, :n_shards], axis=1).astype(np.int64)
+        shard_b = np.argmax(w, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "host": h,
+                "shard": pa.array(shard_a),
+                "shard_grown": pa.array(shard_b),
+                "moved": pa.array((shard_a != shard_b).astype(np.int64)),
+            }
+        )
+
+    return hosts.map_batches(kern, batch_format="pyarrow")

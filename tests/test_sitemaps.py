@@ -60,3 +60,27 @@ def test_sitemap_export_roundtrip_resume(tmp_path, ray_session):
 
     again = write_sitemaps(spool, out, max_urls=10, range_width=7).to_pandas()
     assert again["skipped"].all()
+
+
+def test_rendezvous_minimal_disruption(tmp_path, ray_session):
+    """HRW theorem: growing 8 → 10 shards may only move a host TO a new
+    shard (8 or 9) — never between old shards; moved fraction ~ 2/10."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import rendezvous_shards
+
+    hosts = [f"host-{i}.example" for i in range(500)]
+    d = str(tmp_path / "spool")
+    os.makedirs(d)
+    pq.write_table(pa.table({"host": pa.array(hosts, pa.string())}), f"{d}/part-0.parquet")
+
+    out = rendezvous_shards(d).to_pandas()
+    assert len(out) == 500
+    moved = out[out["moved"] == 1]
+    assert set(moved["shard_grown"]) <= {8, 9}
+    assert (out.loc[out["moved"] == 0, "shard"] == out.loc[out["moved"] == 0, "shard_grown"]).all()
+    assert 0.10 <= len(moved) / 500 <= 0.32  # expected 0.2
+    assert out["shard"].between(0, 7).all()
