@@ -2367,6 +2367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bpe_fertility_by_lang": _bpe.q_bpe_fertility_by_lang,
             "quality_counts": textops.q_quality_counts,
             "langid_docs": textops.q_langid_docs,
+            # lang² confusion matrix: certified langid vs labeled lang
+            "langid_confusion": textops.q_langid_confusion,
             "quality_docs": textops.q_quality_docs,
             "quality_ratios": textops.q_quality_ratios,
             "gopher_rules": textops.q_gopher_rules,

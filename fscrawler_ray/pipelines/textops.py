@@ -34,6 +34,32 @@ def q_langid_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the certified langid kernel's
+    prediction vs the corpus's labeled ``lang``, counted per (true,
+    predicted) pair — the eval layer every lang-filter deployment needs
+    before trusting the classifier's per-language attrition.  One
+    streaming pass + a lang²-bounded grouped count."""
+    from .analytics import grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_true": b.column("lang"),
+                "lang_pred": langid_batch(b.column("text")),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(f, batch_format="pyarrow"),
+        ["lang_true", "lang_pred"],
+        {"one": "n_docs"},
+    )
+
+
 def q_quality_docs(sf_dir: str):
     def f(b: pa.Table) -> pa.Table:
         q = quality_features(b.column("text"))
@@ -104,6 +130,13 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "langid_docs": _langid_sql(),
+    "langid_confusion": (
+        "WITH pred AS (" + _langid_sql() + ") "
+        "SELECT d.lang AS lang_true, p.pred_lang AS lang_pred, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents d JOIN pred p ON p.doc_id = d.doc_id "
+        "GROUP BY d.lang, p.pred_lang"
+    ),
     "fingerprint_canon": (
         "SELECT doc_id, array_to_string(list_sort(list_distinct("
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ') AS canon "
