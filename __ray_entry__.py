@@ -2369,6 +2369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "langid_docs": textops.q_langid_docs,
             # lang² confusion matrix: certified langid vs labeled lang
             "langid_confusion": textops.q_langid_confusion,
+            # Good-Turing unseen-mass: hapax fraction in integer micros
+            "vocab_good_turing": textops.q_vocab_good_turing,
             "quality_docs": textops.q_quality_docs,
             "quality_ratios": textops.q_quality_ratios,
             "gopher_rules": textops.q_gopher_rules,

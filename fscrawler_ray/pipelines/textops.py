@@ -130,6 +130,17 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "langid_docs": _langid_sql(),
+    "vocab_good_turing": (
+        "WITH toks AS (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS t "
+        "FROM documents), "
+        "c AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, t) "
+        "SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS vocab, "
+        "CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n1, "
+        "CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS n2, "
+        "CAST(count(*) FILTER (WHERE c = 1) * 1000000 // greatest(sum(c), 1) AS BIGINT) "
+        "AS unseen_mass_micro FROM c GROUP BY lang"
+    ),
     "langid_confusion": (
         "WITH pred AS (" + _langid_sql() + ") "
         "SELECT d.lang AS lang_true, p.pred_lang AS lang_pred, "
@@ -1562,6 +1573,70 @@ ORACLE_SQL["top_tokens_by_lang"] = (
 
 
 VOCAB_GROWTH_BUCKET = 32  # docs per growth bucket (sized to the report)
+
+
+def q_vocab_good_turing(sf_dir: str):
+    """Per-language Good–Turing corpus statistics (Gale & Sampson 1995
+    simple GT): token total N, vocabulary size, hapax/dis legomena
+    counts (n1, n2) and the unseen-probability mass n1·10⁶ // N in
+    integer micros — the "how much of the language haven't we crawled
+    yet" signal that drives corpus-growth decisions.  Two grouped
+    passes: (lang, token) counts (vocab-bounded output), then a
+    lang-keyed fold of frequency-of-frequency indicators."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, row = _doc_tokens(b)
+        lang = b.column("lang").take(pa.array(row, pa.int64()))
+        return pa.table(
+            {"lang": lang, "token": flat, "one": pa.array(np.ones(len(flat), np.int64))}
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["lang", "token"], {"one": "c"}
+    )
+
+    def ind(b: pa.Table) -> pa.Table:
+        c = b.column("c").cast(pa.int64())
+        one = pa.array(np.ones(b.num_rows, np.int64))
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "c": c,
+                "v": one,
+                "i1": pc.cast(pc.equal(c, 1), pa.int64()),
+                "i2": pc.cast(pc.equal(c, 2), pa.int64()),
+            }
+        )
+
+    g = grouped_sum(
+        counts.map_batches(ind, batch_format="pyarrow"),
+        ["lang"],
+        {"c": "n_tokens", "v": "vocab", "i1": "n1", "i2": "n2"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n1 = b.column("n1").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "vocab": b.column("vocab").cast(pa.int64()),
+                "n1": pa.array(n1, pa.int64()),
+                "n2": b.column("n2").cast(pa.int64()),
+                "unseen_mass_micro": pa.array(
+                    n1 * 1_000_000 // np.maximum(n, 1), pa.int64()
+                ),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
 
 
 def q_vocab_growth(sf_dir: str, bucket: int = VOCAB_GROWTH_BUCKET):
