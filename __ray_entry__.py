@@ -2308,6 +2308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # LSH config eval: measured recall vs the exact-join truth
             "lsh_recall": lambda sf: dedup.lsh_recall(sf),
             "simhash_neardup": lambda sf: dedup.simhash_pairs(sf),
+            # banded-simhash recall vs brute-force Hamming ground truth
+            "simhash_banded_recall": lambda sf: dedup.simhash_banded_recall(sf),
             "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
             "semantic_neardup": lambda sf: dedup.semantic_neardup_pairs(sf),
             # distributed CC over the near-dup pair graph (label = min doc

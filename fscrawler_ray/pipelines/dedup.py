@@ -1623,3 +1623,79 @@ ORACLE_SQL["winnow_match_pairs"] = (
     "SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_fps "
     "FROM pr GROUP BY doc_a, doc_b HAVING count(*) >= 2"
 )
+
+
+def simhash_banded_recall(sf_dir: str, max_hamming: int = 3):
+    """Banded-SimHash EVAL (text sibling of phash_banded_recall): the
+    4×16-bit band scheme only guarantees a candidate when some band
+    carries ZERO differing bits, so at Hamming ≤ 3 recall is
+    probabilistic (a 1+1+1 split across three bands defeats it) —
+    this measures it against the brute-force Hamming join over the
+    SQL-replayable md5 SimHash signatures.  One row: (n_true, n_banded,
+    n_found, recall_micro).  The brute-force side is driver-side numpy
+    over the signature table (the EVAL runs at check scale; production
+    dedup runs only the banded path)."""
+    from .textops import q_simhash_md5_docs
+
+    t = pa.concat_tables(
+        [b for b in q_simhash_md5_docs(sf_dir).iter_batches(batch_format="pyarrow") if b.num_rows]
+    )
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    u = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    o = np.argsort(doc, kind="stable")
+    doc, u = doc[o], u[o]
+
+    from ..functions.phash import hamming64
+
+    iu = np.triu_indices(len(doc), k=1)
+    d = hamming64(u[iu[0]].view(np.int64), u[iu[1]].view(np.int64))
+    hit = d <= max_hamming
+    true_pairs = set(zip(doc[iu[0][hit]], doc[iu[1][hit]]))
+
+    cand: set = set()
+    for k in range(4):
+        v = (u >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+        order = np.lexsort((doc, v))
+        vs, ds_ = v[order], doc[order]
+        start = 0
+        for i in range(1, len(vs) + 1):
+            if i == len(vs) or vs[i] != vs[start]:
+                if i - start > 1:
+                    grp = np.sort(ds_[start:i])
+                    ia, ib = np.triu_indices(len(grp), 1)
+                    cand.update(zip(grp[ia], grp[ib]))
+                start = i
+    found = len(true_pairs & cand)
+    total = len(true_pairs)
+    return pa.table(
+        {
+            "n_true": pa.array([total], pa.int64()),
+            "n_banded": pa.array([len(cand)], pa.int64()),
+            "n_found": pa.array([found], pa.int64()),
+            "recall_micro": pa.array([found * 1_000_000 // total if total else 0], pa.int64()),
+        }
+    )
+
+
+def _simhash_banded_recall_oracle() -> str:
+    from .textops import ORACLE_SQL as TEXT_SQL
+
+    return (
+        f"WITH s AS ({TEXT_SQL['simhash_md5_docs']}), "
+        "tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b "
+        "ON b.doc_id > a.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), "
+        "bd AS (SELECT doc_id, u.k, (simhash >> (u.k * 16)) & 65535 AS v "
+        "FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) u), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bd a JOIN bd b ON b.k = a.k AND b.v = a.v AND b.doc_id > a.doc_id), "
+        "f AS (SELECT count(*) AS n_found FROM tp JOIN cand USING (doc_a, doc_b)), "
+        "t1 AS (SELECT count(*) AS n_true FROM tp), "
+        "c1 AS (SELECT count(*) AS n_banded FROM cand) "
+        "SELECT CAST(t1.n_true AS BIGINT) AS n_true, CAST(c1.n_banded AS BIGINT) AS n_banded, "
+        "CAST(f.n_found AS BIGINT) AS n_found, "
+        "CAST(CASE WHEN t1.n_true = 0 THEN 0 ELSE f.n_found * 1000000 // t1.n_true END "
+        "AS BIGINT) AS recall_micro FROM t1, c1, f"
+    )
+
+
+ORACLE_SQL["simhash_banded_recall"] = _simhash_banded_recall_oracle()
