@@ -4491,3 +4491,75 @@ ORACLE_SQL["dominant_suppliers"] = (
     "FROM pr JOIN t USING (l_partkey) JOIN supplier s ON s.s_suppkey = pr.l_suppkey "
     f"WHERE CAST(pr.pair_qty AS HUGEINT) * t.n_sup > CAST(t.part_qty AS HUGEINT) * {DOMINANT_FAIR_MULTIPLE}"
 )
+
+
+def q_table_analyze(sf_dir: str):
+    """ANALYZE-style optimizer statistics over the documents table: per
+    column, row count, null count, exact distinct count, and min/max
+    rendered as VARCHAR (the stats a cost-based planner or a data-quality
+    monitor collects before scheduling a 100-TB scan).
+
+    Shape: null/min/max ride ONE streaming pass of per-block partials
+    (pyarrow aggregate kernels) folded on the driver (4 numbers per
+    block); each distinct count is a key-sized groupby-count (exact —
+    the production path for high-cardinality columns is the certified
+    HLL in approx_distinct_users_by_type; doc_id's ndv equals the row
+    count and a planner would special-case primary keys)."""
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        row = {"n": pa.array([b.num_rows], pa.int64())}
+        for c in cols:
+            col = b.column(c)
+            row[f"nulls_{c}"] = pa.array([col.null_count], pa.int64())
+            mn = pc.min_max(col)
+            row[f"min_{c}"] = pa.array([str(mn["min"].as_py())], pa.string())
+            row[f"max_{c}"] = pa.array([str(mn["max"].as_py())], pa.string())
+        return pa.table(row)
+
+    n = 0
+    nulls = {c: 0 for c in cols}
+    mins: dict = {}
+    maxs: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i in range(b.num_rows):
+            n += b.column("n")[i].as_py()
+            for c in cols:
+                nulls[c] += b.column(f"nulls_{c}")[i].as_py()
+                lo, hi = b.column(f"min_{c}")[i].as_py(), b.column(f"max_{c}")[i].as_py()
+                # fold as the ORIGINAL type ordering: numeric cols compare
+                # numerically, strings lexically
+                key = (int(lo), int(hi)) if c in ("doc_id", "n_chars") else (lo, hi)
+                if c not in mins or key[0] < mins[c][0]:
+                    mins[c] = (key[0], lo)
+                if c not in maxs or key[1] > maxs[c][0]:
+                    maxs[c] = (key[1], hi)
+
+    ndv = {}
+    for c in cols:
+        ndv[c] = ds.groupby(c).count().count()
+
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "n": pa.array([n] * len(cols), pa.int64()),
+            "n_nulls": pa.array([nulls[c] for c in cols], pa.int64()),
+            "n_distinct": pa.array([ndv[c] for c in cols], pa.int64()),
+            "min_str": pa.array([mins[c][1] for c in cols], pa.string()),
+            "max_str": pa.array([maxs[c][1] for c in cols], pa.string()),
+        }
+    )
+
+
+ORACLE_SQL["table_analyze"] = " UNION ALL ".join(
+    "SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+    "CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    "CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str "
+    "FROM documents".format(c=c)
+    for c in ("doc_id", "lang", "source", "n_chars")
+)
+QUERIES["table_analyze"] = q_table_analyze
