@@ -2333,6 +2333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # delta+varint postings sizing (Lucene storage model); the
             # per-term gap scan is two-level bucketed, never df-sized
             "postings_varint": index_sink.q_postings_varint,
+            # front-coded term dictionary: the other half of the
+            # Lucene-style index storage cost model
+            "term_dict_frontcode": index_sink.q_term_dict_frontcode,
             # incremental index maintenance: delete + re-insert a
             # deterministic delta through the on-disk postings, df read
             # back from the updated index vs the edited-corpus oracle

@@ -881,3 +881,66 @@ ORACLE_SQL["postings_varint"] = (
     "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(nb) AS BIGINT) AS varint_bytes, "
     "CAST(count(*) * 8 AS BIGINT) AS raw_bytes FROM b GROUP BY term"
 )
+
+
+def q_term_dict_frontcode(sf_dir: str):
+    """Front-coded term dictionary sizing (the other half of the Lucene
+    storage model beside q_postings_varint): sorted vocabulary terms
+    store only (lcp with previous term, suffix), costing
+    ``len - lcp + 2`` bytes each vs the raw ``len``.
+
+    The vocabulary is metadata-scale (the BPE word-table boundedness
+    argument — millions of terms ≪ corpus size), so after the
+    distributed distinct-token groupby the sorted adjacency fold runs
+    driver-side fully vectorized (padded byte-matrix compare, cumprod
+    prefix mask — no per-char Python loop)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        flat, lens, keep = tokenize(b.column("text"))
+        return pa.table({"term": flat}).filter(keep)
+
+    vocab = docs.map_batches(toks, batch_format="pyarrow").groupby("term").count()
+    terms = sorted(
+        t
+        for b in vocab.iter_batches(batch_format="pyarrow")
+        for t in b.column("term").to_pylist()
+    )
+    if not terms:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"term": pa.array([], pa.string()), "lcp_prev": e, "raw_bytes": e, "fc_bytes": e}
+        )
+    enc = [t.encode() for t in terms]
+    L = max(len(x) for x in enc)
+    m = np.zeros((len(enc), L), dtype=np.uint8)
+    for i, x in enumerate(enc):  # vocab-bounded fill
+        m[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+    lens = np.array([len(x) for x in enc], dtype=np.int64)
+    eq = m[1:] == m[:-1]
+    lcp = np.concatenate(
+        [[0], np.minimum(np.cumprod(eq, axis=1).sum(axis=1), np.minimum(lens[1:], lens[:-1]))]
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "lcp_prev": pa.array(lcp),
+            "raw_bytes": pa.array(lens),
+            "fc_bytes": pa.array(lens - lcp + 2),
+        }
+    )
+
+
+ORACLE_SQL["term_dict_frontcode"] = (
+    "WITH v AS (SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS t "
+    "FROM documents), "
+    "s AS (SELECT t, lag(t) OVER (ORDER BY t) AS p FROM v), "
+    "k AS (SELECT t, p, COALESCE((SELECT max(u.i) FROM "
+    "(SELECT unnest(generate_series(0, least(length(t), length(p)))) AS i) u "
+    "WHERE substr(t, 1, CAST(u.i AS BIGINT)) = substr(p, 1, CAST(u.i AS BIGINT))), 0) "
+    "AS lcp FROM s) "
+    "SELECT t AS term, CAST(CASE WHEN p IS NULL THEN 0 ELSE lcp END AS BIGINT) AS lcp_prev, "
+    "CAST(octet_length(encode(t)) AS BIGINT) AS raw_bytes, "
+    "CAST(octet_length(encode(t)) - CASE WHEN p IS NULL THEN 0 ELSE lcp END + 2 AS BIGINT) "
+    "AS fc_bytes FROM k"
+)
