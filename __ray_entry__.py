@@ -1162,6 +1162,16 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_host_scorecard(sf_dir: str):
+        """SQL-CHECKED composed per-host scorecard: quality pass rate ×
+        adaptive budget ÷ cap as the integer recrawl priority, joined
+        with the politeness audit — three certified reports composed
+        end-to-end (the funnel-certification pattern on the host
+        axis)."""
+        from fscrawler_ray.pipelines.crawl_report import host_scorecard
+
+        return host_scorecard(_shared_written_run(sf_dir))
+
     def crawl_rendezvous(sf_dir: str):
         """SQL-CHECKED rendezvous (HRW) frontier shard assignment per
         host at 8 shards plus the 10-shard grow audit (moved flag) — the
@@ -1443,6 +1453,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_cdx_index": crawl_cdx_index,
         "crawl_url_templates": crawl_url_templates,
         "crawl_rendezvous": crawl_rendezvous,
+        "crawl_host_scorecard": crawl_host_scorecard,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -2654,6 +2665,33 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    # Host scorecard: three-way join of the quality / adaptive-budget /
+    # politeness oracles + integer composite.
+    from fscrawler_ray.pipelines.crawl_report import (
+        ADAPT_MAX_BUDGET as _AMAX,
+        ADAPT_MIN_BUDGET as _AMIN,
+        ADAPT_TARGET_BYTES as _ATGT,
+    )
+
+    sql["crawl_host_scorecard"] = (
+        "WITH q AS (SELECT host, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(sum(CASE WHEN w >= 48 AND h >= 48 AND 2 * greatest(w, h) <= 5 * least(w, h) "
+        "AND len(regexp_extract_all(coalesce(caption, ''), '\\S+')) >= 3 "
+        "THEN 1 ELSE 0 END) * 1000000 // greatest(count(*), 1) AS BIGINT) AS pass_rate_micro "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host), "
+        "b AS (SELECT host, "
+        f"CAST(LEAST(GREATEST({_ATGT} // "
+        "GREATEST(CAST(quantile_disc(size, 0.875) AS BIGINT), 1), "
+        f"{_AMIN}), {_AMAX}) AS BIGINT) AS budget "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host), "
+        "p AS (SELECT host, CAST(max(n) AS BIGINT) AS max_per_round FROM "
+        "(SELECT host, round, count(*) AS n "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "GROUP BY host, round) GROUP BY host) "
+        "SELECT q.host, q.n_images, q.pass_rate_micro, b.budget, p.max_per_round, "
+        f"CAST(q.pass_rate_micro * b.budget // {_AMAX} AS BIGINT) AS score_micro "
+        "FROM q JOIN b USING (host) JOIN p USING (host)"
     )
     # Rendezvous sharding: replay the HRW argmax (md5 weights, ties →
     # smallest shard) at 8 and 10 shards with row_number windows.

@@ -1204,3 +1204,49 @@ def rendezvous_shards(out_dir: str, n_shards: int = 8, n_grown: int = 10):
         )
 
     return hosts.map_batches(kern, batch_format="pyarrow")
+
+
+def host_scorecard(out_dir: str, cap_budget: int = ADAPT_MAX_BUDGET):
+    """Composed per-host SCORECARD — the tier-crawl allocator's single
+    input table, joining three already-certified per-host reports:
+    image-quality pass rate (host_quality), cost-adaptive politeness
+    budget (adaptive_budget), and the politeness audit's max-per-round
+    draw.  Composite priority = pass_rate_micro · budget // cap_budget
+    (quality weighted by how cheaply the host can be recrawled), exact
+    integer.  All three inputs and the join keys are host-bounded
+    cluster metadata — the corpus never re-streams for the composition;
+    the oracle replays the whole three-way join + arithmetic."""
+    import pandas as pd
+
+    q = host_quality(out_dir).to_pandas().set_index("host")
+    b = adaptive_budget(out_dir).to_pandas().set_index("host")
+
+    pr = (
+        ray.data.read_parquet(out_dir, columns=["host", "round"])
+        .groupby(["host", "round"])
+        .count()
+        .groupby("host")
+        .max("count()")
+        .to_pandas()
+        .set_index("host")
+    )
+
+    hosts = sorted(q.index)
+    score = [
+        int(q.loc[h, "pass_rate_micro"]) * int(b.loc[h, "budget"]) // cap_budget
+        for h in hosts
+    ]
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_images": pa.array([int(q.loc[h, "n_images"]) for h in hosts], pa.int64()),
+            "pass_rate_micro": pa.array(
+                [int(q.loc[h, "pass_rate_micro"]) for h in hosts], pa.int64()
+            ),
+            "budget": pa.array([int(b.loc[h, "budget"]) for h in hosts], pa.int64()),
+            "max_per_round": pa.array(
+                [int(pr.loc[h, "max(count())"]) for h in hosts], pa.int64()
+            ),
+            "score_micro": pa.array(score, pa.int64()),
+        }
+    )
