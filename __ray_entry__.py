@@ -1162,6 +1162,17 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_bloom_audit(sf_dir: str):
+        """SQL-CHECKED Bloom false-positive audit: the md5-twin bloom
+        over the crawl trace (k=4 chunk hashes mod 2^21), probed with
+        guaranteed non-members — DuckDB replays bit set, membership and
+        FP tally exactly (the HLL/CMS pattern for the seen-set's bloom
+        tier; state/bloom.py's xxh64 filter is the scale path)."""
+        from fscrawler_ray.pipelines.crawl_report import bloom_fpr_audit
+
+        out = _shared_written_run(sf_dir)
+        return bloom_fpr_audit(out.rstrip("/") + "_trace")
+
     def crawl_host_scorecard(sf_dir: str):
         """SQL-CHECKED composed per-host scorecard: quality pass rate ×
         adaptive budget ÷ cap as the integer recrawl priority, joined
@@ -1454,6 +1465,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_templates": crawl_url_templates,
         "crawl_rendezvous": crawl_rendezvous,
         "crawl_host_scorecard": crawl_host_scorecard,
+        "crawl_bloom_audit": crawl_bloom_audit,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -2665,6 +2677,26 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    # Bloom audit: replay bit positions (md5 hex chunks mod m), the
+    # k-of-k membership test, and the FP tally.
+    from fscrawler_ray.pipelines.crawl_report import BLOOM_AUDIT_M as _BLM
+
+    sql["crawl_bloom_audit"] = (
+        "WITH mem AS (SELECT url FROM read_parquet('"
+        + CRAWL_ROLLUP_DIR
+        + "_trace/part-*.parquet')), "
+        "ds AS (SELECT unnest(generate_series(0, 3)) AS d), "
+        "pos AS (SELECT DISTINCT CAST('0x' || substring(md5(url), 1 + 8 * d, 8) AS UBIGINT) "
+        f"% {_BLM} AS p FROM mem CROSS JOIN ds), "
+        "ph AS (SELECT url, d, CAST('0x' || substring(md5(url || '#probe'), 1 + 8 * d, 8) "
+        f"AS UBIGINT) % {_BLM} AS p FROM mem CROSS JOIN ds), "
+        "hit AS (SELECT url, count(*) AS c FROM ph JOIN pos USING (p) GROUP BY url), "
+        "f AS (SELECT count(*) AS fp FROM hit WHERE c = 4), "
+        "m AS (SELECT count(*) AS n FROM mem) "
+        "SELECT CAST(m.n AS BIGINT) AS n_members, CAST(m.n AS BIGINT) AS n_probes, "
+        "CAST(f.fp AS BIGINT) AS false_positives, "
+        "CAST(f.fp * 1000000 // greatest(m.n, 1) AS BIGINT) AS fpr_micro FROM m, f"
     )
     # Host scorecard: three-way join of the quality / adaptive-budget /
     # politeness oracles + integer composite.

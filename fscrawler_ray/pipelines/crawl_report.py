@@ -1250,3 +1250,71 @@ def host_scorecard(out_dir: str, cap_budget: int = ADAPT_MAX_BUDGET):
             "score_micro": pa.array(score, pa.int64()),
         }
     )
+
+
+BLOOM_AUDIT_M = 1 << 10  # small bit array on purpose: the check-scale trace must produce REAL false positives for the audit to discriminate
+
+
+def bloom_fpr_audit(trace_dir: str, m_bits: int = BLOOM_AUDIT_M, k: int = 4):
+    """SQL-certified Bloom-filter false-positive audit of the URL-seen
+    family (state/bloom.py's xxh64 filter is the scale path; this md5
+    twin makes the WHOLE filter — bit positions, membership test, FP
+    count — DuckDB-replayable, the HLL/CMS oracle pattern for the last
+    uncertified sketch).  Members: every trace URL sets k bit positions
+    (md5 hex chunk d % m).  Probes: url || '#probe' (guaranteed
+    non-members) count as false positives when ALL k positions are set.
+
+    Shape: one streaming pass emits per-block DISTINCT positions (the
+    m-bounded bit set, folded by a position-keyed groupby); the probe
+    pass broadcasts the packed bitmap (m/8 bytes via ray.put) and counts
+    hits vectorized.  One row: (n_members, n_probes, false_positives,
+    fpr_micro)."""
+    import numpy as np
+
+    from ..functions.sketches import md5_chunks_batch
+
+    ds = ray.data.read_parquet(trace_dir, columns=["url"])
+    n_members = ds.count()
+
+    def positions(b: pa.Table) -> pa.Table:
+        u = b.column("url")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        h = md5_chunks_batch(u, k) % np.uint64(m_bits)
+        return pa.table({"p": pa.array(np.unique(h).astype(np.int64))})
+
+    bitmap = np.zeros(m_bits, dtype=bool)
+    for b in (
+        ds.map_batches(positions, batch_format="pyarrow").groupby("p").count()
+        .iter_batches(batch_format="pyarrow")
+    ):
+        bitmap[b.column("p").to_numpy(zero_copy_only=False)] = True
+    bm_ref = ray.put(np.packbits(bitmap))
+
+    def probe(b: pa.Table) -> pa.Table:
+        bm = np.unpackbits(ray.get(bm_ref)).astype(bool)
+        u = b.column("url")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        probes = pc.binary_join_element_wise(u, pa.scalar("#probe"), "")
+        h = md5_chunks_batch(probes, k) % np.uint64(m_bits)
+        hits = bm[h.astype(np.int64)].all(axis=0)
+        return pa.table(
+            {
+                "n_p": pa.array([b.num_rows], pa.int64()),
+                "fp_p": pa.array([int(hits.sum())], pa.int64()),
+            }
+        )
+
+    n_probes = fp = 0
+    for b in ds.map_batches(probe, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        n_probes += int(pc.sum(b.column("n_p")).as_py() or 0)
+        fp += int(pc.sum(b.column("fp_p")).as_py() or 0)
+    return pa.table(
+        {
+            "n_members": pa.array([n_members], pa.int64()),
+            "n_probes": pa.array([n_probes], pa.int64()),
+            "false_positives": pa.array([fp], pa.int64()),
+            "fpr_micro": pa.array([fp * 1_000_000 // max(n_probes, 1)], pa.int64()),
+        }
+    )
