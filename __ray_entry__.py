@@ -2399,6 +2399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "langid_confusion": textops.q_langid_confusion,
             # Good-Turing unseen-mass: hapax fraction in integer micros
             "vocab_good_turing": textops.q_vocab_good_turing,
+            # order-0 char entropy per lang, integer micro-nats
+            "char_entropy_by_lang": textops.q_char_entropy_by_lang,
             "quality_docs": textops.q_quality_docs,
             "quality_ratios": textops.q_quality_ratios,
             "gopher_rules": textops.q_gopher_rules,

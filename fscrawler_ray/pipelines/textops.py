@@ -130,6 +130,16 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "langid_docs": _langid_sql(),
+    "char_entropy_by_lang": (
+        "WITH ch AS (SELECT lang, unnest(regexp_extract_all(text, '[\\s\\S]')) AS c "
+        "FROM documents), "
+        "g AS (SELECT lang, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY lang, c), "
+        "t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nn FROM g GROUP BY lang) "
+        "SELECT g.lang, t.nn AS n_chars, CAST(count(*) AS BIGINT) AS distinct_chars, "
+        "CAST(sum(CAST(floor((n / CAST(t.nn AS DOUBLE)) * ln(CAST(t.nn AS DOUBLE) / n) "
+        "* 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro "
+        "FROM g JOIN t USING (lang) GROUP BY g.lang, t.nn"
+    ),
     "vocab_good_turing": (
         "WITH toks AS (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS t "
         "FROM documents), "
@@ -1813,3 +1823,66 @@ ORACLE_SQL["corpus_datacard"] = (
     "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars "
     "FROM documents GROUP BY lang"
 )
+
+
+def q_char_entropy_by_lang(sf_dir: str):
+    """Order-0 character entropy per language in integer micro-nats —
+    the compressibility / encoding-density estimate a corpus release
+    reports beside token stats (and the quick sanity check that a
+    'language' split isn't actually mixed scripts).  Per-char terms are
+    floor-quantized micro-nats summed as exact integers (the psi_drift
+    float-log discipline), so DuckDB replays the total bit-for-bit.
+
+    Shape: per-block char-count partials (one C-level join + bincount
+    per (block, lang) — never a per-char Python loop), folded by a
+    (lang, char)-keyed grouped sum (≤ langs × 256 rows); the entropy
+    arithmetic runs on that bounded table."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        langs_arr = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_lang, out_char, out_n = [], [], []
+        by_lang: dict = {}
+        for lg, tx in zip(langs_arr, texts):
+            if tx:
+                by_lang.setdefault(lg, []).append(tx)
+        for lg, txs in by_lang.items():
+            raw = np.frombuffer("".join(txs).encode(), dtype=np.uint8)
+            cnt = np.bincount(raw, minlength=256)
+            nz = np.nonzero(cnt)[0]
+            out_lang.extend([lg] * len(nz))
+            out_char.extend(chr(c) for c in nz)
+            out_n.extend(int(cnt[c]) for c in nz)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "char": pa.array(out_char, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    g = grouped_sum(
+        ds.map_batches(counts, batch_format="pyarrow"), ["lang", "char"], {"n": "n"}
+    ).to_pandas()  # ≤ langs × 256 rows
+
+    rows = []
+    for lg, gg in g.groupby("lang"):
+        n = gg["n"].to_numpy().astype(np.int64)
+        N = int(n.sum())
+        terms = np.floor((n / N) * np.log(N / n) * 1e6 + 0.5).astype(np.int64)
+        rows.append((lg, N, len(n), int(terms.sum())))
+    rows.sort()
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+            "distinct_chars": pa.array([r[2] for r in rows], pa.int64()),
+            "entropy_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
