@@ -1162,6 +1162,42 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_size_integrity(sf_dir: str):
+        """SQL-CHECKED declared-vs-fetched size integrity audit: per
+        host, payload rows whose discovery-time ``size`` disagrees with
+        the actual fetched byte count (the stale-metadata signal that
+        drives recrawl tiering and bandwidth planning).  One streaming
+        pass, host-bounded grouped sums."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["host", "size", "bytes"])
+
+        def kern(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b.column("bytes")))
+            actual = pc.binary_length(b.column("bytes")).cast(pa.int64())
+            declared = b.column("size").cast(pa.int64())
+            return pa.table(
+                {
+                    "host": b.column("host"),
+                    "one": pa.array([1] * b.num_rows, pa.int64()),
+                    "mm": pc.cast(pc.not_equal(declared, actual), pa.int64()),
+                    "declared": declared,
+                    "actual": actual,
+                }
+            )
+
+        from fscrawler_ray.pipelines.analytics import grouped_sum
+
+        return grouped_sum(
+            ds.map_batches(kern, batch_format="pyarrow"),
+            ["host"],
+            {"one": "n_payloads", "mm": "n_mismatch", "declared": "bytes_declared", "actual": "bytes_actual"},
+        )
+
     def crawl_bloom_audit(sf_dir: str):
         """SQL-CHECKED Bloom false-positive audit: the md5-twin bloom
         over the crawl trace (k=4 chunk hashes mod 2^21), probed with
@@ -1466,6 +1502,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_rendezvous": crawl_rendezvous,
         "crawl_host_scorecard": crawl_host_scorecard,
         "crawl_bloom_audit": crawl_bloom_audit,
+        "crawl_size_integrity": crawl_size_integrity,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -2679,6 +2716,14 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    sql["crawl_size_integrity"] = (
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_payloads, "
+        "CAST(sum(CASE WHEN size <> octet_length(bytes) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_mismatch, CAST(sum(size) AS BIGINT) AS bytes_declared, "
+        "CAST(sum(octet_length(bytes)) AS BIGINT) AS bytes_actual "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE bytes IS NOT NULL GROUP BY host"
     )
     # Bloom audit: replay bit positions (md5 hex chunks mod m), the
     # k-of-k membership test, and the FP tally.
