@@ -1534,6 +1534,15 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
             _spool_cache[sf_dir] = out
         return _spool_cache[sf_dir]
 
+    def images_column_footprint(sf_dir: str):
+        """SQL-CHECKED parquet storage audit over the image spool: per
+        column, compressed/uncompressed bytes + chunk counts read from
+        file FOOTERS only (one task per file, row data never touched)
+        vs DuckDB's independent parquet_metadata() parser."""
+        from fscrawler_ray.pipelines.sinks import parquet_column_footprint
+
+        return parquet_column_footprint(_images_spool(sf_dir))
+
     def images_datacard(sf_dir: str):
         """SQL-CHECKED per-format image-corpus data card (the image-side
         sibling of corpus_datacard): counts, payload bytes, total pixels,
@@ -2192,6 +2201,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_enrich": images_enrich,
         "images_attrs": images_attrs,
         "images_datacard": images_datacard,
+        "images_column_footprint": images_column_footprint,
         "images_caption_features": images_caption_features,
         "images_caption_selfrank": images_caption_selfrank,
         "images_phash_dedup": images_phash_dedup,
@@ -3513,6 +3523,13 @@ def oracle_sql() -> dict[str, str]:
         "q AS (SELECT image_id AS query_id, ph AS qph FROM t ORDER BY image_id LIMIT 8) "
         "SELECT q.query_id, t.image_id, CAST(bit_count(xor(q.qph, t.ph)) AS BIGINT) AS dist "
         "FROM q CROSS JOIN t WHERE bit_count(xor(q.qph, t.ph)) <= 10"
+    )
+    sql["images_column_footprint"] = (
+        "SELECT path_in_schema AS \"column\", "
+        "CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes, "
+        "CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes, "
+        "CAST(count(*) AS BIGINT) AS n_chunks "
+        f"FROM parquet_metadata('{IMAGES_SPOOL_DIR}/*.parquet') GROUP BY path_in_schema"
     )
     sql["images_datacard"] = (
         "WITH s AS (SELECT fmt, octet_length(bytes) AS nb, "

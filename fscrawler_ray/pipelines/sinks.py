@@ -533,3 +533,54 @@ def read_sitemaps(dest_dir: str):
         )
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+def parquet_column_footprint(dir_glob_root: str):
+    """Storage-footprint audit from parquet FOOTERS only: per column,
+    total compressed/uncompressed bytes and chunk count across every
+    file under the directory — the numbers that justify column pruning
+    ('bytes is 99% of the table; never read it for metadata queries')
+    and codec choices.  One Ray task per file reads ONLY the footer
+    (never row data); partials fold in a column-keyed grouped sum.  The
+    oracle is DuckDB's independent parquet_metadata() reader — two
+    separate footer parsers must agree byte-for-byte."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(os.path.join(dir_glob_root, "**", "*.parquet"), recursive=True)
+    )
+    t = pa.table({"path": pa.array(files, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(max(1, min(len(files), 64)))
+
+    def footer(b: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for path in b.column("path").to_pylist():
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema
+                    agg = cols.setdefault(name, [0, 0, 0])
+                    agg[0] += c.total_compressed_size
+                    agg[1] += c.total_uncompressed_size
+                    agg[2] += 1
+        names = sorted(cols)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "comp": pa.array([cols[n][0] for n in names], pa.int64()),
+                "uncomp": pa.array([cols[n][1] for n in names], pa.int64()),
+                "chunks": pa.array([cols[n][2] for n in names], pa.int64()),
+            }
+        )
+
+    from .analytics import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(footer, batch_format="pyarrow"),
+        ["column"],
+        {"comp": "compressed_bytes", "uncomp": "uncompressed_bytes", "chunks": "n_chunks"},
+    )
