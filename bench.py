@@ -138,6 +138,27 @@ EXTRA_QUERIES = [
     "corpus_datacard",
     "crawl_warc_export",
     "crawl_warc_roundtrip",
+    # final-session families
+    "crawl_cdx_index",
+    "crawl_sitemap_export",
+    "crawl_url_templates",
+    "crawl_url_canonical",
+    "host_ppr",
+    "pii_scrub",
+    "winnow_match_pairs",
+    "postings_varint",
+    "term_dict_frontcode",
+    "images_datacard",
+    "images_column_footprint",
+    "crawl_rendezvous",
+    "langid_confusion",
+    "vocab_good_turing",
+    "char_entropy_by_lang",
+    "simhash_banded_recall",
+    "table_analyze",
+    "crawl_host_scorecard",
+    "crawl_bloom_audit",
+    "crawl_size_integrity",
 ]
 
 
