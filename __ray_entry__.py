@@ -28,6 +28,7 @@ VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
 HOST_HITS_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_hits"
 HOST_PPR_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_ppr"
+HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
 
@@ -1407,6 +1408,23 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             {"host": t.column("node"), "hub": t.column("hub"), "authority": t.column("authority")}
         )
 
+    def host_reciprocity(sf_dir: str):
+        """SQL-CHECKED directed-graph reciprocity of the crawled host
+        graph (mutual-link fraction, self-loops tallied separately):
+        distinct composite-key edges + a flipped-key self-join through
+        the size-aware front door; oracle replays with one DuckDB
+        self-join over the same spooled edges."""
+        import shutil
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import reciprocity
+
+        shutil.rmtree(HOST_REC_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_REC_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_REC_EDGES_DIR)
+        return reciprocity(e, src_col="src_host", dst_col="dst_host")
+
     def host_ppr(sf_dir: str):
         """SQL-CHECKED personalized PageRank (Haveliwala 2002) over the
         spooled host-edge table: restart mass concentrates on the top-4
@@ -1493,6 +1511,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_exact": host_pagerank_exact,
         "host_hits": host_hits,
         "host_ppr": host_ppr,
+        "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
@@ -3011,6 +3030,18 @@ def oracle_sql() -> dict[str, str]:
     sql["host_pagerank_exact"] = _host_pagerank_oracle()
     sql["host_hits"] = _host_hits_oracle()
     sql["host_ppr"] = _host_ppr_oracle()
+    sql["host_reciprocity"] = (
+        "WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS t "
+        f"FROM read_parquet('{HOST_REC_EDGES_DIR}/*.parquet')), "
+        "n AS (SELECT count(*) AS ne FROM e WHERE s <> t), "
+        "l AS (SELECT count(*) AS nl FROM e WHERE s = t), "
+        "r AS (SELECT count(*) AS nr FROM e a JOIN e b ON b.s = a.t AND b.t = a.s "
+        "WHERE a.s <> a.t) "
+        "SELECT CAST(n.ne AS BIGINT) AS n_edges, CAST(l.nl AS BIGINT) AS n_self_loops, "
+        "CAST(r.nr AS BIGINT) AS n_reciprocal, "
+        "CAST(r.nr * 1000000 // greatest(n.ne, 1) AS BIGINT) AS reciprocity_micro "
+        "FROM n, l, r"
+    )
     sql["crawl_host_bfs"] = (
         "WITH RECURSIVE e AS (SELECT DISTINCT src_host AS s, dst_host AS d "
         f"FROM read_parquet('{HOST_EDGES_DIR}/*.parquet')), "

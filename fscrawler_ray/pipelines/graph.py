@@ -741,3 +741,81 @@ def personalized_pagerank(
             "is_seed": pa.array(is_seed, pa.int64()),
         }
     )
+
+
+def reciprocity(edges_ds, src_col: str = "src", dst_col: str = "dst"):
+    """Directed-graph reciprocity over the host link graph — the
+    link-economy health metric (what fraction of host→host links are
+    mutual; near-0 suggests scraped/spam link farms, near-1 a
+    syndication clique).  One row: (n_edges, n_self_loops,
+    n_reciprocal, reciprocity_micro), where n_edges counts DISTINCT
+    non-self directed edges and n_reciprocal those whose reverse edge
+    exists.
+
+    Shape: distinct edges via ONE composite-key groupby; the reverse
+    probe is a key-partitioned self-join on the flipped key through the
+    size-aware join front door — the edge set never folds on the
+    driver."""
+    sep = "\x1f"
+
+    def kern(b: pa.Table) -> pa.Table:
+        s = b.column(src_col)
+        t = b.column(dst_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(s, pa.scalar(sep), t, ""),
+                "rkey": pc.binary_join_element_wise(t, pa.scalar(sep), s, ""),
+                "is_loop": pc.cast(pc.equal(s, t), pa.int64()),
+            }
+        )
+
+    d = (
+        edges_ds.map_batches(kern, batch_format="pyarrow")
+        .groupby(["key", "rkey", "is_loop"])
+        .count()
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b.column("key"), "rkey": b.column("rkey"), "is_loop": b.column("is_loop")}
+        )
+
+    d = d.map_batches(strip, batch_format="pyarrow").materialize()
+
+    def only(v: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("is_loop"), v))
+
+        return f
+
+    n_loops = d.map_batches(only(1), batch_format="pyarrow").count()
+    nonloop = d.map_batches(only(0), batch_format="pyarrow").materialize()
+    n_edges = nonloop.count()
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("key")})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("rkey")})
+
+    n_rec = join(
+        nonloop.map_batches(fwd, batch_format="pyarrow"),
+        nonloop.map_batches(rev, batch_format="pyarrow"),
+        on="key",
+        how="inner",
+    ).count()
+
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_self_loops": pa.array([n_loops], pa.int64()),
+            "n_reciprocal": pa.array([n_rec], pa.int64()),
+            "reciprocity_micro": pa.array(
+                [n_rec * 1_000_000 // max(n_edges, 1)], pa.int64()
+            ),
+        }
+    )
