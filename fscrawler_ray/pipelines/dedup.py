@@ -1699,3 +1699,79 @@ def _simhash_banded_recall_oracle() -> str:
 
 
 ORACLE_SQL["simhash_banded_recall"] = _simhash_banded_recall_oracle()
+
+
+def winnow_containment(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 32, min_shared: int = 2):
+    """Asymmetric containment over winnowing fingerprints (Broder's
+    containment coefficient): for each MOSS match pair, shared
+    fingerprints as a fraction of EACH side's fingerprint set, in
+    integer micros — high containment_a with low containment_b means
+    doc_a is quoted/embedded inside doc_b (the subset-duplicate signal
+    symmetric Jaccard misses).  Composition: the certified match pairs
+    joined twice against the per-doc fingerprint counts through the
+    size-aware front door."""
+    from ..stages.joins import join as _join
+
+    pairs = winnow_match_pairs(sf_dir, k=k, w=w, max_bucket=max_bucket, min_shared=min_shared)
+    fps = q_winnow_fingerprints(sf_dir, k=k, w=w)
+
+    def dedup_fp(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "fp": b.column("fp")})
+
+    cnt = (
+        fps.map_batches(dedup_fp, batch_format="pyarrow")
+        .groupby(["doc_id", "fp"])
+        .count()
+        .groupby("doc_id")
+        .count()
+    )
+
+    def as_side(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    side: b.column("doc_id").cast(pa.int64()),
+                    f"n_fps_{side[-1]}": b.column("count()").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    j = _join(pairs, cnt.map_batches(as_side("doc_a"), batch_format="pyarrow"), on="doc_a", how="inner")
+    j = _join(j, cnt.map_batches(as_side("doc_b"), batch_format="pyarrow"), on="doc_b", how="inner")
+
+    def finish(b: pa.Table) -> pa.Table:
+        sh = b.column("shared_fps").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        na = b.column("n_fps_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nb = b.column("n_fps_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": b.column("doc_a").cast(pa.int64()),
+                "doc_b": b.column("doc_b").cast(pa.int64()),
+                "shared_fps": pa.array(sh, pa.int64()),
+                "n_fps_a": pa.array(na, pa.int64()),
+                "n_fps_b": pa.array(nb, pa.int64()),
+                "containment_a_micro": pa.array(sh * 1_000_000 // na, pa.int64()),
+                "containment_b_micro": pa.array(sh * 1_000_000 // nb, pa.int64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["winnow_containment"] = (
+    "WITH fpt AS ("
+    + ORACLE_SQL["winnow_fingerprints"]
+    + "), d AS (SELECT DISTINCT doc_id, fp FROM fpt), "
+    "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM d GROUP BY doc_id), "
+    "hot AS (SELECT fp FROM d GROUP BY fp HAVING count(*) BETWEEN 2 AND 32), "
+    "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a "
+    "JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "WHERE a.fp IN (SELECT fp FROM hot)), "
+    "mp AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_fps "
+    "FROM pr GROUP BY doc_a, doc_b HAVING count(*) >= 2) "
+    "SELECT mp.doc_a, mp.doc_b, mp.shared_fps, ca.nf AS n_fps_a, cb.nf AS n_fps_b, "
+    "CAST(mp.shared_fps * 1000000 // ca.nf AS BIGINT) AS containment_a_micro, "
+    "CAST(mp.shared_fps * 1000000 // cb.nf AS BIGINT) AS containment_b_micro "
+    "FROM mp JOIN cnt ca ON ca.doc_id = mp.doc_a JOIN cnt cb ON cb.doc_id = mp.doc_b"
+)
