@@ -1163,6 +1163,63 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_url_features(sf_dir: str):
+        """SQL-CHECKED per-URL spam/quality features (the FineWeb URL
+        rule's measurable core): path char length, depth (segment
+        count), digit chars, query-param count, longest path segment —
+        all integer, one RE2 streaming pass — plus the composite
+        spam flag (depth > 6 or digits > 12 or longest segment > 40)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out.rstrip("/") + "_trace", columns=["seq", "url"])
+
+        def kern(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            u = b.column("url")
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            parts = pc.extract_regex(u, r"^[a-z]+://[^/?#]*(?P<p>[^?#]*)(?P<q>\??[^#]*)")
+            path = pc.struct_field(parts, "p")
+            q = pc.struct_field(parts, "q")
+            plen = pc.utf8_length(path).cast(pa.int64())
+            depth = pc.count_substring(path, "/").cast(pa.int64())
+            digits = pc.count_substring_regex(path, "[0-9]").cast(pa.int64())
+            nparams = pc.if_else(
+                pc.equal(q, ""),
+                pa.scalar(0, pa.int64()),
+                pc.add(pc.count_substring(q, "&").cast(pa.int64()), pa.scalar(1, pa.int64())),
+            )
+            segs = pc.split_pattern(path, "/")
+            flat = pc.list_flatten(segs)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(segs), 0).to_numpy(zero_copy_only=False)
+            sl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            row = np.repeat(np.arange(b.num_rows), lens)
+            longest = np.zeros(b.num_rows, dtype=np.int64)
+            np.maximum.at(longest, row, sl)
+            dn = depth.to_numpy(zero_copy_only=False)
+            dg = digits.to_numpy(zero_copy_only=False)
+            spam = ((dn > 6) | (dg > 12) | (longest > 40)).astype(np.int64)
+            return pa.table(
+                {
+                    "seq": b.column("seq").cast(pa.int64()),
+                    "path_len": plen,
+                    "depth": depth,
+                    "digit_chars": digits,
+                    "n_params": nparams,
+                    "longest_segment": pa.array(longest),
+                    "spam_flag": pa.array(spam),
+                }
+            )
+
+        return ds.map_batches(kern, batch_format="pyarrow")
+
     def crawl_size_integrity(sf_dir: str):
         """SQL-CHECKED declared-vs-fetched size integrity audit: per
         host, payload rows whose discovery-time ``size`` disagrees with
@@ -1522,6 +1579,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_scorecard": crawl_host_scorecard,
         "crawl_bloom_audit": crawl_bloom_audit,
         "crawl_size_integrity": crawl_size_integrity,
+        "crawl_url_features": crawl_url_features,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -2747,6 +2805,22 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    sql["crawl_url_features"] = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, "
+        r"regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)(\??[^#]*)', 1) AS p, "
+        r"regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)(\??[^#]*)', 2) AS q "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}_trace/part-*.parquet')), "
+        "s AS (SELECT seq, CAST(length(p) AS BIGINT) AS path_len, "
+        "CAST(len(regexp_extract_all(p, '/')) AS BIGINT) AS depth, "
+        "CAST(len(regexp_extract_all(p, '[0-9]')) AS BIGINT) AS digit_chars, "
+        "CAST(CASE WHEN q = '' THEN 0 ELSE len(regexp_extract_all(q, '&')) + 1 END "
+        "AS BIGINT) AS n_params, "
+        "CAST((SELECT coalesce(max(length(x.s)), 0) FROM "
+        "unnest(string_split(p, '/')) AS x(s)) AS BIGINT) AS longest_segment FROM t) "
+        "SELECT seq, path_len, depth, digit_chars, n_params, longest_segment, "
+        "CAST(CASE WHEN depth > 6 OR digit_chars > 12 OR longest_segment > 40 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS spam_flag FROM s"
     )
     sql["crawl_size_integrity"] = (
         "SELECT host, CAST(count(*) AS BIGINT) AS n_payloads, "
