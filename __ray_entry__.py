@@ -1620,6 +1620,54 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return parquet_column_footprint(_images_spool(sf_dir))
 
+    def images_phash_bitstats(sf_dir: str):
+        """SQL-CHECKED pHash bit-balance audit: per bit position 0..63,
+        how many images have the bit set and the micro-fraction — a
+        well-distributed perceptual hash sits near 500000 everywhere;
+        biased positions mean degenerate banding (the LSH quality
+        pre-check before trusting banded dedup).  One streaming pass of
+        per-block 64-int partials."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray as _ray
+
+        ds = _ray.data.read_parquet(_images_spool(sf_dir), columns=["phash"])
+        n_total = ds.count()
+
+        def partial(b: pa.Table) -> pa.Table:
+            u = (
+                b.column("phash")
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+            )
+            bits = (u[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            cnt = bits.sum(axis=0).astype(np.int64)
+            return pa.table(
+                {
+                    "bit": pa.array(np.arange(64, dtype=np.int64)),
+                    "n_set": pa.array(cnt),
+                }
+            )
+
+        agg = np.zeros(64, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            np.add.at(
+                agg,
+                b.column("bit").to_numpy(zero_copy_only=False),
+                b.column("n_set").to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "bit": pa.array(np.arange(64, dtype=np.int64)),
+                "n_set": pa.array(agg),
+                "set_micro": pa.array(agg * 1_000_000 // max(n_total, 1), pa.int64()),
+            }
+        )
+
     def images_datacard(sf_dir: str):
         """SQL-CHECKED per-format image-corpus data card (the image-side
         sibling of corpus_datacard): counts, payload bytes, total pixels,
@@ -2278,6 +2326,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_enrich": images_enrich,
         "images_attrs": images_attrs,
         "images_datacard": images_datacard,
+        "images_phash_bitstats": images_phash_bitstats,
         "images_column_footprint": images_column_footprint,
         "images_caption_features": images_caption_features,
         "images_caption_selfrank": images_caption_selfrank,
@@ -3637,6 +3686,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes, "
         "CAST(count(*) AS BIGINT) AS n_chunks "
         f"FROM parquet_metadata('{IMAGES_SPOOL_DIR}/*.parquet') GROUP BY path_in_schema"
+    )
+    sql["images_phash_bitstats"] = (
+        "WITH b AS (SELECT unnest(generate_series(0, 63)) AS bit), "
+        f"p AS (SELECT phash FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "t AS (SELECT count(*) AS n FROM p) "
+        "SELECT CAST(b.bit AS BIGINT) AS bit, "
+        "CAST(sum((phash >> b.bit) & 1) AS BIGINT) AS n_set, "
+        "CAST(sum((phash >> b.bit) & 1) * 1000000 // greatest(t.n, 1) AS BIGINT) "
+        "AS set_micro FROM p CROSS JOIN b CROSS JOIN t GROUP BY b.bit, t.n"
     )
     sql["images_datacard"] = (
         "WITH s AS (SELECT fmt, octet_length(bytes) AS nb, "
