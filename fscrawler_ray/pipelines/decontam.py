@@ -456,3 +456,84 @@ ORACLE_SQL = {
         "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM grams GROUP BY doc_id"
     ),
 }
+
+
+def q_doc_novelty(sf_dir: str, w: int = 3):
+    """Per-document n-gram novelty — the memorization/uniqueness metric:
+    fraction of a doc's token W-grams that appear in NO other document
+    (df = 1 across the corpus), integer micros.  High-novelty docs carry
+    information the rest of the corpus lacks; near-zero novelty marks
+    templated/boilerplate pages.
+
+    Two shuffles, both gram-keyed: a (gram, doc) dedup + grouped df
+    count, then the gram stream joins back against the df table to fold
+    per-doc (total, unique) tallies.  Gram identity is the rolling
+    xxh64 window combine (decontam's kernel); the oracle counts
+    space-joined gram STRINGS — equivalent because tokens contain no
+    whitespace (module parity note)."""
+    from ..stages.joins import join as _join
+    from .analytics import grouped_sum
+
+    ds = _docs(sf_dir)
+
+    def grams(b: pa.Table) -> pa.Table:
+        h, row, _ = _token_hashes(b.column("text"))
+        gh, grow = _window_hashes(h, row, w)
+        doc = b.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)[grow]
+        return pa.table(
+            {"g": pa.array(gh.view(np.int64)), "doc_id": pa.array(doc, pa.int64())}
+        )
+
+    g = ds.map_batches(grams, batch_format="pyarrow").materialize()
+
+    df = (
+        g.groupby(["g", "doc_id"]).count().groupby("g").count()
+    )
+
+    def df_slim(b: pa.Table) -> pa.Table:
+        return pa.table({"g": b.column("g"), "df": b.column("count()").cast(pa.int64())})
+
+    joined = _join(g, df.map_batches(df_slim, batch_format="pyarrow"), on="g", how="inner")
+
+    def tallies(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "uniq": pc.cast(pc.equal(b.column("df"), 1), pa.int64()),
+            }
+        )
+
+    per = grouped_sum(
+        joined.map_batches(tallies, batch_format="pyarrow"),
+        ["doc_id"],
+        {"one": "n_grams", "uniq": "n_unique_grams"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_grams").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b.column("n_unique_grams").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(n),
+                "n_unique_grams": pa.array(u),
+                "novelty_micro": pa.array(u * 1_000_000 // np.maximum(n, 1), pa.int64()),
+            }
+        )
+
+    return per.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["doc_novelty"] = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents), "
+    "pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM toks WHERE len(l) >= 3), "
+    "grams AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "array_to_string(list_slice(l, i, i + 2), ' ') AS g FROM pos), "
+    "df AS (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g), "
+    "per AS (SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq "
+    "FROM grams JOIN df USING (g) GROUP BY grams.doc_id) "
+    "SELECT doc_id, n_grams, uniq AS n_unique_grams, "
+    "CAST(uniq * 1000000 // greatest(n_grams, 1) AS BIGINT) AS novelty_micro FROM per"
+)
