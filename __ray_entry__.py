@@ -1620,6 +1620,14 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return parquet_column_footprint(_images_spool(sf_dir))
 
+    def images_caption_size_rankcorr(sf_dir: str):
+        """SQL-CHECKED integer-exact Spearman rank correlation between
+        caption token count and payload bytes (ROW_NUMBER rank twins,
+        two-level distributed rank, bigint rho arithmetic)."""
+        from fscrawler_ray.pipelines.image_corpus import caption_size_rankcorr
+
+        return caption_size_rankcorr(_images_spool(sf_dir))
+
     def images_phash_bitstats(sf_dir: str):
         """SQL-CHECKED pHash bit-balance audit: per bit position 0..63,
         how many images have the bit set and the micro-fraction — a
@@ -2327,6 +2335,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_attrs": images_attrs,
         "images_datacard": images_datacard,
         "images_phash_bitstats": images_phash_bitstats,
+        "images_caption_size_rankcorr": images_caption_size_rankcorr,
         "images_column_footprint": images_column_footprint,
         "images_caption_features": images_caption_features,
         "images_caption_selfrank": images_caption_selfrank,
@@ -3688,6 +3697,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes, "
         "CAST(count(*) AS BIGINT) AS n_chunks "
         f"FROM parquet_metadata('{IMAGES_SPOOL_DIR}/*.parquet') GROUP BY path_in_schema"
+    )
+    sql["images_caption_size_rankcorr"] = (
+        "WITH x AS (SELECT image_id, "
+        "len(regexp_extract_all(coalesce(caption, ''), '\\S+')) AS tk, "
+        "octet_length(bytes) AS nb "
+        f"FROM read_parquet('{IMAGES_SPOOL_DIR}/*.parquet')), "
+        "a AS (SELECT image_id, ROW_NUMBER() OVER (ORDER BY tk, image_id) AS ra FROM x), "
+        "b AS (SELECT image_id, ROW_NUMBER() OVER (ORDER BY nb, image_id) AS rb FROM x), "
+        "d AS (SELECT CAST(a.ra AS BIGINT) - b.rb AS d FROM a JOIN b USING (image_id)), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(d * d) AS HUGEINT) AS s2 FROM d) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(s2 AS BIGINT) AS sum_d2, "
+        "CAST(CASE WHEN n * (n * n - 1) = 0 THEN 1000000 ELSE "
+        "(2 * n * (n * n - 1) - 6 * s2) * 1000000 // (n * (n * n - 1)) END AS BIGINT) "
+        "AS rho_plus1_micro FROM s"
     )
     sql["images_phash_bitstats"] = (
         "WITH b AS (SELECT unnest(generate_series(0, 63)) AS bit), "

@@ -818,3 +818,120 @@ def caption_selfrank(images_ds, n_queries: int = 8):
             ),
         }
     )
+
+
+def caption_size_rankcorr(spool_dir: str):
+    """Integer-exact Spearman rank correlation between caption length
+    (tokens) and payload size (bytes) over the image corpus — the
+    dataset-health probe for 'do richer captions come with richer
+    images?' (a strong negative value flags thumbnail farms with
+    boilerplate alt-text).  Reported as (n, sum_d2, rho_plus1_micro)
+    where rho+1 = (2·D − 6·Σd²)/D with D = n(n²−1) — all integer
+    (bigint) arithmetic, so DuckDB replays it exactly; the ±1 shift
+    keeps the quotient nonnegative (trunc ≡ floor on both sides).
+
+    Ranks are deterministic ROW_NUMBER twins ordered by (value, id),
+    computed with the two-level distributed rank (value-bucketed grouped
+    counts → driver exclusive cumsum over the bucket table → per-bucket
+    in-group rank) — no global sort; d² partials fold per block."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..stages.joins import join as _join
+
+    ds = ray.data.read_parquet(spool_dir, columns=["image_id", "bytes", "caption"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "tk": pc.count_substring_regex(
+                    pc.fill_null(b.column("caption"), ""), r"\S+"
+                ).cast(pa.int64()),
+                "nb": pc.binary_length(b.column("bytes")).cast(pa.int64()),
+            }
+        )
+
+    f = ds.map_batches(feats, batch_format="pyarrow").materialize()
+
+    def ranked(val_col: str, width: int, out: str):
+        def slim(b: pa.Table) -> pa.Table:
+            v = b.column(val_col)
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "v": v,
+                    "bucket": pc.divide(v, width),
+                }
+            )
+
+        s = f.map_batches(slim, batch_format="pyarrow").materialize()
+        counts = s.groupby("bucket").count().to_pandas().sort_values("bucket")
+        offs = dict(
+            zip(
+                counts["bucket"].astype(int),
+                np.concatenate([[0], counts["count()"].cumsum().to_numpy()[:-1]]),
+            )
+        )
+
+        def rank(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["v", "image_id"]).reset_index(drop=True)
+            base = int(offs[int(g["bucket"].iloc[0])])
+            return pd.DataFrame(
+                {
+                    "image_id": g["image_id"],
+                    out: base + 1 + np.arange(len(g), dtype=np.int64),
+                }
+            )
+
+        return s.groupby("bucket").map_groups(rank, batch_format="pandas")
+
+    ra = ranked("tk", 1, "ra")
+    rb = ranked("nb", 1024, "rb")
+
+    def norm(colname):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "image_id": b.column("image_id").cast(pa.string()),
+                    colname: b.column(colname).cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    j = _join(
+        ra.map_batches(norm("ra"), batch_format="pyarrow"),
+        rb.map_batches(norm("rb"), batch_format="pyarrow"),
+        on="image_id",
+        how="inner",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (
+            b.column("ra").to_numpy(zero_copy_only=False)
+            - b.column("rb").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_p": pa.array([len(d)], pa.int64()),
+                "s2_p": pa.array([int((d * d).sum())], pa.int64()),
+            }
+        )
+
+    n = s2 = 0
+    for b in j.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(b.column("n_p")).as_py() or 0)
+        s2 += int(pc.sum(b.column("s2_p")).as_py() or 0)
+    D = n * (n * n - 1)
+    rho1 = (2 * D - 6 * s2) * 1_000_000 // D if D else 1_000_000
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_d2": pa.array([s2], pa.int64()),
+            "rho_plus1_micro": pa.array([rho1], pa.int64()),
+        }
+    )
