@@ -2564,6 +2564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # so the whole C4-style pipeline is SQL-checked end-to-end
             "corpus_clean_exact": lambda sf: corpus.clean_text_corpus(sf, neardup=False)[0],
             "corpus_funnel": corpus.corpus_funnel,
+            # the full release chain: clean -> gopher -> decontam ->
+            # split -> per-(split, lang) datacard, composition-certified
+            "corpus_release": corpus.q_corpus_release,
             # cross-document exact span dedup REMOVAL (C4 duplicated-span
             # rule / Lee et al. ExactSubstr shape on non-overlapping
             # 8-token tiles): first global occurrence survives, cleaned

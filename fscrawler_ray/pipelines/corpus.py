@@ -510,3 +510,77 @@ def _corpus_funnel_sql() -> str:
 
 
 ORACLE_SQL["corpus_funnel"] = _corpus_funnel_sql()
+
+
+def q_corpus_release(sf_dir: str):
+    """The composed RELEASE pipeline — the full pretraining-prep chain
+    certified end-to-end in one table: C4-style clean (langid allow-list
+    + quality + min-chars + global exact dedup) → Gopher gate →
+    benchmark decontamination → salted-md5 train/val split → per-(split,
+    lang) release datacard (docs, chars, whitespace tokens).  Every
+    stage is an already-bit-exact oracle; the release table certifies
+    their COMPOSITION (survivor identity AND the final corpus stats).
+
+    One pass over the kept stream: gopher + decontam flags and the split
+    assignment ride the same batch; (split, lang)-keyed grouped sums
+    fold the partials (split×lang-bounded output)."""
+    from .decontam import _token_hashes, _window_hashes, benchmark_gram_hashes
+    from .sampling import split_of_ids
+    from .textops import gopher_flag_batch
+    from .analytics import grouped_sum
+
+    kept, _ = clean_text_corpus(sf_dir, neardup=False, keep_text=True)
+    bench_ref = ray.put(benchmark_gram_hashes(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = gopher_flag_batch(b.column("text")).column("gopher_pass")
+        gm = pc.equal(g, 1).to_numpy(zero_copy_only=False)
+        bset = ray.get(bench_ref)
+        h, row, _ = _token_hashes(b.column("text"))
+        gr, grow = _window_hashes(h, row, 8)
+        hit_doc = np.zeros(b.num_rows, bool)
+        if len(gr) and len(bset):
+            pos = np.searchsorted(bset, gr)
+            hit = (pos < len(bset)) & (bset[np.minimum(pos, len(bset) - 1)] == gr)
+            hit_doc[np.unique(grow[hit])] = True
+        keep = pa.array(gm & ~hit_doc)
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "split": split_of_ids(t.column("doc_id")),
+                "lang": t.column("lang"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+                "toks": pc.count_substring_regex(t.column("text"), r"\S+").cast(pa.int64()),
+            }
+        )
+
+    return grouped_sum(
+        kept.map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"],
+        {"one": "n_docs", "chars": "n_chars", "toks": "n_tokens"},
+    )
+
+
+def _corpus_release_sql() -> str:
+    from .decontam import ORACLE_SQL as DECONTAM_SQL
+    from .sampling import SPLIT_CASE_SQL
+    from .textops import ORACLE_SQL as TEXT_SQL
+
+    return (
+        f"WITH ce AS ({_corpus_clean_exact_sql()}), "
+        f"g AS ({TEXT_SQL['gopher_rules']}), "
+        f"dh AS ({DECONTAM_SQL['decontam_hits']}), "
+        "rel AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
+        "JOIN ce ON ce.doc_id = d.doc_id "
+        "JOIN g ON g.doc_id = d.doc_id AND g.gopher_pass = 1 "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM dh)) "
+        f"SELECT {SPLIT_CASE_SQL} AS split, lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+        "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens "
+        "FROM rel GROUP BY split, lang"
+    )
+
+
+ORACLE_SQL["corpus_release"] = _corpus_release_sql()
