@@ -1620,6 +1620,15 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
         return parquet_column_footprint(_images_spool(sf_dir))
 
+    def images_release(sf_dir: str):
+        """SQL-CHECKED composed image release chain: metadata quality
+        gate -> exact phash dedup (keep-min) -> salted-md5 split ->
+        per-(split, fmt) release datacard; every stage replayed by the
+        nested oracle."""
+        from fscrawler_ray.pipelines.image_corpus import images_release as _rel
+
+        return _rel(_images_spool(sf_dir))
+
     def images_caption_size_rankcorr(sf_dir: str):
         """SQL-CHECKED integer-exact Spearman rank correlation between
         caption token count and payload bytes (ROW_NUMBER rank twins,
@@ -2336,6 +2345,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "images_datacard": images_datacard,
         "images_phash_bitstats": images_phash_bitstats,
         "images_caption_size_rankcorr": images_caption_size_rankcorr,
+        "images_release": images_release,
         "images_column_footprint": images_column_footprint,
         "images_caption_features": images_caption_features,
         "images_caption_selfrank": images_caption_selfrank,
@@ -3700,6 +3710,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes, "
         "CAST(count(*) AS BIGINT) AS n_chunks "
         f"FROM parquet_metadata('{IMAGES_SPOOL_DIR}/*.parquet') GROUP BY path_in_schema"
+    )
+    sql["images_release"] = (
+        "WITH g AS (SELECT * FROM read_parquet('" + IMAGES_SPOOL_DIR + "/*.parquet') "
+        "WHERE w >= 48 AND h >= 48 AND 2 * greatest(w, h) <= 5 * least(w, h) "
+        "AND len(regexp_extract_all(coalesce(caption, ''), '\\S+')) >= 3), "
+        "k AS (SELECT phash, min(image_id) AS keeper FROM g GROUP BY phash), "
+        "r AS (SELECT g.* FROM g JOIN k ON k.phash = g.phash AND k.keeper = g.image_id), "
+        "s AS (SELECT CASE WHEN md5_number_upper(image_id) % 10 < 8 "
+        "THEN 'train' ELSE 'val' END AS split, fmt, octet_length(bytes) AS nb, "
+        "len(regexp_extract_all(coalesce(caption, ''), '\\S+')) AS tk FROM r) "
+        "SELECT split, fmt, CAST(count(*) AS BIGINT) AS n_images, "
+        "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
+        "CAST(sum(tk) AS BIGINT) AS caption_tokens FROM s GROUP BY split, fmt"
     )
     sql["images_caption_size_rankcorr"] = (
         "WITH x AS (SELECT image_id, "

@@ -935,3 +935,82 @@ def caption_size_rankcorr(spool_dir: str):
             "rho_plus1_micro": pa.array([rho1], pa.int64()),
         }
     )
+
+
+def images_release(spool_dir: str):
+    """The composed image RELEASE chain, certified end-to-end: metadata
+    quality gate (min side 48, aspect ≤ 2.5 in integer cross-multiplied
+    form, caption ≥ 3 tokens — the clean_image_corpus metadata prefix) →
+    exact pixel dedup (keep-min image_id per phash) → salted-md5
+    train/val split (md5(image_id) % 10 < 8) → per-(split, fmt) release
+    datacard (images, payload bytes, caption tokens).
+
+    Shuffles: one phash-keyed grouped min + one keeper semi-join through
+    the size-aware front door + one (split, fmt)-keyed grouped sum; the
+    md5 split twin makes every stage DuckDB-replayable."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.sketches import md5_u64_batch
+    from ..stages.joins import join as _join
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(
+        spool_dir, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        w = b.column("w").cast(pa.int64())
+        h = b.column("h").cast(pa.int64())
+        tk = pc.count_substring_regex(pc.fill_null(b.column("caption"), ""), r"\S+")
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(w, 48), pc.greater_equal(h, 48)),
+                pc.less_equal(
+                    pc.multiply(pa.scalar(2, pa.int64()), pc.max_element_wise(w, h)),
+                    pc.multiply(pa.scalar(5, pa.int64()), pc.min_element_wise(w, h)),
+                ),
+            ),
+            pc.greater_equal(tk, 3),
+        )
+        return b.filter(keep)
+
+    g = ds.map_batches(gate, batch_format="pyarrow").materialize()
+
+    keepers = g.groupby("phash").min("image_id")
+
+    def kslim(b: pa.Table) -> pa.Table:
+        return pa.table({"image_id": b.column("min(image_id)").cast(pa.string())})
+
+    r = _join(
+        g,
+        keepers.map_batches(kslim, batch_format="pyarrow"),
+        on="image_id",
+        how="inner",
+    )
+
+    def card(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        tenth = md5_u64_batch(ids) % np.uint64(10)
+        split = np.where(tenth < 8, "train", "val")
+        return pa.table(
+            {
+                "split": pa.array(split.tolist(), pa.string()),
+                "fmt": b.column("fmt"),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "nb": pc.binary_length(b.column("bytes")).cast(pa.int64()),
+                "tk": pc.count_substring_regex(
+                    pc.fill_null(b.column("caption"), ""), r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    return grouped_sum(
+        r.map_batches(card, batch_format="pyarrow"),
+        ["split", "fmt"],
+        {"one": "n_images", "nb": "payload_bytes", "tk": "caption_tokens"},
+    )
