@@ -1163,6 +1163,15 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_frontier_funnel(sf_dir: str):
+        """SQL-CHECKED composed frontier hygiene funnel: robots (RFC
+        9309) -> FineWeb URL filter -> spam-feature gate, stage survivor
+        counts from ONE streaming pass; each gate's kernel is the
+        certified component and the oracle nests their CTEs."""
+        from fscrawler_ray.pipelines.crawl_report import frontier_funnel
+
+        return frontier_funnel(_shared_written_run(sf_dir))
+
     def crawl_url_features(sf_dir: str):
         """SQL-CHECKED per-URL spam/quality features (the FineWeb URL
         rule's measurable core): path char length, depth (segment
@@ -1580,6 +1589,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bloom_audit": crawl_bloom_audit,
         "crawl_size_integrity": crawl_size_integrity,
         "crawl_url_features": crawl_url_features,
+        "crawl_frontier_funnel": crawl_frontier_funnel,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
     }
@@ -3898,6 +3908,29 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM(CASE WHEN allow_len < deny_len THEN 1 ELSE 0 END) AS BIGINT) AS n_denied, "
         "CAST(SUM(CASE WHEN allow_len >= deny_len AND deny_len >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_override, "
         "CAST(COUNT(*) AS BIGINT) AS n_urls FROM v GROUP BY host"
+    )
+    # Frontier funnel: compose the robots verdict, URL-filter verdict and
+    # spam-feature gate into stage survivor counts (each component CTE is
+    # its already-certified oracle).
+    sql["crawl_frontier_funnel"] = (
+        "WITH " + _robots_uv
+        + ", uf AS (" + sql["crawl_url_filter"] + "), "
+        "sp AS (SELECT url, "
+        r"regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS p "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "spf AS (SELECT url, CASE WHEN "
+        "len(regexp_extract_all(p, '/')) <= 6 "
+        "AND len(regexp_extract_all(p, '[0-9]')) <= 12 "
+        "AND (SELECT coalesce(max(length(x.s)), 0) FROM "
+        "unnest(string_split(p, '/')) AS x(s)) <= 40 THEN 1 ELSE 0 END AS nonspam FROM sp) "
+        "SELECT 'total' AS stage, CAST(count(*) AS BIGINT) AS n FROM v "
+        "UNION ALL SELECT 'robots', CAST(count(*) AS BIGINT) FROM v "
+        "WHERE allow_len >= deny_len "
+        "UNION ALL SELECT 'filter', CAST(count(*) AS BIGINT) FROM v "
+        "JOIN uf USING (url) WHERE allow_len >= deny_len AND uf.url_pass = 1 "
+        "UNION ALL SELECT 'nonspam', CAST(count(*) AS BIGINT) FROM v "
+        "JOIN uf USING (url) JOIN spf USING (url) "
+        "WHERE allow_len >= deny_len AND uf.url_pass = 1 AND spf.nonspam = 1"
     )
     from fscrawler_ray.pipelines.crawl_report import ROBOTS_DEMOTE_PERMILLE as _DEMOTE
 

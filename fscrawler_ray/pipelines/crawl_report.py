@@ -1318,3 +1318,87 @@ def bloom_fpr_audit(trace_dir: str, m_bits: int = BLOOM_AUDIT_M, k: int = 4):
             "fpr_micro": pa.array([fp * 1_000_000 // max(n_probes, 1)], pa.int64()),
         }
     )
+
+
+def frontier_funnel(out_dir: str, seed: int = 42):
+    """Composed crawl-side curation FUNNEL (the crawl twin of
+    corpus_funnel / curation_funnel): stage-by-stage survivor counts of
+    the frontier hygiene chain over a crawl snapshot —
+
+      total    all crawled rows
+      robots   RFC 9309 allowed (longest-match, allow wins ties)
+      filter   + the FineWeb-style URL filter (len/digits/depth/
+               blocklist/token rules)
+      nonspam  + the URL spam-feature gate (path depth ≤ 6, digit chars
+               ≤ 12, longest segment ≤ 40)
+
+    All three gates ride ONE zero-shuffle streaming pass (per-batch
+    integer partials); each gate's kernel is the already-certified
+    component (robots_eval, url_flag_batch, crawl_url_features), so the
+    funnel certifies the COMPOSITION."""
+    import numpy as np
+
+    from ..crawl.robots import rfc_eval_paths, rfc_ruleset_for_host
+
+    ds = ray.data.read_parquet(out_dir, columns=["url", "host"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        host_np = b.column("host").to_numpy(zero_copy_only=False)
+        # robots gate
+        path = pc.replace_substring_regex(url, r"^[a-z+.-]+://[^/]*", "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        allow_len = np.zeros(len(url), dtype=np.int64)
+        deny_len = np.full(len(url), -1, dtype=np.int64)
+        for h in np.unique(host_np):
+            idx = np.flatnonzero(host_np == h)
+            a, d = rfc_eval_paths(path.take(pa.array(idx)), rfc_ruleset_for_host(str(h), seed))
+            allow_len[idx] = a
+            deny_len[idx] = d
+        robots_ok = allow_len >= deny_len
+        # URL filter gate
+        flags = url_flag_batch(url, b.column("host"))
+        filter_ok = flags.column("url_pass").to_numpy(zero_copy_only=False).astype(bool)
+        # spam-feature gate (the crawl_url_features thresholds)
+        p2 = pc.struct_field(
+            pc.extract_regex(url, r"^[a-z]+://[^/?#]*(?P<p>[^?#]*)"), "p"
+        )
+        depth = pc.count_substring(p2, "/").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        digits = (
+            pc.count_substring_regex(p2, "[0-9]").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        segs = pc.split_pattern(p2, "/")
+        flat = pc.list_flatten(segs)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(segs), 0).to_numpy(zero_copy_only=False)
+        sl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(b.num_rows), lens)
+        longest = np.zeros(b.num_rows, dtype=np.int64)
+        np.maximum.at(longest, row, sl)
+        nonspam = (depth <= 6) & (digits <= 12) & (longest <= 40)
+        return pa.table(
+            {
+                "total": pa.array([b.num_rows], pa.int64()),
+                "robots": pa.array([int(robots_ok.sum())], pa.int64()),
+                "filter": pa.array([int((robots_ok & filter_ok).sum())], pa.int64()),
+                "nonspam": pa.array(
+                    [int((robots_ok & filter_ok & nonspam).sum())], pa.int64()
+                ),
+            }
+        )
+
+    sums = {"total": 0, "robots": 0, "filter": 0, "nonspam": 0}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k in sums:
+            sums[k] += int(pc.sum(b.column(k)).as_py() or 0)
+    return pa.table(
+        {
+            "stage": pa.array(list(sums), pa.string()),
+            "n": pa.array([sums[k] for k in sums], pa.int64()),
+        }
+    )
