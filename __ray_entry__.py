@@ -22,6 +22,7 @@ ROBOTS_RULES_DIR = "/tmp/fscrawler_oracle_robots_rules"
 WDS_TAR_DIR = "/tmp/fscrawler_oracle_wds_tars"
 WARC_DIR = "/tmp/fscrawler_oracle_warc"
 SITEMAP_DIR = "/tmp/fscrawler_oracle_sitemaps"
+SITEMAP_INCR_DIR = "/tmp/fscrawler_oracle_sitemaps_incr"
 IMAGES_SPOOL_DIR = "/tmp/fscrawler_oracle_images"
 AUDIO_SPOOL_DIR = "/tmp/fscrawler_oracle_audio"
 VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
@@ -1353,6 +1354,22 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
                 pass
         return read_sitemaps(SITEMAP_DIR)
 
+    def crawl_sitemap_incremental(sf_dir: str):
+        """SQL-CHECKED incremental sitemap maintenance: after the
+        deterministic delete spec (seq % 23 == 0), only affected hosts'
+        urlset files re-cut (`.done` markers skip the rest; stale tails
+        pruned) — and the resulting on-disk state equals the
+        from-scratch export over the edited rows, which is exactly what
+        the oracle recomputes (sizes included), plus the rewritten
+        flag."""
+        import shutil
+
+        from fscrawler_ray.pipelines.sinks import sitemap_incremental
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(SITEMAP_INCR_DIR, ignore_errors=True)
+        return sitemap_incremental(out, SITEMAP_INCR_DIR)
+
     def crawl_cdx_index(sf_dir: str):
         """SQL-CHECKED CDX-style archive index: every crawled URL maps to
         (shard, byte offset, record length) in the WARC export, computed
@@ -1592,6 +1609,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_funnel": crawl_frontier_funnel,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
+        "crawl_sitemap_incremental": crawl_sitemap_incremental,
     }
 
 
@@ -3015,6 +3033,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM r GROUP BY host, f"
     )
     sql["crawl_sitemap_roundtrip"] = _sm_src + "SELECT host, f AS file_idx, url FROM r"
+    # incremental maintenance: recompute the post-edit assignment and
+    # sizes; rewritten = host had a deleted row
+    sql["crawl_sitemap_incremental"] = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, host, url "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "aff AS (SELECT DISTINCT host FROM t WHERE seq % 23 = 0), "
+        "e AS (SELECT * FROM t WHERE seq % 23 <> 0), "
+        "r AS (SELECT host, seq, "
+        f"CAST(octet_length(encode({_sm_esc})) + {SITEMAP_ROW_FIXED} AS BIGINT) AS row_bytes, "
+        "CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY seq) - 1) "
+        "// 100 AS BIGINT) AS f FROM e) "
+        "SELECT r.host, r.f AS file_idx, CAST(count(*) AS BIGINT) AS n_urls, "
+        f"CAST(sum(row_bytes) + {_sm_fixed} AS BIGINT) AS xml_bytes, "
+        "CAST(CASE WHEN r.host IN (SELECT host FROM aff) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS rewritten FROM r GROUP BY r.host, r.f"
+    )
     # CDX index: replay the full archive-layout arithmetic — exact record
     # size, global running byte prefix, shard = floor(prefix/cap), offset
     # = prefix − the shard's first prefix — in DuckDB window functions.

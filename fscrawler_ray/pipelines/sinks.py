@@ -584,3 +584,84 @@ def parquet_column_footprint(dir_glob_root: str):
         ["column"],
         {"comp": "compressed_bytes", "uncomp": "uncompressed_bytes", "chunks": "n_chunks"},
     )
+
+
+SITEMAP_INCR_DEL_MOD = 23  # deterministic edit spec: seq % 23 == 0 deleted
+
+
+def sitemap_incremental(spool_dir: str, dest_dir: str, max_urls: int = 100, range_width: int = 64):
+    """Incremental sitemap MAINTENANCE (the export-side sibling of
+    index_incremental_df): after URLs are deleted from the crawl
+    (deterministic spec: seq % SITEMAP_INCR_DEL_MOD == 0), only the
+    AFFECTED hosts' files are re-cut — every other host's files are
+    skipped via their `.done` commit markers.  The per-host layout is an
+    independent counting function (write_sitemaps), so partial rewrites
+    compose into exactly the from-scratch export over the edited row
+    set; stale trailing files of shrunken hosts are pruned first.
+
+    Returns per-file (host, file_idx, n_urls, xml_bytes, rewritten)
+    where xml_bytes is the REAL on-disk size; the SQL oracle recomputes
+    the post-edit assignment + escaped-size arithmetic and flags
+    affected hosts via an EXISTS over the deleted rows."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    # current full export must exist (idempotent)
+    for _ in write_sitemaps(spool_dir, dest_dir, max_urls, range_width).iter_batches(
+        batch_format="pyarrow"
+    ):
+        pass
+
+    # affected hosts: host-bounded grouped count over the deleted rows
+    src = ray.data.read_parquet(spool_dir, columns=["seq", "host"])
+
+    def deleted(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        seq = b.column("seq").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"host": b.column("host")}).filter(
+            pa.array(seq % SITEMAP_INCR_DEL_MOD == 0)
+        )
+
+    affected = set(
+        h
+        for b in src.map_batches(deleted, batch_format="pyarrow").groupby("host").count()
+        .iter_batches(batch_format="pyarrow")
+        for h in b.column("host").to_pylist()
+    )
+    for h in affected:  # prune: host-bounded driver loop
+        for p in _glob.glob(os.path.join(dest_dir, f"sitemap-{h}-*.xml*")):
+            os.remove(p)
+
+    full = ray.data.read_parquet(spool_dir)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        seq = b.column("seq").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(seq % SITEMAP_INCR_DEL_MOD != 0))
+
+    edited = full.map_batches(keep, batch_format="pyarrow")
+    # write_sitemaps reads from a dir; spool the edited stream
+    tmp = dest_dir.rstrip("/") + "_edited_spool"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    edited.write_parquet(tmp)
+    summary = write_sitemaps(tmp, dest_dir, max_urls, range_width)
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "file_idx": b.column("file_idx").cast(pa.int64()),
+                "n_urls": b.column("n_urls").cast(pa.int64()),
+                "xml_bytes": b.column("xml_bytes").cast(pa.int64()),
+                "rewritten": pc.cast(
+                    pc.invert(pc.cast(b.column("skipped"), pa.bool_())), pa.int64()
+                ),
+            }
+        )
+
+    return summary.map_batches(flag, batch_format="pyarrow")

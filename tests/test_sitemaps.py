@@ -84,3 +84,71 @@ def test_rendezvous_minimal_disruption(tmp_path, ray_session):
     assert (out.loc[out["moved"] == 0, "shard"] == out.loc[out["moved"] == 0, "shard_grown"]).all()
     assert 0.10 <= len(moved) / 500 <= 0.32  # expected 0.2
     assert out["shard"].between(0, 7).all()
+
+
+def test_sitemap_incremental_equals_scratch(tmp_path, ray_session):
+    """Incremental maintenance invariant: after deleting seq%23==0 rows,
+    the partially-rewritten directory is BYTE-IDENTICAL to a from-scratch
+    export over the edited spool, and only affected hosts rewrite."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.sinks import sitemap_incremental, write_sitemaps
+
+    n = 120
+    # host h0 gets no seq%23 hits by construction => must be skipped
+    seqs, hosts = [], []
+    for i in range(n):
+        s = i
+        h = "safe.test" if i % 23 == 0 and False else f"h{i % 3}.test"
+        seqs.append(s)
+        hosts.append(h)
+    # ensure one host has NO deleted rows: give h9 only seqs with s%23!=0
+    extra = [(1000 + k, "h9.test") for k in range(12) if (1000 + k) % 23 != 0]
+    seqs += [s for s, _ in extra]
+    hosts += [h for _, h in extra]
+    urls = [f"http://{h}/p/{s}" for s, h in zip(seqs, hosts)]
+    d = str(tmp_path / "spool")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+            }
+        ),
+        os.path.join(d, "part-0.parquet"),
+    )
+
+    inc_dir = str(tmp_path / "inc")
+    out = sitemap_incremental(d, inc_dir, max_urls=10, range_width=7).to_pandas()
+    assert (out.loc[out["host"] == "h9.test", "rewritten"] == 0).all()
+    assert (out.loc[out["host"] != "h9.test", "rewritten"] == 1).all()
+
+    # from-scratch over the edited rows
+    edited = str(tmp_path / "edited")
+    os.makedirs(edited)
+    keep = [i for i, s in enumerate(seqs) if s % 23 != 0]
+    pq.write_table(
+        pa.table(
+            {
+                "seq": pa.array([seqs[i] for i in keep], pa.int64()),
+                "url": pa.array([urls[i] for i in keep], pa.string()),
+                "host": pa.array([hosts[i] for i in keep], pa.string()),
+            }
+        ),
+        os.path.join(edited, "part-0.parquet"),
+    )
+    scratch_dir = str(tmp_path / "scratch")
+    write_sitemaps(edited, scratch_dir, max_urls=10, range_width=7).to_pandas()
+
+    inc_files = sorted(f for f in os.listdir(inc_dir) if f.endswith(".xml"))
+    scr_files = sorted(f for f in os.listdir(scratch_dir) if f.endswith(".xml"))
+    assert inc_files == scr_files
+    for f in inc_files:
+        a = hashlib.md5(open(os.path.join(inc_dir, f), "rb").read()).hexdigest()
+        b = hashlib.md5(open(os.path.join(scratch_dir, f), "rb").read()).hexdigest()
+        assert a == b, f
