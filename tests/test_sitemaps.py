@@ -99,13 +99,9 @@ def test_sitemap_incremental_equals_scratch(tmp_path, ray_session):
 
     n = 120
     # host h0 gets no seq%23 hits by construction => must be skipped
-    seqs, hosts = [], []
-    for i in range(n):
-        s = i
-        h = "safe.test" if i % 23 == 0 and False else f"h{i % 3}.test"
-        seqs.append(s)
-        hosts.append(h)
-    # ensure one host has NO deleted rows: give h9 only seqs with s%23!=0
+    seqs = list(range(n))
+    hosts = [f"h{i % 3}.test" for i in range(n)]
+    # one host with NO deleted rows: h9 only gets seqs with s%23 != 0
     extra = [(1000 + k, "h9.test") for k in range(12) if (1000 + k) % 23 != 0]
     seqs += [s for s, _ in extra]
     hosts += [h for _, h in extra]
