@@ -1164,6 +1164,42 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return adaptive_budget(_shared_written_run(sf_dir))
 
+    def crawl_growth_trend(sf_dir: str):
+        """SQL-CHECKED Theil-Sen (median-of-pairwise-slopes) robust
+        trend of per-round crawl volume — the outlier-proof 'is the
+        frontier still growing' signal (one stalled round can't bend
+        it, unlike least squares).  Slopes are offset by K=10^7 per
+        round so the integer division is positive on both sides (DuckDB
+        // truncates, Python floors — identical on nonnegatives);
+        round table is rounds-bounded driver metadata."""
+        import math
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        out = _shared_written_run(sf_dir)
+        ds = _ray.data.read_parquet(out, columns=["round"])
+        counts = ds.groupby("round").count().to_pandas().sort_values("round")
+        rd = counts["round"].astype(int).to_numpy()
+        n = counts["count()"].astype(int).to_numpy()
+        K = 10_000_000
+        slopes = sorted(
+            (int(n[j]) - int(n[i]) + K * (int(rd[j]) - int(rd[i])))
+            * 1_000_000
+            // (int(rd[j]) - int(rd[i]))
+            for i in range(len(rd))
+            for j in range(i + 1, len(rd))
+        )
+        med = slopes[math.ceil(len(slopes) * 0.5) - 1] - K * 1_000_000 if slopes else 0
+        return pa.table(
+            {
+                "n_rounds": pa.array([len(rd)], pa.int64()),
+                "n_pairs": pa.array([len(slopes)], pa.int64()),
+                "slope_micro": pa.array([med], pa.int64()),
+            }
+        )
+
     def crawl_frontier_funnel(sf_dir: str):
         """SQL-CHECKED composed frontier hygiene funnel: robots (RFC
         9309) -> FineWeb URL filter -> spam-feature gate, stage survivor
@@ -1607,6 +1643,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_size_integrity": crawl_size_integrity,
         "crawl_url_features": crawl_url_features,
         "crawl_frontier_funnel": crawl_frontier_funnel,
+        "crawl_growth_trend": crawl_growth_trend,
         "crawl_sitemap_export": crawl_sitemap_export,
         "crawl_sitemap_roundtrip": crawl_sitemap_roundtrip,
         "crawl_sitemap_incremental": crawl_sitemap_incremental,
@@ -2922,6 +2959,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT seq, path_len, depth, digit_chars, n_params, longest_segment, "
         "CAST(CASE WHEN depth > 6 OR digit_chars > 12 OR longest_segment > 40 "
         "THEN 1 ELSE 0 END AS BIGINT) AS spam_flag FROM s"
+    )
+    sql["crawl_growth_trend"] = (
+        "WITH r AS (SELECT CAST(round AS BIGINT) AS rd, CAST(count(*) AS BIGINT) AS n "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY round), "
+        "p AS (SELECT (b.n - a.n + 10000000 * (b.rd - a.rd)) * 1000000 // (b.rd - a.rd) AS s "
+        "FROM r a JOIN r b ON b.rd > a.rd) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_rounds, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(coalesce(CAST(quantile_disc(s, 0.5) AS BIGINT) - 10000000000000, 0) AS BIGINT) "
+        "AS slope_micro FROM p"
     )
     sql["crawl_size_integrity"] = (
         "SELECT host, CAST(count(*) AS BIGINT) AS n_payloads, "
