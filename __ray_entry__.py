@@ -1420,6 +1420,22 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return cdx_index(_shared_written_run(sf_dir))
 
+    def crawl_cdx_fetch(sf_dir: str):
+        """SQL-CHECKED CDX point-lookup certification: a deterministic
+        seq sample fetched via ONE ranged read each at the CDX
+        (shard, off, rlen) into the real archives, parsed, and matched
+        against the spool-derived oracle rows (payload md5 + URL) — the
+        whole index→archive chain certified by content."""
+        import os
+
+        from fscrawler_ray.pipelines.sinks import cdx_fetch, write_warc_shards
+
+        out = _shared_written_run(sf_dir)
+        if not os.path.isdir(WARC_DIR) or not os.listdir(WARC_DIR):
+            for _ in write_warc_shards(out, WARC_DIR).iter_batches(batch_format="pyarrow"):
+                pass
+        return cdx_fetch(out, WARC_DIR)
+
     def crawl_url_canonical(sf_dir: str):
         """SQL-CHECKED URL canonicalization (the seen-set key kernel):
         every trace URL is deterministically dirtied (seq-keyed variant:
@@ -1636,6 +1652,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
         "crawl_url_canonical": crawl_url_canonical,
         "crawl_cdx_index": crawl_cdx_index,
+        "crawl_cdx_fetch": crawl_cdx_fetch,
         "crawl_url_templates": crawl_url_templates,
         "crawl_rendezvous": crawl_rendezvous,
         "crawl_host_scorecard": crawl_host_scorecard,
@@ -3116,6 +3133,13 @@ def oracle_sql() -> dict[str, str]:
         "CAST(pfx - min(pfx) OVER "
         f"(PARTITION BY pfx // {WARC_CAP_BYTES}) AS BIGINT) AS off, "
         "rec AS rlen FROM s"
+    )
+    sql["crawl_cdx_fetch"] = (
+        "SELECT CAST(seq AS BIGINT) AS seq, url, "
+        "CAST(octet_length(bytes) AS BIGINT) AS nbytes, "
+        "md5(hex(bytes)) AS payload_md5 "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE bytes IS NOT NULL AND seq % 13 = 0"
     )
     # URL canonicalization: the oracle rebuilds the SAME seq-keyed dirty
     # variant the engine builds, then replays the entire canonicalization

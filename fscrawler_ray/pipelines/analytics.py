@@ -4563,3 +4563,70 @@ ORACLE_SQL["table_analyze"] = " UNION ALL ".join(
     for c in ("doc_id", "lang", "source", "n_chars")
 )
 QUERIES["table_analyze"] = q_table_analyze
+
+
+def q_daily_cusum(sf_dir: str):
+    """CUSUM change-point detection over daily event value totals — the
+    classic mean-shift monitor beside psi_drift's distribution monitor:
+    with daily micro-value sums x_i and grand total S over n days, the
+    demeaned cumulative sum scaled by n is C_k = Σ_{i≤k} (n·x_i − S) —
+    all integer, no division — and the change-point is the day of max
+    |C_k| (ties → earliest day).  Output: per-day (day, x_micro,
+    cusum_scaled, is_changepoint).
+
+    One day-keyed grouped sum over the stream; the CUSUM scan runs on
+    the days-bounded table."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vm = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "day": pa.array(ts // 86_400_000_000, pa.int64()),
+                "vm": pa.array(vm),
+            }
+        )
+
+    g = (
+        grouped_sum(ds.map_batches(slim, batch_format="pyarrow"), ["day"], {"vm": "x"})
+        .to_pandas()
+        .sort_values("day")
+    )
+    x = g["x"].astype(int).to_numpy()
+    days = g["day"].astype(int).to_numpy()
+    n = len(x)
+    S = int(x.sum())
+    c = np.cumsum(n * x.astype(object) - S)  # object → Python ints, no overflow
+    absmax = max(abs(int(v)) for v in c) if n else 0
+    flags = np.zeros(n, dtype=np.int64)
+    for i, v in enumerate(c):  # days-bounded
+        if abs(int(v)) == absmax:
+            flags[i] = 1
+            break
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "x_micro": pa.array(x, pa.int64()),
+            "cusum_scaled": pa.array([int(v) for v in c], pa.int64()),
+            "is_changepoint": pa.array(flags),
+        }
+    )
+
+
+ORACLE_SQL["daily_cusum"] = (
+    "WITH d AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, "
+    "CAST(round(value * 1000000) AS BIGINT) AS vm FROM events), "
+    "g AS (SELECT day, CAST(sum(vm) AS BIGINT) AS x FROM d GROUP BY day), "
+    "t AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s FROM g), "
+    "c AS (SELECT day, x, CAST(sum(t.n * x - t.s) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cs FROM g, t), "
+    "m AS (SELECT max(abs(cs)) AS am FROM c), "
+    "f AS (SELECT min(day) AS cp FROM c, m WHERE abs(cs) = m.am) "
+    "SELECT c.day, c.x AS x_micro, CAST(c.cs AS BIGINT) AS cusum_scaled, "
+    "CAST(CASE WHEN c.day = f.cp THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint "
+    "FROM c, f"
+)
+QUERIES["daily_cusum"] = q_daily_cusum

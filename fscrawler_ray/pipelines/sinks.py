@@ -665,3 +665,53 @@ def sitemap_incremental(spool_dir: str, dest_dir: str, max_urls: int = 100, rang
         )
 
     return summary.map_batches(flag, batch_format="pyarrow")
+
+
+def cdx_fetch(spool_dir: str, warc_dir: str, mod: int = 13, cap: int = WARC_CAP_BYTES, range_width: int = 64):
+    """Point-lookup certification of the CDX + WARC pair: for the
+    deterministic sample seq % mod == 0, fetch each record with ONE
+    ranged read at the CDX (shard, off, rlen) — never scanning an
+    archive — parse it, and emit (seq, url, nbytes, payload_md5).  The
+    SQL oracle derives the same rows from the crawl spool directly, so
+    any drift anywhere in the index→archive chain (offset arithmetic,
+    writer layout, parser) breaks the value hash.  One Ray task per
+    shard group; archive bytes are read only inside tasks."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    idx = cdx_index(spool_dir, cap=cap, range_width=range_width)
+
+    def sample(b: pa.Table) -> pa.Table:
+        seq = b.column("seq").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(seq % mod == 0))
+
+    picked = idx.map_batches(sample, batch_format="pyarrow")
+
+    def fetch(g):
+        import pandas as pd
+
+        shard = int(g["shard"].iloc[0])
+        path = os.path.join(warc_dir, f"shard-{shard:06d}.warc")
+        seqs, urls, nbs, md5s = [], [], [], []
+        with open(path, "rb") as f:
+            for _, r in g.sort_values("off").iterrows():
+                f.seek(int(r["off"]))
+                rec = f.read(int(r["rlen"]))
+                hdr, _, rest = rec.partition(b"\r\n\r\n")
+                fields = dict(
+                    line.split(": ", 1)
+                    for line in hdr.decode().split("\r\n")[1:]
+                    if ": " in line
+                )
+                payload = rest[:-4]
+                assert int(fields["Content-Length"]) == len(payload)
+                seqs.append(int(r["seq"]))
+                urls.append(fields["WARC-Target-URI"])
+                nbs.append(len(payload))
+                md5s.append(hashlib.md5(payload.hex().upper().encode()).hexdigest())
+        return pd.DataFrame(
+            {"seq": seqs, "url": urls, "nbytes": nbs, "payload_md5": md5s}
+        )
+
+    return picked.groupby("shard").map_groups(fetch, batch_format="pandas")
