@@ -2678,6 +2678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "langid_confusion": textops.q_langid_confusion,
             # Good-Turing unseen-mass: hapax fraction in integer micros
             "vocab_good_turing": textops.q_vocab_good_turing,
+            # Zipf exponent: integer least squares on micro-nat log-log
+            "zipf_slope": textops.q_zipf_slope,
             # order-0 char entropy per lang, integer micro-nats
             "char_entropy_by_lang": textops.q_char_entropy_by_lang,
             "quality_docs": textops.q_quality_docs,

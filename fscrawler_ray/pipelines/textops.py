@@ -140,6 +140,20 @@ ORACLE_SQL = {
         "* 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro "
         "FROM g JOIN t USING (lang) GROUP BY g.lang, t.nn"
     ),
+    "zipf_slope": (
+        "WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents), "
+        "c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t), "
+        "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM c), "
+        "xy AS (SELECT CAST(floor(ln(rk) * 1000000) AS HUGEINT) AS x, "
+        "CAST(floor(ln(c) * 1000000) AS HUGEINT) AS y FROM r), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy), "
+        "f AS (SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s) "
+        "SELECT CAST(n AS BIGINT) AS vocab, "
+        "(SELECT CAST(sum(c) AS BIGINT) FROM c) AS n_tokens, "
+        "CAST(CASE WHEN den = 0 THEN 0 ELSE "
+        "(num + 10 * den) * 1000 // den - 10000 END AS BIGINT) AS slope_milli FROM f"
+    ),
     "vocab_good_turing": (
         "WITH toks AS (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS t "
         "FROM documents), "
@@ -1884,5 +1898,59 @@ def q_char_entropy_by_lang(sf_dir: str):
             "n_chars": pa.array([r[1] for r in rows], pa.int64()),
             "distinct_chars": pa.array([r[2] for r in rows], pa.int64()),
             "entropy_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf-law exponent of the corpus token distribution: least-squares
+    slope of floor-quantized (ln rank, ln count) micro-nat pairs over
+    the full vocabulary — the one-number language-health check (natural
+    text sits near −1; token salad or boilerplate floods bend it).
+
+    Integer discipline end-to-end: x = floor(ln(rank)·10⁶), y =
+    floor(ln(count)·10⁶) (the psi_drift float-log convention — both
+    engines call the same libm), all four regression sums are exact
+    integers, and the slope ships as slope_milli via the offset trick
+    (+10 per unit keeps the big-int division nonnegative, so DuckDB
+    trunc ≡ Python floor).  Ranks order by (count DESC, token) —
+    deterministic ROW_NUMBER twin.  The distributed part is the vocab
+    grouped count; the regression runs on the vocab-bounded table."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        flat, _ = _doc_tokens(b)
+        return pa.table(
+            {"token": flat, "one": pa.array(np.ones(len(flat), np.int64))}
+        )
+
+    g = grouped_sum(
+        ds.map_batches(toks, batch_format="pyarrow"), ["token"], {"one": "c"}
+    ).to_pandas()  # vocab-bounded
+    g = g.sort_values(["c", "token"], ascending=[False, True]).reset_index(drop=True)
+    n = len(g)
+    ranks = np.arange(1, n + 1)
+    cnts = g["c"].astype(int).to_numpy()
+    x = np.floor(np.log(ranks) * 1e6).astype(np.int64)
+    y = np.floor(np.log(cnts) * 1e6).astype(np.int64)
+    sx = int(x.sum())
+    sy = int(y.sum())
+    sxy = int((x.astype(object) * y).sum())
+    sxx = int((x.astype(object) * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_milli = ((num + 10 * den) * 1000 // den - 10_000) if den else 0
+    return pa.table(
+        {
+            "vocab": pa.array([n], pa.int64()),
+            "n_tokens": pa.array([int(cnts.sum())], pa.int64()),
+            "slope_milli": pa.array([slope_milli], pa.int64()),
         }
     )
