@@ -159,6 +159,19 @@ EXTRA_QUERIES = [
     "crawl_host_scorecard",
     "crawl_bloom_audit",
     "crawl_size_integrity",
+    "winnow_containment",
+    "doc_novelty",
+    "host_reciprocity",
+    "corpus_release",
+    "images_release",
+    "crawl_frontier_funnel",
+    "crawl_growth_trend",
+    "daily_cusum",
+    "crawl_cdx_fetch",
+    "crawl_sitemap_incremental",
+    "images_caption_size_rankcorr",
+    "images_phash_bitstats",
+    "zipf_slope",
 ]
 
 
