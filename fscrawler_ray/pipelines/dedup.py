@@ -1566,7 +1566,7 @@ ORACLE_SQL["winnow_fingerprints"] = (
 )
 
 
-def winnow_match_pairs(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 32, min_shared: int = 2):
+def winnow_match_pairs(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 32, min_shared: int = 2, fps=None):
     """Cross-document match pairs from winnowing fingerprints (the MOSS
     match step): docs sharing ≥ min_shared selected fingerprints, with
     the shared count.  fp-keyed buckets above max_bucket docs are
@@ -1578,7 +1578,8 @@ def winnow_match_pairs(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 3
 
     from .analytics import grouped_sum
 
-    fps = q_winnow_fingerprints(sf_dir, k=k, w=w)
+    if fps is None:
+        fps = q_winnow_fingerprints(sf_dir, k=k, w=w)
 
     def drop_pos(b: pa.Table) -> pa.Table:
         return pa.table({"fp": b.column("fp"), "doc_id": b.column("doc_id")})
@@ -1712,8 +1713,14 @@ def winnow_containment(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 3
     size-aware front door."""
     from ..stages.joins import join as _join
 
-    pairs = winnow_match_pairs(sf_dir, k=k, w=w, max_bucket=max_bucket, min_shared=min_shared)
-    fps = q_winnow_fingerprints(sf_dir, k=k, w=w)
+    # ONE materialized fingerprint pass shared by the pair expansion and
+    # the per-doc counts (the md5-twin hashing dominates the cost)
+    fps = q_winnow_fingerprints(sf_dir, k=k, w=w).materialize()
+    # pair/count tables are output-sized: materialize so the two joins
+    # below never re-execute the expansion chain
+    pairs = winnow_match_pairs(
+        sf_dir, k=k, w=w, max_bucket=max_bucket, min_shared=min_shared, fps=fps
+    ).materialize()
 
     def dedup_fp(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"), "fp": b.column("fp")})
@@ -1724,6 +1731,7 @@ def winnow_containment(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 3
         .count()
         .groupby("doc_id")
         .count()
+        .materialize()
     )
 
     def as_side(side: str):
