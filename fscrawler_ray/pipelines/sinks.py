@@ -634,7 +634,9 @@ def sitemap_incremental(spool_dir: str, dest_dir: str, max_urls: int = 100, rang
         for p in _glob.glob(os.path.join(dest_dir, f"sitemap-{h}-*.xml*")):
             os.remove(p)
 
-    full = ray.data.read_parquet(spool_dir)
+    # sitemaps need only (seq, url, host) — payload bytes never ride
+    # the maintenance job
+    full = ray.data.read_parquet(spool_dir, columns=["seq", "url", "host"])
 
     def keep(b: pa.Table) -> pa.Table:
         import numpy as np
