@@ -2591,6 +2591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "winnow_match_pairs": lambda sf: dedup.winnow_match_pairs(sf),
             # asymmetric containment: the quote/subset-duplicate signal
             "winnow_containment": lambda sf: dedup.winnow_containment(sf),
+            # MOSS cluster step: CC families over the match-pair graph
+            "winnow_groups": lambda sf: dedup.winnow_groups(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),

@@ -1783,3 +1783,33 @@ ORACLE_SQL["winnow_containment"] = (
     "CAST(mp.shared_fps * 1000000 // cb.nf AS BIGINT) AS containment_b_micro "
     "FROM mp JOIN cnt ca ON ca.doc_id = mp.doc_a JOIN cnt cb ON cb.doc_id = mp.doc_b"
 )
+
+
+def winnow_groups(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 32, min_shared: int = 2):
+    """Transitive MATCH FAMILIES over the winnow pair graph (the MOSS
+    cluster step): connected components by pointer jumping over the
+    certified match pairs, label = min doc_id — quote chains A→B→C land
+    in one family even when A and C share nothing directly.  The oracle
+    walks the same closure with a recursive CTE (the
+    neardup_components_exact pattern over a different certified pair
+    generator)."""
+    from .graph import connected_components
+
+    fps = q_winnow_fingerprints(sf_dir, k=k, w=w).materialize()
+    pairs = winnow_match_pairs(
+        sf_dir, k=k, w=w, max_bucket=max_bucket, min_shared=min_shared, fps=fps
+    ).materialize()
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+ORACLE_SQL["winnow_groups"] = (
+    "WITH RECURSIVE pr AS ("
+    + ORACLE_SQL["winnow_match_pairs"]
+    + "), e AS (SELECT doc_a AS a, doc_b AS b FROM pr "
+    "UNION SELECT doc_b, doc_a FROM pr), "
+    "reach(a, b) AS ("
+    "(SELECT a, a FROM e UNION SELECT a, b FROM e) "
+    "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b) "
+    "SELECT CAST(a AS BIGINT) AS node, CAST(min(b) AS BIGINT) AS label "
+    "FROM reach GROUP BY a"
+)
