@@ -2593,6 +2593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "winnow_containment": lambda sf: dedup.winnow_containment(sf),
             # MOSS cluster step: CC families over the match-pair graph
             "winnow_groups": lambda sf: dedup.winnow_groups(sf),
+            # fingerprint-level dedup sweep: families -> keeper anti-filter
+            "winnow_dedup_clean": lambda sf: dedup.winnow_dedup_clean(sf),
             # n-gram Jaccard with a permissive threshold: the exact-verify
             # kernel exposed as its own op (LSH candidates → exact J ≥ 0.2)
             "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.2),

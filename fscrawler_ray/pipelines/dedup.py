@@ -1813,3 +1813,35 @@ ORACLE_SQL["winnow_groups"] = (
     "SELECT CAST(a AS BIGINT) AS node, CAST(min(b) AS BIGINT) AS label "
     "FROM reach GROUP BY a"
 )
+
+
+def winnow_dedup_clean(sf_dir: str, k: int = 12, w: int = 5, max_bucket: int = 32, min_shared: int = 2):
+    """Corpus REMOVAL over the MOSS families: every sampled doc survives
+    unless it belongs to a match family and is not its min-id keeper —
+    the fingerprint-level dedup sweep composed end-to-end (fingerprints
+    → pairs → CC families → keeper anti-filter).  The drop set is
+    dup-family-sized, broadcast once; the doc stream never shuffles."""
+    t = winnow_groups(sf_dir, k=k, w=w, max_bucket=max_bucket, min_shared=min_shared)
+    node = t.column("node").to_numpy(zero_copy_only=False)
+    label = t.column("label").to_numpy(zero_copy_only=False)
+    drops = np.sort(node[node != label]).astype(np.int64)
+    ref = ray.put(drops)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").cast(pa.int64())
+        dn = d.to_numpy(zero_copy_only=False)
+        sampled = dn % 8 == 0
+        dr = ray.get(ref)
+        pos = np.searchsorted(dr, dn)
+        dropped = (pos < len(dr)) & (dr[np.minimum(pos, max(len(dr) - 1, 0))] == dn) if len(dr) else np.zeros(len(dn), bool)
+        return pa.table({"doc_id": pa.array(dn[sampled & ~dropped], pa.int64())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(keep, batch_format="pyarrow")
+
+
+ORACLE_SQL["winnow_dedup_clean"] = (
+    "WITH g AS ("
+    + ORACLE_SQL["winnow_groups"]
+    + ") SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+    "WHERE doc_id % 8 = 0 AND doc_id NOT IN (SELECT node FROM g WHERE node <> label)"
+)
