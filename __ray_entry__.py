@@ -2703,6 +2703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # rank within shard via a two-pass distributed rank (SQL-checked
             # against one ROW_NUMBER window)
             "epoch_shuffle": sampling.q_epoch_shuffle,
+            # shuffle-quality: Spearman between two epoch permutations
+            "epoch_decorrelation": sampling.q_epoch_decorrelation,
             # deterministic salted train/val split + the pre-release
             # cross-split near-dup leakage audit (exact-Jaccard pairs
             # straddling the split boundary)

@@ -541,6 +541,20 @@ ORACLE_SQL = {
         f"SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
         f"WHERE (d.doc_id * {KNUTH32}) % 4294967296 < r.thr"
     ),
+    "epoch_decorrelation": (
+        "WITH a AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+        "md5_number_upper('epoch-1|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pa "
+        "FROM documents), "
+        "b AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+        "md5_number_upper('epoch-2|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pb "
+        "FROM documents), "
+        "d AS (SELECT CAST(a.pa AS BIGINT) - b.pb AS d FROM a JOIN b USING (doc_id)), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(d * d) AS HUGEINT) AS s2 FROM d) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(s2 AS BIGINT) AS sum_d2, "
+        "CAST(CASE WHEN n * (n * n - 1) = 0 THEN 1000000 ELSE "
+        "(2 * n * (n * n - 1) - 6 * s2) * 1000000 // (n * (n * n - 1)) END AS BIGINT) "
+        "AS rho_plus1_micro FROM s"
+    ),
     "epoch_shuffle": (
         f"WITH k AS (SELECT doc_id, md5_number_upper('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS key "
         "FROM documents) "
@@ -626,3 +640,52 @@ ORACLE_SQL["curriculum_order"] = (
     "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS curriculum_rank "
     "FROM documents"
 )
+
+
+def q_epoch_decorrelation(sf_dir: str):
+    """Shuffle-quality certification: integer-exact Spearman rank
+    correlation between TWO epoch permutations (seeds 'epoch-1' /
+    'epoch-2') — a healthy epoch shuffler gives ρ ≈ 0 (rho_plus1_micro
+    ≈ 1,000,000); correlated epochs mean readers see near-identical
+    data order every epoch.  Positions come from the same distributed
+    two-level epoch rank (n_shards=1 ⇒ global order); the d² fold and
+    the (2D − 6Σd²)/D arithmetic are exact bigints on both sides."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.joins import join as _join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def order(seed: str, out: str):
+        t = epoch_shuffle(ds, n_shards=1, seed=seed)
+
+        def slim(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    out: b.column("pos").cast(pa.int64()),
+                }
+            )
+
+        return t.map_batches(slim, batch_format="pyarrow")
+
+    j = _join(order("epoch-1", "ra"), order("epoch-2", "rb"), on="doc_id", how="inner")
+
+    n = s2 = 0
+    for b in j.iter_batches(batch_format="pyarrow"):
+        d = (
+            b.column("ra").to_numpy(zero_copy_only=False)
+            - b.column("rb").to_numpy(zero_copy_only=False)
+        ).astype(object)
+        n += b.num_rows
+        s2 += int((d * d).sum()) if b.num_rows else 0
+    D = n * (n * n - 1)
+    rho1 = (2 * D - 6 * s2) * 1_000_000 // D if D else 1_000_000
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_d2": pa.array([s2], pa.int64()),
+            "rho_plus1_micro": pa.array([rho1], pa.int64()),
+        }
+    )
