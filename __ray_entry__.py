@@ -29,6 +29,7 @@ VIDEO_SPOOL_DIR = "/tmp/fscrawler_oracle_video"
 HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
 HOST_HITS_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_hits"
 HOST_PPR_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_ppr"
+HOST_OPIC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opic"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -68,6 +69,7 @@ ROWS_ONLY_REASONS: dict[str, str] = {
 PAGERANK_EXACT_ITERS = 20
 HITS_EXACT_ITERS = 8
 PPR_EXACT_ITERS = 6
+OPIC_EXACT_ITERS = 6
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -1590,6 +1592,37 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def host_opic(sf_dir: str):
+        """SQL-CHECKED OPIC adaptive page importance (Abiteboul et al.
+        WWW 2003) over the spooled host-edge table: every node starts
+        with ``scale`` cash; each of OPIC_EXACT_ITERS synchronous rounds
+        banks the held cash into history and trunc-div-shares it across
+        out-links — every intermediate an exact int64 DuckDB replays in
+        HUGEINT from the same spooled edges (no floats, no rtol).  The
+        importance signal that can drive frontier ordering MID-crawl
+        (it converges online), beside the offline host_pagerank_exact /
+        host_ppr / host_hits family."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import opic
+
+        shutil.rmtree(HOST_OPIC_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_OPIC_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_OPIC_EDGES_DIR)
+        t = opic(e, src_col="src_host", dst_col="dst_host", iters=OPIC_EXACT_ITERS)
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "cash": t.column("cash"),
+                "history": t.column("history"),
+                "score": t.column("score"),
+            }
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -1646,6 +1679,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_exact": host_pagerank_exact,
         "host_hits": host_hits,
         "host_ppr": host_ppr,
+        "host_opic": host_opic,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -2862,6 +2896,39 @@ def _host_ppr_oracle(iters: int = PPR_EXACT_ITERS, n_seeds: int = 4) -> str:
     return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
+def _host_opic_oracle(iters: int = OPIC_EXACT_ITERS, scale: int = 1_000_000) -> str:
+    """DuckDB replay of host_opic: every node starts with ``scale``
+    cash; each unrolled round banks cash into history (h' = h + c) and
+    shares w[u] = c[u] // outdeg[u] to each out-neighbor (grouped
+    HUGEINT in-sum → next cash; dangling cash and trunc remainders
+    dropped by contract).  Bit-exact, no rtol."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src_host AS s, dst_host AS t "
+        f"FROM read_parquet('{HOST_OPIC_EDGES_DIR}/*.parquet')), "
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT t FROM e), "
+        "deg AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS HUGEINT) AS od "
+        "FROM e GROUP BY s), "
+        f"st0 AS MATERIALIZED (SELECT node, CAST({scale} AS HUGEINT) AS c, "
+        "CAST(0 AS HUGEINT) AS h FROM nodes), ",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT d.node, CAST(p.c // d.od AS HUGEINT) AS w "
+            f"FROM deg d JOIN st{k - 1} p ON p.node = d.node WHERE p.c > 0), "
+            f"raw{k} AS MATERIALIZED (SELECT e.t AS node, sum(w.w) AS raw "
+            f"FROM e JOIN w{k} w ON w.node = e.s GROUP BY e.t), "
+            f"st{k} AS MATERIALIZED (SELECT p.node, "
+            f"CAST(coalesce(r.raw, 0) AS HUGEINT) AS c, "
+            f"CAST(p.h + p.c AS HUGEINT) AS h "
+            f"FROM st{k - 1} p LEFT JOIN raw{k} r ON r.node = p.node), "
+        )
+    parts.append(
+        f"SELECT node AS host, CAST(c AS BIGINT) AS cash, CAST(h AS BIGINT) AS history, "
+        f"CAST(h + c AS BIGINT) AS score FROM st{iters}"
+    )
+    return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
+
+
 def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
@@ -3302,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
     sql["host_pagerank_exact"] = _host_pagerank_oracle()
     sql["host_hits"] = _host_hits_oracle()
     sql["host_ppr"] = _host_ppr_oracle()
+    sql["host_opic"] = _host_opic_oracle()
     sql["host_reciprocity"] = (
         "WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS t "
         f"FROM read_parquet('{HOST_REC_EDGES_DIR}/*.parquet')), "

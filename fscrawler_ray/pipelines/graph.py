@@ -819,3 +819,97 @@ def reciprocity(edges_ds, src_col: str = "src", dst_col: str = "dst"):
             ),
         }
     )
+
+
+def opic(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 6,
+    scale: int = 1_000_000,
+):
+    """Integer-exact OPIC — On-line Page Importance Computation
+    (Abiteboul, Preda & Cobena, WWW 2003), the importance estimator
+    designed to drive ADAPTIVE CRAWL ORDERING: unlike PageRank it
+    converges while the crawl is still running, so the frontier can be
+    prioritized by it mid-flight (reference analog: the priority the
+    reference's DFS ordering gestures at, SURVEY §2.1 S1 — here made
+    importance-directed the way a web-scale frontier actually is).
+
+    Synchronous integer variant, every intermediate exact (trunc
+    division) so a SQL engine replays it bit-for-bit in HUGEINT::
+
+        C_0[u] = scale                      (every node starts with cash)
+        H_0[u] = 0
+        w_k[u]   = C_k[u] // outdeg[u]      (u with outdeg>0, C>0)
+        raw[v]   = Σ_in w_k[u]
+        H_{k+1}[u] = H_k[u] + C_k[u]        (bank the full cash held)
+        C_{k+1}[v] = raw[v]
+
+    score = H + C after ``iters`` rounds.  Trunc-div remainders and
+    dangling-node cash are dropped, not redistributed (same documented
+    contract as :func:`personalized_pagerank`: scores are a lower bound
+    preserving relative order among linked nodes; redistribution would
+    make every step data-dependent float division).
+
+    Scale posture mirrors :func:`personalized_pagerank`: the edge
+    stream materializes ONCE in the object store and never reaches the
+    driver; each round is ONE join of the edge stream against the
+    node→share table plus ONE per-destination grouped int sum; driver
+    state is the node-bounded cash/history table only (the host graph —
+    metadata-scale next to the crawl itself).
+    """
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src_col), "dst": b.column(dst_col)})
+
+    e = edges_ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    deg: dict = {}
+    universe: set = set()
+    for b in e.groupby("src").count().iter_batches(batch_format="pyarrow"):
+        for n, c in zip(b.column("src").to_pylist(), b.column("count()").to_pylist()):
+            deg[n] = int(c)
+            universe.add(n)
+    for b in e.groupby("dst").count().iter_batches(batch_format="pyarrow"):
+        universe.update(b.column("dst").to_pylist())
+    universe.discard(None)
+    if not universe:
+        empty = pa.array([], pa.int64())
+        return pa.table(
+            {"node": pa.array([], pa.string()), "cash": empty, "history": empty, "score": empty}
+        )
+    nodes = sorted(universe)
+    idx = {n: i for i, n in enumerate(nodes)}
+    node_arr = pa.array(nodes)
+
+    cash = [scale] * len(nodes)
+    hist = [0] * len(nodes)
+
+    for _ in range(iters):
+        nz = [i for i in range(len(nodes)) if cash[i] > 0 and deg.get(nodes[i], 0) > 0]
+        if nz:
+            contrib = pa.table(
+                {
+                    "src": pc.take(node_arr, pa.array(nz, pa.int64())),
+                    "w": pa.array([cash[i] // deg[nodes[i]] for i in nz], pa.int64()),
+                }
+            )
+            summed = join(e, contrib, on="src", how="inner").groupby("dst").sum("w")
+            raw = [0] * len(nodes)
+            for b in summed.iter_batches(batch_format="pyarrow"):
+                for n, s in zip(b.column("dst").to_pylist(), b.column("sum(w)").to_pylist()):
+                    raw[idx[n]] = int(s)
+        else:
+            raw = [0] * len(nodes)
+        hist = [h + c for h, c in zip(hist, cash)]
+        cash = raw
+
+    return pa.table(
+        {
+            "node": node_arr,
+            "cash": pa.array(cash, pa.int64()),
+            "history": pa.array(hist, pa.int64()),
+            "score": pa.array([h + c for h, c in zip(hist, cash)], pa.int64()),
+        }
+    )

@@ -347,3 +347,57 @@ def test_personalized_pagerank_integer_exact_and_seed_locality():
     # locality: the a-cycle (seed side) outranks the b-cycle mirror nodes
     assert out.loc["a1", "score"] > out.loc["b1", "score"]
     assert out.loc["a0", "score"] > out.loc["b0", "score"]
+
+
+def test_opic_integer_exact_and_hub_importance():
+    """OPIC: (1) the distributed run matches a driver-side replay of the
+    exact integer recurrence (cash/history/score); (2) a node every
+    other node links to accumulates the most history (importance);
+    (3) total banked+held mass never exceeds the injected mass
+    (trunc-div drops are one-directional)."""
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.graph import opic
+
+    # hub h receives a link from every spoke; spokes form a ring so
+    # nobody dangles except the hub (its cash drains by design)
+    spokes = [f"s{i}" for i in range(5)]
+    edges = [(s, "h") for s in spokes] + [
+        (spokes[i], spokes[(i + 1) % 5]) for i in range(5)
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        out = opic(ds, iters=6).to_pandas().set_index("node")
+
+        # driver replay of the same integer recurrence
+        nodes = sorted(set(s for s, _ in edges) | set(d for _, d in edges))
+        deg: dict = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        cash = {n: 1_000_000 for n in nodes}
+        hist = {n: 0 for n in nodes}
+        for _ in range(6):
+            raw = {n: 0 for n in nodes}
+            for s, d in edges:
+                if cash[s] > 0 and deg.get(s, 0) > 0:
+                    raw[d] += cash[s] // deg[s]
+            hist = {n: hist[n] + cash[n] for n in nodes}
+            cash = raw
+        for n in nodes:
+            assert int(out.loc[n, "cash"]) == cash[n], n
+            assert int(out.loc[n, "history"]) == hist[n], n
+            assert int(out.loc[n, "score"]) == hist[n] + cash[n], n
+
+        # the universally-linked hub outranks every spoke
+        assert all(out.loc["h", "score"] > out.loc[s, "score"] for s in spokes)
+        # mass conservation upper bound: nothing is created
+        assert int(out["score"].sum()) <= 1_000_000 * len(nodes) * 7
