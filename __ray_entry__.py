@@ -30,6 +30,7 @@ HOST_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges"
 HOST_HITS_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_hits"
 HOST_PPR_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_ppr"
 HOST_OPIC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opic"
+HOST_LP_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_lp"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -70,6 +71,7 @@ PAGERANK_EXACT_ITERS = 20
 HITS_EXACT_ITERS = 8
 PPR_EXACT_ITERS = 6
 OPIC_EXACT_ITERS = 6
+LP_EXACT_ITERS = 4
 
 
 def _collect(ds, empty_cols: dict) -> Any:
@@ -1623,6 +1625,30 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def host_communities(sf_dir: str):
+        """SQL-CHECKED deterministic label-propagation communities
+        (Raghavan et al. 2007, exact variant) over the spooled host
+        graph: symmetrized integer edge weights, LP_EXACT_ITERS
+        synchronous rounds, (weight DESC, label ASC) argmax — DuckDB
+        replays every round with a window-function argmax over the same
+        spooled edges.  Finer-grained than connected components: the
+        mirror-farm / link-clique signal for the spam gate."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import label_propagation
+
+        shutil.rmtree(HOST_LP_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_LP_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_LP_EDGES_DIR)
+        t = label_propagation(
+            e, src_col="src_host", dst_col="dst_host", iters=LP_EXACT_ITERS
+        )
+        return pa.table({"host": t.column("node"), "label": t.column("label")})
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -1680,6 +1706,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": host_hits,
         "host_ppr": host_ppr,
         "host_opic": host_opic,
+        "host_communities": host_communities,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -2929,6 +2956,31 @@ def _host_opic_oracle(iters: int = OPIC_EXACT_ITERS, scale: int = 1_000_000) -> 
     return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
+def _host_lp_oracle(iters: int = LP_EXACT_ITERS) -> str:
+    """DuckDB replay of host_communities: symmetrize (self-loops
+    dropped), weight = parallel-edge multiplicity, then ``iters``
+    unrolled rounds of per-node (weight DESC, label ASC) argmax via a
+    row_number window.  Bit-exact, no rtol."""
+    parts = [
+        "WITH raw AS MATERIALIZED (SELECT src_host AS s, dst_host AS t "
+        f"FROM read_parquet('{HOST_LP_EDGES_DIR}/*.parquet') WHERE src_host <> dst_host), "
+        "e AS MATERIALIZED (SELECT u, v, CAST(count(*) AS HUGEINT) AS w FROM "
+        "(SELECT s AS u, t AS v FROM raw UNION ALL SELECT t AS u, s AS v FROM raw) "
+        "GROUP BY u, v), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e), ",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.v AS node, l.lab AS lab, sum(e.w) AS wt "
+            f"FROM e JOIN l{k - 1} l ON l.node = e.u GROUP BY e.v, l.lab), "
+            f"l{k} AS MATERIALIZED (SELECT node, lab FROM (SELECT node, lab, "
+            "row_number() OVER (PARTITION BY node ORDER BY wt DESC, lab ASC) AS rn "
+            f"FROM c{k}) WHERE rn = 1), "
+        )
+    parts.append(f"SELECT node AS host, lab AS label FROM l{iters}")
+    return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
+
+
 def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
@@ -3370,6 +3422,7 @@ def oracle_sql() -> dict[str, str]:
     sql["host_hits"] = _host_hits_oracle()
     sql["host_ppr"] = _host_ppr_oracle()
     sql["host_opic"] = _host_opic_oracle()
+    sql["host_communities"] = _host_lp_oracle()
     sql["host_reciprocity"] = (
         "WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS t "
         f"FROM read_parquet('{HOST_REC_EDGES_DIR}/*.parquet')), "

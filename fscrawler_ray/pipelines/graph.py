@@ -913,3 +913,113 @@ def opic(
             "score": pa.array([h + c for h, c in zip(hist, cash)], pa.int64()),
         }
     )
+
+
+def label_propagation(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+):
+    """Deterministic synchronous label-propagation community detection
+    (Raghavan et al. 2007, made exact): labels start as own node id;
+    each round every node adopts the label with the greatest total
+    incident edge weight among its neighbors, ties broken by MIN label
+    — integer weights and a total tie order make every round
+    bit-replayable by a SQL engine (no randomized visit order).  The
+    crawl use: host communities = candidate mirror farms / link cliques
+    for the spam-gate and budget governor (finer than connected
+    components, which merge everything touching a bridge).
+
+    Graph contract: symmetrized, self-loops dropped, weight = parallel
+    edge multiplicity (both directions summed).  Fixed ``iters`` rounds
+    (no convergence test — iteration count must not be data-dependent
+    for the oracle).
+
+    Scale posture mirrors :func:`personalized_pagerank`: the
+    symmetrized weighted edge table is built by ONE composite groupby
+    and materializes once in the object store; each round is ONE join
+    of that stream against the node→label table plus ONE (node, label)
+    grouped weight sum; driver state is node-bounded (the host-graph
+    label table), grouped rows are edge-bounded.
+    """
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b.column(src_col)
+        t = b.column(dst_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        keep = pc.invert(pc.equal(s, t))
+        s, t = s.filter(keep), t.filter(keep)
+        return pa.table(
+            {
+                "u": pa.concat_arrays([s.cast(pa.string()), t.cast(pa.string())]),
+                "v": pa.concat_arrays([t.cast(pa.string()), s.cast(pa.string())]),
+            }
+        )
+
+    pairs = edges_ds.map_batches(sym, batch_format="pyarrow").groupby(["u", "v"]).count()
+
+    def wcol(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": b.column("u"),
+                "v": b.column("v"),
+                "w": pc.cast(b.column("count()"), pa.int64()),
+            }
+        )
+
+    e = pairs.map_batches(wcol, batch_format="pyarrow").materialize()
+
+    universe: set = set()
+    for b in e.iter_batches(batch_format="pyarrow"):
+        universe.update(b.column("u").to_pylist())
+    universe.discard(None)
+    if not universe:
+        return pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+    nodes = sorted(universe)
+    idx = {n: i for i, n in enumerate(nodes)}
+    node_arr = pa.array(nodes)
+    label = list(nodes)
+
+    for _ in range(iters):
+        contrib = pa.table({"u": node_arr, "lab": pa.array(label)})
+        summed = (
+            join(e, contrib, on="u", how="inner").groupby(["v", "lab"]).sum("w")
+        )
+        # per-node argmax with (weight DESC, label ASC) total order
+        best: dict = {}
+        for b in summed.iter_batches(batch_format="pyarrow"):
+            for v, lab, w in zip(
+                b.column("v").to_pylist(),
+                b.column("lab").to_pylist(),
+                b.column("sum(w)").to_pylist(),
+            ):
+                w = int(w)
+                cur = best.get(v)
+                if cur is None or (w, _neg_str(lab)) > (cur[0], _neg_str(cur[1])):
+                    best[v] = (w, lab)
+        label = [best[n][1] if n in best else label[idx[n]] for n in nodes]
+
+    return pa.table({"node": node_arr, "label": pa.array(label)})
+
+
+class _neg_str:
+    """Reverses string comparison so (w, _neg_str(lab)) sorts by weight
+    DESC then label ASC under Python's natural tuple max()."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_neg_str") -> bool:
+        return self.s > other.s
+
+    def __gt__(self, other: "_neg_str") -> bool:
+        return self.s < other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _neg_str) and self.s == other.s

@@ -401,3 +401,64 @@ def test_opic_integer_exact_and_hub_importance():
         assert all(out.loc["h", "score"] > out.loc[s, "score"] for s in spokes)
         # mass conservation upper bound: nothing is created
         assert int(out["score"].sum()) <= 1_000_000 * len(nodes) * 7
+
+
+def test_label_propagation_two_cliques_and_replay():
+    """Label propagation: (1) two 4-cliques joined by one bridge edge
+    resolve to exactly two communities split along the bridge; (2) the
+    distributed run matches a driver-side replay of the deterministic
+    (weight DESC, label ASC) argmax recurrence; (3) block-count
+    invariant."""
+    import itertools
+
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.graph import label_propagation
+
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    edges = (
+        list(itertools.combinations(a, 2))
+        + list(itertools.combinations(b, 2))
+        + [("a0", "b0")]
+        + [("a1", "a1")]  # self-loop must be ignored
+    )
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+
+    # driver replay of the exact recurrence
+    sym: dict = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        sym[(s, d)] = sym.get((s, d), 0) + 1
+        sym[(d, s)] = sym.get((d, s), 0) + 1
+    nodes = sorted(set(u for u, _ in sym))
+    lab = {n: n for n in nodes}
+    for _ in range(4):
+        nxt = {}
+        for v in nodes:
+            acc: dict = {}
+            for (u, vv), w in sym.items():
+                if vv == v:
+                    acc[lab[u]] = acc.get(lab[u], 0) + w
+            best = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        lab = nxt
+
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        out = label_propagation(ds, iters=4).to_pandas().set_index("node")
+        got = {n: out.loc[n, "label"] for n in out.index}
+        assert got == lab
+        # the planted structure: each clique is one community
+        assert len({got[n] for n in a}) == 1
+        assert len({got[n] for n in b}) == 1
+        assert got["a1"] != got["b1"]
