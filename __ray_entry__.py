@@ -2749,6 +2749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "char_entropy_by_lang": textops.q_char_entropy_by_lang,
             "quality_docs": textops.q_quality_docs,
             "quality_ratios": textops.q_quality_ratios,
+            # Flesch-Kincaid grade in integer micros, RE2-count inputs
+            "readability_docs": textops.q_readability_docs,
             "gopher_rules": textops.q_gopher_rules,
             "gopher_pass_by_source": textops.q_gopher_pass_by_source,
             "vocab_growth": textops.q_vocab_growth,

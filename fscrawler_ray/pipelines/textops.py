@@ -1954,3 +1954,78 @@ def q_zipf_slope(sf_dir: str):
             "slope_milli": pa.array([slope_milli], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# readability: integer-exact Flesch-Kincaid grade
+
+
+_FK_WORD_RE = r"[A-Za-z]+"
+_FK_SENT_RE = r"[.!?]+"
+_FK_VOWEL_RE = r"[AEIOUYaeiouy]+"
+_FK_NOVOWEL_RE = r"\b[bcdfghj-np-tv-xzBCDFGHJ-NP-TV-XZ]+\b"
+
+
+def q_readability_docs(sf_dir: str):
+    """Per-document Flesch-Kincaid grade level in integer MICROS — the
+    classic readability quality signal (used beside Gopher rules to
+    catch keyword-stuffed / machine-generated pages whose grade level
+    is implausibly low or high).
+
+    Every input to the formula is a count of non-overlapping RE2
+    matches over the raw text — words ``[A-Za-z]+``, sentence
+    terminators ``[.!?]+`` (floored at 1), vowel groups (the standard
+    syllable heuristic) plus one syllable for each vowel-less word —
+    and the engine and DuckDB run the SAME patterns through the SAME
+    regex engine (Arrow's count_substring_regex and DuckDB's
+    regexp_extract_all are both RE2), so counts agree bit-for-bit.
+
+        grade_micro = trunc((390000·W² + 11800000·S·T − 15590000·T·W)
+                            / (T·W))          [W,T floored at 1]
+
+    Trunc (not floor) division matches DuckDB's ``//`` on negative
+    grades.  One zero-shuffle streaming pass; the four regex counts are
+    vectorized RE2 kernels, no Python row loop."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        W = pc.count_substring_regex(text, _FK_WORD_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+        T = pc.count_substring_regex(text, _FK_SENT_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+        V = pc.count_substring_regex(text, _FK_VOWEL_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+        W0 = pc.count_substring_regex(text, _FK_NOVOWEL_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+        S = V + W0
+        Tc = np.maximum(T, 1)
+        Wc = np.maximum(W, 1)
+        num = 390_000 * Wc * Wc + 11_800_000 * S * Tc - 15_590_000 * Tc * Wc
+        den = Tc * Wc
+        grade = np.sign(num) * (np.abs(num) // den)  # trunc toward zero
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pa.array(W),
+                "n_sentences": pa.array(Tc),
+                "n_syllables": pa.array(S),
+                "fk_grade_micro": pa.array(grade.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+ORACLE_SQL["readability_docs"] = (
+    "WITH c AS (SELECT doc_id, "
+    f"CAST(length(regexp_extract_all(text, '{_FK_WORD_RE}')) AS HUGEINT) AS w, "
+    f"GREATEST(CAST(length(regexp_extract_all(text, '{_FK_SENT_RE}')) AS HUGEINT), 1) AS t, "
+    f"CAST(length(regexp_extract_all(text, '{_FK_VOWEL_RE}')) AS HUGEINT) "
+    f"+ CAST(length(regexp_extract_all(text, '\\b[bcdfghj-np-tv-xzBCDFGHJ-NP-TV-XZ]+\\b')) AS HUGEINT) AS s "
+    "FROM documents) "
+    "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(t AS BIGINT) AS n_sentences, "
+    "CAST(s AS BIGINT) AS n_syllables, "
+    "CAST((390000 * GREATEST(w, 1) * GREATEST(w, 1) + 11800000 * s * t "
+    "- 15590000 * t * GREATEST(w, 1)) // (t * GREATEST(w, 1)) AS BIGINT) AS fk_grade_micro "
+    "FROM c"
+)

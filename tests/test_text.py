@@ -441,3 +441,53 @@ def test_corpus_datacard_planted(tmp_path, ray_session):
     assert out.loc["fr", "total_tokens"] == 5
     assert out.loc["fr", "p50_chars"] == 1  # rank ceil(0.5*2)=1 -> size 1
     assert out.loc["en", "mean_chars"] == (5 + 5 + 7) // 3
+
+
+def test_readability_docs_known_values(tmp_path):
+    """Flesch-Kincaid micros: hand-computed grades for planted texts
+    (simple one-syllable prose vs polysyllabic run-on), trunc-division
+    semantics on a negative grade."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    from fscrawler_ray.pipelines.textops import q_readability_docs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # W=4 T=1 S=4: grade = .39*4 + 11.8*1 - 15.59 = -2.23
+                    "the cat sat up.",
+                    # W=3 T=1, syllables: con-sti-tu-tion-al(5)+e-du-ca-tion(4)+boo(1)=10
+                    "constitutional education boo!",
+                    # no sentence marks -> T floored at 1; vowel-less word
+                    # counts one syllable: W=2 S=2 (bcd + the)
+                    "bcd the",
+                ]
+            ),
+            "lang": pa.array(["en", "en", "en"]),
+            "source": pa.array(["s", "s", "s"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        q_readability_docs(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    def fk(w, t, s):
+        num = 390_000 * w * w + 11_800_000 * s * t - 15_590_000 * t * w
+        den = t * w
+        q, r = divmod(abs(num), den)
+        return q * (1 if num >= 0 else -1)
+
+    assert out.loc[1, "n_words"] == 4 and out.loc[1, "n_syllables"] == 4
+    assert out.loc[1, "fk_grade_micro"] == fk(4, 1, 4) < 0
+    assert out.loc[2, "n_syllables"] == 10
+    assert out.loc[2, "fk_grade_micro"] == fk(3, 1, 10)
+    assert out.loc[3, "n_sentences"] == 1 and out.loc[3, "n_syllables"] == 2
+    assert out.loc[3, "fk_grade_micro"] == fk(2, 1, 2)
