@@ -31,6 +31,7 @@ HOST_HITS_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_hits"
 HOST_PPR_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_ppr"
 HOST_OPIC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opic"
 HOST_LP_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_lp"
+HOST_OPICB_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicb"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -1649,6 +1650,29 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"host": t.column("node"), "label": t.column("label")})
 
+    def crawl_opic_budget(sf_dir: str):
+        """SQL-CHECKED importance-proportional budget apportionment:
+        OPIC scores over the spooled host graph → largest-remainder
+        (Hamilton) integer split of a global crawl budget, Σ quota ==
+        budget EXACTLY.  The composition that makes host_opic drive the
+        crawl; DuckDB nests the unrolled OPIC replay and re-ranks the
+        remainders with one window function."""
+        import shutil
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import opic_budget
+        from fscrawler_ray.pipelines.graph import opic
+
+        shutil.rmtree(HOST_OPICB_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_OPICB_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_OPICB_EDGES_DIR)
+        t = opic(e, src_col="src_host", dst_col="dst_host", iters=OPIC_EXACT_ITERS)
+        import pyarrow as pa
+
+        scores = pa.table({"host": t.column("node"), "score": t.column("score")})
+        return opic_budget(scores)
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -1707,6 +1731,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_ppr": host_ppr,
         "host_opic": host_opic,
         "host_communities": host_communities,
+        "crawl_opic_budget": crawl_opic_budget,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -2925,7 +2950,11 @@ def _host_ppr_oracle(iters: int = PPR_EXACT_ITERS, n_seeds: int = 4) -> str:
     return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
-def _host_opic_oracle(iters: int = OPIC_EXACT_ITERS, scale: int = 1_000_000) -> str:
+def _host_opic_oracle(
+    iters: int = OPIC_EXACT_ITERS,
+    scale: int = 1_000_000,
+    edges_dir: str = HOST_OPIC_EDGES_DIR,
+) -> str:
     """DuckDB replay of host_opic: every node starts with ``scale``
     cash; each unrolled round banks cash into history (h' = h + c) and
     shares w[u] = c[u] // outdeg[u] to each out-neighbor (grouped
@@ -2933,7 +2962,7 @@ def _host_opic_oracle(iters: int = OPIC_EXACT_ITERS, scale: int = 1_000_000) -> 
     dropped by contract).  Bit-exact, no rtol."""
     parts = [
         "WITH e AS MATERIALIZED (SELECT src_host AS s, dst_host AS t "
-        f"FROM read_parquet('{HOST_OPIC_EDGES_DIR}/*.parquet')), "
+        f"FROM read_parquet('{edges_dir}/*.parquet')), "
         "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT t FROM e), "
         "deg AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS HUGEINT) AS od "
         "FROM e GROUP BY s), "
@@ -3425,6 +3454,23 @@ def oracle_sql() -> dict[str, str]:
     sql["host_ppr"] = _host_ppr_oracle()
     sql["host_opic"] = _host_opic_oracle()
     sql["host_communities"] = _host_lp_oracle()
+    from fscrawler_ray.pipelines.crawl_report import OPIC_BUDGET as _OPIC_B
+
+    sql["crawl_opic_budget"] = (
+        "WITH sc AS MATERIALIZED (SELECT host, CAST(score AS HUGEINT) AS s FROM ("
+        + _host_opic_oracle(edges_dir=HOST_OPICB_EDGES_DIR)
+        + ") opic_t), "
+        "tot AS (SELECT sum(s) AS tot FROM sc), "
+        f"a AS (SELECT host, s, ({_OPIC_B} * s) // tot.tot AS a0, "
+        f"({_OPIC_B} * s) % tot.tot AS rem FROM sc, tot), "
+        f"xs AS (SELECT CAST({_OPIC_B} AS HUGEINT) - sum(a0) AS extra FROM a), "
+        "r AS (SELECT host, s, a0, rem, "
+        "row_number() OVER (ORDER BY rem DESC, host ASC) AS rn FROM a) "
+        "SELECT r.host, CAST(r.s AS BIGINT) AS opic_score, "
+        "CAST(r.a0 + CASE WHEN r.rn <= xs.extra THEN 1 ELSE 0 END AS BIGINT) AS quota, "
+        "CAST(CASE WHEN r.rn <= xs.extra THEN 1 ELSE 0 END AS BIGINT) AS bonus "
+        "FROM r, xs"
+    )
     sql["host_reciprocity"] = (
         "WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS t "
         f"FROM read_parquet('{HOST_REC_EDGES_DIR}/*.parquet')), "

@@ -1402,3 +1402,49 @@ def frontier_funnel(out_dir: str, seed: int = 42):
             "n": pa.array([sums[k] for k in sums], pa.int64()),
         }
     )
+
+
+OPIC_BUDGET = 1_000_000  # crawl slots per OPIC scheduling cycle
+
+
+def opic_budget(scores: pa.Table, budget: int = OPIC_BUDGET) -> pa.Table:
+    """Importance-proportional crawl-budget apportionment: split a
+    global URL budget across hosts proportional to their OPIC scores by
+    the LARGEST-REMAINDER method (Hamilton apportionment) — floor the
+    proportional share, then hand the leftover slots one each to the
+    hosts with the largest remainders, (remainder DESC, host ASC).  All
+    integer, so Σ quota == budget EXACTLY (conservation is certified in
+    SQL, not approximated) and a SQL engine replays the split with one
+    window rank.  This is the composition that makes host_opic DRIVE
+    the crawl: importance in, per-host slots out (the importance-
+    directed evolution of the flat tier_plan quota).
+
+    ``scores`` is the host-bounded (host, score) OPIC output — metadata
+    scale next to the crawl; the arithmetic is vectorized numpy over
+    that table.
+    """
+    import numpy as np
+
+    host = scores.column("host").to_pylist()
+    s = scores.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(host) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"host": pa.array([], pa.string()), "opic_score": e, "quota": e, "bonus": e}
+        )
+    tot = int(s.sum())
+    prod = budget * s  # ≤ budget·(iters+1)·scale per host — int64-safe
+    a0 = prod // tot
+    rem = prod % tot
+    extra = int(budget - a0.sum())
+    order = np.lexsort((np.array(host), -rem))  # remainder DESC, host ASC
+    bonus = np.zeros(len(host), np.int64)
+    bonus[order[:extra]] = 1
+    return pa.table(
+        {
+            "host": scores.column("host"),
+            "opic_score": pa.array(s),
+            "quota": pa.array(a0 + bonus),
+            "bonus": pa.array(bonus),
+        }
+    )

@@ -462,3 +462,35 @@ def test_label_propagation_two_cliques_and_replay():
         assert len({got[n] for n in a}) == 1
         assert len({got[n] for n in b}) == 1
         assert got["a1"] != got["b1"]
+
+
+def test_opic_budget_conservation_and_proportionality():
+    """Largest-remainder apportionment: Σ quota == budget exactly; at
+    most one bonus slot per host; quotas track score proportions; ties
+    in remainder break by host name."""
+    import pyarrow as pa
+
+    from fscrawler_ray.pipelines.crawl_report import opic_budget
+
+    scores = pa.table(
+        {
+            "host": pa.array(["a", "b", "c", "d"]),
+            "score": pa.array([3, 3, 3, 1], pa.int64()),
+        }
+    )
+    out = opic_budget(scores, budget=7).to_pandas().set_index("host")
+    assert int(out["quota"].sum()) == 7
+    assert out["bonus"].isin([0, 1]).all()
+    # floors: a,b,c -> 21//10=2, d -> 7//10=0; extra = 7-6 = 1 slot;
+    # remainders a,b,c = 1, d = 7 -> d gets the bonus
+    assert out.loc["d", "quota"] == 1 and out.loc["d", "bonus"] == 1
+    assert all(out.loc[h, "quota"] == 2 for h in "abc")
+
+    # remainder tie broken by host ASC: equal scores, budget not divisible
+    scores2 = pa.table(
+        {"host": pa.array(["x", "y", "z"]), "score": pa.array([1, 1, 1], pa.int64())}
+    )
+    out2 = opic_budget(scores2, budget=5).to_pandas().set_index("host")
+    assert int(out2["quota"].sum()) == 5
+    assert out2.loc["x", "quota"] == 2 and out2.loc["y", "quota"] == 2
+    assert out2.loc["z", "quota"] == 1
