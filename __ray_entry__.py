@@ -32,6 +32,7 @@ HOST_PPR_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_ppr"
 HOST_OPIC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opic"
 HOST_LP_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_lp"
 HOST_OPICB_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicb"
+ANCHOR_EDGES_DIR = "/tmp/fscrawler_oracle_urledges_anchor"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -592,6 +593,33 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         # consumed several times (two distinct-host groupbys + pagerank) —
         # materialize so the child expansion runs ONCE
         return urls_ds.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def _url_edges(sf_dir: str):
+        """(src, dst) FULL-URL edge Dataset of the crawled link graph —
+        the URL-granular sibling of _host_edges for anchor-text
+        aggregation.  Reuses the cached shared crawl run."""
+        import pyarrow as pa
+
+        import ray as _ray
+
+        trace = _shared_run(sf_dir)[0]
+        cfg = _scale(sf_dir)
+        urls_ds = _ray.data.from_arrow(trace.select(["url"]))
+
+        def edges(b: pa.Table) -> pa.Table:
+            web = SynthWeb(cfg)
+            urls = b.column("url").to_pylist()
+            kids = web.children_batch(urls)
+            src = [u for u, k in zip(urls, kids) for _ in k]
+            dst = [c for k in kids for c in k]
+            return pa.table(
+                {
+                    "src": pa.array(src, pa.string()),
+                    "dst": pa.array(dst, pa.string()),
+                }
+            )
+
+        return urls_ds.map_batches(edges, batch_format="pyarrow")
 
     def _pagerank_over_hosts(e, max_iter: int = 60, tol: float = 1e-12):
         """Hash hosts to int64 node ids, run the distributed power
@@ -1673,6 +1701,34 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         scores = pa.table({"host": t.column("node"), "score": t.column("score")})
         return opic_budget(scores)
 
+    def crawl_anchor_text(sf_dir: str):
+        """SQL-CHECKED per-host anchor-term aggregation over the spooled
+        URL-level link graph: each in-link contributes the alphanumeric
+        terms of its target's trailing path segment (the deterministic
+        stand-in for `<a>` text); top-3 terms per host by (count DESC,
+        term ASC).  DuckDB replays extract → split → unnest → grouped
+        count → window rank over the same spooled edges."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import anchor_text
+
+        shutil.rmtree(ANCHOR_EDGES_DIR, ignore_errors=True)
+        _url_edges(sf_dir).write_parquet(ANCHOR_EDGES_DIR)
+        e = _ray.data.read_parquet(ANCHOR_EDGES_DIR, columns=["dst"])
+        return _collect(
+            anchor_text(e),
+            {
+                "host": pa.string(),
+                "term": pa.string(),
+                "cnt": pa.int64(),
+                "rnk": pa.int64(),
+            },
+        )
+
     def host_pagerank_exact(sf_dir: str):
         """SQL-CHECKED PageRank: the derived host-edge table is spooled to
         a fixed parquet dir and the power iteration runs a FIXED 20 rounds
@@ -1732,6 +1788,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_opic": host_opic,
         "host_communities": host_communities,
         "crawl_opic_budget": crawl_opic_budget,
+        "crawl_anchor_text": crawl_anchor_text,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3456,6 +3513,18 @@ def oracle_sql() -> dict[str, str]:
     sql["host_communities"] = _host_lp_oracle()
     from fscrawler_ray.pipelines.crawl_report import OPIC_BUDGET as _OPIC_B
 
+    sql["crawl_anchor_text"] = (
+        "WITH e AS (SELECT dst FROM "
+        f"read_parquet('{ANCHOR_EDGES_DIR}/*.parquet')), "
+        "seg AS (SELECT regexp_extract(dst, '://([^/]+)', 1) AS host, "
+        "regexp_extract(dst, '[^/]*$') AS s FROM e), "
+        "t AS (SELECT host, unnest(string_split_regex(s, '[^A-Za-z0-9]+')) AS term FROM seg), "
+        "c AS (SELECT host, term, count(*) AS cnt FROM t WHERE term <> '' GROUP BY 1, 2), "
+        "r AS (SELECT host, term, cnt, "
+        "row_number() OVER (PARTITION BY host ORDER BY cnt DESC, term) AS rnk FROM c) "
+        "SELECT host, term, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk "
+        "FROM r WHERE rnk <= 3"
+    )
     sql["crawl_opic_budget"] = (
         "WITH sc AS MATERIALIZED (SELECT host, CAST(score AS HUGEINT) AS s FROM ("
         + _host_opic_oracle(edges_dir=HOST_OPICB_EDGES_DIR)

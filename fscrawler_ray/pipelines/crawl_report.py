@@ -1448,3 +1448,76 @@ def opic_budget(scores: pa.Table, budget: int = OPIC_BUDGET) -> pa.Table:
             "bonus": pa.array(bonus),
         }
     )
+
+
+def anchor_text(edges_ds, dst_col: str = "dst", k: int = 3):
+    """Per-host anchor-term aggregation (the Brin & Page anchor-text
+    index enrichment): each in-link contributes the alphanumeric terms
+    of its target's trailing path segment — the deterministic
+    stand-in for the `<a>` text a real fetcher would carry on the edge
+    — and every host reports its top-``k`` terms by (count DESC, term
+    ASC).  Search engines rank documents by what OTHERS call them;
+    this is that signal at host granularity.
+
+    Shape: one streaming RE2 pass extracts (dst_host, term) pairs with
+    per-block count partials (vectorized extract/split/flatten, no
+    Python row loop), ONE (host, term) grouped sum, a per-block partial
+    top-k prune (≤ k·hosts rows per block), then host-keyed final
+    selection — the q_top_tokens_by_lang shape over the link stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        dst = b.column(dst_col)
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        host = pc.struct_field(pc.extract_regex(dst, r"://(?P<h>[^/]+)"), "h")
+        seg = pc.struct_field(pc.extract_regex(dst, r"(?P<s>[^/]*)$"), "s")
+        terms = pc.split_pattern_regex(seg, "[^A-Za-z0-9]+")
+        flat = terms.flatten()
+        parents = pc.list_parent_indices(terms)
+        hostf = host.take(parents)
+        keep = pc.invert(pc.equal(flat, ""))
+        g = pa.TableGroupBy(
+            pa.table({"host": hostf.filter(keep), "term": flat.filter(keep)}),
+            ["host", "term"],
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"host": g.column("host"), "term": g.column("term"), "c_p": g.column("count_all")}
+        )
+
+    cnt = (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "term"])
+        .aggregate(Sum("c_p"))
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        import numpy as _np
+
+        from .sampling import block_group_topk
+
+        c = b.column("sum(c_p)").to_numpy(zero_copy_only=False).astype(_np.int64)
+        enc = b.column("host").combine_chunks().dictionary_encode()
+        codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(_np.int64)
+        terms = _np.asarray(b.column("term").to_pylist())
+        keep = block_group_topk(codes, (terms, -c), k)
+        return b.take(pa.array(keep))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["sum(c_p)"].to_numpy().astype(np.int64)
+        terms = g["term"].to_numpy()
+        order = np.lexsort((terms, -c))[:k]
+        out = g.iloc[order].copy()
+        out["cnt"] = out["sum(c_p)"].astype(np.int64)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["host", "term", "cnt", "rnk"]]
+
+    return cnt.map_batches(prune, batch_format="pyarrow").groupby("host").map_groups(
+        final, batch_format="pandas"
+    )

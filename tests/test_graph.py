@@ -494,3 +494,32 @@ def test_opic_budget_conservation_and_proportionality():
     assert int(out2["quota"].sum()) == 5
     assert out2.loc["x", "quota"] == 2 and out2.loc["y", "quota"] == 2
     assert out2.loc["z", "quota"] == 1
+
+
+def test_anchor_text_planted_terms():
+    """Anchor aggregation: planted link targets produce the expected
+    per-host top-3 (count DESC, term ASC), trailing-segment terms only,
+    multi-edges counted per occurrence."""
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.crawl_report import anchor_text
+
+    dst = (
+        ["http://a.example/x/cats.jpg"] * 3
+        + ["http://a.example/y/dogs.png"] * 2
+        + ["http://a.example/z/cats.png"]  # cats again, png again
+        + ["http://b.example/only/one_page.html"]
+    )
+    ds = ray.data.from_arrow(pa.table({"dst": pa.array(dst, pa.string())}))
+    out = anchor_text(ds).to_pandas()
+    a = out[out["host"] == "a.example"].set_index("rnk")
+    # counts: cats 4, png 3, jpg 3, dogs 2 -> top3 = cats, jpg, png
+    assert (a.loc[1, "term"], int(a.loc[1, "cnt"])) == ("cats", 4)
+    assert (a.loc[2, "term"], int(a.loc[2, "cnt"])) == ("jpg", 3)
+    assert (a.loc[3, "term"], int(a.loc[3, "cnt"])) == ("png", 3)
+    # path-interior segments (x, y, z, only) never count as anchors
+    assert not set(a["term"]) & {"x", "y", "z", "only"}
+    b = out[out["host"] == "b.example"].set_index("rnk")
+    assert set(b["term"]) == {"html", "one", "page"}
+    assert (b["cnt"] == 1).all()
