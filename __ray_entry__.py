@@ -33,6 +33,8 @@ HOST_OPIC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opic"
 HOST_LP_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_lp"
 HOST_OPICB_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicb"
 ANCHOR_EDGES_DIR = "/tmp/fscrawler_oracle_urledges_anchor"
+CDC_CUR_DIR = "/tmp/fscrawler_oracle_cdc_cur"
+CDC_PREV_DIR = "/tmp/fscrawler_oracle_cdc_prev"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -1701,6 +1703,80 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         scores = pa.table({"host": t.column("node"), "score": t.column("score")})
         return opic_budget(scores)
 
+    def crawl_cdc_replay(sf_dir: str):
+        """SQL-CHECKED CDC op-log round-trip: spool the current snapshot
+        and a deterministically-derived previous one (same rules as
+        crawl_snapshot_diff, sizes coalesced to -1 so value compare is
+        null-free), derive the UPSERT/DELETE op log, apply it to prev,
+        and certify the replay equals cur by count AND keyed md5
+        checksum.  DuckDB replays the whole round-trip (outer-join diff
+        → anti-join apply → md5_number_upper checksum) over the same
+        two spooled relations."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import cdc_replay
+
+        out = _shared_written_run(sf_dir)
+        raw = _ray.data.read_parquet(out, columns=["url", "seq", "size"])
+
+        def mk_cur(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": b.column("url").combine_chunks().cast(pa.string()),
+                    "size": pc.fill_null(b.column("size").cast(pa.int64()), -1),
+                }
+            )
+
+        def mk_prev(b: pa.Table) -> pa.Table:
+            seq = b.column("seq")
+            keep = b.filter(
+                pc.not_equal(pc.subtract(seq, pc.multiply(pc.divide(seq, 3), 3)), 0)
+            )
+            kseq = keep.column("seq")
+            bump = pc.equal(pc.subtract(kseq, pc.multiply(pc.divide(kseq, 5), 5)), 0)
+            size = pc.add(
+                pc.fill_null(keep.column("size").cast(pa.int64()), -1),
+                pc.if_else(bump, pa.scalar(7, pa.int64()), pa.scalar(0, pa.int64())),
+            )
+            ghosts = b.filter(pc.equal(pc.subtract(seq, pc.multiply(pc.divide(seq, 7), 7)), 0))
+            return pa.table(
+                {
+                    "url": pa.concat_arrays(
+                        [
+                            keep.column("url").combine_chunks().cast(pa.string()),
+                            pc.binary_join_element_wise(
+                                ghosts.column("url").combine_chunks().cast(pa.string()),
+                                "#gone",
+                                "",
+                            ),
+                        ]
+                    ),
+                    "size": pa.concat_arrays(
+                        [
+                            size.combine_chunks()
+                            if isinstance(size, pa.ChunkedArray)
+                            else size,
+                            pc.fill_null(
+                                ghosts.column("size").cast(pa.int64()), -1
+                            ).combine_chunks(),
+                        ]
+                    ),
+                }
+            )
+
+        shutil.rmtree(CDC_CUR_DIR, ignore_errors=True)
+        shutil.rmtree(CDC_PREV_DIR, ignore_errors=True)
+        raw.map_batches(mk_cur, batch_format="pyarrow").write_parquet(CDC_CUR_DIR)
+        raw.map_batches(mk_prev, batch_format="pyarrow").write_parquet(CDC_PREV_DIR)
+        cur = _ray.data.read_parquet(CDC_CUR_DIR)
+        prev = _ray.data.read_parquet(CDC_PREV_DIR)
+        return cdc_replay(cur, prev)
+
     def crawl_anchor_text(sf_dir: str):
         """SQL-CHECKED per-host anchor-term aggregation over the spooled
         URL-level link graph: each in-link contributes the alphanumeric
@@ -1789,6 +1865,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_communities": host_communities,
         "crawl_opic_budget": crawl_opic_budget,
         "crawl_anchor_text": crawl_anchor_text,
+        "crawl_cdc_replay": crawl_cdc_replay,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3513,6 +3590,35 @@ def oracle_sql() -> dict[str, str]:
     sql["host_communities"] = _host_lp_oracle()
     from fscrawler_ray.pipelines.crawl_report import OPIC_BUDGET as _OPIC_B
 
+    sql["crawl_cdc_replay"] = (
+        f"WITH cur AS MATERIALIZED (SELECT url, size FROM read_parquet('{CDC_CUR_DIR}/*.parquet')), "
+        f"prev AS MATERIALIZED (SELECT url, size FROM read_parquet('{CDC_PREV_DIR}/*.parquet')), "
+        "d AS MATERIALIZED (SELECT coalesce(c.url, p.url) AS url, c.size AS cs, p.size AS ps, "
+        "c.url IS NOT NULL AS hc, p.url IS NOT NULL AS hp "
+        "FROM cur c FULL OUTER JOIN prev p ON c.url = p.url), "
+        "ups AS MATERIALIZED (SELECT url, cs AS size FROM d WHERE hc AND (NOT hp OR cs <> ps)), "
+        "dels AS MATERIALIZED (SELECT url FROM d WHERE hp AND NOT hc), "
+        "touched AS (SELECT url FROM ups UNION ALL SELECT url FROM dels), "
+        "replay AS MATERIALIZED (SELECT url, size FROM prev "
+        "WHERE url NOT IN (SELECT url FROM touched) "
+        "UNION ALL SELECT url, size FROM ups), "
+        "ck AS (SELECT "
+        "(SELECT CAST(sum(md5_number_upper(url || ':' || CAST(size AS VARCHAR)) "
+        "% 1000000000000) AS HUGEINT) FROM cur) AS cur_ck, "
+        "(SELECT CAST(sum(md5_number_upper(url || ':' || CAST(size AS VARCHAR)) "
+        "% 1000000000000) AS HUGEINT) FROM replay) AS rep_ck, "
+        "(SELECT count(*) FROM cur) AS n_cur, "
+        "(SELECT count(*) FROM replay) AS n_rep, "
+        "(SELECT count(*) FROM prev) AS n_prev, "
+        "(SELECT count(*) FROM ups) AS n_ups, "
+        "(SELECT count(*) FROM dels) AS n_dels) "
+        "SELECT CAST(n_ups AS BIGINT) AS n_upserts, CAST(n_dels AS BIGINT) AS n_deletes, "
+        "CAST(n_prev AS BIGINT) AS n_prev, CAST(n_cur AS BIGINT) AS n_cur, "
+        "CAST(n_rep AS BIGINT) AS n_replayed, "
+        "CAST(cur_ck AS BIGINT) AS cur_checksum, CAST(rep_ck AS BIGINT) AS replay_checksum, "
+        "CAST(CASE WHEN cur_ck = rep_ck AND n_cur = n_rep THEN 1 ELSE 0 END AS BIGINT) AS replay_ok "
+        "FROM ck"
+    )
     sql["crawl_anchor_text"] = (
         "WITH e AS (SELECT dst FROM "
         f"read_parquet('{ANCHOR_EDGES_DIR}/*.parquet')), "

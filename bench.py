@@ -172,6 +172,12 @@ EXTRA_QUERIES = [
     "images_caption_size_rankcorr",
     "images_phash_bitstats",
     "zipf_slope",
+    # round-5 final-session families
+    "host_opic",
+    "host_communities",
+    "readability_docs",
+    "crawl_opic_budget",
+    "crawl_anchor_text",
 ]
 
 

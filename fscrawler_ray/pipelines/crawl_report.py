@@ -1521,3 +1521,109 @@ def anchor_text(edges_ds, dst_col: str = "dst", k: int = 3):
     return cnt.map_batches(prune, batch_format="pyarrow").groupby("host").map_groups(
         final, batch_format="pandas"
     )
+
+
+def cdc_replay(cur_ds, prev_ds, key: str = "url", val: str = "size") -> pa.Table:
+    """CDC op-log round-trip certification: derive the operation log
+    between two snapshots (UPSERT for added/changed keys carrying the
+    new value, DELETE for removed keys), APPLY it to the previous
+    snapshot, and certify the replayed relation equals the current one
+    — counts AND a keyed md5 checksum.  This is the WAL-shaped
+    incremental-maintenance contract the reference's DB-mediated
+    re-crawl relies on (crawling_queue_consumer.py:110-115: "skip or
+    refetch" is exactly "is this key in the op log"), proven
+    set-equivalent end-to-end rather than assumed.
+
+    Shape: ONE outer-join diff (snapshot_diff) whose output is
+    change-sized; replay = prev ANTI-JOIN touched-keys ∪ upserts (the
+    anti join ships only the op log's key column); checksums are
+    per-block partial sums of md5_u64(key:value) % 10^12 — streaming,
+    no driver materialization of either snapshot.  Output is ONE row:
+    op counts, row counts, both checksums, replay_ok.
+    """
+    import numpy as np
+
+    from ..functions.sketches import md5_u64_batch
+    from ..stages.joins import join as _join
+
+    diff = snapshot_diff(cur_ds, prev_ds, key=key, cmp_col=val).materialize()
+
+    def ops(b: pa.Table) -> pa.Table:
+        st = b.column("status")
+        ups = pc.is_in(st, value_set=pa.array(["added", "changed"]))
+        dels = pc.equal(st, "removed")
+        touched = pc.or_(ups, dels)
+        t = b.filter(touched)
+        return pa.table(
+            {
+                key: t.column(key),
+                "new_val": t.column(f"cur_{val}"),
+                "is_upsert": pc.cast(
+                    pc.is_in(t.column("status"), value_set=pa.array(["added", "changed"])),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    oplog = diff.map_batches(ops, batch_format="pyarrow").materialize()
+    n_upserts = oplog.map_batches(
+        lambda b: b.filter(pc.equal(b.column("is_upsert"), 1)), batch_format="pyarrow"
+    ).count()
+    n_deletes = oplog.count() - n_upserts
+
+    keys_only = oplog.map_batches(
+        lambda b: pa.table({key: b.column(key)}), batch_format="pyarrow"
+    )
+    kept = _join(prev_ds, keys_only, on=key, how="anti")
+    upserts = oplog.map_batches(
+        lambda b: pa.table(
+            {key: b.filter(pc.equal(b.column("is_upsert"), 1)).column(key),
+             val: b.filter(pc.equal(b.column("is_upsert"), 1)).column("new_val")}
+        ),
+        batch_format="pyarrow",
+    )
+    replayed = kept.union(upserts)
+
+    def cksum(ds) -> tuple[int, int]:
+        sep = pa.scalar(":")
+        total = 0
+        n = 0
+
+        def part(b: pa.Table) -> pa.Table:
+            k = b.column(key)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            v = b.column(val).cast(pa.string())
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            joined = pc.binary_join_element_wise(k.cast(pa.string()), sep, v, "")
+            h = md5_u64_batch(joined) % np.uint64(10**12)
+            return pa.table(
+                {
+                    "s": pa.array([int(h.sum(dtype=np.uint64))], pa.int64()),
+                    "n": pa.array([b.num_rows], pa.int64()),
+                }
+            )
+
+        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            total += int(pc.sum(b.column("s")).as_py() or 0)
+            n += int(pc.sum(b.column("n")).as_py() or 0)
+        return total, n
+
+    cur_ck, n_cur = cksum(cur_ds)
+    rep_ck, n_rep = cksum(replayed)
+    n_prev = prev_ds.count()
+    return pa.table(
+        {
+            "n_upserts": pa.array([n_upserts], pa.int64()),
+            "n_deletes": pa.array([n_deletes], pa.int64()),
+            "n_prev": pa.array([n_prev], pa.int64()),
+            "n_cur": pa.array([n_cur], pa.int64()),
+            "n_replayed": pa.array([n_rep], pa.int64()),
+            "cur_checksum": pa.array([cur_ck], pa.int64()),
+            "replay_checksum": pa.array([rep_ck], pa.int64()),
+            "replay_ok": pa.array([1 if (cur_ck == rep_ck and n_cur == n_rep) else 0], pa.int64()),
+        }
+    )

@@ -114,3 +114,37 @@ def test_lorenz_deciles_conservation(ray_session, tmp_path):
     assert d.sort_values("decile")["urls"].iloc[-1] == 100
     g = fairness_gini(str(p)).to_pandas()
     assert g["total_urls"].iloc[0] == 200
+
+
+def test_cdc_replay_planted_ops():
+    """CDC round-trip: a snapshot pair planted with all four statuses
+    yields the expected op counts, and applying the derived op log to
+    prev reproduces cur exactly (count + keyed md5 checksum)."""
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.crawl_report import cdc_replay
+
+    prev = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3", "u4"], pa.string()),
+            "size": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    # u1 unchanged, u2 changed, u3+u4 removed, u5+u6 added
+    cur = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u5", "u6"], pa.string()),
+            "size": pa.array([10, 21, 50, 60], pa.int64()),
+        }
+    )
+    out = cdc_replay(
+        ray.data.from_arrow(cur).repartition(2),
+        ray.data.from_arrow(prev).repartition(2),
+    ).to_pandas()
+    r = out.iloc[0]
+    assert r["n_upserts"] == 3  # u2 changed + u5/u6 added
+    assert r["n_deletes"] == 2  # u3, u4
+    assert r["n_prev"] == 4 and r["n_cur"] == 4 and r["n_replayed"] == 4
+    assert r["replay_ok"] == 1
+    assert r["cur_checksum"] == r["replay_checksum"] > 0
