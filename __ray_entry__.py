@@ -1703,6 +1703,16 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         scores = pa.table({"host": t.column("node"), "score": t.column("score")})
         return opic_budget(scores)
 
+    def crawl_delay_audit(sf_dir: str):
+        """SQL-CHECKED Crawl-delay compliance audit: per-host de-facto
+        robots Crawl-delay derived from md5(host) (DuckDB replays it
+        with md5_number_upper — no spool), capped rate = round_seconds
+        // delay, audited against the observed max per-round landing
+        rate from the written run."""
+        from fscrawler_ray.pipelines.crawl_report import crawl_delay_audit as _cda
+
+        return _cda(_shared_written_run(sf_dir))
+
     def crawl_cdc_replay(sf_dir: str):
         """SQL-CHECKED CDC op-log round-trip: spool the current snapshot
         and a deterministically-derived previous one (same rules as
@@ -1866,6 +1876,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_opic_budget": crawl_opic_budget,
         "crawl_anchor_text": crawl_anchor_text,
         "crawl_cdc_replay": crawl_cdc_replay,
+        "crawl_delay_audit": crawl_delay_audit,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3590,6 +3601,21 @@ def oracle_sql() -> dict[str, str]:
     sql["host_communities"] = _host_lp_oracle()
     from fscrawler_ray.pipelines.crawl_report import OPIC_BUDGET as _OPIC_B
 
+    from fscrawler_ray.pipelines.crawl_report import (
+        CRAWLDELAY_ROUND_SECONDS as _CD_SECS,
+    )
+
+    sql["crawl_delay_audit"] = (
+        "WITH pr AS (SELECT host, round, CAST(count(*) AS BIGINT) AS n "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host, round), "
+        "mx AS (SELECT host, max(n) AS mx FROM pr GROUP BY host), "
+        "d AS (SELECT host, mx, CASE md5_number_upper(host) % 5 "
+        "WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 8 END AS delay_s FROM mx) "
+        "SELECT host, CAST(delay_s AS BIGINT) AS delay_s, CAST(mx AS BIGINT) AS max_per_round, "
+        f"CAST(CASE WHEN delay_s > 0 THEN {_CD_SECS} // delay_s ELSE -1 END AS BIGINT) AS cap, "
+        f"CAST(CASE WHEN delay_s = 0 OR mx <= {_CD_SECS} // GREATEST(delay_s, 1) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS compliant FROM d"
+    )
     sql["crawl_cdc_replay"] = (
         f"WITH cur AS MATERIALIZED (SELECT url, size FROM read_parquet('{CDC_CUR_DIR}/*.parquet')), "
         f"prev AS MATERIALIZED (SELECT url, size FROM read_parquet('{CDC_PREV_DIR}/*.parquet')), "

@@ -1627,3 +1627,64 @@ def cdc_replay(cur_ds, prev_ds, key: str = "url", val: str = "size") -> pa.Table
             "replay_ok": pa.array([1 if (cur_ck == rep_ck and n_cur == n_rep) else 0], pa.int64()),
         }
     )
+
+
+CRAWLDELAY_ROUND_SECONDS = 64  # logical seconds per scheduling round
+
+
+def crawl_delay_audit(out_dir: str, round_seconds: int = CRAWLDELAY_ROUND_SECONDS) -> pa.Table:
+    """Crawl-delay compliance audit: the de-facto robots.txt
+    ``Crawl-delay`` directive (not in RFC 9309 but honored by most
+    crawlers) caps a host's fetch rate at round_seconds // delay per
+    round.  Each host's directive is derived deterministically from
+    md5(host) — the same arithmetic DuckDB replays with
+    md5_number_upper, so no side-channel spool is needed — and audited
+    against the OBSERVED max per-round landing rate from the written
+    crawl output.  Output per host: (delay_s, max_per_round, cap [-1 =
+    unbounded], compliant).
+
+    Shape: ONE (host, round) grouped count + ONE per-host max (the
+    politeness-audit aggregation) + vectorized md5 arithmetic on the
+    host-bounded result."""
+    import numpy as np
+
+    from ray.data.aggregate import Max
+
+    from ..functions.sketches import md5_u64_batch
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(out_dir, columns=["host", "round"])
+    per_round = grouped_sum(ds, ["host", "round"], {}, count_out="n")
+    agg = per_round.groupby("host").aggregate(Max("n"))
+
+    def decorate(b: pa.Table) -> pa.Table:
+        host = b.column("host")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        mx = b.column("max(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (md5_u64_batch(host) % np.uint64(5)).astype(np.int64)
+        delay = np.array([0, 1, 2, 4, 8], np.int64)[idx]
+        cap = np.where(delay > 0, round_seconds // np.maximum(delay, 1), -1)
+        compliant = ((delay == 0) | (mx <= cap)).astype(np.int64)
+        return pa.table(
+            {
+                "host": host,
+                "delay_s": pa.array(delay),
+                "max_per_round": pa.array(mx),
+                "cap": pa.array(cap),
+                "compliant": pa.array(compliant),
+            }
+        )
+
+    parts = [
+        b
+        for b in agg.map_batches(decorate, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"host": pa.array([], pa.string()), "delay_s": e, "max_per_round": e, "cap": e, "compliant": e}
+        )
+    return pa.concat_tables(parts)

@@ -148,3 +148,50 @@ def test_cdc_replay_planted_ops():
     assert r["n_prev"] == 4 and r["n_cur"] == 4 and r["n_replayed"] == 4
     assert r["replay_ok"] == 1
     assert r["cur_checksum"] == r["replay_checksum"] > 0
+
+
+def test_crawl_delay_audit_planted(tmp_path):
+    """Crawl-delay audit: planted per-round rates flag exactly the hosts
+    whose observed max exceeds round_seconds // delay; delay-0 hosts are
+    always compliant."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import crawl_delay_audit
+
+    def delay_of(host: str) -> int:
+        h = int.from_bytes(hashlib.md5(host.encode()).digest()[:8], "little")
+        return [0, 1, 2, 4, 8][h % 5]
+
+    # find hosts across delay classes
+    hosts = {}
+    i = 0
+    while len(hosts) < 3 and i < 1000:
+        h = f"h{i}.example"
+        d = delay_of(h)
+        if d in (0, 4, 8) and d not in hosts.values():
+            hosts[h] = d
+        i += 1
+    assert set(hosts.values()) == {0, 4, 8}
+    inv = {d: h for h, d in hosts.items()}
+
+    rows = []
+    # delay 8 -> cap 8: plant 9/round (violation)
+    rows += [(inv[8], 0)] * 9
+    # delay 4 -> cap 16: plant 16/round (compliant, at the cap)
+    rows += [(inv[4], 0)] * 16
+    # delay 0 -> unbounded: plant 500/round (compliant)
+    rows += [(inv[0], 0)] * 500
+    t = pa.table(
+        {
+            "host": pa.array([h for h, _ in rows], pa.string()),
+            "round": pa.array([r for _, r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = crawl_delay_audit(str(tmp_path)).to_pandas().set_index("host")
+    assert out.loc[inv[8], "compliant"] == 0 and out.loc[inv[8], "cap"] == 8
+    assert out.loc[inv[4], "compliant"] == 1 and out.loc[inv[4], "cap"] == 16
+    assert out.loc[inv[0], "compliant"] == 1 and out.loc[inv[0], "cap"] == -1
