@@ -35,6 +35,8 @@ HOST_OPICB_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicb"
 ANCHOR_EDGES_DIR = "/tmp/fscrawler_oracle_urledges_anchor"
 CDC_CUR_DIR = "/tmp/fscrawler_oracle_cdc_cur"
 CDC_PREV_DIR = "/tmp/fscrawler_oracle_cdc_prev"
+CKPT_RUN_DIR = "/tmp/fscrawler_oracle_ckpt_run"
+CKPT_DIR = "/tmp/fscrawler_oracle_ckpt"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -1703,6 +1705,77 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         scores = pa.table({"host": t.column("node"), "score": t.column("score")})
         return opic_budget(scores)
 
+    def crawl_checkpoint_audit(sf_dir: str):
+        """SQL-CHECKED checkpoint-manifest consistency audit: run a
+        dedicated checkpointed crawl, then certify the manifest's resume
+        metadata against the REAL on-disk artifacts — seq_offset ==
+        trace rows == max(seq)+1 == checkpoint trace-snapshot rows,
+        result_rows == spooled output rows, lineage covers every shard
+        at the manifest round.  DuckDB replays the audit from
+        manifest.json (read_json_auto) + the same parquet spools; the
+        engine computes it with streaming ray.data counts.  The W2
+        resume contract proven against lineage, not assumed."""
+        import json
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+
+        cfg = _scale(sf_dir)
+        for d in (CKPT_RUN_DIR, CKPT_RUN_DIR + "_trace", CKPT_DIR):
+            shutil.rmtree(d, ignore_errors=True)
+        eng = CrawlEngine(
+            CrawlConfig(
+                web=cfg,
+                n_shards=4,
+                politeness_budget=4,
+                max_rounds=40,
+                out_dir=CKPT_RUN_DIR,
+                checkpoint_dir=CKPT_DIR,
+            )
+        )
+        eng.run(SynthWeb(cfg).seeds())
+        eng.checkpoint()
+        eng.shutdown()
+
+        with open(CKPT_DIR + "/manifest.json") as f:
+            m = json.load(f)
+        trace = _ray.data.read_parquet(CKPT_RUN_DIR + "_trace", columns=["seq"])
+        trace_rows = trace.count()
+        mx = trace.aggregate(_ray.data.aggregate.Max("seq"))["max(seq)"]
+        snap_rows = _ray.data.read_parquet(CKPT_DIR + "/trace", columns=["seq"]).count()
+        spool_rows = _ray.data.read_parquet(CKPT_RUN_DIR, columns=["seq"]).count()
+        lin_rounds = [r["round"] for r in m["lineage"]]
+        enq = sum(r["enqueued"] for r in m["lineage"])
+        ok = int(
+            m["seq_offset"] == trace_rows == int(mx) + 1 == snap_rows
+            and m["result_rows"] == spool_rows
+            and len(m["lineage"]) == m["n_shards"]
+            and min(lin_rounds) == max(lin_rounds) == m["round"]
+        )
+        one = lambda v: pa.array([int(v)], pa.int64())  # noqa: E731
+        return pa.table(
+            {
+                "manifest_round": one(m["round"]),
+                "lin_min": one(min(lin_rounds)),
+                "lin_max": one(max(lin_rounds)),
+                "lineage_len": one(len(m["lineage"])),
+                "n_shards": one(m["n_shards"]),
+                "seq_offset": one(m["seq_offset"]),
+                "trace_rows": one(trace_rows),
+                "max_seq": one(mx),
+                "snap_rows": one(snap_rows),
+                "result_rows": one(m["result_rows"]),
+                "spool_rows": one(spool_rows),
+                "enqueued_total": one(enq),
+                "ok": one(ok),
+            }
+        )
+
     def crawl_delay_audit(sf_dir: str):
         """SQL-CHECKED Crawl-delay compliance audit: per-host de-facto
         robots Crawl-delay derived from md5(host) (DuckDB replays it
@@ -1877,6 +1950,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_text": crawl_anchor_text,
         "crawl_cdc_replay": crawl_cdc_replay,
         "crawl_delay_audit": crawl_delay_audit,
+        "crawl_checkpoint_audit": crawl_checkpoint_audit,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3605,6 +3679,27 @@ def oracle_sql() -> dict[str, str]:
         CRAWLDELAY_ROUND_SECONDS as _CD_SECS,
     )
 
+    sql["crawl_checkpoint_audit"] = (
+        f"WITH m AS (SELECT * FROM read_json_auto('{CKPT_DIR}/manifest.json')), "
+        f"tr AS (SELECT count(*) AS n, max(seq) AS mx FROM read_parquet('{CKPT_RUN_DIR}_trace/part-*.parquet')), "
+        f"sn AS (SELECT count(*) AS n FROM read_parquet('{CKPT_DIR}/trace/part-*.parquet')), "
+        f"sp AS (SELECT count(*) AS n FROM read_parquet('{CKPT_RUN_DIR}/round=*/table-*/*.parquet')), "
+        "lin AS (SELECT "
+        "list_aggregate(list_transform(m.lineage, x -> x.\"round\"), 'min') AS lmin, "
+        "list_aggregate(list_transform(m.lineage, x -> x.\"round\"), 'max') AS lmax, "
+        "len(m.lineage) AS llen, "
+        "list_aggregate(list_transform(m.lineage, x -> x.enqueued), 'sum') AS enq FROM m) "
+        "SELECT CAST(m.round AS BIGINT) AS manifest_round, CAST(lin.lmin AS BIGINT) AS lin_min, "
+        "CAST(lin.lmax AS BIGINT) AS lin_max, CAST(lin.llen AS BIGINT) AS lineage_len, "
+        "CAST(m.n_shards AS BIGINT) AS n_shards, CAST(m.seq_offset AS BIGINT) AS seq_offset, "
+        "CAST(tr.n AS BIGINT) AS trace_rows, CAST(tr.mx AS BIGINT) AS max_seq, "
+        "CAST(sn.n AS BIGINT) AS snap_rows, CAST(m.result_rows AS BIGINT) AS result_rows, "
+        "CAST(sp.n AS BIGINT) AS spool_rows, CAST(lin.enq AS BIGINT) AS enqueued_total, "
+        "CAST(CASE WHEN m.seq_offset = tr.n AND tr.n = tr.mx + 1 AND tr.n = sn.n "
+        "AND m.result_rows = sp.n AND lin.llen = m.n_shards "
+        "AND lin.lmin = m.round AND lin.lmax = m.round THEN 1 ELSE 0 END AS BIGINT) AS ok "
+        "FROM m, tr, sn, sp, lin"
+    )
     sql["crawl_delay_audit"] = (
         "WITH pr AS (SELECT host, round, CAST(count(*) AS BIGINT) AS n "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') GROUP BY host, round), "
