@@ -1786,23 +1786,17 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
 
         return _cda(_shared_written_run(sf_dir))
 
-    def crawl_cdc_replay(sf_dir: str):
-        """SQL-CHECKED CDC op-log round-trip: spool the current snapshot
-        and a deterministically-derived previous one (same rules as
-        crawl_snapshot_diff, sizes coalesced to -1 so value compare is
-        null-free), derive the UPSERT/DELETE op log, apply it to prev,
-        and certify the replay equals cur by count AND keyed md5
-        checksum.  DuckDB replays the whole round-trip (outer-join diff
-        → anti-join apply → md5_number_upper checksum) over the same
-        two spooled relations."""
+    def _spool_cdc_snapshots(sf_dir: str) -> None:
+        """Spool the (url, size) current snapshot and its deterministic
+        'previous' twin to CDC_CUR_DIR / CDC_PREV_DIR (shared by
+        crawl_cdc_replay and crawl_merkle_diff; identical content every
+        call, so query order never matters)."""
         import shutil
 
         import pyarrow as pa
         import pyarrow.compute as pc
 
         import ray as _ray
-
-        from fscrawler_ray.pipelines.crawl_report import cdc_replay
 
         out = _shared_written_run(sf_dir)
         raw = _ray.data.read_parquet(out, columns=["url", "seq", "size"])
@@ -1856,9 +1850,40 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         shutil.rmtree(CDC_PREV_DIR, ignore_errors=True)
         raw.map_batches(mk_cur, batch_format="pyarrow").write_parquet(CDC_CUR_DIR)
         raw.map_batches(mk_prev, batch_format="pyarrow").write_parquet(CDC_PREV_DIR)
+
+    def crawl_cdc_replay(sf_dir: str):
+        """SQL-CHECKED CDC op-log round-trip: spool the current snapshot
+        and a deterministically-derived previous one (same rules as
+        crawl_snapshot_diff, sizes coalesced to -1 so value compare is
+        null-free), derive the UPSERT/DELETE op log, apply it to prev,
+        and certify the replay equals cur by count AND keyed md5
+        checksum.  DuckDB replays the whole round-trip (outer-join diff
+        → anti-join apply → md5_number_upper checksum) over the same
+        two spooled relations."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import cdc_replay
+
+        _spool_cdc_snapshots(sf_dir)
         cur = _ray.data.read_parquet(CDC_CUR_DIR)
         prev = _ray.data.read_parquet(CDC_PREV_DIR)
         return cdc_replay(cur, prev)
+
+    def crawl_merkle_diff(sf_dir: str):
+        """SQL-CHECKED Merkle-bucket snapshot comparison over the same
+        spooled CDC snapshot pair: 16 content buckets, each reduced to
+        one md5 over key-sorted row leaves; replicas exchange 16 hashes
+        to locate divergent partitions (compose with crawl_cdc_replay
+        for the op-log to ship).  DuckDB replays leaf + bucket digests
+        with md5(string_agg(... ORDER BY url))."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import merkle_diff
+
+        _spool_cdc_snapshots(sf_dir)
+        cur = _ray.data.read_parquet(CDC_CUR_DIR)
+        prev = _ray.data.read_parquet(CDC_PREV_DIR)
+        return merkle_diff(cur, prev)
 
     def crawl_anchor_text(sf_dir: str):
         """SQL-CHECKED per-host anchor-term aggregation over the spooled
@@ -1951,6 +1976,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_cdc_replay": crawl_cdc_replay,
         "crawl_delay_audit": crawl_delay_audit,
         "crawl_checkpoint_audit": crawl_checkpoint_audit,
+        "crawl_merkle_diff": crawl_merkle_diff,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3679,6 +3705,26 @@ def oracle_sql() -> dict[str, str]:
         CRAWLDELAY_ROUND_SECONDS as _CD_SECS,
     )
 
+    sql["crawl_merkle_diff"] = (
+        "WITH spine AS (SELECT unnest(generate_series(0, 15)) AS bucket), "
+        "c AS (SELECT CAST(md5_number_upper(url) % 16 AS BIGINT) AS bucket, url, "
+        "md5(url || ':' || CAST(size AS VARCHAR)) AS leaf "
+        f"FROM read_parquet('{CDC_CUR_DIR}/*.parquet')), "
+        "p AS (SELECT CAST(md5_number_upper(url) % 16 AS BIGINT) AS bucket, url, "
+        "md5(url || ':' || CAST(size AS VARCHAR)) AS leaf "
+        f"FROM read_parquet('{CDC_PREV_DIR}/*.parquet')), "
+        "cb AS (SELECT bucket, md5(string_agg(leaf, '' ORDER BY url)) AS h, count(*) AS n "
+        "FROM c GROUP BY bucket), "
+        "pb AS (SELECT bucket, md5(string_agg(leaf, '' ORDER BY url)) AS h, count(*) AS n "
+        "FROM p GROUP BY bucket) "
+        "SELECT CAST(spine.bucket AS BIGINT) AS bucket, "
+        "coalesce(cb.h, md5('')) AS cur_hash, coalesce(pb.h, md5('')) AS prev_hash, "
+        "CAST(coalesce(cb.n, 0) AS BIGINT) AS n_cur, CAST(coalesce(pb.n, 0) AS BIGINT) AS n_prev, "
+        "CAST(CASE WHEN coalesce(cb.h, md5('')) <> coalesce(pb.h, md5('')) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS differs "
+        "FROM spine LEFT JOIN cb ON cb.bucket = spine.bucket "
+        "LEFT JOIN pb ON pb.bucket = spine.bucket"
+    )
     sql["crawl_checkpoint_audit"] = (
         f"WITH m AS (SELECT * FROM read_json_auto('{CKPT_DIR}/manifest.json')), "
         f"tr AS (SELECT count(*) AS n, max(seq) AS mx FROM read_parquet('{CKPT_RUN_DIR}_trace/part-*.parquet')), "

@@ -178,6 +178,9 @@ EXTRA_QUERIES = [
     "readability_docs",
     "crawl_opic_budget",
     "crawl_anchor_text",
+    "crawl_cdc_replay",
+    "crawl_delay_audit",
+    "crawl_checkpoint_audit",
 ]
 
 

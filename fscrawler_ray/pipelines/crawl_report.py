@@ -1688,3 +1688,88 @@ def crawl_delay_audit(out_dir: str, round_seconds: int = CRAWLDELAY_ROUND_SECOND
             {"host": pa.array([], pa.string()), "delay_s": e, "max_per_round": e, "cap": e, "compliant": e}
         )
     return pa.concat_tables(parts)
+
+
+def merkle_diff(
+    cur_ds, prev_ds, key: str = "url", val: str = "size", n_buckets: int = 16
+) -> pa.Table:
+    """Merkle-bucket snapshot comparison — the mirror-sync primitive:
+    hash-partition each snapshot's rows into ``n_buckets`` content
+    buckets, reduce every bucket to ONE md5 over its key-sorted row
+    leaves, and compare bucket digests between snapshots.  Two replicas
+    exchange n_buckets hashes (bytes, not rows) to find exactly which
+    partitions diverge — re-sync then touches only `differs` buckets
+    (compose with cdc_replay for the op-log to ship).  At production
+    scale n_buckets grows with the corpus (still metadata-sized) and
+    the leaf hash is the vectorized xxh64; md5 is the oracle-replayable
+    twin (the md5_u64_batch convention).
+
+    Shape: leaf hashing + bucket assignment stream per block; ONE
+    bucket-keyed map_groups per side reduces each bucket to a digest
+    (groups are corpus/n_buckets rows, never materialized together);
+    the bucket-digest join is n_buckets rows on the driver.
+
+    Output: (bucket, cur_hash, prev_hash, n_cur, n_prev, differs).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.sketches import md5_u64_batch
+
+    empty_h = hashlib.md5(b"").hexdigest()
+
+    def side(ds) -> dict[int, tuple[str, int]]:
+        def assign(b: pa.Table) -> pa.Table:
+            k = b.column(key)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            k = k.cast(pa.string())
+            v = pc.fill_null(b.column(val).cast(pa.string()), "-1")
+            bkt = (md5_u64_batch(k) % np.uint64(n_buckets)).astype(np.int64)
+            return pa.table({"bucket": pa.array(bkt), key: k, "v": v})
+
+        def digest(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(key)
+            h = hashlib.md5()
+            for u, v in zip(g[key].to_numpy(), g["v"].to_numpy()):
+                h.update(hashlib.md5(f"{u}:{v}".encode()).hexdigest().encode())
+            return pd.DataFrame(
+                {
+                    "bucket": [int(g["bucket"].iat[0])],
+                    "h": [h.hexdigest()],
+                    "n": [len(g)],
+                }
+            )
+
+        out: dict[int, tuple[str, int]] = {}
+        res = (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(digest, batch_format="pandas")
+        )
+        for b in res.iter_batches(batch_format="pyarrow"):
+            for bkt, h, n in zip(
+                b.column("bucket").to_pylist(), b.column("h").to_pylist(), b.column("n").to_pylist()
+            ):
+                out[int(bkt)] = (h, int(n))
+        return out
+
+    cur = side(cur_ds)
+    prev = side(prev_ds)
+    rows = []
+    for bkt in range(n_buckets):
+        ch, cn = cur.get(bkt, (empty_h, 0))
+        ph, pn = prev.get(bkt, (empty_h, 0))
+        rows.append((bkt, ch, ph, cn, pn, int(ch != ph)))
+    return pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "cur_hash": pa.array([r[1] for r in rows], pa.string()),
+            "prev_hash": pa.array([r[2] for r in rows], pa.string()),
+            "n_cur": pa.array([r[3] for r in rows], pa.int64()),
+            "n_prev": pa.array([r[4] for r in rows], pa.int64()),
+            "differs": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )

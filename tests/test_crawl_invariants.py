@@ -195,3 +195,38 @@ def test_crawl_delay_audit_planted(tmp_path):
     assert out.loc[inv[8], "compliant"] == 0 and out.loc[inv[8], "cap"] == 8
     assert out.loc[inv[4], "compliant"] == 1 and out.loc[inv[4], "cap"] == 16
     assert out.loc[inv[0], "compliant"] == 1 and out.loc[inv[0], "cap"] == -1
+
+
+def test_merkle_diff_localizes_divergence():
+    """Merkle buckets: identical snapshots agree on every bucket; a
+    single-row edit flips EXACTLY the edited key's bucket; block count
+    never changes digests."""
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.crawl_report import merkle_diff
+
+    urls = [f"http://h{i % 4}.example/p{i}" for i in range(64)]
+    base = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "size": pa.array(list(range(64)), pa.int64()),
+        }
+    )
+    same = merkle_diff(
+        ray.data.from_arrow(base).repartition(3), ray.data.from_arrow(base)
+    ).to_pandas()
+    assert (same["differs"] == 0).all()
+    assert int(same["n_cur"].sum()) == 64 and int(same["n_prev"].sum()) == 64
+
+    # edit one row's value -> only that key's bucket diverges
+    edited = base.set_column(1, "size", pa.array([999] + list(range(1, 64)), pa.int64()))
+    out = merkle_diff(ray.data.from_arrow(edited), ray.data.from_arrow(base)).to_pandas()
+    h = int.from_bytes(hashlib.md5(urls[0].encode()).digest()[:8], "little")
+    target = h % 16
+    assert (out.loc[out["bucket"] == target, "differs"] == 1).all()
+    assert int(out["differs"].sum()) == 1
+    # counts unchanged by a value edit
+    assert (out["n_cur"] == out["n_prev"]).all()
