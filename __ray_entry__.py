@@ -2876,6 +2876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_lsh_probe": lambda sf: similarity.knn_lsh_probe(sf),
             # recall of the LSH path vs brute-force ground truth, per query
             "lsh_ann_recall": lambda sf: similarity.lsh_ann_recall(sf),
+            # ranking-quality eval: integer-weighted nDCG@10 of the LSH
+            # path vs the same brute-force truth (recall can't see order)
+            "knn_ndcg_eval": lambda sf: similarity.knn_ndcg_eval(sf),
             # embedding-cosine near-dup over the LSH buckets — the
             # SQL-checked twin of SemDeDup's pytest-only k-means variant;
             # the τ verify is exact integer math on micro vectors
@@ -4128,6 +4131,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT q.vec_id AS query_id, st.n_true, COALESCE(lc.n_lsh, 0) AS n_lsh, st.hits, "
         "CAST(st.hits * 1000000 // greatest(st.n_true, 1) AS BIGINT) AS recall_micro "
         "FROM qs q JOIN st ON st.query_id = q.vec_id LEFT JOIN lc ON lc.query_id = q.vec_id"
+    )
+    from fscrawler_ray.pipelines.similarity import NDCG_WEIGHTS as _NDCG_W
+
+    _w_rows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    _idcg = sum((10 + 1 - i) * _NDCG_W[i - 1] for i in range(1, 11))
+    sql["knn_ndcg_eval"] = (
+        "WITH " + _lsh_cte + ", "
+        "bt AS (SELECT q.vec_id AS query_id, e.vec_id, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, e.embedding) "
+        "DESC, e.vec_id) AS trnk FROM embeddings q, embeddings e "
+        "WHERE q.vec_id IN (SELECT vec_id FROM qs) AND e.vec_id <> q.vec_id "
+        "QUALIFY trnk <= 10), "
+        f"w AS (SELECT * FROM (VALUES {_w_rows}) AS v(i, wt)), "
+        "dcg AS (SELECT l.query_id, sum((11 - bt.trnk) * w.wt) AS dcg FROM lshtop l "
+        "JOIN w ON w.i = l.rnk LEFT JOIN bt ON bt.query_id = l.query_id "
+        "AND bt.vec_id = l.vec_id WHERE bt.vec_id IS NOT NULL GROUP BY l.query_id) "
+        "SELECT q.vec_id AS query_id, CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg, "
+        f"CAST({_idcg} AS BIGINT) AS idcg, "
+        f"CAST(coalesce(d.dcg, 0) * 1000000 // {_idcg} AS BIGINT) AS ndcg_micro "
+        "FROM qs q LEFT JOIN dcg d ON d.query_id = q.vec_id"
     )
     # hard negatives = the same ranking, window (10, 30]
     sql["hard_negatives"] = (

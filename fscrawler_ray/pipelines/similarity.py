@@ -1513,3 +1513,60 @@ def cluster_balanced_sample(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_
     return out[["cluster", "vec_id", "rnk"]].astype(
         {"cluster": "int64", "vec_id": "int64", "rnk": "int64"}
     )
+
+
+# integer DCG weights: W[i] = round(1e6 / log2(i+1)), i = 1..10 — fixed
+# literals so the eval is exact-integer on both engines
+NDCG_WEIGHTS = (1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065)
+
+
+def knn_ndcg_eval(sf_dir: str, n_queries: int = 4, k: int = 10, system=None):
+    """nDCG@k of the LSH ANN path against brute-force ground truth —
+    the ranking-quality eval beside lsh_ann_recall's set-overlap (recall
+    can't see that the right docs arrived in the wrong order; nDCG
+    can).  Relevance of a doc = k+1-true_rank if it is in the true
+    top-k else 0; DCG uses the precomputed integer weights
+    round(1e6/log2(i+1)), so DCG, the (constant) ideal DCG and
+    ndcg_micro = DCG·1e6 // IDCG are all exact integers both engines
+    agree on bit-for-bit.  One integer row per query.
+
+    Both inputs are the already-oracled pipelines (knn_bruteforce,
+    knn_lsh); the eval folds their query-bounded outputs driver-side —
+    metadata-scale next to the scan both pipelines stream."""
+    bt = knn_bruteforce(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    lt = (system or knn_lsh)(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    w = NDCG_WEIGHTS[:k]
+    idcg = sum((k + 1 - i) * w[i - 1] for i in range(1, k + 1))
+    rows = []
+    for qid in np.sort(bt["query_id"].unique()):
+        rel = {
+            v: k + 1 - int(r)
+            for v, r in zip(
+                bt.loc[bt["query_id"] == qid, "vec_id"],
+                bt.loc[bt["query_id"] == qid, "rnk"],
+            )
+        }
+        sys_ranked = lt.loc[lt["query_id"] == qid].sort_values("rnk")
+        dcg = sum(
+            rel.get(v, 0) * w[int(r) - 1]
+            for v, r in zip(sys_ranked["vec_id"], sys_ranked["rnk"])
+            if int(r) <= k
+        )
+        rows.append(
+            {
+                "query_id": int(qid),
+                "dcg": int(dcg),
+                "idcg": int(idcg),
+                "ndcg_micro": int(dcg) * 1_000_000 // idcg,
+            }
+        )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("dcg", pa.int64()),
+                ("idcg", pa.int64()),
+                ("ndcg_micro", pa.int64()),
+            ]
+        )
+    )

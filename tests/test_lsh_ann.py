@@ -218,3 +218,19 @@ def test_ivf_incremental_maintenance(ray_session, tmp_path):
     # and the kNN over the on-disk index is deterministic
     got2 = sim.knn_ivf_incremental(SF, index_dir=str(tmp_path / "ivf2")).to_pandas()
     assert got.equals(got2)
+
+
+def test_ndcg_eval_perfect_and_bounds():
+    """nDCG eval: the brute-force system against itself scores exactly
+    1e6 per query (perfect ordering); the LSH system's score is bounded
+    [0, 1e6]; idcg is the same constant everywhere."""
+    from fscrawler_ray.pipelines.similarity import knn_bruteforce, knn_ndcg_eval
+
+    sf = "/root/testdata/sf0.001"
+    perfect = knn_ndcg_eval(sf, system=knn_bruteforce).to_pandas()
+    assert (perfect["ndcg_micro"] == 1_000_000).all()
+    assert perfect["idcg"].nunique() == 1
+
+    lsh = knn_ndcg_eval(sf).to_pandas()
+    assert ((lsh["ndcg_micro"] >= 0) & (lsh["ndcg_micro"] <= 1_000_000)).all()
+    assert (lsh["idcg"] == perfect["idcg"].iat[0]).all()
