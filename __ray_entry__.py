@@ -1869,6 +1869,18 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         prev = _ray.data.read_parquet(CDC_PREV_DIR)
         return cdc_replay(cur, prev)
 
+    def crawl_starvation_audit(sf_dir: str):
+        """SQL-CHECKED temporal-fairness audit over the written run:
+        per host, active-round count and the longest gap between
+        consecutive active rounds — catches a priority scheme silently
+        starving low-priority hosts.  DuckDB replays with lag() over
+        the distinct (host, round) set."""
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.crawl_report import starvation_audit
+
+        return starvation_audit(_shared_written_run(sf_dir))
+
     def crawl_merkle_diff(sf_dir: str):
         """SQL-CHECKED Merkle-bucket snapshot comparison over the same
         spooled CDC snapshot pair: 16 content buckets, each reduced to
@@ -1977,6 +1989,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delay_audit": crawl_delay_audit,
         "crawl_checkpoint_audit": crawl_checkpoint_audit,
         "crawl_merkle_diff": crawl_merkle_diff,
+        "crawl_starvation_audit": crawl_starvation_audit,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3708,6 +3721,15 @@ def oracle_sql() -> dict[str, str]:
         CRAWLDELAY_ROUND_SECONDS as _CD_SECS,
     )
 
+    sql["crawl_starvation_audit"] = (
+        "WITH d AS (SELECT DISTINCT host, CAST(round AS BIGINT) AS round "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
+        "g AS (SELECT host, round, round - lag(round) OVER "
+        "(PARTITION BY host ORDER BY round) AS gap FROM d) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_active_rounds, "
+        "CAST(min(round) AS BIGINT) AS first_round, CAST(max(round) AS BIGINT) AS last_round, "
+        "CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap FROM g GROUP BY host"
+    )
     sql["crawl_merkle_diff"] = (
         "WITH spine AS (SELECT unnest(generate_series(0, 15)) AS bucket), "
         "c AS (SELECT CAST(md5_number_upper(url) % 16 AS BIGINT) AS bucket, url, "

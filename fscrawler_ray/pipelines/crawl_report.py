@@ -1773,3 +1773,57 @@ def merkle_diff(
             "differs": pa.array([r[5] for r in rows], pa.int64()),
         }
     )
+
+
+def starvation_audit(out_dir: str) -> pa.Table:
+    """Scheduler-starvation audit: for every host, how many rounds it
+    actually landed URLs in and the LONGEST gap between consecutive
+    active rounds — the fairness observable that catches a priority
+    scheme silently starving low-priority hosts (a host with a huge
+    max_gap made no progress for that many scheduling cycles even
+    though its frontier was non-empty).  Companion to
+    crawl_fairness_gini (volume skew) — this is TEMPORAL skew.
+
+    Shape: ONE distinct-(host, round) groupby (host×rounds bounded),
+    then per-host sorted-diff in a map_groups whose groups are
+    rounds-per-host sized.  Output (host, n_active_rounds, first_round,
+    last_round, max_gap)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(out_dir, columns=["host", "round"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": b.column("host"), "round": b.column("round").cast(pa.int64())}
+        )
+
+    distinct = ds.map_batches(slim, batch_format="pyarrow").groupby(["host", "round"]).count()
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        r = np.sort(g["round"].to_numpy().astype(np.int64))
+        mg = int(np.diff(r).max()) if len(r) > 1 else 0
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iat[0]],
+                "n_active_rounds": [len(r)],
+                "first_round": [int(r[0])],
+                "last_round": [int(r[-1])],
+                "max_gap": [mg],
+            }
+        )
+
+    out = distinct.groupby("host").map_groups(gaps, batch_format="pandas")
+    parts = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_active_rounds": e,
+                "first_round": e,
+                "last_round": e,
+                "max_gap": e,
+            }
+        )
+    return pa.concat_tables(parts)

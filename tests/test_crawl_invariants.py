@@ -230,3 +230,30 @@ def test_merkle_diff_localizes_divergence():
     assert int(out["differs"].sum()) == 1
     # counts unchanged by a value edit
     assert (out["n_cur"] == out["n_prev"]).all()
+
+
+def test_starvation_audit_planted_gaps(tmp_path):
+    """Starvation audit: planted activity patterns produce the expected
+    max inter-round gaps (diff between consecutive active rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.crawl_report import starvation_audit
+
+    rows = (
+        [("steady", r) for r in (0, 1, 2, 3)]
+        + [("starved", r) for r in (0, 9, 10)]
+        + [("oneshot", 5)]
+    )
+    t = pa.table(
+        {
+            "host": pa.array([h for h, _ in rows], pa.string()),
+            "round": pa.array([r for _, r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = starvation_audit(str(tmp_path)).to_pandas().set_index("host")
+    assert out.loc["steady", "max_gap"] == 1 and out.loc["steady", "n_active_rounds"] == 4
+    assert out.loc["starved", "max_gap"] == 9
+    assert out.loc["oneshot", "max_gap"] == 0
+    assert out.loc["oneshot", "first_round"] == out.loc["oneshot", "last_round"] == 5
