@@ -2892,6 +2892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # ranking-quality eval: integer-weighted nDCG@10 of the LSH
             # path vs the same brute-force truth (recall can't see order)
             "knn_ndcg_eval": lambda sf: similarity.knn_ndcg_eval(sf),
+            # first-relevant-rank eval: MRR@10, exact integer reciprocals
+            "knn_mrr_eval": lambda sf: similarity.knn_mrr_eval(sf),
             # embedding-cosine near-dup over the LSH buckets — the
             # SQL-checked twin of SemDeDup's pytest-only k-means variant;
             # the τ verify is exact integer math on micro vectors
@@ -4173,6 +4175,18 @@ def oracle_sql() -> dict[str, str]:
         f"CAST({_idcg} AS BIGINT) AS idcg, "
         f"CAST(coalesce(d.dcg, 0) * 1000000 // {_idcg} AS BIGINT) AS ndcg_micro "
         "FROM qs q LEFT JOIN dcg d ON d.query_id = q.vec_id"
+    )
+    sql["knn_mrr_eval"] = (
+        "WITH " + _lsh_cte + ", "
+        "bt AS (SELECT q.vec_id AS query_id, e.vec_id FROM embeddings q, embeddings e "
+        "WHERE q.vec_id IN (SELECT vec_id FROM qs) AND e.vec_id <> q.vec_id "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 10), "
+        "fh AS (SELECT l.query_id, min(l.rnk) AS first FROM lshtop l "
+        "JOIN bt ON bt.query_id = l.query_id AND bt.vec_id = l.vec_id GROUP BY l.query_id) "
+        "SELECT q.vec_id AS query_id, CAST(coalesce(fh.first, 0) AS BIGINT) AS first_hit_rank, "
+        "CAST(CASE WHEN fh.first IS NULL THEN 0 ELSE 1000000 // fh.first END AS BIGINT) AS rr_micro "
+        "FROM qs q LEFT JOIN fh ON fh.query_id = q.vec_id"
     )
     # hard negatives = the same ranking, window (10, 30]
     sql["hard_negatives"] = (

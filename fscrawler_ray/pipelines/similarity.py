@@ -1570,3 +1570,38 @@ def knn_ndcg_eval(sf_dir: str, n_queries: int = 4, k: int = 10, system=None):
             ]
         )
     )
+
+
+def knn_mrr_eval(sf_dir: str, n_queries: int = 4, k: int = 10, system=None):
+    """MRR@k of the ANN path vs brute-force truth — the third leg of
+    the retrieval-eval triad (recall: set overlap; nDCG: full ordering;
+    MRR: how fast the FIRST relevant result arrives).  rr_micro =
+    1e6 // rank of the first system result that is in the true top-k
+    (0 if none) — exact integers, one row per query."""
+    bt = knn_bruteforce(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    lt = (system or knn_lsh)(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    rows = []
+    for qid in np.sort(bt["query_id"].unique()):
+        tv = set(bt.loc[bt["query_id"] == qid, "vec_id"])
+        sys_ranked = lt.loc[lt["query_id"] == qid].sort_values("rnk")
+        first = 0
+        for v, r in zip(sys_ranked["vec_id"], sys_ranked["rnk"]):
+            if v in tv:
+                first = int(r)
+                break
+        rows.append(
+            {
+                "query_id": int(qid),
+                "first_hit_rank": first,
+                "rr_micro": 1_000_000 // first if first else 0,
+            }
+        )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("first_hit_rank", pa.int64()),
+                ("rr_micro", pa.int64()),
+            ]
+        )
+    )

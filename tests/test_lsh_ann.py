@@ -234,3 +234,16 @@ def test_ndcg_eval_perfect_and_bounds():
     lsh = knn_ndcg_eval(sf).to_pandas()
     assert ((lsh["ndcg_micro"] >= 0) & (lsh["ndcg_micro"] <= 1_000_000)).all()
     assert (lsh["idcg"] == perfect["idcg"].iat[0]).all()
+
+
+def test_mrr_eval_perfect_and_bounds():
+    """MRR: brute force against itself has first_hit_rank 1 / rr 1e6
+    everywhere; the LSH system's rr is within [0, 1e6]."""
+    from fscrawler_ray.pipelines.similarity import knn_bruteforce, knn_mrr_eval
+
+    sf = "/root/testdata/sf0.001"
+    perfect = knn_mrr_eval(sf, system=knn_bruteforce).to_pandas()
+    assert (perfect["first_hit_rank"] == 1).all()
+    assert (perfect["rr_micro"] == 1_000_000).all()
+    lsh = knn_mrr_eval(sf).to_pandas()
+    assert ((lsh["rr_micro"] >= 0) & (lsh["rr_micro"] <= 1_000_000)).all()
