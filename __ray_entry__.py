@@ -2853,6 +2853,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
+    # SQL front door: each certified query compiles the SQL string below
+    # onto Ray Data primitives; its oracle is the SAME string in DuckDB
+    from fscrawler_ray.pipelines.sqlfront import FRONT_QUERIES, sql_query
+
+    for _fname, _fsql in FRONT_QUERIES.items():
+        out[_fname] = lambda sf, _s=_fsql: sql_query(sf, _s)
     out.update(
         {
             "docs_jsonl_roundtrip": formats.q_docs_jsonl_roundtrip,
@@ -3279,6 +3285,10 @@ def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.analytics import ORACLE_SQL
 
     sql = dict(ORACLE_SQL)
+    # SQL front door: the oracle IS the compiled query itself
+    from fscrawler_ray.pipelines.sqlfront import FRONT_QUERIES as _FRONT
+
+    sql.update(_FRONT)
     from fscrawler_ray.pipelines.corpus import ORACLE_SQL as CORPUS_SQL
     from fscrawler_ray.pipelines.decontam import ORACLE_SQL as DECONTAM_SQL
     from fscrawler_ray.pipelines.dedup import ORACLE_SQL as DEDUP_SQL

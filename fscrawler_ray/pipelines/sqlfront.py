@@ -1,0 +1,412 @@
+"""SQL front door: compile a restricted SQL dialect straight into Ray
+Data pipelines.
+
+The reference exposes its engine only through Python entry points
+(SURVEY §3); real users of a data engine ask for SQL.  This module
+parses a deterministic single-table subset —
+
+    SELECT item [, item]*
+    FROM table
+    [WHERE cond [AND cond]*]
+    [GROUP BY col [, col]*]
+    [ORDER BY key [ASC|DESC] [, key ...]]
+    [LIMIT n]
+
+    item  := col | agg(col) AS alias | count(*) AS alias
+    agg   := sum | min | max | count
+    cond  := col op literal        op ∈ {=, <>, <, <=, >, >=}
+
+— and lowers it onto the engine's own scale-shaped primitives:
+
+- column pruning at the read (only referenced columns leave storage);
+- WHERE as ONE vectorized pyarrow mask per batch (zero shuffles);
+- GROUP BY sums/counts through analytics.grouped_sum (per-block
+  partial aggregation, the push-partials rule) and min/max through
+  Ray's grouped aggregate;
+- ORDER BY / LIMIT as Dataset.sort + limit (distributed sample sort).
+
+The certification story is the strongest in the repo: the DuckDB
+oracle for a front-door query IS THE QUERY ITSELF — no translation
+layer to trust, byte-identical semantics or the driver flags it.
+
+Scale posture: everything is streaming map_batches + the engine's
+existing partial-agg groupby; the only materialization is the final
+result (output-sized by construction for aggregate queries; projection
+queries stream to the caller as a Dataset).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+_AGGS = ("sum", "min", "max", "count")
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+\.?\d*)|(?P<op><>|<=|>=|[=<>(),*])"
+    r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))"
+)
+
+
+class SqlError(ValueError):
+    pass
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN.match(sql, i)
+        if not m:
+            if sql[i:].strip() == "":
+                break
+            raise SqlError(f"cannot tokenize at: {sql[i:i+20]!r}")
+        i = m.end()
+        for kind in ("str", "num", "op", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _P:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise SqlError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def kw(self, *words: str) -> bool:
+        """Consume the keyword sequence if present (case-insensitive)."""
+        save = self.i
+        for w in words:
+            t = self.peek()
+            if t is None or t[0] != "word" or t[1].lower() != w:
+                self.i = save
+                return False
+            self.i += 1
+        return True
+
+    def expect_word(self) -> str:
+        k, v = self.next()
+        if k != "word":
+            raise SqlError(f"expected identifier, got {v!r}")
+        return v
+
+    def expect_op(self, op: str) -> None:
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise SqlError(f"expected {op!r}, got {v!r}")
+
+
+def parse(sql: str) -> dict:
+    """Parse the restricted grammar into a plan dict."""
+    p = _P(_tokenize(sql))
+    if not p.kw("select"):
+        raise SqlError("query must start with SELECT")
+    items: list[dict] = []
+    while True:
+        k, v = p.next()
+        if k == "word" and v.lower() in _AGGS and p.peek() == ("op", "("):
+            fn = v.lower()
+            p.expect_op("(")
+            nk, nv = p.next()
+            if nv == "*":
+                if fn != "count":
+                    raise SqlError(f"{fn}(*) is not a thing")
+                col = "*"
+            elif nk == "word":
+                col = nv
+            else:
+                raise SqlError(f"expected column in {fn}(...), got {nv!r}")
+            p.expect_op(")")
+            if not p.kw("as"):
+                raise SqlError(f"aggregate {fn}({col}) needs an AS alias")
+            alias = p.expect_word()
+            items.append({"kind": "agg", "fn": fn, "col": col, "alias": alias})
+        elif k == "word":
+            items.append({"kind": "col", "col": v, "alias": v})
+        else:
+            raise SqlError(f"unexpected select item {v!r}")
+        if p.peek() == ("op", ","):
+            p.next()
+            continue
+        break
+    if not p.kw("from"):
+        raise SqlError("expected FROM")
+    table = p.expect_word().lower()
+    if table not in TABLES:
+        raise SqlError(f"unknown table {table!r}")
+    where: list[tuple[str, str, object]] = []
+    if p.kw("where"):
+        while True:
+            col = p.expect_word()
+            k, op = p.next()
+            if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
+                raise SqlError(f"bad comparison operator {op!r}")
+            lk, lv = p.next()
+            if lk == "num":
+                lit: object = float(lv) if "." in lv else int(lv)
+            elif lk == "str":
+                lit = lv[1:-1].replace("''", "'")
+            else:
+                raise SqlError(f"expected literal, got {lv!r}")
+            where.append((col, op, lit))
+            if not p.kw("and"):
+                break
+    group: list[str] = []
+    if p.kw("group", "by"):
+        while True:
+            group.append(p.expect_word())
+            if p.peek() == ("op", ","):
+                p.next()
+                continue
+            break
+    order: list[tuple[str, bool]] = []
+    if p.kw("order", "by"):
+        while True:
+            col = p.expect_word()
+            desc = False
+            if p.kw("desc"):
+                desc = True
+            elif p.kw("asc"):
+                pass
+            order.append((col, desc))
+            if p.peek() == ("op", ","):
+                p.next()
+                continue
+            break
+    limit = None
+    if p.kw("limit"):
+        lk, lv = p.next()
+        if lk != "num" or "." in lv:
+            raise SqlError("LIMIT needs an integer")
+        limit = int(lv)
+    if p.peek() is not None:
+        raise SqlError(f"trailing tokens at {p.peek()[1]!r}")
+
+    aggs = [it for it in items if it["kind"] == "agg"]
+    cols = [it for it in items if it["kind"] == "col"]
+    if aggs and not group and cols:
+        raise SqlError("bare columns beside aggregates need GROUP BY")
+    if group:
+        bad = [c["col"] for c in cols if c["col"] not in group]
+        if bad:
+            raise SqlError(f"non-grouped bare columns: {bad}")
+    return {
+        "items": items,
+        "table": table,
+        "where": where,
+        "group": group,
+        "order": order,
+        "limit": limit,
+    }
+
+
+def _mask(b: pa.Table, where) -> pa.Table:
+    m = None
+    ops = {
+        "=": pc.equal,
+        "<>": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+    for col, op, lit in where:
+        c = ops[op](b.column(col), pa.scalar(lit))
+        m = c if m is None else pc.and_kleene(m, c)
+    return b.filter(pc.fill_null(m, False)) if m is not None else b
+
+
+def sql_query(sf_dir: str, sql: str):
+    """Compile + run ``sql`` over the parquet tables in ``sf_dir``.
+    Returns a Ray Dataset (streaming) for projection queries, a
+    pyarrow Table for aggregates (output-sized)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .analytics import grouped_sum
+
+    plan = parse(sql)
+    needed = set(plan["group"])
+    for it in plan["items"]:
+        if it["kind"] == "col":
+            needed.add(it["col"])
+        elif it["col"] != "*":
+            needed.add(it["col"])
+    for col, _, _ in plan["where"]:
+        needed.add(col)
+    for col, _ in plan["order"]:
+        if col not in {it["alias"] for it in plan["items"]}:
+            needed.add(col)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/{plan['table']}.parquet",
+        columns=sorted(needed & set(_table_columns(sf_dir, plan["table"]))),
+    )
+    if plan["where"]:
+        w = plan["where"]
+        ds = ds.map_batches(lambda b, w=w: _mask(b, w), batch_format="pyarrow")
+
+    aggs = [it for it in plan["items"] if it["kind"] == "agg"]
+    if aggs and plan["group"]:
+        sums = {it["col"]: it["alias"] for it in aggs if it["fn"] == "sum"}
+        counts = [it for it in aggs if it["fn"] == "count"]
+        minmax = [it for it in aggs if it["fn"] in ("min", "max")]
+        count_out = counts[0]["alias"] if counts else None
+        if len(counts) > 1:
+            raise SqlError("at most one count(...) per query")
+        parts = []
+        if sums or count_out:
+            parts.append(grouped_sum(ds, plan["group"], sums, count_out=count_out))
+        if minmax:
+            ray_aggs = [
+                (Min(it["col"]) if it["fn"] == "min" else Max(it["col"])) for it in minmax
+            ]
+            g = ds.groupby(plan["group"] if len(plan["group"]) > 1 else plan["group"][0]).aggregate(*ray_aggs)
+
+            def rn(b: pa.Table) -> pa.Table:
+                names = {
+                    f"{it['fn']}({it['col']})": it["alias"] for it in minmax
+                }
+                return b.rename_columns([names.get(c, c) for c in b.column_names])
+
+            parts.append(g.map_batches(rn, batch_format="pyarrow"))
+        res = None
+        for t in parts:
+            t = pa.concat_tables(list(t.iter_batches(batch_format="pyarrow")))
+            res = t if res is None else res.join(t, keys=plan["group"], join_type="inner")
+        out = res
+    elif aggs:
+        # global aggregate, one output row
+        cols = {}
+        state: dict[str, object] = {}
+
+        def part(b: pa.Table) -> pa.Table:
+            vals = {}
+            for it in aggs:
+                if it["fn"] == "count":
+                    vals[it["alias"]] = (
+                        b.num_rows if it["col"] == "*" else int(pc.count(b.column(it["col"])).as_py())
+                    )
+                elif it["fn"] == "sum":
+                    vals[it["alias"]] = pc.sum(b.column(it["col"])).as_py() or 0
+                elif it["fn"] == "min":
+                    vals[it["alias"]] = pc.min(b.column(it["col"])).as_py()
+                else:
+                    vals[it["alias"]] = pc.max(b.column(it["col"])).as_py()
+            return pa.table({k: pa.array([v]) for k, v in vals.items()})
+
+        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            for it in aggs:
+                a = it["alias"]
+                for v in b.column(a).to_pylist():  # one row per input block
+                    if a not in state or state[a] is None:
+                        state[a] = v
+                    elif v is not None:
+                        if it["fn"] in ("count", "sum"):
+                            state[a] = state[a] + v
+                        elif it["fn"] == "min":
+                            state[a] = min(state[a], v)
+                        else:
+                            state[a] = max(state[a], v)
+        out = pa.table({it["alias"]: pa.array([state.get(it["alias"])]) for it in aggs})
+    else:
+        proj = [it["col"] for it in plan["items"]]
+        ds = ds.map_batches(lambda b, p=proj: b.select(p), batch_format="pyarrow")
+        if plan["order"]:
+            ds = ds.sort(
+                [c for c, _ in plan["order"]], descending=[d for _, d in plan["order"]]
+            )
+        if plan["limit"] is not None:
+            ds = ds.limit(plan["limit"])
+        return ds
+
+    # aggregate outputs: driver-side order/limit on the output-sized table
+    if plan["order"]:
+        import numpy as _np
+
+        df = out.to_pandas()
+        df = df.sort_values(
+            [c for c, _ in plan["order"]],
+            ascending=[not d for _, d in plan["order"]],
+            kind="mergesort",
+        )
+        if plan["limit"] is not None:
+            df = df.head(plan["limit"])
+        out = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    elif plan["limit"] is not None:
+        out = out.slice(0, plan["limit"])
+    # column order as written in SELECT
+    return out.select([it["alias"] for it in plan["items"]])
+
+
+_COLS_CACHE: dict[tuple[str, str], list[str]] = {}
+
+
+def _table_columns(sf_dir: str, table: str) -> list[str]:
+    key = (sf_dir, table)
+    if key not in _COLS_CACHE:
+        import pyarrow.parquet as pq
+
+        _COLS_CACHE[key] = pq.read_schema(f"{sf_dir}/{table}.parquet").names
+    return _COLS_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# certified front-door queries: the oracle for each one IS the SQL string
+
+
+# Dialect caveat encoded in the canned set: DuckDB's pandas bridge
+# widens integer SUMs (HUGEINT) to float64, so certified queries sum
+# integer-VALUED double columns (l_quantity) — IEEE addition of
+# integer-valued doubles is exact in any order below 2^53, giving
+# bit-identical sums with no dtype drift.  count(*) is int64 on both
+# sides; min/max pass values through exactly.
+FRONT_QUERIES: dict[str, str] = {
+    # projection + filter + order + limit (column pruning at the read)
+    "sqlfront_filter": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000 AND o_orderstatus = 'F' "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+    ),
+    # grouped sum + count through the partial-agg path
+    "sqlfront_group": (
+        "SELECT l_returnflag, sum(l_quantity) AS qty, count(*) AS n FROM lineitem "
+        "WHERE l_quantity < 30 GROUP BY l_returnflag"
+    ),
+    # grouped min/max through Ray's grouped aggregate
+    "sqlfront_minmax": (
+        "SELECT c_mktsegment, min(c_acctbal) AS lo, max(c_acctbal) AS hi "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    # global aggregate fold
+    "sqlfront_global": (
+        "SELECT count(*) AS n, sum(l_quantity) AS qty, max(l_quantity) AS mx "
+        "FROM lineitem WHERE l_linenumber = 1"
+    ),
+    # multi-key group + order on an aggregate alias
+    "sqlfront_multikey": (
+        "SELECT lang, source, count(*) AS n FROM documents "
+        "GROUP BY lang, source ORDER BY n DESC, lang, source LIMIT 20"
+    ),
+}

