@@ -181,6 +181,10 @@ EXTRA_QUERIES = [
     "crawl_cdc_replay",
     "crawl_delay_audit",
     "crawl_checkpoint_audit",
+    "knn_ndcg_eval",
+    "knn_mrr_eval",
+    "sqlfront_join",
+    "sqlfront_group",
 ]
 
 

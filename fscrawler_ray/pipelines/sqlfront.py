@@ -6,15 +6,23 @@ The reference exposes its engine only through Python entry points
 parses a deterministic single-table subset —
 
     SELECT item [, item]*
-    FROM table
+    FROM table [JOIN table2 ON key1 = key2]
     [WHERE cond [AND cond]*]
     [GROUP BY col [, col]*]
     [ORDER BY key [ASC|DESC] [, key ...]]
     [LIMIT n]
 
     item  := col | agg(col) AS alias | count(*) AS alias
-    agg   := sum | min | max | count
+    agg   := sum | min | max | count | avg
     cond  := col op literal        op ∈ {=, <>, <, <=, >, >=}
+
+Identifiers may be table-qualified (``orders.o_custkey``); the
+qualifier is stripped (column names are unique across the schema).
+The equi-join lowers through the size-aware joins front door
+(broadcast below the threshold, co-partitioned shuffle above), with
+single-table WHERE conjuncts PUSHED DOWN below the join so doomed
+rows never shuffle.  ``avg`` lowers to exact grouped sum ÷ non-null
+count — the identical IEEE division DuckDB's avg performs.
 
 — and lowers it onto the engine's own scale-shaped primitives:
 
@@ -48,10 +56,10 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-_AGGS = ("sum", "min", "max", "count")
+_AGGS = ("sum", "min", "max", "count", "avg")
 
 _TOKEN = re.compile(
-    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+\.?\d*)|(?P<op><>|<=|>=|[=<>(),*])"
+    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+\.?\d*)|(?P<op><>|<=|>=|[=<>(),*.])"
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))"
 )
 
@@ -115,6 +123,15 @@ class _P:
         if k != "op" or v != op:
             raise SqlError(f"expected {op!r}, got {v!r}")
 
+    def ident(self) -> str:
+        """A possibly table-qualified identifier; the qualifier is
+        stripped (column names are unique across the test schema)."""
+        name = self.expect_word()
+        if self.peek() == ("op", "."):
+            self.next()
+            name = self.expect_word()
+        return name
+
 
 def parse(sql: str) -> dict:
     """Parse the restricted grammar into a plan dict."""
@@ -134,6 +151,9 @@ def parse(sql: str) -> dict:
                 col = "*"
             elif nk == "word":
                 col = nv
+                if p.peek() == ("op", "."):
+                    p.next()
+                    col = p.expect_word()
             else:
                 raise SqlError(f"expected column in {fn}(...), got {nv!r}")
             p.expect_op(")")
@@ -142,7 +162,11 @@ def parse(sql: str) -> dict:
             alias = p.expect_word()
             items.append({"kind": "agg", "fn": fn, "col": col, "alias": alias})
         elif k == "word":
-            items.append({"kind": "col", "col": v, "alias": v})
+            col = v
+            if p.peek() == ("op", "."):
+                p.next()
+                col = p.expect_word()
+            items.append({"kind": "col", "col": col, "alias": col})
         else:
             raise SqlError(f"unexpected select item {v!r}")
         if p.peek() == ("op", ","):
@@ -154,10 +178,21 @@ def parse(sql: str) -> dict:
     table = p.expect_word().lower()
     if table not in TABLES:
         raise SqlError(f"unknown table {table!r}")
+    join = None
+    if p.kw("join"):
+        t2 = p.expect_word().lower()
+        if t2 not in TABLES:
+            raise SqlError(f"unknown join table {t2!r}")
+        if not p.kw("on"):
+            raise SqlError("JOIN needs ON")
+        c1 = p.ident()
+        p.expect_op("=")
+        c2 = p.ident()
+        join = {"table": t2, "on": (c1, c2)}
     where: list[tuple[str, str, object]] = []
     if p.kw("where"):
         while True:
-            col = p.expect_word()
+            col = p.ident()
             k, op = p.next()
             if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
                 raise SqlError(f"bad comparison operator {op!r}")
@@ -174,7 +209,7 @@ def parse(sql: str) -> dict:
     group: list[str] = []
     if p.kw("group", "by"):
         while True:
-            group.append(p.expect_word())
+            group.append(p.ident())
             if p.peek() == ("op", ","):
                 p.next()
                 continue
@@ -182,7 +217,7 @@ def parse(sql: str) -> dict:
     order: list[tuple[str, bool]] = []
     if p.kw("order", "by"):
         while True:
-            col = p.expect_word()
+            col = p.ident()
             desc = False
             if p.kw("desc"):
                 desc = True
@@ -213,6 +248,7 @@ def parse(sql: str) -> dict:
     return {
         "items": items,
         "table": table,
+        "join": join,
         "where": where,
         "group": group,
         "order": order,
@@ -259,22 +295,78 @@ def sql_query(sf_dir: str, sql: str):
         if col not in {it["alias"] for it in plan["items"]}:
             needed.add(col)
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/{plan['table']}.parquet",
-        columns=sorted(needed & set(_table_columns(sf_dir, plan["table"]))),
-    )
-    if plan["where"]:
-        w = plan["where"]
-        ds = ds.map_batches(lambda b, w=w: _mask(b, w), batch_format="pyarrow")
+    def scan(table: str, extra: set[str]):
+        """Pruned read + single-table predicate PUSHDOWN: every WHERE
+        conjunct whose column lives in this table filters before any
+        join — rows that can't survive never shuffle."""
+        cols = set(_table_columns(sf_dir, table))
+        local_w = [(c, o, l) for c, o, l in plan["where"] if c in cols]
+        d = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet",
+            columns=sorted((needed | extra) & cols),
+        )
+        if local_w:
+            d = d.map_batches(lambda b, w=local_w: _mask(b, w), batch_format="pyarrow")
+        return d, cols
+
+    if plan["join"]:
+        from ..stages.joins import join as _join
+
+        c1, c2 = plan["join"]["on"]
+        lcols = set(_table_columns(sf_dir, plan["table"]))
+        # normalize ON order: lk belongs to the left (FROM) table
+        lk, rk = (c1, c2) if c1 in lcols else (c2, c1)
+        if lk not in lcols:
+            raise SqlError(f"join key {c1!r}/{c2!r} not found in {plan['table']}")
+        left, _ = scan(plan["table"], {lk})
+        right, rcols = scan(plan["join"]["table"], {rk})
+        if rk not in rcols:
+            raise SqlError(f"join key {rk!r} not found in {plan['join']['table']}")
+        # unknown where-columns fail loudly rather than silently no-op
+        for c, _, _2 in plan["where"]:
+            if c not in lcols and c not in rcols:
+                raise SqlError(f"WHERE column {c!r} not in either table")
+
+        def keyed(b: pa.Table, rk=rk, lk=lk) -> pa.Table:
+            return b.rename_columns([lk if n == rk else n for n in b.column_names])
+
+        ds = _join(left, right.map_batches(keyed, batch_format="pyarrow"), on=lk, how="inner")
+    else:
+        ds, tcols = scan(plan["table"], set())
+        for c, _, _2 in plan["where"]:
+            if c not in tcols:
+                raise SqlError(f"WHERE column {c!r} not in {plan['table']}")
 
     aggs = [it for it in plan["items"] if it["kind"] == "agg"]
     if aggs and plan["group"]:
         sums = {it["col"]: it["alias"] for it in aggs if it["fn"] == "sum"}
         counts = [it for it in aggs if it["fn"] == "count"]
         minmax = [it for it in aggs if it["fn"] in ("min", "max")]
+        avgs = [it for it in aggs if it["fn"] == "avg"]
         count_out = counts[0]["alias"] if counts else None
         if len(counts) > 1:
             raise SqlError("at most one count(...) per query")
+        if avgs:
+            # avg = exact grouped sum / NON-NULL count, both through the
+            # partial-agg path (a derived 0/1 validity column sums to the
+            # non-null count) — the final division is the identical
+            # IEEE double op DuckDB's avg performs on the same operands
+            for it in avgs:
+                if it["col"] in sums:
+                    raise SqlError("a column cannot be both sum'd and avg'd")
+                sums[it["col"]] = f"__avgsum_{it['alias']}"
+
+            def with_nn(b: pa.Table, avgs=avgs) -> pa.Table:
+                for it in avgs:
+                    b = b.append_column(
+                        f"__nn_{it['alias']}",
+                        pc.cast(pc.is_valid(b.column(it["col"])), pa.int64()),
+                    )
+                return b
+
+            ds = ds.map_batches(with_nn, batch_format="pyarrow")
+            for it in avgs:
+                sums[f"__nn_{it['alias']}"] = f"__avgn_{it['alias']}"
         parts = []
         if sums or count_out:
             parts.append(grouped_sum(ds, plan["group"], sums, count_out=count_out))
@@ -295,6 +387,14 @@ def sql_query(sf_dir: str, sql: str):
         for t in parts:
             t = pa.concat_tables(list(t.iter_batches(batch_format="pyarrow")))
             res = t if res is None else res.join(t, keys=plan["group"], join_type="inner")
+        for it in avgs:
+            s = res.column(f"__avgsum_{it['alias']}")
+            n = res.column(f"__avgn_{it['alias']}")
+            res = res.append_column(
+                it["alias"],
+                pc.divide(pc.cast(s, pa.float64()), pc.cast(n, pa.float64())),
+            )
+            res = res.drop_columns([f"__avgsum_{it['alias']}", f"__avgn_{it['alias']}"])
         out = res
     elif aggs:
         # global aggregate, one output row
@@ -310,26 +410,43 @@ def sql_query(sf_dir: str, sql: str):
                     )
                 elif it["fn"] == "sum":
                     vals[it["alias"]] = pc.sum(b.column(it["col"])).as_py() or 0
+                elif it["fn"] == "avg":
+                    vals["__avgsum_" + it["alias"]] = pc.sum(b.column(it["col"])).as_py() or 0
+                    vals["__avgn_" + it["alias"]] = int(pc.count(b.column(it["col"])).as_py())
                 elif it["fn"] == "min":
                     vals[it["alias"]] = pc.min(b.column(it["col"])).as_py()
                 else:
                     vals[it["alias"]] = pc.max(b.column(it["col"])).as_py()
             return pa.table({k: pa.array([v]) for k, v in vals.items()})
 
+        folds = []
+        for it in aggs:
+            if it["fn"] == "avg":
+                folds.append(("sum", "__avgsum_" + it["alias"]))
+                folds.append(("count", "__avgn_" + it["alias"]))
+            else:
+                folds.append((it["fn"], it["alias"]))
         for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-            for it in aggs:
-                a = it["alias"]
+            for fn, a in folds:
                 for v in b.column(a).to_pylist():  # one row per input block
                     if a not in state or state[a] is None:
                         state[a] = v
                     elif v is not None:
-                        if it["fn"] in ("count", "sum"):
+                        if fn in ("count", "sum"):
                             state[a] = state[a] + v
-                        elif it["fn"] == "min":
+                        elif fn == "min":
                             state[a] = min(state[a], v)
                         else:
                             state[a] = max(state[a], v)
-        out = pa.table({it["alias"]: pa.array([state.get(it["alias"])]) for it in aggs})
+        vals = {}
+        for it in aggs:
+            if it["fn"] == "avg":
+                n = state.get("__avgn_" + it["alias"]) or 0
+                s = state.get("__avgsum_" + it["alias"])
+                vals[it["alias"]] = (float(s) / float(n)) if n else None
+            else:
+                vals[it["alias"]] = state.get(it["alias"])
+        out = pa.table({k: pa.array([v]) for k, v in vals.items()})
     else:
         proj = [it["col"] for it in plan["items"]]
         ds = ds.map_batches(lambda b, p=proj: b.select(p), batch_format="pyarrow")
@@ -408,5 +525,23 @@ FRONT_QUERIES: dict[str, str] = {
     "sqlfront_multikey": (
         "SELECT lang, source, count(*) AS n FROM documents "
         "GROUP BY lang, source ORDER BY n DESC, lang, source LIMIT 20"
+    ),
+    # equi-join through the size-aware front door with predicate pushdown
+    "sqlfront_join": (
+        "SELECT c_mktsegment, count(*) AS n FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 50000 GROUP BY c_mktsegment"
+    ),
+    # join + projection + order + limit (both sides pruned and filtered)
+    "sqlfront_join_proj": (
+        "SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "WHERE o_orderstatus = 'O' AND c_mktsegment = 'BUILDING' "
+        "ORDER BY o_orderkey LIMIT 30"
+    ),
+    # avg = exact sum / non-null count (integer-valued doubles ⇒ exact)
+    "sqlfront_avg": (
+        "SELECT l_returnflag, avg(l_quantity) AS aq, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
 }

@@ -75,3 +75,31 @@ def test_parser_plan_shape():
     assert p["group"] == ["lang"]
     assert p["order"] == [("n", True), ("lang", False)]
     assert p["limit"] == 3
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # join paths beyond the canned set: qualified refs, global agg
+        # over a join, avg with nulls on the probe side
+        "SELECT count(*) AS n, max(o_totalprice) AS mx FROM orders "
+        "JOIN customer ON customer.c_custkey = orders.o_custkey "
+        "WHERE c_mktsegment = 'MACHINERY'",
+        "SELECT c_mktsegment, avg(o_totalprice) AS ap FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment "
+        "ORDER BY c_mktsegment",
+        "SELECT event_type, avg(value) AS av, count(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type",
+    ],
+)
+def test_join_avg_equivalence(sql):
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
+
+
+def test_join_on_order_normalized():
+    """ON a.x = b.y and ON b.y = a.x compile to the same plan."""
+    a = parse("SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey")
+    b = parse("SELECT o_orderkey FROM orders JOIN customer ON c_custkey = o_custkey")
+    assert a["join"]["table"] == b["join"]["table"] == "customer"
+    assert set(a["join"]["on"]) == set(b["join"]["on"])
