@@ -214,6 +214,25 @@ def parse(sql: str) -> dict:
                 p.next()
                 continue
             break
+    having: list[tuple[str, str, object]] = []
+    if p.kw("having"):
+        if not group:
+            raise SqlError("HAVING needs GROUP BY")
+        while True:
+            col = p.ident()
+            k, op = p.next()
+            if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
+                raise SqlError(f"bad comparison operator {op!r}")
+            lk, lv = p.next()
+            if lk == "num":
+                lit: object = float(lv) if "." in lv else int(lv)
+            elif lk == "str":
+                lit = lv[1:-1].replace("''", "'")
+            else:
+                raise SqlError(f"expected literal, got {lv!r}")
+            having.append((col, op, lit))
+            if not p.kw("and"):
+                break
     order: list[tuple[str, bool]] = []
     if p.kw("order", "by"):
         while True:
@@ -245,12 +264,18 @@ def parse(sql: str) -> dict:
         bad = [c["col"] for c in cols if c["col"] not in group]
         if bad:
             raise SqlError(f"non-grouped bare columns: {bad}")
+    if having:
+        legal = set(group) | {it["alias"] for it in items}
+        bad = [c for c, _, _ in having if c not in legal]
+        if bad:
+            raise SqlError(f"HAVING references unknown columns: {bad}")
     return {
         "items": items,
         "table": table,
         "join": join,
         "where": where,
         "group": group,
+        "having": having,
         "order": order,
         "limit": limit,
     }
@@ -458,6 +483,9 @@ def sql_query(sf_dir: str, sql: str):
             ds = ds.limit(plan["limit"])
         return ds
 
+    # HAVING filters the output-sized aggregate table (group-count rows)
+    if plan.get("having"):
+        out = _mask(out, plan["having"])
     # aggregate outputs: driver-side order/limit on the output-sized table
     if plan["order"]:
         import numpy as _np
@@ -543,5 +571,10 @@ FRONT_QUERIES: dict[str, str] = {
     "sqlfront_avg": (
         "SELECT l_returnflag, avg(l_quantity) AS aq, count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    # HAVING over an aggregate alias (post-aggregation, group-sized)
+    "sqlfront_having": (
+        "SELECT user_id, count(*) AS n FROM events "
+        "GROUP BY user_id HAVING n >= 20 ORDER BY n DESC, user_id LIMIT 25"
     ),
 }

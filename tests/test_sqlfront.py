@@ -103,3 +103,18 @@ def test_join_on_order_normalized():
     b = parse("SELECT o_orderkey FROM orders JOIN customer ON c_custkey = o_custkey")
     assert a["join"]["table"] == b["join"]["table"] == "customer"
     assert set(a["join"]["on"]) == set(b["join"]["on"])
+
+
+def test_having_equivalence_and_guard():
+    sql = (
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang "
+        "HAVING n > 5 AND lang <> 'de' ORDER BY lang"
+    )
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(SqlError):
+        parse("SELECT doc_id FROM documents HAVING doc_id > 3")  # no GROUP BY
+    with pytest.raises(SqlError):
+        parse(
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang HAVING zz > 1"
+        )  # unknown alias
