@@ -138,6 +138,7 @@ def parse(sql: str) -> dict:
     p = _P(_tokenize(sql))
     if not p.kw("select"):
         raise SqlError("query must start with SELECT")
+    distinct = p.kw("distinct")
     items: list[dict] = []
     while True:
         k, v = p.next()
@@ -258,6 +259,8 @@ def parse(sql: str) -> dict:
 
     aggs = [it for it in items if it["kind"] == "agg"]
     cols = [it for it in items if it["kind"] == "col"]
+    if distinct and (aggs or group):
+        raise SqlError("DISTINCT combines only with bare projections")
     if aggs and not group and cols:
         raise SqlError("bare columns beside aggregates need GROUP BY")
     if group:
@@ -278,6 +281,7 @@ def parse(sql: str) -> dict:
         "having": having,
         "order": order,
         "limit": limit,
+        "distinct": distinct,
     }
 
 
@@ -475,6 +479,16 @@ def sql_query(sf_dir: str, sql: str):
     else:
         proj = [it["col"] for it in plan["items"]]
         ds = ds.map_batches(lambda b, p=proj: b.select(p), batch_format="pyarrow")
+        if plan.get("distinct"):
+            # distinct = per-block local dedup partial, then one keyed
+            # groupby — the dedup shuffle ships unique rows only
+            def local(b: pa.Table, p=proj) -> pa.Table:
+                return pa.TableGroupBy(b, p).aggregate([]).select(p)
+
+            ds = ds.map_batches(local, batch_format="pyarrow").groupby(
+                proj if len(proj) > 1 else proj[0]
+            ).count()
+            ds = ds.map_batches(lambda b, p=proj: b.select(p), batch_format="pyarrow")
         if plan["order"]:
             ds = ds.sort(
                 [c for c, _ in plan["order"]], descending=[d for _, d in plan["order"]]
@@ -571,6 +585,10 @@ FRONT_QUERIES: dict[str, str] = {
     "sqlfront_avg": (
         "SELECT l_returnflag, avg(l_quantity) AS aq, count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    # DISTINCT projection: block-local dedup partial + one keyed groupby
+    "sqlfront_distinct": (
+        "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source"
     ),
     # HAVING over an aggregate alias (post-aggregation, group-sized)
     "sqlfront_having": (

@@ -118,3 +118,11 @@ def test_having_equivalence_and_guard():
         parse(
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang HAVING zz > 1"
         )  # unknown alias
+
+
+def test_distinct_equivalence_and_guard():
+    sql = "SELECT DISTINCT event_type FROM events WHERE value > 50 ORDER BY event_type"
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(SqlError):
+        parse("SELECT DISTINCT lang, count(*) AS n FROM documents GROUP BY lang")
