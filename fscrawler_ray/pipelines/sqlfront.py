@@ -3,7 +3,7 @@ Data pipelines.
 
 The reference exposes its engine only through Python entry points
 (SURVEY §3); real users of a data engine ask for SQL.  This module
-parses a deterministic single-table subset —
+parses a small deterministic dialect —
 
     SELECT item [, item]*
     FROM table [JOIN table2 ON key1 = key2]
@@ -414,8 +414,39 @@ def sql_query(sf_dir: str, sql: str):
             parts.append(g.map_batches(rn, batch_format="pyarrow"))
         res = None
         for t in parts:
-            t = pa.concat_tables(list(t.iter_batches(batch_format="pyarrow")))
+            bs = list(t.iter_batches(batch_format="pyarrow"))
+            if not bs:
+                res = None  # zero groups: every part is empty too
+                break
+            t = pa.concat_tables(bs)
             res = t if res is None else res.join(t, keys=plan["group"], join_type="inner")
+        if res is None:
+            # zero groups survived WHERE: emit a TYPED empty result
+            import pyarrow.parquet as _pq
+
+            src = _pq.read_schema(f"{sf_dir}/{plan['table']}.parquet")
+            src2 = (
+                _pq.read_schema(f"{sf_dir}/{plan['join']['table']}.parquet")
+                if plan["join"]
+                else None
+            )
+
+            def typ(col: str):
+                if src2 is not None and col in src2.names and col not in src.names:
+                    return src2.field(col).type
+                return src.field(col).type
+
+            fields = {}
+            for g in plan["group"]:
+                fields[g] = pa.array([], typ(g))
+            for it in aggs:
+                if it["fn"] == "count":
+                    fields[it["alias"]] = pa.array([], pa.int64())
+                elif it["fn"] == "avg":
+                    fields[it["alias"]] = pa.array([], pa.float64())
+                else:
+                    fields[it["alias"]] = pa.array([], typ(it["col"]))
+            return pa.table(fields).select([it["alias"] for it in plan["items"]])
         for it in avgs:
             s = res.column(f"__avgsum_{it['alias']}")
             n = res.column(f"__avgn_{it['alias']}")
@@ -596,3 +627,64 @@ FRONT_QUERIES: dict[str, str] = {
         "GROUP BY user_id HAVING n >= 20 ORDER BY n DESC, user_id LIMIT 25"
     ),
 }
+
+
+def explain(sf_dir: str, sql: str) -> pa.Table:
+    """Physical-plan introspection (the EXPLAIN analog): one row per
+    plan decision so users can SEE the pushdowns and join strategy the
+    compiler picked without running the query.  Introspection only —
+    no query execution, no oracle (the plan is engine-internal by
+    definition); the contract is pytest-pinned."""
+    plan = parse(sql)
+    rows: list[tuple[str, str]] = [("scan", plan["table"])]
+    lcols = set(_table_columns(sf_dir, plan["table"]))
+    if plan["join"]:
+        rcols = set(_table_columns(sf_dir, plan["join"]["table"]))
+        c1, c2 = plan["join"]["on"]
+        lk, rk = (c1, c2) if c1 in lcols else (c2, c1)
+        rows.append(("scan", plan["join"]["table"]))
+        rows.append(("join_key", f"{lk} = {rk}"))
+        import os
+
+        rbytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(f"{sf_dir}")
+            for f in fs
+            if f == f"{plan['join']['table']}.parquet"
+        )
+        from ..stages.joins import DEFAULT_BROADCAST_BYTES
+
+        rows.append(
+            (
+                "join_strategy",
+                "broadcast" if rbytes <= DEFAULT_BROADCAST_BYTES else "copartition",
+            )
+        )
+        for c, op, lit in plan["where"]:
+            side = plan["table"] if c in lcols else plan["join"]["table"]
+            rows.append(("pushdown", f"{side}: {c} {op} {lit!r}"))
+    else:
+        for c, op, lit in plan["where"]:
+            rows.append(("pushdown", f"{plan['table']}: {c} {op} {lit!r}"))
+    aggs = [it for it in plan["items"] if it["kind"] == "agg"]
+    if plan["group"]:
+        kinds = sorted({it["fn"] for it in aggs})
+        path = "partial-agg groupby" if set(kinds) <= {"sum", "count", "avg"} else "grouped aggregate"
+        rows.append(("aggregate", f"group by {', '.join(plan['group'])} via {path}"))
+    elif aggs:
+        rows.append(("aggregate", "global streaming fold"))
+    if plan.get("distinct"):
+        rows.append(("distinct", "block-local partial + keyed groupby"))
+    if plan.get("having"):
+        rows.append(("having", f"{len(plan['having'])} post-agg filter(s)"))
+    if plan["order"]:
+        where_run = "driver (output-sized)" if (aggs or plan["group"]) else "distributed sort"
+        rows.append(("order", where_run))
+    if plan["limit"] is not None:
+        rows.append(("limit", str(plan["limit"])))
+    return pa.table(
+        {
+            "step": pa.array([r[0] for r in rows], pa.string()),
+            "detail": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )

@@ -126,3 +126,71 @@ def test_distinct_equivalence_and_guard():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     with pytest.raises(SqlError):
         parse("SELECT DISTINCT lang, count(*) AS n FROM documents GROUP BY lang")
+
+
+def test_explain_plan_decisions():
+    """EXPLAIN pins the compiler's physical decisions: per-side
+    pushdown assignment, broadcast choice for a small join side, driver
+    vs distributed ordering."""
+    from fscrawler_ray.pipelines.sqlfront import explain
+
+    e = explain(
+        SF,
+        "SELECT c_mktsegment, count(*) AS n FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 1000 AND c_mktsegment <> 'AUTO' "
+        "GROUP BY c_mktsegment ORDER BY n DESC",
+    ).to_pandas()
+    steps = dict(zip(e["step"] + ":" + e["detail"], [1] * len(e)))
+    details = {s: d for s, d in zip(e["step"], e["detail"])}
+    assert details["join_strategy"] == "broadcast"  # customer.parquet ≪ 64 MB
+    pd_rows = e[e["step"] == "pushdown"]["detail"].tolist()
+    assert any(d.startswith("orders:") and "o_totalprice" in d for d in pd_rows)
+    assert any(d.startswith("customer:") and "c_mktsegment" in d for d in pd_rows)
+    assert details["order"] == "driver (output-sized)"
+
+    e2 = explain(SF, "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5").to_pandas()
+    d2 = {s: d for s, d in zip(e2["step"], e2["detail"])}
+    assert d2["order"] == "distributed sort" and d2["limit"] == "5"
+
+
+def test_grammar_fuzz_equivalence():
+    """Seeded grammar fuzz: randomly composed queries from the dialect
+    agree with DuckDB on every run (the generalization evidence beyond
+    hand-picked cases)."""
+    import random
+
+    rng = random.Random(20260821)
+    int_cols = {"documents": ["doc_id", "n_chars"], "events": ["event_id", "user_id"]}
+    str_cols = {"documents": ["lang", "source"], "events": ["event_type"]}
+    dbl_cols = {"documents": [], "events": ["value"]}
+
+    def gen(table: str) -> str:
+        s = str_cols[table]
+        i = int_cols[table]
+        d = dbl_cols[table]
+        key = rng.choice(s)
+        aggs = [f"count(*) AS n"]
+        if d and rng.random() < 0.7:
+            c = rng.choice(d)
+            aggs.append(f"{rng.choice(['sum', 'min', 'max', 'avg'])}({c}) AS a1")
+        if rng.random() < 0.5:
+            aggs.append(f"{rng.choice(['min', 'max'])}({rng.choice(i)}) AS a2")
+        conds = []
+        if rng.random() < 0.8:
+            conds.append(f"{rng.choice(i)} {rng.choice(['<', '>', '<=', '>='])} {rng.randrange(1000)}")
+        if rng.random() < 0.4:
+            conds.append(f"{rng.choice(s)} <> 'zzz'")
+        q = f"SELECT {key}, {', '.join(aggs)} FROM {table}"
+        if conds:
+            q += " WHERE " + " AND ".join(conds)
+        q += f" GROUP BY {key}"
+        if rng.random() < 0.4:
+            q += " HAVING n >= 1"
+        q += f" ORDER BY {key}"
+        return q
+
+    for _ in range(6):
+        sql = gen(rng.choice(["documents", "events"]))
+        got, want = _norm(_run(sql)), _norm(_duck(sql))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12), sql
