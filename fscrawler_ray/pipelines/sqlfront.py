@@ -142,7 +142,43 @@ def parse(sql: str) -> dict:
     items: list[dict] = []
     while True:
         k, v = p.next()
-        if k == "word" and v.lower() in _AGGS and p.peek() == ("op", "("):
+        if k == "word" and v.lower() == "row_number" and p.peek() == ("op", "("):
+            p.expect_op("(")
+            p.expect_op(")")
+            if not p.kw("over"):
+                raise SqlError("row_number() needs OVER (...)")
+            p.expect_op("(")
+            if not p.kw("partition", "by"):
+                raise SqlError("OVER needs PARTITION BY")
+            part_col = p.ident()
+            if not p.kw("order", "by"):
+                raise SqlError("OVER needs ORDER BY")
+            wkeys: list[tuple[str, bool]] = []
+            while True:
+                wc = p.ident()
+                wd = False
+                if p.kw("desc"):
+                    wd = True
+                elif p.kw("asc"):
+                    pass
+                wkeys.append((wc, wd))
+                if p.peek() == ("op", ","):
+                    p.next()
+                    continue
+                break
+            p.expect_op(")")
+            if not p.kw("as"):
+                raise SqlError("row_number() needs an AS alias")
+            alias = p.expect_word()
+            items.append(
+                {
+                    "kind": "winrank",
+                    "part": part_col,
+                    "keys": wkeys,
+                    "alias": alias,
+                }
+            )
+        elif k == "word" and v.lower() in _AGGS and p.peek() == ("op", "("):
             fn = v.lower()
             p.expect_op("(")
             nk, nv = p.next()
@@ -234,6 +270,19 @@ def parse(sql: str) -> dict:
             having.append((col, op, lit))
             if not p.kw("and"):
                 break
+    qualify: list[tuple[str, str, object]] = []
+    if p.kw("qualify"):
+        while True:
+            col = p.ident()
+            k, op = p.next()
+            if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
+                raise SqlError(f"bad comparison operator {op!r}")
+            lk, lv = p.next()
+            if lk != "num" or "." in lv:
+                raise SqlError("QUALIFY compares a window rank to an integer")
+            qualify.append((col, op, int(lv)))
+            if not p.kw("and"):
+                break
     order: list[tuple[str, bool]] = []
     if p.kw("order", "by"):
         while True:
@@ -259,6 +308,17 @@ def parse(sql: str) -> dict:
 
     aggs = [it for it in items if it["kind"] == "agg"]
     cols = [it for it in items if it["kind"] == "col"]
+    wins = [it for it in items if it["kind"] == "winrank"]
+    if len(wins) > 1:
+        raise SqlError("at most one row_number() per query")
+    if wins and (aggs or group or distinct):
+        raise SqlError("row_number() combines only with bare projections")
+    if qualify:
+        if not wins:
+            raise SqlError("QUALIFY needs a row_number() item")
+        bad = [c for c, _, _ in qualify if c != wins[0]["alias"]]
+        if bad:
+            raise SqlError(f"QUALIFY may only reference {wins[0]['alias']!r}: {bad}")
     if distinct and (aggs or group):
         raise SqlError("DISTINCT combines only with bare projections")
     if aggs and not group and cols:
@@ -279,6 +339,7 @@ def parse(sql: str) -> dict:
         "where": where,
         "group": group,
         "having": having,
+        "qualify": qualify,
         "order": order,
         "limit": limit,
         "distinct": distinct,
@@ -316,6 +377,9 @@ def sql_query(sf_dir: str, sql: str):
     for it in plan["items"]:
         if it["kind"] == "col":
             needed.add(it["col"])
+        elif it["kind"] == "winrank":
+            needed.add(it["part"])
+            needed.update(c for c, _ in it["keys"])
         elif it["col"] != "*":
             needed.add(it["col"])
     for col, _, _ in plan["where"]:
@@ -507,6 +571,48 @@ def sql_query(sf_dir: str, sql: str):
             else:
                 vals[it["alias"]] = state.get(it["alias"])
         out = pa.table({k: pa.array([v]) for k, v in vals.items()})
+    elif any(it["kind"] == "winrank" for it in plan["items"]):
+        # row_number() OVER (PARTITION BY k ORDER BY ...): ONE key-hash
+        # shuffle, then the rank materializes inside each bounded group
+        # kernel; QUALIFY prunes there too, so only surviving rows leave
+        # the group (the distributed per-group top-n shape)
+        import pandas as pd
+
+        w = next(it for it in plan["items"] if it["kind"] == "winrank")
+        out_cols = [it["alias"] for it in plan["items"]]
+        qual = plan.get("qualify") or []
+
+        def rank_kernel(g: pd.DataFrame, w=w, qual=qual, out_cols=out_cols) -> pd.DataFrame:
+            import numpy as np
+
+            g2 = g.sort_values(
+                [c for c, _ in w["keys"]],
+                ascending=[not d for _, d in w["keys"]],
+                kind="mergesort",
+            ).copy()
+            g2[w["alias"]] = np.arange(1, len(g2) + 1, dtype=np.int64)
+            for c, op, lit in qual:
+                col = g2[c]
+                g2 = g2[
+                    {
+                        "=": col == lit,
+                        "<>": col != lit,
+                        "<": col < lit,
+                        "<=": col <= lit,
+                        ">": col > lit,
+                        ">=": col >= lit,
+                    }[op]
+                ]
+            return g2[out_cols]
+
+        ds = ds.groupby(w["part"]).map_groups(rank_kernel, batch_format="pandas")
+        if plan["order"]:
+            ds = ds.sort(
+                [c for c, _ in plan["order"]], descending=[d for _, d in plan["order"]]
+            )
+        if plan["limit"] is not None:
+            ds = ds.limit(plan["limit"])
+        return ds
     else:
         proj = [it["col"] for it in plan["items"]]
         ds = ds.map_batches(lambda b, p=proj: b.select(p), batch_format="pyarrow")
@@ -616,6 +722,14 @@ FRONT_QUERIES: dict[str, str] = {
     "sqlfront_avg": (
         "SELECT l_returnflag, avg(l_quantity) AS aq, count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    # window rank: per-customer order ranking + QUALIFY top-2, the
+    # distributed per-group top-n shape (total order ⇒ deterministic)
+    "sqlfront_window": (
+        "SELECT o_custkey, o_orderkey, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS r "
+        "FROM orders QUALIFY r <= 2 ORDER BY o_custkey, r"
     ),
     # DISTINCT projection: block-local dedup partial + one keyed groupby
     "sqlfront_distinct": (

@@ -194,3 +194,17 @@ def test_grammar_fuzz_equivalence():
         sql = gen(rng.choice(["documents", "events"]))
         got, want = _norm(_run(sql)), _norm(_duck(sql))
         pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12), sql
+
+
+def test_window_rank_equivalence_and_guards():
+    sql = (
+        "SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY value DESC, event_id) AS r FROM events "
+        "WHERE value > 20 QUALIFY r <= 3 ORDER BY user_id, r LIMIT 60"
+    )
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(SqlError):
+        parse("SELECT count(*) AS n, row_number() OVER (PARTITION BY a ORDER BY b) AS r FROM events")
+    with pytest.raises(SqlError):
+        parse("SELECT event_id FROM events QUALIFY r <= 2")  # no window item
