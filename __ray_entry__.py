@@ -3113,6 +3113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontam_hits": decontam.q_decontam_hits,
             "repetition_docs": decontam.q_repetition_docs,
             "pii_scrub": decontam.q_pii_scrub,
+            # scrub idempotence: re-detect over scrubbed text == 0
+            "pii_scrub_audit": decontam.q_pii_scrub_audit,
             # per-doc W-gram novelty (df==1 fraction): memorization metric
             "doc_novelty": decontam.q_doc_novelty,
             "dup_spans_docs": decontam.q_dup_spans_docs,

@@ -537,3 +537,76 @@ ORACLE_SQL["doc_novelty"] = (
     "SELECT doc_id, n_grams, uniq AS n_unique_grams, "
     "CAST(uniq * 1000000 // greatest(n_grams, 1) AS BIGINT) AS novelty_micro FROM per"
 )
+
+
+def q_pii_scrub_audit(sf_dir: str):
+    """SQL-CHECKED scrub-completeness audit: re-run all three PII
+    detectors over the SCRUBBED text and certify zero residual matches
+    — the idempotence proof a compliance reviewer actually wants
+    (scrub counts alone don't show the replacements didn't miss or
+    mint new matches).  ONE integer row: docs, per-category scrubbed
+    totals, per-category residuals, clean flag."""
+    import numpy as np
+
+    scrubbed = q_pii_scrub(sf_dir)
+
+    def fold(b: pa.Table) -> pa.Table:
+        clean = b.column("text_clean")
+        if isinstance(clean, pa.ChunkedArray):
+            clean = clean.combine_chunks()
+        r_em = pc.sum(pc.count_substring_regex(clean, PII_EMAIL_RE)).as_py() or 0
+        r_ph = pc.sum(pc.count_substring_regex(clean, PII_PHONE_RE)).as_py() or 0
+        r_ip = pc.sum(pc.count_substring_regex(clean, PII_IP_RE)).as_py() or 0
+        one = lambda v: pa.array([int(v)], pa.int64())  # noqa: E731
+        return pa.table(
+            {
+                "n_docs": one(b.num_rows),
+                "scrubbed_emails": one(pc.sum(b.column("n_emails")).as_py() or 0),
+                "scrubbed_phones": one(pc.sum(b.column("n_phones")).as_py() or 0),
+                "scrubbed_ips": one(pc.sum(b.column("n_ips")).as_py() or 0),
+                "residual_emails": one(r_em),
+                "residual_phones": one(r_ph),
+                "residual_ips": one(r_ip),
+            }
+        )
+
+    tot = np.zeros(7, np.int64)
+    names = [
+        "n_docs",
+        "scrubbed_emails",
+        "scrubbed_phones",
+        "scrubbed_ips",
+        "residual_emails",
+        "residual_phones",
+        "residual_ips",
+    ]
+    for b in scrubbed.map_batches(fold, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, n in enumerate(names):
+            tot[i] += int(pc.sum(b.column(n)).as_py() or 0)
+    cols = {n: pa.array([int(tot[i])], pa.int64()) for i, n in enumerate(names)}
+    cols["clean"] = pa.array([1 if int(tot[4:].sum()) == 0 else 0], pa.int64())
+    return pa.table(cols)
+
+
+ORACLE_SQL["pii_scrub_audit"] = (
+    "WITH p AS ("
+    + ORACLE_SQL["pii_scrub"]
+    + ") SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_emails) AS BIGINT) AS scrubbed_emails, "
+    "CAST(sum(n_phones) AS BIGINT) AS scrubbed_phones, "
+    "CAST(sum(n_ips) AS BIGINT) AS scrubbed_ips, "
+    "CAST(sum(len(regexp_extract_all(text_clean, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS residual_emails, "
+    "CAST(sum(len(regexp_extract_all(text_clean, '\\b555-[0-9]{4}\\b'))) AS BIGINT) "
+    "AS residual_phones, "
+    "CAST(sum(len(regexp_extract_all(text_clean, "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) AS BIGINT) AS residual_ips, "
+    "CAST(CASE WHEN sum(len(regexp_extract_all(text_clean, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) "
+    "+ sum(len(regexp_extract_all(text_clean, '\\b555-[0-9]{4}\\b'))) "
+    "+ sum(len(regexp_extract_all(text_clean, "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) = 0 "
+    "THEN 1 ELSE 0 END AS BIGINT) AS clean FROM p"
+)

@@ -244,3 +244,31 @@ def test_pii_scrub_kernel(ray_session):
     # naive IPv4 rule: both dotted quads match (documented: no 0-255 range check)
     assert list(out["n_ips"]) == [0, 1, 0, 2]
     assert out["text_clean"].iloc[3] == "server <IP> and <IP> still match the naive rule"
+
+
+def test_pii_scrub_audit_clean_and_counts(tmp_path):
+    """The audit certifies idempotence: planted PII is fully counted at
+    scrub time and the re-detection pass over scrubbed text finds zero
+    residuals (clean = 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.decontam import q_pii_scrub_audit
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["plain text"] * 4),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_pii_scrub_audit(str(tmp_path)).to_pandas().iloc[0]
+    # doc_id%4 injection: doc1 email; doc2 email+phone; doc3 all three
+    assert out["n_docs"] == 4
+    assert out["scrubbed_emails"] == 3
+    assert out["scrubbed_phones"] == 2
+    assert out["scrubbed_ips"] == 1
+    assert out["residual_emails"] == out["residual_phones"] == out["residual_ips"] == 0
+    assert out["clean"] == 1
