@@ -216,7 +216,12 @@ def parse(sql: str) -> dict:
     if table not in TABLES:
         raise SqlError(f"unknown table {table!r}")
     join = None
-    if p.kw("join"):
+    jhow = None
+    if p.kw("left", "join"):
+        jhow = "left"
+    elif p.kw("inner", "join") or p.kw("join"):
+        jhow = "inner"
+    if jhow:
         t2 = p.expect_word().lower()
         if t2 not in TABLES:
             raise SqlError(f"unknown join table {t2!r}")
@@ -225,7 +230,7 @@ def parse(sql: str) -> dict:
         c1 = p.ident()
         p.expect_op("=")
         c2 = p.ident()
-        join = {"table": t2, "on": (c1, c2)}
+        join = {"table": t2, "on": (c1, c2), "how": jhow}
     where: list[tuple[str, str, object]] = []
     if p.kw("where"):
         while True:
@@ -388,17 +393,20 @@ def sql_query(sf_dir: str, sql: str):
         if col not in {it["alias"] for it in plan["items"]}:
             needed.add(col)
 
-    def scan(table: str, extra: set[str]):
+    def scan(table: str, extra: set[str], pushdown: bool = True):
         """Pruned read + single-table predicate PUSHDOWN: every WHERE
         conjunct whose column lives in this table filters before any
-        join — rows that can't survive never shuffle."""
+        join — rows that can't survive never shuffle.  ``pushdown=False``
+        reads pruned but defers predicates (required for the NULL-
+        producing side of an outer join, where a pre-join filter would
+        change which left rows survive)."""
         cols = set(_table_columns(sf_dir, table))
         local_w = [(c, o, l) for c, o, l in plan["where"] if c in cols]
         d = ray.data.read_parquet(
             f"{sf_dir}/{table}.parquet",
             columns=sorted((needed | extra) & cols),
         )
-        if local_w:
+        if pushdown and local_w:
             d = d.map_batches(lambda b, w=local_w: _mask(b, w), batch_format="pyarrow")
         return d, cols
 
@@ -411,8 +419,12 @@ def sql_query(sf_dir: str, sql: str):
         lk, rk = (c1, c2) if c1 in lcols else (c2, c1)
         if lk not in lcols:
             raise SqlError(f"join key {c1!r}/{c2!r} not found in {plan['table']}")
+        how = plan["join"].get("how", "inner")
         left, _ = scan(plan["table"], {lk})
-        right, rcols = scan(plan["join"]["table"], {rk})
+        # LEFT JOIN: right-side predicates must NOT filter before the
+        # join (they'd drop unmatched left rows that SQL keeps as NULLs);
+        # they apply post-join, where WHERE's NULL-drops semantics match
+        right, rcols = scan(plan["join"]["table"], {rk}, pushdown=(how == "inner"))
         if rk not in rcols:
             raise SqlError(f"join key {rk!r} not found in {plan['join']['table']}")
         # unknown where-columns fail loudly rather than silently no-op
@@ -423,7 +435,11 @@ def sql_query(sf_dir: str, sql: str):
         def keyed(b: pa.Table, rk=rk, lk=lk) -> pa.Table:
             return b.rename_columns([lk if n == rk else n for n in b.column_names])
 
-        ds = _join(left, right.map_batches(keyed, batch_format="pyarrow"), on=lk, how="inner")
+        ds = _join(left, right.map_batches(keyed, batch_format="pyarrow"), on=lk, how=how)
+        if how == "left":
+            post_w = [(c, o, l) for c, o, l in plan["where"] if c in rcols and c not in lcols]
+            if post_w:
+                ds = ds.map_batches(lambda b, w=post_w: _mask(b, w), batch_format="pyarrow")
     else:
         ds, tcols = scan(plan["table"], set())
         for c, _, _2 in plan["where"]:
@@ -436,9 +452,26 @@ def sql_query(sf_dir: str, sql: str):
         counts = [it for it in aggs if it["fn"] == "count"]
         minmax = [it for it in aggs if it["fn"] in ("min", "max")]
         avgs = [it for it in aggs if it["fn"] == "avg"]
-        count_out = counts[0]["alias"] if counts else None
-        if len(counts) > 1:
-            raise SqlError("at most one count(...) per query")
+        star_counts = [it for it in counts if it["col"] == "*"]
+        col_counts = [it for it in counts if it["col"] != "*"]
+        count_out = star_counts[0]["alias"] if star_counts else None
+        if len(star_counts) > 1:
+            raise SqlError("at most one count(*) per query")
+        if col_counts:
+            # count(col) = non-null count: a derived 0/1 validity column
+            # summed through the partial-agg path (NULL-correct under
+            # LEFT JOIN, where unmatched rows carry NULL right columns)
+            def with_cc(b: pa.Table, cc=col_counts) -> pa.Table:
+                for it in cc:
+                    b = b.append_column(
+                        f"__cc_{it['alias']}",
+                        pc.cast(pc.is_valid(b.column(it["col"])), pa.int64()),
+                    )
+                return b
+
+            ds = ds.map_batches(with_cc, batch_format="pyarrow")
+            for it in col_counts:
+                sums[f"__cc_{it['alias']}"] = it["alias"]
         if avgs:
             # avg = exact grouped sum / NON-NULL count, both through the
             # partial-agg path (a derived 0/1 validity column sums to the
@@ -722,6 +755,13 @@ FRONT_QUERIES: dict[str, str] = {
     "sqlfront_avg": (
         "SELECT l_returnflag, avg(l_quantity) AS aq, count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    # LEFT JOIN with NULL-correct count(col): unmatched customers keep
+    # their row (count(*)) but contribute 0 to count(o_orderkey)
+    "sqlfront_left_join": (
+        "SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     ),
     # window rank: per-customer order ranking + QUALIFY top-2, the
     # distributed per-group top-n shape (total order ⇒ deterministic)

@@ -208,3 +208,24 @@ def test_window_rank_equivalence_and_guards():
         parse("SELECT count(*) AS n, row_number() OVER (PARTITION BY a ORDER BY b) AS r FROM events")
     with pytest.raises(SqlError):
         parse("SELECT event_id FROM events QUALIFY r <= 2")  # no window item
+
+
+def test_left_join_semantics():
+    """LEFT JOIN: right-side WHERE predicates apply POST-join (SQL's
+    NULL-drop semantics), left-side predicates still push down; count(col)
+    is NULL-correct."""
+    sql = (
+        "SELECT c_custkey, count(o_orderkey) AS n FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "WHERE c_acctbal > 0 GROUP BY c_custkey ORDER BY c_custkey LIMIT 40"
+    )
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # a right-side predicate turns unmatched rows into drops, like SQL
+    sql2 = (
+        "SELECT c_custkey, count(*) AS n FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "WHERE o_totalprice > 100000 GROUP BY c_custkey ORDER BY c_custkey LIMIT 40"
+    )
+    got2, want2 = _norm(_run(sql2)), _norm(_duck(sql2))
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
