@@ -37,6 +37,8 @@ CDC_CUR_DIR = "/tmp/fscrawler_oracle_cdc_cur"
 CDC_PREV_DIR = "/tmp/fscrawler_oracle_cdc_prev"
 CKPT_RUN_DIR = "/tmp/fscrawler_oracle_ckpt_run"
 CKPT_DIR = "/tmp/fscrawler_oracle_ckpt"
+ROBOTS_DIFF_OLD_DIR = "/tmp/fscrawler_oracle_robots_old"
+ROBOTS_DIFF_NEW_DIR = "/tmp/fscrawler_oracle_robots_new"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -1869,6 +1871,26 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         prev = _ray.data.read_parquet(CDC_PREV_DIR)
         return cdc_replay(cur, prev)
 
+    def crawl_robots_diff(sf_dir: str):
+        """SQL-CHECKED retroactive robots-compliance diff: evaluate the
+        OLD (seed 42) and NEW (seed 43) RFC rulesets over the written
+        snapshot in one streaming pass; per host, the purge list size
+        (newly denied) and recrawl candidates (newly allowed).  Both
+        rulesets spool so DuckDB replays both precedence evaluations
+        and the per-URL verdict join."""
+        import shutil
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import robots_diff, robots_ruleset
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(ROBOTS_DIFF_OLD_DIR, ignore_errors=True)
+        shutil.rmtree(ROBOTS_DIFF_NEW_DIR, ignore_errors=True)
+        robots_ruleset(out, seed=42).write_parquet(ROBOTS_DIFF_OLD_DIR)
+        robots_ruleset(out, seed=43).write_parquet(ROBOTS_DIFF_NEW_DIR)
+        return robots_diff(out, old_seed=42, new_seed=43)
+
     def crawl_starvation_audit(sf_dir: str):
         """SQL-CHECKED temporal-fairness audit over the written run:
         per host, active-round count and the longest gap between
@@ -1990,6 +2012,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_checkpoint_audit": crawl_checkpoint_audit,
         "crawl_merkle_diff": crawl_merkle_diff,
         "crawl_starvation_audit": crawl_starvation_audit,
+        "crawl_robots_diff": crawl_robots_diff,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -4593,6 +4616,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM m GROUP BY url, host) "
         )
 
+    def _robots_cte2(src_glob: str, rules_dir: str, sfx: str) -> str:
+        """The same u/r/m/v evaluation chain with suffixed CTE names and
+        a parameterized rules spool, so two rulesets compose in one
+        statement (crawl_robots_diff)."""
+        return (
+            f"u{sfx} AS (SELECT url, host, CASE WHEN regexp_replace(url, '^[a-z+.-]+://[^/]*', '') = '' "
+            "THEN '/' ELSE regexp_replace(url, '^[a-z+.-]+://[^/]*', '') END AS path "
+            f"FROM read_parquet('{src_glob}')), "
+            f"r{sfx} AS (SELECT host, allow, CAST(length(pattern) AS BIGINT) AS plen, "
+            "'^' || replace(replace(CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1) "
+            "ELSE pattern END, '.', '\\.'), '*', '.*') "
+            "|| CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx "
+            f"FROM read_parquet('{rules_dir}/*.parquet')), "
+            f"m{sfx} AS (SELECT u{sfx}.url, u{sfx}.host, r{sfx}.plen, r{sfx}.allow FROM u{sfx} "
+            f"LEFT JOIN r{sfx} ON u{sfx}.host = r{sfx}.host AND regexp_matches(u{sfx}.path, r{sfx}.rx)), "
+            f"v{sfx} AS (SELECT url, host, "
+            "COALESCE(MAX(CASE WHEN allow THEN plen END), 0) AS allow_len, "
+            "COALESCE(MAX(CASE WHEN NOT allow THEN plen END), -1) AS deny_len "
+            f"FROM m{sfx} GROUP BY url, host) "
+        )
+
+    _src_glob = f"{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet"
+    sql["crawl_robots_diff"] = (
+        "WITH "
+        + _robots_cte2(_src_glob, ROBOTS_DIFF_OLD_DIR, "o")
+        + ", "
+        + _robots_cte2(_src_glob, ROBOTS_DIFF_NEW_DIR, "n")
+        + ", j AS (SELECT vo.host, "
+        "CAST(vo.allow_len >= vo.deny_len AS INT) AS ok_o, "
+        "CAST(vn.allow_len >= vn.deny_len AS INT) AS ok_n "
+        "FROM vo JOIN vn ON vn.url = vo.url) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(1 - ok_o) AS BIGINT) AS denied_old, "
+        "CAST(sum(1 - ok_n) AS BIGINT) AS denied_new, "
+        "CAST(sum(CASE WHEN ok_o = 1 AND ok_n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS newly_denied, "
+        "CAST(sum(CASE WHEN ok_o = 0 AND ok_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS newly_allowed "
+        "FROM j GROUP BY host"
+    )
     _robots_uv = _robots_cte(f"{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet")
     sql["crawl_robots_eval"] = (
         "WITH " + _robots_uv + "SELECT url, host, allow_len, deny_len, "

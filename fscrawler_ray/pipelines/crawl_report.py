@@ -1827,3 +1827,63 @@ def starvation_audit(out_dir: str) -> pa.Table:
             }
         )
     return pa.concat_tables(parts)
+
+
+def robots_diff(out_dir: str, old_seed: int = 42, new_seed: int = 43):
+    """Retroactive robots-compliance diff: when a host's robots.txt
+    CHANGES, which already-crawled URLs become disallowed (the purge
+    list a compliant operator must act on) and which open up (recrawl
+    candidates)?  Evaluates BOTH rulesets in ONE streaming pass over
+    the snapshot — per batch, one vectorized RE2 evaluation per
+    (distinct host, ruleset) — then one host-keyed grouped sum.
+
+    Output per host: (n_urls, denied_old, denied_new, newly_denied,
+    newly_allowed)."""
+    import numpy as np
+
+    from ..crawl.robots import rfc_eval_paths, rfc_ruleset_for_host
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(out_dir, columns=["url", "host"])
+
+    def f(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        path = pc.replace_substring_regex(url, r"^[a-z+.-]+://[^/]*", "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        host_np = b.column("host").to_numpy(zero_copy_only=False)
+        ok = {}
+        for seed, key in ((old_seed, "old"), (new_seed, "new")):
+            al = np.zeros(len(url), dtype=np.int64)
+            dl = np.full(len(url), -1, dtype=np.int64)
+            for h in np.unique(host_np):
+                idx = np.flatnonzero(host_np == h)
+                a, d = rfc_eval_paths(path.take(pa.array(idx)), rfc_ruleset_for_host(str(h), seed))
+                al[idx] = a
+                dl[idx] = d
+            ok[key] = al >= dl
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "denied_old": pa.array((~ok["old"]).astype(np.int64)),
+                "denied_new": pa.array((~ok["new"]).astype(np.int64)),
+                "newly_denied": pa.array((ok["old"] & ~ok["new"]).astype(np.int64)),
+                "newly_allowed": pa.array((~ok["old"] & ok["new"]).astype(np.int64)),
+            }
+        )
+
+    flags = ds.map_batches(f, batch_format="pyarrow")
+    g = grouped_sum(
+        flags,
+        ["host"],
+        {
+            "denied_old": "denied_old",
+            "denied_new": "denied_new",
+            "newly_denied": "newly_denied",
+            "newly_allowed": "newly_allowed",
+        },
+        count_out="n_urls",
+    )
+    order = ["host", "n_urls", "denied_old", "denied_new", "newly_denied", "newly_allowed"]
+    return g.map_batches(lambda b, o=order: b.select(o), batch_format="pyarrow")

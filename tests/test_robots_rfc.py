@@ -111,3 +111,36 @@ def test_ruleset_exercises_every_feature():
             feats["star"] |= "*" in pattern
             feats["anchor"] |= pattern.endswith("$")
     assert all(feats.values()), feats
+
+
+def test_robots_diff_planted_rule_change(tmp_path):
+    """robots_diff: the seed change flips verdicts exactly where the
+    rulesets disagree; totals partition (denied_new = newly_denied +
+    (denied_old - newly_allowed))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.crawl.robots import rfc_eval_paths, rfc_ruleset_for_host
+    from fscrawler_ray.pipelines.crawl_report import robots_diff
+
+    host = "h0.example"
+    paths = ["/gallery1/a.png", "/private0/x.jpg", "/tmp/y.log", "/a/b.png", "/z.tmp"]
+    t = pa.table(
+        {
+            "url": pa.array([f"http://{host}{p}" for p in paths], pa.string()),
+            "host": pa.array([host] * len(paths), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = robots_diff(str(tmp_path), old_seed=42, new_seed=43).to_pandas().iloc[0]
+
+    def ok(seed, p):
+        a, d = rfc_eval_paths(pa.array([p]), rfc_ruleset_for_host(host, seed))
+        return a[0] >= d[0]
+
+    exp_nd = sum(1 for p in paths if ok(42, p) and not ok(43, p))
+    exp_na = sum(1 for p in paths if not ok(42, p) and ok(43, p))
+    assert out["n_urls"] == len(paths)
+    assert out["newly_denied"] == exp_nd
+    assert out["newly_allowed"] == exp_na
+    assert out["denied_new"] == out["denied_old"] - exp_na + exp_nd
