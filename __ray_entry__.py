@@ -3092,6 +3092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "split_leakage_audit": sampling.q_split_leakage_audit,
             "split_repair": sampling.q_split_repair,
             "mixture_token_budget": sampling.q_mixture_token_budget,
+            # equal-representation mixture: exact integer water-filling
+            "mixture_waterfill": sampling.q_mixture_waterfill,
             "curriculum_order": sampling.curriculum_order,
             # temperature-scaled multilingual rebalancing (alpha = 0.7)
             "temperature_mixture": sampling.q_temperature_mixture,

@@ -689,3 +689,114 @@ def q_epoch_decorrelation(sf_dir: str):
             "rho_plus1_micro": pa.array([rho1], pa.int64()),
         }
     )
+
+
+WATERFILL_BUDGET = 24_000  # tokens per equal-representation cycle
+
+
+def q_mixture_waterfill(sf_dir: str, budget: int = WATERFILL_BUDGET):
+    """Equal-representation mixture with availability caps — exact
+    integer WATER-FILLING: give every language the same token quota
+    except where a language simply doesn't have that many tokens, in
+    which case it clamps at its availability and the freed budget
+    raises the water level for the rest.  The standard fix for
+    proportional mixtures starving low-resource languages.
+
+    Closed form (no iteration): sort langs by (avail ASC, lang ASC);
+    k = the largest count of clamped langs such that
+    avail_k ≤ (B − cum_k) // (n − k); level L = (B − cum_k) // (n − k);
+    leftover slots B − cum_k − L·(n−k) go +1 each to the first
+    unclamped langs in sort order.  Σ quota == min(B, Σ avail)
+    EXACTLY.  One distributed grouped token sum; the fill arithmetic is
+    lang-bounded; DuckDB replays it with two window scans.
+
+    Output (lang, available, quota, clamped, bonus)."""
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n": pc.count_substring_regex(b.column("text"), r"\S+").cast(pa.int64()),
+            }
+        )
+
+    avail = (
+        grouped_sum(ds.map_batches(part, batch_format="pyarrow"), ["lang"], {"n": "avail"})
+        .to_pandas()
+        .sort_values(["avail", "lang"])
+        .reset_index(drop=True)
+    )  # lang-bounded
+    av = avail["avail"].to_numpy().astype(np.int64)
+    n = len(av)
+    cum = np.cumsum(av)
+    total = int(cum[-1]) if n else 0
+    if n == 0:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"lang": pa.array([], pa.string()), "available": e, "quota": e, "clamped": e, "bonus": e}
+        )
+    if total <= budget:
+        quota = av.copy()
+        clamped = np.ones(n, np.int64)
+        bonus = np.zeros(n, np.int64)
+    else:
+        # max (not first-failure) to mirror the SQL replay exactly even
+        # if integer floors ever made the valid set non-contiguous
+        ks = [
+            i
+            for i in range(1, n)  # n = #langs, a handful
+            if av[i - 1] <= (budget - cum[i - 1]) // (n - i)
+        ]
+        k = max(ks, default=0)
+        rem = budget - (int(cum[k - 1]) if k else 0)
+        level = rem // (n - k)
+        leftover = rem - level * (n - k)
+        quota = np.where(np.arange(n) < k, av, level)
+        clamped = (np.arange(n) < k).astype(np.int64)
+        bonus = np.zeros(n, np.int64)
+        bonus[k : k + leftover] = 1
+        quota = quota + bonus
+    return pa.table(
+        {
+            "lang": pa.array(avail["lang"].tolist(), pa.string()),
+            "available": pa.array(av),
+            "quota": pa.array(quota.astype(np.int64)),
+            "clamped": pa.array(clamped),
+            "bonus": pa.array(bonus),
+        }
+    )
+
+
+ORACLE_SQL["mixture_waterfill"] = (
+    "WITH t AS (SELECT lang, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) "
+    "AS avail FROM documents GROUP BY lang), "
+    "s AS (SELECT lang, avail, row_number() OVER (ORDER BY avail, lang) AS rn, "
+    "sum(avail) OVER (ORDER BY avail, lang) AS cum, count(*) OVER () AS n FROM t), "
+    f"tot AS (SELECT sum(avail) AS total FROM t), "
+    # k = number of clamped langs (0 if the first lang already exceeds
+    # the level); valid prefix test replayed per row
+    f"kk AS (SELECT coalesce(max(rn), 0) AS k FROM s, tot "
+    f"WHERE tot.total > {WATERFILL_BUDGET} AND rn < n "
+    f"AND avail <= ({WATERFILL_BUDGET} - cum) // (n - rn)), "
+    "lev AS (SELECT CASE WHEN tot.total <= "
+    f"{WATERFILL_BUDGET} THEN NULL ELSE "
+    f"({WATERFILL_BUDGET} - coalesce((SELECT cum FROM s WHERE rn = kk.k), 0)) // "
+    "(s1.n - kk.k) END AS level, "
+    f"CASE WHEN tot.total <= {WATERFILL_BUDGET} THEN 0 ELSE "
+    f"({WATERFILL_BUDGET} - coalesce((SELECT cum FROM s WHERE rn = kk.k), 0)) % "
+    "(s1.n - kk.k) END AS leftover, kk.k AS k "
+    "FROM kk, tot, (SELECT DISTINCT n FROM s) s1) "
+    "SELECT s.lang, s.avail AS available, "
+    "CAST(CASE WHEN lev.level IS NULL OR s.rn <= lev.k THEN s.avail "
+    "ELSE lev.level + (CASE WHEN s.rn > lev.k AND s.rn <= lev.k + lev.leftover THEN 1 ELSE 0 END) "
+    "END AS BIGINT) AS quota, "
+    "CAST(CASE WHEN lev.level IS NULL OR s.rn <= lev.k THEN 1 ELSE 0 END AS BIGINT) AS clamped, "
+    "CAST(CASE WHEN lev.level IS NOT NULL AND s.rn > lev.k AND s.rn <= lev.k + lev.leftover "
+    "THEN 1 ELSE 0 END AS BIGINT) AS bonus "
+    "FROM s, lev"
+)

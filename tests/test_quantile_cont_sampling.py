@@ -114,3 +114,39 @@ def test_quantile_cont_rank_pair_straddles_bin_boundary():
         collect_limit=10, max_levels=6, n_bins=4,
     ).to_pandas()
     assert abs(got["q_value"][0] - np.quantile(np.array(vals), 0.5)) < 1e-12
+
+
+def test_mixture_waterfill_conservation_and_clamping(tmp_path):
+    """Water-filling: quotas conserve min(budget, total); a language
+    below the level clamps at its availability; everyone unclamped gets
+    the same level ±1 (bonus slots)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.sampling import q_mixture_waterfill
+
+    rows = []
+    for lang, n_docs, words in (("aa", 2, 5), ("bb", 3, 100), ("cc", 3, 100)):
+        for i in range(n_docs):
+            rows.append((lang, " ".join(["w"] * words)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    # availability: aa=10, bb=300, cc=300 (total 610)
+    out = q_mixture_waterfill(str(tmp_path), budget=100).to_pandas().set_index("lang")
+    assert int(out["quota"].sum()) == 100  # budget < total -> exact budget
+    assert out.loc["aa", "clamped"] == 1 and out.loc["aa", "quota"] == 10
+    # remaining 90 across bb/cc: level 45 each
+    assert out.loc["bb", "quota"] + out.loc["cc", "quota"] == 90
+    assert abs(int(out.loc["bb", "quota"]) - int(out.loc["cc", "quota"])) <= 1
+
+    # budget above total availability: everyone clamps, quota == avail
+    out2 = q_mixture_waterfill(str(tmp_path), budget=10_000).to_pandas()
+    assert (out2["quota"] == out2["available"]).all()
+    assert (out2["clamped"] == 1).all()
