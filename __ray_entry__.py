@@ -3094,6 +3094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mixture_token_budget": sampling.q_mixture_token_budget,
             # equal-representation mixture: exact integer water-filling
             "mixture_waterfill": sampling.q_mixture_waterfill,
+            # split representativeness: PSI of doclen train-vs-val
+            "split_psi_drift": sampling.q_split_psi_drift,
             "curriculum_order": sampling.curriculum_order,
             # temperature-scaled multilingual rebalancing (alpha = 0.7)
             "temperature_mixture": sampling.q_temperature_mixture,

@@ -800,3 +800,89 @@ ORACLE_SQL["mixture_waterfill"] = (
     "THEN 1 ELSE 0 END AS BIGINT) AS bonus "
     "FROM s, lev"
 )
+
+
+SPLIT_PSI_BINS = 10
+
+
+def q_split_psi_drift(sf_dir: str, bins: int = SPLIT_PSI_BINS):
+    """Split-representativeness PSI: the doc-length distribution of the
+    train split vs the val split over fixed-width n_chars bins, per-bin
+    PSI contribution in micro-nats (+1 smoothing) — certifies that the
+    hash split didn't skew a covariate (PSI > 0.2 is the classic alarm
+    threshold; a healthy hash split reads near zero).  Composes the
+    certified split hash with the certified PSI arithmetic.
+
+    One min/max partial pass + ONE (split, bin) grouped count; the PSI
+    arithmetic runs on the bins-bounded table."""
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def ranges(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").cast(pa.int64())
+        return pa.table(
+            {
+                "v0": pa.array([pc.min(v).as_py()], pa.int64()),
+                "v1": pa.array([pc.max(v).as_py()], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(ranges, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    v0 = int(pc.min(parts.column("v0")).as_py())
+    v1 = int(pc.max(parts.column("v1")).as_py())
+    width = v1 - v0 + 1
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_val = pc.equal(split_of_ids(b.column("doc_id")), "val")
+        return pa.table(
+            {
+                "is_val": pc.cast(is_val, pa.int64()),
+                "bin": pa.array(np.minimum(bins - 1, (v - v0) * bins // width)),
+            }
+        )
+
+    g = grouped_sum(
+        ds.map_batches(assign, batch_format="pyarrow"), ["is_val", "bin"], {}, count_out="n"
+    ).to_pandas()  # ≤ 2 × bins rows
+    grid = np.zeros((2, bins), dtype=np.int64)
+    for _, r in g.iterrows():
+        grid[int(r["is_val"]), int(r["bin"])] = int(r["n"])
+    na, nb = int(grid[0].sum()), int(grid[1].sum())
+    p_tr = (grid[0] + 1.0) / (na + float(bins))
+    p_va = (grid[1] + 1.0) / (nb + float(bins))
+    psi = np.floor((p_tr - p_va) * np.log(p_tr / p_va) * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(bins, dtype=np.int64)),
+            "n_train": pa.array(grid[0]),
+            "n_val": pa.array(grid[1]),
+            "psi_micro": pa.array(psi),
+        }
+    )
+
+
+ORACLE_SQL["split_psi_drift"] = (
+    f"WITH e AS (SELECT CAST(n_chars AS BIGINT) AS v, "
+    f"CASE WHEN {SPLIT_CASE_SQL} = 'val' THEN 1 ELSE 0 END AS is_val FROM documents), "
+    "r AS (SELECT min(v) AS v0, max(v) AS v1 FROM e), "
+    f"a AS (SELECT is_val, least({SPLIT_PSI_BINS - 1}, "
+    f"(v - v0) * {SPLIT_PSI_BINS} // (v1 - v0 + 1)) AS bin FROM e, r), "
+    "g AS (SELECT bin, CAST(sum(1 - is_val) AS BIGINT) AS n_train, "
+    "CAST(sum(is_val) AS BIGINT) AS n_val FROM a GROUP BY bin), "
+    f"bgrid AS (SELECT unnest(generate_series(0, {SPLIT_PSI_BINS - 1})) AS bin), "
+    "filled AS (SELECT CAST(bgrid.bin AS BIGINT) AS bin, coalesce(n_train, 0) AS n_train, "
+    "coalesce(n_val, 0) AS n_val FROM bgrid LEFT JOIN g ON g.bin = bgrid.bin), "
+    "tot AS (SELECT sum(n_train) AS na, sum(n_val) AS nb FROM filled) "
+    "SELECT bin, n_train, n_val, "
+    f"CAST(floor(((n_train + 1.0) / (na + {float(SPLIT_PSI_BINS)}) - "
+    f"(n_val + 1.0) / (nb + {float(SPLIT_PSI_BINS)})) "
+    f"* ln(((n_train + 1.0) / (na + {float(SPLIT_PSI_BINS)})) / "
+    f"((n_val + 1.0) / (nb + {float(SPLIT_PSI_BINS)}))) "
+    "* 1000000 + 0.5) AS BIGINT) AS psi_micro FROM filled, tot"
+)

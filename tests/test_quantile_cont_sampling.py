@@ -150,3 +150,21 @@ def test_mixture_waterfill_conservation_and_clamping(tmp_path):
     out2 = q_mixture_waterfill(str(tmp_path), budget=10_000).to_pandas()
     assert (out2["quota"] == out2["available"]).all()
     assert (out2["clamped"] == 1).all()
+
+
+def test_split_psi_drift_healthy_split_near_zero():
+    """A hash split over a covariate it ignores must read near-zero PSI
+    (the healthy-split certificate); totals partition the corpus."""
+    from fscrawler_ray.pipelines.sampling import q_split_psi_drift
+
+    out = q_split_psi_drift("/root/testdata/sf0.01").to_pandas()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchone()[0]
+    assert int(out["n_train"].sum() + out["n_val"].sum()) == n_docs
+    # classic alarm threshold is 0.2 (200000 micro); the hash split
+    # stays under it even summed across bins (the val side is small, so
+    # smoothing noise dominates the per-bin terms)
+    assert int(out["psi_micro"].abs().sum()) < 200_000
