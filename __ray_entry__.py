@@ -39,6 +39,9 @@ CKPT_RUN_DIR = "/tmp/fscrawler_oracle_ckpt_run"
 CKPT_DIR = "/tmp/fscrawler_oracle_ckpt"
 ROBOTS_DIFF_OLD_DIR = "/tmp/fscrawler_oracle_robots_old"
 ROBOTS_DIFF_NEW_DIR = "/tmp/fscrawler_oracle_robots_new"
+OPIC_C1_DIR = "/tmp/fscrawler_oracle_opic_c1"
+OPIC_C2_DIR = "/tmp/fscrawler_oracle_opic_c2"
+HOST_OPICC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicc"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -1871,6 +1874,109 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         prev = _ray.data.read_parquet(CDC_PREV_DIR)
         return cdc_replay(cur, prev)
 
+    def crawl_opic_cycle(sf_dir: str):
+        """SQL-CHECKED OPIC-driven two-cycle crawl — the importance loop
+        closed end-to-end: cycle-1 crawl → host graph from its trace →
+        OPIC scores → Hamilton budget quotas → hosts below fair share
+        throttle to 0.25 → prioritized cycle-2 re-crawl.  ONE integer
+        row certifies coverage is priority-INVARIANT (all three URL
+        counts equal), Σ quota == budget EXACTLY, and the throttle map
+        actually fed to cycle 2 equals the quota rule's count.  DuckDB
+        replays OPIC + apportionment over the spooled edges and the
+        coverage counts over both written traces."""
+        import shutil
+
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from fscrawler_ray.crawl.engine import CrawlConfig, CrawlEngine
+        from fscrawler_ray.pipelines.crawl_report import OPIC_BUDGET, opic_budget
+        from fscrawler_ray.pipelines.graph import opic
+
+        cfg = _scale(sf_dir)
+        seeds = SynthWeb(cfg).seeds()
+        for out in (OPIC_C1_DIR, OPIC_C2_DIR):
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(out + "_trace", ignore_errors=True)
+            shutil.rmtree(out + "_deadletter", ignore_errors=True)
+        e1 = CrawlEngine(
+            CrawlConfig(web=cfg, n_shards=4, politeness_budget=4, max_rounds=40, out_dir=OPIC_C1_DIR)
+        )
+        e1.run(seeds)
+        e1.shutdown()
+
+        # host graph from cycle-1's trace (batched Source expansion)
+        trace1 = _ray.data.read_parquet(OPIC_C1_DIR + "_trace", columns=["url"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            web = SynthWeb(cfg)
+            urls = b.column("url").to_pylist()
+            kids = web.children_batch(urls)
+            src = [u.split("://", 1)[1].split("/", 1)[0] for u, k in zip(urls, kids) for _ in k]
+            dst = [c.split("://", 1)[1].split("/", 1)[0] for k in kids for c in k]
+            return pa.table(
+                {
+                    "src_host": pa.array(src, pa.string()),
+                    "dst_host": pa.array(dst, pa.string()),
+                }
+            )
+
+        shutil.rmtree(HOST_OPICC_EDGES_DIR, ignore_errors=True)
+        trace1.map_batches(edges, batch_format="pyarrow").write_parquet(HOST_OPICC_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_OPICC_EDGES_DIR)
+        sc = opic(e, src_col="src_host", dst_col="dst_host", iters=OPIC_EXACT_ITERS)
+        quotas = opic_budget(
+            pa.table({"host": sc.column("node"), "score": sc.column("score")})
+        )
+        hosts = quotas.column("host").to_pylist()
+        q = quotas.column("quota").to_pylist()
+        fair = OPIC_BUDGET // max(len(hosts), 1)
+        prios = {h: 0.25 for h, qq in zip(hosts, q) if qq < fair}
+
+        e2 = CrawlEngine(
+            CrawlConfig(
+                web=cfg,
+                n_shards=4,
+                politeness_budget=4,
+                max_rounds=256,
+                out_dir=OPIC_C2_DIR,
+                host_priorities=prios,
+            )
+        )
+        e2.run(seeds)
+        e2.shutdown()
+
+        t1 = _ray.data.read_parquet(OPIC_C1_DIR + "_trace", columns=["url"])
+        t2 = _ray.data.read_parquet(OPIC_C2_DIR + "_trace", columns=["url"])
+        n1, n2 = t1.count(), t2.count()
+        import pyarrow.compute as pc
+
+        shared = (
+            t1.union(t2)
+            .groupby("url")
+            .count()
+            .map_batches(
+                lambda b: b.filter(pc.equal(b.column("count()"), 2)),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        sum_q = sum(q)
+        one = lambda v: pa.array([int(v)], pa.int64())  # noqa: E731
+        return pa.table(
+            {
+                "urls_cycle1": one(n1),
+                "urls_cycle2": one(n2),
+                "urls_shared": one(shared),
+                "sum_quota": one(sum_q),
+                "quota_budget": one(OPIC_BUDGET),
+                "quota_exact": one(1 if sum_q == OPIC_BUDGET else 0),
+                "hosts_total": one(len(hosts)),
+                "hosts_throttled": one(len(prios)),
+            }
+        )
+
     def crawl_robots_diff(sf_dir: str):
         """SQL-CHECKED retroactive robots-compliance diff: evaluate the
         OLD (seed 42) and NEW (seed 43) RFC rulesets over the written
@@ -2013,6 +2119,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_merkle_diff": crawl_merkle_diff,
         "crawl_starvation_audit": crawl_starvation_audit,
         "crawl_robots_diff": crawl_robots_diff,
+        "crawl_opic_cycle": crawl_opic_cycle,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3762,6 +3869,31 @@ def oracle_sql() -> dict[str, str]:
         CRAWLDELAY_ROUND_SECONDS as _CD_SECS,
     )
 
+    sql["crawl_opic_cycle"] = (
+        "WITH sc AS MATERIALIZED (SELECT host, CAST(score AS HUGEINT) AS s FROM ("
+        + _host_opic_oracle(edges_dir=HOST_OPICC_EDGES_DIR)
+        + ") opic_t), "
+        "tot AS (SELECT sum(s) AS tot FROM sc), "
+        f"a AS (SELECT host, s, ({_OPIC_B} * s) // tot.tot AS a0, "
+        f"({_OPIC_B} * s) % tot.tot AS rem FROM sc, tot), "
+        f"xs AS (SELECT CAST({_OPIC_B} AS HUGEINT) - sum(a0) AS extra FROM a), "
+        "r AS (SELECT host, a0, rem, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn FROM a), "
+        "qd AS (SELECT r.host, r.a0 + CASE WHEN r.rn <= xs.extra THEN 1 ELSE 0 END AS quota "
+        "FROM r, xs), "
+        "agg AS (SELECT CAST(sum(quota) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS nh, "
+        f"CAST(sum(CASE WHEN quota < {_OPIC_B} // (SELECT count(*) FROM qd) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS thr FROM qd), "
+        f"t1 AS (SELECT DISTINCT url FROM read_parquet('{OPIC_C1_DIR}_trace/part-*.parquet')), "
+        f"t2 AS (SELECT DISTINCT url FROM read_parquet('{OPIC_C2_DIR}_trace/part-*.parquet')) "
+        "SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS urls_cycle1, "
+        "CAST((SELECT count(*) FROM t2) AS BIGINT) AS urls_cycle2, "
+        "CAST((SELECT count(*) FROM (SELECT url FROM t1 INTERSECT SELECT url FROM t2)) AS BIGINT) "
+        "AS urls_shared, "
+        "agg.sum_q AS sum_quota, "
+        f"CAST({_OPIC_B} AS BIGINT) AS quota_budget, "
+        f"CAST(CASE WHEN agg.sum_q = {_OPIC_B} THEN 1 ELSE 0 END AS BIGINT) AS quota_exact, "
+        "agg.nh AS hosts_total, agg.thr AS hosts_throttled FROM agg"
+    )
     sql["crawl_starvation_audit"] = (
         "WITH d AS (SELECT DISTINCT host, CAST(round AS BIGINT) AS round "
         f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet')), "
