@@ -3144,6 +3144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # exact-only composed clean (no LSH) — every rule deterministic,
             # so the whole C4-style pipeline is SQL-checked end-to-end
             "corpus_clean_exact": lambda sf: corpus.clean_text_corpus(sf, neardup=False)[0],
+            # dedup audit trail: every removed doc with keeper + reason
+            "dedup_provenance": dedup.dedup_provenance,
             "corpus_funnel": corpus.corpus_funnel,
             # the full release chain: clean -> gopher -> decontam ->
             # split -> per-(split, lang) datacard, composition-certified
@@ -3456,6 +3458,22 @@ def oracle_sql() -> dict[str, str]:
     from fscrawler_ray.pipelines.sampling import SPLIT_CASE_SQL as _SPLIT_CASE
     from fscrawler_ray.pipelines.sampling import split_case_sql as _split_case
 
+    sql["dedup_provenance"] = (
+        "WITH RECURSIVE pr AS ("
+        + sql["ngram_jaccard_exact"]
+        + "), "
+        "g AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text), "
+        "exrem AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(g.keeper AS BIGINT) AS keeper, "
+        "'exact' AS reason FROM documents d JOIN g ON g.text = d.text WHERE d.doc_id <> g.keeper), "
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM pr UNION SELECT doc_b, doc_a FROM pr), "
+        "reach(a, b) AS ((SELECT a, a FROM e UNION SELECT a, b FROM e) "
+        "UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b), "
+        "cc AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a), "
+        "nearrem AS (SELECT CAST(node AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS keeper, "
+        "'near' AS reason FROM cc WHERE node <> label "
+        "AND node NOT IN (SELECT doc_id FROM exrem)) "
+        "SELECT * FROM exrem UNION ALL SELECT * FROM nearrem"
+    )
     sql["split_leakage_audit"] = (
         "WITH p AS ("
         + sql["ngram_jaccard_exact"]

@@ -1845,3 +1845,66 @@ ORACLE_SQL["winnow_dedup_clean"] = (
     + ") SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
     "WHERE doc_id % 8 = 0 AND doc_id NOT IN (SELECT node FROM g WHERE node <> label)"
 )
+
+
+def dedup_provenance(sf_dir: str):
+    """Dedup PROVENANCE — the explainability report for corpus_clean:
+    every removed document with the keeper that displaced it and WHY
+    ('exact' = byte-identical text group, keeper = min doc_id; 'near' =
+    exact-Jaccard near-dup component, keeper = component min;
+    precedence exact > near, so a doc never appears twice).  This is
+    the audit trail a data steward asks for when a document goes
+    missing from a release.
+
+    Shape: one text-keyed groupby for the exact groups (the
+    exact-dedup shuffle), the near side rides the certified
+    ngram_jaccard_exact pair table (output-sized) through
+    pointer-jumping CC; the precedence anti-filter is a broadcast of
+    the exact-removed id set (removed-list-sized)."""
+    import pandas as pd
+
+    from .graph import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def exact_group(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = int(g["doc_id"].min())
+        rem = g[g["doc_id"] != keeper]
+        return pd.DataFrame(
+            {
+                "doc_id": rem["doc_id"].astype("int64"),
+                "keeper": keeper,
+                "reason": "exact",
+            }
+        )
+
+    ex = (
+        docs.groupby("text")
+        .map_groups(exact_group, batch_format="pandas")
+        .to_pandas()
+    )  # removed-list-sized
+    if ex.empty:  # zero exact dups loses columns through to_pandas
+        ex = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "keeper": pd.Series(dtype="int64"), "reason": pd.Series(dtype=object)})
+    ex_ids = set(ex["doc_id"].tolist())
+
+    pairs = ngram_jaccard_exact(sf_dir)
+    cc = connected_components(ray.data.from_arrow(pairs))
+    cc_pd = cc.to_pandas() if hasattr(cc, "to_pandas") else cc
+    near = cc_pd[(cc_pd["node"] != cc_pd["label"]) & (~cc_pd["node"].isin(ex_ids))]
+
+    out = pd.concat(
+        [
+            ex[["doc_id", "keeper", "reason"]],
+            pd.DataFrame(
+                {
+                    "doc_id": near["node"].astype("int64"),
+                    "keeper": near["label"].astype("int64"),
+                    "reason": "near",
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema([("doc_id", pa.int64()), ("keeper", pa.int64()), ("reason", pa.string())])
+    )

@@ -96,3 +96,35 @@ def test_knn_pq_recall_and_determinism(ray_session):
     # exact re-rank over an 8x shortlist: high recall even on
     # near-uniform synthetic vectors
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_dedup_provenance_planted(tmp_path):
+    """Provenance: planted byte-identical copies report 'exact' with the
+    min-id keeper; an exact-removed doc never re-reports as 'near'
+    (precedence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.dedup import dedup_provenance
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            # 1 and 2 byte-identical (exact); 3 near-identical to them
+            # (one word changed); 4 unrelated
+            "text": pa.array(
+                [base, base, base.replace("lazy", "sleepy"), "completely different words only here"]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(base)] * 2 + [len(base), 20], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = dedup_provenance(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[2, "reason"] == "exact" and out.loc[2, "keeper"] == 1
+    # doc 3 is a near-dup of the 1/2 component, keeper is component min
+    assert out.loc[3, "reason"] == "near" and out.loc[3, "keeper"] == 1
+    assert 4 not in out.index  # unique doc never reported
+    assert out.index.is_unique  # precedence: one verdict per removed doc
