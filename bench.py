@@ -185,6 +185,14 @@ EXTRA_QUERIES = [
     "knn_mrr_eval",
     "sqlfront_join",
     "sqlfront_group",
+    "sqlfront_window",
+    "crawl_merkle_diff",
+    "crawl_starvation_audit",
+    "crawl_robots_diff",
+    "mixture_waterfill",
+    "split_psi_drift",
+    "pii_scrub_audit",
+    "dedup_provenance",
 ]
 
 
