@@ -39,6 +39,7 @@ CKPT_RUN_DIR = "/tmp/fscrawler_oracle_ckpt_run"
 CKPT_DIR = "/tmp/fscrawler_oracle_ckpt"
 ROBOTS_DIFF_OLD_DIR = "/tmp/fscrawler_oracle_robots_old"
 ROBOTS_DIFF_NEW_DIR = "/tmp/fscrawler_oracle_robots_new"
+WARCR_DIR = "/tmp/fscrawler_oracle_warc_revisit"
 OPIC_C1_DIR = "/tmp/fscrawler_oracle_opic_c1"
 OPIC_C2_DIR = "/tmp/fscrawler_oracle_opic_c2"
 HOST_OPICC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicc"
@@ -1490,6 +1491,39 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         out = _shared_written_run(sf_dir)
         return url_canonical_map(out.rstrip("/") + "_trace")
 
+    def crawl_warc_revisit(sf_dir: str):
+        """SQL-CHECKED WARC export with REVISIT records (ISO 28500
+        identical-payload-digest profile): later fetches of an
+        already-archived payload write body-less records pointing at
+        the original — the dedup-in-archive mechanism real crawls use.
+        The oracle predicts the REAL on-disk archive sizes from DUAL
+        header arithmetic (response vs revisit) over the same window-min
+        + prefix-scan layout."""
+        import shutil
+
+        import pyarrow as pa
+
+        from fscrawler_ray.pipelines.sinks import write_warc_revisit_shards
+
+        out = _shared_written_run(sf_dir)
+        shutil.rmtree(WARCR_DIR, ignore_errors=True)
+        summary = write_warc_revisit_shards(out, WARCR_DIR).map_batches(
+            lambda b: b.select(
+                ["shard", "n_records", "n_revisits", "payload_bytes", "warc_bytes"]
+            ),
+            batch_format="pyarrow",
+        )
+        return _collect(
+            summary,
+            {
+                "shard": pa.int64(),
+                "n_records": pa.int64(),
+                "n_revisits": pa.int64(),
+                "payload_bytes": pa.int64(),
+                "warc_bytes": pa.int64(),
+            },
+        )
+
     def crawl_warc_export(sf_dir: str):
         """SQL-CHECKED WARC/1.0 export (ISO 28500) of the written crawl:
         payload rows pack seq-ordered into cap-byte archives via the same
@@ -2123,6 +2157,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
+        "crawl_warc_revisit": crawl_warc_revisit,
         "crawl_warc_roundtrip": crawl_warc_roundtrip,
         "crawl_url_canonical": crawl_url_canonical,
         "crawl_cdx_index": crawl_cdx_index,
@@ -3544,6 +3579,32 @@ def oracle_sql() -> dict[str, str]:
         _warc_rec
         + "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
         "CAST(sum(nb) AS BIGINT) AS payload_bytes, "
+        "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
+    )
+    from fscrawler_ray.pipelines.sinks import (
+        WARC_REVISIT_FIXED_BYTES as _WARC_REV_FIXED,
+    )
+
+    sql["crawl_warc_revisit"] = (
+        "WITH t AS (SELECT CAST(seq AS BIGINT) AS seq, "
+        "CAST(octet_length(bytes) AS BIGINT) AS nb, "
+        "CAST(octet_length(encode(url)) AS BIGINT) AS ul, image_id "
+        f"FROM read_parquet('{CRAWL_ROLLUP_DIR}/round=*/table-*/*.parquet') "
+        "WHERE bytes IS NOT NULL), "
+        "o AS (SELECT *, min(seq) OVER (PARTITION BY image_id) AS orig FROM t), "
+        "r AS (SELECT seq, nb, CAST(seq <> orig AS INT) AS rv, "
+        "CASE WHEN seq = orig THEN "
+        "CAST(length(CAST(seq AS VARCHAR)) + ul + length(CAST(nb AS VARCHAR)) "
+        f"+ nb + {WARC_FIXED_BYTES} AS BIGINT) ELSE "
+        "CAST(length(CAST(seq AS VARCHAR)) + ul + length(CAST(orig AS VARCHAR)) "
+        f"+ {_WARC_REV_FIXED} AS BIGINT) END AS rec FROM o), "
+        "s AS (SELECT seq, nb, rv, rec, "
+        "CAST(COALESCE(sum(rec) OVER (ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"// {WARC_CAP_BYTES} AS BIGINT) AS shard FROM r) "
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_records, "
+        "CAST(sum(rv) AS BIGINT) AS n_revisits, "
+        "CAST(sum(CASE WHEN rv = 0 THEN nb ELSE 0 END) AS BIGINT) AS payload_bytes, "
         "CAST(sum(rec) AS BIGINT) AS warc_bytes FROM s GROUP BY shard"
     )
     sql["crawl_url_features"] = (

@@ -717,3 +717,129 @@ def cdx_fetch(spool_dir: str, warc_dir: str, mod: int = 13, cap: int = WARC_CAP_
         )
 
     return picked.groupby("shard").map_groups(fetch, batch_format="pandas")
+
+
+def _warc_revisit_header(seq_s: str, refers_s: str, url: str) -> bytes:
+    """WARC/1.0 revisit header (ISO 28500 §6.7.2 profile: identical
+    payload digest): no body, WARC-Refers-To names the original record.
+    Volatile fields pinned like the response header, so sizes are pure
+    arithmetic."""
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        f"WARC-Record-ID: <urn:fscrawler:{seq_s}>\r\n"
+        f"WARC-Refers-To: <urn:fscrawler:{refers_s}>\r\n"
+        "WARC-Date: 1970-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/octet-stream\r\n"
+        "Content-Length: 0\r\n"
+        "\r\n"
+    ).encode()
+
+
+WARC_REVISIT_FIXED_BYTES = len(_warc_revisit_header("", "", "")) + 4
+
+
+def write_warc_revisit_shards(
+    spool_dir: str, warc_dir: str, cap: int = WARC_CAP_BYTES, range_width: int = 64
+):
+    """WARC export with REVISIT records — dedup inside the archive: the
+    first occurrence of each payload (by content id) writes a full
+    response record; every later fetch of the same bytes writes a
+    body-less revisit record pointing at the original (WARC-Refers-To),
+    the ISO 28500 mechanism real crawls use to avoid storing a hot
+    image a million times.  Same deterministic prefix-scan layout and
+    ``.done`` resume markers as :func:`write_warc_shards`.
+
+    One extra wide step vs the plain writer: a content-keyed grouped
+    MIN(seq) + join decorates every row with its original — metadata
+    columns only, payload bytes still never ride the scan.
+
+    Returns per-shard (shard, n_records, n_revisits, payload_bytes,
+    warc_bytes, skipped); warc_bytes is the REAL on-disk size the SQL
+    oracle predicts from dual header arithmetic."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import join as _join
+    from .textops import pack_by_budget
+
+    os.makedirs(warc_dir, exist_ok=True)
+    src = ray.data.read_parquet(spool_dir, columns=["seq", "url", "bytes", "image_id"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("bytes")))
+
+    src = src.map_batches(keep, batch_format="pyarrow").materialize()
+    orig = src.groupby("image_id").aggregate(Min("seq"))
+    orig = orig.map_batches(
+        lambda b: b.rename_columns(["image_id", "orig_seq"]), batch_format="pyarrow"
+    )
+    rows = _join(src, orig, on="image_id", how="inner").materialize()
+
+    def slim(b: pa.Table) -> pa.Table:
+        n = pc.binary_length(b.column("bytes")).cast(pa.int64())
+        seq = b.column("seq").cast(pa.int64())
+        oseq = b.column("orig_seq").cast(pa.int64())
+        ul = pc.binary_length(b.column("url").cast(pa.binary())).cast(pa.int64())
+        sl = pc.utf8_length(pc.cast(seq, pa.string())).cast(pa.int64())
+        resp = pc.add(
+            pc.add(pc.add(sl, ul), pc.add(pc.utf8_length(pc.cast(n, pa.string())).cast(pa.int64()), n)),
+            pa.scalar(WARC_FIXED_BYTES, pa.int64()),
+        )
+        rev = pc.add(
+            pc.add(pc.add(sl, ul), pc.utf8_length(pc.cast(oseq, pa.string())).cast(pa.int64())),
+            pa.scalar(WARC_REVISIT_FIXED_BYTES, pa.int64()),
+        )
+        rec = pc.if_else(pc.equal(seq, oseq), resp, rev)
+        return pa.table(
+            {"seq": seq, "rec_bytes": rec, "rng": pc.divide(seq, range_width)}
+        )
+
+    s = rows.map_batches(slim, batch_format="pyarrow").materialize()
+    packed = pack_by_budget(s, "rec_bytes", cap, ["seq"])
+    out = _join(rows, packed, on="seq", how="inner")
+
+    def write_one(g):
+        import pandas as pd
+
+        g = g.sort_values("seq")
+        shard = int(g["bin"].iloc[0])
+        path = os.path.join(warc_dir, f"shard-{shard:06d}.warc")
+        done = path + ".done"
+        rv = (g["seq"].to_numpy() != g["orig_seq"].to_numpy())
+        payload_bytes = int(sum(len(p) for p, r in zip(g["bytes"], rv) if not r))
+        if os.path.exists(done) and os.path.exists(path):
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_records": [len(g)],
+                    "n_revisits": [int(rv.sum())],
+                    "payload_bytes": [payload_bytes],
+                    "warc_bytes": [int(os.path.getsize(path))],
+                    "skipped": [True],
+                }
+            )
+        with open(path, "wb") as f:
+            for seq, oseq, url, payload in zip(g["seq"], g["orig_seq"], g["url"], g["bytes"]):
+                if int(seq) == int(oseq):
+                    f.write(_warc_header(str(int(seq)), url, str(len(payload))))
+                    f.write(payload)
+                else:
+                    f.write(_warc_revisit_header(str(int(seq)), str(int(oseq)), url))
+                f.write(b"\r\n\r\n")
+        with open(done, "w") as f:
+            f.write("ok\n")
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_records": [len(g)],
+                "n_revisits": [int(rv.sum())],
+                "payload_bytes": [payload_bytes],
+                "warc_bytes": [int(os.path.getsize(path))],
+                "skipped": [False],
+            }
+        )
+
+    return out.groupby("bin").map_groups(write_one, batch_format="pandas")

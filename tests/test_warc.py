@@ -126,3 +126,55 @@ def test_cdx_index_seeks_to_real_records(tmp_path, ray_session):
         g = g.sort_values("off")
         assert list(g["off"]) == [0] + list(g["rlen"].cumsum())[:-1]
         assert g["rlen"].sum() == len(blobs[int(shard)])
+
+
+def test_warc_revisit_dedup_and_refers(tmp_path):
+    """Revisit export: duplicate payloads after the first write
+    body-less records (archive strictly smaller than the plain export),
+    and each revisit's WARC-Refers-To names the original seq."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.sinks import (
+        write_warc_revisit_shards,
+        write_warc_shards,
+    )
+
+    payload = bytes(range(256)) * 8
+    rows = [
+        (0, "http://h/a.jpg", payload, "img_A"),
+        (1, "http://h/b.jpg", b"unique-bytes-1" * 50, "img_B"),
+        (2, "http://h/a_copy.jpg", payload, "img_A"),   # dup of seq 0
+        (3, "http://h/a_copy2.jpg", payload, "img_A"),  # dup of seq 0
+    ]
+    t = pa.table(
+        {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "bytes": pa.array([r[2] for r in rows], pa.binary()),
+            "image_id": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq.write_table(t, str(spool / "part.parquet"))
+
+    plain = (tmp_path / "plain").as_posix()
+    rev = (tmp_path / "rev").as_posix()
+    p = write_warc_shards(str(spool), plain).to_pandas()
+    r = write_warc_revisit_shards(str(spool), rev).to_pandas()
+    assert int(r["n_revisits"].sum()) == 2
+    assert int(r["n_records"].sum()) == 4
+    assert int(r["warc_bytes"].sum()) < int(p["warc_bytes"].sum())
+    # dedup saves ~2 payload copies
+    assert int(p["payload_bytes"].sum()) - int(r["payload_bytes"].sum()) == 2 * len(payload)
+
+    import glob
+
+    blob = b"".join(open(f, "rb").read() for f in sorted(glob.glob(rev + "/*.warc")))
+    refs = re.findall(rb"WARC-Refers-To: <urn:fscrawler:(\d+)>", blob)
+    assert refs == [b"0", b"0"]
+    # revisit records carry no body
+    assert blob.count(payload) == 1
