@@ -771,6 +771,14 @@ FRONT_QUERIES: dict[str, str] = {
         "ORDER BY o_totalprice DESC, o_orderkey) AS r "
         "FROM orders QUALIFY r <= 2 ORDER BY o_custkey, r"
     ),
+    # window over a join: rank joined rows per segment, keep top-3
+    "sqlfront_join_window": (
+        "SELECT c_mktsegment, o_orderkey, "
+        "row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS r "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "QUALIFY r <= 3 ORDER BY c_mktsegment, r"
+    ),
     # DISTINCT projection: block-local dedup partial + one keyed groupby
     "sqlfront_distinct": (
         "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source"
