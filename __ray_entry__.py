@@ -43,6 +43,7 @@ WARCR_DIR = "/tmp/fscrawler_oracle_warc_revisit"
 OPIC_C1_DIR = "/tmp/fscrawler_oracle_opic_c1"
 OPIC_C2_DIR = "/tmp/fscrawler_oracle_opic_c2"
 HOST_OPICC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_opicc"
+HOST_MOD_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_mod"
 HOST_REC_EDGES_DIR = "/tmp/fscrawler_oracle_hostedges_rec"
 RECRAWL_C1_DIR = "/tmp/fscrawler_oracle_recrawl_c1"
 RECRAWL_C2_DIR = "/tmp/fscrawler_oracle_recrawl_c2"
@@ -1721,6 +1722,26 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"host": t.column("node"), "label": t.column("label")})
 
+    def host_modularity(sf_dir: str):
+        """SQL-CHECKED Newman modularity of the label-propagation host
+        partition — the quality certificate for host_communities: every
+        intermediate exact integer (Q_micro = 1e6·Σ(4m·e_c − d_c²) //
+        4m², one trunc division at the end), replayed by DuckDB over
+        the same spooled edges with the LP rounds nested."""
+        import shutil
+
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.graph import label_propagation, modularity
+
+        shutil.rmtree(HOST_MOD_EDGES_DIR, ignore_errors=True)
+        _host_edges(sf_dir).write_parquet(HOST_MOD_EDGES_DIR)
+        e = _ray.data.read_parquet(HOST_MOD_EDGES_DIR)
+        lab = label_propagation(
+            e, src_col="src_host", dst_col="dst_host", iters=LP_EXACT_ITERS
+        )
+        return modularity(e, lab, src_col="src_host", dst_col="dst_host")
+
     def crawl_opic_budget(sf_dir: str):
         """SQL-CHECKED importance-proportional budget apportionment:
         OPIC scores over the spooled host graph → largest-remainder
@@ -2154,6 +2175,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_starvation_audit": crawl_starvation_audit,
         "crawl_robots_diff": crawl_robots_diff,
         "crawl_opic_cycle": crawl_opic_cycle,
+        "host_modularity": host_modularity,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -3429,14 +3451,14 @@ def _host_opic_oracle(
     return "".join(parts[:-1]).rstrip(", ") + " " + parts[-1]
 
 
-def _host_lp_oracle(iters: int = LP_EXACT_ITERS) -> str:
+def _host_lp_oracle(iters: int = LP_EXACT_ITERS, edges_dir: str = HOST_LP_EDGES_DIR) -> str:
     """DuckDB replay of host_communities: symmetrize (self-loops
     dropped), weight = parallel-edge multiplicity, then ``iters``
     unrolled rounds of per-node (weight DESC, label ASC) argmax via a
     row_number window.  Bit-exact, no rtol."""
     parts = [
         "WITH raw AS MATERIALIZED (SELECT src_host AS s, dst_host AS t "
-        f"FROM read_parquet('{HOST_LP_EDGES_DIR}/*.parquet') WHERE src_host <> dst_host), "
+        f"FROM read_parquet('{edges_dir}/*.parquet') WHERE src_host <> dst_host), "
         "e AS MATERIALIZED (SELECT u, v, CAST(count(*) AS HUGEINT) AS w FROM "
         "(SELECT s AS u, t AS v FROM raw UNION ALL SELECT t AS u, s AS v FROM raw) "
         "GROUP BY u, v), "
@@ -4062,6 +4084,25 @@ def oracle_sql() -> dict[str, str]:
         "CAST(cur_ck AS BIGINT) AS cur_checksum, CAST(rep_ck AS BIGINT) AS replay_checksum, "
         "CAST(CASE WHEN cur_ck = rep_ck AND n_cur = n_rep THEN 1 ELSE 0 END AS BIGINT) AS replay_ok "
         "FROM ck"
+    )
+    sql["host_modularity"] = (
+        "WITH lp AS (SELECT * FROM ("
+        + _host_lp_oracle(edges_dir=HOST_MOD_EDGES_DIR)
+        + ") lp_t), "
+        "raw2 AS (SELECT src_host AS s, dst_host AS t "
+        f"FROM read_parquet('{HOST_MOD_EDGES_DIR}/*.parquet') WHERE src_host <> dst_host), "
+        "simple AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM raw2), "
+        "mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM simple), "
+        "fl AS (SELECT lu.label AS cu, lv.label AS cv FROM simple "
+        "JOIN lp lu ON lu.host = simple.u JOIN lp lv ON lv.host = simple.v), "
+        "dc AS (SELECT label, CAST(count(*) AS HUGEINT) AS d FROM "
+        "(SELECT cu AS label FROM fl UNION ALL SELECT cv FROM fl) GROUP BY label), "
+        "ec AS (SELECT cu AS label, CAST(count(*) AS HUGEINT) AS e FROM fl "
+        "WHERE cu = cv GROUP BY cu), "
+        "acc AS (SELECT CAST(sum(4 * mm.m * coalesce(ec.e, 0) - dc.d * dc.d) AS HUGEINT) AS num, "
+        "CAST(count(*) AS BIGINT) AS nc FROM dc LEFT JOIN ec USING (label), mm GROUP BY mm.m) "
+        "SELECT CAST(mm.m AS BIGINT) AS m, acc.nc AS n_communities, "
+        "CAST(1000000 * acc.num // (4 * mm.m * mm.m) AS BIGINT) AS q_micro FROM mm, acc"
     )
     sql["crawl_anchor_text"] = (
         "WITH e AS (SELECT dst FROM "

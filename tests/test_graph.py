@@ -523,3 +523,37 @@ def test_anchor_text_planted_terms():
     b = out[out["host"] == "b.example"].set_index("rnk")
     assert set(b["term"]) == {"html", "one", "page"}
     assert (b["cnt"] == 1).all()
+
+
+def test_modularity_known_partitions():
+    """Modularity: two disjoint triangles labeled by their components
+    give the known Q = 1/2 (in micros); merging everything into one
+    community gives Q = 0; integer trunc semantics."""
+    import pyarrow as pa
+
+    import ray
+    from fscrawler_ray.pipelines.graph import modularity
+
+    tri = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+           ("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in tri], pa.string()),
+            "dst": pa.array([e[1] for e in tri], pa.string()),
+        }
+    )
+    good = pa.table(
+        {
+            "node": pa.array(["a1", "a2", "a3", "b1", "b2", "b3"]),
+            "label": pa.array(["A", "A", "A", "B", "B", "B"]),
+        }
+    )
+    out = modularity(ray.data.from_arrow(t), good).to_pandas().iloc[0]
+    # m=6, per community: e_c=3, d_c=6 -> num = 2*(4*6*3-36) = 72;
+    # Q = 72/(4*36) = 0.5
+    assert out["m"] == 6 and out["n_communities"] == 2
+    assert out["q_micro"] == 500_000
+
+    allone = good.set_column(1, "label", pa.array(["X"] * 6))
+    out2 = modularity(ray.data.from_arrow(t), allone).to_pandas().iloc[0]
+    assert out2["q_micro"] == 0 and out2["n_communities"] == 1
