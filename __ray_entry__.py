@@ -3203,6 +3203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "corpus_clean_exact": lambda sf: corpus.clean_text_corpus(sf, neardup=False)[0],
             # dedup audit trail: every removed doc with keeper + reason
             "dedup_provenance": dedup.dedup_provenance,
+            # which sources produce the dups: per-source removal rates
+            "dedup_rate_by_source": dedup.dedup_rate_by_source,
             "corpus_funnel": corpus.corpus_funnel,
             # the full release chain: clean -> gopher -> decontam ->
             # split -> per-(split, lang) datacard, composition-certified
@@ -3530,6 +3532,22 @@ def oracle_sql() -> dict[str, str]:
         "'near' AS reason FROM cc WHERE node <> label "
         "AND node NOT IN (SELECT doc_id FROM exrem)) "
         "SELECT * FROM exrem UNION ALL SELECT * FROM nearrem"
+    )
+    sql["dedup_rate_by_source"] = (
+        "WITH prov AS ("
+        + sql["dedup_provenance"]
+        + "), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source), "
+        "dec AS (SELECT d.source, p.reason FROM prov p JOIN documents d USING (doc_id)), "
+        "agg AS (SELECT source, "
+        "CAST(sum(CASE WHEN reason = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS exact_removed, "
+        "CAST(sum(CASE WHEN reason = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS near_removed "
+        "FROM dec GROUP BY source) "
+        "SELECT tot.source, tot.n_docs, coalesce(agg.exact_removed, 0) AS exact_removed, "
+        "coalesce(agg.near_removed, 0) AS near_removed, "
+        "CAST((coalesce(agg.exact_removed, 0) + coalesce(agg.near_removed, 0)) * 1000000 "
+        "// tot.n_docs AS BIGINT) AS removal_rate_micro "
+        "FROM tot LEFT JOIN agg ON agg.source = tot.source"
     )
     sql["split_leakage_audit"] = (
         "WITH p AS ("

@@ -1908,3 +1908,52 @@ def dedup_provenance(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False).cast(
         pa.schema([("doc_id", pa.int64()), ("keeper", pa.int64()), ("reason", pa.string())])
     )
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Duplicate-rate league table: which SOURCES produce the most
+    removable content — per source, the doc count, exact-dup removals,
+    near-dup removals, and removal rate in micros.  The curation
+    question behind every crawl-seed review ("stop paying to fetch
+    mirror-heavy sources"); composes the provenance report with one
+    source join + a source-bounded rollup."""
+    from ..stages.joins import join as _join
+    from .analytics import grouped_sum
+
+    prov = dedup_provenance(sf_dir)  # removed-list-sized pa.Table
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    totals = grouped_sum(docs, ["source"], {}, count_out="n_docs").to_pandas()
+    # decorate removals with their source: broadcast join (prov is the
+    # small side by construction), then one (source, reason) grouped count
+    j = _join(docs, prov.select(["doc_id", "reason"]), on="doc_id", how="inner")
+    per = grouped_sum(j, ["source", "reason"], {}, count_out="n").to_pandas()
+    counts: dict = {}
+    for _, r in per.iterrows():
+        counts[(r["source"], r["reason"])] = int(r["n"])
+    rows = []
+    for _, r in totals.iterrows():
+        s = r["source"]
+        ex = counts.get((s, "exact"), 0)
+        ne = counts.get((s, "near"), 0)
+        n = int(r["n_docs"])
+        rows.append(
+            {
+                "source": s,
+                "n_docs": n,
+                "exact_removed": ex,
+                "near_removed": ne,
+                "removal_rate_micro": (ex + ne) * 1_000_000 // n if n else 0,
+            }
+        )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("exact_removed", pa.int64()),
+                ("near_removed", pa.int64()),
+                ("removal_rate_micro", pa.int64()),
+            ]
+        )
+    )

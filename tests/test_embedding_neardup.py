@@ -128,3 +128,30 @@ def test_dedup_provenance_planted(tmp_path):
     assert out.loc[3, "reason"] == "near" and out.loc[3, "keeper"] == 1
     assert 4 not in out.index  # unique doc never reported
     assert out.index.is_unique  # precedence: one verdict per removed doc
+
+
+def test_dedup_rate_by_source_planted(tmp_path):
+    """Per-source removal rates: a mirror-heavy source reports its exact
+    removals; a clean source reports zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_ray.pipelines.dedup import dedup_rate_by_source
+
+    base = "identical mirrored page content here " * 6
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([base, base, "unique text one alpha beta", "unique text two gamma delta"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["mirror.example", "mirror.example", "clean.example", "clean.example"]),
+            "n_chars": pa.array([len(base), len(base), 26, 26], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = dedup_rate_by_source(str(tmp_path)).to_pandas().set_index("source")
+    assert out.loc["mirror.example", "exact_removed"] == 1
+    assert out.loc["mirror.example", "removal_rate_micro"] == 500_000
+    assert out.loc["clean.example", "exact_removed"] == 0
+    assert out.loc["clean.example", "near_removed"] == 0
+    assert out.loc["clean.example", "removal_rate_micro"] == 0
