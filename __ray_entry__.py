@@ -2080,6 +2080,22 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         prev = _ray.data.read_parquet(CDC_PREV_DIR)
         return merkle_diff(cur, prev)
 
+    def crawl_merkle_sync(sf_dir: str):
+        """SQL-CHECKED bucket-scoped incremental sync: ship ONLY the
+        divergent Merkle buckets' current rows, keep previous rows
+        elsewhere, certify the synced relation equals the current
+        snapshot (count + keyed md5 checksum).  The merkle_diff
+        bandwidth claim demonstrated end-to-end; DuckDB replays bucket
+        predicates + both checksums over the same spooled pair."""
+        import ray as _ray
+
+        from fscrawler_ray.pipelines.crawl_report import merkle_sync_cert
+
+        _spool_cdc_snapshots(sf_dir)
+        cur = _ray.data.read_parquet(CDC_CUR_DIR)
+        prev = _ray.data.read_parquet(CDC_PREV_DIR)
+        return merkle_sync_cert(cur, prev)
+
     def crawl_anchor_text(sf_dir: str):
         """SQL-CHECKED per-host anchor-term aggregation over the spooled
         URL-level link graph: each in-link contributes the alphanumeric
@@ -2176,6 +2192,7 @@ def _crawl_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots_diff": crawl_robots_diff,
         "crawl_opic_cycle": crawl_opic_cycle,
         "host_modularity": host_modularity,
+        "crawl_merkle_sync": crawl_merkle_sync,
         "host_reciprocity": host_reciprocity,
         "crawl_adaptive_budget": crawl_adaptive_budget,
         "crawl_warc_export": crawl_warc_export,
@@ -4041,6 +4058,37 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS differs "
         "FROM spine LEFT JOIN cb ON cb.bucket = spine.bucket "
         "LEFT JOIN pb ON pb.bucket = spine.bucket"
+    )
+    sql["crawl_merkle_sync"] = (
+        "WITH c AS MATERIALIZED (SELECT url, size, "
+        "CAST(md5_number_upper(url) % 16 AS BIGINT) AS bucket, "
+        "md5(url || ':' || CAST(size AS VARCHAR)) AS leaf "
+        f"FROM read_parquet('{CDC_CUR_DIR}/*.parquet')), "
+        "p AS MATERIALIZED (SELECT url, size, "
+        "CAST(md5_number_upper(url) % 16 AS BIGINT) AS bucket, "
+        "md5(url || ':' || CAST(size AS VARCHAR)) AS leaf "
+        f"FROM read_parquet('{CDC_PREV_DIR}/*.parquet')), "
+        "cb AS (SELECT bucket, md5(string_agg(leaf, '' ORDER BY url)) AS h FROM c GROUP BY bucket), "
+        "pb AS (SELECT bucket, md5(string_agg(leaf, '' ORDER BY url)) AS h FROM p GROUP BY bucket), "
+        "spine AS (SELECT unnest(generate_series(0, 15)) AS bucket), "
+        "dd AS (SELECT CAST(spine.bucket AS BIGINT) AS bucket, "
+        "CASE WHEN coalesce(cb.h, md5('')) <> coalesce(pb.h, md5('')) THEN 1 ELSE 0 END AS differs "
+        "FROM spine LEFT JOIN cb ON cb.bucket = spine.bucket "
+        "LEFT JOIN pb ON pb.bucket = spine.bucket), "
+        "syn AS (SELECT url, size FROM p WHERE bucket NOT IN (SELECT bucket FROM dd WHERE differs = 1) "
+        "UNION ALL SELECT url, size FROM c WHERE bucket IN (SELECT bucket FROM dd WHERE differs = 1)), "
+        "ck AS (SELECT "
+        "(SELECT CAST(sum(md5_number_upper(url || ':' || CAST(size AS VARCHAR)) % 1000000000000) "
+        "AS HUGEINT) FROM c) AS cur_ck, "
+        "(SELECT CAST(sum(md5_number_upper(url || ':' || CAST(size AS VARCHAR)) % 1000000000000) "
+        "AS HUGEINT) FROM syn) AS syn_ck, "
+        "(SELECT count(*) FROM c) AS n_cur, (SELECT count(*) FROM syn) AS n_syn, "
+        "(SELECT CAST(sum(differs) AS BIGINT) FROM dd) AS nd) "
+        "SELECT CAST(16 AS BIGINT) AS n_buckets, ck.nd AS n_diff_buckets, "
+        "CAST(ck.n_cur AS BIGINT) AS n_cur, CAST(ck.n_syn AS BIGINT) AS n_synced, "
+        "CAST(ck.cur_ck AS BIGINT) AS cur_checksum, CAST(ck.syn_ck AS BIGINT) AS synced_checksum, "
+        "CAST(CASE WHEN ck.cur_ck = ck.syn_ck AND ck.n_cur = ck.n_syn THEN 1 ELSE 0 END AS BIGINT) "
+        "AS sync_ok FROM ck"
     )
     sql["crawl_checkpoint_audit"] = (
         f"WITH m AS (SELECT * FROM read_json_auto('{CKPT_DIR}/manifest.json')), "

@@ -1887,3 +1887,85 @@ def robots_diff(out_dir: str, old_seed: int = 42, new_seed: int = 43):
     )
     order = ["host", "n_urls", "denied_old", "denied_new", "newly_denied", "newly_allowed"]
     return g.map_batches(lambda b, o=order: b.select(o), batch_format="pyarrow")
+
+
+def merkle_sync_cert(cur_ds, prev_ds, key: str = "url", val: str = "size", n_buckets: int = 16) -> pa.Table:
+    """Bucket-scoped incremental-sync certification — the Merkle
+    protocol run END-TO-END: compare bucket digests (merkle_diff), ship
+    ONLY the divergent buckets' current rows, keep the previous rows
+    everywhere else, and certify the synced relation equals the current
+    snapshot by count AND keyed md5 checksum.  Proves the replica can
+    skip `16 - n_diff` buckets' worth of transfer and still converge —
+    the bandwidth claim made by merkle_diff, demonstrated rather than
+    asserted.
+
+    Shape: the diff is n_buckets rows on the driver; the sync itself is
+    two streaming bucket-predicate filters + a union (no join at all —
+    bucket membership is a pure hash of the key); checksums are
+    per-block md5 partial sums.  One integer row out."""
+    import numpy as np
+
+    from ..functions.sketches import md5_u64_batch
+
+    diff = merkle_diff(cur_ds, prev_ds, key=key, val=val, n_buckets=n_buckets)
+    differs = {
+        int(b)
+        for b, d in zip(diff.column("bucket").to_pylist(), diff.column("differs").to_pylist())
+        if d
+    }
+
+    def side(ds, want_in: bool):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(key)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            bkt = (md5_u64_batch(k.cast(pa.string())) % np.uint64(n_buckets)).astype(np.int64)
+            mask = np.isin(bkt, list(differs)) if differs else np.zeros(len(bkt), bool)
+            if not want_in:
+                mask = ~mask
+            return b.filter(pa.array(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    synced = side(prev_ds, want_in=False).union(side(cur_ds, want_in=True))
+
+    def cksum(ds) -> tuple[int, int]:
+        total = 0
+        n = 0
+        sep = pa.scalar(":")
+
+        def part(b: pa.Table) -> pa.Table:
+            k = b.column(key)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            v = pc.fill_null(b.column(val).cast(pa.string()), "-1")
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            joined = pc.binary_join_element_wise(k.cast(pa.string()), sep, v, "")
+            h = md5_u64_batch(joined) % np.uint64(10**12)
+            return pa.table(
+                {
+                    "s": pa.array([int(h.sum(dtype=np.uint64))], pa.int64()),
+                    "n": pa.array([b.num_rows], pa.int64()),
+                }
+            )
+
+        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            total += int(pc.sum(b.column("s")).as_py() or 0)
+            n += int(pc.sum(b.column("n")).as_py() or 0)
+        return total, n
+
+    cur_ck, n_cur = cksum(cur_ds)
+    syn_ck, n_syn = cksum(synced)
+    one = lambda v: pa.array([int(v)], pa.int64())  # noqa: E731
+    return pa.table(
+        {
+            "n_buckets": one(n_buckets),
+            "n_diff_buckets": one(len(differs)),
+            "n_cur": one(n_cur),
+            "n_synced": one(n_syn),
+            "cur_checksum": one(cur_ck),
+            "synced_checksum": one(syn_ck),
+            "sync_ok": one(1 if (cur_ck == syn_ck and n_cur == n_syn) else 0),
+        }
+    )

@@ -257,3 +257,28 @@ def test_starvation_audit_planted_gaps(tmp_path):
     assert out.loc["starved", "max_gap"] == 9
     assert out.loc["oneshot", "max_gap"] == 0
     assert out.loc["oneshot", "first_round"] == out.loc["oneshot", "last_round"] == 5
+
+
+def test_merkle_sync_converges_with_partial_transfer():
+    """The bucket-scoped sync converges (sync_ok) while shipping only
+    the divergent buckets (strictly fewer than all of them for the CDC
+    snapshot pair, which perturbs a minority of keys)."""
+    import ray
+    from fscrawler_ray.pipelines.crawl_report import merkle_sync_cert
+
+    import pyarrow as pa
+
+    prev = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(64)], pa.string()),
+            "size": pa.array(list(range(64)), pa.int64()),
+        }
+    )
+    # perturb exactly one key's value
+    cur = prev.set_column(1, "size", pa.array([999] + list(range(1, 64)), pa.int64()))
+    out = merkle_sync_cert(
+        ray.data.from_arrow(cur).repartition(3), ray.data.from_arrow(prev)
+    ).to_pandas().iloc[0]
+    assert out["sync_ok"] == 1
+    assert out["n_diff_buckets"] == 1  # one edited key -> one bucket ships
+    assert out["n_cur"] == out["n_synced"] == 64
