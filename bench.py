@@ -193,6 +193,13 @@ EXTRA_QUERIES = [
     "split_psi_drift",
     "pii_scrub_audit",
     "dedup_provenance",
+    "host_modularity",
+    "dedup_rate_by_source",
+    "crawl_merkle_sync",
+    "crawl_warc_revisit",
+    "sqlfront_left_join",
+    "sqlfront_join_window",
+    "crawl_opic_cycle",
 ]
 
 
