@@ -182,8 +182,14 @@ def parse(sql: str) -> dict:
             fn = v.lower()
             p.expect_op("(")
             nk, nv = p.next()
-            if nv == "*":
+            distinct_agg = False
+            if nk == "word" and nv.lower() == "distinct":
                 if fn != "count":
+                    raise SqlError(f"{fn}(DISTINCT ...) is unsupported")
+                distinct_agg = True
+                nk, nv = p.next()
+            if nv == "*":
+                if fn != "count" or distinct_agg:
                     raise SqlError(f"{fn}(*) is not a thing")
                 col = "*"
             elif nk == "word":
@@ -197,7 +203,14 @@ def parse(sql: str) -> dict:
             if not p.kw("as"):
                 raise SqlError(f"aggregate {fn}({col}) needs an AS alias")
             alias = p.expect_word()
-            items.append({"kind": "agg", "fn": fn, "col": col, "alias": alias})
+            items.append(
+                {
+                    "kind": "agg",
+                    "fn": "count_distinct" if distinct_agg else fn,
+                    "col": col,
+                    "alias": alias,
+                }
+            )
         elif k == "word":
             col = v
             if p.peek() == ("op", "."):
@@ -452,6 +465,7 @@ def sql_query(sf_dir: str, sql: str):
         counts = [it for it in aggs if it["fn"] == "count"]
         minmax = [it for it in aggs if it["fn"] in ("min", "max")]
         avgs = [it for it in aggs if it["fn"] == "avg"]
+        cdists = [it for it in aggs if it["fn"] == "count_distinct"]
         star_counts = [it for it in counts if it["col"] == "*"]
         col_counts = [it for it in counts if it["col"] != "*"]
         count_out = star_counts[0]["alias"] if star_counts else None
@@ -496,6 +510,26 @@ def sql_query(sf_dir: str, sql: str):
         parts = []
         if sums or count_out:
             parts.append(grouped_sum(ds, plan["group"], sums, count_out=count_out))
+        for it in cdists:
+            # count(DISTINCT col): block-local (keys, col) dedup partial,
+            # one keyed dedup groupby, then a keys-only grouped count —
+            # the distinct shuffle ships unique pairs, never raw rows
+            keys_col = plan["group"] + [it["col"]]
+
+            def dd_local(b: pa.Table, kc=keys_col) -> pa.Table:
+                return pa.TableGroupBy(b.select(kc), kc).aggregate([]).select(kc)
+
+            pairs = (
+                ds.map_batches(dd_local, batch_format="pyarrow")
+                .groupby(keys_col if len(keys_col) > 1 else keys_col[0])
+                .count()
+            )
+            slim_keys = pairs.map_batches(
+                lambda b, g=plan["group"]: b.select(g), batch_format="pyarrow"
+            )
+            parts.append(
+                grouped_sum(slim_keys, plan["group"], {}, count_out=it["alias"])
+            )
         if minmax:
             ray_aggs = [
                 (Min(it["col"]) if it["fn"] == "min" else Max(it["col"])) for it in minmax
@@ -537,7 +571,7 @@ def sql_query(sf_dir: str, sql: str):
             for g in plan["group"]:
                 fields[g] = pa.array([], typ(g))
             for it in aggs:
-                if it["fn"] == "count":
+                if it["fn"] in ("count", "count_distinct"):
                     fields[it["alias"]] = pa.array([], pa.int64())
                 elif it["fn"] == "avg":
                     fields[it["alias"]] = pa.array([], pa.float64())
@@ -557,6 +591,17 @@ def sql_query(sf_dir: str, sql: str):
         # global aggregate, one output row
         cols = {}
         state: dict[str, object] = {}
+        cd_vals: dict[str, int] = {}
+        for it in [a for a in aggs if a["fn"] == "count_distinct"]:
+            col = it["col"]
+
+            def dd1(b: pa.Table, c=col) -> pa.Table:
+                return pa.TableGroupBy(b.select([c]), [c]).aggregate([]).select([c])
+
+            cd_vals[it["alias"]] = (
+                ds.map_batches(dd1, batch_format="pyarrow").groupby(col).count().count()
+            )
+        aggs = [a for a in aggs if a["fn"] != "count_distinct"]
 
         def part(b: pa.Table) -> pa.Table:
             vals = {}
@@ -583,7 +628,11 @@ def sql_query(sf_dir: str, sql: str):
                 folds.append(("count", "__avgn_" + it["alias"]))
             else:
                 folds.append((it["fn"], it["alias"]))
-        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for b in (
+            ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+            if aggs
+            else ()
+        ):
             for fn, a in folds:
                 for v in b.column(a).to_pylist():  # one row per input block
                     if a not in state or state[a] is None:
@@ -603,6 +652,8 @@ def sql_query(sf_dir: str, sql: str):
                 vals[it["alias"]] = (float(s) / float(n)) if n else None
             else:
                 vals[it["alias"]] = state.get(it["alias"])
+        for a, v in cd_vals.items():
+            vals[a] = int(v)
         out = pa.table({k: pa.array([v]) for k, v in vals.items()})
     elif any(it["kind"] == "winrank" for it in plan["items"]):
         # row_number() OVER (PARTITION BY k ORDER BY ...): ONE key-hash
@@ -778,6 +829,11 @@ FRONT_QUERIES: dict[str, str] = {
         "ORDER BY o_totalprice DESC, o_orderkey) AS r "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "QUALIFY r <= 3 ORDER BY c_mktsegment, r"
+    ),
+    # count(DISTINCT col): per-group distinct-pair dedup then a count
+    "sqlfront_count_distinct": (
+        "SELECT event_type, count(DISTINCT user_id) AS u, count(*) AS n "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     # DISTINCT projection: block-local dedup partial + one keyed groupby
     "sqlfront_distinct": (

@@ -229,3 +229,15 @@ def test_left_join_semantics():
     )
     got2, want2 = _norm(_run(sql2)), _norm(_duck(sql2))
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_count_distinct_equivalence():
+    for sql in (
+        "SELECT lang, count(DISTINCT source) AS s, count(*) AS n FROM documents "
+        "GROUP BY lang ORDER BY lang",
+        "SELECT count(DISTINCT user_id) AS u FROM events WHERE value > 10",
+    ):
+        got, want = _norm(_run(sql)), _norm(_duck(sql))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(SqlError):
+        parse("SELECT sum(DISTINCT value) AS s FROM events")
