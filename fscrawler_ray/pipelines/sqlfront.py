@@ -244,21 +244,30 @@ def parse(sql: str) -> dict:
         p.expect_op("=")
         c2 = p.ident()
         join = {"table": t2, "on": (c1, c2), "how": jhow}
+    def _lit() -> object:
+        lk, lv = p.next()
+        if lk == "num":
+            return float(lv) if "." in lv else int(lv)
+        if lk == "str":
+            return lv[1:-1].replace("''", "'")
+        raise SqlError(f"expected literal, got {lv!r}")
+
     where: list[tuple[str, str, object]] = []
     if p.kw("where"):
         while True:
             col = p.ident()
-            k, op = p.next()
-            if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
-                raise SqlError(f"bad comparison operator {op!r}")
-            lk, lv = p.next()
-            if lk == "num":
-                lit: object = float(lv) if "." in lv else int(lv)
-            elif lk == "str":
-                lit = lv[1:-1].replace("''", "'")
+            if p.kw("between"):
+                lo = _lit()
+                if not p.kw("and"):
+                    raise SqlError("BETWEEN needs AND")
+                hi = _lit()
+                where.append((col, ">=", lo))
+                where.append((col, "<=", hi))
             else:
-                raise SqlError(f"expected literal, got {lv!r}")
-            where.append((col, op, lit))
+                k, op = p.next()
+                if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
+                    raise SqlError(f"bad comparison operator {op!r}")
+                where.append((col, op, _lit()))
             if not p.kw("and"):
                 break
     group: list[str] = []
@@ -829,6 +838,11 @@ FRONT_QUERIES: dict[str, str] = {
         "ORDER BY o_totalprice DESC, o_orderkey) AS r "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "QUALIFY r <= 3 ORDER BY c_mktsegment, r"
+    ),
+    # BETWEEN (inclusive range) desugars to two pushed-down comparisons
+    "sqlfront_between": (
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q FROM lineitem "
+        "WHERE l_quantity BETWEEN 10 AND 20 GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     # count(DISTINCT col): per-group distinct-pair dedup then a count
     "sqlfront_count_distinct": (

@@ -241,3 +241,13 @@ def test_count_distinct_equivalence():
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     with pytest.raises(SqlError):
         parse("SELECT sum(DISTINCT value) AS s FROM events")
+
+
+def test_between_equivalence():
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE value BETWEEN 25 AND 75 AND event_type <> 'error' "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
