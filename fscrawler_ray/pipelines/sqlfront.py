@@ -263,6 +263,14 @@ def parse(sql: str) -> dict:
                 hi = _lit()
                 where.append((col, ">=", lo))
                 where.append((col, "<=", hi))
+            elif p.kw("in"):
+                p.expect_op("(")
+                vals = [_lit()]
+                while p.peek() == ("op", ","):
+                    p.next()
+                    vals.append(_lit())
+                p.expect_op(")")
+                where.append((col, "in", tuple(vals)))
             else:
                 k, op = p.next()
                 if k != "op" or op not in ("=", "<>", "<", "<=", ">", ">="):
@@ -384,7 +392,10 @@ def _mask(b: pa.Table, where) -> pa.Table:
         ">=": pc.greater_equal,
     }
     for col, op, lit in where:
-        c = ops[op](b.column(col), pa.scalar(lit))
+        if op == "in":
+            c = pc.is_in(b.column(col), value_set=pa.array(list(lit)))
+        else:
+            c = ops[op](b.column(col), pa.scalar(lit))
         m = c if m is None else pc.and_kleene(m, c)
     return b.filter(pc.fill_null(m, False)) if m is not None else b
 
@@ -838,6 +849,11 @@ FRONT_QUERIES: dict[str, str] = {
         "ORDER BY o_totalprice DESC, o_orderkey) AS r "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "QUALIFY r <= 3 ORDER BY c_mktsegment, r"
+    ),
+    # IN-list membership as a vectorized is_in mask
+    "sqlfront_in": (
+        "SELECT lang, count(*) AS n FROM documents "
+        "WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang ORDER BY lang"
     ),
     # BETWEEN (inclusive range) desugars to two pushed-down comparisons
     "sqlfront_between": (

@@ -251,3 +251,13 @@ def test_between_equivalence():
     )
     got, want = _norm(_run(sql)), _norm(_duck(sql))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_in_list_equivalence():
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE event_type IN ('view', 'click') AND value > 5 "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    got, want = _norm(_run(sql)), _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
