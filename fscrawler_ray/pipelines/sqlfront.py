@@ -5,16 +5,23 @@ The reference exposes its engine only through Python entry points
 (SURVEY §3); real users of a data engine ask for SQL.  This module
 parses a small deterministic dialect —
 
-    SELECT item [, item]*
-    FROM table [JOIN table2 ON key1 = key2]
+    SELECT [DISTINCT] item [, item]*
+    FROM table [[LEFT] JOIN table2 ON key1 = key2]
     [WHERE cond [AND cond]*]
     [GROUP BY col [, col]*]
+    [HAVING cond [AND cond]*]
+    [QUALIFY rank_alias op int]
     [ORDER BY key [ASC|DESC] [, key ...]]
     [LIMIT n]
 
     item  := col | agg(col) AS alias | count(*) AS alias
+           | count(DISTINCT col) AS alias
+           | row_number() OVER (PARTITION BY col
+                                ORDER BY key [DESC] [, ...]) AS alias
     agg   := sum | min | max | count | avg
     cond  := col op literal        op ∈ {=, <>, <, <=, >, >=}
+           | col BETWEEN lit AND lit
+           | col IN (lit [, lit]*)
 
 Identifiers may be table-qualified (``orders.o_custkey``); the
 qualifier is stripped (column names are unique across the schema).
